@@ -1,0 +1,48 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Sinks and format round-trips.
+  *
+  * The partitioned parquet sink is the whole point of the reference's lake:
+  * directory layout = partition pruning for downstream readers
+  * (`/root/reference/scripts/pyspark.py:306-322`, README.md:52-58).
+  */
+object Sinks {
+
+  /** Partitioned, overwriting parquet write (pyspark.py:306-322). */
+  def writePartitionedParquet(df: DataFrame, path: String, partitionCols: Seq[String]): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite)
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(path)
+  }
+
+  /** Normalize the reference's s3:// → s3a:// read-scheme rewrite
+    * (pyspark.py:482-485, with its inverted-check bug fixed).
+    */
+  def readScheme(path: String): String =
+    if (path.startsWith("s3://")) "s3a://" + path.stripPrefix("s3://") else path
+
+  /** Round-trip a frame through CSV (header, schema re-inferred on read) —
+    * exercises the reference's CSV ingest path (pyspark.py:177,195,265,277)
+    * against driver-provided data without synthesizing inputs.
+    */
+  def csvRoundTrip(spark: SparkSession, df: DataFrame, scratch: String): DataFrame = {
+    df.write.mode(SaveMode.Overwrite).option("header", true).csv(scratch)
+    spark.read.option("header", true).option("inferSchema", true).csv(scratch)
+  }
+
+  /** Round-trip through multiLine JSON (pyspark.py:217-219 reads its code
+    * tables with multiLine=true, i.e. one JSON array document). Spark writes
+    * JSON Lines natively, so the array document is materialized driver-side —
+    * only valid for SMALL code-table-sized frames, exactly the shape the
+    * reference reads this way (≤660 rows).
+    */
+  def jsonRoundTrip(spark: SparkSession, df: DataFrame, scratch: String): DataFrame = {
+    val rows = df.toJSON.collect()
+    val dir = java.nio.file.Paths.get(scratch)
+    java.nio.file.Files.createDirectories(dir)
+    java.nio.file.Files.writeString(dir.resolve("data.json"),
+      rows.mkString("[\n", ",\n", "\n]"))
+    spark.read.option("multiLine", true).json(scratch)
+  }
+}

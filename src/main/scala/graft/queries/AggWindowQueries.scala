@@ -1,0 +1,212 @@
+package graft.queries
+
+import graft.Tables
+import graft.ops.Cleaning.cents
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Aggregations, windows, rollup/cube — SURVEY.md §2.4–§2.5.
+  *
+  * The reference has no `groupBy` (its aggregation happened upstream in
+  * Excel, `parse_excel_files.py:19-34`), but the capability is in scope:
+  * these are the hash-aggregate / window shapes a 100 TB pipeline is made
+  * of. All are partial-aggregate friendly (map-side combine) and keyed so
+  * the shuffle is on low-cardinality or evenly distributed keys.
+  */
+object AggWindowQueries extends QueryPack {
+
+  val queries: Map[String, Q] = Map(
+    // §2.4 global aggregate: the quality gate's count() (pyspark.py:33)
+    // grown up: one row out, partial counts per partition, no wide shuffle.
+    "agg_count" -> ((s, d) =>
+      Tables.orders(s, d)
+        .agg(count(lit(1)).as("n"), countDistinct(col("o_custkey")).as("n_cust"))),
+
+    // §2.4 deterministic id assignment — the oracle-safe stand-in for the
+    // reference's monotonically_increasing_id (pyspark.py:179,297).
+    "id_row_number" -> ((s, d) =>
+      Tables.customer(s, d)
+        .withColumn("id", row_number().over(Window.orderBy("c_custkey")).cast("long"))
+        .select("id", "c_custkey", "c_name")
+        .orderBy("id")),
+
+    // §2.4 grouped sum (hash agg, partial+final).
+    "agg_group_sum" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(sum(col("l_quantity").cast("long")).as("sum_qty"),
+          (sum(cents(col("l_extendedprice"))) / 100.0).as("sum_price"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // §2.4 multi-aggregate per group; avg built from exact cents so it is
+    // partition-order independent.
+    "agg_multi" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          (sum(cents(col("l_extendedprice"))) / 100.0).as("sum_price"),
+          min(col("l_quantity")).as("min_qty"),
+          max(col("l_quantity")).as("max_qty"),
+          (sum(cents(col("l_extendedprice"))) / (count(lit(1)) * 100.0)).as("avg_price"))
+        .orderBy("l_returnflag")),
+
+    // §2.4 exact distinct count per group (expand + two-phase agg in Spark).
+    "agg_distinct_count" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"))
+        .orderBy("l_returnflag")),
+
+    // §2.4 HLL sketch distinct — constant memory per group at any scale.
+    // Spark's HLL++ and DuckDB's HLL give different estimates by design, so
+    // no oracle (rows-only check); the exact twin above is the correctness
+    // anchor.
+    "agg_approx_distinct" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
+        .orderBy("l_returnflag")),
+
+    // §2.4 ROLLUP with grouping() markers; group keys coalesced to a
+    // sentinel so the output carries no nulls (null-ordering differs across
+    // engines).
+    "agg_rollup" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(grouping(col("l_returnflag")).cast("long").as("g_flag"),
+          grouping(col("l_linestatus")).cast("long").as("g_status"),
+          count(lit(1)).as("n"), sum(col("l_quantity").cast("long")).as("sum_qty"))
+        .select(col("g_flag"), col("g_status"),
+          coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+          col("n"), col("sum_qty"))
+        .orderBy("g_flag", "g_status", "flag", "status")),
+
+    // §2.4 CUBE.
+    "agg_cube" -> ((s, d) =>
+      Tables.orders(s, d)
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(grouping(col("o_orderstatus")).cast("long").as("g_status"),
+          grouping(col("o_orderpriority")).cast("long").as("g_prio"),
+          count(lit(1)).as("n"), (sum(cents(col("o_totalprice"))) / 100.0).as("total"))
+        .select(col("g_status"), col("g_prio"),
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("prio"),
+          col("n"), col("total"))
+        .orderBy("g_status", "g_prio", "status", "prio")),
+
+    // §2.5 ranking window: top-3 priciest lines per return flag. The window
+    // ordering is made total (cents desc, then keys) so row_number is
+    // deterministic.
+    "win_row_number" -> ((s, d) => {
+      val w = Window.partitionBy("l_returnflag")
+        .orderBy(col("price_cents").desc, col("l_orderkey").asc, col("l_linenumber").asc)
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+          cents(col("l_extendedprice")).as("price_cents"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 3)
+        .orderBy("l_returnflag", "rn")
+    }),
+
+    // §2.5 rank/dense_rank with real ties (quantity has 50 distinct values).
+    "win_rank_dense" -> ((s, d) => {
+      val w = Window.partitionBy("l_returnflag").orderBy(col("l_quantity").desc)
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        .withColumn("rnk", rank().over(w).cast("long"))
+        .withColumn("drnk", dense_rank().over(w).cast("long"))
+        .filter(col("drnk") <= 2)
+        .orderBy("l_returnflag", "rnk", "l_orderkey", "l_linenumber")
+    }),
+
+    // §2.5 lag/lead along a line-number sequence within an order.
+    "win_lag_lead" -> ((s, d) => {
+      val w = Window.partitionBy("l_orderkey")
+        .orderBy("l_linenumber", "l_partkey", "l_suppkey")
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_suppkey"), col("l_quantity"))
+        .withColumn("prev_qty", lag(col("l_quantity"), 1).over(w))
+        .withColumn("next_qty", lead(col("l_quantity"), 1).over(w))
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+    }),
+
+    // §2.5 running sum with an explicit rows frame.
+    "win_running_sum" -> ((s, d) => {
+      val w = Window.partitionBy("l_orderkey")
+        .orderBy("l_linenumber", "l_partkey", "l_suppkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_suppkey"), cents(col("l_extendedprice")).as("price_cents"))
+        .withColumn("running_cents", sum(col("price_cents")).over(w))
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+    }),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "agg_count" ->
+      "SELECT COUNT(*) AS n, COUNT(DISTINCT o_custkey) AS n_cust FROM orders",
+    "id_row_number" ->
+      """SELECT row_number() OVER (ORDER BY c_custkey) AS id, c_custkey, c_name
+        |FROM customer ORDER BY id""".stripMargin,
+    "agg_group_sum" ->
+      """SELECT l_returnflag, l_linestatus, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        | SUM(CAST(round(l_extendedprice*100) AS BIGINT)) / 100.0 AS sum_price
+        |FROM lineitem GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "agg_multi" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        | SUM(CAST(round(l_extendedprice*100) AS BIGINT)) / 100.0 AS sum_price,
+        | MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
+        | SUM(CAST(round(l_extendedprice*100) AS BIGINT)) / (COUNT(*) * 100.0) AS avg_price
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "agg_distinct_count" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
+        | COUNT(DISTINCT l_suppkey) AS n_supps
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "agg_rollup" ->
+      """SELECT grouping(l_returnflag) AS g_flag, grouping(l_linestatus) AS g_status,
+        | coalesce(l_returnflag, 'ALL') AS flag, coalesce(l_linestatus, 'ALL') AS status,
+        | COUNT(*) AS n, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY g_flag, g_status, flag, status""".stripMargin,
+    "agg_cube" ->
+      """SELECT grouping(o_orderstatus) AS g_status, grouping(o_orderpriority) AS g_prio,
+        | coalesce(o_orderstatus, 'ALL') AS status, coalesce(o_orderpriority, 'ALL') AS prio,
+        | COUNT(*) AS n, SUM(CAST(round(o_totalprice*100) AS BIGINT)) / 100.0 AS total
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY g_status, g_prio, status, prio""".stripMargin,
+    "win_row_number" ->
+      """SELECT * FROM (
+        |  SELECT l_returnflag, l_orderkey, l_linenumber,
+        |    CAST(round(l_extendedprice*100) AS BIGINT) AS price_cents,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY CAST(round(l_extendedprice*100) AS BIGINT) DESC,
+        |               l_orderkey ASC, l_linenumber ASC) AS rn
+        |  FROM lineitem) t
+        |WHERE rn <= 3 ORDER BY l_returnflag, rn""".stripMargin,
+    "win_rank_dense" ->
+      """SELECT * FROM (
+        |  SELECT l_returnflag, l_orderkey, l_linenumber, l_quantity,
+        |    rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity DESC) AS rnk,
+        |    dense_rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity DESC) AS drnk
+        |  FROM lineitem) t
+        |WHERE drnk <= 2 ORDER BY l_returnflag, rnk, l_orderkey, l_linenumber""".stripMargin,
+    "win_lag_lead" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity,
+        | lag(l_quantity, 1) OVER (PARTITION BY l_orderkey
+        |   ORDER BY l_linenumber, l_partkey, l_suppkey) AS prev_qty,
+        | lead(l_quantity, 1) OVER (PARTITION BY l_orderkey
+        |   ORDER BY l_linenumber, l_partkey, l_suppkey) AS next_qty
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin,
+    "win_running_sum" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        | CAST(round(l_extendedprice*100) AS BIGINT) AS price_cents,
+        | CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) OVER (
+        |   PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey, l_suppkey
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_cents
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin,
+  )
+}

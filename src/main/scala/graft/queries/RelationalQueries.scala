@@ -1,0 +1,326 @@
+package graft.queries
+
+import graft.Tables
+import graft.ops.{Cleaning, Conform, Sinks}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, IntegerType, StructType}
+
+/** Scans, projections, filters, joins, set ops, dedup, sorts — SURVEY.md
+  * §2.1–§2.3, §2.6–§2.7 (reference cites in each query).
+  */
+object RelationalQueries extends QueryPack {
+
+  private def scratch(name: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft-scratch/$name"
+
+  val queries: Map[String, Q] = Map(
+    // §7.1 flagship: the reference's code-lookup join heart
+    // (pyspark.py:359-373) widened to a 4-table star join + agg. nation is
+    // broadcast (25 rows); orders⋈customer and lineitem⋈orders are shuffle
+    // hash joins on their keys — the layout a 1000-executor plan wants.
+    "flagship" -> ((s, d) => {
+      val l = Tables.lineitem(s, d)
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d)
+      val n = Tables.nation(s, d)
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .filter(col("l_returnflag").isin("A", "R") &&
+          col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")))
+        .groupBy(Cleaning.cleanString(col("n_name")).as("nation"),
+          year(col("l_shipdate")).cast("long").as("ship_year"))
+        .agg(
+          (sum(Cleaning.cents(col("l_extendedprice")) *
+            (lit(100L) - Cleaning.cents(col("l_discount")))) / 10000.0).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("nation", "ship_year")
+    }),
+
+    // §2.1 parquet scan with pruned projection + pushed filter.
+    "scan_parquet" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_quantity") >= 48)
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+          "l_quantity", "l_returnflag")
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")),
+
+    // §2.1 CSV scan (header, inferred schema) via round-trip of a driver
+    // table (pyspark.py:177,195,265,277), conformed back to the declared
+    // schema (inference gives int/string back for nation).
+    "scan_csv" -> ((s, d) => {
+      val n = Tables.nation(s, d)
+      Conform.conformTo(Sinks.csvRoundTrip(s, n, scratch("nation_csv")), n.schema)
+        .orderBy("n_nationkey")
+    }),
+
+    // §2.1 multiLine JSON scan (pyspark.py:217-219). JSON inference widens
+    // ints to long — conformTo casts back, as the reference's schema-union
+    // idiom does.
+    "scan_json" -> ((s, d) => {
+      val n = Tables.nation(s, d)
+      Conform.conformTo(Sinks.jsonRoundTrip(s, n, scratch("nation_json")), n.schema)
+        .orderBy("n_nationkey")
+    }),
+
+    // §2.1 empty-relation source + positional union-with-empty as a
+    // cast-and-order operator (pyspark.py:159-167).
+    "empty_relation_union" -> ((s, d) => {
+      val n = Tables.nation(s, d)
+      Conform.schemaCastUnion(s, n.select("n_regionkey", "n_name", "n_nationkey"),
+        n.schema).orderBy("n_nationkey")
+    }),
+
+    // §2.1 partitioned parquet sink (pyspark.py:306-322) verified by
+    // read-back: the partition column survives as directory layout and the
+    // per-partition contents aggregate identically.
+    "sink_partitioned_parquet" -> ((s, d) => {
+      val out = scratch("lineitem_by_flag")
+      Sinks.writePartitionedParquet(
+        Tables.lineitem(s, d).select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"),
+        out, Seq("l_returnflag"))
+      s.read.parquet(out)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity").cast("long")).as("sum_qty"))
+        .orderBy("l_returnflag")
+    }),
+
+    // §2.2 plain projection to schema order (pyspark.py:67,71,182,…).
+    "project_select" -> ((s, d) =>
+      Tables.customer(s, d).select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")),
+
+    // §2.2 expression projection + rename (selectExpr, pyspark.py:64-72,193-196).
+    "project_selectexpr" -> ((s, d) =>
+      Tables.orders(s, d)
+        .selectExpr("o_orderkey as okey", "upper(o_orderstatus) as status",
+          "o_totalprice * 0.1 as tithe")
+        .orderBy("okey")),
+
+    // §2.2 withColumn / withColumnRenamed / drop / lit+cast
+    // (pyspark.py:62,70,179,198-202,298) + header lowercasing (416-429).
+    "project_mutate" -> ((s, d) => {
+      val sup = Cleaning.lowerCaseHeaders(Tables.supplier(s, d))
+      sup.withColumn("acct_cents", Cleaning.cents(col("s_acctbal")))
+        .withColumn("source", lit("supplier").cast("string"))
+        .withColumnRenamed("s_name", "supplier_name")
+        .drop("s_nationkey", "s_acctbal")
+        .orderBy("s_suppkey")
+    }),
+
+    // §2.2 double→int cast sweep (pyspark.py:228-230). Spark casts
+    // double→int by truncation toward zero.
+    "cast_double_to_int" -> ((s, d) =>
+      Cleaning.castAll(
+        Tables.lineitem(s, d)
+          .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+            "l_quantity", "l_extendedprice", "l_discount"),
+        DoubleType, IntegerType)
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")),
+
+    // §2.2 conjunctive predicate: length()==k && isin(set) — the reference's
+    // row-alignment guard (pyspark.py:280-286).
+    "filter_predicate" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(length(col("l_returnflag")) === 1 &&
+          col("l_returnflag").isin("A", "R") && col("l_quantity") > 25)
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+          "l_returnflag", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")),
+
+    // §2.2/§2.6 deterministic limit: orderBy+limit plans as
+    // TakeOrderedAndProject — no global sort materialization.
+    "limit_n" -> ((s, d) =>
+      Tables.orders(s, d).select("o_orderkey", "o_orderstatus")
+        .orderBy("o_orderkey").limit(100)),
+
+    // §2.3 the code-table lookup join, exactly `_code_lookup`
+    // (pyspark.py:359-373): inner equi-join against a broadcast dim,
+    // dropping both key columns — a lookup-filter.
+    "join_lookup_inner" -> ((s, d) =>
+      Cleaning.codeLookup(
+        Tables.customer(s, d),
+        Tables.nation(s, d).selectExpr("n_nationkey", "n_name as nation_name"),
+        "c_nationkey", "n_nationkey")
+        .select("c_custkey", "c_name", "nation_name")
+        .orderBy("c_custkey")),
+
+    // §2.3 explicit broadcast-hint join on a larger dim (part, 0.2M at sf1):
+    // still far under executor memory at 100 TB fact scale.
+    "join_broadcast" -> ((s, d) => {
+      val l = Tables.lineitem(s, d)
+      val p = Tables.part(s, d)
+      l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("p_brand"),
+          Cleaning.cents(col("p_retailprice")).as("retail_cents"))
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey")
+    }),
+
+    // §2.3 left-semi: orders that have at least one max-quantity line.
+    "join_semi" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val big = Tables.lineitem(s, d).filter(col("l_quantity") >= 49)
+      o.join(big, o("o_orderkey") === big("l_orderkey"), "left_semi")
+        .select("o_orderkey", "o_orderstatus")
+        .orderBy("o_orderkey")
+    }),
+
+    // §2.3 left-anti: customers with no orders (the quality-check shape the
+    // reference's composite-key design implies, SURVEY §2.3).
+    "join_anti" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    }),
+
+    // §2.7 positional union (pyspark.py:75,297): PySpark 2.4 union-by-
+    // position semantics.
+    "setop_union" -> ((s, d) => {
+      val c = Tables.customer(s, d).selectExpr("c_custkey as id", "'customer' as kind")
+      val sup = Tables.supplier(s, d).selectExpr("s_suppkey as id", "'supplier' as kind")
+      c.union(sup).orderBy("kind", "id")
+    }),
+
+    // §2.7 fill-missing-columns + unionByName (pyspark.py:388-413, with the
+    // null-fill type bug fixed — fills are typed to the target column).
+    "setop_union_by_name" -> ((s, d) => {
+      val target = StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("name", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("acct_cents", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("kind", org.apache.spark.sql.types.StringType)))
+      val c = Tables.customer(s, d).select(col("c_custkey").as("id"),
+        Cleaning.cents(col("c_acctbal")).as("acct_cents"), lit("customer").as("kind"))
+      val sup = Tables.supplier(s, d).select(col("s_suppkey").as("id"),
+        col("s_name").as("name"), lit("supplier").as("kind"))
+      Conform.conformTo(Conform.fillMissingColumns(c, target), target)
+        .unionByName(Conform.conformTo(Conform.fillMissingColumns(sup, target), target))
+        .orderBy("kind", "id")
+    }),
+
+    // §2.7 INTERSECT (distinct semantics on both engines).
+    "setop_intersect" -> ((s, d) =>
+      Tables.customer(s, d).selectExpr("c_nationkey as nationkey")
+        .intersect(Tables.supplier(s, d).selectExpr("s_nationkey as nationkey"))
+        .orderBy("nationkey")),
+
+    // §2.7 EXCEPT (distinct): quantities never shipped at ≤10 units.
+    "setop_except" -> ((s, d) =>
+      Tables.lineitem(s, d).selectExpr("l_quantity as qty")
+        .except(Tables.lineitem(s, d).filter(col("l_quantity") <= 10)
+          .selectExpr("l_quantity as qty"))
+        .orderBy("qty")),
+
+    // §2.4 whole-row dedup — the reference's post-scan `dropDuplicates()`
+    // (pyspark.py:178,197,222,267,279,297): a hash aggregate on all columns.
+    "dedup_distinct" -> ((s, d) =>
+      Tables.lineitem(s, d).select("l_returnflag", "l_linestatus", "l_quantity")
+        .dropDuplicates()
+        .orderBy("l_returnflag", "l_linestatus", "l_quantity")),
+
+    // §2.6 multi-key sort with mixed direction; orderkey makes it total.
+    "sort_orderby" -> ((s, d) =>
+      Tables.orders(s, d).select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .orderBy(col("o_orderstatus").asc, col("o_totalprice").desc, col("o_orderkey").asc)),
+
+    // §2.6 top-k: planned as TakeOrderedAndProject (per-partition heaps, no
+    // global sort) — the shape that survives 100× scale.
+    "topk_orderby_limit" -> ((s, d) =>
+      Tables.orders(s, d).select("o_orderkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(50)),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "flagship" ->
+      """SELECT lower(replace(n_name, ' ', '_')) AS nation, year(l_shipdate) AS ship_year,
+        | SUM(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) / 10000.0 AS revenue,
+        | COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag IN ('A','R') AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "scan_parquet" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity, l_returnflag
+        |FROM lineitem WHERE l_quantity >= 48
+        |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin,
+    "scan_csv" -> "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+    "scan_json" -> "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+    "empty_relation_union" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+    "sink_partitioned_parquet" ->
+      """SELECT l_returnflag, COUNT(*) AS n, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "project_select" ->
+      "SELECT c_custkey, c_name, c_mktsegment FROM customer ORDER BY c_custkey",
+    "project_selectexpr" ->
+      """SELECT o_orderkey AS okey, upper(o_orderstatus) AS status,
+        | o_totalprice * 0.1 AS tithe FROM orders ORDER BY okey""".stripMargin,
+    "project_mutate" ->
+      """SELECT s_suppkey, s_name AS supplier_name,
+        | CAST(round(s_acctbal*100) AS BIGINT) AS acct_cents, 'supplier' AS source
+        |FROM supplier ORDER BY s_suppkey""".stripMargin,
+    "cast_double_to_int" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        | CAST(trunc(l_quantity) AS INT) AS l_quantity,
+        | CAST(trunc(l_extendedprice) AS INT) AS l_extendedprice,
+        | CAST(trunc(l_discount) AS INT) AS l_discount
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin,
+    "filter_predicate" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_returnflag, l_quantity
+        |FROM lineitem
+        |WHERE length(l_returnflag) = 1 AND l_returnflag IN ('A','R') AND l_quantity > 25
+        |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin,
+    "limit_n" ->
+      "SELECT o_orderkey, o_orderstatus FROM orders ORDER BY o_orderkey LIMIT 100",
+    "join_lookup_inner" ->
+      """SELECT c_custkey, c_name, n_name AS nation_name FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey ORDER BY c_custkey""".stripMargin,
+    "join_broadcast" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, p_brand,
+        | CAST(round(p_retailprice*100) AS BIGINT) AS retail_cents
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |ORDER BY l_orderkey, l_linenumber, l_partkey""".stripMargin,
+    "join_semi" ->
+      """SELECT o_orderkey, o_orderstatus FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |  WHERE l_orderkey = o_orderkey AND l_quantity >= 49)
+        |ORDER BY o_orderkey""".stripMargin,
+    "join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "setop_union" ->
+      """SELECT c_custkey AS id, 'customer' AS kind FROM customer
+        |UNION ALL SELECT s_suppkey AS id, 'supplier' AS kind FROM supplier
+        |ORDER BY kind, id""".stripMargin,
+    "setop_union_by_name" ->
+      """SELECT c_custkey AS id, CAST(NULL AS VARCHAR) AS name,
+        |  CAST(round(c_acctbal*100) AS BIGINT) AS acct_cents, 'customer' AS kind FROM customer
+        |UNION ALL
+        |SELECT s_suppkey AS id, s_name AS name, CAST(NULL AS BIGINT) AS acct_cents,
+        |  'supplier' AS kind FROM supplier
+        |ORDER BY kind, id""".stripMargin,
+    "setop_intersect" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |INTERSECT SELECT s_nationkey AS nationkey FROM supplier
+        |ORDER BY nationkey""".stripMargin,
+    "setop_except" ->
+      """SELECT l_quantity AS qty FROM lineitem
+        |EXCEPT SELECT l_quantity AS qty FROM lineitem WHERE l_quantity <= 10
+        |ORDER BY qty""".stripMargin,
+    "dedup_distinct" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus, l_quantity FROM lineitem
+        |ORDER BY l_returnflag, l_linestatus, l_quantity""".stripMargin,
+    "sort_orderby" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |ORDER BY o_orderstatus ASC, o_totalprice DESC, o_orderkey ASC""".stripMargin,
+    "topk_orderby_limit" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 50""".stripMargin,
+  )
+}

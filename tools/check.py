@@ -1,0 +1,71 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate.
+
+Reads the parquet dumps produced by `graft.Verify` and compares each against
+its DuckDB oracle SQL (oracle_sql.json) on the same test tables — value-exact,
+column-name-sorted, row-order-sensitive — so any mismatch the driver would
+flag shows up here first. Dev tool only; not part of the engine.
+
+Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+"""
+import json, sys, glob, os
+import duckdb
+import pandas as pd
+import numpy as np
+
+sf_dir, out_dir = sys.argv[1], sys.argv[2]
+con = duckdb.connect()
+for p in glob.glob(f"{sf_dir}/*.parquet"):
+    name = os.path.basename(p)[:-len(".parquet")]
+    con.execute(f"create view {name} as select * from read_parquet('{p}')")
+
+oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+ok, bad, noracle = [], [], []
+for qdir in sorted(glob.glob(f"{out_dir}/*/")):
+    name = os.path.basename(qdir.rstrip("/"))
+    got = pd.read_parquet(qdir)
+    if name not in oracle:
+        noracle.append((name, len(got)))
+        continue
+    try:
+        exp = con.execute(oracle[name]).fetchdf()
+    except Exception as e:
+        bad.append((name, f"oracle SQL error: {e}"))
+        continue
+    got = got[sorted(got.columns)]
+    exp = exp[sorted(exp.columns)]
+    if list(got.columns) != list(exp.columns):
+        bad.append((name, f"columns differ: spark={list(got.columns)} oracle={list(exp.columns)}"))
+        continue
+    if len(got) != len(exp):
+        bad.append((name, f"row count differs: spark={len(got)} oracle={len(exp)}"))
+        continue
+    mismatch = None
+    for c in got.columns:
+        a, b = got[c], exp[c]
+        if str(a.dtype) != str(b.dtype):
+            mismatch = f"col {c}: dtype spark={a.dtype} oracle={b.dtype}"
+            # keep checking values too
+        av, bv = a.values, b.values
+        try:
+            if a.dtype == object or b.dtype == object:
+                neq = ~(pd.Series(av).astype(str) == pd.Series(bv).astype(str))
+            else:
+                neq = ~((av == bv) | (pd.isna(av) & pd.isna(bv)))
+        except Exception as e:
+            mismatch = (mismatch or "") + f"; col {c}: compare error {e}"
+            continue
+        if neq.any():
+            i = int(np.argmax(neq))
+            mismatch = (mismatch or "") + f"; col {c}: {int(neq.sum())} diffs, first row {i}: spark={av[i]!r} oracle={bv[i]!r}"
+    if mismatch:
+        bad.append((name, mismatch.lstrip("; ")))
+    else:
+        ok.append(name)
+
+print(f"== OK ({len(ok)}): {' '.join(ok)}")
+for name, rows in noracle:
+    print(f"== NO-ORACLE: {name} rows={rows}")
+for name, why in bad:
+    print(f"== FAIL: {name}: {why}")
+sys.exit(1 if bad else 0)
