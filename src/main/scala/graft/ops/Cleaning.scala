@@ -80,14 +80,17 @@ object Cleaning {
     * (pyspark.py:325-346): strip leading space (split-artifact), lowercase,
     * map-literal lookup, PASS THROUGH unmatched values unchanged, null→null.
     * A 51-entry map literal is evaluated executor-side with no shuffle and no
-    * broadcast — cheaper than a join at any scale.
+    * broadcast — cheaper than a join at any scale. `try_element_at` (not
+    * `element_at`) because Spark 4 defaults to ANSI mode, where `element_at`
+    * throws MAP_KEY_DOES_NOT_EXIST on a miss — the opposite of the
+    * reference's pass-through semantics (pyspark.py:344-346).
     */
   def abbreviateState(c: Column): Column =
-    coalesce(element_at(typedLit(stateAbbrev), lower(ltrim(c))), c)
+    coalesce(try_element_at(typedLit(stateAbbrev), lower(ltrim(c))), c)
 
-  /** Generic map-literal lookup with pass-through-on-miss. */
+  /** Generic map-literal lookup with pass-through-on-miss (ANSI-safe). */
   def mapLookup(c: Column, m: Map[String, String]): Column =
-    coalesce(element_at(typedLit(m), c), c)
+    coalesce(try_element_at(typedLit(m), c), c)
 
   /** Code-table lookup join (`_code_lookup`, pyspark.py:359-373): inner
     * equi-join of the main frame against a small code table, dropping both

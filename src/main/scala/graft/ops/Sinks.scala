@@ -38,6 +38,10 @@ object Sinks {
     * reference reads this way (≤660 rows).
     */
   def jsonRoundTrip(spark: SparkSession, df: DataFrame, scratch: String): DataFrame = {
+    // Unguarded driver collect would be a scale hazard; this path exists only
+    // for code-table-sized frames, so enforce that.
+    require(df.count() <= 10000,
+      s"jsonRoundTrip is for small code tables only (got > 10000 rows)")
     val rows = df.toJSON.collect()
     val dir = java.nio.file.Paths.get(scratch)
     java.nio.file.Files.createDirectories(dir)

@@ -10,8 +10,12 @@ import org.apache.spark.sql.types.{DoubleType, IntegerType, StructType}
   */
 object RelationalQueries extends QueryPack {
 
+  // Per-JVM nonce so concurrent Verify + Bench runs don't overwrite each
+  // other's scratch dirs (both write mode=Overwrite to fixed names).
+  private val runNonce: String = java.util.UUID.randomUUID.toString.take(8)
+
   private def scratch(name: String): String =
-    s"${sys.props("java.io.tmpdir")}/graft-scratch/$name"
+    s"${sys.props("java.io.tmpdir")}/graft-scratch-$runNonce/$name"
 
   val queries: Map[String, Q] = Map(
     // §7.1 flagship: the reference's code-lookup join heart
@@ -145,12 +149,15 @@ object RelationalQueries extends QueryPack {
         .select("c_custkey", "c_name", "nation_name")
         .orderBy("c_custkey")),
 
-    // §2.3 explicit broadcast-hint join on a larger dim (part, 0.2M at sf1):
-    // still far under executor memory at 100 TB fact scale.
+    // §2.3 dim join sized by the optimizer: `part` grows linearly with scale
+    // factor, so a hard broadcast() hint here would be a scale-killer (it is
+    // multi-GB at sf100). No hint — AQE broadcasts while the dim is small and
+    // falls back to a shuffled join when it isn't. The explicit-hint demo
+    // lives on the genuinely bounded dims (nation, in `flagship`).
     "join_broadcast" -> ((s, d) => {
       val l = Tables.lineitem(s, d)
       val p = Tables.part(s, d)
-      l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+      l.join(p, l("l_partkey") === p("p_partkey"))
         .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("p_brand"),
           Cleaning.cents(col("p_retailprice")).as("retail_cents"))
         .orderBy("l_orderkey", "l_linenumber", "l_partkey")

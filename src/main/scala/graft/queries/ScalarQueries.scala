@@ -1,0 +1,173 @@
+package graft.queries
+
+import graft.Tables
+import graft.ops.Cleaning
+import org.apache.spark.sql.functions._
+
+/** Scalar-function queries — SURVEY.md §2.8/§2.10: the reference's string /
+  * date / array / map / JSON vocabulary, each wired to a DuckDB oracle.
+  *
+  * Everything here is a plain Catalyst expression inside whole-stage codegen;
+  * the two reference Python UDFs (`_abbreviate_state` pyspark.py:325-346,
+  * `_convert_to_date` pyspark.py:376-385) appear as their UDF-free rewrites
+  * (`map_literal_lookup`, `date_sas_epoch`) — per-row expressions with no
+  * shuffle, no broadcast, no Python worker: the shape that scales to 100 TB
+  * by doing nothing but map work.
+  */
+object ScalarQueries extends QueryPack {
+
+  val queries: Map[String, Q] = Map(
+    // §2.8 `_clean_string_column` (pyspark.py:349-356): lower + spaces→'_'.
+    "str_clean" -> ((s, d) =>
+      Tables.part(s, d)
+        .select(col("p_partkey"),
+          Cleaning.cleanString(col("p_name")).as("name_clean"),
+          Cleaning.cleanString(col("p_brand")).as("brand_clean"))
+        .orderBy("p_partkey")),
+
+    // §2.8 the reference's split-and-index idiom (pyspark.py:269-272):
+    // split once, project elements, drop the array.
+    "str_split_extract" -> ((s, d) =>
+      Tables.part(s, d)
+        .withColumn("parts", split(col("p_name"), " "))
+        .select(col("p_partkey"),
+          col("parts").getItem(0).as("word0"),
+          col("parts").getItem(1).as("word1"))
+        .orderBy("p_partkey")),
+
+    // §2.8 array ops on a split result: getItem + size + array_contains.
+    "arr_split_getitem" -> ((s, d) =>
+      Tables.orders(s, d)
+        .withColumn("parts", split(col("o_orderpriority"), "-"))
+        .select(col("o_orderkey"),
+          col("parts").getItem(0).cast("int").as("prio_num"),
+          col("parts").getItem(1).as("prio_label"),
+          size(col("parts")).cast("long").as("n_parts"),
+          array_contains(col("parts"), "URGENT").as("is_urgent"))
+        .orderBy("o_orderkey")),
+
+    // §2.8 date-part expansion (pyspark.py:198-202,245-248,290-294):
+    // numeric day-of-week (1=Sunday, Spark) + the reference's lowercase
+    // "mon".."sun" abbreviation (date_format 'E' + clean_string).
+    "date_parts_expand" -> ((s, d) =>
+      Cleaning.datePartsExpand(
+        Tables.orders(s, d).select("o_orderkey", "o_orderdate"),
+        "o_orderdate", "order")
+        .withColumn("order_weekday_abbrev", Cleaning.weekdayAbbrev(col("o_orderdate")))
+        .drop("o_orderdate")
+        .orderBy("o_orderkey")),
+
+    // §2.8/§2.10 SAS epoch date (`_convert_to_date`, pyspark.py:376-385):
+    // days since 1960-01-01 where BOTH null and 0 land on 1960-01-01
+    // (README.md:102-103). Days synthesized deterministically from o_orderkey
+    // so the null and zero quirk paths are exercised.
+    "date_sas_epoch" -> ((s, d) =>
+      Tables.orders(s, d)
+        .withColumn("sas_days",
+          when(col("o_orderkey") % 97 === 0, lit(null).cast("int"))
+            .when(col("o_orderkey") % 89 === 0, lit(0))
+            .otherwise((col("o_orderkey") % 20000).cast("int")))
+        // Emitted as an ISO string: a DATE column round-trips to a Python
+        // `object` dtype on the compare side, where the oracle's DATE is
+        // datetime64 — stringly output keeps the hash comparable.
+        .select(col("o_orderkey"), col("sas_days"),
+          date_format(Cleaning.sasEpochDate(col("sas_days")), "yyyy-MM-dd").as("sas_date"))
+        .orderBy("o_orderkey")),
+
+    // §2.8 arithmetic + round + abs + floor/ceil + mod; money through exact
+    // cents so the bigint sum/compare is partition-order independent.
+    "math_arith" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
+          round(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+            * (lit(1.0) + col("l_tax")) * 100).cast("long").as("charge_cents"),
+          abs(col("l_quantity") - 25).as("qty_dev"),
+          floor(col("l_discount") * 100).cast("long").as("disc_floor"),
+          ceil(col("l_tax") * 100).cast("long").as("tax_ceil"),
+          (col("l_orderkey") % 7).as("okey_mod7"))
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")),
+
+    // §2.8/§2.10 the `_abbreviate_state` UDF rewrite: 51-entry map literal,
+    // leading-space strip, lowercase, pass-through-on-miss, null→null — all
+    // quirk paths synthesized deterministically from s_suppkey.
+    "map_literal_lookup" -> ((s, d) =>
+      Tables.supplier(s, d)
+        .withColumn("state_raw",
+          when(col("s_suppkey") % 11 === 0, lit(null).cast("string"))
+            .when(col("s_suppkey") % 3 === 0, lit(" California"))
+            .when(col("s_suppkey") % 3 === 1, lit("texas"))
+            .otherwise(col("s_name")))
+        .select(col("s_suppkey"), col("state_raw"),
+          Cleaning.abbreviateState(col("state_raw")).as("state_abbrev"))
+        .orderBy("s_suppkey")),
+
+    // §2.8 JSON scalar extraction on the events props column.
+    "json_get_field" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").as("k_str"),
+          get_json_object(col("props"), "$.k").cast("int").as("k_int"))
+        .orderBy("event_id")),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "str_clean" ->
+      """SELECT p_partkey, lower(replace(p_name, ' ', '_')) AS name_clean,
+        | lower(replace(p_brand, ' ', '_')) AS brand_clean
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "str_split_extract" ->
+      """SELECT p_partkey, string_split(p_name, ' ')[1] AS word0,
+        | string_split(p_name, ' ')[2] AS word1
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "arr_split_getitem" ->
+      """SELECT o_orderkey,
+        | CAST(string_split(o_orderpriority, '-')[1] AS INT) AS prio_num,
+        | string_split(o_orderpriority, '-')[2] AS prio_label,
+        | CAST(len(string_split(o_orderpriority, '-')) AS BIGINT) AS n_parts,
+        | list_contains(string_split(o_orderpriority, '-'), 'URGENT') AS is_urgent
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "date_parts_expand" ->
+      """SELECT o_orderkey,
+        | CAST(year(o_orderdate) AS INT) AS order_year,
+        | CAST(month(o_orderdate) AS INT) AS order_month,
+        | CAST(dayofmonth(o_orderdate) AS INT) AS order_day,
+        | CAST(dayofweek(o_orderdate) + 1 AS INT) AS order_weekday,
+        | lower(strftime(o_orderdate, '%a')) AS order_weekday_abbrev
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "date_sas_epoch" ->
+      """SELECT o_orderkey,
+        | CASE WHEN o_orderkey % 97 = 0 THEN NULL
+        |      WHEN o_orderkey % 89 = 0 THEN 0
+        |      ELSE CAST(o_orderkey % 20000 AS INT) END AS sas_days,
+        | strftime(DATE '1960-01-01' + CAST(coalesce(
+        |   CASE WHEN o_orderkey % 97 = 0 THEN NULL
+        |        WHEN o_orderkey % 89 = 0 THEN 0
+        |        ELSE CAST(o_orderkey % 20000 AS INT) END, 0) AS INT), '%Y-%m-%d') AS sas_date
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "math_arith" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        | CAST(round(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) * 100) AS BIGINT) AS charge_cents,
+        | abs(l_quantity - 25) AS qty_dev,
+        | CAST(floor(l_discount * 100) AS BIGINT) AS disc_floor,
+        | CAST(ceil(l_tax * 100) AS BIGINT) AS tax_ceil,
+        | l_orderkey % 7 AS okey_mod7
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin,
+    "map_literal_lookup" ->
+      """WITH raw AS (
+        |  SELECT s_suppkey,
+        |    CASE WHEN s_suppkey % 11 = 0 THEN NULL
+        |         WHEN s_suppkey % 3 = 0 THEN ' California'
+        |         WHEN s_suppkey % 3 = 1 THEN 'texas'
+        |         ELSE s_name END AS state_raw
+        |  FROM supplier)
+        |SELECT s_suppkey, state_raw,
+        |  coalesce(CASE lower(ltrim(state_raw))
+        |             WHEN 'california' THEN 'CA'
+        |             WHEN 'texas' THEN 'TX' END, state_raw) AS state_abbrev
+        |FROM raw ORDER BY s_suppkey""".stripMargin,
+    "json_get_field" ->
+      """SELECT event_id, json_extract_string(props, '$.k') AS k_str,
+        | CAST(json_extract_string(props, '$.k') AS INT) AS k_int
+        |FROM events ORDER BY event_id""".stripMargin,
+  )
+}

@@ -21,7 +21,12 @@ for p in glob.glob(f"{sf_dir}/*.parquet"):
 
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
 ok, bad, noracle = [], [], []
-for qdir in sorted(glob.glob(f"{out_dir}/*/")):
+dump_dirs = sorted(glob.glob(f"{out_dir}/*/"))
+found = {os.path.basename(d.rstrip("/")) for d in dump_dirs}
+# A query that threw in Verify writes no dump dir; don't let it vanish green.
+for name in sorted(set(oracle) - found):
+    bad.append((name, "no parquet dump (query threw in Verify?)"))
+for qdir in dump_dirs:
     name = os.path.basename(qdir.rstrip("/"))
     got = pd.read_parquet(qdir)
     if name not in oracle:
@@ -49,7 +54,10 @@ for qdir in sorted(glob.glob(f"{out_dir}/*/")):
         av, bv = a.values, b.values
         try:
             if a.dtype == object or b.dtype == object:
-                neq = ~(pd.Series(av).astype(str) == pd.Series(bv).astype(str))
+                # null-aware: astype(str) would equate real null with 'None'
+                an, bn = pd.isna(pd.Series(av)), pd.isna(pd.Series(bv))
+                eq_str = pd.Series(av).astype(str) == pd.Series(bv).astype(str)
+                neq = ~((an & bn) | (~an & ~bn & eq_str))
             else:
                 neq = ~((av == bv) | (pd.isna(av) & pd.isna(bv)))
         except Exception as e:
