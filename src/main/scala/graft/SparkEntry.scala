@@ -15,6 +15,7 @@ object SparkEntry {
     RelationalQueries,
     AggWindowQueries,
     ScalarQueries,
+    LlmQueries,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

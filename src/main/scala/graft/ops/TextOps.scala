@@ -1,0 +1,86 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis and document-dedup primitives for LLM-training-data
+  * pipelines (SURVEY.md §7.2 step 5 / the north-star extension set).
+  *
+  * Everything is built from Catalyst higher-order functions over arrays —
+  * per-row map work with no shuffle, no UDF, no driver participation: the
+  * only shuffles in the dedup pipelines are the hash-aggregations and the
+  * band-key joins, which is exactly the MinHash-LSH shape that scales
+  * (candidate generation by bucket join, NEVER all-pairs).
+  *
+  * Hashing is 60-bit md5-prefix ([[hash60]]) rather than Spark's murmur3
+  * `hash()` so every value is reproducible by any engine with an md5
+  * function — the DuckDB oracle computes the identical signatures.
+  */
+object TextOps {
+
+  /** Modulus for the minhash permutation family: 2^31-1 (Mersenne prime). */
+  val HashPrime = 2147483647L
+
+  /** Fixed permutation constants (a*h+b mod p), k=8. Chosen < 2^15 so
+    * a*(h mod p) stays well under 2^63.
+    */
+  val MinHashA: Seq[Long] = Seq(2971L, 5867L, 9391L, 12553L, 16411L, 20431L, 24527L, 28669L)
+  val MinHashB: Seq[Long] = Seq(1097L, 3163L, 7207L, 11443L, 15107L, 19301L, 23549L, 27791L)
+
+  /** Whitespace tokenization (documents are single-space separated). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Deterministic, engine-portable 60-bit hash: first 15 hex chars of md5.
+    * Always non-negative, fits a long.
+    */
+  def hash60(c: Column): Column = conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Word n-gram shingles. Guarded: Spark's `sequence(1, size-k)` would
+    * generate a DESCENDING sequence when size < n, so short docs map to an
+    * explicit empty array.
+    */
+  def wordShingles(toks: Column, n: Int): Column =
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+
+  /** n-gram shingle hashes of a text column. */
+  def shingleHashes(text: Column, n: Int): Column =
+    transform(wordShingles(tokens(text), n), s => hash60(s))
+
+  /** k=8 MinHash signature over an array<long> of shingle hashes:
+    * sig[j] = min over shingles of (a_j * (h mod p) + b_j) mod p.
+    */
+  def minHashSignature(hashes: Column): Column =
+    array(MinHashA.zip(MinHashB).map { case (a, b) =>
+      array_min(transform(hashes, h => (lit(a) * (h % HashPrime) + lit(b)) % HashPrime))
+    }: _*)
+
+  /** LSH band keys, r=2 rows per band, b=4 bands over the k=8 signature.
+    * Two documents are candidate near-dups iff they share at least one
+    * band key — the join key that replaces the quadratic all-pairs scan.
+    */
+  def bandKeys(sig: Column): Column =
+    array((0 until 4).map(bd =>
+      concat_ws("_", element_at(sig, 2 * bd + 1), element_at(sig, 2 * bd + 2))): _*)
+
+  /** 60-bit SimHash over an array<long> column of token hashes (named
+    * column, SQL-expression form — dynamic shift amounts need the SQL
+    * `shiftleft(base, expr)` signature). Bit i is set iff the sum over
+    * tokens of ±1 (sign of hash bit i) is >= 0.
+    */
+  def simHash60(hashesCol: String): Column = expr(
+    s"""aggregate(sequence(0, 59), 0L, (acc, i) -> acc + shiftleft(
+       |  CASE WHEN aggregate($hashesCol, 0L,
+       |                      (a2, h) -> a2 + ((shiftright(h, i) & 1) * 2 - 1)) >= 0
+       |       THEN 1L ELSE 0L END, i))""".stripMargin)
+
+  /** 15-bit SimHash blocking keys (4 bands): near-dups (small Hamming
+    * distance) agree on at least one band by pigeonhole, so the candidate
+    * join runs on band equality, never all-pairs.
+    */
+  def simHashBands(simhash: Column): Column =
+    array((0 until 4).map(b =>
+      struct(lit(b).cast("long").as("band"),
+        (shiftrightunsigned(simhash, 15 * b) % 32768).as("key"))): _*)
+}

@@ -1,0 +1,395 @@
+package graft.queries
+
+import graft.Tables
+import graft.ops.{TextOps, VectorOps}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** LLM-training-data pipeline operators over the `documents` and
+  * `embeddings` tables: text analysis, exact / MinHash-LSH / SimHash
+  * deduplication, and similarity search (SURVEY.md §7.2 step 5; the
+  * north-star half of the brief).
+  *
+  * Scale posture, uniformly: candidate generation is ALWAYS a bucket/band
+  * equi-join (MinHash bands, SimHash bands, sign-LSH buckets, IVF
+  * probe-buckets) — never an all-pairs cross join; per-document signature
+  * computation is pure map work (higher-order functions, no UDFs); the
+  * only shuffles are hash aggregations and the band-key joins. Every hash
+  * is md5-derived ([[TextOps.hash60]]) so the DuckDB oracle reproduces the
+  * identical signatures bit-for-bit.
+  */
+object LlmQueries extends QueryPack {
+
+  /** documents with tokens + 3-gram shingle minhash signature (docs with
+    * < 3 tokens carry no shingles and are excluded, mirrored in SQL).
+    */
+  private def minhashBands(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .filter(size(TextOps.tokens(col("text"))) >= 3)
+      .select(col("doc_id"),
+        TextOps.minHashSignature(TextOps.shingleHashes(col("text"), 3)).as("sig"))
+      .select(col("doc_id"), posexplode(TextOps.bandKeys(col("sig"))))
+      .select(col("doc_id"), col("pos").cast("long").as("band"), col("col").as("band_key"))
+
+  private def simhashSigs(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        transform(TextOps.tokens(col("text")), t => TextOps.hash60(t)).as("hashes"))
+      .select(col("doc_id"), TextOps.simHash60("hashes").as("simhash"))
+
+  private def embVecs(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), VectorOps.toDoubleVec(col("embedding")).as("v"))
+
+  val queries: Map[String, Q] = Map(
+    // ---- text analysis -------------------------------------------------
+    // Per-language corpus statistics: doc counts, char + whitespace-token
+    // totals. One hash aggregation on a low-cardinality key with partial
+    // (map-side) combine — the canonical corpus-profiling shape.
+    "text_stats" -> ((s, d) =>
+      Tables.documents(s, d)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"),
+          sum(size(TextOps.tokens(col("text"))).cast("long")).as("sum_tokens"),
+          sum(length(col("text")).cast("long")).as("sum_len"))
+        .orderBy("lang")),
+
+    // Token counting per document: whitespace tokens + a BPE-ish regex
+    // lexer (letter runs / digit runs / single punctuation) — per-row map
+    // work inside codegen.
+    "text_token_count" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(TextOps.tokens(col("text"))).cast("long").as("n_ws_tokens"),
+          expr("CAST(size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)) AS BIGINT)")
+            .as("n_re_tokens"),
+          col("n_chars"))
+        .orderBy("doc_id")),
+
+    // n-gram-heuristic language ID (stopword-hit ratio), reported as a
+    // (labeled lang × predicted lang) confusion table.
+    "text_lang_id" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("toks", TextOps.tokens(col("text")))
+        .withColumn("hits", size(filter(col("toks"), t => t.isin("the", "a"))))
+        .withColumn("pred_lang",
+          when(col("hits") / size(col("toks")) >= 0.05, lit("en")).otherwise(lit("unk")))
+        .groupBy("lang", "pred_lang")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang", "pred_lang")),
+
+    // Quality scoring: length bounds, punctuation count, stopword-density
+    // score in integer milli-units (exact arithmetic ⇒ deterministic at
+    // any parallelism).
+    "text_quality" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("toks", TextOps.tokens(col("text")))
+        .select(col("doc_id"),
+          length(col("text")).cast("long").as("len_chars"),
+          size(col("toks")).cast("long").as("n_tok"),
+          expr("CAST(size(regexp_extract_all(text, '[^a-z0-9 ]', 0)) AS BIGINT)").as("n_punct"),
+          size(filter(col("toks"), t => t.isin("the", "a", "of"))).cast("long").as("stop_hits"))
+        .withColumn("score_milli", expr("(stop_hits * 1000) div n_tok"))
+        .withColumn("quality_ok",
+          col("score_milli") >= 40 && col("len_chars").between(50, 5000))
+        .orderBy("doc_id")),
+
+    // Document fingerprinting: whole-text 60-bit hash + min 5-gram shingle
+    // hash (winnowing-style content fingerprint robust to suffix edits).
+    "text_fingerprint" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("sh", TextOps.shingleHashes(col("text"), 5))
+        .select(col("doc_id"),
+          TextOps.hash60(col("text")).as("fp"),
+          array_min(col("sh")).as("min_shingle_fp"),
+          size(col("sh")).cast("long").as("n_shingles"))
+        .orderBy("doc_id")),
+
+    // ---- deduplication -------------------------------------------------
+    // Exact dedup by content hash: hash-aggregate on sha256(text), keep
+    // the lowest doc_id per group. One shuffle on the hash key; at 100 TB
+    // this is the standard first dedup pass.
+    "dedup_exact_doc" -> ((s, d) =>
+      Tables.documents(s, d)
+        .groupBy(sha2(col("text"), 256).as("content_hash"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+        .orderBy("content_hash")),
+
+    // MinHash-LSH banding: per-doc k=8 signature → b=4 bands of r=2 →
+    // one row per (doc, band key). This is the materialized join key for
+    // near-dup candidate generation.
+    "dedup_minhash_band" -> ((s, d) =>
+      minhashBands(s, d).orderBy("doc_id", "band")),
+
+    // Near-dup candidate pairs: self-equi-join on the band key (shuffle
+    // on band_key — NOT an all-pairs scan; 500 docs → 35 candidates at
+    // sf0.01, and the same plan holds at any corpus size).
+    "dedup_minhash_pairs" -> ((s, d) => {
+      val b = minhashBands(s, d)
+      b.as("x").join(b.as("y"),
+          col("x.band") === col("y.band") && col("x.band_key") === col("y.band_key") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+        .distinct()
+        .orderBy("d1", "d2")
+    }),
+
+    // Per-document 60-bit SimHash signature.
+    "dedup_simhash" -> ((s, d) =>
+      simhashSigs(s, d).orderBy("doc_id")),
+
+    // SimHash near-dup pairs: candidates via 15-bit band blocking (a
+    // Hamming-≤4 pair agrees on ≥1 of 4 bands by pigeonhole), verified by
+    // bit_count(xor) — again a band equi-join, never all-pairs.
+    "dedup_simhash_pairs" -> ((s, d) => {
+      val sig = simhashSigs(s, d)
+      val bands = sig
+        .select(col("doc_id"), col("simhash"),
+          explode(TextOps.simHashBands(col("simhash"))).as("bk"))
+        .select(col("doc_id"), col("simhash"),
+          col("bk.band").as("band"), col("bk.key").as("key"))
+      bands.as("x").join(bands.as("y"),
+          col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
+          col("x.simhash").as("s1"), col("y.simhash").as("s2"))
+        .distinct()
+        .withColumn("hamming", expr("CAST(bit_count(s1 ^ s2) AS BIGINT)"))
+        .filter(col("hamming") <= 4)
+        .select("d1", "d2", "hamming")
+        .orderBy("d1", "d2")
+    }),
+
+    // ---- similarity search --------------------------------------------
+    // Brute-force cosine top-k (the correctness baseline): 5 query
+    // vectors broadcast against all candidates; sequential-fold double
+    // arithmetic makes the scores engine-reproducible bit-for-bit.
+    "ann_cosine_topk" -> ((s, d) => {
+      val e = embVecs(s, d)
+      val q = e.filter(col("vec_id") < 5).select(col("vec_id").as("q_id"), col("v").as("qv"))
+      val c = e.filter(col("vec_id") >= 5)
+      val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id").asc)
+      c.crossJoin(broadcast(q))
+        .withColumn("cosine", VectorOps.cosine(col("qv"), col("v")))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 10)
+        .select("q_id", "vec_id", "cosine", "rnk")
+        .orderBy("q_id", "rnk")
+    }),
+
+    // IVF-style bucketed ANN (the scale path): assign every vector to its
+    // nearest of 8 deterministic centroids (vec_id < 8), probe the 2
+    // nearest centroid buckets per query, search only inside them. The
+    // candidate set shrinks by ~bucket-count×(probes/buckets); the final
+    // join is an equi-join on bucket id.
+    "ann_ivf_topk" -> ((s, d) => {
+      val e = embVecs(s, d)
+      val cent = e.filter(col("vec_id") < 8).select(col("vec_id").as("c_id"), col("v").as("cv"))
+      val data = e.filter(col("vec_id") >= 8)
+      val aw = Window.partitionBy("vec_id").orderBy(col("c_cos").desc, col("c_id").asc)
+      val assign = data.crossJoin(broadcast(cent))
+        .withColumn("c_cos", VectorOps.cosine(col("v"), col("cv")))
+        .withColumn("arank", row_number().over(aw))
+        .filter(col("arank") === 1)
+        .select(col("vec_id"), col("v"), col("c_id").as("bucket"))
+      val q = e.filter(col("vec_id") >= 8 && col("vec_id") < 13)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      val pw = Window.partitionBy("q_id").orderBy(col("c_cos").desc, col("c_id").asc)
+      val probes = q.crossJoin(broadcast(cent))
+        .withColumn("c_cos", VectorOps.cosine(col("qv"), col("cv")))
+        .withColumn("prank", row_number().over(pw))
+        .filter(col("prank") <= 2)
+        .select(col("q_id"), col("qv"), col("c_id").as("bucket"))
+      val rw = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id").asc)
+      probes.join(assign, "bucket")
+        .filter(col("q_id") =!= col("vec_id"))
+        .withColumn("cosine", VectorOps.cosine(col("qv"), col("v")))
+        .withColumn("rnk", row_number().over(rw).cast("long"))
+        .filter(col("rnk") <= 5)
+        .select("q_id", "vec_id", "bucket", "cosine", "rnk")
+        .orderBy("q_id", "rnk")
+    }),
+
+    // Embedding near-dup via sign-LSH: 8 hyperplanes (the first 8 vectors)
+    // give an 8-bit bucket; same-bucket pairs (540 of 125k possible at
+    // sf0.01) are verified by exact cosine ≥ 0.3. Bucketing is a broadcast
+    // join + hash agg; candidates are an equi-join on bucket.
+    "dedup_embedding_cosine" -> ((s, d) => {
+      val e = embVecs(s, d)
+      val planes = e.filter(col("vec_id") < 8).select(col("vec_id").as("p_id"), col("v").as("pv"))
+      val buckets = e.crossJoin(broadcast(planes))
+        .select(col("vec_id"),
+          when(VectorOps.dot(col("v"), col("pv")) >= 0,
+            expr("shiftleft(1L, CAST(p_id AS INT))")).otherwise(lit(0L)).as("bit"))
+        .groupBy("vec_id")
+        .agg(sum("bit").as("bucket"))
+      val bv = buckets.join(e, "vec_id")
+      bv.as("x").join(bv.as("y"),
+          col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
+        .withColumn("cosine", VectorOps.cosine(col("x.v"), col("y.v")))
+        .filter(col("cosine") >= 0.3)
+        .select(col("x.vec_id").as("d1"), col("y.vec_id").as("d2"), col("cosine"))
+        .orderBy("d1", "d2")
+    }),
+  )
+
+  // DuckDB-side signature machinery shared by the minhash oracles; the
+  // permutation constants mirror TextOps.MinHashA/B.
+  private val mhSigSql: String = {
+    val p = TextOps.HashPrime
+    val terms = TextOps.MinHashA.zip(TextOps.MinHashB).zipWithIndex.map {
+      case ((a, b), j) =>
+        s"list_min(list_transform(hashes, h -> ($a*(h%$p)+$b)%$p)) AS m$j"
+    }.mkString(", ")
+    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |sh AS (SELECT doc_id,
+       |  list_transform(range(1, len(t)-1), i -> array_to_string(list_slice(t, i, i+2), ' ')) AS shingles
+       |  FROM toks WHERE len(t) >= 3),
+       |hs AS (SELECT doc_id,
+       |  list_transform(shingles, s -> ('0x'||substr(md5(s),1,15))::BIGINT) AS hashes FROM sh),
+       |sig AS (SELECT doc_id, $terms FROM hs),
+       |bandtab AS (
+       |  SELECT doc_id, CAST(0 AS BIGINT) AS band, m0||'_'||m1 AS band_key FROM sig
+       |  UNION ALL SELECT doc_id, CAST(1 AS BIGINT), m2||'_'||m3 FROM sig
+       |  UNION ALL SELECT doc_id, CAST(2 AS BIGINT), m4||'_'||m5 FROM sig
+       |  UNION ALL SELECT doc_id, CAST(3 AS BIGINT), m6||'_'||m7 FROM sig)""".stripMargin
+  }
+
+  private val simhashSql: String =
+    """toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |hs AS (SELECT doc_id,
+      |  list_transform(t, s -> ('0x'||substr(md5(s),1,15))::BIGINT) AS hashes FROM toks),
+      |sig AS (SELECT doc_id,
+      |  CAST(list_sum(list_transform(range(60), i ->
+      |    CASE WHEN list_sum(list_transform(hashes, h -> ((h>>i)&1)*2-1)) >= 0
+      |         THEN (1::BIGINT<<i) ELSE 0 END)) AS BIGINT) AS simhash
+      |  FROM hs)""".stripMargin
+
+  // Sequential-fold cosine between two DOUBLE[] columns (bit-identical to
+  // VectorOps.cosine: list_reduce folds left-to-right like `aggregate`).
+  private def cosSql(a: String, b: String): String =
+    s"""list_reduce(list_transform(list_zip($a, $b), z -> z[1]*z[2]), (x, y) -> x+y)
+       | / (sqrt(list_reduce(list_transform($a, u -> u*u), (x, y) -> x+y))
+       |   * sqrt(list_reduce(list_transform($b, u -> u*u), (x, y) -> x+y)))""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "text_stats" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+        | CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        | MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
+        | CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens,
+        | CAST(SUM(length(text)) AS BIGINT) AS sum_len
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "text_token_count" ->
+      """SELECT doc_id,
+        | CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+        | CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_re_tokens,
+        | n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_lang_id" ->
+      """WITH t AS (SELECT lang, string_split(text, ' ') AS toks FROM documents),
+        |p AS (SELECT lang,
+        |  CASE WHEN len(list_filter(toks, x -> x IN ('the', 'a'))) / len(toks) >= 0.05
+        |       THEN 'en' ELSE 'unk' END AS pred_lang
+        |  FROM t)
+        |SELECT lang, pred_lang, COUNT(*) AS n FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "text_quality" ->
+      """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+        |m AS (SELECT doc_id,
+        |  CAST(length(text) AS BIGINT) AS len_chars,
+        |  CAST(len(toks) AS BIGINT) AS n_tok,
+        |  CAST(len(regexp_extract_all(text, '[^a-z0-9 ]')) AS BIGINT) AS n_punct,
+        |  CAST(len(list_filter(toks, x -> x IN ('the', 'a', 'of'))) AS BIGINT) AS stop_hits
+        |  FROM t)
+        |SELECT doc_id, len_chars, n_tok, n_punct, stop_hits,
+        |  (stop_hits * 1000) // n_tok AS score_milli,
+        |  ((stop_hits * 1000) // n_tok >= 40 AND len_chars BETWEEN 50 AND 5000) AS quality_ok
+        |FROM m ORDER BY doc_id""".stripMargin,
+    "text_fingerprint" ->
+      """SELECT doc_id,
+        | ('0x'||substr(md5(text),1,15))::BIGINT AS fp,
+        | list_min(list_transform(
+        |   list_transform(range(1, len(string_split(text,' '))-3),
+        |     i -> array_to_string(list_slice(string_split(text,' '), i, i+4), ' ')),
+        |   s -> ('0x'||substr(md5(s),1,15))::BIGINT)) AS min_shingle_fp,
+        | CAST(len(list_transform(range(1, len(string_split(text,' '))-3),
+        |   i -> array_to_string(list_slice(string_split(text,' '), i, i+4), ' '))) AS BIGINT) AS n_shingles
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "dedup_exact_doc" ->
+      """SELECT sha256(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "dedup_minhash_band" ->
+      s"""WITH $mhSigSql
+         |SELECT doc_id, band, band_key FROM bandtab ORDER BY doc_id, band""".stripMargin,
+    "dedup_minhash_pairs" ->
+      s"""WITH $mhSigSql
+         |SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |FROM bandtab a JOIN bandtab b
+         |  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+         |ORDER BY d1, d2""".stripMargin,
+    "dedup_simhash" ->
+      s"""WITH $simhashSql
+         |SELECT doc_id, simhash FROM sig ORDER BY doc_id""".stripMargin,
+    "dedup_simhash_pairs" ->
+      s"""WITH $simhashSql,
+         |bands AS (SELECT doc_id, simhash, CAST(b AS BIGINT) AS band,
+         |    (simhash >> (15*b)) & 32767 AS key
+         |  FROM sig, (SELECT unnest([0,1,2,3]) AS b)),
+         |cand AS (SELECT DISTINCT a.doc_id AS d1, c.doc_id AS d2,
+         |    a.simhash AS s1, c.simhash AS s2
+         |  FROM bands a JOIN bands c
+         |    ON a.band = c.band AND a.key = c.key AND a.doc_id < c.doc_id)
+         |SELECT d1, d2, CAST(bit_count(xor(s1, s2)) AS BIGINT) AS hamming
+         |FROM cand WHERE bit_count(xor(s1, s2)) <= 4 ORDER BY d1, d2""".stripMargin,
+    "ann_cosine_topk" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
+         |c AS (SELECT vec_id, v FROM e WHERE vec_id >= 5),
+         |s AS (SELECT q_id, vec_id, ${cosSql("qv", "v")} AS cosine FROM q, c)
+         |SELECT q_id, vec_id, cosine, rnk FROM (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS BIGINT) AS rnk
+         |  FROM s) t
+         |WHERE rnk <= 10 ORDER BY q_id, rnk""".stripMargin,
+    "ann_ivf_topk" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+         |cent AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < 8),
+         |assign AS (
+         |  SELECT vec_id, v, bucket FROM (
+         |    SELECT e.vec_id, e.v, c_id AS bucket,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${cosSql("e.v", "cv")} DESC, c_id) AS arank
+         |    FROM e, cent WHERE e.vec_id >= 8) t WHERE arank = 1),
+         |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id >= 8 AND vec_id < 13),
+         |probes AS (
+         |  SELECT q_id, qv, bucket FROM (
+         |    SELECT q_id, qv, c_id AS bucket,
+         |      row_number() OVER (PARTITION BY q_id
+         |        ORDER BY ${cosSql("qv", "cv")} DESC, c_id) AS prank
+         |    FROM q, cent) t WHERE prank <= 2),
+         |res AS (
+         |  SELECT q_id, vec_id, a.bucket, ${cosSql("qv", "a.v")} AS cosine
+         |  FROM probes p JOIN assign a ON p.bucket = a.bucket
+         |  WHERE q_id <> vec_id)
+         |SELECT q_id, vec_id, bucket, cosine, rnk FROM (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS BIGINT) AS rnk
+         |  FROM res) t
+         |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
+    "dedup_embedding_cosine" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+         |planes AS (SELECT vec_id AS p_id, v AS pv FROM e WHERE vec_id < 8),
+         |buckets AS (
+         |  SELECT e.vec_id, CAST(SUM(CASE WHEN
+         |      list_reduce(list_transform(list_zip(e.v, pv), z -> z[1]*z[2]), (x, y) -> x+y) >= 0
+         |    THEN (1::BIGINT << p_id) ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM e, planes GROUP BY e.vec_id),
+         |bv AS (SELECT b.vec_id, bucket, v FROM buckets b JOIN e ON b.vec_id = e.vec_id)
+         |SELECT x.vec_id AS d1, y.vec_id AS d2, ${cosSql("x.v", "y.v")} AS cosine
+         |FROM bv x JOIN bv y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+         |WHERE ${cosSql("x.v", "y.v")} >= 0.3
+         |ORDER BY d1, d2""".stripMargin,
+  )
+}
