@@ -16,6 +16,7 @@ object SparkEntry {
     AggWindowQueries,
     ScalarQueries,
     LlmQueries,
+    StreamQueries,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1,0 +1,60 @@
+package graft.queries
+
+import graft.Tables
+import graft.streaming.Streams
+import org.apache.spark.sql.functions._
+
+/** Batch-equivalent verification of the streaming windows (SURVEY.md §2.9):
+  * the exact transformations `graft.streaming.Streams` runs as streams,
+  * executed on the static `events` table where DuckDB can oracle them.
+  * Window bounds are emitted as formatted strings — timestamp columns
+  * round-trip with engine-specific physical precision (ns vs us), strings
+  * hash identically.
+  */
+object StreamQueries extends QueryPack {
+
+  val queries: Map[String, Q] = Map(
+    // Tumbling 10-minute windows × event type. Epoch-aligned starts match
+    // DuckDB's time_bucket. One shuffle on (window, event_type).
+    "stream_tumbling_window_batcheq" -> ((s, d) =>
+      Streams.tumblingAgg(Tables.events(s, d))
+        .select(date_format(col("w_start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
+          date_format(col("w_end"), "yyyy-MM-dd HH:mm:ss").as("w_end"),
+          col("event_type"), col("n_events"), col("value_cents"))
+        .orderBy("w_start", "event_type")),
+
+    // Session windows (5-minute gap) per user; session end = last event +
+    // gap, mirrored in the oracle's islands computation.
+    "stream_session_window_batcheq" -> ((s, d) =>
+      Streams.sessionAgg(Tables.events(s, d))
+        .select(col("user_id"),
+          date_format(col("s_start"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("s_start"),
+          date_format(col("s_end"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("s_end"),
+          col("n_events"), col("value_cents"))
+        .orderBy("user_id", "s_start")),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "stream_tumbling_window_batcheq" ->
+      """SELECT strftime(time_bucket(INTERVAL '10 minutes', ts), '%Y-%m-%d %H:%M:%S') AS w_start,
+        | strftime(time_bucket(INTERVAL '10 minutes', ts) + INTERVAL 10 MINUTE, '%Y-%m-%d %H:%M:%S') AS w_end,
+        | event_type, COUNT(*) AS n_events,
+        | CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM events GROUP BY 1, 2, 3 ORDER BY 1, 3""".stripMargin,
+    "stream_session_window_batcheq" ->
+      """WITH o AS (SELECT user_id, ts, value,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev FROM events),
+        |m AS (SELECT user_id, ts, value,
+        |    CASE WHEN prev IS NULL OR ts - prev > INTERVAL 5 MINUTE THEN 1 ELSE 0 END AS new_s
+        |  FROM o),
+        |s AS (SELECT user_id, ts, value,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM m)
+        |SELECT user_id,
+        |  strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS s_start,
+        |  strftime(MAX(ts) + INTERVAL 5 MINUTE, '%Y-%m-%d %H:%M:%S.%f') AS s_end,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, s_start""".stripMargin,
+  )
+}

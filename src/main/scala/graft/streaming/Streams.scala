@@ -1,0 +1,58 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+import org.apache.spark.sql.{DataFrame, Row}
+
+/** Structured-Streaming operators over the `events` stream shape
+  * (event_id, ts, user_id, event_type, value, props).
+  *
+  * The reference is batch-only (SURVEY.md §2.9); these are the windowed
+  * aggregations a streaming extension of the same pipeline needs. Each
+  * transformation is written against plain DataFrames so the IDENTICAL
+  * code runs in both batch mode (verified against the DuckDB oracle via
+  * `stream_*_batcheq` queries) and streaming mode (micro-batch, with
+  * watermarks) — the unification Structured Streaming exists for.
+  *
+  * Scale notes: tumbling/session windows shuffle once on (window, key);
+  * state size is bounded by the watermark horizon; money aggregates go
+  * through exact integer cents so results are merge-order independent.
+  */
+object Streams {
+
+  /** Exact cents for the money column (partition/merge-order independent). */
+  private def cents(c: org.apache.spark.sql.Column) = round(c * 100).cast("long")
+
+  /** Tumbling-window counts + value totals per event type. */
+  def tumblingAgg(events: DataFrame, width: String = "10 minutes"): DataFrame =
+    events
+      .groupBy(window(col("ts"), width), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(cents(col("value"))).as("value_cents"))
+      .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
+        col("event_type"), col("n_events"), col("value_cents"))
+
+  /** Session windows per user: events within `gap` of each other merge;
+    * window.end is last-event + gap (Spark session semantics).
+    */
+  def sessionAgg(events: DataFrame, gap: String = "5 minutes"): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(cents(col("value"))).as("value_cents"))
+      .select(col("session_window.start").as("s_start"),
+        col("session_window.end").as("s_end"),
+        col("user_id"), col("n_events"), col("value_cents"))
+
+  /** Streaming wiring for the tumbling aggregation: watermark bounds the
+    * state store (late data beyond 10 minutes is dropped, windows older
+    * than the watermark are evicted), update mode emits per-micro-batch
+    * revisions. Used by the streaming smoke test (memory source → memory
+    * sink); in production the sink would be a partitioned parquet/Delta
+    * table via `toTable`.
+    */
+  def tumblingStream(events: DataFrame, width: String = "10 minutes"): DataStreamWriter[Row] =
+    tumblingAgg(events.withWatermark("ts", "10 minutes"), width)
+      .writeStream
+      .outputMode("update")
+      .format("memory")
+      .trigger(Trigger.AvailableNow())
+}
