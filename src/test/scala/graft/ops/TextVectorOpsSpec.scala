@@ -1,0 +1,74 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextVectorOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hash60 is the md5-prefix value any engine reproduces") {
+    // int('5eb63bbbe01eeed', 16) — first 15 hex chars of md5('hello world')
+    val out = Seq("hello world").toDF("t").select(TextOps.hash60(col("t"))).as[Long].head()
+    assert(out == 426544247714475757L)
+  }
+
+  test("wordShingles: counts, content, and the short-doc guard") {
+    val df = Seq("a b c d e", "a b").toDF("t")
+      .select(TextOps.wordShingles(TextOps.tokens(col("t")), 3).as("sh"))
+    val rows = df.as[Seq[String]].collect()
+    assert(rows(0) == Seq("a b c", "b c d", "c d e"))
+    assert(rows(1).isEmpty) // < n tokens ⇒ empty, not a descending-sequence blowup
+  }
+
+  test("minHashSignature: deterministic, k=8, identical docs get identical signatures") {
+    val df = Seq("w1 w2 w3 w4 w5", "w1 w2 w3 w4 w5", "z1 z2 z3 z4 z5").toDF("t")
+      .select(TextOps.minHashSignature(TextOps.shingleHashes(col("t"), 3)).as("sig"))
+    val sigs = df.as[Seq[Long]].collect()
+    assert(sigs(0).length == 8)
+    assert(sigs(0) == sigs(1))
+    assert(sigs(0) != sigs(2))
+    assert(sigs.flatten.forall(h => h >= 0 && h < TextOps.HashPrime))
+  }
+
+  test("bandKeys: identical signatures share all four band keys") {
+    val df = Seq("w1 w2 w3 w4 w5").toDF("t")
+      .select(TextOps.bandKeys(
+        TextOps.minHashSignature(TextOps.shingleHashes(col("t"), 3))).as("b"))
+    val keys = df.as[Seq[String]].head()
+    assert(keys.length == 4)
+    assert(keys.forall(_.contains("_")))
+  }
+
+  test("simHash60: identical texts have hamming 0; near-identical stay close") {
+    val df = Seq("the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over the lazy cat")
+      .toDF("t")
+      .withColumn("hashes", transform(TextOps.tokens(col("t")), h => TextOps.hash60(h)))
+      .select(TextOps.simHash60("hashes").as("s"))
+    val s = df.as[Long].collect()
+    assert(s(0) == s(1))
+    assert(java.lang.Long.bitCount(s(0) ^ s(2)) < 20) // one-word edit stays close
+    assert(s(0) >= 0 && s(0) < (1L << 60))
+  }
+
+  test("cosine: orthogonal = 0, identical = 1, known value") {
+    val df = Seq(
+      (Seq(1.0f, 0.0f), Seq(0.0f, 1.0f)),
+      (Seq(3.0f, 4.0f), Seq(3.0f, 4.0f)),
+      (Seq(1.0f, 0.0f), Seq(1.0f, 1.0f))).toDF("a", "b")
+      .select(VectorOps.cosine(
+        VectorOps.toDoubleVec(col("a")), VectorOps.toDoubleVec(col("b"))).as("c"))
+    val c = df.as[Double].collect()
+    assert(c(0) == 0.0)
+    assert(math.abs(c(1) - 1.0) < 1e-12)
+    assert(math.abs(c(2) - 1.0 / math.sqrt(2)) < 1e-12)
+  }
+
+  test("dot folds sequentially in double precision") {
+    val df = Seq((Seq(1.5f, 2.5f, 3.5f), Seq(2.0f, 2.0f, 2.0f))).toDF("a", "b")
+      .select(VectorOps.dot(
+        VectorOps.toDoubleVec(col("a")), VectorOps.toDoubleVec(col("b"))).as("d"))
+    assert(df.as[Double].head() == 15.0)
+  }
+}

@@ -1,0 +1,63 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long, event_type: String,
+              value: Double, props: String)
+
+/** Memory source → memory sink smoke test: the SAME transformation that the
+  * batch-equivalent oracle queries verify, executed as an actual
+  * micro-batch stream (SURVEY.md §2.9, non-oracled by design).
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ev(id: Long, t: String, typ: String, v: Double) =
+    Ev(id, Timestamp.valueOf(t), id % 3, typ, v, "{}")
+
+  private val sample = Seq(
+    ev(1, "2024-01-01 00:01:00", "click", 1.0),
+    ev(2, "2024-01-01 00:04:30", "click", 2.5),
+    ev(3, "2024-01-01 00:11:00", "view", 4.0),
+    ev(4, "2024-01-01 00:15:00", "click", 0.5),
+    ev(5, "2024-01-01 00:27:00", "error", 9.0))
+
+  test("tumbling window aggregation runs as a stream and matches its batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    mem.addData(sample: _*)
+    val q = Streams.tumblingStream(mem.toDF()).queryName("tumbling_smoke").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table("tumbling_smoke")
+      .select("w_start", "event_type", "n_events", "value_cents")
+      .orderBy("w_start", "event_type").collect().toSeq
+    val batch = Streams.tumblingAgg(sample.toDF())
+      .select("w_start", "event_type", "n_events", "value_cents")
+      .orderBy("w_start", "event_type").collect().toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+  }
+
+  test("session windows merge events within the gap in batch mode") {
+    val out = Streams.sessionAgg(sample.toDF())
+      .orderBy("user_id", "s_start")
+      .select("user_id", "n_events").as[(Long, Long)].collect().toSeq
+    // user 1 (ids 1,4): 00:01 vs 00:15 → two sessions; user 2 (ids 2,5):
+    // 00:04:30 vs 00:27 → two sessions; user 0 (id 3): one session.
+    assert(out == Seq((0L, 1L), (1L, 1L), (1L, 1L), (2L, 1L), (2L, 1L)))
+  }
+
+  test("session window end is last event + gap") {
+    val one = Seq(ev(7, "2024-01-01 10:00:00", "click", 1.0),
+      ev(7, "2024-01-01 10:03:00", "click", 1.0))
+    val out = Streams.sessionAgg(one.toDF())
+      .select(date_format(col("s_start"), "HH:mm:ss").as("s"),
+        date_format(col("s_end"), "HH:mm:ss").as("e"))
+      .as[(String, String)].head()
+    assert(out == (("10:00:00", "10:08:00")))
+  }
+}
