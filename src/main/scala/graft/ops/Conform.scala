@@ -35,6 +35,15 @@ object Conform {
   def conformTo(df: DataFrame, schema: StructType): DataFrame =
     df.select(schema.fields.map(f => col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
 
+  /** Legacy-cast conformance for pipeline inputs: `try_cast` yields null on
+    * unparseable values — the PySpark 2.4 (pre-ANSI) cast semantics the
+    * reference's schema-union relied on (blank CSV metrics → typed nulls).
+    * Under Spark 4's ANSI default a plain cast would throw instead.
+    */
+  def conformToLenient(df: DataFrame, schema: StructType): DataFrame =
+    df.select(schema.fields.map(f =>
+      expr(s"try_cast(`${f.name}` AS ${f.dataType.sql})").as(f.name)).toIndexedSeq: _*)
+
   /** Add any columns of `schema` missing from `df` as typed nulls so a
     * union can line up (pyspark.py:388-413). Unlike the reference — which
     * casts every null fill to StringType regardless of target

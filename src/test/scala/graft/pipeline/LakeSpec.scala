@@ -1,0 +1,121 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Path}
+
+/** End-to-end golden test: build the full lake from FIXTURES.md-shaped
+  * inputs (B1-B8) and assert output schemas, partition layout, and the
+  * reference's quirk semantics (null SAS date → 1960, state abbreviation
+  * with leading-space strip, row-alignment gate, 'Unknown' worker country,
+  * time_id == id).
+  */
+class LakeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val fixtures: Path = {
+    val root = Files.createTempDirectory("graft-lake-fixtures")
+    def write(rel: String, content: String): Unit = {
+      val p = root.resolve(rel)
+      Files.createDirectories(p.getParent)
+      Files.writeString(p, content)
+    }
+    write("refugee_and_migrant_data/asylum.csv",
+      """country,year,num_arrivals,num_accepted_affirmitavely,num_accepted_defensively
+        |China,2018,1200,300,150
+        |El Salvador,2018,900,,200
+        |China,2019,1100,280,140
+        |""".stripMargin)
+    write("climate_data/climate.csv",
+      """dt,AverageTemperature,AverageTemperatureUncertainty,Country
+        |2013-08-01,24.613,0.345,United States
+        |2013-09-01,,,United States
+        |2013-08-01,18.2,0.2,China
+        |""".stripMargin)
+    write("i94_visitor_data/i94cit_and_i94res.json",
+      """[ {"code": 209, "region": "Japan", "valid": true},
+        |  {"code": 245, "region": "China", "valid": true} ]""".stripMargin)
+    write("i94_visitor_data/i94port.json",
+      """[ {"code": "NYC", "municipality": "New York", "region": "NY"},
+        |  {"code": "SFR", "municipality": "San Francisco", "region": "CA"} ]""".stripMargin)
+    write("i94_visitor_data/i94visa.json",
+      """[ {"code": 1, "type": "Business"},
+        |  {"code": 2, "type": "Pleasure"},
+        |  {"code": 3, "type": "Student"} ]""".stripMargin)
+    // B6: SAS-derived parquet (doubles; null depdate exercises the
+    // null→1960-01-01 quirk)
+    Seq(
+      (6.0, 209.0, "NYC", 20546.0, Some(2.0), "NY", Some(20560.0), "B2"),
+      (7.0, 245.0, "SFR", 20547.0, Some(1.0), "CA", None, "B1"))
+      .toDF("cicid", "i94res", "i94port", "arrdate", "i94visa", "i94addr", "depdate", "visatype")
+      .write.mode("overwrite").parquet(root.resolve("i94_visitor_data/sas_data").toString)
+    write("legal_immigrant_data/h1b_kaggle.csv",
+      """CASE_STATUS,EMPLOYER_NAME,YEAR,WORKSITE
+        |CERTIFIED,ACME CORP,2016,"SAN FRANCISCO, CALIFORNIA"
+        |DENIED,GLOBEX,2016,"RENO, NEVADA"
+        |""".stripMargin)
+    write("legal_immigrant_data/H-1B_Disclosure_Data_FY17.csv",
+      """CASE_STATUS,VISA_CLASS,EMPLOYMENT_START_DATE,EMPLOYMENT_END_DATE,EMPLOYER_NAME,EMPLOYER_CITY,EMPLOYER_STATE,WORKSITE_CITY,WORKSITE_STATE
+        |CERTIFIED,H-1B,2017-03-01,2020-02-28,ACME CORP,AUSTIN,TX,AUSTIN,TX
+        |WITHDRAWN,E-3,2017-05-15,2019-05-14,GLOBEX,RENO,NV,MISALIGNED ROW,NOT_A_STATE
+        |""".stripMargin)
+    root
+  }
+
+  private lazy val out: Path = Files.createTempDirectory("graft-lake-out")
+  private lazy val counts: Map[String, Long] =
+    Lake.build(spark, fixtures.toString, out.toString)
+
+  test("lake builds all six outputs with rows") {
+    assert(counts.keySet == Set("country", "asylum", "visitor", "worker", "time", "fact"))
+    assert(counts.values.forall(_ > 0))
+    assert(counts("asylum") == 3)
+    assert(counts("visitor") == 2)
+    // kaggle 2 rows + 1 aligned disclosure row (NOT_A_STATE dropped)
+    assert(counts("worker") == 3)
+    assert(counts("time") == 3 + 2 + 3 && counts("fact") == counts("time"))
+  }
+
+  test("partitioned parquet layout matches the reference's write args") {
+    assert(Files.exists(out.resolve("temperatures/country=united_states")))
+    assert(Files.exists(out.resolve("asylum/country=china")))
+    assert(Files.exists(out.resolve("time/immigration_type=asylum/arrival_year=2018")))
+    assert(Files.exists(out.resolve("immigration_facts/immigration_type=worker")))
+    assert(Files.exists(out.resolve("workers/visa_type=H-1B")))
+  }
+
+  test("visitor quirks: SAS dates expand; null depdate lands on 1960-01-01") {
+    val v = Pipelines.parseVisitor(spark, fixtures.toString)
+    val r = v.orderBy("id").select("id", "country", "visa_category",
+      "port_of_entry_municipality", "arrival_year", "arrival_weekday",
+      "expiry_year").as[(Int, String, String, String, Int, String, Int)].collect()
+    assert(r(0) == ((6, "japan", "pleasure", "new_york", 2016, "sat", 2016)))
+    assert(r(1)._5 == 2016)
+    assert(r(1)._7 == 1960) // null depdate → epoch default (pyspark.py:384-385)
+  }
+
+  test("worker quirks: state abbreviation with leading-space strip; alignment gate") {
+    val w = Pipelines.parseWorker(spark, fixtures.toString)
+    val states = w.select("worksite_state").as[String].collect().toSet
+    assert(states == Set("CA", "NV", "TX")) // ' California'→CA; NOT_A_STATE row dropped
+    assert(w.filter(col("employer_name") === "globex" &&
+      col("visa_type") === "E-3").count() == 0)
+  }
+
+  test("time dim: asylum rows carry year only (typed nulls elsewhere); weekday is string") {
+    val time = spark.read.parquet(out.resolve("time").toString)
+    assert(time.schema("arrival_weekday").dataType.typeName == "string")
+    val asylumRows = time.filter(col("immigration_type") === "asylum")
+    assert(asylumRows.count() == 3)
+    assert(asylumRows.filter(col("arrival_month").isNotNull).count() == 0)
+    assert(asylumRows.select("arrival_year").as[Int].collect().toSet == Set(2018, 2019))
+  }
+
+  test("fact: time_id == id and worker country is 'Unknown'") {
+    val fact = spark.read.parquet(out.resolve("immigration_facts").toString)
+    assert(fact.filter(col("id") =!= col("time_id")).count() == 0)
+    val workerCountries = fact.filter(col("immigration_type") === "worker")
+      .select("country").distinct().as[String].collect().toSeq
+    assert(workerCountries == Seq("Unknown"))
+  }
+}
