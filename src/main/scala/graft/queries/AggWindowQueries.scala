@@ -24,11 +24,33 @@ object AggWindowQueries extends QueryPack {
 
     // §2.4 deterministic id assignment — the oracle-safe stand-in for the
     // reference's monotonically_increasing_id (pyspark.py:179,297).
+    // CAVEAT: an un-partitioned window is a single-task sort — fine for a
+    // dimension table, oracle-determinism-only otherwise. The 100 TB path
+    // is `id_zip_index` below.
     "id_row_number" -> ((s, d) =>
       Tables.customer(s, d)
         .withColumn("id", row_number().over(Window.orderBy("c_custkey")).cast("long"))
         .select("id", "c_custkey", "c_name")
         .orderBy("id")),
+
+    // §2.4 SCALABLE deterministic id assignment: range-partition + local
+    // sort puts rows in global key order across partitions, then
+    // zipWithIndex assigns contiguous ids with one extra (tiny) job to
+    // count per-partition offsets — no single-task sort anywhere; this is
+    // the 100 TB id-assignment path. Ids equal row_number(order by key)-1
+    // regardless of partition boundaries.
+    "id_zip_index" -> ((s, d) => {
+      val src = Tables.customer(s, d).select("c_custkey", "c_name")
+      val sorted = src.repartitionByRange(8, col("c_custkey"))
+        .sortWithinPartitions("c_custkey")
+      val schema = org.apache.spark.sql.types.StructType(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType, nullable = false) +: sorted.schema.fields)
+      val withId = sorted.rdd
+        .zipWithIndex()
+        .map { case (row, idx) => org.apache.spark.sql.Row.fromSeq(idx +: row.toSeq) }
+      s.createDataFrame(withId, schema).orderBy("id")
+    }),
 
     // §2.4 grouped sum (hash agg, partial+final).
     "agg_group_sum" -> ((s, d) =>
@@ -96,9 +118,14 @@ object AggWindowQueries extends QueryPack {
           col("n"), col("total"))
         .orderBy("g_status", "g_prio", "status", "prio")),
 
-    // §2.5 ranking window: top-3 priciest lines per return flag. The window
-    // ordering is made total (cents desc, then keys) so row_number is
-    // deterministic.
+    // §2.5 ranking window: top-3 priciest lines per return flag. Despite
+    // the 3-value partition key this is scale-safe on Spark ≥3.5: the
+    // rank-limit filter plans as WindowGroupLimit(Partial) BEFORE the
+    // shuffle (verified in the executed plan), so each map task forwards
+    // only its local top-3 per flag — the 3 reducers see ≤ 3×partitions
+    // rows, never the full table. A hand-rolled two-phase
+    // spark_partition_id pre-top-k was measured to only add a shuffle on
+    // top of what the optimizer already does.
     "win_row_number" -> ((s, d) => {
       val w = Window.partitionBy("l_returnflag")
         .orderBy(col("price_cents").desc, col("l_orderkey").asc, col("l_linenumber").asc)
@@ -110,7 +137,10 @@ object AggWindowQueries extends QueryPack {
         .orderBy("l_returnflag", "rn")
     }),
 
-    // §2.5 rank/dense_rank with real ties (quantity has 50 distinct values).
+    // §2.5 rank/dense_rank with real ties (quantity has 50 distinct
+    // values). Same WindowGroupLimit(Partial) map-side pruning as above —
+    // the dense_rank ≤ 2 filter keeps only rows of each map task's top-2
+    // distinct quantities pre-shuffle, ties included.
     "win_rank_dense" -> ((s, d) => {
       val w = Window.partitionBy("l_returnflag").orderBy(col("l_quantity").desc)
       Tables.lineitem(s, d)
@@ -151,6 +181,9 @@ object AggWindowQueries extends QueryPack {
       "SELECT COUNT(*) AS n, COUNT(DISTINCT o_custkey) AS n_cust FROM orders",
     "id_row_number" ->
       """SELECT row_number() OVER (ORDER BY c_custkey) AS id, c_custkey, c_name
+        |FROM customer ORDER BY id""".stripMargin,
+    "id_zip_index" ->
+      """SELECT row_number() OVER (ORDER BY c_custkey) - 1 AS id, c_custkey, c_name
         |FROM customer ORDER BY id""".stripMargin,
     "agg_group_sum" ->
       """SELECT l_returnflag, l_linestatus, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,

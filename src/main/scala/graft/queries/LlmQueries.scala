@@ -21,22 +21,30 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object LlmQueries extends QueryPack {
 
-  /** documents with tokens + 3-gram shingle minhash signature (docs with
-    * < 3 tokens carry no shingles and are excluded, mirrored in SQL).
+  /** documents → (doc_id, band, band_key) rows: 3-gram shingles explode to
+    * one row per (doc, shingle-hash); the k=8 signature is a codegen'd
+    * hash aggregate with map-side partial mins (docs with < 3 tokens carry
+    * no shingles and are excluded, mirrored in SQL).
     */
-  private def minhashBands(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+  private def minhashBands(s: SparkSession, d: String): DataFrame = {
+    val exploded = Tables.documents(s, d)
       .filter(size(TextOps.tokens(col("text"))) >= 3)
       .select(col("doc_id"),
-        TextOps.minHashSignature(TextOps.shingleHashes(col("text"), 3)).as("sig"))
-      .select(col("doc_id"), posexplode(TextOps.bandKeys(col("sig"))))
-      .select(col("doc_id"), col("pos").cast("long").as("band"), col("col").as("band_key"))
-
-  private def simhashSigs(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+        explode(TextOps.wordShingles(TextOps.tokens(col("text")), 3)).as("sh"))
+      .select(col("doc_id"), TextOps.hash60(col("sh")).as("h"))
+    TextOps.minHashAgg(exploded, "doc_id", "h")
       .select(col("doc_id"),
-        transform(TextOps.tokens(col("text")), t => TextOps.hash60(t)).as("hashes"))
-      .select(col("doc_id"), TextOps.simHash60("hashes").as("simhash"))
+        TextOps.bandKeys(array((0 until 8).map(j => col(s"m$j")): _*)).as("bands"))
+      .select(col("doc_id"), posexplode(col("bands")))
+      .select(col("doc_id"), col("pos").cast("long").as("band"), col("col").as("band_key"))
+  }
+
+  private def simhashSigs(s: SparkSession, d: String): DataFrame = {
+    val exploded = Tables.documents(s, d)
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("t"))
+      .select(col("doc_id"), TextOps.hash60(col("t")).as("h"))
+    TextOps.simHashAgg(exploded, "doc_id", "h")
+  }
 
   private def embVecs(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
@@ -100,13 +108,15 @@ object LlmQueries extends QueryPack {
 
     // Document fingerprinting: whole-text 60-bit hash + min 5-gram shingle
     // hash (winnowing-style content fingerprint robust to suffix edits).
+    // Same explode + partial-min aggregate shape as the minhash signature;
+    // explode_outer keeps short docs (no shingles → null fp, zero count).
     "text_fingerprint" -> ((s, d) =>
       Tables.documents(s, d)
-        .withColumn("sh", TextOps.shingleHashes(col("text"), 5))
-        .select(col("doc_id"),
-          TextOps.hash60(col("text")).as("fp"),
-          array_min(col("sh")).as("min_shingle_fp"),
-          size(col("sh")).cast("long").as("n_shingles"))
+        .select(col("doc_id"), TextOps.hash60(col("text")).as("fp"),
+          explode_outer(TextOps.wordShingles(TextOps.tokens(col("text")), 5)).as("sh"))
+        .groupBy("doc_id", "fp")
+        .agg(min(TextOps.hash60(col("sh"))).as("min_shingle_fp"),
+          count(col("sh")).as("n_shingles"))
         .orderBy("doc_id")),
 
     // ---- deduplication -------------------------------------------------
@@ -127,7 +137,10 @@ object LlmQueries extends QueryPack {
 
     // Near-dup candidate pairs: self-equi-join on the band key (shuffle
     // on band_key — NOT an all-pairs scan; 500 docs → 35 candidates at
-    // sf0.01, and the same plan holds at any corpus size).
+    // sf0.01, and the same plan holds at any corpus size). The declared
+    // query recomputes the signature subplan on both join sides to stay
+    // cache-free; a production pipeline persists the band table first
+    // (as Lake.build does around its gate+write pairs).
     "dedup_minhash_pairs" -> ((s, d) => {
       val b = minhashBands(s, d)
       b.as("x").join(b.as("y"),

@@ -52,6 +52,31 @@ class TextVectorOpsSpec extends SparkSpec {
     assert(s(0) >= 0 && s(0) < (1L << 60))
   }
 
+  test("aggregate signature forms equal the Column forms") {
+    val docs = Seq((1L, "w1 w2 w3 w4 w5 w1 w2"),
+      (2L, "the quick brown fox jumps over it")).toDF("doc_id", "text")
+    val colMin = docs.select(col("doc_id"),
+      TextOps.minHashSignature(TextOps.shingleHashes(col("text"), 3)).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val aggMin = TextOps.minHashAgg(
+      docs.select(col("doc_id"),
+        explode(TextOps.wordShingles(TextOps.tokens(col("text")), 3)).as("sh"))
+        .select(col("doc_id"), TextOps.hash60(col("sh")).as("h")), "doc_id", "h")
+      .select(col("doc_id"), array((0 until 8).map(j => col(s"m$j")): _*).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(colMin == aggMin)
+
+    val colSim = docs
+      .withColumn("hashes", transform(TextOps.tokens(col("text")), t => TextOps.hash60(t)))
+      .select(col("doc_id"), TextOps.simHash60("hashes").as("s"))
+      .as[(Long, Long)].collect().toMap
+    val aggSim = TextOps.simHashAgg(
+      docs.select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("t"))
+        .select(col("doc_id"), TextOps.hash60(col("t")).as("h")), "doc_id", "h")
+      .as[(Long, Long)].collect().toMap
+    assert(colSim == aggSim)
+  }
+
   test("cosine: orthogonal = 0, identical = 1, known value") {
     val df = Seq(
       (Seq(1.0f, 0.0f), Seq(0.0f, 1.0f)),
