@@ -17,6 +17,7 @@ object SparkEntry {
     ScalarQueries,
     LlmQueries,
     StreamQueries,
+    MultimodalQueries,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

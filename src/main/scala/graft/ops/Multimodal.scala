@@ -1,0 +1,66 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/** Multimodal-column plumbing: image/audio/video payloads modeled as opaque
+  * `binary` columns with typed metadata, processed by per-row expressions
+  * (hashing, slicing, frame sampling) and — where a real codec would be
+  * required — a per-partition imperative seam ([[decodeStub]]).
+  *
+  * The container ships no image/audio codecs, so the DECODE step is a
+  * clearly-marked deterministic stub; everything around it — the binary
+  * schema, the partitioning, the batch-iterator shape, the frame explode —
+  * is real, tested, and scale-ready. At 100 TB the payload column
+  * dominates I/O: every operator here projects only (media_id, payload)
+  * or narrower, keeps per-row work inside codegen where expressible, and
+  * shuffles nothing.
+  */
+object Multimodal {
+
+  /** View the documents table as a media table: payload = utf8 bytes of
+    * the text (an opaque stand-in for image/audio bytes) + typed metadata.
+    */
+  def asMediaTable(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("media_id"),
+      col("text").cast("binary").as("payload"),
+      struct(
+        expr("octet_length(cast(text AS BINARY))").cast("long").as("n_bytes"),
+        lit("text/plain").as("mime"),
+        col("source").as("origin")).as("meta"))
+
+  /** Fixed-size byte frames of a named binary column (the video-frame /
+    * audio-window shape): frame i = payload[i*frameBytes+1, frameBytes],
+    * last frame ragged. SQL-expression form — dynamic start offsets need
+    * the SQL substring signature.
+    */
+  def framesExpr(payloadCol: String, frameBytes: Int): Column =
+    expr(
+      s"""transform(
+         |  sequence(0, CAST(ceil(octet_length($payloadCol) / $frameBytes.0) AS INT) - 1),
+         |  i -> substring($payloadCol, i * $frameBytes + 1, $frameBytes))""".stripMargin)
+
+  /** THE STUB SEAM: a real implementation calls an image/audio codec here
+    * (per partition, batching rows through the native library exactly like
+    * a pandas-batch UDF would). The stub derives deterministic fake
+    * dimensions from the first header bytes so tests can pin behavior.
+    * mapPartitions — not a per-row UDF — so a codec's init cost is paid
+    * once per partition and rows stream through it.
+    */
+  def decodeStub(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        // val codec = Codec.open(...)  <- real decoder init goes here
+        rows.map { case (id, bytes) =>
+          val header = bytes.take(8).foldLeft(0L)((a, b) => a * 31 + (b & 0xff))
+          val width = 64 + (header % 192).toInt
+          val height = 64 + ((header / 192) % 192).toInt
+          (id, width, height, bytes.length.toLong)
+        }
+      }
+      .toDF("media_id", "width", "height", "n_bytes")
+  }
+}

@@ -1,0 +1,63 @@
+package graft.queries
+
+import graft.Tables
+import graft.ops.Multimodal
+import org.apache.spark.sql.functions._
+
+/** Multimodal binary-column queries: the documents table viewed as opaque
+  * media payloads (utf8 bytes stand in for image/audio bytes — the test
+  * corpus is pure ASCII, so the DuckDB oracle can reproduce every byte
+  * operation on the text side). The decode STUB itself is exercised by
+  * unit tests (`MultimodalSpec`), not an oracle — a real codec is
+  * engine-external by design.
+  */
+object MultimodalQueries extends QueryPack {
+
+  val queries: Map[String, Q] = Map(
+    // Typed-metadata projection over binary payloads: byte length, content
+    // hash of the raw bytes, head-of-header slice. Pure map work; only the
+    // payload column is read.
+    "mm_binary_meta" -> ((s, d) =>
+      Multimodal.asMediaTable(Tables.documents(s, d))
+        .select(col("media_id"),
+          col("meta.n_bytes").as("n_bytes"),
+          col("meta.mime").as("mime"),
+          md5(col("payload")).as("payload_md5"),
+          expr("CAST(substring(payload, 1, 8) AS STRING)").as("head8"))
+        .orderBy("media_id")),
+
+    // Frame sampling: slice each payload into 256-byte frames, keep every
+    // 2nd frame (posexplode + filter), hash each sampled frame. The
+    // explode is shuffle-free; downstream per-frame work (a decoder, a
+    // feature extractor) would parallelize over frames.
+    "mm_frame_sample" -> ((s, d) =>
+      Multimodal.asMediaTable(Tables.documents(s, d))
+        .select(col("media_id"), posexplode(Multimodal.framesExpr("payload", 256)))
+        .select(col("media_id"), col("pos").cast("long").as("frame_no"),
+          col("col").as("frame"))
+        .filter(col("frame_no") % 2 === 0)
+        .select(col("media_id"), col("frame_no"),
+          expr("octet_length(frame)").cast("long").as("frame_bytes"),
+          md5(col("frame")).as("frame_md5"))
+        .orderBy("media_id", "frame_no")),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "mm_binary_meta" ->
+      """SELECT doc_id AS media_id,
+        | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        | 'text/plain' AS mime,
+        | md5(text) AS payload_md5,
+        | substr(text, 1, 8) AS head8
+        |FROM documents ORDER BY media_id""".stripMargin,
+    "mm_frame_sample" ->
+      """WITH f AS (
+        |  SELECT doc_id AS media_id, text,
+        |    unnest(range(0, CAST(ceil(octet_length(encode(text)) / 256.0) AS INT))) AS frame_no
+        |  FROM documents)
+        |SELECT media_id, CAST(frame_no AS BIGINT) AS frame_no,
+        |  CAST(octet_length(encode(substr(text, frame_no * 256 + 1, 256))) AS BIGINT) AS frame_bytes,
+        |  md5(substr(text, frame_no * 256 + 1, 256)) AS frame_md5
+        |FROM f WHERE frame_no % 2 = 0 ORDER BY media_id, frame_no""".stripMargin,
+  )
+}

@@ -1,0 +1,40 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "a" * 600, "en", "src0", 600L),
+    (2L, "short doc", "en", "src1", 9L))
+    .toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  test("asMediaTable produces binary payloads with typed metadata") {
+    val m = Multimodal.asMediaTable(docs)
+    assert(m.schema("payload").dataType.typeName == "binary")
+    val meta = m.select("meta.n_bytes", "meta.mime").as[(Long, String)].collect().toSet
+    assert(meta == Set((600L, "text/plain"), (9L, "text/plain")))
+  }
+
+  test("framesExpr slices payloads into fixed frames with a ragged tail") {
+    val f = Multimodal.asMediaTable(docs)
+      .select(col("media_id"), posexplode(Multimodal.framesExpr("payload", 256)))
+      .select(col("media_id"), col("pos"), expr("octet_length(col)").as("len"))
+      .as[(Long, Int, Int)].collect().toSet
+    // 600 bytes → frames of 256, 256, 88; 9 bytes → one 9-byte frame
+    assert(f == Set((1L, 0, 256), (1L, 1, 256), (1L, 2, 88), (2L, 0, 9)))
+  }
+
+  test("decodeStub batches rows per partition and is deterministic") {
+    val out1 = Multimodal.decodeStub(spark, Multimodal.asMediaTable(docs))
+      .orderBy("media_id").as[(Long, Int, Int, Long)].collect().toSeq
+    val out2 = Multimodal.decodeStub(spark,
+      Multimodal.asMediaTable(docs).repartition(7)) // layout must not matter
+      .orderBy("media_id").as[(Long, Int, Int, Long)].collect().toSeq
+    assert(out1 == out2)
+    assert(out1.map(_._1) == Seq(1L, 2L))
+    assert(out1.forall { case (_, w, h, n) => w >= 64 && h >= 64 && n > 0 })
+  }
+}
