@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, GraftSqlBridge}
 import org.apache.spark.sql.functions._
 
 /** Dense-vector primitives over `array<float>` embedding columns.
@@ -18,13 +18,27 @@ object VectorOps {
   /** float[] -> double[] (exact widening). */
   def toDoubleVec(c: Column): Column = transform(c, x => x.cast("double"))
 
-  /** Sequential dot product of two double[] columns. */
+  /** Sequential dot product — codegen'd native expression. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    GraftSqlBridge.toColumn(
+      graft.functions.DotProduct(GraftSqlBridge.toExpression(a), GraftSqlBridge.toExpression(b)))
 
   /** Euclidean norm. */
   def norm(c: Column): Column = sqrt(dot(c, c))
 
-  /** Cosine similarity. */
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine similarity — codegen'd native expression (bit-identical to
+    * [[cosineHof]], pinned by test + oracle).
+    */
+  def cosine(a: Column, b: Column): Column =
+    GraftSqlBridge.toColumn(
+      graft.functions.CosineSimilarity(GraftSqlBridge.toExpression(a), GraftSqlBridge.toExpression(b)))
+
+  /** Interpreted higher-order-function reference implementations, kept as
+    * the executable spec the native expressions are pinned against.
+    */
+  def dotHof(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def cosineHof(a: Column, b: Column): Column =
+    dotHof(a, b) / (sqrt(dotHof(a, a)) * sqrt(dotHof(b, b)))
 }

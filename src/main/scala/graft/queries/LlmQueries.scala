@@ -46,9 +46,11 @@ object LlmQueries extends QueryPack {
     TextOps.simHashAgg(exploded, "doc_id", "h")
   }
 
+  // raw float[] — the native cosine/dot expressions widen per element, so
+  // no transform() conversion sits in the scan→similarity pipeline and the
+  // stage stays inside whole-stage codegen
   private def embVecs(s: SparkSession, d: String): DataFrame =
-    Tables.embeddings(s, d)
-      .select(col("vec_id"), VectorOps.toDoubleVec(col("embedding")).as("v"))
+    Tables.embeddings(s, d).select(col("vec_id"), col("embedding").as("v"))
 
   val queries: Map[String, Q] = Map(
     // ---- text analysis -------------------------------------------------

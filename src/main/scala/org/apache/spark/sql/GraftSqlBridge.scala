@@ -1,0 +1,26 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Minimal bridge into the `private[sql]` Column↔Expression conversions —
+  * the standard pattern for libraries that ship custom Catalyst
+  * expressions without forking Spark (Spark 4 moved these behind
+  * `org.apache.spark.sql.classic.ExpressionUtils`). Also registers the
+  * graft SQL function names on a session so `spark.sql("... graft_cosine
+  * (a, b) ...")` works.
+  */
+object GraftSqlBridge {
+
+  def toColumn(e: Expression): Column = classic.ExpressionUtils.column(e)
+
+  def toExpression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Register graft_cosine / graft_dot as temp SQL functions. */
+  def registerFunctions(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    registry.createOrReplaceTempFunction("graft_cosine",
+      exprs => graft.functions.CosineSimilarity(exprs(0), exprs(1)), "built-in")
+    registry.createOrReplaceTempFunction("graft_dot",
+      exprs => graft.functions.DotProduct(exprs(0), exprs(1)), "built-in")
+  }
+}

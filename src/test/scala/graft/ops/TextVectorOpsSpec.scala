@@ -90,6 +90,25 @@ class TextVectorOpsSpec extends SparkSpec {
     assert(math.abs(c(2) - 1.0 / math.sqrt(2)) < 1e-12)
   }
 
+  test("native codegen cosine/dot are bit-identical to the HOF reference forms") {
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 50).map(_ =>
+      (Seq.fill(64)(rnd.nextFloat() - 0.5f), Seq.fill(64)(rnd.nextFloat() - 0.5f)))
+    val df = rows.toDF("a", "b")
+      .select(VectorOps.toDoubleVec(col("a")).as("a"), VectorOps.toDoubleVec(col("b")).as("b"))
+    val pairs = df.select(
+      VectorOps.cosine(col("a"), col("b")).as("fast"),
+      VectorOps.cosineHof(col("a"), col("b")).as("ref"),
+      VectorOps.dot(col("a"), col("b")).as("dfast"),
+      VectorOps.dotHof(col("a"), col("b")).as("dref"))
+      .as[(Double, Double, Double, Double)].collect()
+    // bit-identical, not approximately equal: same sequential fold order
+    assert(pairs.forall { case (f, r, df_, dr) =>
+      java.lang.Double.doubleToLongBits(f) == java.lang.Double.doubleToLongBits(r) &&
+        java.lang.Double.doubleToLongBits(df_) == java.lang.Double.doubleToLongBits(dr)
+    })
+  }
+
   test("dot folds sequentially in double precision") {
     val df = Seq((Seq(1.5f, 2.5f, 3.5f), Seq(2.0f, 2.0f, 2.0f))).toDF("a", "b")
       .select(VectorOps.dot(
