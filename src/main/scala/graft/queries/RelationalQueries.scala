@@ -238,6 +238,16 @@ object RelationalQueries extends QueryPack {
       Tables.orders(s, d).select("o_orderkey", "o_totalprice")
         .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
         .limit(50)),
+
+    // §2.11 the data-quality gate as a declared operator (pyspark.py:22-39,
+    // run at 470-472): conform → gate (non-empty + exact column order) →
+    // pass through. The gate's probe is limit(1).count() — O(first
+    // non-empty partition), not a full scan.
+    "quality_gate" -> ((s, d) => {
+      val n = Tables.nation(s, d)
+      Conform.qualityGate(Conform.conformTo(n, n.schema), n.schema, "nation")
+        .orderBy("n_nationkey")
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -329,5 +339,7 @@ object RelationalQueries extends QueryPack {
     "topk_orderby_limit" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 50""".stripMargin,
+    "quality_gate" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
   )
 }

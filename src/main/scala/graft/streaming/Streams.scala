@@ -55,4 +55,34 @@ object Streams {
       .outputMode("update")
       .format("memory")
       .trigger(Trigger.AvailableNow())
+
+  /** Stateful streaming dedup: exactly-once per event_id within the
+    * watermark horizon — the streaming twin of the batch dropDuplicates
+    * dedup pass. State is evicted once the watermark passes, so memory is
+    * bounded by (arrival-rate × horizon), not stream length.
+    */
+  def dedupStream(events: DataFrame, horizon: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", horizon)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Custom per-key streaming state via mapGroupsWithState: a running
+    * per-user event count + last-seen timestamp (the arbitrary-state API
+    * the built-in windows can't express).
+    */
+  def runningUserCounts(spark: org.apache.spark.sql.SparkSession,
+                        events: DataFrame): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val byUser = events.selectExpr("user_id", "CAST(ts AS LONG) AS ts_sec")
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+    byUser.mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+      (user: Long, rows: Iterator[(Long, Long)], state: GroupState[(Long, Long)]) =>
+        val (prevN, prevLast) = state.getOption.getOrElse((0L, 0L))
+        var n = prevN; var last = prevLast
+        rows.foreach { case (_, t) => n += 1; if (t > last) last = t }
+        state.update((n, last))
+        (user, n, last)
+    }.toDF("user_id", "n_events", "last_seen_sec")
+  }
 }

@@ -111,6 +111,17 @@ class LakeSpec extends SparkSpec {
     assert(asylumRows.select("arrival_year").as[Int].collect().toSet == Set(2018, 2019))
   }
 
+  test("typed facades: lake outputs load as Dataset[T] with field access") {
+    counts // force the build
+    val facts = Models.fact(
+      spark.read.parquet(out.resolve("immigration_facts").toString)
+        .select("id", "country", "immigration_type", "time_id"))
+    assert(facts.filter((f: Models.Fact) => f.time_id == f.id).count() == facts.count())
+    val badShape = spark.range(3).toDF("id")
+    val e = intercept[IllegalArgumentException](Models.fact(badShape))
+    assert(e.getMessage.contains("not a conformed"))
+  }
+
   test("fact: time_id == id and worker country is 'Unknown'") {
     val fact = spark.read.parquet(out.resolve("immigration_facts").toString)
     assert(fact.filter(col("id") =!= col("time_id")).count() == 0)

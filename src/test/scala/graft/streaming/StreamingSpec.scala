@@ -42,6 +42,38 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("dropDuplicatesWithinWatermark dedups a stream by event_id") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    mem.addData(sample: _*)
+    mem.addData(sample.take(2): _*) // replay two duplicates
+    val q = Streams.dedupStream(mem.toDF())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("dedup_smoke")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    try q.processAllAvailable() finally q.stop()
+    val ids = spark.table("dedup_smoke").select("event_id").as[Long].collect().sorted.toSeq
+    assert(ids == Seq(1L, 2L, 3L, 4L, 5L)) // duplicates collapsed
+  }
+
+  test("mapGroupsWithState maintains running per-user counts across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = Streams.runningUserCounts(spark, mem.toDF())
+      .writeStream.outputMode("update").format("memory")
+      .queryName("state_smoke").start()
+    try {
+      mem.addData(sample.take(3): _*); q.processAllAvailable()
+      mem.addData(sample.drop(3): _*); q.processAllAvailable()
+      // update mode: last emission per user carries the cumulative count
+      val byUser = spark.table("state_smoke")
+        .groupBy("user_id").agg(max("n_events").as("n"))
+        .as[(Long, Long)].collect().toMap
+      // users: ids 1,4 → user 1; ids 2,5 → user 2; id 3 → user 0
+      assert(byUser == Map(0L -> 1L, 1L -> 2L, 2L -> 2L))
+    } finally q.stop()
+  }
+
   test("session windows merge events within the gap in batch mode") {
     val out = Streams.sessionAgg(sample.toDF())
       .orderBy("user_id", "s_start")
