@@ -118,6 +118,33 @@ object AggWindowQueries extends QueryPack {
           col("n"), col("total"))
         .orderBy("g_status", "g_prio", "status", "prio")),
 
+    // Skew-safe two-phase aggregation (salting): partials on
+    // (key, salt-of-16) spread a hot key over 16 reducers, the final agg
+    // merges 16 tiny partials per key. With exact integer cents both
+    // phases are order-independent, so the result is identical to the
+    // direct group-by the oracle runs.
+    "agg_salted" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .withColumn("salt", pmod(col("l_orderkey"), lit(16)))
+        .groupBy("l_returnflag", "salt")
+        .agg(sum(col("l_quantity").cast("long")).as("pq"), count(lit(1)).as("pn"))
+        .groupBy("l_returnflag")
+        .agg(sum(col("pq")).as("sum_qty"), sum(col("pn")).as("n"))
+        .orderBy("l_returnflag")),
+
+    // PIVOT with explicit value list (explicit ⇒ deterministic output
+    // columns, single-pass grouped aggregation underneath).
+    "agg_pivot" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .count()
+        .select(col("o_orderpriority"),
+          coalesce(col("F"), lit(0L)).as("n_f"),
+          coalesce(col("O"), lit(0L)).as("n_o"),
+          coalesce(col("P"), lit(0L)).as("n_p"))
+        .orderBy("o_orderpriority")),
+
     // §2.5 ranking window: top-3 priciest lines per return flag. Despite
     // the 3-value partition key this is scale-safe on Spark ≥3.5: the
     // rank-limit filter plans as WindowGroupLimit(Partial) BEFORE the
@@ -195,6 +222,16 @@ object AggWindowQueries extends QueryPack {
         | MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
         | SUM(CAST(round(l_extendedprice*100) AS BIGINT)) / (COUNT(*) * 100.0) AS avg_price
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "agg_salted" ->
+      """SELECT l_returnflag, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        | COUNT(*) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "agg_pivot" ->
+      """SELECT o_orderpriority,
+        | COUNT(*) FILTER (o_orderstatus = 'F') AS n_f,
+        | COUNT(*) FILTER (o_orderstatus = 'O') AS n_o,
+        | COUNT(*) FILTER (o_orderstatus = 'P') AS n_p
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "agg_distinct_count" ->
       """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
         | COUNT(DISTINCT l_suppkey) AS n_supps

@@ -121,6 +121,16 @@ object LlmQueries extends QueryPack {
           count(col("sh")).as("n_shingles"))
         .orderBy("doc_id")),
 
+    // Deterministic corpus sampling: hash-mod selection (md5-derived, so
+    // any engine draws the identical sample — unlike rand()-based
+    // sampling). The 100 TB shape: a pushed-down filter, no shuffle, and
+    // the rate tunes by the modulus.
+    "sample_hash_mod" -> ((s, d) =>
+      Tables.documents(s, d)
+        .filter(TextOps.hash60(col("doc_id").cast("string")) % 10 === 0)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")),
+
     // ---- deduplication -------------------------------------------------
     // Exact dedup by content hash: hash-aggregate on sha256(text), keep
     // the lowest doc_id per group. One shuffle on the hash key; at 100 TB
@@ -334,6 +344,10 @@ object LlmQueries extends QueryPack {
         | CAST(len(list_transform(range(1, len(string_split(text,' '))-3),
         |   i -> array_to_string(list_slice(string_split(text,' '), i, i+4), ' '))) AS BIGINT) AS n_shingles
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "sample_hash_mod" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15))::BIGINT % 10 = 0
+        |ORDER BY doc_id""".stripMargin,
     "dedup_exact_doc" ->
       """SELECT sha256(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,

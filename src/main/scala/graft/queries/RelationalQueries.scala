@@ -248,6 +248,41 @@ object RelationalQueries extends QueryPack {
       Conform.qualityGate(Conform.conformTo(n, n.schema), n.schema, "nation")
         .orderBy("n_nationkey")
     }),
+
+    // AS-OF join, the scale-safe formulation: instead of a per-row
+    // backwards range probe (quadratic, or an interval index Spark lacks),
+    // sort each user's events once and carry the most recent error forward
+    // with last(..., ignoreNulls) over an unbounded-preceding frame — one
+    // shuffle + one sort per user partition, any history length. Each
+    // click row reads off the error it would asof-match.
+    "join_asof" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.events(s, d).select("event_id", "ts", "user_id", "event_type")
+      val w = Window.partitionBy("user_id").orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      e.withColumn("asof_error_id",
+          last(when(col("event_type") === "error", col("event_id")), ignoreNulls = true).over(w))
+        .filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"), col("asof_error_id"))
+        .orderBy("click_id")
+    }),
+
+    // Range-predicate join done the scale-safe way: the equi key
+    // (orderkey) carries the join — SortMergeJoin on the key — and the
+    // date-range condition is a residual filter on matched pairs, never a
+    // nested-loop over unmatched rows. (A pure range join with no equi
+    // component gets bucketized first; pairing range with a key is the
+    // pattern.)
+    "join_range_pred" -> ((s, d) => {
+      val l = Tables.lineitem(s, d)
+      val o = Tables.orders(s, d)
+      l.join(o, l("l_orderkey") === o("o_orderkey") &&
+          l("l_shipdate") >= o("o_orderdate") &&
+          l("l_shipdate") <= date_add(o("o_orderdate"), 90))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_within_90d"))
+        .orderBy("l_returnflag")
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -341,5 +376,18 @@ object RelationalQueries extends QueryPack {
         |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 50""".stripMargin,
     "quality_gate" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+    "join_asof" ->
+      """SELECT event_id AS click_id, user_id, asof_error_id FROM (
+        |  SELECT event_id, user_id, event_type,
+        |    last_value(CASE WHEN event_type = 'error' THEN event_id END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS asof_error_id
+        |  FROM events) t
+        |WHERE event_type = 'click' ORDER BY click_id""".stripMargin,
+    "join_range_pred" ->
+      """SELECT l_returnflag, COUNT(*) AS n_within_90d
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  AND l_shipdate >= o_orderdate
+        |  AND l_shipdate <= o_orderdate + INTERVAL 90 DAY
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }
