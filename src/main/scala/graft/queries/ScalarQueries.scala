@@ -108,6 +108,14 @@ object ScalarQueries extends QueryPack {
           get_json_object(col("props"), "$.k").as("k_str"),
           get_json_object(col("props"), "$.k").cast("int").as("k_int"))
         .orderBy("event_id")),
+
+    // §2.8 schema-full JSON parsing (from_json with a declared struct —
+    // parses once per row instead of once per extracted path).
+    "json_from_schema" -> ((s, d) =>
+      Tables.events(s, d)
+        .withColumn("parsed", from_json(col("props"), lit("k INT")))
+        .select(col("event_id"), col("parsed.k").as("k"))
+        .orderBy("event_id")),
   )
 
   val oracle: Map[String, String] = Map(
@@ -168,6 +176,9 @@ object ScalarQueries extends QueryPack {
     "json_get_field" ->
       """SELECT event_id, json_extract_string(props, '$.k') AS k_str,
         | CAST(json_extract_string(props, '$.k') AS INT) AS k_int
+        |FROM events ORDER BY event_id""".stripMargin,
+    "json_from_schema" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
         |FROM events ORDER BY event_id""".stripMargin,
   )
 }

@@ -23,6 +23,15 @@ object StreamQueries extends QueryPack {
           col("event_type"), col("n_events"), col("value_cents"))
         .orderBy("w_start", "event_type")),
 
+    // Sliding windows (width 10 min, slide 5 min): each event contributes
+    // to two windows; the oracle unnests the two window starts per event.
+    "stream_sliding_window_batcheq" -> ((s, d) =>
+      Streams.slidingAgg(Tables.events(s, d))
+        .select(date_format(col("w_start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
+          date_format(col("w_end"), "yyyy-MM-dd HH:mm:ss").as("w_end"),
+          col("event_type"), col("n_events"), col("value_cents"))
+        .orderBy("w_start", "event_type")),
+
     // Session windows (5-minute gap) per user; session end = last event +
     // gap, mirrored in the oracle's islands computation.
     "stream_session_window_batcheq" -> ((s, d) =>
@@ -41,6 +50,17 @@ object StreamQueries extends QueryPack {
         | event_type, COUNT(*) AS n_events,
         | CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents
         |FROM events GROUP BY 1, 2, 3 ORDER BY 1, 3""".stripMargin,
+    "stream_sliding_window_batcheq" ->
+      """WITH w AS (
+        |  SELECT event_type, value,
+        |    unnest([time_bucket(INTERVAL '5 minutes', ts),
+        |            time_bucket(INTERVAL '5 minutes', ts) - INTERVAL 5 MINUTE]) AS w_start
+        |  FROM events)
+        |SELECT strftime(w_start, '%Y-%m-%d %H:%M:%S') AS w_start,
+        | strftime(w_start + INTERVAL 10 MINUTE, '%Y-%m-%d %H:%M:%S') AS w_end,
+        | event_type, COUNT(*) AS n_events,
+        | CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM w GROUP BY 1, 2, 3 ORDER BY 1, 3""".stripMargin,
     "stream_session_window_batcheq" ->
       """WITH o AS (SELECT user_id, ts, value,
         |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev FROM events),

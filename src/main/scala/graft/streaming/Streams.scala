@@ -31,6 +31,18 @@ object Streams {
       .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
         col("event_type"), col("n_events"), col("value_cents"))
 
+  /** Sliding windows: width 10 min, slide 5 min — every event lands in
+    * exactly two windows; same shuffle shape as tumbling with a 2×
+    * row expansion before the partial aggregation.
+    */
+  def slidingAgg(events: DataFrame, width: String = "10 minutes",
+                 slide: String = "5 minutes"): DataFrame =
+    events
+      .groupBy(window(col("ts"), width, slide), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(cents(col("value"))).as("value_cents"))
+      .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
+        col("event_type"), col("n_events"), col("value_cents"))
+
   /** Session windows per user: events within `gap` of each other merge;
     * window.end is last-event + gap (Spark session semantics).
     */
