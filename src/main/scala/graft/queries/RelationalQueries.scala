@@ -267,6 +267,30 @@ object RelationalQueries extends QueryPack {
         .orderBy("click_id")
     }),
 
+    // Bucketed co-located join: both sides written bucketed by the join
+    // key (bucketBy + saveAsTable), then joined WITHOUT a shuffle — the
+    // executed plan has no Exchange above either scan. This is the
+    // pre-partitioning answer for fact tables joined on the same key
+    // every day: pay the shuffle once at write time, never at read time.
+    "join_bucketed" -> ((s, d) => {
+      Sinks.writeBucketed(Tables.lineitem(s, d)
+        .select("l_orderkey", "l_quantity", "l_returnflag"),
+        "graft_li_bkt", "l_orderkey", 8)
+      Sinks.writeBucketed(Tables.orders(s, d)
+        .select("o_orderkey", "o_orderstatus"),
+        "graft_ord_bkt", "o_orderkey", 8)
+      // merge hint: at test scale AQE would broadcast the small side and
+      // bypass the bucket demo; at fact-table scale SMJ is the plan
+      // anyway — and with matching buckets it needs NO exchange.
+      val li = s.table("graft_li_bkt").hint("merge")
+      val o = s.table("graft_ord_bkt")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_lines"),
+          sum(col("l_quantity").cast("long")).as("sum_qty"))
+        .orderBy("o_orderstatus")
+    }),
+
     // Range-predicate join done the scale-safe way: the equi key
     // (orderkey) carries the join — SortMergeJoin on the key — and the
     // date-range condition is a residual filter on matched pairs, never a
@@ -376,6 +400,11 @@ object RelationalQueries extends QueryPack {
         |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 50""".stripMargin,
     "quality_gate" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+    "join_bucketed" ->
+      """SELECT o_orderstatus, COUNT(*) AS n_lines,
+        | CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "join_asof" ->
       """SELECT event_id AS click_id, user_id, asof_error_id FROM (
         |  SELECT event_id, user_id, event_type,
