@@ -105,6 +105,31 @@ object AggWindowQueries extends QueryPack {
           col("n"), col("sum_qty"))
         .orderBy("g_flag", "g_status", "flag", "status")),
 
+    // Explicit GROUPING SETS via the SQL entry path (finer control than
+    // rollup/cube: exactly the three set shapes, one pass).
+    "agg_grouping_sets" -> ((s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("li_gs")
+      s.sql(
+        """SELECT grouping(l_returnflag) AS g_flag, grouping(l_linestatus) AS g_status,
+          | coalesce(l_returnflag, 'ALL') AS flag, coalesce(l_linestatus, 'ALL') AS status,
+          | COUNT(*) AS n, SUM(CAST(l_quantity AS BIGINT)) AS sum_qty
+          |FROM li_gs
+          |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+          |ORDER BY g_flag, g_status, flag, status""".stripMargin)
+        .withColumn("g_flag", col("g_flag").cast("long"))
+        .withColumn("g_status", col("g_status").cast("long"))
+    }),
+
+    // Exact interpolated percentiles per group (both engines use the
+    // same linear-interpolation definition, so doubles compare exactly).
+    "agg_percentile" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(expr("percentile(l_quantity, 0.5)").as("p50"),
+          expr("percentile(l_quantity, 0.9)").as("p90"),
+          expr("percentile(l_quantity, 0.99)").as("p99"))
+        .orderBy("l_returnflag")),
+
     // §2.4 CUBE.
     "agg_cube" -> ((s, d) =>
       Tables.orders(s, d)
@@ -242,6 +267,18 @@ object AggWindowQueries extends QueryPack {
         | COUNT(*) AS n, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY g_flag, g_status, flag, status""".stripMargin,
+    "agg_grouping_sets" ->
+      """SELECT CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
+        | CAST(grouping(l_linestatus) AS BIGINT) AS g_status,
+        | coalesce(l_returnflag, 'ALL') AS flag, coalesce(l_linestatus, 'ALL') AS status,
+        | COUNT(*) AS n, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        |ORDER BY g_flag, g_status, flag, status""".stripMargin,
+    "agg_percentile" ->
+      """SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS p50,
+        | quantile_cont(l_quantity, 0.9) AS p90, quantile_cont(l_quantity, 0.99) AS p99
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "agg_cube" ->
       """SELECT grouping(o_orderstatus) AS g_status, grouping(o_orderpriority) AS g_prio,
         | coalesce(o_orderstatus, 'ALL') AS status, coalesce(o_orderpriority, 'ALL') AS prio,

@@ -163,6 +163,29 @@ object LlmQueries extends QueryPack {
         .orderBy("d1", "d2")
     }),
 
+    // The full near-dup pipeline closed end-to-end: MinHash-LSH candidate
+    // generation (band join, never all-pairs) → exact edit-distance
+    // verification on the tiny candidate set. Levenshtein is quadratic
+    // per pair — affordable precisely BECAUSE banding already cut 125k
+    // potential pairs to ~35.
+    "dedup_fuzzy_verify" -> ((s, d) => {
+      val b = minhashBands(s, d)
+      val pairs = b.as("x").join(b.as("y"),
+          col("x.band") === col("y.band") && col("x.band_key") === col("y.band_key") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+        .distinct()
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      pairs
+        .join(docs.select(col("doc_id").as("d1"), col("text").as("t1")), "d1")
+        .join(docs.select(col("doc_id").as("d2"), col("text").as("t2")), "d2")
+        .select(col("d1"), col("d2"),
+          levenshtein(col("t1"), col("t2")).cast("long").as("edit_dist"),
+          expr("CAST(levenshtein(t1, t2) AS BIGINT) * 1000 div greatest(length(t1), length(t2))")
+            .as("dist_milli"))
+        .orderBy("d1", "d2")
+    }),
+
     // Per-document 60-bit SimHash signature.
     "dedup_simhash" -> ((s, d) =>
       simhashSigs(s, d).orderBy("doc_id")),
@@ -359,6 +382,17 @@ object LlmQueries extends QueryPack {
          |SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
          |FROM bandtab a JOIN bandtab b
          |  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+         |ORDER BY d1, d2""".stripMargin,
+    "dedup_fuzzy_verify" ->
+      s"""WITH $mhSigSql,
+         |pairs AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |  FROM bandtab a JOIN bandtab b
+         |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id)
+         |SELECT d1, d2,
+         |  CAST(levenshtein(x.text, y.text) AS BIGINT) AS edit_dist,
+         |  CAST(levenshtein(x.text, y.text) AS BIGINT) * 1000
+         |    // greatest(length(x.text), length(y.text)) AS dist_milli
+         |FROM pairs JOIN documents x ON d1 = x.doc_id JOIN documents y ON d2 = y.doc_id
          |ORDER BY d1, d2""".stripMargin,
     "dedup_simhash" ->
       s"""WITH $simhashSql
