@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions.col
+
+/** Contract tests for the driver interface: every declared query must have
+  * an oracle (or be explicitly rows-only), run at the smoke scale factor,
+  * and be deterministic across re-execution — the property the DuckDB
+  * hash-compare depends on but only observes once per round.
+  */
+class SparkEntrySpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+  // rows-only by design (engine sketches differ from DuckDB's by
+  // construction; the exact twin agg_distinct_count is the anchor)
+  private val rowsOnly = Set("agg_approx_distinct")
+
+  test("every query has an oracle or a documented rows-only waiver") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert((q -- o) == rowsOnly, s"queries without oracle: ${q -- o -- rowsOnly}")
+    assert((o -- q).isEmpty, s"oracles without query: ${o -- q}")
+  }
+
+  test("flagship smoke: entry() returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every declared query executes at sf0.001 and returns a well-formed frame") {
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      try {
+        val df = fn(spark, sf)
+        assert(df.columns.nonEmpty)
+        df.queryExecution.toRdd.count() // execute the full plan
+        None
+      } catch { case e: Throwable => Some(s"$name: ${e.getMessage.take(120)}") }
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
+  test("order-sensitive queries are deterministic across re-execution") {
+    // the queries where nondeterminism would hide: ids, sampling, window
+    // ranks, hash signatures, floating aggregation
+    val probes = Seq("id_row_number", "id_zip_index", "sample_hash_mod",
+      "win_row_number", "dedup_minhash_pairs", "dedup_simhash",
+      "ann_cosine_topk", "agg_percentile", "flagship")
+    probes.foreach { name =>
+      val fn = SparkEntry.queries(name)
+      val a = fn(spark, sf).collect().toSeq
+      val b = fn(spark, sf).collect().toSeq
+      assert(a == b, s"$name differs across runs")
+    }
+  }
+}
