@@ -203,6 +203,63 @@ object AggWindowQueries extends QueryPack {
         .orderBy("l_returnflag", "rnk", "l_orderkey", "l_linenumber")
     }),
 
+    // UNPIVOT/melt: wide metric columns → long (metric, value) rows — the
+    // inverse of pivot, one narrow scan, no shuffle.
+    "unpivot_melt" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+          "l_quantity", "l_extendedprice", "l_discount")
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey")),
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+          "metric", "value")
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "metric")),
+
+    // collect_set aggregation made deterministic: sort_array + concat_ws
+    // turns the unordered set into a canonical string.
+    "agg_collect" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(concat_ws(",", sort_array(collect_set(col("l_linestatus")))).as("statuses"),
+          concat_ws(",", sort_array(collect_set(col("l_quantity").cast("int")))).as("quantities"))
+        .orderBy("l_returnflag")),
+
+    // Conditional aggregation: count_if / sum(CASE) — one pass, no joins.
+    "agg_conditional" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(expr("count_if(l_quantity > 45)").as("n_big"),
+          sum(when(col("l_discount") >= 0.05, col("l_quantity").cast("long"))
+            .otherwise(0L)).as("qty_discounted"),
+          expr("count_if(l_linestatus = 'F')").as("n_f"))
+        .orderBy("l_returnflag")),
+
+    // §2.5 RANGE frame (value-based window bounds — all qty peers within
+    // 5 units below the current row's value).
+    "win_range_frame" -> ((s, d) => {
+      val w = Window.partitionBy("l_returnflag").orderBy(col("l_quantity"))
+        .rangeBetween(-5, Window.currentRow)
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        .withColumn("n_in_range", count(lit(1)).over(w))
+        .orderBy("l_returnflag", "l_quantity", "l_orderkey", "l_linenumber")
+    }),
+
+    // §2.5 distribution windows: ntile quartiles + percent_rank/cume_dist
+    // (exact integer-ratio doubles, engine-identical).
+    "win_ntile_dist" -> ((s, d) => {
+      val w = Window.partitionBy("l_returnflag")
+        .orderBy(col("price_cents").desc, col("l_orderkey").asc, col("l_linenumber").asc)
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+          graft.ops.Cleaning.cents(col("l_extendedprice")).as("price_cents"))
+        .withColumn("quartile", ntile(4).over(w).cast("long"))
+        .withColumn("pct_rank", percent_rank().over(w))
+        .withColumn("cume", cume_dist().over(w))
+        .filter(col("l_orderkey") % 100 === 0)
+        .orderBy("l_returnflag", "price_cents", "l_orderkey", "l_linenumber")
+    }),
+
     // §2.5 lag/lead along a line-number sequence within an order.
     "win_lag_lead" -> ((s, d) => {
       val w = Window.partitionBy("l_orderkey")
@@ -301,6 +358,45 @@ object AggWindowQueries extends QueryPack {
         |    dense_rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity DESC) AS drnk
         |  FROM lineitem) t
         |WHERE drnk <= 2 ORDER BY l_returnflag, rnk, l_orderkey, l_linenumber""".stripMargin,
+    "unpivot_melt" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, metric, value FROM (
+        |  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |    'l_quantity' AS metric, l_quantity AS value FROM lineitem
+        |  UNION ALL SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |    'l_extendedprice', l_extendedprice FROM lineitem
+        |  UNION ALL SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |    'l_discount', l_discount FROM lineitem) t
+        |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, metric""".stripMargin,
+    "agg_collect" ->
+      """SELECT l_returnflag,
+        | string_agg(DISTINCT l_linestatus, ',' ORDER BY l_linestatus) AS statuses,
+        | string_agg(DISTINCT CAST(CAST(trunc(l_quantity) AS INT) AS VARCHAR), ','
+        |   ORDER BY CAST(trunc(l_quantity) AS INT)) AS quantities
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "agg_conditional" ->
+      """SELECT l_returnflag,
+        | COUNT(*) FILTER (l_quantity > 45) AS n_big,
+        | CAST(SUM(CASE WHEN l_discount >= 0.05 THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS BIGINT) AS qty_discounted,
+        | COUNT(*) FILTER (l_linestatus = 'F') AS n_f
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "win_range_frame" ->
+      """SELECT l_returnflag, l_orderkey, l_linenumber, l_quantity,
+        | COUNT(*) OVER (PARTITION BY l_returnflag ORDER BY l_quantity
+        |   RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS n_in_range
+        |FROM lineitem
+        |ORDER BY l_returnflag, l_quantity, l_orderkey, l_linenumber""".stripMargin,
+    "win_ntile_dist" ->
+      """SELECT * FROM (
+        |  SELECT l_returnflag, l_orderkey, l_linenumber,
+        |    CAST(round(l_extendedprice*100) AS BIGINT) AS price_cents,
+        |    CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |    percent_rank() OVER w AS pct_rank,
+        |    cume_dist() OVER w AS cume
+        |  FROM lineitem
+        |  WINDOW w AS (PARTITION BY l_returnflag
+        |    ORDER BY CAST(round(l_extendedprice*100) AS BIGINT) DESC, l_orderkey, l_linenumber)) t
+        |WHERE l_orderkey % 100 = 0
+        |ORDER BY l_returnflag, price_cents, l_orderkey, l_linenumber""".stripMargin,
     "win_lag_lead" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity,
         | lag(l_quantity, 1) OVER (PARTITION BY l_orderkey
