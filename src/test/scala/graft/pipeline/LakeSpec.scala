@@ -120,6 +120,12 @@ class LakeSpec extends SparkSpec {
     val badShape = spark.range(3).toDF("id")
     val e = intercept[IllegalArgumentException](Models.fact(badShape))
     assert(e.getMessage.contains("not a conformed"))
+    // the parse-side frames type directly (pre-drop they carry the registry shape)
+    val visitors = Models.visitor(Pipelines.parseVisitor(spark, fixtures.toString))
+    assert(visitors.filter((v: Models.Visitor) => v.arrival_year == 2016).count() == 2)
+    val workers = Models.worker(Pipelines.parseWorker(spark, fixtures.toString))
+    assert(workers.map((w: Models.Worker) => w.worksite_state).collect().toSet ==
+      Set("CA", "NV", "TX"))
   }
 
   test("fact: time_id == id and worker country is 'Unknown'") {
