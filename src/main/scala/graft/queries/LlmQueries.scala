@@ -229,6 +229,28 @@ object LlmQueries extends QueryPack {
         .orderBy("q_id", "rnk")
     }),
 
+    // Same top-k, computed by the custom TopKAggregator instead of a
+    // rank-filtered window: O(k) state per query, map-side partial
+    // merge, no sort of the candidate set — the aggregation shape for
+    // top-k-per-group when groups are huge and k is small. The oracle is
+    // the same ranking SQL, proving aggregator ≡ window.
+    "ann_topk_agg" -> ((s, d) => {
+      val e = embVecs(s, d)
+      val q = e.filter(col("vec_id") < 5).select(col("vec_id").as("q_id"), col("v").as("qv"))
+      val c = e.filter(col("vec_id") >= 5)
+      // udaf() flattens the Scored input encoder into (score, id) args
+      val topk = udaf(new graft.functions.TopKAggregator(10))
+      c.crossJoin(broadcast(q))
+        .select(col("q_id"),
+          VectorOps.cosine(col("qv"), col("v")).as("score"), col("vec_id"))
+        .groupBy("q_id")
+        .agg(topk(col("score"), col("vec_id")).as("top"))
+        .select(col("q_id"), posexplode(col("top")))
+        .select(col("q_id"), col("col.id").as("vec_id"),
+          col("col.score").as("cosine"), (col("pos") + 1).cast("long").as("rnk"))
+        .orderBy("q_id", "rnk")
+    }),
+
     // IVF-style bucketed ANN (the scale path): assign every vector to its
     // nearest of 8 deterministic centroids (vec_id < 8), probe the 2
     // nearest centroid buckets per query, search only inside them. The
@@ -408,6 +430,15 @@ object LlmQueries extends QueryPack {
          |    ON a.band = c.band AND a.key = c.key AND a.doc_id < c.doc_id)
          |SELECT d1, d2, CAST(bit_count(xor(s1, s2)) AS BIGINT) AS hamming
          |FROM cand WHERE bit_count(xor(s1, s2)) <= 4 ORDER BY d1, d2""".stripMargin,
+    "ann_topk_agg" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
+         |c AS (SELECT vec_id, v FROM e WHERE vec_id >= 5),
+         |s AS (SELECT q_id, vec_id, ${cosSql("qv", "v")} AS cosine FROM q, c)
+         |SELECT q_id, vec_id, cosine, rnk FROM (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS BIGINT) AS rnk
+         |  FROM s) t
+         |WHERE rnk <= 10 ORDER BY q_id, rnk""".stripMargin,
     "ann_cosine_topk" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
          |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),

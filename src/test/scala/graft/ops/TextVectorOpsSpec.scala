@@ -77,6 +77,24 @@ class TextVectorOpsSpec extends SparkSpec {
     assert(colSim == aggSim)
   }
 
+  test("TopKAggregator: bounded, deterministic ties, partition-layout invariant") {
+    import graft.functions.TopKAggregator
+    val topk = udaf(new TopKAggregator(3))
+    val rows = Seq((1L, 0.9, 10L), (1L, 0.9, 7L), (1L, 0.5, 3L), (1L, 0.7, 4L),
+      (1L, 0.9, 12L), (2L, 0.1, 1L))
+    def run(parts: Int) = rows.toDF("g", "score", "id").repartition(parts)
+      .groupBy("g").agg(topk(col("score"), col("id")).as("top"))
+      .select(col("g"), col("top").cast("string"))
+      .as[(Long, String)].collect().toMap
+    val one = run(1)
+    assert(one == run(7)) // merge order must not matter
+    // ties on 0.9 break by ascending id: 7 then 10, 12 excluded by k=3? no —
+    // top-3 of group 1 = (0.9,7),(0.9,10),(0.9,12)
+    assert(one(1L).contains("{0.9, 7}") && one(1L).contains("{0.9, 12}") &&
+      !one(1L).contains("0.7"))
+    assert(one(2L).contains("{0.1, 1}"))
+  }
+
   test("cosine: orthogonal = 0, identical = 1, known value") {
     val df = Seq(
       (Seq(1.0f, 0.0f), Seq(0.0f, 1.0f)),
