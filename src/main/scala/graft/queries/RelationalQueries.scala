@@ -291,6 +291,24 @@ object RelationalQueries extends QueryPack {
         .orderBy("o_orderstatus")
     }),
 
+    // Sorted data layout for scan pruning: range-partition + in-partition
+    // sort on the filter column before writing, so every parquet row
+    // group covers a narrow value band and a point/range filter skips
+    // most of the file via min/max stats. The partitioned sink prunes by
+    // directory; this prunes WITHIN files — the two compose at 100 TB.
+    "sink_sorted_layout" -> ((s, d) => {
+      val out = scratch("lineitem_sorted")
+      Tables.lineitem(s, d)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .repartitionByRange(8, col("l_quantity"))
+        .sortWithinPartitions("l_quantity")
+        .write.mode("overwrite").parquet(out)
+      s.read.parquet(out)
+        .filter(col("l_quantity") >= 45)
+        .agg(count(lit(1)).as("n"),
+          sum(Cleaning.cents(col("l_extendedprice"))).as("price_cents"))
+    }),
+
     // Range-predicate join done the scale-safe way: the equi key
     // (orderkey) carries the join — SortMergeJoin on the key — and the
     // date-range condition is a residual filter on matched pairs, never a
@@ -412,6 +430,10 @@ object RelationalQueries extends QueryPack {
         |      OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS asof_error_id
         |  FROM events) t
         |WHERE event_type = 'click' ORDER BY click_id""".stripMargin,
+    "sink_sorted_layout" ->
+      """SELECT COUNT(*) AS n,
+        | CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS price_cents
+        |FROM lineitem WHERE l_quantity >= 45""".stripMargin,
     "join_range_pred" ->
       """SELECT l_returnflag, COUNT(*) AS n_within_90d
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey

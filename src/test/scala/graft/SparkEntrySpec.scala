@@ -37,6 +37,19 @@ class SparkEntrySpec extends SparkSpec {
     assert(failures.isEmpty, failures.mkString("\n"))
   }
 
+  test("approx_count_distinct stays within HLL error bounds of the exact twin") {
+    import org.apache.spark.sql.functions._
+    val df = Tables.lineitem(spark, sf)
+      .groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).as("exact"),
+        approx_count_distinct(col("l_partkey")).as("approx"))
+    df.collect().foreach { r =>
+      val (exact, approx) = (r.getLong(1), r.getLong(2))
+      assert(math.abs(approx - exact).toDouble / exact < 0.1,
+        s"approx $approx vs exact $exact exceeds 10%")
+    }
+  }
+
   test("order-sensitive queries are deterministic across re-execution") {
     // the queries where nondeterminism would hide: ids, sampling, window
     // ranks, hash signatures, floating aggregation

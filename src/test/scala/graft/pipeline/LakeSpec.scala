@@ -128,6 +128,12 @@ class LakeSpec extends SparkSpec {
       Set("CA", "NV", "TX"))
   }
 
+  test("Lake.build is overwrite-idempotent: a rerun produces identical counts") {
+    val first = counts
+    val again = Lake.build(spark, fixtures.toString, out.toString)
+    assert(again == first)
+  }
+
   test("fact: time_id == id and worker country is 'Unknown'") {
     val fact = spark.read.parquet(out.resolve("immigration_facts").toString)
     assert(fact.filter(col("id") =!= col("time_id")).count() == 0)
