@@ -29,11 +29,19 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    packs.flatMap(_.queries).toMap
+    uniq(packs.flatMap(_.queries))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
-    packs.flatMap(_.oracle).toMap
+    uniq(packs.flatMap(_.oracle))
+
+  // toMap would silently keep only the LAST entry for a colliding query
+  // id, making a whole operator vanish green from the correctness gate
+  private def uniq[V](entries: Seq[(String, V)]): Map[String, V] = {
+    val dups = entries.groupBy(_._1).filter(_._2.length > 1).keys
+    require(dups.isEmpty, s"duplicate query ids across packs: ${dups.mkString(", ")}")
+    entries.toMap
+  }
 }
