@@ -186,6 +186,30 @@ object LlmQueries extends QueryPack {
         .orderBy("d1", "d2")
     }),
 
+    // Exact n-gram Jaccard similarity on the MinHash candidate pairs —
+    // the set-overlap twin of the edit-distance verify above (the metric
+    // MinHash estimates, computed exactly on the pruned pair set):
+    // J = |shingles₁ ∩ shingles₂| / |shingles₁ ∪ shingles₂|.
+    "dedup_jaccard_verify" -> ((s, d) => {
+      val b = minhashBands(s, d)
+      val pairs = b.as("x").join(b.as("y"),
+          col("x.band") === col("y.band") && col("x.band_key") === col("y.band_key") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+        .distinct()
+      val sh = Tables.documents(s, d)
+        .select(col("doc_id"),
+          array_distinct(TextOps.wordShingles(TextOps.tokens(col("text")), 3)).as("sh"))
+      pairs
+        .join(sh.select(col("doc_id").as("d1"), col("sh").as("s1")), "d1")
+        .join(sh.select(col("doc_id").as("d2"), col("sh").as("s2")), "d2")
+        .select(col("d1"), col("d2"),
+          size(array_intersect(col("s1"), col("s2"))).cast("long").as("n_common"),
+          expr("CAST(size(array_intersect(s1, s2)) AS BIGINT) * 1000 div " +
+            "size(array_distinct(concat(s1, s2)))").as("jaccard_milli"))
+        .orderBy("d1", "d2")
+    }),
+
     // Per-document 60-bit SimHash signature.
     "dedup_simhash" -> ((s, d) =>
       simhashSigs(s, d).orderBy("doc_id")),
@@ -415,6 +439,21 @@ object LlmQueries extends QueryPack {
          |  CAST(levenshtein(x.text, y.text) AS BIGINT) * 1000
          |    // greatest(length(x.text), length(y.text)) AS dist_milli
          |FROM pairs JOIN documents x ON d1 = x.doc_id JOIN documents y ON d2 = y.doc_id
+         |ORDER BY d1, d2""".stripMargin,
+    "dedup_jaccard_verify" ->
+      s"""WITH $mhSigSql,
+         |pairs AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |  FROM bandtab a JOIN bandtab b
+         |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+         |shs AS (SELECT doc_id, list_distinct(
+         |    list_transform(range(1, len(string_split(text,' '))-1),
+         |      i -> array_to_string(list_slice(string_split(text,' '), i, i+2), ' '))) AS sh
+         |  FROM documents)
+         |SELECT d1, d2,
+         |  CAST(len(list_intersect(x.sh, y.sh)) AS BIGINT) AS n_common,
+         |  CAST(len(list_intersect(x.sh, y.sh)) AS BIGINT) * 1000
+         |    // CAST(len(list_distinct(list_concat(x.sh, y.sh))) AS BIGINT) AS jaccard_milli
+         |FROM pairs JOIN shs x ON d1 = x.doc_id JOIN shs y ON d2 = y.doc_id
          |ORDER BY d1, d2""".stripMargin,
     "dedup_simhash" ->
       s"""WITH $simhashSql
