@@ -30,8 +30,12 @@ object Pipelines {
     val raw = spark.read.option("header", true)
       .csv(s"$input/refugee_and_migrant_data/*.csv")
       .dropDuplicates()
+    // total order over ALL columns → ids reproducible even when rows tie
+    // on (country, year); un-partitioned window is fine at dimension size
+    // (the fact-scale path is the id_zip_index pattern)
     val withId = raw.withColumn("id",
-      row_number().over(Window.orderBy("country", "year")).cast("long") - 1)
+      row_number().over(Window.orderBy(raw.columns.map(col).toIndexedSeq: _*))
+        .cast("long") - 1)
     Conform.conformToLenient(
       withId.withColumn("country", Cleaning.cleanString(col("country"))),
       Schemas.asylum)
@@ -152,9 +156,12 @@ object Pipelines {
     val unioned = Conform.fillMissingColumns(df1, df2.schema)
       .unionByName(df2, allowMissingColumns = true)
       .dropDuplicates()
+    // total order over ALL columns: distinct rows can tie on any key
+    // subset (two filings by the same employer), and a partial sort key
+    // would leave their relative ids run-dependent
     val withId = unioned.withColumn("id",
-      row_number().over(Window.orderBy("case_status", "employer_name",
-        "worksite_city", "worksite_state")).cast("long") - 1)
+      row_number().over(Window.orderBy(unioned.columns.map(col).toIndexedSeq: _*))
+        .cast("long") - 1)
       .withColumnRenamed("visa_class", "visa_type")
     val cleaned = Seq("case_status", "employer_name", "worksite_city",
       "arrival_weekday", "expiry_weekday")
