@@ -22,6 +22,20 @@ object Sinks {
   def readScheme(path: String): String =
     if (path.startsWith("s3://")) "s3a://" + path.stripPrefix("s3://") else path
 
+  /** Round-trip through ORC (Spark's other native columnar format). */
+  def orcRoundTrip(spark: SparkSession, df: DataFrame, scratch: String): DataFrame = {
+    df.write.mode(SaveMode.Overwrite).orc(scratch)
+    spark.read.orc(scratch)
+  }
+
+  /** Round-trip through JSON Lines (Spark's native JSON write shape —
+    * one document per line, unlike the reference's multiLine array docs).
+    */
+  def jsonlRoundTrip(spark: SparkSession, df: DataFrame, scratch: String): DataFrame = {
+    df.write.mode(SaveMode.Overwrite).json(scratch)
+    spark.read.json(scratch)
+  }
+
   /** Bucketed managed-table write: rows hash-partitioned into `buckets`
     * files per partition by `bucketCol` and sorted within buckets. Two
     * tables bucketed the same way join WITHOUT a shuffle (co-located

@@ -67,6 +67,22 @@ object RelationalQueries extends QueryPack {
         .orderBy("n_nationkey")
     }),
 
+    // §2.1 ORC scan via round-trip (Spark's other native columnar format;
+    // same vectorized reader + pushdown machinery as parquet).
+    "scan_orc" -> ((s, d) => {
+      val n = Tables.nation(s, d)
+      Conform.conformTo(Sinks.orcRoundTrip(s, n, scratch("nation_orc")), n.schema)
+        .orderBy("n_nationkey")
+    }),
+
+    // §2.1 JSON Lines scan via round-trip — the write-side JSON shape
+    // (one doc per line, splittable), vs scan_json's multiLine array.
+    "scan_jsonl" -> ((s, d) => {
+      val n = Tables.nation(s, d)
+      Conform.conformTo(Sinks.jsonlRoundTrip(s, n, scratch("nation_jsonl")), n.schema)
+        .orderBy("n_nationkey")
+    }),
+
     // §2.1 empty-relation source + positional union-with-empty as a
     // cast-and-order operator (pyspark.py:159-167).
     "empty_relation_union" -> ((s, d) => {
@@ -343,6 +359,8 @@ object RelationalQueries extends QueryPack {
         |FROM lineitem WHERE l_quantity >= 48
         |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin,
     "scan_csv" -> "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+    "scan_orc" -> "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+    "scan_jsonl" -> "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
     "scan_json" -> "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
     "empty_relation_union" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
