@@ -40,6 +40,25 @@ object MultimodalQueries extends QueryPack {
           expr("octet_length(frame)").cast("long").as("frame_bytes"),
           md5(col("frame")).as("frame_md5"))
         .orderBy("media_id", "frame_no")),
+    // Feature extraction over sampled frames: an 8-dim feature vector per
+    // frame (md5-derived — the deterministic stand-in for an image/audio
+    // embedding model; a real extractor slots into the decodeStub seam).
+    // Features unpivot to (frame, dim, value) rows so the oracle compares
+    // scalars, and downstream similarity ops consume them like any other
+    // embedding column.
+    "mm_feature_extract" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id").as("media_id"),
+          posexplode(graft.ops.Multimodal.framesExpr("CAST(text AS BINARY)", 256)))
+        .select(col("media_id"), col("pos").cast("long").as("frame_no"),
+          md5(col("col")).as("h"))
+        .filter(col("frame_no") % 2 === 0)
+        .select(col("media_id"), col("frame_no"),
+          posexplode(expr(
+            "transform(sequence(0, 7), i -> CAST(conv(substring(h, i*2+1, 2), 16, 10) AS DOUBLE) / 255.0)")))
+        .select(col("media_id"), col("frame_no"),
+          col("pos").cast("long").as("dim"), col("col").as("feature"))
+        .orderBy("media_id", "frame_no", "dim")),
   )
 
   val oracle: Map[String, String] = Map(
@@ -50,6 +69,18 @@ object MultimodalQueries extends QueryPack {
         | md5(text) AS payload_md5,
         | substr(text, 1, 8) AS head8
         |FROM documents ORDER BY media_id""".stripMargin,
+    "mm_feature_extract" ->
+      """WITH f AS (
+        |  SELECT doc_id AS media_id,
+        |    unnest(range(0, CAST(ceil(octet_length(encode(text)) / 256.0) AS INT))) AS frame_no,
+        |    text
+        |  FROM documents),
+        |h AS (SELECT media_id, frame_no, md5(substr(text, frame_no * 256 + 1, 256)) AS h
+        |  FROM f WHERE frame_no % 2 = 0),
+        |dims AS (SELECT media_id, frame_no, h, unnest(range(0, 8)) AS dim FROM h)
+        |SELECT media_id, CAST(frame_no AS BIGINT) AS frame_no, CAST(dim AS BIGINT) AS dim,
+        |  ('0x'||substr(h, dim*2+1, 2))::INT / 255.0 AS feature
+        |FROM dims ORDER BY media_id, frame_no, dim""".stripMargin,
     "mm_frame_sample" ->
       """WITH f AS (
         |  SELECT doc_id AS media_id, text,
