@@ -15,6 +15,13 @@ import org.apache.spark.sql.functions._
   * Hashing is 60-bit md5-prefix ([[hash60]]) rather than Spark's murmur3
   * `hash()` so every value is reproducible by any engine with an md5
   * function — the DuckDB oracle computes the identical signatures.
+  *
+  * Algorithms are the published classics: min-wise independent
+  * permutations for resemblance (Broder, "On the resemblance and
+  * containment of documents", 1997) with banded LSH (Indyk–Motwani
+  * locality-sensitive hashing family), and sign-random-projection
+  * fingerprints (Charikar, "Similarity estimation techniques from
+  * rounding algorithms", STOC 2002) for the SimHash path.
   */
 object TextOps {
 

@@ -77,6 +77,41 @@ object Streams {
     events.withWatermark("ts", horizon)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Sessionization via flatMapGroupsWithState: per-user custom state
+    * that EMITS a row only when a session closes (gap exceeded within the
+    * batch) — the 0..n-rows-per-key output shape mapGroupsWithState can't
+    * express. State carries the open session (start, last, count); events
+    * must arrive time-ordered per key within a batch (the test sorts;
+    * production pre-shuffles by key and sorts within partitions).
+    */
+  def closedSessions(spark: org.apache.spark.sql.SparkSession, events: DataFrame,
+                     gapSec: Long = 300L): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val byUser = events.selectExpr("user_id", "CAST(ts AS LONG) AS ts_sec")
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+    byUser.flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      (user: Long, rows: Iterator[(Long, Long)], state: GroupState[(Long, Long, Long)]) =>
+        val sorted = rows.map(_._2).toSeq.sorted
+        var open = state.getOption
+        val closed = Seq.newBuilder[(Long, Long, Long, Long)]
+        sorted.foreach { t =>
+          open match {
+            case Some((start, last, n)) if t - last <= gapSec =>
+              open = Some((start, t, n + 1))
+            case Some((start, last, n)) =>
+              closed += ((user, start, last, n))
+              open = Some((t, t, 1L))
+            case None =>
+              open = Some((t, t, 1L))
+          }
+        }
+        open.foreach(state.update)
+        closed.result().iterator
+    }.toDF("user_id", "session_start_sec", "session_last_sec", "n_events")
+  }
+
   /** Custom per-key streaming state via mapGroupsWithState: a running
     * per-user event count + last-seen timestamp (the arbitrary-state API
     * the built-in windows can't express).

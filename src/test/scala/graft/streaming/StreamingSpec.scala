@@ -74,6 +74,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState emits sessions only when a later event closes them") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = Streams.closedSessions(spark, mem.toDF())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sessions_smoke").start()
+    try {
+      // user 7: two events 3 min apart (one session), then an event 20 min
+      // later that CLOSES it and opens a new one
+      mem.addData(ev(7, "2024-01-01 10:00:00", "click", 1.0).copy(user_id = 7),
+        ev(7, "2024-01-01 10:03:00", "click", 1.0).copy(user_id = 7))
+      q.processAllAvailable()
+      assert(spark.table("sessions_smoke").count() == 0) // still open
+      mem.addData(ev(8, "2024-01-01 10:23:00", "click", 1.0).copy(user_id = 7))
+      q.processAllAvailable()
+      val closed = spark.table("sessions_smoke")
+        .select("user_id", "n_events").as[(Long, Long)].collect().toSeq
+      assert(closed == Seq((7L, 2L))) // the first session closed with 2 events
+    } finally q.stop()
+  }
+
   test("session windows merge events within the gap in batch mode") {
     val out = Streams.sessionAgg(sample.toDF())
       .orderBy("user_id", "s_start")
