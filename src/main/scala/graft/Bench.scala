@@ -1,18 +1,28 @@
 package graft
 import org.apache.spark.sql.SparkSession
 
-/** Per-round benchmark: runs every declared query on SPARK_GRAFT_SF_DIR and
-  * prints one JSON line. Each query runs 3× and reports the MEDIAN (single
-  * iterations were too jittery to detect real regressions — see VERDICT r3).
-  * The timed action is `queryExecution.toRdd.count()`, which executes the
-  * full physical plan including final sorts and all projected columns —
-  * `df.count()` would let Catalyst prune exactly the operators the queries
-  * exist to demonstrate.
+/** Per-round benchmark: runs every declared query on SPARK_GRAFT_SF_DIR.
+  * Each query runs `SPARK_GRAFT_BENCH_REPS`× (default 3) and reports the
+  * MEDIAN (single iterations were too jittery to detect real regressions —
+  * see VERDICT r3). The timed action is `queryExecution.toRdd.count()`,
+  * which executes the full physical plan including final sorts and all
+  * projected columns — `df.count()` would let Catalyst prune exactly the
+  * operators the queries exist to demonstrate.
+  *
+  * Output contract: stdout carries ONE SHORT JSON line (total + failures +
+  * pointer to the detail file) — the per-query map grew past the driver's
+  * stdout-tail capture at 80 queries (BENCH_r04 "parsed": null), so the
+  * full per-query JSON goes to `SPARK_GRAFT_BENCH_OUT` (default
+  * `/root/repo/bench_queries.json`) instead.
+  *
+  * A query that throws is recorded as -1 in the per-query map and listed
+  * in "failed" — never silently summed into the total as if it ran.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench_queries.json")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -22,19 +32,27 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      var failed = false
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).queryExecution.toRdd.count() }
         catch { case e: Throwable =>
+          failed = true
           System.err.println(s"[bench] $name failed: ${e.getMessage}") }
         (System.nanoTime() - t0) / 1e9
       }.sorted
-      name -> times(times.length / 2)
+      (name, if (failed) -1.0 else times(times.length / 2))
     }
+    val ok = results.filter(_._2 >= 0)
+    val failed = results.collect { case (n, t) if t < 0 => n }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = ok.map(_._2).sum
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val detail =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), detail + "\n")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.length},"n_failed":${failed.length},"failed":$failedJson,"queries_file":"$outFile","sf":"$sfDir"}""")
     spark.stop()
   }
 }

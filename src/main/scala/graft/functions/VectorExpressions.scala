@@ -21,13 +21,18 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * results are BIT-IDENTICAL to the interpreted fold over the
   * double-widened array and to the DuckDB oracle's `list_reduce` —
   * swapping implementations cannot change any query result (pinned by a
-  * unit test and the oracle hashes).
+  * unit test and the oracle hashes). Mismatched dimensions yield NULL,
+  * exactly like the HOF reference (`zip_with` pads the short side with
+  * nulls, which nullify the fold) — never a silent truncated prefix.
   */
 abstract class VectorFoldExpression extends BinaryExpression {
   // callers (VectorOps) guarantee array<float|double> inputs; the
   // ExpectsInputTypes trait is private[sql], so validation stays at the
   // API layer
   override def dataType: DataType = DoubleType
+
+  // null out on dimension mismatch even when both inputs are non-null
+  override def nullable: Boolean = true
 
   protected def isFloat(e: Expression): Boolean = e.dataType match {
     case ArrayType(FloatType, _) => true
@@ -50,7 +55,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
     val (fa, fb) = (isFloat(left), isFloat(right))
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (n != b.numElements()) return null
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
     while (i < n) {
       val x = get(a, i, fa); val y = get(b, i, fb)
@@ -64,14 +70,18 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val (n, dot, na, nb, i) = (ctx.freshName("n"), ctx.freshName("dot"),
         ctx.freshName("na"), ctx.freshName("nb"), ctx.freshName("i"))
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double x = ${getter(a, i, isFloat(left))};
-         |  double y = ${getter(b, i, isFloat(right))};
-         |  $dot += x * y; $na += x * x; $nb += y * y;
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double x = ${getter(a, i, isFloat(left))};
+         |    double y = ${getter(b, i, isFloat(right))};
+         |    $dot += x * y; $na += x * x; $nb += y * y;
+         |  }
+         |  ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
          |}
-         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
        """.stripMargin
     })
 
@@ -87,7 +97,8 @@ case class DotProduct(left: Expression, right: Expression)
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
     val (fa, fb) = (isFloat(left), isFloat(right))
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (n != b.numElements()) return null
     var dot = 0.0; var i = 0
     while (i < n) { dot += get(a, i, fa) * get(b, i, fb); i += 1 }
     dot
@@ -97,12 +108,16 @@ case class DotProduct(left: Expression, right: Expression)
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val (n, dot, i) = (ctx.freshName("n"), ctx.freshName("dot"), ctx.freshName("i"))
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $dot = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $dot += ${getter(a, i, isFloat(left))} * ${getter(b, i, isFloat(right))};
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $dot = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $dot += ${getter(a, i, isFloat(left))} * ${getter(b, i, isFloat(right))};
+         |  }
+         |  ${ev.value} = $dot;
          |}
-         |${ev.value} = $dot;
        """.stripMargin
     })
 

@@ -77,8 +77,10 @@ object Sinks {
     */
   def jsonRoundTrip(spark: SparkSession, df: DataFrame, scratch: String): DataFrame = {
     // Unguarded driver collect would be a scale hazard; this path exists only
-    // for code-table-sized frames, so enforce that.
-    require(df.count() <= 10000,
+    // for code-table-sized frames, so enforce that. The probe itself is
+    // limit-bounded: it stops after 10001 rows instead of executing the
+    // full plan just to reject it.
+    require(df.limit(10001).count() <= 10000,
       s"jsonRoundTrip is for small code tables only (got > 10000 rows)")
     val rows = df.toJSON.collect()
     val dir = java.nio.file.Paths.get(scratch)

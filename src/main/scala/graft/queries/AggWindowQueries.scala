@@ -81,13 +81,20 @@ object AggWindowQueries extends QueryPack {
         .orderBy("l_returnflag")),
 
     // §2.4 HLL sketch distinct — constant memory per group at any scale.
-    // Spark's HLL++ and DuckDB's HLL give different estimates by design, so
-    // no oracle (rows-only check); the exact twin above is the correctness
-    // anchor.
+    // Spark's HLL++ and DuckDB's HLL give different estimates by design,
+    // so the raw estimate is not oracle-able; instead the query PROVES the
+    // bound inside the driver's gate: each group emits the exact distinct
+    // count plus a within_10pct flag (|approx − exact| ≤ 0.1·exact), which
+    // the oracle reproduces as exact + literal TRUE — deterministic and
+    // hash-matchable, with the HLL error bound enforced per run.
     "agg_approx_distinct" -> ((s, d) =>
       Tables.lineitem(s, d)
         .groupBy("l_returnflag")
-        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
+        .agg(approx_count_distinct(col("l_partkey")).as("approx"),
+          countDistinct(col("l_partkey")).as("n_parts_exact"))
+        .select(col("l_returnflag"), col("n_parts_exact"),
+          (abs(col("approx") - col("n_parts_exact")) <=
+            col("n_parts_exact") * 0.1).as("within_10pct"))
         .orderBy("l_returnflag")),
 
     // §2.4 ROLLUP with grouping() markers; group keys coalesced to a
@@ -317,6 +324,10 @@ object AggWindowQueries extends QueryPack {
     "agg_distinct_count" ->
       """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
         | COUNT(DISTINCT l_suppkey) AS n_supps
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "agg_approx_distinct" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts_exact,
+        | TRUE AS within_10pct
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "agg_rollup" ->
       """SELECT grouping(l_returnflag) AS g_flag, grouping(l_linestatus) AS g_status,

@@ -274,7 +274,10 @@ object RelationalQueries extends QueryPack {
     "join_asof" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val e = Tables.events(s, d).select("event_id", "ts", "user_id", "event_type")
-      val w = Window.partitionBy("user_id").orderBy("ts")
+      // event_id tie-breaker: with a ROWS frame, two events sharing
+      // (user_id, ts) would otherwise order nondeterministically and flake
+      // the oracle hash-compare
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       e.withColumn("asof_error_id",
           last(when(col("event_type") === "error", col("event_id")), ignoreNulls = true).over(w))
@@ -289,17 +292,20 @@ object RelationalQueries extends QueryPack {
     // pre-partitioning answer for fact tables joined on the same key
     // every day: pay the shuffle once at write time, never at read time.
     "join_bucketed" -> ((s, d) => {
+      // nonce-suffixed table names (and thus warehouse dirs): a concurrent
+      // Verify + Bench pair otherwise races on DROP TABLE + dir delete
+      // while the other JVM reads — same fix as the scratch dirs above
       Sinks.writeBucketed(Tables.lineitem(s, d)
         .select("l_orderkey", "l_quantity", "l_returnflag"),
-        "graft_li_bkt", "l_orderkey", 8)
+        s"graft_li_bkt_$runNonce", "l_orderkey", 8)
       Sinks.writeBucketed(Tables.orders(s, d)
         .select("o_orderkey", "o_orderstatus"),
-        "graft_ord_bkt", "o_orderkey", 8)
+        s"graft_ord_bkt_$runNonce", "o_orderkey", 8)
       // merge hint: at test scale AQE would broadcast the small side and
       // bypass the bucket demo; at fact-table scale SMJ is the plan
       // anyway — and with matching buckets it needs NO exchange.
-      val li = s.table("graft_li_bkt").hint("merge")
-      val o = s.table("graft_ord_bkt")
+      val li = s.table(s"graft_li_bkt_$runNonce").hint("merge")
+      val o = s.table(s"graft_ord_bkt_$runNonce")
       li.join(o, li("l_orderkey") === o("o_orderkey"))
         .groupBy("o_orderstatus")
         .agg(count(lit(1)).as("n_lines"),
@@ -339,6 +345,33 @@ object RelationalQueries extends QueryPack {
           l("l_shipdate") <= date_add(o("o_orderdate"), 90))
         .groupBy("l_returnflag")
         .agg(count(lit(1)).as("n_within_90d"))
+        .orderBy("l_returnflag")
+    }),
+
+    // Skew-safe join (salting): ~25% of fact rows are remapped onto ONE
+    // hot key, the 100-TB incident shape — a plain shuffle join would send
+    // every hot row to a single reducer. The fix replicates each dim row
+    // across 16 salt values and spreads the fact side by pmod(orderkey,16),
+    // so the hot key's rows land on 16 reducers; the join stays a pure
+    // equi-join on (key, salt) and the result is identical to the unsalted
+    // join the oracle runs. shuffle_hash hint: at test scale AQE would
+    // broadcast the 16×dim and moot the demo — salting exists precisely
+    // for dims too big to broadcast.
+    "join_salted" -> ((s, d) => {
+      val f = Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_quantity"),
+          when(pmod(col("l_suppkey"), lit(4)) === 0, lit(1))
+            .otherwise(col("l_suppkey")).as("jk"),
+          pmod(col("l_orderkey"), lit(16)).as("fsalt"))
+      val dim = Tables.supplier(s, d)
+        .select(col("s_suppkey"), Cleaning.cents(col("s_acctbal")).as("acct_cents"))
+        .withColumn("dsalt", explode(sequence(lit(0), lit(15))))
+        .hint("shuffle_hash")
+      f.join(dim, f("jk") === dim("s_suppkey") && f("fsalt") === dim("dsalt"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("long")).as("sum_qty"),
+          sum(col("acct_cents")).as("sum_acct_cents"))
         .orderBy("l_returnflag")
     }),
   )
@@ -445,7 +478,7 @@ object RelationalQueries extends QueryPack {
       """SELECT event_id AS click_id, user_id, asof_error_id FROM (
         |  SELECT event_id, user_id, event_type,
         |    last_value(CASE WHEN event_type = 'error' THEN event_id END IGNORE NULLS)
-        |      OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS asof_error_id
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS asof_error_id
         |  FROM events) t
         |WHERE event_type = 'click' ORDER BY click_id""".stripMargin,
     "sink_sorted_layout" ->
@@ -457,6 +490,19 @@ object RelationalQueries extends QueryPack {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |  AND l_shipdate >= o_orderdate
         |  AND l_shipdate <= o_orderdate + INTERVAL 90 DAY
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the ORACLE is the plain unsalted join — salting must be invisible
+    // in the result
+    "join_salted" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        | CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        | CAST(SUM(acct_cents) AS BIGINT) AS sum_acct_cents
+        |FROM (SELECT l_returnflag, l_quantity,
+        |        CASE WHEN l_suppkey % 4 = 0 THEN 1 ELSE l_suppkey END AS jk
+        |      FROM lineitem) f
+        |JOIN (SELECT s_suppkey, CAST(round(s_acctbal*100) AS BIGINT) AS acct_cents
+        |      FROM supplier) s
+        |  ON jk = s_suppkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

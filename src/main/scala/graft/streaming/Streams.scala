@@ -68,6 +68,27 @@ object Streams {
       .format("memory")
       .trigger(Trigger.AvailableNow())
 
+  /** File-source → checkpointed parquet-sink relay, the production wiring
+    * for a streaming lake ingest: the checkpoint's offset log records
+    * which input files each micro-batch consumed and the file sink commits
+    * each batch's files atomically through its own metadata log, so a
+    * RESTART (new query, same checkpoint) resumes after the last committed
+    * batch and reprocesses nothing — exactly-once output end to end.
+    * AvailableNow drains everything present, then terminates.
+    */
+  def fileRelay(spark: org.apache.spark.sql.SparkSession, srcDir: String,
+                schema: org.apache.spark.sql.types.StructType,
+                outDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    spark.readStream.schema(schema).json(srcDir)
+      .writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Stateful streaming dedup: exactly-once per event_id within the
     * watermark horizon — the streaming twin of the batch dropDuplicates
     * dedup pass. State is evicted once the watermark passes, so memory is

@@ -62,6 +62,38 @@ class PlanShapeSpec extends SparkSpec {
       s"cosine projection fell out of codegen:\n${p.take(800)}")
   }
 
+  test("partitioned-sink read-back prunes partitions via PartitionFilters") {
+    import org.apache.spark.sql.functions._
+    val out = java.nio.file.Files.createTempDirectory("graft-prune-").toString
+    ops.Sinks.writePartitionedParquet(
+      Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity", "l_returnflag"),
+      out, Seq("l_returnflag"))
+    val q = spark.read.parquet(out).filter(col("l_returnflag") === "A")
+    val p = q.queryExecution.executedPlan.toString
+    // the filter must prune at the directory level (PartitionFilters on the
+    // scan), not run as a post-scan data filter — the payoff the partitioned
+    // layout exists for (reference README.md:52-58)
+    assert(p.contains("PartitionFilters: [") && p.contains("l_returnflag"),
+      s"no partition filter on the scan:\n${p.take(800)}")
+    assert(p.linesIterator.exists(l =>
+      l.contains("PartitionFilters") && l.contains("= A")),
+      s"partition filter does not pin the value:\n${p.take(800)}")
+    // and every file actually read comes from the single pruned directory
+    val files = q.select(input_file_name()).distinct().collect().map(_.getString(0))
+    assert(files.nonEmpty && files.forall(_.contains("l_returnflag=A")),
+      s"read files outside the pruned partition: ${files.mkString(", ")}")
+  }
+
+  test("salted join spreads the hot key: equi-join on (key, salt), no broadcast") {
+    val p = plan("join_salted")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    // the whole point is surviving a dim too big to broadcast: the join
+    // must be a shuffled equi-join whose keys include the salt column
+    assert(p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin"),
+      s"salted join must shuffle, not broadcast:\n${p.take(600)}")
+    assert(p.contains("salt"), "salt column missing from the executed plan")
+  }
+
   test("aggregations are two-phase (map-side partial combine)") {
     val p = plan("agg_group_sum")
     assert(p.contains("partial_sum") || p.contains("partial_"),

@@ -10,9 +10,9 @@ import org.apache.spark.sql.functions.col
 class SparkEntrySpec extends SparkSpec {
 
   private val sf = "/root/testdata/sf0.001"
-  // rows-only by design (engine sketches differ from DuckDB's by
-  // construction; the exact twin agg_distinct_count is the anchor)
-  private val rowsOnly = Set("agg_approx_distinct")
+  // none left: since r5, agg_approx_distinct proves its HLL bound through
+  // an exact + within_10pct reshape the DuckDB oracle can hash-match
+  private val rowsOnly = Set.empty[String]
 
   test("every query has an oracle or a documented rows-only waiver") {
     val q = SparkEntry.queries.keySet

@@ -127,6 +127,18 @@ class TextVectorOpsSpec extends SparkSpec {
     })
   }
 
+  test("mismatched dimensions yield null, matching the HOF reference") {
+    val df = Seq((Seq(1.0f, 2.0f, 3.0f), Seq(1.0f, 2.0f))).toDF("a", "b")
+      .select(VectorOps.toDoubleVec(col("a")).as("a"), VectorOps.toDoubleVec(col("b")).as("b"))
+    val row = df.select(
+      VectorOps.cosine(col("a"), col("b")).as("c"),
+      VectorOps.dot(col("a"), col("b")).as("d"),
+      VectorOps.cosineHof(col("a"), col("b")).as("ch"),
+      VectorOps.dotHof(col("a"), col("b")).as("dh")).head()
+    assert(row.isNullAt(0) && row.isNullAt(1), "native must null on mismatch")
+    assert(row.isNullAt(2) && row.isNullAt(3), "HOF reference nulls on mismatch")
+  }
+
   test("dot folds sequentially in double precision") {
     val df = Seq((Seq(1.5f, 2.5f, 3.5f), Seq(2.0f, 2.0f, 2.0f))).toDF("a", "b")
       .select(VectorOps.dot(

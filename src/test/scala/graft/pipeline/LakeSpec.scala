@@ -134,6 +134,21 @@ class LakeSpec extends SparkSpec {
     assert(again == first)
   }
 
+  test("LakeMain: CLI arg parsing and end-to-end run parity with Lake.build") {
+    val (in1, out1) = LakeMain.parseArgs(Array("--path", "s3://bucket/data"))
+    assert(in1 == "s3://bucket/data" && out1 == "s3://bucket/data/lake")
+    val (in2, out2) = LakeMain.parseArgs(
+      Array("--path", "/in", "--output", "/out"))
+    assert(in2 == "/in" && out2 == "/out")
+    assert(intercept[RuntimeException](LakeMain.parseArgs(Array.empty))
+      .getMessage.contains("--path"))
+    // the main path end-to-end (scheme rewrite is identity on local paths)
+    val cliOut = Files.createTempDirectory("graft-lake-cli")
+    val cliCounts = LakeMain.run(spark, fixtures.toString, cliOut.toString)
+    assert(cliCounts == counts)
+    assert(Files.exists(cliOut.resolve("immigration_facts")))
+  }
+
   test("fact: time_id == id and worker country is 'Unknown'") {
     val fact = spark.read.parquet(out.resolve("immigration_facts").toString)
     assert(fact.filter(col("id") =!= col("time_id")).count() == 0)

@@ -95,6 +95,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("file relay is exactly-once across a restart (checkpointed file sink)") {
+    import org.apache.spark.sql.types.{LongType, StructType}
+    val root = java.nio.file.Files.createTempDirectory("graft-relay-")
+    val src = java.nio.file.Files.createDirectory(root.resolve("src"))
+    val out = root.resolve("out").toString
+    val ckpt = root.resolve("ckpt").toString
+    val schema = new StructType().add("event_id", LongType)
+
+    java.nio.file.Files.writeString(src.resolve("a.json"),
+      "{\"event_id\":1}\n{\"event_id\":2}\n")
+    val q1 = Streams.fileRelay(spark, src.toString, schema, out, ckpt)
+    q1.awaitTermination()
+    assert(spark.read.parquet(out).count() == 2)
+
+    // restart: a NEW query on the same checkpoint, with one new file
+    // alongside the already-consumed one — a.json must not replay
+    java.nio.file.Files.writeString(src.resolve("b.json"), "{\"event_id\":3}\n")
+    val q2 = Streams.fileRelay(spark, src.toString, schema, out, ckpt)
+    q2.awaitTermination()
+
+    val ids = spark.read.parquet(out).select("event_id").as[Long].collect().sorted.toSeq
+    assert(ids == Seq(1L, 2L, 3L), s"restart broke exactly-once: $ids")
+  }
+
   test("session windows merge events within the gap in batch mode") {
     val out = Streams.sessionAgg(sample.toDF())
       .orderBy("user_id", "s_start")
