@@ -76,17 +76,25 @@ object Sinks {
     * reference reads this way (≤660 rows).
     */
   def jsonRoundTrip(spark: SparkSession, df: DataFrame, scratch: String): DataFrame = {
-    // Unguarded driver collect would be a scale hazard; this path exists only
-    // for code-table-sized frames, so enforce that. The probe itself is
-    // limit-bounded: it stops after 10001 rows instead of executing the
-    // full plan just to reject it.
-    require(df.limit(10001).count() <= 10000,
-      s"jsonRoundTrip is for small code tables only (got > 10000 rows)")
-    val rows = df.toJSON.collect()
     val dir = java.nio.file.Paths.get(scratch)
     java.nio.file.Files.createDirectories(dir)
-    java.nio.file.Files.writeString(dir.resolve("data.json"),
-      rows.mkString("[\n", ",\n", "\n]"))
+    writeJsonArrayFile(df, dir.resolve("data.json").toString)
     spark.read.option("multiLine", true).json(scratch)
+  }
+
+  /** One multiLine JSON-array document at `filePath` — the exact shape the
+    * reference's code-table files use (`parse_immigration_sas.py:103-111`
+    * json.dump of a list). Driver-side collect by construction, so only
+    * valid for code-table-sized frames; the guard's probe is limit-bounded
+    * (stops after 10001 rows) rather than executing the full plan just to
+    * reject it.
+    */
+  def writeJsonArrayFile(df: DataFrame, filePath: String): Unit = {
+    require(df.limit(10001).count() <= 10000,
+      s"writeJsonArrayFile is for small code tables only (got > 10000 rows)")
+    val rows = df.toJSON.collect()
+    val p = java.nio.file.Paths.get(filePath)
+    if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+    java.nio.file.Files.writeString(p, rows.mkString("[\n", ",\n", "\n]"))
   }
 }

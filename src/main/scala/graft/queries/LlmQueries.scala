@@ -211,9 +211,13 @@ object LlmQueries extends QueryPack {
             col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
         .distinct()
-      val sh = Tables.documents(s, d)
-        .select(col("doc_id"),
-          array_distinct(TextOps.wordShingles(TextOps.tokens(col("text")), 3)).as("sh"))
+      // same memoization as the band table: the exact shingle sets feed
+      // BOTH join sides, so compute them once per (session, dir)
+      val sh = cached("jaccard_shingles", s, d) {
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            array_distinct(TextOps.wordShingles(TextOps.tokens(col("text")), 3)).as("sh"))
+      }
       pairs
         .join(sh.select(col("doc_id").as("d1"), col("sh").as("s1")), "d1")
         .join(sh.select(col("doc_id").as("d2"), col("sh").as("s2")), "d2")
