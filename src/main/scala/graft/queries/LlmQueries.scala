@@ -228,6 +228,37 @@ object LlmQueries extends QueryPack {
         .orderBy("d1", "d2")
     }),
 
+    // The whole corpus-cleaning pass as ONE query — the composition a
+    // pre-training pipeline actually runs, end to end: quality filter
+    // (pure map work) → exact dedup (one shuffle on sha256) → near-dup
+    // removal (anti-join against the banded MinHash pairs — candidate
+    // generation still an equi-join, never all-pairs). Every stage is the
+    // already-oracled primitive; this pins their composition.
+    "pipeline_corpus_clean" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val quality = docs
+        .withColumn("toks", TextOps.tokens(col("text")))
+        .withColumn("n_tok", size(col("toks")).cast("long"))
+        .filter(col("n_tok") >= 3)
+        .withColumn("stop_hits",
+          size(filter(col("toks"), t => t.isin("the", "a", "of"))).cast("long"))
+        .filter(expr("(stop_hits * 1000) div n_tok") >= 40 &&
+          length(col("text")).between(50, 5000))
+      val exact = quality
+        .groupBy(sha2(col("text"), 256).as("h"))
+        .agg(min(col("doc_id")).as("doc_id"))
+      val b = minhashBands(s, d)
+      val nearDupLosers = b.as("x").join(b.as("y"),
+          col("x.band") === col("y.band") && col("x.band_key") === col("y.band_key") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("y.doc_id").as("doc_id"))
+        .distinct()
+      exact.select("doc_id")
+        .join(nearDupLosers, Seq("doc_id"), "left_anti")
+        .join(docs.select("doc_id", "lang", "n_chars"), Seq("doc_id"))
+        .orderBy("doc_id")
+    }),
+
     // Per-document 60-bit SimHash signature.
     "dedup_simhash" -> ((s, d) =>
       simhashSigs(s, d).orderBy("doc_id")),
@@ -476,6 +507,21 @@ object LlmQueries extends QueryPack {
     "dedup_simhash" ->
       s"""WITH $simhashSql
          |SELECT doc_id, simhash FROM sig ORDER BY doc_id""".stripMargin,
+    "pipeline_corpus_clean" ->
+      s"""WITH $mhSigSql,
+         |losers AS (SELECT DISTINCT b.doc_id FROM bandtab a JOIN bandtab b
+         |  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+         |tok AS (SELECT doc_id, text, string_split(text, ' ') AS toks
+         |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
+         |q AS (SELECT doc_id, text FROM tok
+         |  WHERE (len(list_filter(toks, x -> x IN ('the','a','of'))) * 1000)
+         |          // len(toks) >= 40
+         |    AND length(text) BETWEEN 50 AND 5000),
+         |ex AS (SELECT sha256(text) AS h, MIN(doc_id) AS doc_id FROM q GROUP BY 1)
+         |SELECT e.doc_id, d.lang, d.n_chars
+         |FROM ex e JOIN documents d ON e.doc_id = d.doc_id
+         |WHERE e.doc_id NOT IN (SELECT doc_id FROM losers)
+         |ORDER BY e.doc_id""".stripMargin,
     "dedup_simhash_pairs" ->
       s"""WITH $simhashSql,
          |bands AS (SELECT doc_id, simhash, CAST(b AS BIGINT) AS band,
