@@ -287,6 +287,42 @@ object AggWindowQueries extends QueryPack {
         .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
     }),
 
+    // §2.5 whole-partition frame: first_value / last_value / nth_value
+    // over UNBOUNDED PRECEDING..UNBOUNDED FOLLOWING (the "attach the
+    // boundary rows to every row" shape; nth_value nulls on short
+    // partitions).
+    "win_first_last" -> ((s, d) => {
+      val wf = Window.partitionBy("l_orderkey")
+        .orderBy("l_linenumber", "l_partkey", "l_suppkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_suppkey"), col("l_quantity"))
+        .withColumn("first_qty", first(col("l_quantity")).over(wf))
+        .withColumn("last_qty", last(col("l_quantity")).over(wf))
+        .withColumn("second_qty", nth_value(col("l_quantity"), 2).over(wf))
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+    }),
+
+    // Sketch percentile with an oracle-PROVEN rank bound, the same
+    // discipline as agg_approx_distinct: the GK-sketch estimate itself is
+    // partitioning-dependent, so the query emits the exact p50 plus a
+    // boolean asserting the approx value's true rank sits within ±5% of
+    // the median rank — DuckDB reproduces exact + literal TRUE.
+    "agg_approx_percentile" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select("l_returnflag", "l_quantity")
+      val ap = li.groupBy("l_returnflag")
+        .agg(expr("approx_percentile(l_quantity, 0.5, 100)").as("ap"))
+      li.join(broadcast(ap), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(expr("percentile(l_quantity, 0.5)").as("p50_exact"),
+          expr("(sum(CASE WHEN l_quantity <= ap THEN 1 ELSE 0 END) * 1000) div count(1)")
+            .as("rank_milli"))
+        .select(col("l_returnflag"), col("p50_exact"),
+          col("rank_milli").between(450, 550).as("within_5pct_rank"))
+        .orderBy("l_returnflag")
+    }),
+
     // §2.5 running sum with an explicit rows frame.
     "win_running_sum" -> ((s, d) => {
       val w = Window.partitionBy("l_orderkey")
@@ -423,6 +459,20 @@ object AggWindowQueries extends QueryPack {
         | lead(l_quantity, 1) OVER (PARTITION BY l_orderkey
         |   ORDER BY l_linenumber, l_partkey, l_suppkey) AS next_qty
         |FROM lineitem ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin,
+    "win_first_last" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity,
+        | first_value(l_quantity) OVER w AS first_qty,
+        | last_value(l_quantity) OVER w AS last_qty,
+        | nth_value(l_quantity, 2) OVER w AS second_qty
+        |FROM lineitem
+        |WINDOW w AS (PARTITION BY l_orderkey
+        |  ORDER BY l_linenumber, l_partkey, l_suppkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin,
+    "agg_approx_percentile" ->
+      """SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS p50_exact,
+        | TRUE AS within_5pct_rank
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "win_running_sum" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
         | CAST(round(l_extendedprice*100) AS BIGINT) AS price_cents,
