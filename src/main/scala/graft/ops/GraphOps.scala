@@ -1,0 +1,61 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Distributed connected components — the step between near-dup candidate
+  * PAIRS and keep-one-per-cluster dedup: transitive matches (A~B, B~C)
+  * must collapse into one cluster or the pipeline keeps both A and C.
+  *
+  * Algorithm per iteration: min-label propagation (each vertex adopts the
+  * smallest label among itself and its neighbors) followed by one
+  * pointer-jumping step (`comp := comp(comp)` — valid because comp is
+  * always a vertex of the same component, and monotonically
+  * non-increasing), which doubles the distance a label covers per round:
+  * convergence in O(log diameter) iterations, not O(diameter). Each
+  * round is two equi-joins + one min-aggregate, all plain shuffles on
+  * vertex id; the driver runs only the convergence loop (an existence
+  * probe per round), never touches vertex data. `localCheckpoint`
+  * truncates the logical plan each round — without it the lineage of an
+  * iterative DataFrame grows per iteration until planning itself OOMs.
+  */
+object GraphOps {
+
+  /** edges: (src, dst) undirected pairs. Returns (id, comp) for every
+    * vertex appearing in any edge, comp = min vertex id in its component.
+    */
+  def connectedComponents(edges: DataFrame, maxIters: Int = 25): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+    // both directions, so a label can flow either way across an edge
+    val both = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = both.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .localCheckpoint()
+    var iters = 0
+    var converged = false
+    while (!converged && iters < maxIters) {
+      val prop = both.select(col("src").as("id"), col("dst"))
+        .join(labels, "id")
+        .select(col("dst").as("id"), col("comp"))
+      val propagated = labels.union(prop)
+        .groupBy("id").agg(min("comp").as("comp"))
+      // pointer jump: follow the label one more hop (comp of my comp)
+      val next = propagated.select(col("id"), col("comp").as("mid"))
+        .join(propagated.select(col("id").as("mid"), col("comp")), "mid")
+        .select("id", "comp")
+        .localCheckpoint() // eager: executes the round AND truncates lineage
+      val changed = next.select(col("id"), col("comp").as("nc"))
+        .join(labels.select(col("id"), col("comp").as("oc")), "id")
+        .filter(col("nc") =!= col("oc"))
+        .limit(1).count() // existence probe, not a full count
+      labels = next
+      converged = changed == 0
+      iters += 1
+    }
+    both.unpersist()
+    require(converged, s"connectedComponents did not converge in $maxIters iterations")
+    labels
+  }
+}

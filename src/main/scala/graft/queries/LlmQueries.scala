@@ -228,6 +228,23 @@ object LlmQueries extends QueryPack {
         .orderBy("d1", "d2")
     }),
 
+    // Near-dup CLUSTERS: candidate pairs collapsed by transitivity
+    // (A~B, B~C ⇒ one cluster) via distributed min-label propagation —
+    // without this, keep-one-per-pair dedup retains both endpoints of
+    // every chain. cluster_id = min doc_id in the component; the oracle
+    // reproduces it with a recursive CTE over the same band-join pairs.
+    "dedup_cluster" -> ((s, d) => {
+      val b = minhashBands(s, d)
+      val pairs = b.as("x").join(b.as("y"),
+          col("x.band") === col("y.band") && col("x.band_key") === col("y.band_key") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("src"), col("y.doc_id").as("dst"))
+        .distinct()
+      graft.ops.GraphOps.connectedComponents(pairs)
+        .select(col("id").as("doc_id"), col("comp").as("cluster_id"))
+        .orderBy("doc_id")
+    }),
+
     // The whole corpus-cleaning pass as ONE query — the composition a
     // pre-training pipeline actually runs, end to end: quality filter
     // (pure map work) → exact dedup (one shuffle on sha256) → near-dup
@@ -507,6 +524,20 @@ object LlmQueries extends QueryPack {
     "dedup_simhash" ->
       s"""WITH $simhashSql
          |SELECT doc_id, simhash FROM sig ORDER BY doc_id""".stripMargin,
+    "dedup_cluster" ->
+      s"""WITH RECURSIVE $mhSigSql,
+         |pairs AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |  FROM bandtab a JOIN bandtab b
+         |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+         |edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+         |  UNION ALL SELECT d2, d1 FROM pairs),
+         |cc AS (
+         |  SELECT d1 AS id, d1 AS comp FROM pairs
+         |  UNION SELECT d2, d2 FROM pairs
+         |  UNION
+         |  SELECT e.b AS id, cc.comp FROM cc JOIN edges e ON cc.id = e.a)
+         |SELECT id AS doc_id, MIN(comp) AS cluster_id FROM cc
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "pipeline_corpus_clean" ->
       s"""WITH $mhSigSql,
          |losers AS (SELECT DISTINCT b.doc_id FROM bandtab a JOIN bandtab b
