@@ -39,18 +39,20 @@ object GraphOps {
       val prop = both.select(col("src").as("id"), col("dst"))
         .join(labels, "id")
         .select(col("dst").as("id"), col("comp"))
-      val propagated = labels.union(prop)
-        .groupBy("id").agg(min("comp").as("comp"))
-      // pointer jump: follow the label one more hop (comp of my comp)
-      val next = propagated.select(col("id"), col("comp").as("mid"))
+      // min over self ∪ neighbors, carrying the previous label along so
+      // the convergence probe below is a scan of the checkpointed rows,
+      // not another shuffle join
+      val propagated = labels.select(col("id"), col("comp"), col("comp").as("prev"))
+        .union(prop.select(col("id"), col("comp"),
+          lit(null).cast("long").as("prev"))) // min ignores nulls ⇒ prev = own old label
+        .groupBy("id").agg(min("comp").as("comp"), min("prev").as("prev"))
+      val next = propagated.select(col("id"), col("comp").as("mid"), col("prev"))
         .join(propagated.select(col("id").as("mid"), col("comp")), "mid")
-        .select("id", "comp")
+        .select(col("id"), col("comp"), col("prev"))
         .localCheckpoint() // eager: executes the round AND truncates lineage
-      val changed = next.select(col("id"), col("comp").as("nc"))
-        .join(labels.select(col("id"), col("comp").as("oc")), "id")
-        .filter(col("nc") =!= col("oc"))
-        .limit(1).count() // existence probe, not a full count
-      labels = next
+      val changed = next.filter(col("comp") =!= col("prev"))
+        .limit(1).count() // existence probe on materialized rows, no shuffle
+      labels = next.select("id", "comp")
       converged = changed == 0
       iters += 1
     }
