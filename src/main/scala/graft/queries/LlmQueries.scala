@@ -248,8 +248,10 @@ object LlmQueries extends QueryPack {
     // The whole corpus-cleaning pass as ONE query — the composition a
     // pre-training pipeline actually runs, end to end: quality filter
     // (pure map work) → exact dedup (one shuffle on sha256) → near-dup
-    // removal (anti-join against the banded MinHash pairs — candidate
-    // generation still an equi-join, never all-pairs). Every stage is the
+    // CLUSTER collapse (banded candidate pairs → connected components →
+    // keep the min doc_id per cluster; pair-loser removal alone keeps
+    // both endpoints of un-attested transitive pairs). Candidate
+    // generation stays an equi-join, never all-pairs. Every stage is the
     // already-oracled primitive; this pins their composition.
     "pipeline_corpus_clean" -> ((s, d) => {
       val docs = Tables.documents(s, d)
@@ -265,11 +267,14 @@ object LlmQueries extends QueryPack {
         .groupBy(sha2(col("text"), 256).as("h"))
         .agg(min(col("doc_id")).as("doc_id"))
       val b = minhashBands(s, d)
-      val nearDupLosers = b.as("x").join(b.as("y"),
+      val pairs = b.as("x").join(b.as("y"),
           col("x.band") === col("y.band") && col("x.band_key") === col("y.band_key") &&
             col("x.doc_id") < col("y.doc_id"))
-        .select(col("y.doc_id").as("doc_id"))
+        .select(col("x.doc_id").as("src"), col("y.doc_id").as("dst"))
         .distinct()
+      val nearDupLosers = graft.ops.GraphOps.connectedComponents(pairs)
+        .filter(col("id") =!= col("comp")) // everyone but the cluster keeper
+        .select(col("id").as("doc_id"))
       exact.select("doc_id")
         .join(nearDupLosers, Seq("doc_id"), "left_anti")
         .join(docs.select("doc_id", "lang", "n_chars"), Seq("doc_id"))
@@ -539,9 +544,19 @@ object LlmQueries extends QueryPack {
          |SELECT id AS doc_id, MIN(comp) AS cluster_id FROM cc
          |GROUP BY 1 ORDER BY 1""".stripMargin,
     "pipeline_corpus_clean" ->
-      s"""WITH $mhSigSql,
-         |losers AS (SELECT DISTINCT b.doc_id FROM bandtab a JOIN bandtab b
-         |  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+      s"""WITH RECURSIVE $mhSigSql,
+         |pairs AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |  FROM bandtab a JOIN bandtab b
+         |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+         |edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+         |  UNION ALL SELECT d2, d1 FROM pairs),
+         |cc AS (
+         |  SELECT d1 AS id, d1 AS comp FROM pairs
+         |  UNION SELECT d2, d2 FROM pairs
+         |  UNION
+         |  SELECT e.b AS id, cc.comp FROM cc JOIN edges e ON cc.id = e.a),
+         |losers AS (SELECT id AS doc_id FROM cc GROUP BY 1
+         |  HAVING id <> MIN(comp)),
          |tok AS (SELECT doc_id, text, string_split(text, ' ') AS toks
          |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
          |q AS (SELECT doc_id, text FROM tok
