@@ -61,6 +61,21 @@ object LlmQueries extends QueryPack {
       TextOps.simHashAgg(exploded, "doc_id", "h")
     }
 
+  /** Near-dup cluster labels (id, comp) over the banded candidate pairs —
+    * the iterative CC runs once per (session, dir); both the cluster
+    * query and the corpus-clean pipeline read the same labels.
+    */
+  private def ccLabels(s: SparkSession, d: String): DataFrame =
+    cached("cc_labels", s, d) {
+      val b = minhashBands(s, d)
+      val pairs = b.as("x").join(b.as("y"),
+          col("x.band") === col("y.band") && col("x.band_key") === col("y.band_key") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("src"), col("y.doc_id").as("dst"))
+        .distinct()
+      graft.ops.GraphOps.connectedComponents(pairs)
+    }
+
   // raw float[] — the native cosine/dot expressions widen per element, so
   // no transform() conversion sits in the scan→similarity pipeline and the
   // stage stays inside whole-stage codegen
@@ -233,17 +248,10 @@ object LlmQueries extends QueryPack {
     // without this, keep-one-per-pair dedup retains both endpoints of
     // every chain. cluster_id = min doc_id in the component; the oracle
     // reproduces it with a recursive CTE over the same band-join pairs.
-    "dedup_cluster" -> ((s, d) => {
-      val b = minhashBands(s, d)
-      val pairs = b.as("x").join(b.as("y"),
-          col("x.band") === col("y.band") && col("x.band_key") === col("y.band_key") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("src"), col("y.doc_id").as("dst"))
-        .distinct()
-      graft.ops.GraphOps.connectedComponents(pairs)
+    "dedup_cluster" -> ((s, d) =>
+      ccLabels(s, d)
         .select(col("id").as("doc_id"), col("comp").as("cluster_id"))
-        .orderBy("doc_id")
-    }),
+        .orderBy("doc_id")),
 
     // The whole corpus-cleaning pass as ONE query — the composition a
     // pre-training pipeline actually runs, end to end: quality filter
@@ -266,13 +274,7 @@ object LlmQueries extends QueryPack {
       val exact = quality
         .groupBy(sha2(col("text"), 256).as("h"))
         .agg(min(col("doc_id")).as("doc_id"))
-      val b = minhashBands(s, d)
-      val pairs = b.as("x").join(b.as("y"),
-          col("x.band") === col("y.band") && col("x.band_key") === col("y.band_key") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("src"), col("y.doc_id").as("dst"))
-        .distinct()
-      val nearDupLosers = graft.ops.GraphOps.connectedComponents(pairs)
+      val nearDupLosers = ccLabels(s, d)
         .filter(col("id") =!= col("comp")) // everyone but the cluster keeper
         .select(col("id").as("doc_id"))
       exact.select("doc_id")
