@@ -1,0 +1,98 @@
+package graft.plans
+
+import graft.functions.{CosineSimilarity, DotProduct}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.IntegerType
+
+/** Optimizer rule: bounded-edit-distance predicates get a cheap length
+  * prefilter and a banded DP.
+  *
+  * `levenshtein(a, b) <= k` forces the full O(|a|·|b|) dynamic program per
+  * row even when the strings obviously can't match. Two public facts make
+  * it rewritable:
+  *
+  *   1. edit distance ≥ |length(a) − length(b)|, so a length-difference
+  *      check filters most pairs with two already-computed ints;
+  *   2. Spark's 3-arg `Levenshtein(a, b, threshold)` runs the banded
+  *      Ukkonen DP — O(k·min(|a|,|b|)) — returning −1 when the distance
+  *      exceeds the threshold.
+  *
+  * So `lev(a,b) <= k` becomes
+  * `abs(length(a)-length(b)) <= k AND lev(a,b,k) >= 0` — identical on all
+  * inputs (including nulls: a null string nulls both forms; a false guard
+  * implies distance > k) but ~k/|b|× the work on the DP and zero DP work
+  * on length-incompatible pairs. In the near-dup verify stage this is the
+  * hot predicate: it runs once per LSH candidate pair.
+  *
+  * The rewrite matches ONLY the 2-arg form (`threshold = None`), so its
+  * own output never re-matches — idempotent under fixed-point execution.
+  */
+object LevenshteinThresholdRewrite extends Rule[LogicalPlan] {
+
+  private def rewrite(a: Expression, b: Expression, k: Int): Expression = {
+    val kLit = Literal(k)
+    val lengthGuard =
+      LessThanOrEqual(Abs(Subtract(Length(a), Length(b))), kLit)
+    val banded =
+      GreaterThanOrEqual(Levenshtein(a, b, Some(kLit)), Literal(0))
+    And(lengthGuard, banded)
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case LessThanOrEqual(Levenshtein(a, b, None), Literal(k: Int, IntegerType))
+          if k >= 0 => rewrite(a, b, k)
+      case GreaterThanOrEqual(Literal(k: Int, IntegerType), Levenshtein(a, b, None))
+          if k >= 0 => rewrite(a, b, k)
+      case LessThan(Levenshtein(a, b, None), Literal(k: Int, IntegerType))
+          if k >= 1 => rewrite(a, b, k - 1)
+      case GreaterThan(Literal(k: Int, IntegerType), Levenshtein(a, b, None))
+          if k >= 1 => rewrite(a, b, k - 1)
+    }
+}
+
+/** SQL-surface registration for the native vector expressions, so
+  * `spark.sql("SELECT cosine_sim(a.v, b.v) ...")` reaches the same
+  * codegen'd Catalyst expressions as the Column API
+  * ([[graft.ops.VectorOps]]).
+  *
+  * Two deployment paths, same registry entries:
+  *   - cluster config: `spark.sql.extensions=graft.plans.GraftExtensions`
+  *     (constructor injection, survives session cloning);
+  *   - runtime: [[GraftFunctions.register]] on an already-built session —
+  *     idempotent, used by the SQL-surface queries so they work under any
+  *     driver-owned session.
+  */
+object GraftFunctions {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[CosineSimilarity].getName, null, name, usage, "")
+
+  val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("cosine_sim"),
+      info("cosine_sim", "cosine_sim(a, b) - sequential-fold cosine similarity of two float/double arrays"),
+      (args: Seq[Expression]) => CosineSimilarity(args(0), args(1))),
+    (FunctionIdentifier("dot_product"),
+      info("dot_product", "dot_product(a, b) - sequential-fold dot product of two float/double arrays"),
+      (args: Seq[Expression]) => DotProduct(args(0), args(1))),
+  )
+
+  /** Idempotent per-session registration (overwrites any prior entry). */
+  def register(spark: SparkSession): Unit =
+    all.foreach { case (id, inf, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, inf, builder)
+    }
+}
+
+/** `spark.sql.extensions` entry point: optimizer rule + native functions. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectOptimizerRule(_ => LevenshteinThresholdRewrite)
+    GraftFunctions.all.foreach(e.injectFunction)
+  }
+}

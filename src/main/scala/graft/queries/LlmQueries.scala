@@ -243,6 +243,29 @@ object LlmQueries extends QueryPack {
         .orderBy("d1", "d2")
     }),
 
+    // The DECISION form of the verify stage: keep candidate pairs whose
+    // edit distance is within a bound. The `levenshtein <= k` predicate is
+    // what [[graft.plans.LevenshteinThresholdRewrite]] rewrites into a
+    // length prefilter + banded O(k·n) DP — on the 100 TB corpus this
+    // predicate runs once per LSH candidate pair, so the optimizer rule
+    // (not the query shape) is the scale lever here. Result is identical
+    // with or without the rule (pinned by ExtensionsSpec + this oracle).
+    "dedup_edit_prefilter" -> ((s, d) => {
+      val b = minhashBands(s, d)
+      val pairs = b.as("x").join(b.as("y"),
+          col("x.band") === col("y.band") && col("x.band_key") === col("y.band_key") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+        .distinct()
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      pairs
+        .join(docs.select(col("doc_id").as("d1"), col("text").as("t1")), "d1")
+        .join(docs.select(col("doc_id").as("d2"), col("text").as("t2")), "d2")
+        .filter(levenshtein(col("t1"), col("t2")) <= 30)
+        .select(col("d1"), col("d2"))
+        .orderBy("d1", "d2")
+    }),
+
     // Near-dup CLUSTERS: candidate pairs collapsed by transitivity
     // (A~B, B~C ⇒ one cluster) via distributed min-label propagation —
     // without this, keep-one-per-pair dedup retains both endpoints of
@@ -381,6 +404,23 @@ object LlmQueries extends QueryPack {
         .orderBy("q_id", "rnk")
     }),
 
+    // SQL-surface parity for the native vector expressions: the same
+    // codegen'd CosineSimilarity/DotProduct, reached through the
+    // FunctionRegistry (`cosine_sim`, `dot_product`) instead of the Column
+    // API. `register` is idempotent and session-local, so the query works
+    // under any driver-owned session; cluster deploys get the same entries
+    // from `spark.sql.extensions=graft.plans.GraftExtensions`.
+    "sql_native_cosine" -> ((s, d) => {
+      graft.plans.GraftFunctions.register(s)
+      s.sql(
+        s"""SELECT a.vec_id AS v1, b.vec_id AS v2,
+           |  cosine_sim(a.embedding, b.embedding) AS cosine,
+           |  dot_product(a.embedding, b.embedding) AS dot
+           |FROM parquet.`$d/embeddings.parquet` a
+           |JOIN parquet.`$d/embeddings.parquet` b ON b.vec_id = a.vec_id + 1
+           |ORDER BY v1""".stripMargin)
+    }),
+
     // Embedding near-dup via sign-LSH: 8 hyperplanes (the first 8 vectors)
     // give an 8-bit bucket; same-bucket pairs (540 of 125k possible at
     // sf0.01) are verified by exact cosine ≥ 0.3. Bucketing is a broadcast
@@ -442,6 +482,9 @@ object LlmQueries extends QueryPack {
     s"""list_reduce(list_transform(list_zip($a, $b), z -> z[1]*z[2]), (x, y) -> x+y)
        | / (sqrt(list_reduce(list_transform($a, u -> u*u), (x, y) -> x+y))
        |   * sqrt(list_reduce(list_transform($b, u -> u*u), (x, y) -> x+y)))""".stripMargin
+
+  private def dotSql(a: String, b: String): String =
+    s"list_reduce(list_transform(list_zip($a, $b), z -> z[1]*z[2]), (x, y) -> x+y)"
 
   val oracle: Map[String, String] = Map(
     "text_stats" ->
@@ -570,6 +613,22 @@ object LlmQueries extends QueryPack {
          |FROM ex e JOIN documents d ON e.doc_id = d.doc_id
          |WHERE e.doc_id NOT IN (SELECT doc_id FROM losers)
          |ORDER BY e.doc_id""".stripMargin,
+    "dedup_edit_prefilter" ->
+      s"""WITH $mhSigSql,
+         |pairs AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |  FROM bandtab a JOIN bandtab b
+         |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id)
+         |SELECT d1, d2
+         |FROM pairs JOIN documents x ON d1 = x.doc_id JOIN documents y ON d2 = y.doc_id
+         |WHERE levenshtein(x.text, y.text) <= 30
+         |ORDER BY d1, d2""".stripMargin,
+    "sql_native_cosine" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings)
+         |SELECT a.vec_id AS v1, b.vec_id AS v2,
+         |  ${cosSql("a.v", "b.v")} AS cosine,
+         |  ${dotSql("a.v", "b.v")} AS dot
+         |FROM e a JOIN e b ON b.vec_id = a.vec_id + 1
+         |ORDER BY v1""".stripMargin,
     "dedup_simhash_pairs" ->
       s"""WITH $simhashSql,
          |bands AS (SELECT doc_id, simhash, CAST(b AS BIGINT) AS band,

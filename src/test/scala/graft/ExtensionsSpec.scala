@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The Catalyst extension layer: SQL-registered native functions and the
+  * bounded-edit-distance optimizer rule (graft.plans.GraftExtensions,
+  * active in this suite's session via spark.sql.extensions).
+  */
+class ExtensionsSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("cosine_sim / dot_product are SQL-callable and hit the native expressions") {
+    val row = spark.sql(
+      "SELECT cosine_sim(array(3.0D, 4.0D), array(3.0D, 4.0D)) AS c, " +
+        "dot_product(array(1.0D, 2.0D, 3.0D), array(4.0D, 5.0D, 6.0D)) AS d").head()
+    assert(row.getDouble(0) == 1.0)
+    assert(row.getDouble(1) == 32.0)
+    // the registry resolves to the SAME codegen'd expression class as the
+    // Column API, not a lookalike
+    val plan = spark.sql("SELECT cosine_sim(array(1.0D), array(1.0D))")
+      .queryExecution.analyzed.toString
+    assert(plan.contains("cosinesimilarity"), s"unexpected resolution:\n$plan")
+  }
+
+  test("runtime register() works on a session built without the extensions config") {
+    val bare = org.apache.spark.sql.SparkSession.builder()
+      .master("local[1]").appName("graft-bare")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate().newSession() // newSession: fresh registry, shared context
+    graft.plans.GraftFunctions.register(bare)
+    assert(bare.sql("SELECT dot_product(array(2.0D), array(8.0D)) AS d").head().getDouble(0) == 16.0)
+  }
+
+  test("levenshtein<=k filters rewrite to length guard + banded threshold DP") {
+    // parquet-backed source: a LocalRelation would be constant-folded away
+    // before the plan assertion could see the filter
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("text").as("t1"), reverse(col("text")).as("t2"))
+    val q = docs.filter(levenshtein(col("t1"), col("t2")) <= 3)
+    val opt = q.queryExecution.optimizedPlan.toString
+    assert(opt.contains("levenshtein(") && opt.contains("Some(3)"),
+      s"threshold form missing from optimized plan:\n$opt")
+    assert(opt.contains("abs("), s"length prefilter missing:\n$opt")
+    // semantics: identical to the unrewritten predicate (projection form is
+    // not a boolean comparison, so the rule leaves it alone)
+    val expected = docs.select(col("t1"), levenshtein(col("t1"), col("t2")).as("ed"))
+      .collect().count(_.getInt(1) <= 3)
+    assert(q.count() == expected)
+  }
+
+  test("rewrite preserves null semantics and the k=0 / lev<k edges") {
+    val df = spark.createDataFrame(Seq(
+      (Some("same"), Some("same")), (Some("same"), None), (None, None),
+      (Some("ab"), Some("ba"))
+    )).toDF("t1", "t2")
+    // k=0: only exact matches with both sides non-null survive
+    assert(df.filter(levenshtein(col("t1"), col("t2")) <= 0).count() == 1)
+    // strict <: lev(ab, ba) = 2, so < 2 excludes it, <= 2 keeps it
+    assert(df.filter(levenshtein(col("t1"), col("t2")) < 2).count() == 1)
+    assert(df.filter(levenshtein(col("t1"), col("t2")) <= 2).count() == 2)
+  }
+
+  test("dedup_edit_prefilter matches the projection-computed distances") {
+    // baseline WITHOUT the rule: distances computed in a projection (the
+    // rule matches only boolean comparisons), thresholded driver-side
+    val expected = SparkEntry.queries("dedup_fuzzy_verify")(spark, sf)
+      .select("d1", "d2", "edit_dist").collect()
+      .filter(_.getLong(2) <= 30).map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    val got = SparkEntry.queries("dedup_edit_prefilter")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(got == expected && got.nonEmpty)
+  }
+}
