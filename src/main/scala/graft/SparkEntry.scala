@@ -15,6 +15,7 @@ object SparkEntry {
     RelationalQueries,
     AggWindowQueries,
     ScalarQueries,
+    StatsQueries,
     LlmQueries,
     StreamQueries,
     MultimodalQueries,

@@ -1,0 +1,329 @@
+package graft.queries
+
+import graft.Tables
+import graft.ops.{Cleaning, TextOps}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Profiling + relational-completeness pack: outer joins, null handling,
+  * exact-arithmetic descriptive statistics, deterministic stratified
+  * sampling, heavy hitters, array higher-order functions, temporal
+  * bucketing, and funnel analysis.
+  *
+  * Determinism discipline (QueryPack scaladoc): every numeric aggregate is
+  * computed from exact integer units (cents / milli / micros) so results
+  * are partition-order-independent; the one double output (`stats_corr`)
+  * is derived from exact integer sums by an expression written identically
+  * on the Spark and DuckDB sides, so both engines round the same exact
+  * integers the same way.
+  */
+object StatsQueries extends QueryPack {
+
+  // shared sub-shapes -----------------------------------------------------
+  /** Premium-order counts per customer — the deliberately sparse right side
+    * for the outer-join queries (most customers have no 150k+ order).
+    */
+  private def premium(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .filter(col("o_totalprice") > 150000)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_premium"))
+
+  val queries: Map[String, Q] = Map(
+    // FULL OUTER join with unmatched rows on BOTH sides: low-nation
+    // customers vs premium-order buyers. At scale this is a shuffle
+    // equi-join on the key; the null-side handling (coalesce + presence
+    // flags) is the operator under test.
+    "join_outer_full" -> ((s, d) => {
+      val cust = Tables.customer(s, d)
+        .filter(col("c_nationkey") < 5)
+        .select(col("c_custkey"), col("c_nationkey"))
+      cust.join(premium(s, d), cust("c_custkey") === col("o_custkey"), "full_outer")
+        .select(
+          coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+          col("c_custkey").isNotNull.as("in_low_nation"),
+          col("o_custkey").isNotNull.as("has_premium"),
+          coalesce(col("n_premium"), lit(0L)).as("n_premium"))
+        .orderBy("custkey")
+    }),
+
+    // LEFT join keeping the unmatched majority: every customer, with 0 for
+    // the missing aggregate — the "customers without premium orders" shape
+    // (TPC-H Q22 flavor).
+    "join_left_null" -> ((s, d) =>
+      Tables.customer(s, d).select(col("c_custkey"))
+        .join(premium(s, d), col("c_custkey") === col("o_custkey"), "left")
+        .select(col("c_custkey"),
+          coalesce(col("n_premium"), lit(0L)).as("n_premium"),
+          col("o_custkey").isNotNull.as("has_premium"))
+        .orderBy("c_custkey")),
+
+    // Deterministic MODE per group: most frequent quantity per return flag,
+    // ties broken by the smaller value. Two-phase: count per (group, value)
+    // — both aggregations get map-side partial combine — then a
+    // WindowGroupLimit-prunable rank-1 filter.
+    "agg_mode" -> ((s, d) => {
+      val counts = Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_quantity").cast("long").as("qty"))
+        .groupBy("l_returnflag", "qty")
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("l_returnflag").orderBy(col("n").desc, col("qty").asc)
+      counts.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") === 1)
+        .select(col("l_returnflag"), col("qty").as("mode_qty"), col("n"))
+        .orderBy("l_returnflag")
+    }),
+
+    // Descriptive statistics with EXACT arithmetic: count/min/max/sum/avg/
+    // variance of price in integer cents. Variance via the textbook
+    // n·Σx² − (Σx)² identity over decimal(38,0) sums — order-independent
+    // (double-sum variance is not) and overflow-safe at any scale factor
+    // (Σx² at 100 TB exceeds BIGINT; decimal38 holds it).
+    "stats_describe" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag"), Cleaning.cents(col("l_extendedprice")).as("c"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          min("c").as("min_cents"), max("c").as("max_cents"),
+          sum("c").as("sum_cents"),
+          sum(expr("CAST(c AS DECIMAL(38,0)) * CAST(c AS DECIMAL(38,0))")).as("s2"))
+        .select(col("l_returnflag"), col("n"), col("min_cents"), col("max_cents"),
+          col("sum_cents"),
+          expr("sum_cents div n").as("avg_cents"),
+          expr("""(CAST(n AS DECIMAL(38,0)) * s2
+                 | - CAST(sum_cents AS DECIMAL(38,0)) * CAST(sum_cents AS DECIMAL(38,0)))
+                 | div (CAST(n AS DECIMAL(38,0)) * CAST(n - 1 AS DECIMAL(38,0)))"""
+            .stripMargin.replaceAll("\n", " ")).as("var_cents2"))
+        .orderBy("l_returnflag")),
+
+    // Pearson correlation + covariance from exact integer sums: quantity vs
+    // price cents per return flag. covar_milli is pure integer arithmetic;
+    // corr casts the SAME exact decimals to double on both engines, so the
+    // float is reproducible (unlike corr() over raw doubles, whose
+    // accumulation order varies with partitioning).
+    "stats_corr" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag"),
+          col("l_quantity").cast("long").as("q"),
+          Cleaning.cents(col("l_extendedprice")).as("c"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum("q").as("sx"), sum("c").as("sy"),
+          sum(expr("q * q")).as("sxx"),
+          sum(expr("CAST(c AS DECIMAL(38,0)) * CAST(c AS DECIMAL(38,0))")).as("syy"),
+          sum(expr("q * c")).as("sxy"))
+        .select(col("l_returnflag"), col("n"),
+          expr("""(CAST(n AS DECIMAL(38,0)) * CAST(sxy AS DECIMAL(38,0))
+                 | - CAST(sx AS DECIMAL(38,0)) * CAST(sy AS DECIMAL(38,0)))
+                 | div (CAST(n AS DECIMAL(38,0)) * CAST(n - 1 AS DECIMAL(38,0)))"""
+            .stripMargin.replaceAll("\n", " ")).as("covar_qty_cents"),
+          expr("""CAST(CAST(n AS DECIMAL(38,0)) * CAST(sxy AS DECIMAL(38,0))
+                 |   - CAST(sx AS DECIMAL(38,0)) * CAST(sy AS DECIMAL(38,0)) AS DOUBLE)
+                 | / sqrt(CAST(CAST(n AS DECIMAL(38,0)) * CAST(sxx AS DECIMAL(38,0))
+                 |   - CAST(sx AS DECIMAL(38,0)) * CAST(sx AS DECIMAL(38,0)) AS DOUBLE)
+                 |  * CAST(CAST(n AS DECIMAL(38,0)) * syy
+                 |   - CAST(sy AS DECIMAL(38,0)) * CAST(sy AS DECIMAL(38,0)) AS DOUBLE))"""
+            .stripMargin.replaceAll("\n", " ")).as("corr"))
+        .orderBy("l_returnflag")),
+
+    // Null-handling surface (na.fill / na.replace): nulls injected
+    // deterministically with nullif, then filled with a default and
+    // value-mapped — all pure map work, no shuffle.
+    "na_clean" -> ((s, d) =>
+      Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          expr("nullif(o_orderpriority, '4-NOT SPECIFIED')").as("priority"),
+          expr("nullif(o_orderstatus, 'F')").as("status"))
+        .na.fill("unspecified", Seq("priority"))
+        .na.replace("status", Map("O" -> "open"))
+        .withColumn("status_known", col("status").isNotNull)
+        .orderBy("o_orderkey")),
+
+    // Deterministic STRATIFIED sampling: fixed quota per stratum (lang),
+    // selected by md5-hash order so any engine draws the identical sample.
+    // Rank-1..20 per stratum is WindowGroupLimit-prunable map-side; no
+    // global sort, no rand().
+    "sample_stratified" -> ((s, d) => {
+      val w = Window.partitionBy("lang")
+        .orderBy(TextOps.hash60(col("doc_id").cast("string")).asc, col("doc_id").asc)
+      Tables.documents(s, d)
+        .select(col("lang"), col("doc_id"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 20)
+        .orderBy("lang", "rn")
+    }),
+
+    // Heavy hitters: event types above a 20% frequency share, in exact
+    // milli-units. The share denominator is an un-partitioned window over
+    // the ALREADY-AGGREGATED frame (5 rows), not the raw events — the
+    // raw-side work is one partial-combine aggregation.
+    "heavy_hitters" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("share_milli", expr("n * 1000 div sum(n) OVER ()"))
+        .filter(col("share_milli") >= 200)
+        .orderBy("event_type")),
+
+    // Array higher-order functions over per-order quantity lists:
+    // collect_list (made deterministic by sort_array) then aggregate /
+    // filter / transform / contains — the HOF vocabulary codegen keeps
+    // off the UDF path.
+    "arr_hof_ops" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_quantity").cast("long").as("q"))
+        .groupBy("l_orderkey")
+        .agg(sort_array(collect_list(col("q"))).as("qs"))
+        .select(col("l_orderkey"),
+          expr("aggregate(qs, CAST(0 AS BIGINT), (a, x) -> a + x)").as("qty_sum"),
+          expr("CAST(size(filter(qs, x -> x > 25)) AS BIGINT)").as("n_big"),
+          expr("element_at(transform(qs, x -> x * 2), 1)").as("min_doubled"),
+          array_contains(col("qs"), 50L).as("has_50"))
+        .orderBy("l_orderkey")),
+
+    // Temporal bucketing: hourly × event-type histogram via date_trunc —
+    // the partition-key computation every time-partitioned lake write
+    // starts from. Bucket emitted as a formatted string (timestamp columns
+    // round-trip with engine-specific precision; strings hash identically).
+    "time_bucket_trunc" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(Cleaning.cents(col("value"))).as("value_cents"))
+        .orderBy("hour", "event_type")),
+
+    // Funnel analysis: signup → first subsequent purchase per user, with
+    // conversion flag and exact time-to-convert. Stage 1 is a conditional
+    // aggregate; stage 2 joins purchases back against each user's signup
+    // time — both shuffles are on user_id, so at scale they co-partition.
+    "events_funnel" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val signup = e.filter(col("event_type") === "signup")
+        .groupBy("user_id")
+        .agg(min(col("ts")).as("su"))
+      val purch = e.filter(col("event_type") === "purchase")
+        .join(signup, "user_id")
+        .filter(col("ts") >= col("su"))
+        .groupBy("user_id")
+        .agg(min(col("ts")).as("pu"))
+      signup.join(purch, Seq("user_id"), "left")
+        .select(col("user_id"),
+          unix_micros(col("su")).as("signup_us"),
+          unix_micros(col("pu")).as("purchase_us"),
+          col("pu").isNotNull.as("converted"),
+          expr("(unix_micros(pu) - unix_micros(su)) div 1000000").as("secs_to_convert"))
+        .orderBy("user_id")
+    }),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "join_outer_full" ->
+      """WITH cust AS (SELECT c_custkey, c_nationkey FROM customer WHERE c_nationkey < 5),
+        |prem AS (SELECT o_custkey, COUNT(*) AS n_premium FROM orders
+        |  WHERE o_totalprice > 150000 GROUP BY 1)
+        |SELECT COALESCE(c_custkey, o_custkey) AS custkey,
+        |  c_custkey IS NOT NULL AS in_low_nation,
+        |  o_custkey IS NOT NULL AS has_premium,
+        |  COALESCE(n_premium, 0) AS n_premium
+        |FROM cust FULL JOIN prem ON c_custkey = o_custkey
+        |ORDER BY custkey""".stripMargin,
+    "join_left_null" ->
+      """WITH prem AS (SELECT o_custkey, COUNT(*) AS n_premium FROM orders
+        |  WHERE o_totalprice > 150000 GROUP BY 1)
+        |SELECT c_custkey, COALESCE(n_premium, 0) AS n_premium,
+        |  o_custkey IS NOT NULL AS has_premium
+        |FROM customer LEFT JOIN prem ON c_custkey = o_custkey
+        |ORDER BY c_custkey""".stripMargin,
+    "agg_mode" ->
+      """WITH counts AS (
+        |  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty, COUNT(*) AS n
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT l_returnflag, qty AS mode_qty, n FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY l_returnflag
+        |    ORDER BY n DESC, qty ASC) AS rnk FROM counts) t
+        |WHERE rnk = 1 ORDER BY l_returnflag""".stripMargin,
+    "stats_describe" ->
+      """WITH c AS (SELECT l_returnflag,
+        |    CAST(round(l_extendedprice*100) AS BIGINT) AS c FROM lineitem),
+        |a AS (SELECT l_returnflag, COUNT(*) AS n,
+        |    MIN(c) AS min_cents, MAX(c) AS max_cents,
+        |    CAST(SUM(c) AS BIGINT) AS sum_cents,
+        |    SUM(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) AS s2
+        |  FROM c GROUP BY 1)
+        |SELECT l_returnflag, n, min_cents, max_cents, sum_cents,
+        |  sum_cents // n AS avg_cents,
+        |  CAST((CAST(n AS HUGEINT) * s2
+        |    - CAST(sum_cents AS HUGEINT) * CAST(sum_cents AS HUGEINT))
+        |    // (CAST(n AS HUGEINT) * CAST(n - 1 AS HUGEINT)) AS BIGINT) AS var_cents2
+        |FROM a ORDER BY l_returnflag""".stripMargin,
+    "stats_corr" ->
+      """WITH b AS (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q,
+        |    CAST(round(l_extendedprice*100) AS BIGINT) AS c FROM lineitem),
+        |a AS (SELECT l_returnflag, COUNT(*) AS n,
+        |    CAST(SUM(q) AS BIGINT) AS sx, CAST(SUM(c) AS BIGINT) AS sy,
+        |    CAST(SUM(q * q) AS BIGINT) AS sxx,
+        |    SUM(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) AS syy,
+        |    CAST(SUM(q * c) AS BIGINT) AS sxy
+        |  FROM b GROUP BY 1)
+        |SELECT l_returnflag, n,
+        |  CAST((CAST(n AS HUGEINT) * CAST(sxy AS HUGEINT)
+        |    - CAST(sx AS HUGEINT) * CAST(sy AS HUGEINT))
+        |    // (CAST(n AS HUGEINT) * CAST(n - 1 AS HUGEINT)) AS BIGINT) AS covar_qty_cents,
+        |  CAST(CAST(n AS HUGEINT) * CAST(sxy AS HUGEINT)
+        |    - CAST(sx AS HUGEINT) * CAST(sy AS HUGEINT) AS DOUBLE)
+        |  / sqrt(CAST(CAST(n AS HUGEINT) * CAST(sxx AS HUGEINT)
+        |      - CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT) AS DOUBLE)
+        |    * CAST(CAST(n AS HUGEINT) * syy
+        |      - CAST(sy AS HUGEINT) * CAST(sy AS HUGEINT) AS DOUBLE)) AS corr
+        |FROM a ORDER BY l_returnflag""".stripMargin,
+    "na_clean" ->
+      """SELECT o_orderkey,
+        |  COALESCE(NULLIF(o_orderpriority, '4-NOT SPECIFIED'), 'unspecified') AS priority,
+        |  CASE WHEN NULLIF(o_orderstatus, 'F') = 'O' THEN 'open'
+        |       ELSE NULLIF(o_orderstatus, 'F') END AS status,
+        |  NULLIF(o_orderstatus, 'F') IS NOT NULL AS status_known
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "sample_stratified" ->
+      """SELECT lang, doc_id, rn FROM (
+        |  SELECT lang, doc_id, CAST(row_number() OVER (PARTITION BY lang
+        |    ORDER BY ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15))::BIGINT, doc_id)
+        |    AS BIGINT) AS rn
+        |  FROM documents) t
+        |WHERE rn <= 20 ORDER BY lang, rn""".stripMargin,
+    "heavy_hitters" ->
+      """WITH a AS (SELECT event_type, COUNT(*) AS n FROM events GROUP BY 1)
+        |SELECT event_type, n, CAST(n * 1000 // SUM(n) OVER () AS BIGINT) AS share_milli
+        |FROM a QUALIFY share_milli >= 200 ORDER BY event_type""".stripMargin,
+    "arr_hof_ops" ->
+      """WITH g AS (SELECT l_orderkey,
+        |    list_sort(list(CAST(l_quantity AS BIGINT))) AS qs
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_orderkey,
+        |  CAST(list_sum(qs) AS BIGINT) AS qty_sum,
+        |  CAST(len(list_filter(qs, x -> x > 25)) AS BIGINT) AS n_big,
+        |  qs[1] * 2 AS min_doubled,
+        |  list_contains(qs, 50) AS has_50
+        |FROM g ORDER BY l_orderkey""".stripMargin,
+    "time_bucket_trunc" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+        |  event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "events_funnel" ->
+      """WITH su AS (SELECT user_id, MIN(ts) AS su FROM events
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        |pu AS (SELECT e.user_id, MIN(e.ts) AS pu
+        |  FROM events e JOIN su ON e.user_id = su.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts >= su.su
+        |  GROUP BY 1)
+        |SELECT su.user_id,
+        |  epoch_us(su.su) AS signup_us,
+        |  epoch_us(pu.pu) AS purchase_us,
+        |  pu.user_id IS NOT NULL AS converted,
+        |  (epoch_us(pu.pu) - epoch_us(su.su)) // 1000000 AS secs_to_convert
+        |FROM su LEFT JOIN pu ON su.user_id = pu.user_id
+        |ORDER BY su.user_id""".stripMargin,
+  )
+}
