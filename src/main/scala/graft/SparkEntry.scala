@@ -17,6 +17,7 @@ object SparkEntry {
     ScalarQueries,
     StatsQueries,
     LlmQueries,
+    CorpusQueries,
     StreamQueries,
     MultimodalQueries,
   )

@@ -1,0 +1,137 @@
+package graft.queries
+
+import graft.Tables
+import graft.ops.{TextOps, VectorOps}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Second corpus-analysis pack: embedding clustering, masking/redaction,
+  * repetition detection, length profiling, and n-gram frequency — the
+  * remaining text/embedding operators a pre-training data pipeline runs
+  * beyond LlmQueries' dedup/ANN core.
+  *
+  * Scale posture matches LlmQueries: centroid assignment broadcasts only
+  * the constant-size centroid set; everything else is map work + hash
+  * aggregation with partial combine. All aggregates are exact integer
+  * units (micro/milli) so results are partition-order-independent.
+  */
+object CorpusQueries extends QueryPack {
+
+  val queries: Map[String, Q] = Map(
+    // One Lloyd iteration of k-means over the embedding corpus: assign
+    // every vector to its nearest of 8 fixed centroids (broadcast — the
+    // centroid set is constant-size at any corpus scale), then recompute
+    // per-dimension component sums in exact integer micro-units.
+    // posexplode fans each vector into (bucket, pos, component); the
+    // re-aggregation is a hash agg on (bucket, pos) with map-side partial
+    // sums — one shuffle of 8×64 groups regardless of corpus size.
+    "kmeans_iter" -> ((s, d) => {
+      val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding").as("v"))
+      val cent = e.filter(col("vec_id") < 8).select(col("vec_id").as("c_id"), col("v").as("cv"))
+      val data = e.filter(col("vec_id") >= 8)
+      val aw = Window.partitionBy("vec_id").orderBy(col("c_cos").desc, col("c_id").asc)
+      data.crossJoin(broadcast(cent))
+        .withColumn("c_cos", VectorOps.cosine(col("v"), col("cv")))
+        .withColumn("arank", row_number().over(aw))
+        .filter(col("arank") === 1)
+        .select(col("c_id").as("bucket"), posexplode(col("v")))
+        .select(col("bucket"), col("pos").cast("long").as("pos"),
+          expr("CAST(round(CAST(col AS DOUBLE) * 1000000) AS BIGINT)").as("micro"))
+        .groupBy("bucket", "pos")
+        .agg(count(lit(1)).as("n_members"), sum("micro").as("sum_micro"))
+        .orderBy("bucket", "pos")
+    }),
+
+    // Numeric masking/redaction: every digit run in the payload replaced
+    // with a mask plus a redaction count — the PII-scrub shape (the same
+    // regexp_replace machinery applies to email/phone/SSN patterns). Pure
+    // codegen'd map work; no shuffle.
+    "text_redact_mask" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_id"),
+          regexp_replace(col("props"), "[0-9]+", "#").as("masked"),
+          expr("CAST(size(regexp_extract_all(props, '[0-9]+', 0)) AS BIGINT)").as("n_masked"))
+        .orderBy("event_id")),
+
+    // Repetition detection: per-document duplicate-token and top-token
+    // ratios in exact milli-units — the standard boilerplate/spam quality
+    // signal. Two hash aggregations, both with partial combine; the first
+    // is keyed (doc_id, token) so hot documents don't skew a single key.
+    "text_repetition" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(count(lit(1)).as("n"))
+        .groupBy("doc_id")
+        .agg(sum("n").as("n_tok"), count(lit(1)).as("n_distinct"), max("n").as("max_tok_freq"))
+        .select(col("doc_id"), col("n_tok"), col("n_distinct"), col("max_tok_freq"),
+          expr("(n_tok - n_distinct) * 1000 div n_tok").as("rep_milli"),
+          expr("max_tok_freq * 1000 div n_tok").as("top_milli"))
+        .orderBy("doc_id")),
+
+    // Length histogram: 100-char buckets with an overflow bucket — the
+    // corpus-profiling sweep that sizes chunking/truncation decisions.
+    // Integer bucket arithmetic (no width_bucket float edges).
+    "doc_len_histogram" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(expr("least(n_chars div 100, 19)").as("bucket"), col("n_chars"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_docs"), min("n_chars").as("min_chars"),
+          max("n_chars").as("max_chars"))
+        .orderBy("bucket")),
+
+    // Global top-20 bigrams: explode 2-gram shingles → count → top-k.
+    // The final top-k is TakeOrderedAndProject (per-partition heads
+    // merged on the driver), NOT a global sort — the only safe global
+    // ranking shape at corpus scale.
+    "text_ngram_top" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(explode(TextOps.wordShingles(TextOps.tokens(col("text")), 2)).as("gram"))
+        .groupBy("gram")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("gram").asc)
+        .limit(20)),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "kmeans_iter" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+         |cent AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < 8),
+         |assign AS (
+         |  SELECT vec_id, v, bucket FROM (
+         |    SELECT e.vec_id, e.v, c_id AS bucket,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${LlmQueries.cosSql("e.v", "cv")} DESC, c_id) AS arank
+         |    FROM e, cent WHERE e.vec_id >= 8) t WHERE arank = 1),
+         |x AS (SELECT bucket, unnest(range(0, len(v))) AS pos, unnest(v) AS val FROM assign)
+         |SELECT bucket, CAST(pos AS BIGINT) AS pos, COUNT(*) AS n_members,
+         |  CAST(SUM(CAST(round(val*1000000) AS BIGINT)) AS BIGINT) AS sum_micro
+         |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "text_redact_mask" ->
+      """SELECT event_id,
+        |  regexp_replace(props, '[0-9]+', '#', 'g') AS masked,
+        |  CAST(len(regexp_extract_all(props, '[0-9]+')) AS BIGINT) AS n_masked
+        |FROM events ORDER BY event_id""".stripMargin,
+    "text_repetition" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |c AS (SELECT doc_id, tok, COUNT(*) AS n FROM t GROUP BY 1, 2),
+        |a AS (SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_tok,
+        |    COUNT(*) AS n_distinct, MAX(n) AS max_tok_freq
+        |  FROM c GROUP BY 1)
+        |SELECT doc_id, n_tok, n_distinct, max_tok_freq,
+        |  (n_tok - n_distinct) * 1000 // n_tok AS rep_milli,
+        |  max_tok_freq * 1000 // n_tok AS top_milli
+        |FROM a ORDER BY doc_id""".stripMargin,
+    "doc_len_histogram" ->
+      """SELECT least(n_chars // 100, 19) AS bucket, COUNT(*) AS n_docs,
+        |  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "text_ngram_top" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |grams AS (SELECT unnest(list_transform(range(1, len(t)),
+        |    i -> array_to_string(list_slice(t, i, i+1), ' '))) AS gram
+        |  FROM toks)
+        |SELECT gram, COUNT(*) AS n FROM grams GROUP BY 1
+        |ORDER BY n DESC, gram ASC LIMIT 20""".stripMargin,
+  )
+}

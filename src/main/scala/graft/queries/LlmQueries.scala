@@ -478,7 +478,8 @@ object LlmQueries extends QueryPack {
 
   // Sequential-fold cosine between two DOUBLE[] columns (bit-identical to
   // VectorOps.cosine: list_reduce folds left-to-right like `aggregate`).
-  private def cosSql(a: String, b: String): String =
+  // Shared with CorpusQueries' centroid-assignment oracle.
+  private[queries] def cosSql(a: String, b: String): String =
     s"""list_reduce(list_transform(list_zip($a, $b), z -> z[1]*z[2]), (x, y) -> x+y)
        | / (sqrt(list_reduce(list_transform($a, u -> u*u), (x, y) -> x+y))
        |   * sqrt(list_reduce(list_transform($b, u -> u*u), (x, y) -> x+y)))""".stripMargin

@@ -32,6 +32,15 @@ object StreamQueries extends QueryPack {
           col("event_type"), col("n_events"), col("value_cents"))
         .orderBy("w_start", "event_type")),
 
+    // Stream–static join: events enriched against the static customer
+    // dimension (broadcast — no stream-side shuffle, no state), then a
+    // keyed aggregation. The oracle verifies the batch twin; StreamingSpec
+    // runs the identical transformation as a micro-batch stream.
+    "stream_static_join_batcheq" -> ((s, d) =>
+      Streams.staticEnrichAgg(Tables.events(s, d),
+        Tables.customer(s, d).select("c_custkey", "c_mktsegment"))
+        .orderBy("c_mktsegment", "event_type")),
+
     // Session windows (5-minute gap) per user; session end = last event +
     // gap, mirrored in the oracle's islands computation.
     "stream_session_window_batcheq" -> ((s, d) =>
@@ -44,6 +53,11 @@ object StreamQueries extends QueryPack {
   )
 
   val oracle: Map[String, String] = Map(
+    "stream_static_join_batcheq" ->
+      """SELECT c_mktsegment, event_type, COUNT(*) AS n_events,
+        | CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "stream_tumbling_window_batcheq" ->
       """SELECT strftime(time_bucket(INTERVAL '10 minutes', ts), '%Y-%m-%d %H:%M:%S') AS w_start,
         | strftime(time_bucket(INTERVAL '10 minutes', ts) + INTERVAL 10 MINUTE, '%Y-%m-%d %H:%M:%S') AS w_end,

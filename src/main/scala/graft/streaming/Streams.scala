@@ -133,6 +133,19 @@ object Streams {
     }.toDF("user_id", "session_start_sec", "session_last_sec", "n_events")
   }
 
+  /** Stream–static enrichment: the event stream joined against a static
+    * dimension (the lake's customer table) — the canonical streaming
+    * lookup. The dimension is explicitly broadcast: a static side never
+    * makes the stream stateful, and broadcasting keeps every micro-batch
+    * shuffle-free on the stream side; the one shuffle is the keyed
+    * aggregation after the join. Identical code runs in batch (oracled by
+    * `stream_static_join_batcheq`) and as a stream (StreamingSpec).
+    */
+  def staticEnrichAgg(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(broadcast(dim), events("user_id") === dim("c_custkey"))
+      .groupBy("c_mktsegment", "event_type")
+      .agg(count(lit(1)).as("n_events"), sum(cents(col("value"))).as("value_cents"))
+
   /** Custom per-key streaming state via mapGroupsWithState: a running
     * per-user event count + last-seen timestamp (the arbitrary-state API
     * the built-in windows can't express).

@@ -137,4 +137,22 @@ class StreamingSpec extends SparkSpec {
       .as[(String, String)].head()
     assert(out == (("10:00:00", "10:08:00")))
   }
+  test("stream-static join enriches a stream against a broadcast dimension") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dim = Seq((0L, "RETAIL"), (1L, "AUTO"), (2L, "RETAIL"))
+      .toDF("c_custkey", "c_mktsegment")
+    val mem = MemoryStream[Ev]
+    mem.addData(sample: _*)
+    val q = Streams.staticEnrichAgg(mem.toDF(), dim)
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("enrich_smoke")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("enrich_smoke")
+      .orderBy("c_mktsegment", "event_type").collect().toSeq
+    val batch = Streams.staticEnrichAgg(sample.toDF(), dim)
+      .orderBy("c_mktsegment", "event_type").collect().toSeq
+    assert(streamed.nonEmpty && streamed == batch)
+  }
 }
