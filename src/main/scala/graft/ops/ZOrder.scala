@@ -1,0 +1,62 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Z-order (Morton) interleaving for multi-dimensional file clustering.
+  *
+  * Sorting a table by ONE column gives tight parquet row-group min/max
+  * bounds on that column only; range-partitioning + sorting by the
+  * INTERLEAVED bits of two columns gives useful bounds on BOTH, so scans
+  * filtered on either dimension skip most files — the layout trick behind
+  * Delta/Iceberg `OPTIMIZE ZORDER BY`. Composed entirely from built-in
+  * bit expressions (shiftleft / & / |), so the key computation is plain
+  * codegen'd map work — no custom expression, no UDF, no shuffle beyond
+  * the final range partitioning.
+  *
+  * Bit-spreading uses the standard mask sequence (public-domain
+  * bit-twiddling identity): each step doubles the gap between the
+  * payload bits, giving x15..x0 → x15 0 x14 0 … x0.
+  */
+object ZOrder {
+
+  /** Spread the low 16 bits of `c` to the even bit positions of a 32-bit
+    * value: 0xABCD → 0x0A0B0C0D-style interleave spacing.
+    */
+  def spread16(c: Column): Column = {
+    val s0 = (c.bitwiseAND(lit(0xFFFFL)))
+    val s1 = (s0.bitwiseOR(shiftleft(s0, 8))).bitwiseAND(lit(0x00FF00FFL))
+    val s2 = (s1.bitwiseOR(shiftleft(s1, 4))).bitwiseAND(lit(0x0F0F0F0FL))
+    val s3 = (s2.bitwiseOR(shiftleft(s2, 2))).bitwiseAND(lit(0x33333333L))
+    (s3.bitwiseOR(shiftleft(s3, 1))).bitwiseAND(lit(0x55555555L))
+  }
+
+  /** 32-bit Morton key of two 16-bit dimensions: bits of `x` at even
+    * positions, bits of `y` at odd positions.
+    */
+  def zkey(x: Column, y: Column): Column =
+    spread16(x).bitwiseOR(shiftleft(spread16(y), 1))
+
+  /** The DuckDB-side SQL for the same spread, for oracle parity. */
+  def spread16Sql(e: String): String = {
+    val s0 = s"(($e) & 65535)"
+    val s1 = s"(($s0 | ($s0 << 8)) & 16711935)"
+    val s2 = s"(($s1 | ($s1 << 4)) & 252645135)"
+    val s3 = s"(($s2 | ($s2 << 2)) & 858993459)"
+    s"(($s3 | ($s3 << 1)) & 1431655765)"
+  }
+
+  def zkeySql(x: String, y: String): String =
+    s"(${spread16Sql(x)} | (${spread16Sql(y)} << 1))"
+
+  /** Cluster a frame for two-dimensional file skipping: range-partition
+    * by the Morton key (so each output file owns a contiguous z-curve
+    * segment = a small rectangle in (x, y) space) and sort within
+    * partitions so row-group min/max bounds are tight on both columns.
+    */
+  def cluster(df: DataFrame, x: Column, y: Column, numFiles: Int): DataFrame =
+    df.withColumn("__z", zkey(x, y))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+}

@@ -194,6 +194,20 @@ object StatsQueries extends QueryPack {
           sum(Cleaning.cents(col("value"))).as("value_cents"))
         .orderBy("hour", "event_type")),
 
+    // Z-order (Morton) clustering key: 16-bit part/supplier dimensions
+    // interleaved with built-in bit expressions (fully codegen'd map
+    // work). Range-partitioning + sorting by this key gives parquet
+    // row-group min/max locality on BOTH dimensions — the file-skipping
+    // layout `ops.ZOrder.cluster` writes (ZOrderSpec pins the quadrant
+    // locality property).
+    "sort_zorder_key" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey").bitwiseAND(lit(65535L)).as("px"),
+          col("l_suppkey").bitwiseAND(lit(65535L)).as("sy"))
+        .withColumn("zkey", graft.ops.ZOrder.zkey(col("px"), col("sy")))
+        .orderBy("l_orderkey", "l_linenumber")),
+
     // Funnel analysis: signup → first subsequent purchase per user, with
     // conversion flag and exact time-to-convert. Stage 1 is a conditional
     // aggregate; stage 2 joins purchases back against each user's signup
@@ -311,6 +325,13 @@ object StatsQueries extends QueryPack {
         |  event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "sort_zorder_key" -> {
+      val z = graft.ops.ZOrder.zkeySql("l_partkey", "l_suppkey")
+      s"""SELECT l_orderkey, l_linenumber,
+         |  (l_partkey & 65535) AS px, (l_suppkey & 65535) AS sy,
+         |  $z AS zkey
+         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+    },
     "events_funnel" ->
       """WITH su AS (SELECT user_id, MIN(ts) AS su FROM events
         |  WHERE event_type = 'signup' GROUP BY 1),
