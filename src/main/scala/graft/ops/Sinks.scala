@@ -16,6 +16,21 @@ object Sinks {
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(path)
   }
 
+  /** Dynamic partition overwrite: replace ONLY the partitions present in
+    * `df`, leaving every other partition directory untouched — the
+    * incremental-backfill write (re-run one day/segment without rewriting
+    * the table). Static overwrite mode (the default) would drop ALL
+    * partitions first; at 100 TB that difference is the whole job. The
+    * mode is set per-write via option, not session-wide, so concurrent
+    * full-overwrite writes keep their semantics.
+    */
+  def overwritePartitionsDynamic(df: DataFrame, path: String,
+                                 partitionCols: Seq[String]): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+
   /** Normalize the reference's s3:// → s3a:// read-scheme rewrite
     * (pyspark.py:482-485, with its inverted-check bug fixed).
     */

@@ -194,6 +194,32 @@ object StatsQueries extends QueryPack {
           sum(Cleaning.cents(col("value"))).as("value_cents"))
         .orderBy("hour", "event_type")),
 
+    // MERGE/upsert (the CDC lake operation): an updates frame (changed
+    // rows + brand-new keys) merged into the base — matched keys take the
+    // update, unmatched keep the base row, new keys insert. The join-based
+    // copy-on-write shape (updates ∪ base⟕anti updates) is exactly how
+    // Delta/Iceberg execute MERGE; both sides shuffle once on the key.
+    "merge_upsert" -> ((s, d) => {
+      val base = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_orderstatus"))
+      val updates = base.filter(col("o_orderkey") % 7 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+        .withColumn("o_orderstatus", lit("U"))
+        .unionByName(
+          base.filter(col("o_orderkey") % 101 === 0)
+            .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+              col("o_custkey"), col("o_totalprice"),
+              lit("N").as("o_orderstatus")))
+      updates
+        .unionByName(
+          base.join(updates.select("o_orderkey"), Seq("o_orderkey"), "left_anti"))
+        .select(col("o_orderkey"), col("o_custkey"),
+          Cleaning.cents(col("o_totalprice")).as("price_cents"),
+          col("o_orderstatus"))
+        .orderBy("o_orderkey")
+    }),
+
     // Z-order (Morton) clustering key: 16-bit part/supplier dimensions
     // interleaved with built-in bit expressions (fully codegen'd map
     // work). Range-partitioning + sorting by this key gives parquet
@@ -325,6 +351,22 @@ object StatsQueries extends QueryPack {
         |  event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "merge_upsert" ->
+      """WITH base AS (SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus FROM orders),
+        |upd AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice + 1000.0 AS o_totalprice,
+        |    'U' AS o_orderstatus
+        |  FROM base WHERE o_orderkey % 7 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_custkey, o_totalprice, 'N'
+        |  FROM base WHERE o_orderkey % 101 = 0),
+        |m AS (SELECT * FROM upd
+        |  UNION ALL
+        |  SELECT * FROM base
+        |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd))
+        |SELECT o_orderkey, o_custkey,
+        |  CAST(round(o_totalprice*100) AS BIGINT) AS price_cents, o_orderstatus
+        |FROM m ORDER BY o_orderkey""".stripMargin,
     "sort_zorder_key" -> {
       val z = graft.ops.ZOrder.zkeySql("l_partkey", "l_suppkey")
       s"""SELECT l_orderkey, l_linenumber,

@@ -41,6 +41,21 @@ object StreamQueries extends QueryPack {
         Tables.customer(s, d).select("c_custkey", "c_mktsegment"))
         .orderBy("c_mktsegment", "event_type")),
 
+    // Stream–stream interval join (clicks × purchases within 30 min, same
+    // user) run on the static table. Both shuffles land on user_id; the
+    // time bound is a residual predicate on the equi-join — the plan shape
+    // that scales (never a cross join). Timestamps emitted as epoch
+    // micros (QueryPack determinism rules).
+    "stream_stream_join_batcheq" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      Streams.clickPurchaseJoin(
+          e.filter(col("event_type") === "click"),
+          e.filter(col("event_type") === "purchase"))
+        .select(col("user_id"), col("click_id"), col("purchase_id"),
+          unix_micros(col("c_ts")).as("c_us"), unix_micros(col("p_ts")).as("p_us"))
+        .orderBy("user_id", "click_id", "purchase_id")
+    }),
+
     // Session windows (5-minute gap) per user; session end = last event +
     // gap, mirrored in the oracle's islands computation.
     "stream_session_window_batcheq" -> ((s, d) =>
@@ -58,6 +73,14 @@ object StreamQueries extends QueryPack {
         | CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents
         |FROM events JOIN customer ON user_id = c_custkey
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "stream_stream_join_batcheq" ->
+      """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+        | epoch_us(c.ts) AS c_us, epoch_us(p.ts) AS p_us
+        |FROM events c JOIN events p
+        |  ON c.user_id = p.user_id
+        | AND c.event_type = 'click' AND p.event_type = 'purchase'
+        | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+        |ORDER BY c.user_id, click_id, purchase_id""".stripMargin,
     "stream_tumbling_window_batcheq" ->
       """SELECT strftime(time_bucket(INTERVAL '10 minutes', ts), '%Y-%m-%d %H:%M:%S') AS w_start,
         | strftime(time_bucket(INTERVAL '10 minutes', ts) + INTERVAL 10 MINUTE, '%Y-%m-%d %H:%M:%S') AS w_end,

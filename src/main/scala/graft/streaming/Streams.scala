@@ -146,6 +146,31 @@ object Streams {
       .groupBy("c_mktsegment", "event_type")
       .agg(count(lit(1)).as("n_events"), sum(cents(col("value"))).as("value_cents"))
 
+  /** Stream–stream INNER join with event-time bounds: each click joins
+    * purchases by the same user within [click_ts, click_ts + 30 min].
+    * Both sides carry watermarks and the join condition bounds event time
+    * in both directions, so each side's buffered state is evicted once
+    * the other side's watermark passes the bound — the state-cleanup
+    * contract stream–stream joins require. Batch twin oracled by
+    * `stream_stream_join_batcheq`; micro-batch run in StreamingSpec.
+    */
+  def clickPurchaseJoin(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    val p = purchases
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    c.join(p,
+      col("c_user") === col("p_user") &&
+        col("p_ts") >= col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr("INTERVAL 30 MINUTES"))
+      .select(col("c_user").as("user_id"), col("click_id"), col("purchase_id"),
+        col("c_ts"), col("p_ts"))
+  }
+
   /** Custom per-key streaming state via mapGroupsWithState: a running
     * per-user event count + last-seen timestamp (the arbitrary-state API
     * the built-in windows can't express).

@@ -155,4 +155,29 @@ class StreamingSpec extends SparkSpec {
       .orderBy("c_mktsegment", "event_type").collect().toSeq
     assert(streamed.nonEmpty && streamed == batch)
   }
+  test("stream-stream interval join pairs clicks with in-window purchases") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = Seq(
+      ev(10, "2024-01-01 01:00:00", "click", 1.0),   // user 1
+      ev(11, "2024-01-01 02:00:00", "click", 1.0))   // user 2
+    val purchases = Seq(
+      ev(20, "2024-01-01 01:10:00", "purchase", 5.0), // user 2 — wrong user for 10
+      ev(22, "2024-01-01 01:20:00", "purchase", 5.0), // user 1 — within 30 min of 10
+      ev(23, "2024-01-01 02:40:00", "purchase", 5.0)) // user 2 — outside 30 min of 11
+    val (cm, pm) = (MemoryStream[Ev], MemoryStream[Ev])
+    cm.addData(clicks: _*); pm.addData(purchases: _*)
+    val q = Streams.clickPurchaseJoin(cm.toDF(), pm.toDF())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ssjoin_smoke")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("ssjoin_smoke")
+      .select("user_id", "click_id", "purchase_id").as[(Long, Long, Long)]
+      .collect().sorted.toSeq
+    assert(streamed == Seq((1L, 10L, 22L)), s"got $streamed")
+    val batch = Streams.clickPurchaseJoin(clicks.toDF(), purchases.toDF())
+      .select("user_id", "click_id", "purchase_id").as[(Long, Long, Long)]
+      .collect().sorted.toSeq
+    assert(streamed == batch)
+  }
 }
