@@ -234,6 +234,31 @@ object StatsQueries extends QueryPack {
         .withColumn("zkey", graft.ops.ZOrder.zkey(col("px"), col("sy")))
         .orderBy("l_orderkey", "l_linenumber")),
 
+    // Typed Dataset path: KeyValueGroupedDataset.mapGroups computing each
+    // user's max inter-event gap — arbitrary per-group Scala logic the
+    // expression language can't write (here it CAN, see the oracle, which
+    // is exactly why it's verifiable). Per-group state is one user's
+    // timestamps, so memory is bounded by per-key cardinality, not corpus
+    // size; the shuffle is the same user_id hash partition as the
+    // declarative twin. Use sparingly at scale — mapGroups leaves
+    // whole-stage codegen — but it IS the contract for custom group logic.
+    "typed_map_groups" -> ((s, d) => {
+      import s.implicits._
+      Tables.events(s, d)
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
+        .as[(Long, Long)]
+        .groupByKey(_._1)
+        .mapGroups { (u, it) =>
+          val ts = it.map(_._2).toArray.sorted
+          val maxGap =
+            if (ts.length < 2) 0L
+            else ts.sliding(2).map(a => a(1) - a(0)).max
+          (u, ts.length.toLong, maxGap)
+        }
+        .toDF("user_id", "n_events", "max_gap_us")
+        .orderBy("user_id")
+    }),
+
     // Funnel analysis: signup → first subsequent purchase per user, with
     // conversion flag and exact time-to-convert. Stage 1 is a conditional
     // aggregate; stage 2 joins purchases back against each user's signup
@@ -374,6 +399,13 @@ object StatsQueries extends QueryPack {
          |  $z AS zkey
          |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
     },
+    "typed_map_groups" ->
+      """WITH g AS (SELECT user_id, epoch_us(ts) AS ts_us,
+        |    epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) AS gap
+        |  FROM events)
+        |SELECT user_id, COUNT(*) AS n_events,
+        |  COALESCE(MAX(gap), 0) AS max_gap_us
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
     "events_funnel" ->
       """WITH su AS (SELECT user_id, MIN(ts) AS su FROM events
         |  WHERE event_type = 'signup' GROUP BY 1),
