@@ -1,0 +1,179 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, GraftSqlBridge, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.types.{LongType, TimestampType}
+
+/** A whole-operator custom plan: single-pass sort-merge AS-OF join.
+  *
+  * Spark has no native as-of join; the composable workaround
+  * (union both sides + `last(..., ignoreNulls)` window — `join_asof` in
+  * RelationalQueries) pays a union, a full-width window and a filter.
+  * This operator is the direct physical form: both sides hash-partitioned
+  * on the key and sorted by (key, ts, tie), then merged in ONE streaming
+  * pass per partition — no window state, no union, right side buffered
+  * one row at a time. This is preference order (c) from the build brief:
+  * LogicalPlan + SparkStrategy + SparkPlan, registered through
+  * `SparkSessionExtensions` (and `spark.experimental.extraStrategies`
+  * for driver-owned sessions).
+  *
+  * Semantics (backward as-of, LEFT OUTER): for each left row, the LAST
+  * right row with the same key and (ts, tie) <= (left.ts, left.tie),
+  * lexicographically; no match → right columns null. The tie column makes
+  * results total-ordered and engine-reproducible when timestamps collide
+  * (same contract as the window formulation's ORDER BY ts, event_id).
+  *
+  * Scale: identical shuffle shape to a sort-merge join on the key —
+  * EnsureRequirements co-partitions the children — and the merge is O(n)
+  * per partition with O(1) state, any history length.
+  */
+case class AsOfJoin(left: LogicalPlan, right: LogicalPlan,
+                    leftKey: Expression, rightKey: Expression,
+                    leftTs: Expression, rightTs: Expression,
+                    leftTie: Expression, rightTie: Expression)
+    extends BinaryNode {
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+  override protected def withNewChildrenInternal(l: LogicalPlan, r: LogicalPlan): AsOfJoin =
+    copy(left = l, right = r)
+}
+
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoin(l, r, lk, rk, lts, rts, ltie, rtie) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lts, rts, ltie, rtie) :: Nil
+    case _ => Nil
+  }
+}
+
+case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
+                        leftKey: Expression, rightKey: Expression,
+                        leftTs: Expression, rightTs: Expression,
+                        leftTie: Expression, rightTie: Expression)
+    extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  // same co-partitioning contract as SortMergeJoin: EnsureRequirements
+  // hash-exchanges both children on the key, compatibly
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(Seq(leftKey)) :: ClusteredDistribution(Seq(rightKey)) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTs, Ascending),
+      SortOrder(leftTie, Ascending)),
+    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTs, Ascending),
+      SortOrder(rightTie, Ascending)))
+
+  override def outputPartitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = left.outputOrdering
+
+  override protected def withNewChildrenInternal(l: SparkPlan, r: SparkPlan): AsOfJoinExec =
+    copy(left = l, right = r)
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val lk = BindReferences.bindReference(leftKey, left.output)
+    val lts = BindReferences.bindReference(leftTs, left.output)
+    val ltie = BindReferences.bindReference(leftTie, left.output)
+    val rk = BindReferences.bindReference(rightKey, right.output)
+    val rts = BindReferences.bindReference(rightTs, right.output)
+    val rtie = BindReferences.bindReference(rightTie, right.output)
+    val outAttrs = output
+    val rightWidth = right.output.size
+
+    left.execute().zipPartitions(right.execute()) { (li, ri) =>
+      val nullRight = new GenericInternalRow(rightWidth)
+      val joined = new JoinedRow
+      val project = UnsafeProjection.create(outAttrs, outAttrs)
+
+      new Iterator[InternalRow] {
+        // the single buffered right row (copied: scan rows are reused)
+        private var rRow: InternalRow = _
+        private var rKeyV, rTsV, rTieV = 0L
+        private var rHave = false
+        // the current best match and its key
+        private var mRow: InternalRow = _
+        private var mKey = 0L
+        pullRight()
+
+        private def pullRight(): Unit = {
+          rHave = false
+          while (!rHave && ri.hasNext) {
+            val r = ri.next()
+            val k = rk.eval(r); val t = rts.eval(r); val e = rtie.eval(r)
+            if (k != null && t != null && e != null) { // null keys match nothing
+              rKeyV = k.asInstanceOf[Long]
+              rTsV = t.asInstanceOf[Long]
+              rTieV = e.asInstanceOf[Long]
+              rRow = r.copy()
+              rHave = true
+            }
+          }
+        }
+
+        override def hasNext: Boolean = li.hasNext
+
+        override def next(): InternalRow = {
+          val l = li.next()
+          val k = lk.eval(l); val t = lts.eval(l); val e = ltie.eval(l)
+          if (k == null || t == null || e == null) return project(joined(l, nullRight))
+          val lKeyV = k.asInstanceOf[Long]
+          val lTsV = t.asInstanceOf[Long]
+          val lTieV = e.asInstanceOf[Long]
+          // advance the right side through every row at-or-before this
+          // left row in (key, ts, tie) order, keeping the last same-key row
+          while (rHave && (rKeyV < lKeyV || (rKeyV == lKeyV &&
+              (rTsV < lTsV || (rTsV == lTsV && rTieV <= lTieV))))) {
+            if (rKeyV == lKeyV) { mRow = rRow; mKey = rKeyV }
+            pullRight()
+          }
+          val r = if (mRow != null && mKey == lKeyV) mRow else nullRight
+          project(joined(l, r))
+        }
+      }
+    }
+  }
+}
+
+/** Public API for the operator. */
+object AsOfJoinOps {
+
+  private def ensureStrategy(spark: SparkSession): Unit =
+    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsOfJoinStrategy
+
+  /** Backward as-of left join. Column names must be unique across the two
+    * sides (rename the right side first); key/ts/tie must be long-valued
+    * (bigint or timestamp).
+    */
+  def joinBackward(left: DataFrame, right: DataFrame,
+                   leftKey: String, leftTs: String, leftTie: String,
+                   rightKey: String, rightTs: String, rightTie: String): DataFrame = {
+    val spark = left.sparkSession
+    ensureStrategy(spark)
+    val lp = left.queryExecution.analyzed
+    val rp = right.queryExecution.analyzed
+    def attr(p: LogicalPlan, n: String): Attribute =
+      p.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(s"column $n not found in ${p.output.map(_.name)}"))
+    def checkType(a: Attribute): Attribute = {
+      require(a.dataType == LongType || a.dataType == TimestampType,
+        s"as-of column ${a.name} must be bigint/timestamp, got ${a.dataType}")
+      a
+    }
+    val dup = (lp.output.map(_.name) ++ rp.output.map(_.name))
+      .groupBy(identity).filter(_._2.size > 1).keys
+    require(dup.isEmpty, s"ambiguous output columns: ${dup.mkString(", ")}")
+    GraftSqlBridge.ofRows(spark, AsOfJoin(lp, rp,
+      checkType(attr(lp, leftKey)), checkType(attr(rp, rightKey)),
+      checkType(attr(lp, leftTs)), checkType(attr(rp, rightTs)),
+      checkType(attr(lp, leftTie)), checkType(attr(rp, rightTie))))
+  }
+}

@@ -89,10 +89,13 @@ object GraftFunctions {
     }
 }
 
-/** `spark.sql.extensions` entry point: optimizer rule + native functions. */
+/** `spark.sql.extensions` entry point: optimizer rule + native functions
+  * + the as-of join planner strategy.
+  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => LevenshteinThresholdRewrite)
+    e.injectPlannerStrategy(_ => AsOfJoinStrategy)
     GraftFunctions.all.foreach(e.injectFunction)
   }
 }

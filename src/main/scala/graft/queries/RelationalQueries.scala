@@ -290,6 +290,24 @@ object RelationalQueries extends QueryPack {
         .orderBy("click_id")
     }),
 
+    // The SAME as-of semantics through the custom physical operator
+    // (graft.plans.AsOfJoinExec): one co-partitioned sort-merge pass,
+    // no union, no window state. The oracle is identical to join_asof —
+    // the operator must be indistinguishable from the composed form.
+    "join_asof_exec" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"), col("ts"))
+      val errors = e.filter(col("event_type") === "error")
+        .select(col("event_id").as("err_id"), col("user_id").as("err_user"),
+          col("ts").as("err_ts"))
+      graft.plans.AsOfJoinOps.joinBackward(clicks, errors,
+          leftKey = "user_id", leftTs = "ts", leftTie = "click_id",
+          rightKey = "err_user", rightTs = "err_ts", rightTie = "err_id")
+        .select(col("click_id"), col("user_id"), col("err_id").as("asof_error_id"))
+        .orderBy("click_id")
+    }),
+
     // Bucketed co-located join: both sides written bucketed by the join
     // key (bucketBy + saveAsTable), then joined WITHOUT a shuffle — the
     // executed plan has no Exchange above either scan. This is the
@@ -486,6 +504,15 @@ object RelationalQueries extends QueryPack {
         | CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // identical oracle to join_asof: the custom operator must be
+    // indistinguishable from the window composition
+    "join_asof_exec" ->
+      """SELECT event_id AS click_id, user_id, asof_error_id FROM (
+        |  SELECT event_id, user_id, event_type,
+        |    last_value(CASE WHEN event_type = 'error' THEN event_id END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS asof_error_id
+        |  FROM events) t
+        |WHERE event_type = 'click' ORDER BY click_id""".stripMargin,
     "join_asof" ->
       """SELECT event_id AS click_id, user_id, asof_error_id FROM (
         |  SELECT event_id, user_id, event_type,

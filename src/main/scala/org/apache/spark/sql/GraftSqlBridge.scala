@@ -15,6 +15,13 @@ object GraftSqlBridge {
 
   def toExpression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** DataFrame from a (custom) logical plan — the bridge a library-level
+    * operator (graft.plans.AsOfJoin) needs to hand its node back to the
+    * session.
+    */
+  def ofRows(spark: SparkSession, plan: catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
   /** Register graft_cosine / graft_dot as temp SQL functions. */
   def registerFunctions(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry

@@ -1,0 +1,64 @@
+package graft.plans
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The custom as-of join operator: semantics vs the window composition,
+  * edge cases (no match, ties, empty right), and plan shape.
+  */
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def asof(left: Seq[(Long, Long, Long)], right: Seq[(Long, Long, Long)]) = {
+    // (key, ts, id) triples; right payload is its id
+    val l = left.toDF("user_id", "ts_us", "click_id")
+      .select(col("user_id"), col("ts_us"), col("click_id"))
+    val r = right.toDF("err_user", "err_ts", "err_id")
+    AsOfJoinOps.joinBackward(l, r,
+        leftKey = "user_id", leftTs = "ts_us", leftTie = "click_id",
+        rightKey = "err_user", rightTs = "err_ts", rightTie = "err_id")
+      .select(col("click_id"), col("err_id"))
+      .as[(Long, Option[Long])].collect().sortBy(_._1).toSeq
+  }
+
+  test("backward as-of picks the latest at-or-before right row per key") {
+    val got = asof(
+      left = Seq((1L, 100L, 10L), (1L, 200L, 11L), (2L, 150L, 12L)),
+      right = Seq((1L, 90L, 20L), (1L, 150L, 21L), (2L, 160L, 22L)))
+    // click 10 (t=100): err 20 (t=90); click 11 (t=200): err 21 (t=150);
+    // click 12 (t=150, user 2): err 22 is at t=160 AFTER → no match
+    assert(got == Seq((10L, Some(20L)), (11L, Some(21L)), (12L, None)))
+  }
+
+  test("timestamp ties resolve by the tie column, matching the window formulation") {
+    // error id 20 shares ts=100 with click 10: tie 20 > 10 → NOT matched
+    // by click 10; error id 5 < 12 at same ts IS matched by click 12
+    val got = asof(
+      left = Seq((1L, 100L, 10L), (1L, 100L, 12L)),
+      right = Seq((1L, 100L, 20L), (1L, 100L, 5L)))
+    assert(got == Seq((10L, Some(5L)), (12L, Some(5L))))
+  }
+
+  test("empty right side yields all-null matches; empty left yields nothing") {
+    assert(asof(Seq((1L, 10L, 1L)), Seq.empty) == Seq((1L, None)))
+    assert(asof(Seq.empty, Seq((1L, 10L, 1L))) == Seq.empty)
+  }
+
+  test("operator matches the window composition on the real events table") {
+    val sf = "/root/testdata/sf0.001"
+    val viaExec = graft.SparkEntry.queries("join_asof_exec")(spark, sf)
+      .collect().map(r => (r.getLong(0), Option(r.get(2)))).toSeq
+    val viaWindow = graft.SparkEntry.queries("join_asof")(spark, sf)
+      .collect().map(r => (r.getLong(0), Option(r.get(2)))).toSeq
+    assert(viaExec.nonEmpty && viaExec == viaWindow)
+  }
+
+  test("plan contains AsOfJoinExec fed by co-partitioned sorted children") {
+    val sf = "/root/testdata/sf0.001"
+    val p = graft.SparkEntry.queries("join_asof_exec")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("AsOfJoin"), s"custom operator missing:\n${p.take(600)}")
+    assert(p.contains("Sort") && p.contains("Exchange hashpartitioning"),
+      s"expected sort + hash exchange requirements:\n${p.take(800)}")
+  }
+}
