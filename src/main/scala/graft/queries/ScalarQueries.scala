@@ -116,6 +116,17 @@ object ScalarQueries extends QueryPack {
         .withColumn("parsed", from_json(col("props"), lit("k INT")))
         .select(col("event_id"), col("parsed.k").as("k"))
         .orderBy("event_id")),
+
+    // Spark 4 VARIANT path: parse once into the binary semi-structured
+    // type, then typed path extraction — the modern engine shape for
+    // schema-on-read JSON (no per-path re-parse, no full struct schema).
+    "json_variant_get" -> ((s, d) =>
+      Tables.events(s, d)
+        .withColumn("v", parse_json(col("props")))
+        .select(col("event_id"),
+          expr("variant_get(v, '$.k', 'bigint')").as("k_big"),
+          expr("CAST(variant_get(v, '$.k', 'int') IS NOT NULL AS BOOLEAN)").as("has_k"))
+        .orderBy("event_id")),
   )
 
   val oracle: Map[String, String] = Map(
@@ -179,6 +190,11 @@ object ScalarQueries extends QueryPack {
         |FROM events ORDER BY event_id""".stripMargin,
     "json_from_schema" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
+        |FROM events ORDER BY event_id""".stripMargin,
+    "json_variant_get" ->
+      """SELECT event_id,
+        | CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_big,
+        | json_extract_string(props, '$.k') IS NOT NULL AS has_k
         |FROM events ORDER BY event_id""".stripMargin,
   )
 }

@@ -194,6 +194,44 @@ object StatsQueries extends QueryPack {
           sum(Cleaning.cents(col("value"))).as("value_cents"))
         .orderBy("hour", "event_type")),
 
+    // Correlated EXISTS subquery (SQL surface): Catalyst decorrelates it
+    // into a LEFT SEMI join on the correlation key — proof that the SQL
+    // entry path plans the same scale-safe shape as the DataFrame
+    // join_semi.
+    "subquery_exists" -> ((s, d) =>
+      s.sql(
+        s"""SELECT c_custkey, c_mktsegment FROM parquet.`$d/customer.parquet` c
+           |WHERE EXISTS (SELECT 1 FROM parquet.`$d/orders.parquet` o
+           |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 150000)
+           |ORDER BY c_custkey""".stripMargin)),
+
+    // Scalar subquery with EXACT arithmetic: orders above the mean price,
+    // threshold computed as integer cents (sum div count) so the
+    // boundary is partition-order-independent on both engines.
+    "subquery_scalar" -> ((s, d) =>
+      s.sql(
+        s"""SELECT o_orderkey, CAST(round(o_totalprice*100) AS BIGINT) AS price_cents
+           |FROM parquet.`$d/orders.parquet`
+           |WHERE CAST(round(o_totalprice*100) AS BIGINT) >
+           |  (SELECT SUM(CAST(round(o_totalprice*100) AS BIGINT)) DIV COUNT(*)
+           |   FROM parquet.`$d/orders.parquet`)
+           |ORDER BY o_orderkey""".stripMargin)),
+
+    // Null-safe equality join (<=>): null keys MATCH null keys — the
+    // semantics a changed-data comparison needs. Spark plans EqualNullSafe
+    // as a proper equi-join key (no cartesian fallback).
+    "join_null_safe" -> ((s, d) => {
+      val l = Tables.orders(s, d)
+        .select(col("o_orderkey"), expr("nullif(o_orderstatus, 'F')").as("st"))
+      val dim = Tables.orders(s, d)
+        .select(expr("nullif(o_orderstatus, 'F')").as("st2")).distinct()
+        .withColumn("label", coalesce(col("st2"), lit("was_f")))
+      l.join(dim, col("st") <=> col("st2"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("label")
+    }),
+
     // MERGE/upsert (the CDC lake operation): an updates frame (changed
     // rows + brand-new keys) merged into the base — matched keys take the
     // update, unmatched keep the base row, new keys insert. The join-based
@@ -376,6 +414,25 @@ object StatsQueries extends QueryPack {
         |  event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "subquery_exists" ->
+      """SELECT c_custkey, c_mktsegment FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 150000)
+        |ORDER BY c_custkey""".stripMargin,
+    "subquery_scalar" ->
+      """SELECT o_orderkey, CAST(round(o_totalprice*100) AS BIGINT) AS price_cents
+        |FROM orders
+        |WHERE CAST(round(o_totalprice*100) AS BIGINT) >
+        |  (SELECT CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) // COUNT(*) AS BIGINT)
+        |   FROM orders)
+        |ORDER BY o_orderkey""".stripMargin,
+    "join_null_safe" ->
+      """WITH l AS (SELECT o_orderkey, NULLIF(o_orderstatus, 'F') AS st FROM orders),
+        |dim AS (SELECT st2, COALESCE(st2, 'was_f') AS label FROM
+        |  (SELECT DISTINCT NULLIF(o_orderstatus, 'F') AS st2 FROM orders) t)
+        |SELECT label, COUNT(*) AS n
+        |FROM l JOIN dim ON st IS NOT DISTINCT FROM st2
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "merge_upsert" ->
       """WITH base AS (SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus FROM orders),
         |upd AS (
