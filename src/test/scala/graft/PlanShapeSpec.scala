@@ -99,4 +99,63 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("partial_sum") || p.contains("partial_"),
       "no partial aggregation before the shuffle")
   }
+
+  test("correlated EXISTS decorrelates to a semi join, never a cartesian") {
+    val p = plan("subquery_exists")
+    assert(p.contains("LeftSemi"), s"expected semi join:\n${p.take(600)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("merge upsert keeps the base side via a single anti join") {
+    val p = plan("merge_upsert")
+    assert(p.contains("LeftAnti"), s"expected anti join:\n${p.take(600)}")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("null-safe equality plans as a hash-keyed join, not a nested loop") {
+    val p = plan("join_null_safe")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), s"<=> fell off the equi-join path:\n${p.take(600)}")
+    assert(!p.contains("BroadcastNestedLoopJoin") || p.contains("Cross"),
+      "null-safe join must not be a nested loop")
+  }
+
+  test("AQE splits a skewed sort-merge join partition at runtime") {
+    // isolated session: AQE + aggressive skew thresholds, broadcast off so
+    // the join stays SMJ (the plan shape where skew hurts at scale)
+    val s = spark.newSession()
+    s.conf.set("spark.sql.adaptive.enabled", "true")
+    // many small partitions so the hot key's partition dwarfs the median
+    s.conf.set("spark.sql.shuffle.partitions", "64")
+    s.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    s.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+    s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    import s.implicits._
+    // 20% of the fact lands on key 7, so one shuffle partition dwarfs the
+    // median. Three things keep the skew VISIBLE to AQE's byte-based
+    // stats, each learned the hard way: (1) the fact must come from
+    // multiple map tasks (a single-mapper skewed partition has one block
+    // and cannot be split by mapper ranges); (2) an incompressible
+    // payload column must FLOW THROUGH the join shuffle — column pruning
+    // plus LZ4 otherwise shrinks the constant-key hot partition to ~2×
+    // the median; (3) the aggregate must consume that payload or pruning
+    // drops it.
+    val fact = s.sparkContext.parallelize(
+      (1 to 1000000).map(i =>
+        (if (i % 5 == 0) 7L else i.toLong, i * 2654435761L ^ (i.toLong << 32))), 8)
+      .toDF("k", "v")
+    val dim = ((7 to 100000 by 97).map(_.toLong) :+ 7L).distinct.map(k => (k, s"d$k"))
+      .toDF("k2", "name")
+    val j = fact.join(dim, $"k" === $"k2").groupBy($"name")
+      .agg(org.apache.spark.sql.functions.max($"v").as("mv"))
+    val qe = j.queryExecution
+    qe.toRdd.count() // run it: AQE decides skew splits from runtime stats
+    val p = qe.executedPlan.toString
+    assert(p.contains("SortMergeJoin"), s"join not SMJ:\n${p.take(800)}")
+    assert(p.contains("skew=true"),
+      s"AQE did not mark the skewed join split:\n${p.take(1200)}")
+  }
 }
