@@ -80,6 +80,42 @@ object CorpusQueries extends QueryPack {
           max("n_chars").as("max_chars"))
         .orderBy("bucket")),
 
+    // Benchmark-contamination check: candidate docs that share ≥3 distinct
+    // 5-gram shingles with a held-out benchmark set (docs 0–4 stand in).
+    // The overlap is an equi-join on the shingle hash — scales to a
+    // benchmark set of any size (no broadcast assumption, no all-pairs) —
+    // followed by a distinct-count per candidate doc.
+    "contamination_ngram" -> ((s, d) => {
+      val grams = Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(TextOps.wordShingles(TextOps.tokens(col("text")), 5)).as("g"))
+        .select(col("doc_id"), TextOps.hash60(col("g")).as("gh"))
+      val bench = grams.filter(col("doc_id") < 5).select("gh").distinct()
+      grams.filter(col("doc_id") >= 5)
+        .join(bench, "gh")
+        .groupBy("doc_id")
+        .agg(countDistinct(col("gh")).as("n_shared"))
+        .withColumn("contaminated", col("n_shared") >= 3)
+        .orderBy("doc_id")
+    }),
+
+    // Token-budget bin packing (sequence packing for training): within
+    // each lang stream, docs are assigned to 1024-token bins by running
+    // token count — one window cumsum per stratum, no driver loop. A doc
+    // straddling a boundary opens the next bin (budget binning, the
+    // distributed approximation of greedy packing).
+    "pack_token_bins" -> ((s, d) => {
+      val w = Window.partitionBy("lang").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          size(TextOps.tokens(col("text"))).cast("long").as("n_tok"))
+        .withColumn("cum", sum("n_tok").over(w))
+        .select(col("doc_id"), col("lang"), col("n_tok"),
+          expr("(cum - n_tok) div 1024").as("bin"))
+        .orderBy("doc_id")
+    }),
+
     // Global top-20 bigrams: explode 2-gram shingles → count → top-k.
     // The final top-k is TakeOrderedAndProject (per-partition heads
     // merged on the driver), NOT a global sort — the only safe global
@@ -126,6 +162,26 @@ object CorpusQueries extends QueryPack {
       """SELECT least(n_chars // 100, 19) AS bucket, COUNT(*) AS n_docs,
         |  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "contamination_ngram" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |grams AS (SELECT doc_id,
+        |    ('0x'||substr(md5(unnest(list_transform(range(1, len(t)-3),
+        |      i -> array_to_string(list_slice(t, i, i+4), ' ')))),1,15))::BIGINT AS gh
+        |  FROM toks),
+        |bench AS (SELECT DISTINCT gh FROM grams WHERE doc_id < 5)
+        |SELECT g.doc_id, COUNT(DISTINCT g.gh) AS n_shared,
+        |  COUNT(DISTINCT g.gh) >= 3 AS contaminated
+        |FROM grams g JOIN bench b ON g.gh = b.gh
+        |WHERE g.doc_id >= 5
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "pack_token_bins" ->
+      """WITH d AS (SELECT doc_id, lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents),
+        |c AS (SELECT doc_id, lang, n_tok,
+        |    SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS cum FROM d)
+        |SELECT doc_id, lang, n_tok, CAST((cum - n_tok) // 1024 AS BIGINT) AS bin
+        |FROM c ORDER BY doc_id""".stripMargin,
     "text_ngram_top" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |grams AS (SELECT unnest(list_transform(range(1, len(t)),

@@ -146,6 +146,49 @@ object Streams {
       .groupBy("c_mktsegment", "event_type")
       .agg(count(lit(1)).as("n_events"), sum(cents(col("value"))).as("value_cents"))
 
+  /** foreachBatch MERGE sink: each micro-batch of keyed updates is merged
+    * into a parquet target (latest row per key wins; unmatched target
+    * rows survive) — the CDC ingest wiring. Merge-by-key makes batch
+    * REPLAY idempotent, which is exactly the contract foreachBatch needs:
+    * it is at-least-once, so a retried batch must not corrupt the target.
+    * The read→cache→overwrite cycle stands in for a transactional table
+    * format (Delta/Iceberg MERGE) at lake scale; partition-scoped
+    * backfills would use [[graft.ops.Sinks.overwritePartitionsDynamic]].
+    */
+  def mergeIntoParquet(spark: org.apache.spark.sql.SparkSession, target: String)
+                      (batch: DataFrame, batchId: Long): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.row_number
+    // latest update per key within the batch (ties: larger ts wins,
+    // then larger event_id — deterministic)
+    val w = Window.partitionBy("event_id")
+      .orderBy(col("ts").desc, col("value").desc)
+    val updates = batch.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    val merged =
+      if (new java.io.File(target).exists()) {
+        val base = spark.read.parquet(target)
+        updates.unionByName(
+          base.join(updates.select("event_id"), Seq("event_id"), "left_anti"))
+      } else updates
+    // materialize before overwriting the directory we just read
+    val rows = merged.cache()
+    rows.count()
+    rows.write.mode("overwrite").parquet(target)
+    rows.unpersist()
+  }
+
+  /** Streaming wiring for the merge sink. */
+  def mergeRelay(spark: org.apache.spark.sql.SparkSession, updates: DataFrame,
+                 target: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    updates.writeStream
+      .foreachBatch(mergeIntoParquet(spark, target) _)
+      .option("checkpointLocation", checkpoint)
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Stream–stream INNER join with event-time bounds: each click joins
     * purchases by the same user within [click_ts, click_ts + 30 min].
     * Both sides carry watermarks and the join condition bounds event time

@@ -180,4 +180,26 @@ class StreamingSpec extends SparkSpec {
       .collect().sorted.toSeq
     assert(streamed == batch)
   }
+  test("foreachBatch merge sink upserts micro-batches into a parquet target") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-merge-").toString
+    val (target, ckpt) = (s"$dir/target", s"$dir/ckpt")
+    val mem = MemoryStream[Ev]
+    // batch 1: three keys
+    mem.addData(ev(1, "2024-01-01 00:01:00", "click", 1.0),
+      ev(2, "2024-01-01 00:02:00", "click", 2.0),
+      ev(3, "2024-01-01 00:03:00", "click", 3.0))
+    val q1 = Streams.mergeRelay(spark, mem.toDF(), target, ckpt)
+    try q1.processAllAvailable() finally q1.stop()
+    // batch 2 (new query, same checkpoint): update key 2, insert key 4
+    mem.addData(ev(2, "2024-01-01 01:00:00", "click", 20.0),
+      ev(4, "2024-01-01 01:01:00", "click", 4.0))
+    val q2 = Streams.mergeRelay(spark, mem.toDF(), target, ckpt)
+    try q2.processAllAvailable() finally q2.stop()
+    val got = spark.read.parquet(target)
+      .select("event_id", "value").as[(Long, Double)].collect().sorted.toSeq
+    assert(got == Seq((1L, 1.0), (2L, 20.0), (3L, 3.0), (4L, 4.0)),
+      s"merge target wrong: $got")
+  }
 }
