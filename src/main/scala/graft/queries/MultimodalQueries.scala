@@ -40,6 +40,22 @@ object MultimodalQueries extends QueryPack {
           expr("octet_length(frame)").cast("long").as("frame_bytes"),
           md5(col("frame")).as("frame_md5"))
         .orderBy("media_id", "frame_no")),
+    // Resize/downsample slot: stride-4 byte decimation as the
+    // deterministic stand-in for a media resize (a real scaler slots into
+    // the decodeStub seam like the codec). Pure HOF map work: the
+    // "resized" payload keeps every 4th byte; metadata records the scale.
+    "mm_resize_stride" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id").as("media_id"),
+          expr("""array_join(transform(sequence(1, length(text), 4),
+                 |  i -> substring(text, i, 1)), '')""".stripMargin.replaceAll("\n", " "))
+            .as("resized"))
+        .select(col("media_id"),
+          expr("CAST(length(resized) AS BIGINT)").as("n_bytes_resized"),
+          lit(4L).as("stride"),
+          md5(col("resized")).as("resized_md5"))
+        .orderBy("media_id")),
+
     // Feature extraction over sampled frames: an 8-dim feature vector per
     // frame (md5-derived — the deterministic stand-in for an image/audio
     // embedding model; a real extractor slots into the decodeStub seam).
@@ -69,6 +85,14 @@ object MultimodalQueries extends QueryPack {
         | md5(text) AS payload_md5,
         | substr(text, 1, 8) AS head8
         |FROM documents ORDER BY media_id""".stripMargin,
+    "mm_resize_stride" ->
+      """WITH r AS (SELECT doc_id AS media_id,
+        |    array_to_string(list_transform(range(1, length(text)+1, 4),
+        |      i -> substr(text, i, 1)), '') AS resized
+        |  FROM documents)
+        |SELECT media_id, CAST(length(resized) AS BIGINT) AS n_bytes_resized,
+        |  CAST(4 AS BIGINT) AS stride, md5(resized) AS resized_md5
+        |FROM r ORDER BY media_id""".stripMargin,
     "mm_feature_extract" ->
       """WITH f AS (
         |  SELECT doc_id AS media_id,

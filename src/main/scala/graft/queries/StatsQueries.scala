@@ -194,6 +194,35 @@ object StatsQueries extends QueryPack {
           sum(Cleaning.cents(col("value"))).as("value_cents"))
         .orderBy("hour", "event_type")),
 
+    // Bloom-filter semi-join pruning: build a Bloom filter over the
+    // customer keys (Spark's internal BloomFilterAggregate — the engine
+    // piece behind runtime row-group filtering), embed it as a literal
+    // (the same shape Spark's InjectRuntimeFilter produces via a scalar
+    // subquery; the filter itself is ~kB), probe every order's custkey.
+    // Every o_custkey exists in customer, so might_contain has NO false
+    // negatives — n_might_contain == n_orders is PROVABLE and the oracle
+    // pins it. At 100 TB this is how a fact scan skips data for a
+    // selective dim filter without shuffling the fact.
+    "agg_bloom_filter" -> ((s, d) => {
+      import org.apache.spark.sql.GraftSqlBridge.{toColumn, toExpression}
+      import org.apache.spark.sql.catalyst.expressions.Literal
+      import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+      import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+      val bloomAgg = toColumn(new BloomFilterAggregate(
+        toExpression(col("c_custkey")), Literal(20000L), Literal(200000L))
+        .toAggregateExpression())
+      val bf = Tables.customer(s, d).agg(bloomAgg.as("bf"))
+        .head().getAs[Array[Byte]]("bf")
+      Tables.orders(s, d)
+        .select(col("o_orderstatus"),
+          toColumn(BloomFilterMightContain(
+            toExpression(lit(bf)), toExpression(col("o_custkey")))).as("hit"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(when(col("hit"), 1L).otherwise(0L)).as("n_might_contain"))
+        .orderBy("o_orderstatus")
+    }),
+
     // Correlated EXISTS subquery (SQL surface): Catalyst decorrelates it
     // into a LEFT SEMI join on the correlation key — proof that the SQL
     // entry path plans the same scale-safe shape as the DataFrame
@@ -414,6 +443,10 @@ object StatsQueries extends QueryPack {
         |  event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // no false negatives is provable, so the oracle states it exactly
+    "agg_bloom_filter" ->
+      """SELECT o_orderstatus, COUNT(*) AS n_orders, COUNT(*) AS n_might_contain
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "subquery_exists" ->
       """SELECT c_custkey, c_mktsegment FROM customer c
         |WHERE EXISTS (SELECT 1 FROM orders o
