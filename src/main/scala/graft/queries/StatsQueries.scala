@@ -326,6 +326,24 @@ object StatsQueries extends QueryPack {
         .orderBy("user_id")
     }),
 
+    // Cohort retention: users grouped by signup day, activity counted at
+    // each day offset — the engagement matrix behind every retention
+    // curve. Two shuffles, both on user_id/cohort keys; distinct-user
+    // counting is the usual two-phase distinct aggregate.
+    "events_retention" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val cohort = e.filter(col("event_type") === "signup")
+        .groupBy("user_id")
+        .agg(min(to_date(col("ts"))).as("cohort_day"))
+      e.select(col("user_id"), to_date(col("ts")).as("day"))
+        .join(cohort, "user_id")
+        .filter(col("day") >= col("cohort_day"))
+        .groupBy(date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_day"),
+          datediff(col("day"), col("cohort_day")).cast("long").as("day_offset"))
+        .agg(countDistinct(col("user_id")).as("n_active"))
+        .orderBy("cohort_day", "day_offset")
+    }),
+
     // Funnel analysis: signup → first subsequent purchase per user, with
     // conversion flag and exact time-to-convert. Stage 1 is a conditional
     // aggregate; stage 2 joins purchases back against each user's signup
@@ -496,6 +514,16 @@ object StatsQueries extends QueryPack {
         |SELECT user_id, COUNT(*) AS n_events,
         |  COALESCE(MAX(gap), 0) AS max_gap_us
         |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
+    "events_retention" ->
+      """WITH cohort AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+        |  FROM events WHERE event_type = 'signup' GROUP BY 1),
+        |act AS (SELECT e.user_id, CAST(e.ts AS DATE) AS day, c.cohort_day
+        |  FROM events e JOIN cohort c ON e.user_id = c.user_id
+        |  WHERE CAST(e.ts AS DATE) >= c.cohort_day)
+        |SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day,
+        |  CAST(day - cohort_day AS BIGINT) AS day_offset,
+        |  COUNT(DISTINCT user_id) AS n_active
+        |FROM act GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "events_funnel" ->
       """WITH su AS (SELECT user_id, MIN(ts) AS su FROM events
         |  WHERE event_type = 'signup' GROUP BY 1),
