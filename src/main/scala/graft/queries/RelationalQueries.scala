@@ -269,6 +269,55 @@ object RelationalQueries extends QueryPack {
         .orderBy("n_nationkey")
     }),
 
+    // TPC-H Q3 (shipping priority), adapted to this schema: segment-
+    // filtered customers ⋈ date-bounded orders ⋈ lineitem, revenue in
+    // exact cents, top 10 by revenue. Two fact shuffles on the join keys;
+    // the final top-k is TakeOrderedAndProject, not a global sort.
+    "tpch_q3" -> ((s, d) => {
+      val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey")
+      val o = Tables.orders(s, d).filter(col("o_orderdate") < "1998-01-01")
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+      val l = Tables.lineitem(s, d).filter(col("l_shipdate") > "1996-06-30")
+        .select(col("l_orderkey"),
+          expr("CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)")
+            .as("rev_cents"))
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .groupBy(col("l_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+          col("o_orderpriority"))
+        .agg(sum("rev_cents").as("revenue_cents"))
+        .orderBy(col("revenue_cents").desc, col("l_orderkey").asc)
+        .limit(10)
+    }),
+
+    // TPC-H Q5 (local supplier volume), adapted: six-way join where the
+    // customer and the supplier must share a nation, revenue per nation in
+    // one region. Nation/region are broadcast dims; the two fact tables
+    // shuffle once each on their join keys.
+    "tpch_q5" -> ((s, d) => {
+      val asia = Tables.region(s, d).filter(col("r_name") === "ASIA")
+      val n = Tables.nation(s, d).join(broadcast(asia),
+        col("n_regionkey") === col("r_regionkey"))
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= "1996-01-01" && col("o_orderdate") < "1998-01-01")
+      val l = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_suppkey"),
+          expr("CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)")
+            .as("rev_cents"))
+      val sup = Tables.supplier(s, d)
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(sup, l("l_suppkey") === sup("s_suppkey") &&
+          c("c_nationkey") === sup("s_nationkey"))
+        .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum("rev_cents").as("revenue_cents"))
+        .orderBy(col("revenue_cents").desc, col("n_name").asc)
+    }),
+
     // AS-OF join, the scale-safe formulation: instead of a per-row
     // backwards range probe (quadratic, or an interval index Spark lacks),
     // sort each user's events once and carry the most recent error forward
@@ -504,6 +553,32 @@ object RelationalQueries extends QueryPack {
         | CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "tpch_q3" ->
+      """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+        |  o_orderpriority,
+        |  CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+        |    AS revenue_cents
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < DATE '1998-01-01'
+        |  AND l_shipdate > DATE '1996-06-30'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue_cents DESC, l_orderkey ASC LIMIT 10""".stripMargin,
+    "tpch_q5" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+        |    AS revenue_cents
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1998-01-01'
+        |GROUP BY 1 ORDER BY revenue_cents DESC, n_name ASC""".stripMargin,
     // identical oracle to join_asof: the custom operator must be
     // indistinguishable from the window composition
     "join_asof_exec" ->

@@ -62,4 +62,33 @@ class PropertiesSpec extends SparkSpec {
       assert(sigs(0) == sigs(1))
     }
   }
+  test("property: levenshtein threshold rewrite matches the unrewritten predicate") {
+    // the optimizer rule fires on the filter form; the projection form is
+    // untouched and serves as the ground truth (ExtensionsSpec pins that
+    // the rule actually fired on this session)
+    val strGen = Gen.listOfN(12, Gen.oneOf('a', 'b', 'c', ' ')).map(_.mkString)
+    val pairs = samples(Gen.zip(strGen, strGen), 40)
+    for (k <- Seq(0, 1, 3, 8)) {
+      val df = pairs.toDF("t1", "t2")
+      val viaFilter = df.filter(levenshtein(col("t1"), col("t2")) <= k).count()
+      val truth = df.select(levenshtein(col("t1"), col("t2")).as("ed"))
+        .collect().count(_.getInt(0) <= k)
+      assert(viaFilter == truth, s"k=$k: filter=$viaFilter truth=$truth")
+    }
+  }
+
+  test("property: z-order key is a bijection that preserves per-dimension order") {
+    val dimGen = Gen.choose(0L, 65535L)
+    val pts = samples(Gen.zip(dimGen, dimGen), 60).distinct
+    val keys = pts.toDF("x", "y").select(ZOrder.zkey(col("x"), col("y")).as("z"))
+      .as[Long].collect().toSeq
+    // bijective on distinct inputs
+    assert(keys.distinct.size == pts.size)
+    // fixing one dimension, the key is monotone in the other
+    val x0 = pts.head._1
+    val fixed = samples(dimGen, 20).distinct.sorted
+    val zs = fixed.map(y => (y, x0)).toDF("y", "x")
+      .select(ZOrder.zkey(col("x"), col("y")).as("z")).as[Long].collect().toSeq
+    assert(zs == zs.sorted, "zkey not monotone in y with x fixed")
+  }
 }
