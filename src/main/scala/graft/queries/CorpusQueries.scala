@@ -18,16 +18,6 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object CorpusQueries extends QueryPack {
 
-  // same discipline as LlmQueries' subplan memo: the 5-gram hash relation
-  // feeds BOTH sides of the contamination join (benchmark + candidates),
-  // so persist it once per (session, dir) instead of re-hashing the
-  // corpus per side and per bench repetition
-  private val subplanCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
-  private def cached(kind: String, s: SparkSession, d: String)(build: => DataFrame): DataFrame =
-    subplanCache.getOrElseUpdate((s, d, kind),
-      build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-
   val queries: Map[String, Q] = Map(
     // One Lloyd iteration of k-means over the embedding corpus: assign
     // every vector to its nearest of 8 fixed centroids (broadcast — the
@@ -97,12 +87,10 @@ object CorpusQueries extends QueryPack {
     // benchmark set of any size (no broadcast assumption, no all-pairs) —
     // followed by a distinct-count per candidate doc.
     "contamination_ngram" -> ((s, d) => {
-      val grams = cached("gram5_hashes", s, d) {
-        Tables.documents(s, d)
-          .select(col("doc_id"),
-            explode(TextOps.wordShingles(TextOps.tokens(col("text")), 5)).as("g"))
-          .select(col("doc_id"), TextOps.hash60(col("g")).as("gh"))
-      }
+      // the SHARED persisted 5-gram relation (LlmQueries.gram5Hashes):
+      // it feeds both join sides here AND text_fingerprint's aggregate,
+      // so the corpus is shingled+hashed once per (session, dir)
+      val grams = LlmQueries.gram5Hashes(s, d)
       val bench = grams.filter(col("doc_id") < 5).select("gh").distinct()
       grams.filter(col("doc_id") >= 5)
         .join(bench, "gh")

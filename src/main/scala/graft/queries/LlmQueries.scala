@@ -53,6 +53,19 @@ object LlmQueries extends QueryPack {
         .select(col("doc_id"), col("pos").cast("long").as("band"), col("col").as("band_key"))
     }
 
+  /** (doc_id, gh) for every 5-gram shingle — shared by `text_fingerprint`
+    * and CorpusQueries' `contamination_ngram`, so the corpus is shingled
+    * and hashed ONCE per (session, dir) rather than once per consumer.
+    * Docs with < 5 tokens carry no rows (consumers outer-join as needed).
+    */
+  private[queries] def gram5Hashes(s: SparkSession, d: String): DataFrame =
+    cached("gram5_hashes", s, d) {
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(TextOps.wordShingles(TextOps.tokens(col("text")), 5)).as("g"))
+        .select(col("doc_id"), TextOps.hash60(col("g")).as("gh"))
+    }
+
   private def simhashSigs(s: SparkSession, d: String): DataFrame =
     cached("simhash_sigs", s, d) {
       val exploded = Tables.documents(s, d)
@@ -142,14 +155,21 @@ object LlmQueries extends QueryPack {
     // hash (winnowing-style content fingerprint robust to suffix edits).
     // Same explode + partial-min aggregate shape as the minhash signature;
     // explode_outer keeps short docs (no shingles → null fp, zero count).
-    "text_fingerprint" -> ((s, d) =>
+    "text_fingerprint" -> ((s, d) => {
+      // min/count over the SHARED persisted 5-gram table (one corpus
+      // shingling pass amortized with contamination_ngram); left join
+      // keeps short docs with a null fingerprint and zero count, exactly
+      // like the previous explode_outer form
+      val agg = gram5Hashes(s, d)
+        .groupBy("doc_id")
+        .agg(min(col("gh")).as("min_shingle_fp"), count(lit(1)).as("n_shingles"))
       Tables.documents(s, d)
-        .select(col("doc_id"), TextOps.hash60(col("text")).as("fp"),
-          explode_outer(TextOps.wordShingles(TextOps.tokens(col("text")), 5)).as("sh"))
-        .groupBy("doc_id", "fp")
-        .agg(min(TextOps.hash60(col("sh"))).as("min_shingle_fp"),
-          count(col("sh")).as("n_shingles"))
-        .orderBy("doc_id")),
+        .select(col("doc_id"), TextOps.hash60(col("text")).as("fp"))
+        .join(agg, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("fp"), col("min_shingle_fp"),
+          coalesce(col("n_shingles"), lit(0L)).as("n_shingles"))
+        .orderBy("doc_id")
+    }),
 
     // Deterministic corpus sampling: hash-mod selection (md5-derived, so
     // any engine draws the identical sample — unlike rand()-based
