@@ -79,4 +79,33 @@ object Conform {
       s"quality gate [$table]: table is empty")
     df
   }
+
+  /** SINGLE-PASS metric gate: row/null-key counts are collected as
+    * `Observation` metrics DURING the caller's write action — no second
+    * scan, no persist-to-avoid-recompute (the two costs `Lake.build`
+    * pays to gate before writing). The trade: metrics arrive after the
+    * bytes are written, so at scale the write targets a staging location
+    * and the caller promotes it only when this returns (atomic-rename
+    * promote — the standard audit-publish pattern). Throws on an empty
+    * frame or null keys; returns the metrics for lineage logging.
+    */
+  def observedWrite(df: DataFrame, schema: StructType, table: String)
+                   (write: DataFrame => Unit): Map[String, Long] = {
+    val expected = schema.fieldNames.toSeq
+    require(df.columns.toSeq == expected,
+      s"observed gate [$table]: column order mismatch; expected=$expected actual=${df.columns.toSeq}")
+    val keyCol = expected.head
+    val obs = org.apache.spark.sql.Observation(s"gate_$table")
+    val observed = df.observe(obs,
+      count(lit(1)).as("n_rows"),
+      sum(when(col(keyCol).isNull, 1L).otherwise(0L)).as("n_null_keys"))
+    write(observed)
+    val m = obs.get
+    val nRows = m("n_rows").asInstanceOf[Long]
+    val nNullKeys = Option(m("n_null_keys")).fold(0L)(_.asInstanceOf[Long])
+    require(nRows > 0, s"observed gate [$table]: table is empty")
+    require(nNullKeys == 0,
+      s"observed gate [$table]: $nNullKeys null keys in $keyCol")
+    Map("n_rows" -> nRows, "n_null_keys" -> nNullKeys)
+  }
 }

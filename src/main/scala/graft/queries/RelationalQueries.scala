@@ -269,6 +269,24 @@ object RelationalQueries extends QueryPack {
         .orderBy("n_nationkey")
     }),
 
+    // The third join strategy, explicitly: SHUFFLED HASH join — both
+    // sides shuffle on the key, the smaller builds a hash map per
+    // partition, NO sort of either side (the win over SMJ when the build
+    // side fits in executor memory but is too big to broadcast). The hint
+    // pins the strategy; PlanShapeSpec pins the plan.
+    "join_shuffle_hash" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .filter(col("l_quantity") > 10)
+        .select("l_orderkey", "l_quantity")
+      val o = Tables.orders(s, d).select("o_orderkey", "o_orderstatus")
+        .hint("shuffle_hash")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_lines"),
+          sum(col("l_quantity").cast("long")).as("sum_qty"))
+        .orderBy("o_orderstatus")
+    }),
+
     // TPC-H Q3 (shipping priority), adapted to this schema: segment-
     // filtered customers ⋈ date-bounded orders ⋈ lineitem, revenue in
     // exact cents, top 10 by revenue. Two fact shuffles on the join keys;
@@ -552,6 +570,12 @@ object RelationalQueries extends QueryPack {
       """SELECT o_orderstatus, COUNT(*) AS n_lines,
         | CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "join_shuffle_hash" ->
+      """SELECT o_orderstatus, COUNT(*) AS n_lines,
+        | CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_quantity > 10
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "tpch_q3" ->
       """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,

@@ -120,6 +120,15 @@ class PlanShapeSpec extends SparkSpec {
       "null-safe join must not be a nested loop")
   }
 
+  test("shuffle_hash hint yields a ShuffledHashJoin with no sort below it") {
+    val p = plan("join_shuffle_hash")
+    assert(p.contains("ShuffledHashJoin"), s"hint ignored:\n${p.take(600)}")
+    val joinIdx = p.indexOf("ShuffledHashJoin")
+    // SMJ would sort both sides; SHJ's children must be sort-free scans
+    assert(!p.substring(joinIdx).contains("Sort "),
+      s"unexpected sort under the hash join:\n${p.substring(joinIdx).take(400)}")
+  }
+
   test("AQE splits a skewed sort-merge join partition at runtime") {
     // isolated session: AQE + aggressive skew thresholds, broadcast off so
     // the join stays SMJ (the plan shape where skew hurts at scale)

@@ -74,4 +74,36 @@ class ConformSpec extends SparkSpec {
     val df = Seq((1L, "a", 2)).toDF("id", "name", "score")
     assert(Conform.qualityGate(df, target, "t").collect().length == 1)
   }
+  test("observedWrite gates metrics in the same pass as the write") {
+    import spark.implicits._
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType)))
+    val out = java.nio.file.Files.createTempDirectory("graft-obs-").toString
+    val metrics = Conform.observedWrite(
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"), schema, "t") {
+      _.write.mode("overwrite").parquet(s"$out/ok")
+    }
+    assert(metrics == Map("n_rows" -> 2L, "n_null_keys" -> 0L))
+    assert(spark.read.parquet(s"$out/ok").count() == 2)
+
+    // null keys surface AFTER the staging write — the promote step never runs
+    val bad = Seq((Some(1L), "a"), (None, "b"))
+      .toDF("id", "v").select(col("id"), col("v"))
+    val e = intercept[IllegalArgumentException] {
+      Conform.observedWrite(bad, schema, "t") {
+        _.write.mode("overwrite").parquet(s"$out/staged")
+      }
+    }
+    assert(e.getMessage.contains("null keys"))
+
+    // empty frame: gate throws even though the (empty) write succeeded
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    val e2 = intercept[IllegalArgumentException] {
+      Conform.observedWrite(empty, schema, "t") {
+        _.write.mode("overwrite").parquet(s"$out/empty")
+      }
+    }
+    assert(e2.getMessage.contains("empty"))
+  }
 }
