@@ -95,6 +95,53 @@ object LlmQueries extends QueryPack {
   private def embVecs(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d).select(col("vec_id"), col("embedding").as("v"))
 
+  /** IVF top-5 per query (queries = vec_id 8..12 over the vec_id ≥ 8
+    * universe) — shared by `ann_ivf_topk` and `ann_recall`.
+    */
+  private def ivfTop5(s: SparkSession, d: String): DataFrame = {
+    val e = embVecs(s, d)
+    val cent = e.filter(col("vec_id") < 8).select(col("vec_id").as("c_id"), col("v").as("cv"))
+    val data = e.filter(col("vec_id") >= 8)
+    val aw = Window.partitionBy("vec_id").orderBy(col("c_cos").desc, col("c_id").asc)
+    val assign = data.crossJoin(broadcast(cent))
+      .withColumn("c_cos", VectorOps.cosine(col("v"), col("cv")))
+      .withColumn("arank", row_number().over(aw))
+      .filter(col("arank") === 1)
+      .select(col("vec_id"), col("v"), col("c_id").as("bucket"))
+    val q = e.filter(col("vec_id") >= 8 && col("vec_id") < 13)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val pw = Window.partitionBy("q_id").orderBy(col("c_cos").desc, col("c_id").asc)
+    val probes = q.crossJoin(broadcast(cent))
+      .withColumn("c_cos", VectorOps.cosine(col("qv"), col("cv")))
+      .withColumn("prank", row_number().over(pw))
+      .filter(col("prank") <= 2)
+      .select(col("q_id"), col("qv"), col("c_id").as("bucket"))
+    val rw = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id").asc)
+    probes.join(assign, "bucket")
+      .filter(col("q_id") =!= col("vec_id"))
+      .withColumn("cosine", VectorOps.cosine(col("qv"), col("v")))
+      .withColumn("rnk", row_number().over(rw).cast("long"))
+      .filter(col("rnk") <= 5)
+      .select("q_id", "vec_id", "bucket", "cosine", "rnk")
+  }
+
+  /** Exhaustive top-5 over the same universe/queries as [[ivfTop5]] —
+    * the ground truth for `ann_recall`.
+    */
+  private def bruteTop5(s: SparkSession, d: String): DataFrame = {
+    val e = embVecs(s, d)
+    val q = e.filter(col("vec_id") >= 8 && col("vec_id") < 13)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val c = e.filter(col("vec_id") >= 8)
+    val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id").asc)
+    c.crossJoin(broadcast(q))
+      .filter(col("q_id") =!= col("vec_id"))
+      .withColumn("cosine", VectorOps.cosine(col("qv"), col("v")))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 5)
+      .select("q_id", "vec_id", "cosine", "rnk")
+  }
+
   val queries: Map[String, Q] = Map(
     // ---- text analysis -------------------------------------------------
     // Per-language corpus statistics: doc counts, char + whitespace-token
@@ -396,32 +443,23 @@ object LlmQueries extends QueryPack {
     // nearest centroid buckets per query, search only inside them. The
     // candidate set shrinks by ~bucket-count×(probes/buckets); the final
     // join is an equi-join on bucket id.
-    "ann_ivf_topk" -> ((s, d) => {
-      val e = embVecs(s, d)
-      val cent = e.filter(col("vec_id") < 8).select(col("vec_id").as("c_id"), col("v").as("cv"))
-      val data = e.filter(col("vec_id") >= 8)
-      val aw = Window.partitionBy("vec_id").orderBy(col("c_cos").desc, col("c_id").asc)
-      val assign = data.crossJoin(broadcast(cent))
-        .withColumn("c_cos", VectorOps.cosine(col("v"), col("cv")))
-        .withColumn("arank", row_number().over(aw))
-        .filter(col("arank") === 1)
-        .select(col("vec_id"), col("v"), col("c_id").as("bucket"))
-      val q = e.filter(col("vec_id") >= 8 && col("vec_id") < 13)
-        .select(col("vec_id").as("q_id"), col("v").as("qv"))
-      val pw = Window.partitionBy("q_id").orderBy(col("c_cos").desc, col("c_id").asc)
-      val probes = q.crossJoin(broadcast(cent))
-        .withColumn("c_cos", VectorOps.cosine(col("qv"), col("cv")))
-        .withColumn("prank", row_number().over(pw))
-        .filter(col("prank") <= 2)
-        .select(col("q_id"), col("qv"), col("c_id").as("bucket"))
-      val rw = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id").asc)
-      probes.join(assign, "bucket")
-        .filter(col("q_id") =!= col("vec_id"))
-        .withColumn("cosine", VectorOps.cosine(col("qv"), col("v")))
-        .withColumn("rnk", row_number().over(rw).cast("long"))
-        .filter(col("rnk") <= 5)
-        .select("q_id", "vec_id", "bucket", "cosine", "rnk")
-        .orderBy("q_id", "rnk")
+    "ann_ivf_topk" -> ((s, d) =>
+      ivfTop5(s, d).orderBy("q_id", "rnk")),
+
+    // Recall@5 of the IVF search against exhaustive search over the same
+    // universe — the approximation-quality metric every ANN deployment
+    // tracks. Both rankings are the already-oracled shapes; the metric is
+    // an equi-join on (q_id, vec_id) + a count, in exact milli-units.
+    "ann_recall" -> ((s, d) => {
+      val hits = ivfTop5(s, d).select("q_id", "vec_id")
+        .join(bruteTop5(s, d).select("q_id", "vec_id"), Seq("q_id", "vec_id"))
+        .groupBy("q_id").agg(count(lit(1)).as("n_hits"))
+      bruteTop5(s, d).select("q_id").distinct()
+        .join(hits, Seq("q_id"), "left")
+        .select(col("q_id"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+        .withColumn("recall_milli", expr("n_hits * 1000 div 5"))
+        .orderBy("q_id")
     }),
 
     // SQL-surface parity for the native vector expressions: the same
@@ -703,6 +741,40 @@ object LlmQueries extends QueryPack {
          |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS BIGINT) AS rnk
          |  FROM res) t
          |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
+    "ann_recall" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+         |cent AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < 8),
+         |assign AS (
+         |  SELECT vec_id, v, bucket FROM (
+         |    SELECT e.vec_id, e.v, c_id AS bucket,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${cosSql("e.v", "cv")} DESC, c_id) AS arank
+         |    FROM e, cent WHERE e.vec_id >= 8) t WHERE arank = 1),
+         |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id >= 8 AND vec_id < 13),
+         |probes AS (
+         |  SELECT q_id, qv, bucket FROM (
+         |    SELECT q_id, qv, c_id AS bucket,
+         |      row_number() OVER (PARTITION BY q_id
+         |        ORDER BY ${cosSql("qv", "cv")} DESC, c_id) AS prank
+         |    FROM q, cent) t WHERE prank <= 2),
+         |ivf AS (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY ${cosSql("qv", "a.v")} DESC, vec_id) AS rnk
+         |    FROM probes p JOIN assign a ON p.bucket = a.bucket
+         |    WHERE q_id <> vec_id) t WHERE rnk <= 5),
+         |brute AS (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT q_id, c.vec_id, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY ${cosSql("qv", "c.v")} DESC, c.vec_id) AS rnk
+         |    FROM q, e c WHERE c.vec_id >= 8 AND q_id <> c.vec_id) t WHERE rnk <= 5),
+         |hits AS (SELECT i.q_id, COUNT(*) AS n_hits
+         |  FROM ivf i JOIN brute b ON i.q_id = b.q_id AND i.vec_id = b.vec_id
+         |  GROUP BY 1)
+         |SELECT q.q_id, COALESCE(n_hits, 0) AS n_hits,
+         |  CAST(COALESCE(n_hits, 0) * 1000 // 5 AS BIGINT) AS recall_milli
+         |FROM (SELECT DISTINCT q_id FROM q) q LEFT JOIN hits ON q.q_id = hits.q_id
+         |ORDER BY q.q_id""".stripMargin,
     "dedup_embedding_cosine" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
          |planes AS (SELECT vec_id AS p_id, v AS pv FROM e WHERE vec_id < 8),

@@ -194,6 +194,30 @@ object StatsQueries extends QueryPack {
           sum(Cleaning.cents(col("value"))).as("value_cents"))
         .orderBy("hour", "event_type")),
 
+    // Row provenance via the hidden _metadata column: which FILE did each
+    // row come from, surfaced as a per-file row count + byte size — the
+    // lineage/debugging query every lake needs (who wrote the bad rows?).
+    // _metadata is a metadata struct the scan materializes only when
+    // referenced; no normal read pays for it.
+    "scan_file_metadata" -> ((s, d) =>
+      s.read.parquet(s"$d/lineitem.parquet")
+        .select(expr("regexp_extract(_metadata.file_name, '[^/]+$', 0)").as("file_name"),
+          expr("CAST(_metadata.file_size > 0 AS BOOLEAN)").as("file_has_bytes"))
+        .groupBy("file_name", "file_has_bytes")
+        .agg(count(lit(1)).as("n_rows"))
+        .orderBy("file_name")),
+
+    // NOT IN with a subquery — the null-aware anti join. The subquery side
+    // here is provably null-free, so the semantics reduce to a plain anti
+    // join; the planner still goes through the null-aware machinery.
+    "subquery_not_in" -> ((s, d) =>
+      s.sql(
+        s"""SELECT c_custkey, c_acctbal FROM parquet.`$d/customer.parquet`
+           |WHERE c_custkey NOT IN
+           |  (SELECT o_custkey FROM parquet.`$d/orders.parquet`
+           |   WHERE o_totalprice > 150000)
+           |ORDER BY c_custkey""".stripMargin)),
+
     // Bloom-filter semi-join pruning: build a Bloom filter over the
     // customer keys (Spark's internal BloomFilterAggregate — the engine
     // piece behind runtime row-group filtering), embed it as a literal
@@ -461,6 +485,18 @@ object StatsQueries extends QueryPack {
         |  event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // the oracle sees only table views, never paths, so it pins the
+    // provable invariants: the metadata column yields THE file's basename
+    // with a positive size, and every row carries it
+    "scan_file_metadata" ->
+      """SELECT 'lineitem.parquet' AS file_name, TRUE AS file_has_bytes,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem ORDER BY 1""".stripMargin,
+    "subquery_not_in" ->
+      """SELECT c_custkey, c_acctbal FROM customer
+        |WHERE c_custkey NOT IN
+        |  (SELECT o_custkey FROM orders WHERE o_totalprice > 150000)
+        |ORDER BY c_custkey""".stripMargin,
     // no false negatives is provable, so the oracle states it exactly
     "agg_bloom_filter" ->
       """SELECT o_orderstatus, COUNT(*) AS n_orders, COUNT(*) AS n_might_contain
