@@ -325,6 +325,49 @@ object StatsQueries extends QueryPack {
         .withColumn("zkey", graft.ops.ZOrder.zkey(col("px"), col("sy")))
         .orderBy("l_orderkey", "l_linenumber")),
 
+    // EWMA as a deterministic sequential fold: per user, events sorted by
+    // time, smoothed in integer cents with alpha=1/2 per step
+    // (acc -> (acc + x) div 2). Floating EWMA over a window is
+    // accumulation-order-sensitive; the integer fold over a sorted
+    // collect_list is bit-stable on any engine — list_reduce in the
+    // oracle folds in the identical order.
+    "win_ewma_fold" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("user_id"),
+          struct(unix_micros(col("ts")).as("t"),
+            Cleaning.cents(col("value")).as("c")).as("p"))
+        .groupBy("user_id")
+        .agg(sort_array(collect_list(col("p"))).as("ps"))
+        .select(col("user_id"), expr("transform(ps, x -> x.c)").as("cs"))
+        .select(col("user_id"),
+          size(col("cs")).cast("long").as("n_events"),
+          expr("aggregate(slice(cs, 2, size(cs) - 1), cs[0], (a, x) -> (a + x) div 2)")
+            .as("ewma_cents"))
+        .orderBy("user_id")),
+
+    // Map-type operations pinned against their relational meaning: a
+    // linenumber→quantity map per order (map_from_entries over a SORTED
+    // entry list, so key order is deterministic), then size / lookup /
+    // keys / value-fold — each reproducible from the flat rows, which is
+    // exactly what the oracle does.
+    "map_entries_ops" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        // the generator reuses linenumbers within an order; map keys must
+        // be unique, so collapse to max-quantity per (order, linenumber)
+        .groupBy(col("l_orderkey"), col("l_linenumber").cast("long").as("k"))
+        .agg(max(col("l_quantity").cast("long")).as("v"))
+        .select(col("l_orderkey"), struct(col("k"), col("v")).as("e"))
+        .groupBy("l_orderkey")
+        .agg(map_from_entries(sort_array(collect_list(col("e")))).as("m"))
+        .select(col("l_orderkey"),
+          expr("CAST(size(m) AS BIGINT)").as("n_lines"),
+          expr("try_element_at(m, CAST(1 AS BIGINT))").as("qty_line1"),
+          expr("array_join(transform(map_keys(m), k -> CAST(k AS STRING)), ',')")
+            .as("keys_csv"),
+          expr("aggregate(map_values(m), CAST(0 AS BIGINT), (a, x) -> a + x)")
+            .as("qty_total"))
+        .orderBy("l_orderkey")),
+
     // Typed Dataset path: KeyValueGroupedDataset.mapGroups computing each
     // user's max inter-event gap — arbitrary per-group Scala logic the
     // expression language can't write (here it CAN, see the oracle, which
@@ -543,6 +586,23 @@ object StatsQueries extends QueryPack {
          |  $z AS zkey
          |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
     },
+    "win_ewma_fold" ->
+      """WITH g AS (SELECT user_id,
+        |    list(CAST(round(value*100) AS BIGINT)
+        |         ORDER BY epoch_us(ts), CAST(round(value*100) AS BIGINT)) AS cs
+        |  FROM events GROUP BY 1)
+        |SELECT user_id, CAST(len(cs) AS BIGINT) AS n_events,
+        |  CAST(list_reduce(cs, (a, x) -> (a + x) // 2) AS BIGINT) AS ewma_cents
+        |FROM g ORDER BY user_id""".stripMargin,
+    "map_entries_ops" ->
+      """WITH u AS (SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS k,
+        |    MAX(CAST(l_quantity AS BIGINT)) AS v
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT l_orderkey, COUNT(*) AS n_lines,
+        |  MAX(CASE WHEN k = 1 THEN v END) AS qty_line1,
+        |  string_agg(CAST(k AS VARCHAR), ',' ORDER BY k) AS keys_csv,
+        |  CAST(SUM(v) AS BIGINT) AS qty_total
+        |FROM u GROUP BY 1 ORDER BY 1""".stripMargin,
     "typed_map_groups" ->
       """WITH g AS (SELECT user_id, epoch_us(ts) AS ts_us,
         |    epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) AS gap

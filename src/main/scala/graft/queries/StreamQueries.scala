@@ -41,6 +41,15 @@ object StreamQueries extends QueryPack {
         Tables.customer(s, d).select("c_custkey", "c_mktsegment"))
         .orderBy("c_mktsegment", "event_type")),
 
+    // flatMapGroupsWithState sessionization run in BATCH mode: the same
+    // arbitrary-state function Streams runs as a stream. In one batch it
+    // emits every session EXCEPT each user's final one (still "open" in
+    // state) — deterministic, so the oracle pins the custom-state logic
+    // itself, not just a smoke test.
+    "stream_closed_sessions_batcheq" -> ((s, d) =>
+      Streams.closedSessions(s, Tables.events(s, d), gapSec = 1800L)
+        .orderBy("user_id", "session_start_sec")),
+
     // Stream–stream interval join (clicks × purchases within 30 min, same
     // user) run on the static table. Both shuffles land on user_id; the
     // time bound is a residual predicate on the equi-join — the plan shape
@@ -73,6 +82,22 @@ object StreamQueries extends QueryPack {
         | CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents
         |FROM events JOIN customer ON user_id = c_custkey
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "stream_closed_sessions_batcheq" ->
+      """WITH e AS (SELECT user_id,
+        |    CAST(epoch_us(ts) // 1000000 AS BIGINT) AS ts_sec FROM events),
+        |m AS (SELECT user_id, ts_sec,
+        |    CASE WHEN lag(ts_sec) OVER w IS NULL
+        |           OR ts_sec - lag(ts_sec) OVER w > 1800 THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec)),
+        |s AS (SELECT user_id, ts_sec, SUM(new_s) OVER (PARTITION BY user_id
+        |    ORDER BY ts_sec ROWS UNBOUNDED PRECEDING) AS sid FROM m),
+        |agg AS (SELECT user_id, sid, MIN(ts_sec) AS session_start_sec,
+        |    MAX(ts_sec) AS session_last_sec, COUNT(*) AS n_events
+        |  FROM s GROUP BY 1, 2),
+        |last AS (SELECT user_id, MAX(sid) AS last_sid FROM agg GROUP BY 1)
+        |SELECT a.user_id, session_start_sec, session_last_sec, n_events
+        |FROM agg a JOIN last l ON a.user_id = l.user_id AND a.sid < l.last_sid
+        |ORDER BY a.user_id, session_start_sec""".stripMargin,
     "stream_stream_join_batcheq" ->
       """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
         | epoch_us(c.ts) AS c_us, epoch_us(p.ts) AS p_us
