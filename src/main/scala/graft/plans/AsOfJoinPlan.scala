@@ -74,6 +74,14 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
   override def outputPartitioning = left.outputPartitioning
   override def outputOrdering: Seq[SortOrder] = left.outputOrdering
 
+  // proper SQL metrics: the operator reports itself in the Spark UI /
+  // QueryExecution like any built-in join
+  override lazy val metrics = Map(
+    "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of output rows"),
+    "numMatched" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of left rows with a match"))
+
   override protected def withNewChildrenInternal(l: SparkPlan, r: SparkPlan): AsOfJoinExec =
     copy(left = l, right = r)
 
@@ -86,6 +94,8 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     val rtie = BindReferences.bindReference(rightTie, right.output)
     val outAttrs = output
     val rightWidth = right.output.size
+    val numOutputRows = longMetric("numOutputRows")
+    val numMatched = longMetric("numMatched")
 
     left.execute().zipPartitions(right.execute()) { (li, ri) =>
       val nullRight = new GenericInternalRow(rightWidth)
@@ -121,6 +131,7 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
 
         override def next(): InternalRow = {
           val l = li.next()
+          numOutputRows += 1
           val k = lk.eval(l); val t = lts.eval(l); val e = ltie.eval(l)
           if (k == null || t == null || e == null) return project(joined(l, nullRight))
           val lKeyV = k.asInstanceOf[Long]
@@ -133,7 +144,8 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
             if (rKeyV == lKeyV) { mRow = rRow; mKey = rKeyV }
             pullRight()
           }
-          val r = if (mRow != null && mKey == lKeyV) mRow else nullRight
+          val r = if (mRow != null && mKey == lKeyV) { numMatched += 1; mRow }
+            else nullRight
           project(joined(l, r))
         }
       }

@@ -269,6 +269,51 @@ object RelationalQueries extends QueryPack {
         .orderBy("n_nationkey")
     }),
 
+    // TPC-H Q1 (pricing summary): THE scan-heavy aggregation benchmark —
+    // one filtered scan, one low-cardinality hash agg with map-side
+    // partials, money in exact cents (avg as integer-div cents so the
+    // result is partition-order-independent).
+    "tpch_q1" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= "1998-09-02")
+        .select(col("l_returnflag"), col("l_linestatus"),
+          col("l_quantity").cast("long").as("qty"),
+          expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("price_c"),
+          expr("CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)").as("disc_c"),
+          expr("CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100) AS BIGINT)")
+            .as("charge_c"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(sum("qty").as("sum_qty"),
+          sum("price_c").as("sum_base_cents"),
+          sum("disc_c").as("sum_disc_cents"),
+          sum("charge_c").as("sum_charge_cents"),
+          count(lit(1)).as("count_order"))
+        .withColumn("avg_qty_milli", expr("sum_qty * 1000 div count_order"))
+        .withColumn("avg_price_cents", expr("sum_base_cents div count_order"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // TPC-H Q18 (large-volume customers): aggregate-then-filter (HAVING)
+    // feeding a join back to the dimension — the "find the whales" shape.
+    // The HAVING runs BEFORE the customer join, so only qualifying orders
+    // join; top-k by TakeOrderedAndProject.
+    "tpch_q18" -> ((s, d) => {
+      val big = Tables.lineitem(s, d)
+        .groupBy("l_orderkey")
+        .agg(sum(col("l_quantity").cast("long")).as("total_qty"))
+        .filter(col("total_qty") > 250)
+      val o = Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+      val c = Tables.customer(s, d).select("c_custkey", "c_name")
+      big.join(o, big("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("total_cents"),
+          col("total_qty"))
+        .orderBy(col("total_cents").desc, col("o_orderkey").asc)
+        .limit(20)
+    }),
+
     // The third join strategy, explicitly: SHUFFLED HASH join — both
     // sides shuffle on the key, the smaller builds a hash map per
     // partition, NO sort of either side (the win over SMJ when the build
@@ -571,6 +616,30 @@ object RelationalQueries extends QueryPack {
         | CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "tpch_q1" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+        |  CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_disc_cents,
+        |  CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_charge_cents,
+        |  COUNT(*) AS count_order,
+        |  CAST(SUM(CAST(l_quantity AS BIGINT)) * 1000 // COUNT(*) AS BIGINT) AS avg_qty_milli,
+        |  CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) // COUNT(*) AS BIGINT)
+        |    AS avg_price_cents
+        |FROM lineitem WHERE l_shipdate <= DATE '1998-09-02'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "tpch_q18" ->
+      """WITH big AS (SELECT l_orderkey,
+        |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+        |  FROM lineitem GROUP BY 1 HAVING SUM(CAST(l_quantity AS BIGINT)) > 250)
+        |SELECT c_name, c_custkey, o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents, total_qty
+        |FROM big JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY total_cents DESC, o_orderkey ASC LIMIT 20""".stripMargin,
     "join_shuffle_hash" ->
       """SELECT o_orderstatus, COUNT(*) AS n_lines,
         | CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
