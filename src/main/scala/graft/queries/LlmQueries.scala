@@ -333,6 +333,24 @@ object LlmQueries extends QueryPack {
         .orderBy("d1", "d2")
     }),
 
+    // Degree profile of the near-dup candidate graph: how many partners
+    // each doc has, and how many docs sit at each degree. This is the
+    // quantity that predicts connected-components round count and the
+    // band-join output volume — the first thing to inspect when LSH
+    // parameters are being tuned at corpus scale.
+    "dedup_degree_stats" -> ((s, d) => {
+      val b = minhashBands(s, d)
+      val pairs = b.as("x").join(b.as("y"),
+          col("x.band") === col("y.band") && col("x.band_key") === col("y.band_key") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+        .distinct()
+      pairs.select(col("d1").as("doc")).unionAll(pairs.select(col("d2").as("doc")))
+        .groupBy("doc").agg(count(lit(1)).as("degree"))
+        .groupBy("degree").agg(count(lit(1)).as("n_docs"))
+        .orderBy("degree")
+    }),
+
     // Near-dup CLUSTERS: candidate pairs collapsed by transitivity
     // (A~B, B~C ⇒ one cluster) via distributed min-label propagation —
     // without this, keep-one-per-pair dedup retains both endpoints of
@@ -630,6 +648,15 @@ object LlmQueries extends QueryPack {
          |    // CAST(len(list_distinct(list_concat(x.sh, y.sh))) AS BIGINT) AS jaccard_milli
          |FROM pairs JOIN shs x ON d1 = x.doc_id JOIN shs y ON d2 = y.doc_id
          |ORDER BY d1, d2""".stripMargin,
+    "dedup_degree_stats" ->
+      s"""WITH $mhSigSql,
+         |pairs AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |  FROM bandtab a JOIN bandtab b
+         |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+         |deg AS (SELECT doc, COUNT(*) AS degree FROM (
+         |    SELECT d1 AS doc FROM pairs UNION ALL SELECT d2 FROM pairs) t
+         |  GROUP BY 1)
+         |SELECT degree, COUNT(*) AS n_docs FROM deg GROUP BY 1 ORDER BY 1""".stripMargin,
     "dedup_simhash" ->
       s"""WITH $simhashSql
          |SELECT doc_id, simhash FROM sig ORDER BY doc_id""".stripMargin,
