@@ -20,6 +20,7 @@ object SparkEntry {
     CorpusQueries,
     StreamQueries,
     MultimodalQueries,
+    ScaleQueries,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

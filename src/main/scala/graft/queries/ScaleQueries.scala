@@ -1,0 +1,423 @@
+package graft.queries
+
+import graft.Tables
+import graft.ops.TextOps
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Round-5 depth pack: the remaining "would you trust this at 100 TB"
+  * operator families — dynamic partition pruning, distributed graph
+  * analytics (triangle counting with degree orientation), gap-based
+  * sessionization, a mergeable frequency sketch with its error bound
+  * proven in the correctness gate, int8 embedding quantization, and
+  * corpus statistics (token entropy, TF-IDF) — plus the TPC-H queries
+  * (Q6/Q10/Q14) the generator's schema subset supports beyond
+  * Q1/Q3/Q5/Q18.
+  *
+  * Scale posture: every query is shuffle-minimal hash-agg/equi-join work.
+  * The graph queries never materialize all-pairs anything — edges come
+  * from per-order distinct part sets (≤13 lines/order in this generator;
+  * basket-capped in any real feed), and the triangle join is oriented by
+  * (degree, id) so each triangle is counted once and high-degree nodes
+  * don't fan out quadratically on the probe side. Floating math crossing
+  * the oracle boundary is rounded to integers BEFORE any re-aggregation,
+  * so sums are partition-order-independent in both engines.
+  */
+object ScaleQueries extends QueryPack {
+
+  private val runNonce: String = java.util.UUID.randomUUID.toString.take(8)
+
+  // Same memoized-persist discipline as LlmQueries: subplans consumed
+  // several times within one query (the triangle query reads the oriented
+  // edge list three times) are persisted once per (session, dir).
+  private val subplanCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
+  private def cached(kind: String, s: SparkSession, d: String)(build: => DataFrame): DataFrame =
+    subplanCache.getOrElseUpdate((s, d, kind),
+      build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  // partitioned fact + dim table written once per (session, sf-dir)
+  private val dppTables = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (String, String)]
+
+  /** Orders partitioned by o_orderpriority plus a tiny priority-dimension
+    * table, both written to scratch once per (session, dir). The dim MUST
+    * be an on-disk scan (not a literal LocalRelation): Catalyst's
+    * ConvertToLocalRelation folds a filter over literals away at optimize
+    * time, leaving no selective Filter node for the PartitionPruning rule
+    * to key off — exactly the date-dim-on-disk shape real warehouses have.
+    */
+  private def dppPair(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    import s.implicits._
+    val (factPath, dimPath) = dppTables.getOrElseUpdate((s, d), {
+      val base = s"${sys.props("java.io.tmpdir")}/graft-scratch-$runNonce"
+      val f = s"$base/dpp_orders_${(d.hashCode & 0xffffff).toHexString}"
+      val dm = s"$base/dpp_pridim_${(d.hashCode & 0xffffff).toHexString}"
+      Tables.orders(s, d).write.mode(SaveMode.Overwrite)
+        .partitionBy("o_orderpriority").parquet(f)
+      Seq(("1-URGENT", "hot"), ("2-HIGH", "hot"), ("3-MEDIUM", "warm"),
+        ("4-NOT SPECIFIED", "cold"), ("5-LOW", "cold"))
+        .toDF("pri", "urgency_class")
+        .write.mode(SaveMode.Overwrite).parquet(dm)
+      (f, dm)
+    })
+    (s.read.parquet(factPath), s.read.parquet(dimPath))
+  }
+
+  val queries: Map[String, Q] = Map(
+    // TPC-H Q6 (forecasting revenue change): the pure scan-filter-agg
+    // shape — every predicate is pushed to the parquet reader (min/max
+    // row-group skipping does the work at scale), and the aggregate is a
+    // single map-side-combined global sum. No shuffle beyond the final
+    // 1-row merge.
+    "tpch_q6" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= "1996-01-01" && col("l_shipdate") < "1997-01-01" &&
+          col("l_discount") >= 0.04 && col("l_discount") <= 0.07 && col("l_quantity") < 24)
+        .agg(
+          sum(expr("CAST(round(l_extendedprice * l_discount * 100) AS BIGINT)"))
+            .as("revenue_cents"),
+          count(lit(1)).as("n_lines"))),
+
+    // TPC-H Q10 (returned-item reporting): fact filtered on two pushed
+    // predicates joins orders→customer→broadcast(nation); the heavy group
+    // key is the customer, so the agg shuffles once on c_custkey; top-20
+    // goes through TakeOrderedAndProject (no global sort materialized).
+    "tpch_q10" -> ((s, d) => {
+      val l = Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= "1996-01-01" && col("o_orderdate") < "1996-07-01")
+      val c = Tables.customer(s, d)
+      val n = Tables.nation(s, d)
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg(sum(expr("CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)"))
+          .as("revenue_cents"))
+        .orderBy(col("revenue_cents").desc, col("c_custkey").asc)
+        .limit(20)
+    }),
+
+    // TPC-H Q14 (promotion effect): join through part on the month's
+    // lineitems, conditional aggregation, and the headline ratio kept in
+    // exact integers (permille by integer division) so the single output
+    // row hashes identically in both engines.
+    "tpch_q14" -> ((s, d) => {
+      val l = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= "1996-09-01" && col("l_shipdate") < "1996-10-01")
+      val p = Tables.part(s, d)
+      l.join(p, l("l_partkey") === p("p_partkey"))
+        .select(col("p_type"),
+          expr("CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)").as("disc_c"))
+        .agg(
+          sum(when(col("p_type") === "PROMO", col("disc_c")).otherwise(0L)).as("promo_cents"),
+          sum(col("disc_c")).as("total_cents"))
+        .withColumn("promo_permille", expr("promo_cents * 1000 div total_cents"))
+    }),
+
+    // Dynamic partition pruning: the fact side is a parquet table
+    // partitioned by o_orderpriority; the dim side is a filtered
+    // constant-size relation. Spark plants a DynamicPruningExpression on
+    // the fact scan so only the dim's surviving priorities' directories
+    // are listed/read — at 100 TB this is the difference between scanning
+    // 2/5 of the table and all of it. PlanShapeSpec pins the
+    // dynamicpruning expression in the scan's PartitionFilters.
+    "join_dpp" -> ((s, d) => {
+      val (fact, dimAll) = dppPair(s, d)
+      val dim = dimAll.filter(col("urgency_class") === "hot")
+      fact.join(dim, fact("o_orderpriority") === dim("pri"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("price_cents"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // Distributed triangle counting over the part co-purchase graph.
+    // Edges: distinct (order, part) pairs self-joined per order (bounded
+    // fan-out — the basket size caps pairs per order). Orientation: each
+    // undirected edge is directed from its (degree, id)-smaller endpoint,
+    // the classic trick that (a) counts each triangle exactly once and
+    // (b) bounds the wedge join's fan-out by sqrt(m) on skewed graphs —
+    // hub nodes get in-edges, not out-edges, so no reducer sees a hub's
+    // full neighborhood squared. Three shuffles total (edges, degrees,
+    // wedge-close), all equi-joins.
+    "graph_triangles" -> ((s, d) => {
+      val e = cached("copurchase_edges", s, d) {
+        // high-quantity lines only: the unfiltered co-purchase graph is
+        // near-complete over this generator's small part key space (avg
+        // degree 119 → 41M wedges at sf0.1), which measures density, not
+        // the operator. Real baskets are the filtered shape.
+        val po = Tables.lineitem(s, d).filter(col("l_quantity") >= 40)
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+        val po2 = po.select(col("o").as("o2"), col("p").as("p2"))
+        po.join(po2, col("o") === col("o2") && col("p") < col("p2"))
+          .select(col("p").as("u"), col("p2").as("v")).distinct()
+      }
+      val oriented = cached("oriented_edges", s, d) {
+        val deg = e.select(col("u").as("node")).union(e.select(col("v").as("node")))
+          .groupBy("node").agg(count(lit(1)).as("dg"))
+        val du = deg.select(col("node").as("u"), col("dg").as("du"))
+        val dv = deg.select(col("node").as("v"), col("dg").as("dv"))
+        e.join(du, "u").join(dv, "v")
+          .select(
+            when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")),
+              col("u")).otherwise(col("v")).as("src"),
+            when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")),
+              col("v")).otherwise(col("u")).as("dst"))
+      }
+      val o1 = oriented.select(col("src").as("a"), col("dst").as("b"))
+      val o2 = oriented.select(col("src").as("b2"), col("dst").as("c"))
+      val wedges = o1.join(o2, col("b") === col("b2")).select(col("a"), col("b"), col("c"))
+      val closing = oriented.select(col("src").as("a2"), col("dst").as("c2"))
+      val tri = wedges.join(closing, col("a") === col("a2") && col("c") === col("c2"))
+      val nNodes = oriented
+        .select(col("src").as("node")).union(oriented.select(col("dst").as("node")))
+        .distinct().agg(count(lit(1)).as("n_nodes"))
+      val nEdges = e.agg(count(lit(1)).as("n_edges"))
+      val nTri = tri.agg(count(lit(1)).as("n_triangles"))
+      nNodes.crossJoin(nEdges).crossJoin(nTri)
+    }),
+
+    // Gap-based sessionization in batch: the canonical lag + running-sum
+    // session-id assignment, then per-session stats. One shuffle on
+    // user_id serves both windows AND the final aggregation (same key),
+    // so the whole query is a single exchange at any scale. Durations in
+    // exact integer milliseconds.
+    "events_sessionize_gap" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("value_c"))
+        .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+        .withColumn("new_sess",
+          when(col("prev_us").isNull ||
+            unix_micros(col("ts")) - col("prev_us") > 30L * 60 * 1000000, 1L)
+            .otherwise(0L))
+        .withColumn("sess_seq", sum("new_sess").over(w))
+        .groupBy("user_id", "sess_seq")
+        .agg(count(lit(1)).as("n_events"),
+          ((max(unix_micros(col("ts"))) - min(unix_micros(col("ts")))) / 1000L)
+            .cast("long").as("duration_ms"),
+          sum("value_c").as("value_cents"))
+        .orderBy("user_id", "sess_seq")
+    }),
+
+    // Count-min sketch with its error bound proven IN the correctness
+    // gate (same discipline as agg_approx_distinct / agg_approx_percentile):
+    // the sketch is built distributedly (associative partial merges — the
+    // mergeable-summaries property is exactly why CMS works at 100 TB),
+    // only the KB-sized sketch and the low-cardinality exact table reach
+    // the driver, and the output row per key carries the exact count plus
+    // a within_bound boolean (est ≥ exact ∧ est ≤ exact + ε·N, fixed
+    // seed). The oracle recomputes the exact side and pins the bound true.
+    "agg_count_min" -> ((s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+      val exact = ev.groupBy("event_type").agg(count(lit(1)).as("exact_n"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+      val total = exact.map(_._2).sum
+      val cms = ev.stat.countMinSketch("event_type", 0.001, 0.99, 42)
+      val rows = exact.map { case (k, n) =>
+        val est = cms.estimateCount(k)
+        (k, n, est >= n && est <= n + (0.001 * total).ceil.toLong)
+      }
+      rows.toSeq.toDF("event_type", "exact_n", "within_bound")
+        .orderBy("event_type")
+    }),
+
+    // Int8 scalar quantization of the embedding corpus — the standard
+    // 4× memory compression before ANN serving. Per vector: symmetric
+    // scale = max|v|/127, quantize, and emit (a) the integer checksum of
+    // the quantized codes — proving the oracle quantizes to the SAME
+    // codes — and (b) a reconstruction-error bound (≤ half a step). All
+    // HOF map work, no shuffle, no UDF.
+    "ann_quantize_int8" -> ((s, d) =>
+      Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+        .withColumn("sc",
+          expr("aggregate(v, CAST(0.0 AS DOUBLE), (acc, x) -> greatest(acc, abs(x))) / 127"))
+        .select(col("vec_id"),
+          expr("CAST(size(v) AS BIGINT)").as("dim"),
+          expr("CASE WHEN sc = 0 THEN 0 ELSE aggregate(v, 0L, (acc, x) -> acc + CAST(round(x / sc) AS LONG)) END")
+            .as("q_sum"),
+          expr("CASE WHEN sc = 0 THEN true ELSE aggregate(v, CAST(0.0 AS DOUBLE), (acc, x) -> greatest(acc, abs(round(x / sc) * sc - x))) <= sc * 0.5000001 END")
+            .as("within_half_step"))
+        .orderBy("vec_id")),
+
+    // Token-distribution Shannon entropy per document (boilerplate/spam
+    // signal: low entropy = repeated tokens). Two hash aggregations —
+    // (doc, token) counts, then per-doc fold. Each term's contribution is
+    // rounded to integer micro-nats BEFORE the per-doc sum, so the sum is
+    // addition-order-independent and hashes identically in both engines.
+    "text_entropy" -> ((s, d) => {
+      val tc = Tables.documents(s, d)
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      val wn = Window.partitionBy("doc_id")
+      tc.withColumn("n", sum("c").over(wn))
+        .select(col("doc_id"), col("n"),
+          expr("CAST(round((CAST(c AS DOUBLE) / n) * ln(CAST(n AS DOUBLE) / c) * 1e6) AS BIGINT)")
+            .as("contrib_micro"))
+        .groupBy("doc_id")
+        .agg(max("n").cast("long").as("n_tokens"),
+          sum("contrib_micro").as("entropy_micronats"))
+        .orderBy("doc_id")
+    }),
+
+    // TF-IDF top-3 terms per document. df comes from one hash agg over
+    // the (doc, term) relation; N arrives as a broadcast 1-row aggregate
+    // (no driver round-trip); idf is integer-scaled micro-nats so the
+    // tf·idf score and its ordering are engine-portable. The per-doc
+    // top-3 is a WindowGroupLimit-prunable row_number.
+    "text_tfidf_top" -> ((s, d) => {
+      val tc = Tables.documents(s, d)
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      val df_ = tc.groupBy("tok").agg(count(lit(1)).as("df"))
+      val nDocs = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("score").desc, col("tok").asc)
+      tc.join(df_, "tok")
+        .crossJoin(broadcast(nDocs))
+        .withColumn("idf_micro",
+          expr("CAST(round(ln(CAST(n_docs AS DOUBLE) / df) * 1e6) AS BIGINT)"))
+        .withColumn("score", col("tf") * col("idf_micro"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("doc_id"), col("rnk").cast("long").as("rnk"),
+          col("tok"), col("tf"), col("df"), col("score"))
+        .orderBy("doc_id", "rnk")
+    }),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "tpch_q6" ->
+      """SELECT
+        |  CAST(SUM(CAST(round(l_extendedprice * l_discount * 100) AS BIGINT)) AS BIGINT)
+        |    AS revenue_cents,
+        |  COUNT(*) AS n_lines
+        |FROM lineitem
+        |WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+        |  AND l_discount >= 0.04 AND l_discount <= 0.07 AND l_quantity < 24""".stripMargin,
+
+    "tpch_q10" ->
+      """SELECT c_custkey, c_name, n_name,
+        |  CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+        |    AS revenue_cents
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1996-07-01'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue_cents DESC, c_custkey ASC LIMIT 20""".stripMargin,
+
+    "tpch_q14" ->
+      """WITH m AS (SELECT p_type,
+        |    CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS disc_c
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= DATE '1996-09-01' AND l_shipdate < DATE '1996-10-01')
+        |SELECT
+        |  CAST(SUM(CASE WHEN p_type = 'PROMO' THEN disc_c ELSE 0 END) AS BIGINT) AS promo_cents,
+        |  CAST(SUM(disc_c) AS BIGINT) AS total_cents,
+        |  CAST(SUM(CASE WHEN p_type = 'PROMO' THEN disc_c ELSE 0 END) * 1000
+        |    // SUM(disc_c) AS BIGINT) AS promo_permille
+        |FROM m""".stripMargin,
+
+    // oracle joins the raw table against the same literal dim — pruning
+    // must be invisible in the result
+    "join_dpp" ->
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS price_cents
+        |FROM orders
+        |JOIN (SELECT pri FROM (VALUES
+        |        ('1-URGENT', 'hot'), ('2-HIGH', 'hot'), ('3-MEDIUM', 'warm'),
+        |        ('4-NOT SPECIFIED', 'cold'), ('5-LOW', 'cold')) t(pri, urgency_class)
+        |      WHERE urgency_class = 'hot') d
+        |  ON o_orderpriority = pri
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "graph_triangles" ->
+      """WITH po AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |      FROM lineitem WHERE l_quantity >= 40),
+        |e AS (SELECT DISTINCT a.p AS u, b.p AS v
+        |      FROM po a JOIN po b ON a.o = b.o AND a.p < b.p),
+        |deg AS (SELECT node, COUNT(*) AS dg FROM (
+        |    SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e)
+        |  GROUP BY 1),
+        |o AS (SELECT
+        |    CASE WHEN du.dg < dv.dg OR (du.dg = dv.dg AND e.u < e.v)
+        |         THEN e.u ELSE e.v END AS src,
+        |    CASE WHEN du.dg < dv.dg OR (du.dg = dv.dg AND e.u < e.v)
+        |         THEN e.v ELSE e.u END AS dst
+        |  FROM e JOIN deg du ON e.u = du.node JOIN deg dv ON e.v = dv.node),
+        |tri AS (SELECT COUNT(*) AS n FROM o o1
+        |  JOIN o o2 ON o1.dst = o2.src
+        |  JOIN o o3 ON o3.src = o1.src AND o3.dst = o2.dst)
+        |SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
+        |       (SELECT COUNT(*) FROM e) AS n_edges,
+        |       (SELECT n FROM tri) AS n_triangles""".stripMargin,
+
+    "events_sessionize_gap" ->
+      """WITH x AS (SELECT user_id, event_id, ts,
+        |    CAST(round(value * 100) AS BIGINT) AS value_c,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        |  FROM events),
+        |y AS (SELECT *,
+        |    CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 30*60*1000000
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM x),
+        |z AS (SELECT *,
+        |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS sess_seq
+        |  FROM y)
+        |SELECT user_id, CAST(sess_seq AS BIGINT) AS sess_seq, COUNT(*) AS n_events,
+        |  CAST((max(epoch_us(ts)) - min(epoch_us(ts))) // 1000 AS BIGINT) AS duration_ms,
+        |  CAST(SUM(value_c) AS BIGINT) AS value_cents
+        |FROM z GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "agg_count_min" ->
+      """SELECT event_type, COUNT(*) AS exact_n, true AS within_bound
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "ann_quantize_int8" ->
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |s AS (SELECT vec_id, v,
+        |    list_max(list_transform(v, x -> abs(x))) / 127 AS sc FROM e)
+        |SELECT vec_id, CAST(len(v) AS BIGINT) AS dim,
+        |  CAST(CASE WHEN sc = 0 THEN 0 ELSE
+        |    list_sum(list_transform(v, x -> CAST(round(x / sc) AS BIGINT))) END AS BIGINT)
+        |    AS q_sum,
+        |  CASE WHEN sc = 0 THEN true ELSE
+        |    list_max(list_transform(v, x -> abs(round(x / sc) * sc - x))) <= sc * 0.5000001 END
+        |    AS within_half_step
+        |FROM s ORDER BY vec_id""".stripMargin,
+
+    "text_entropy" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |tc AS (SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+        |tn AS (SELECT *, SUM(c) OVER (PARTITION BY doc_id) AS n FROM tc)
+        |SELECT doc_id, CAST(MAX(n) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(CAST(round((CAST(c AS DOUBLE) / n) * ln(CAST(n AS DOUBLE) / c) * 1e6)
+        |    AS BIGINT)) AS BIGINT) AS entropy_micronats
+        |FROM tn GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "text_tfidf_top" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |tc AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+        |df AS (SELECT tok, COUNT(*) AS df FROM tc GROUP BY 1),
+        |nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |scored AS (SELECT tc.doc_id, tc.tok, tc.tf, df.df,
+        |    tc.tf * CAST(round(ln(CAST(n_docs AS DOUBLE) / df.df) * 1e6) AS BIGINT) AS score
+        |  FROM tc JOIN df ON tc.tok = df.tok CROSS JOIN nd),
+        |ranked AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY score DESC, tok ASC) AS rnk FROM scored)
+        |SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, tok, tf, df, CAST(score AS BIGINT) AS score
+        |FROM ranked WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
+  )
+}

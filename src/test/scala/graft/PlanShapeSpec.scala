@@ -167,4 +167,26 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("skew=true"),
       s"AQE did not mark the skewed join split:\n${p.take(1200)}")
   }
+
+  test("join_dpp plants a dynamic pruning filter on the partitioned fact scan") {
+    val p = plan("join_dpp")
+    // the scan must carry dynamicpruningexpression(...) in PartitionFilters —
+    // only the dim's surviving priorities' directories get listed/read
+    assert(p.contains("dynamicpruning"),
+      s"no dynamic partition pruning on the fact scan:\n${p.take(1200)}")
+    assert(p.contains("PartitionFilters"), "fact scan lost its partition filters")
+  }
+
+  test("triangle counting stays on equi-joins — no cartesian anywhere") {
+    val p = plan("graph_triangles")
+    assert(!p.contains("CartesianProduct"),
+      s"triangle join degenerated to a cartesian product:\n${p.take(800)}")
+    // the only nested-loop allowed is the final 1-row×1-row count stitch
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), "wedge-close must be a hash/merge equi-join")
+  }
+
+  test("tfidf top-3 window gets map-side WindowGroupLimit pruning") {
+    assert(plan("text_tfidf_top").contains("WindowGroupLimit"))
+  }
 }
