@@ -40,6 +40,9 @@ object ScaleQueries extends QueryPack {
   // partitioned fact + dim table written once per (session, sf-dir)
   private val dppTables = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), (String, String)]
+  // two-schema dataset written once per (session, sf-dir)
+  private val mergeSchemaDirs = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), String]
 
   /** Orders partitioned by o_orderpriority plus a tiny priority-dimension
     * table, both written to scratch once per (session, dir). The dim MUST
@@ -64,6 +67,21 @@ object ScaleQueries extends QueryPack {
     })
     (s.read.parquet(factPath), s.read.parquet(dimPath))
   }
+
+  /** Distinct part–part co-purchase edges (u < v) from high-quantity
+    * lines, persisted once per (session, dir) — shared by the triangle
+    * and PageRank queries. High-quantity only: the unfiltered graph is
+    * near-complete over this generator's small part key space (avg degree
+    * 119 → 41M wedges at sf0.1), which measures density, not the operator.
+    */
+  private def copurchaseEdges(s: SparkSession, d: String): DataFrame =
+    cached("copurchase_edges", s, d) {
+      val po = Tables.lineitem(s, d).filter(col("l_quantity") >= 40)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val po2 = po.select(col("o").as("o2"), col("p").as("p2"))
+      po.join(po2, col("o") === col("o2") && col("p") < col("p2"))
+        .select(col("p").as("u"), col("p2").as("v")).distinct()
+    }
 
   val queries: Map[String, Q] = Map(
     // TPC-H Q6 (forecasting revenue change): the pure scan-filter-agg
@@ -144,17 +162,7 @@ object ScaleQueries extends QueryPack {
     // full neighborhood squared. Three shuffles total (edges, degrees,
     // wedge-close), all equi-joins.
     "graph_triangles" -> ((s, d) => {
-      val e = cached("copurchase_edges", s, d) {
-        // high-quantity lines only: the unfiltered co-purchase graph is
-        // near-complete over this generator's small part key space (avg
-        // degree 119 → 41M wedges at sf0.1), which measures density, not
-        // the operator. Real baskets are the filtered shape.
-        val po = Tables.lineitem(s, d).filter(col("l_quantity") >= 40)
-          .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-        val po2 = po.select(col("o").as("o2"), col("p").as("p2"))
-        po.join(po2, col("o") === col("o2") && col("p") < col("p2"))
-          .select(col("p").as("u"), col("p2").as("v")).distinct()
-      }
+      val e = copurchaseEdges(s, d)
       val oriented = cached("oriented_edges", s, d) {
         val deg = e.select(col("u").as("node")).union(e.select(col("v").as("node")))
           .groupBy("node").agg(count(lit(1)).as("dg"))
@@ -227,6 +235,31 @@ object ScaleQueries extends QueryPack {
         .orderBy("event_type")
     }),
 
+    // Mergeable HLL sketches (Apache DataSketches via Spark's
+    // hll_sketch_agg family): per-group sketches built in one pass, then
+    // UNIONED to a global estimate WITHOUT touching the raw data again —
+    // the property that makes sketch stores work at 100 TB (pre-aggregate
+    // per partition/day, merge on demand). Error bound proven in-gate:
+    // each row carries the exact distinct count and a within-5% boolean
+    // for the sketch estimate (lgK=14 ⇒ ~0.8% typical error).
+    "agg_hll_union" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val perGroup = li.groupBy("l_returnflag")
+        .agg(expr("hll_sketch_agg(l_partkey, 14)").as("sk"))
+      val exact = li.groupBy("l_returnflag")
+        .agg(countDistinct("l_partkey").as("exact_n"))
+      val g = perGroup.join(exact, "l_returnflag")
+        .select(col("l_returnflag").as("grp"), col("exact_n"),
+          expr("hll_sketch_estimate(sk)").as("est"))
+      val all = perGroup.agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+        .crossJoin(li.agg(countDistinct("l_partkey").as("exact_n")))
+        .select(lit("ALL").as("grp"), col("exact_n"), col("est"))
+      g.union(all)
+        .select(col("grp"), col("exact_n"),
+          (abs(col("est") - col("exact_n")) <= col("exact_n") * 0.05).as("within_5pct"))
+        .orderBy("grp")
+    }),
+
     // Int8 scalar quantization of the embedding corpus — the standard
     // 4× memory compression before ANN serving. Per vector: symmetric
     // scale = max|v|/127, quantize, and emit (a) the integer checksum of
@@ -246,6 +279,88 @@ object ScaleQueries extends QueryPack {
           expr("CASE WHEN sc = 0 THEN true ELSE aggregate(v, CAST(0.0 AS DOUBLE), (acc, x) -> greatest(acc, abs(round(x / sc) * sc - x))) <= sc * 0.5000001 END")
             .as("within_half_step"))
         .orderBy("vec_id")),
+
+    // Two power iterations of PageRank over the co-purchase graph
+    // (undirected → both directions), in PURE INTEGER arithmetic: each
+    // node starts at 1e6 ppm, contributions are rank div degree, and the
+    // damping step is (85 · Σcontrib) div 100 + 150000 — so the sums are
+    // addition-order-independent and the oracle matches bit-for-bit. The
+    // iteration is the standard join-aggregate: adj ⋈ ranks on src,
+    // hash-agg on dst — one shuffle per iteration at any scale, the same
+    // plan Pregel-style engines lower to.
+    "pagerank_iter" -> ((s, d) => {
+      val e = copurchaseEdges(s, d)
+      val adj = cached("pagerank_adj", s, d) {
+        e.select(col("u").as("src"), col("v").as("dst"))
+          .union(e.select(col("v").as("src"), col("u").as("dst")))
+      }
+      val deg = adj.groupBy("src").agg(count(lit(1)).as("deg"))
+      def step(ranks: DataFrame): DataFrame =
+        adj.join(ranks, "src").join(deg, "src")
+          .select(col("dst").as("node"), expr("r div deg").as("contrib"))
+          .groupBy("node")
+          .agg(expr("150000 + (85 * sum(contrib)) div 100").as("r"))
+          .select(col("node").as("src"), col("r"))
+      val r0 = deg.select(col("src"), lit(1000000L).as("r"))
+      val r2 = step(step(r0))
+      r2.select(col("src").as("node"), col("r").as("rank_ppm"))
+        .orderBy(col("rank_ppm").desc, col("node").asc)
+        .limit(20)
+    }),
+
+    // Daily activity spine with forward fill — the time-series gap-fill
+    // every metrics pipeline runs. The spine is generated per user from
+    // its own [min, max] date range (sequence + explode: distributed, no
+    // driver-side calendar), outer-joined to the daily aggregate, and the
+    // carried-forward value is last(ignore-nulls) over the date window.
+    // One shuffle on user_id serves the aggregate, the spine join AND the
+    // fill window.
+    "time_gap_fill" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(expr("CAST(round(value * 100) AS BIGINT)")).as("value_cents"))
+      val spine = daily.groupBy("user_id")
+        .agg(min("day").as("d0"), max("day").as("d1"))
+        .select(col("user_id"),
+          explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+      val w = Window.partitionBy("user_id").orderBy("day")
+      spine.join(daily, Seq("user_id", "day"), "left")
+        .withColumn("filled_cents",
+          last(col("value_cents"), ignoreNulls = true).over(w))
+        .select(col("user_id"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"),
+          coalesce(col("value_cents"), lit(0L)).as("value_cents"),
+          col("filled_cents"))
+        .orderBy("user_id", "day")
+    }),
+
+    // Schema-evolution read: two parquet batches written with DIFFERENT
+    // schemas (the later one adds a column) land in one dataset directory;
+    // mergeSchema unions the schemas at read time and nulls the missing
+    // column in old batches — the lake-ingest reality every long-lived
+    // pipeline hits. The aggregate proves old rows carry NULL and new rows
+    // carry data. Footer merging is distributed; nothing driver-side.
+    "scan_merge_schema" -> ((s, d) => {
+      val base = mergeSchemaDirs.getOrElseUpdate((s, d), {
+        val b = s"${sys.props("java.io.tmpdir")}/graft-scratch-$runNonce/merge_schema_${(d.hashCode & 0xffffff).toHexString}"
+        val o = Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("price_cents"))
+        o.filter(col("o_orderkey") % 2 === 0)
+          .select("o_orderkey", "price_cents")
+          .write.mode(SaveMode.Overwrite).parquet(s"$b/batch=v1")
+        o.filter(col("o_orderkey") % 2 === 1)
+          .write.mode(SaveMode.Overwrite).parquet(s"$b/batch=v2")
+        b
+      })
+      s.read.option("mergeSchema", "true").parquet(base)
+        .groupBy("batch")
+        .agg(count(lit(1)).as("n"),
+          sum("price_cents").as("price_cents_sum"),
+          count(col("o_orderstatus")).as("n_with_status"))
+        .orderBy("batch")
+    }),
 
     // Token-distribution Shannon entropy per document (boilerplate/spam
     // signal: low entropy = repeated tokens). Two hash aggregations —
@@ -384,6 +499,14 @@ object ScaleQueries extends QueryPack {
       """SELECT event_type, COUNT(*) AS exact_n, true AS within_bound
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    "agg_hll_union" ->
+      """WITH g AS (SELECT l_returnflag AS grp, COUNT(DISTINCT l_partkey) AS exact_n
+        |  FROM lineitem GROUP BY 1),
+        |a AS (SELECT 'ALL' AS grp, COUNT(DISTINCT l_partkey) AS exact_n FROM lineitem)
+        |SELECT grp, exact_n, true AS within_5pct
+        |FROM (SELECT * FROM g UNION ALL SELECT * FROM a)
+        |ORDER BY grp""".stripMargin,
+
     "ann_quantize_int8" ->
       """WITH e AS (SELECT vec_id,
         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
@@ -397,6 +520,56 @@ object ScaleQueries extends QueryPack {
         |    list_max(list_transform(v, x -> abs(round(x / sc) * sc - x))) <= sc * 0.5000001 END
         |    AS within_half_step
         |FROM s ORDER BY vec_id""".stripMargin,
+
+    "pagerank_iter" ->
+      """WITH po AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |      FROM lineitem WHERE l_quantity >= 40),
+        |e AS (SELECT DISTINCT a.p AS u, b.p AS v
+        |      FROM po a JOIN po b ON a.o = b.o AND a.p < b.p),
+        |adj AS (SELECT u AS src, v AS dst FROM e
+        |        UNION ALL SELECT v AS src, u AS dst FROM e),
+        |deg AS (SELECT src, COUNT(*) AS deg FROM adj GROUP BY 1),
+        |r0 AS (SELECT src, CAST(1000000 AS BIGINT) AS r FROM deg),
+        |r1 AS (SELECT adj.dst AS src,
+        |    CAST(150000 + (85 * SUM(r0.r // deg.deg)) // 100 AS BIGINT) AS r
+        |  FROM adj JOIN r0 ON adj.src = r0.src JOIN deg ON adj.src = deg.src
+        |  GROUP BY 1),
+        |r2 AS (SELECT adj.dst AS src,
+        |    CAST(150000 + (85 * SUM(r1.r // deg.deg)) // 100 AS BIGINT) AS r
+        |  FROM adj JOIN r1 ON adj.src = r1.src JOIN deg ON adj.src = deg.src
+        |  GROUP BY 1)
+        |SELECT src AS node, r AS rank_ppm FROM r2
+        |ORDER BY rank_ppm DESC, node ASC LIMIT 20""".stripMargin,
+
+    "time_gap_fill" ->
+      """WITH daily AS (SELECT user_id, CAST(ts AS DATE) AS day,
+        |    COUNT(*) AS n_events,
+        |    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+        |  FROM events GROUP BY 1, 2),
+        |spine AS (SELECT user_id,
+        |    unnest(generate_series(min(day), max(day), INTERVAL 1 DAY))::DATE AS day
+        |  FROM daily GROUP BY user_id)
+        |SELECT s.user_id, strftime(s.day, '%Y-%m-%d') AS day,
+        |  COALESCE(d.n_events, 0) AS n_events,
+        |  COALESCE(d.value_cents, 0) AS value_cents,
+        |  last_value(d.value_cents IGNORE NULLS)
+        |    OVER (PARTITION BY s.user_id ORDER BY s.day
+        |          ROWS UNBOUNDED PRECEDING) AS filled_cents
+        |FROM spine s LEFT JOIN daily d
+        |  ON s.user_id = d.user_id AND s.day = d.day
+        |ORDER BY s.user_id, s.day""".stripMargin,
+
+    // batch v1 = even keys without the status column; v2 = odd keys with
+    // it — the merged read must null the column exactly on v1
+    "scan_merge_schema" ->
+      """WITH o AS (SELECT o_orderkey, o_orderstatus,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+        |  FROM orders)
+        |SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'v1' ELSE 'v2' END AS batch,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(price_cents) AS BIGINT) AS price_cents_sum,
+        |  COUNT(CASE WHEN o_orderkey % 2 = 1 THEN o_orderstatus END) AS n_with_status
+        |FROM o GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "text_entropy" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
