@@ -135,6 +135,113 @@ object ScaleQueries extends QueryPack {
         .withColumn("promo_permille", expr("promo_cents * 1000 div total_cents"))
     }),
 
+    // TPC-H Q7 (volume shipping): the two-dimension-alias join — nation
+    // joins TWICE (supplier's and customer's side), both broadcast; the
+    // fact path lineitem→orders→customer shuffles on its keys once. The
+    // either-direction nation pair filter runs post-join on broadcast
+    // columns (cheap), revenue by (supp_nation, cust_nation, year).
+    "tpch_q7" -> ((s, d) => {
+      val l = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= "1996-01-01" && col("l_shipdate") < "1998-01-01")
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d)
+      val sup = Tables.supplier(s, d)
+      val n1 = Tables.nation(s, d).select(col("n_nationkey").as("sk"), col("n_name").as("supp_nation"))
+      val n2 = Tables.nation(s, d).select(col("n_nationkey").as("ck"), col("n_name").as("cust_nation"))
+      l.join(sup, l("l_suppkey") === sup("s_suppkey"))
+        .join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("sk"))
+        .join(broadcast(n2), col("c_nationkey") === col("ck"))
+        .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+          (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("l_year"))
+        .agg(sum(expr("CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)"))
+          .as("revenue_cents"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    }),
+
+    // TPC-H Q8 (national market share): the deepest join tree in the
+    // suite — fact → part/supplier/orders/customer plus nation twice and
+    // region, all dims broadcast. The share is conditional-sum over total
+    // in exact integer permille.
+    "tpch_q8" -> ((s, d) => {
+      val l = Tables.lineitem(s, d)
+      val p = Tables.part(s, d).filter(col("p_type") === "STANDARD")
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= "1996-01-01" && col("o_orderdate") < "1998-01-01")
+      val c = Tables.customer(s, d)
+      val sup = Tables.supplier(s, d)
+      val cn = Tables.nation(s, d).select(col("n_nationkey").as("cnk"), col("n_regionkey").as("crk"))
+      val sn = Tables.nation(s, d).select(col("n_nationkey").as("snk"), col("n_name").as("supp_nation"))
+      val r = Tables.region(s, d).filter(col("r_name") === "AMERICA")
+      l.join(p, l("l_partkey") === p("p_partkey"))
+        .join(sup, l("l_suppkey") === sup("s_suppkey"))
+        .join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(cn), col("c_nationkey") === col("cnk"))
+        .join(broadcast(r), col("crk") === col("r_regionkey"))
+        .join(broadcast(sn), col("s_nationkey") === col("snk"))
+        .select(year(col("o_orderdate")).cast("long").as("o_year"),
+          expr("CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)").as("vol_c"),
+          col("supp_nation"))
+        .groupBy("o_year")
+        .agg(sum(when(col("supp_nation") === "NATION_3", col("vol_c")).otherwise(0L))
+          .as("nation_cents"),
+          sum("vol_c").as("total_cents"))
+        .withColumn("share_permille", expr("nation_cents * 1000 div total_cents"))
+        .orderBy("o_year")
+    }),
+
+    // TPC-H Q13 (customer order-count distribution): the left-join +
+    // double-aggregation shape — customers keep their zero-order rows,
+    // first agg on custkey, second on the count itself (tiny key space).
+    "tpch_q13" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d).filter(col("o_orderpriority") =!= "1-URGENT")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+
+    // TPC-H Q15 (top supplier): aggregate → global max → equality filter.
+    // The max arrives as a broadcast 1-row aggregate, so no second scan
+    // of the fact and no driver round-trip.
+    "tpch_q15" -> ((s, d) => {
+      val rev = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= "1996-01-01" && col("l_shipdate") < "1996-04-01")
+        .groupBy(col("l_suppkey"))
+        .agg(sum(expr("CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)"))
+          .as("total_rev_cents"))
+      val maxRev = rev.agg(max("total_rev_cents").as("max_rev"))
+      rev.crossJoin(broadcast(maxRev))
+        .filter(col("total_rev_cents") === col("max_rev"))
+        .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_rev_cents"))
+        .orderBy("s_suppkey")
+    }),
+
+    // TPC-H Q17 (small-quantity-order revenue): the correlated
+    // avg-per-group threshold, decorrelated into a per-part aggregate
+    // joined back to the fact — one extra shuffle instead of a
+    // re-executed subquery per row.
+    "tpch_q17" -> ((s, d) => {
+      val l = Tables.lineitem(s, d)
+      val p = Tables.part(s, d).filter(col("p_brand") === "Brand#23")
+      val avgQ = l.groupBy(col("l_partkey").as("ap"))
+        .agg((sum("l_quantity") / count(lit(1))).as("avg_qty"))
+      l.join(p, l("l_partkey") === p("p_partkey"))
+        .join(avgQ, l("l_partkey") === col("ap"))
+        .filter(col("l_quantity") < col("avg_qty") * 0.2)
+        .agg(sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)")).as("total_cents"),
+          count(lit(1)).as("n_lines"))
+        .withColumn("avg_yearly_cents", expr("total_cents div 7"))
+    }),
+
     // Dynamic partition pruning: the fact side is a parquet table
     // partitioned by o_orderpriority; the dim side is a filtered
     // constant-size relation. Spark plants a DynamicPruningExpression on
@@ -442,6 +549,79 @@ object ScaleQueries extends QueryPack {
         |  CAST(SUM(CASE WHEN p_type = 'PROMO' THEN disc_c ELSE 0 END) * 1000
         |    // SUM(disc_c) AS BIGINT) AS promo_permille
         |FROM m""".stripMargin,
+
+    "tpch_q7" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |  CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+        |    AS revenue_cents
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1998-01-01'
+        |  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    "tpch_q8" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(SUM(CASE WHEN sn.n_name = 'NATION_3'
+        |    THEN CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+        |    ELSE 0 END) AS BIGINT) AS nation_cents,
+        |  CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+        |    AS total_cents,
+        |  CAST(SUM(CASE WHEN sn.n_name = 'NATION_3'
+        |    THEN CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+        |    ELSE 0 END) * 1000
+        |    // SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+        |    AS BIGINT) AS share_permille
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |JOIN region ON cn.n_regionkey = r_regionkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |WHERE p_type = 'STANDARD' AND r_name = 'AMERICA'
+        |  AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1998-01-01'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "tpch_q13" ->
+      """SELECT c_count, COUNT(*) AS custdist
+        |FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY 1)
+        |GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "tpch_q15" ->
+      """WITH rev AS (SELECT l_suppkey,
+        |    CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+        |      AS total_rev_cents
+        |  FROM lineitem
+        |  WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, total_rev_cents
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_rev_cents = (SELECT MAX(total_rev_cents) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "tpch_q17" ->
+      """WITH avgq AS (SELECT l_partkey AS ap, SUM(l_quantity) / COUNT(*) AS avg_qty
+        |  FROM lineitem GROUP BY 1)
+        |SELECT
+        |  CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+        |  COUNT(*) AS n_lines,
+        |  CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) // 7 AS BIGINT)
+        |    AS avg_yearly_cents
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN avgq ON l_partkey = ap
+        |WHERE p_brand = 'Brand#23' AND l_quantity < avg_qty * 0.2""".stripMargin,
 
     // oracle joins the raw table against the same literal dim — pruning
     // must be invisible in the result
