@@ -242,6 +242,129 @@ object ScaleQueries extends QueryPack {
         .withColumn("avg_yearly_cents", expr("total_cents div 7"))
     }),
 
+    // TPC-H Q4 (order-priority checking): correlated EXISTS with a
+    // predicate crossing outer and inner — adapted to this schema's
+    // lateness proxy (shipped >90 days after order). The semi join keeps
+    // the equi key l_orderkey so it stays a hash join; the timestamp
+    // range rides along as a residual condition. No second pass over
+    // orders, no count-distinct.
+    "tpch_q4" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= "1996-01-01" && col("o_orderdate") < "1996-07-01")
+      val l = Tables.lineitem(s, d)
+      o.join(l, o("o_orderkey") === l("l_orderkey") &&
+          l("l_shipdate") > o("o_orderdate") + expr("INTERVAL 90 DAYS"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // TPC-H Q9 (product-type profit): LIKE-filtered part dim, five-way
+    // join, profit per (supplier nation, order year). This schema has no
+    // partsupp, so supply cost is proxied by 10% of retail price — the
+    // join tree and the two-column aggregate are the point. Profit is
+    // rounded to cents per line BEFORE the sum so re-aggregation order
+    // can't move the result between engines.
+    "tpch_q9" -> ((s, d) => {
+      val l = Tables.lineitem(s, d)
+      val p = Tables.part(s, d).filter(col("p_name").like("%red%"))
+      val o = Tables.orders(s, d)
+      val sup = Tables.supplier(s, d)
+      val n = Tables.nation(s, d)
+      l.join(p, l("l_partkey") === p("p_partkey"))
+        .join(sup, l("l_suppkey") === sup("s_suppkey"))
+        .join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .select(col("n_name").as("nation"),
+          year(col("o_orderdate")).cast("long").as("o_year"),
+          expr("""CAST(round((l_extendedprice * (1 - l_discount)
+                 - p_retailprice * l_quantity * 0.1) * 100) AS BIGINT)""").as("profit_c"))
+        .groupBy("nation", "o_year")
+        .agg(sum("profit_c").as("profit_cents"))
+        .orderBy(col("nation"), col("o_year").desc)
+    }),
+
+    // TPC-H Q12 (shipping-priority classes): fact→orders join feeding a
+    // conditional two-way count, grouped on the fact's low-cardinality
+    // flag (the schema's stand-in for l_shipmode). One shuffle for the
+    // join, map-side partial for the tiny aggregate.
+    "tpch_q12" -> ((s, d) => {
+      val l = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= "1996-01-01" && col("l_shipdate") < "1997-01-01")
+      val o = Tables.orders(s, d)
+      val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .groupBy(col("l_returnflag"))
+        .agg(sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(high, 0L).otherwise(1L)).as("low_line_count"))
+        .orderBy("l_returnflag")
+    }),
+
+    // TPC-H Q19 (discounted revenue): the OR-of-ANDs join predicate.
+    // The per-clause part filters are disjoint on brand, so Catalyst can
+    // push the brand disjunction to the part scan while the mixed
+    // part×lineitem residual evaluates post-join; the join key stays
+    // equi (l_partkey = p_partkey) so no cartesian appears.
+    "tpch_q19" -> ((s, d) => {
+      val l = Tables.lineitem(s, d)
+      val p = Tables.part(s, d)
+      val clause = (p("p_brand") === "Brand#12" && p("p_size").between(1, 5) &&
+          l("l_quantity").between(1, 11)) ||
+        (p("p_brand") === "Brand#23" && p("p_size").between(1, 10) &&
+          l("l_quantity").between(10, 20)) ||
+        (p("p_brand") === "Brand#34" && p("p_size").between(1, 15) &&
+          l("l_quantity").between(20, 30))
+      l.join(p, l("l_partkey") === p("p_partkey") && clause)
+        .agg(sum(expr("CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)"))
+          .as("revenue_cents"),
+          count(lit(1)).as("n_lines"))
+    }),
+
+    // TPC-H Q21 (suppliers who kept orders waiting): the hardest
+    // correlation shape — one EXISTS and one NOT EXISTS against the same
+    // fact with inequality on the correlated key. Both decorrelate to
+    // hash joins on l_orderkey (semi, then anti) with the supplier
+    // inequality and lateness as residuals; lateness is the same >60-day
+    // ship-after-order proxy on both engines.
+    "tpch_q21" -> ((s, d) => {
+      val l = Tables.lineitem(s, d)
+      val o = Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+      val sup = Tables.supplier(s, d)
+      val base = l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .filter(l("l_shipdate") > o("o_orderdate") + expr("INTERVAL 60 DAYS"))
+        .join(sup, l("l_suppkey") === sup("s_suppkey"))
+        .select(col("l_orderkey").as("b_ok"), col("l_suppkey").as("b_sk"),
+          col("o_orderdate").as("b_od"), col("s_name"))
+      val l2 = l.select(col("l_orderkey").as("x_ok"), col("l_suppkey").as("x_sk"))
+      val l3 = l.select(col("l_orderkey").as("y_ok"), col("l_suppkey").as("y_sk"),
+        col("l_shipdate").as("y_sd"))
+      base
+        .join(l2, col("b_ok") === col("x_ok") && col("b_sk") =!= col("x_sk"), "left_semi")
+        .join(l3, col("b_ok") === col("y_ok") && col("b_sk") =!= col("y_sk") &&
+          col("y_sd") > col("b_od") + expr("INTERVAL 60 DAYS"), "left_anti")
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+    }),
+
+    // TPC-H Q22 (global-sales opportunity): scalar-average threshold +
+    // anti join. The threshold compare is integer-exact — balance cents
+    // times the population count against the cents total — so no
+    // float-average ulp can flip a row between engines. The 1-row
+    // aggregate broadcasts; customers-without-orders is a hash anti join.
+    "tpch_q22" -> ((s, d) => {
+      val cust = Tables.customer(s, d).filter(col("c_nationkey") <= 6)
+        .withColumn("bal_cents", expr("CAST(round(c_acctbal * 100) AS BIGINT)"))
+      val thr = cust.filter(col("c_acctbal") > 0)
+        .agg(sum("bal_cents").as("tot"), count(lit(1)).as("n"))
+      cust.crossJoin(broadcast(thr))
+        .filter(col("bal_cents") * col("n") > col("tot"))
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey").cast("long").as("cntrycode"))
+        .agg(count(lit(1)).as("numcust"), sum("bal_cents").as("totacctbal_cents"))
+        .orderBy("cntrycode")
+    }),
+
     // Dynamic partition pruning: the fact side is a parquet table
     // partitioned by o_orderpriority; the dim side is a filtered
     // constant-size relation. Spark plants a DynamicPruningExpression on
@@ -622,6 +745,78 @@ object ScaleQueries extends QueryPack {
         |JOIN part ON l_partkey = p_partkey
         |JOIN avgq ON l_partkey = ap
         |WHERE p_brand = 'Brand#23' AND l_quantity < avg_qty * 0.2""".stripMargin,
+
+    "tpch_q4" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1996-07-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |    WHERE l_orderkey = o_orderkey
+        |      AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "tpch_q9" ->
+      """SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(SUM(CAST(round((l_extendedprice * (1 - l_discount)
+        |    - p_retailprice * l_quantity * 0.1) * 100) AS BIGINT)) AS BIGINT)
+        |    AS profit_cents
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE p_name LIKE '%red%'
+        |GROUP BY 1, 2 ORDER BY 1, 2 DESC""".stripMargin,
+
+    "tpch_q12" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "tpch_q19" ->
+      """SELECT
+        |  CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+        |    AS BIGINT) AS revenue_cents,
+        |  COUNT(*) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+        |    AND l_quantity BETWEEN 1 AND 11)
+        |  OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+        |    AND l_quantity BETWEEN 10 AND 20)
+        |  OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+        |    AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+
+    "tpch_q21" ->
+      """SELECT s_name, COUNT(*) AS numwait
+        |FROM lineitem l1
+        |JOIN orders ON l1.l_orderkey = o_orderkey
+        |JOIN supplier ON l1.l_suppkey = s_suppkey
+        |WHERE o_orderstatus = 'F'
+        |  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+        |      AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY 1 ORDER BY numwait DESC, s_name""".stripMargin,
+
+    "tpch_q22" ->
+      """WITH cust AS (SELECT c_custkey, c_nationkey, c_acctbal,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+        |  FROM customer WHERE c_nationkey <= 6),
+        |thr AS (SELECT CAST(SUM(bal_cents) AS BIGINT) AS tot, COUNT(*) AS n
+        |  FROM cust WHERE c_acctbal > 0)
+        |SELECT CAST(c_nationkey AS BIGINT) AS cntrycode, COUNT(*) AS numcust,
+        |  CAST(SUM(bal_cents) AS BIGINT) AS totacctbal_cents
+        |FROM cust, thr
+        |WHERE bal_cents * n > tot
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // oracle joins the raw table against the same literal dim — pruning
     // must be invisible in the result
