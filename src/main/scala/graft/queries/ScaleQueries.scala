@@ -83,6 +83,25 @@ object ScaleQueries extends QueryPack {
         .select(col("p").as("u"), col("p2").as("v")).distinct()
     }
 
+  /** partsupp reconstructed from lineitem: the generator's schema subset
+    * carries no partsupp table, so the supply facts Q2/Q11/Q16/Q20 need are
+    * derived per (part, supplier) pair — availqty as lifetime shipped
+    * quantity, supplycost as the minimum observed unit price in cents (both
+    * integer-exact, so re-aggregation is partition-order-independent). One
+    * hash agg over the fact, persisted because all four queries read it and
+    * two of them read it twice. The DuckDB oracles open with the identical
+    * CTE, so the derivation itself is under the correctness gate.
+    */
+  private def partsupp(s: SparkSession, d: String): DataFrame =
+    cached("partsupp_derived", s, d) {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_partkey").as("ps_partkey"), col("l_suppkey").as("ps_suppkey"))
+        .agg(
+          sum(expr("CAST(round(l_quantity) AS BIGINT)")).as("ps_availqty"),
+          min(expr("CAST(round(l_extendedprice / l_quantity * 100) AS BIGINT)"))
+            .as("ps_supplycost_cents"))
+    }
+
   val queries: Map[String, Q] = Map(
     // TPC-H Q6 (forecasting revenue change): the pure scan-filter-agg
     // shape — every predicate is pushed to the parquet reader (min/max
@@ -209,14 +228,19 @@ object ScaleQueries extends QueryPack {
     }),
 
     // TPC-H Q15 (top supplier): aggregate → global max → equality filter.
-    // The max arrives as a broadcast 1-row aggregate, so no second scan
-    // of the fact and no driver round-trip.
+    // The per-supplier aggregate is persisted because it feeds both the
+    // filter side and the global max — without it Spark plans TWO fact
+    // scans (the join side grows a null filter, so ReuseExchange can't
+    // dedupe the subplans). The max then arrives as a broadcast 1-row
+    // aggregate, so no driver round-trip either.
     "tpch_q15" -> ((s, d) => {
-      val rev = Tables.lineitem(s, d)
-        .filter(col("l_shipdate") >= "1996-01-01" && col("l_shipdate") < "1996-04-01")
-        .groupBy(col("l_suppkey"))
-        .agg(sum(expr("CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)"))
-          .as("total_rev_cents"))
+      val rev = cached("q15_rev", s, d) {
+        Tables.lineitem(s, d)
+          .filter(col("l_shipdate") >= "1996-01-01" && col("l_shipdate") < "1996-04-01")
+          .groupBy(col("l_suppkey"))
+          .agg(sum(expr("CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)"))
+            .as("total_rev_cents"))
+      }
       val maxRev = rev.agg(max("total_rev_cents").as("max_rev"))
       rev.crossJoin(broadcast(maxRev))
         .filter(col("total_rev_cents") === col("max_rev"))
@@ -636,7 +660,123 @@ object ScaleQueries extends QueryPack {
           col("tok"), col("tf"), col("df"), col("score"))
         .orderBy("doc_id", "rnk")
     }),
+
+    // TPC-H Q2 (minimum-cost supplier) over the derived partsupp. The
+    // region-filtered supplier dim is tiny (broadcast); the min-cost-per-
+    // part arrives by re-aggregating the candidate relation and equi-
+    // joining back — the candidate set is persisted so the derived-ps
+    // subplan runs once, and the "min per group then keep the argmin rows"
+    // shape stays two hash shuffles (no window over the whole fact). The
+    // final total order is unique (s_name and p_partkey break all ties),
+    // so the LIMIT boundary is deterministic in both engines.
+    "tpch_q2" -> ((s, d) => {
+      val p = Tables.part(s, d)
+        .filter(col("p_type") === "LARGE" && col("p_size") <= 15)
+      val n = Tables.nation(s, d)
+      val r = Tables.region(s, d).filter(col("r_name") === "EUROPE")
+      val eur = Tables.supplier(s, d)
+        .join(broadcast(n.join(r, n("n_regionkey") === r("r_regionkey"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+      val cand = cached("q2_cand", s, d) {
+        partsupp(s, d)
+          .join(p, col("ps_partkey") === col("p_partkey"))
+          .join(eur, col("ps_suppkey") === col("s_suppkey"))
+          .select(col("p_partkey"), col("p_name"), col("s_name"),
+            col("s_acctbal"), col("n_name"), col("ps_supplycost_cents"))
+      }
+      val minCost = cand.groupBy(col("p_partkey").as("mk"))
+        .agg(min("ps_supplycost_cents").as("min_cost"))
+      cand.join(minCost,
+          col("p_partkey") === col("mk") &&
+            col("ps_supplycost_cents") === col("min_cost"))
+        .select(col("s_acctbal"), col("s_name"), col("n_name"),
+          col("p_partkey"), col("p_name"), col("ps_supplycost_cents"))
+        .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))
+        .limit(100)
+    }),
+
+    // TPC-H Q11 (important stock) over the derived partsupp: per-part
+    // inventory value for one nation's suppliers, kept when above 0.1% of
+    // that nation's total. The total is a broadcast 1-row aggregate and
+    // the threshold compares integers (value·1000 > total) so no float
+    // division can flip a row near the boundary. The per-part aggregate is
+    // persisted because it feeds both the total and the filter — same
+    // two-consumers-of-one-subplan discipline as tpch_q15.
+    "tpch_q11" -> ((s, d) => {
+      val nat = Tables.nation(s, d).filter(col("n_name") === "NATION_7")
+      val byPart = cached("q11_bypart", s, d) {
+        partsupp(s, d)
+          .join(Tables.supplier(s, d), col("ps_suppkey") === col("s_suppkey"))
+          .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+          .groupBy(col("ps_partkey"))
+          .agg(sum(col("ps_supplycost_cents") * col("ps_availqty")).as("value_cents"))
+      }
+      val tot = byPart.agg(sum("value_cents").as("tot"))
+      byPart.crossJoin(broadcast(tot))
+        .filter(col("value_cents") * 1000 > col("tot"))
+        .select(col("ps_partkey"), col("value_cents"))
+        .orderBy(col("value_cents").desc, col("ps_partkey"))
+    }),
+
+    // TPC-H Q16 (parts/supplier relationship) over the derived partsupp:
+    // distinct supplier counts per (brand, type, size) bucket, excluding
+    // one brand, one type family, and "complaint" suppliers — adapted to
+    // the schema subset as negative account balance, excluded with a hash
+    // anti join (the reference's NOT IN subquery shape). countDistinct
+    // expands to the standard two-phase partial aggregate, so the heavy
+    // (bucket, supplier) dedup happens map-side before the shuffle.
+    "tpch_q16" -> ((s, d) => {
+      val p = Tables.part(s, d).filter(
+        col("p_brand") =!= "Brand#45" && col("p_type") =!= "PROMO" &&
+          col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45))
+      val complaints = Tables.supplier(s, d).filter(col("s_acctbal") < 0)
+      partsupp(s, d)
+        .join(complaints, col("ps_suppkey") === col("s_suppkey"), "left_anti")
+        .join(p, col("ps_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("ps_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+    }),
+
+    // TPC-H Q20 (potential part promotion) over the derived partsupp:
+    // suppliers of "small"-named parts whose lifetime availqty exceeds
+    // twice what they shipped of that part in 1996 (the reference's
+    // availqty > 0.5·year-demand becomes a >2× lifetime/year ratio — the
+    // discriminating version when availqty is itself derived from
+    // shipments). Two semi joins: parts gate the pairs, qualifying pairs
+    // gate the suppliers — nothing wider than the supplier dim ever
+    // leaves the join, and the year aggregate shuffles on the same
+    // (part, supplier) key as the derived ps.
+    "tpch_q20" -> ((s, d) => {
+      val qualParts = Tables.part(s, d)
+        .filter(col("p_name").startsWith("small")).select(col("p_partkey"))
+      val shipped96 = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= "1996-01-01" && col("l_shipdate") < "1997-01-01")
+        .groupBy(col("l_partkey").as("sp"), col("l_suppkey").as("ss"))
+        .agg(sum(expr("CAST(round(l_quantity) AS BIGINT)")).as("qty_1996"))
+      val cand = partsupp(s, d)
+        .join(qualParts, col("ps_partkey") === col("p_partkey"), "left_semi")
+        .join(shipped96, col("ps_partkey") === col("sp") && col("ps_suppkey") === col("ss"))
+        .filter(col("ps_availqty") > col("qty_1996") * 2)
+      val nat = Tables.nation(s, d)
+        .filter(col("n_name").isin("NATION_3", "NATION_4", "NATION_5"))
+      Tables.supplier(s, d)
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .join(cand, col("s_suppkey") === col("ps_suppkey"), "left_semi")
+        .select(col("s_name"), col("s_acctbal"))
+        .orderBy(col("s_name"))
+    }),
   )
+
+  // Shared oracle CTE for the derived partsupp — byte-identical semantics
+  // to `partsupp(s, d)` above, so DuckDB rebuilds the same relation.
+  private val psCte =
+    """WITH ps AS (SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+      |    CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS ps_availqty,
+      |    CAST(MIN(CAST(round(l_extendedprice / l_quantity * 100) AS BIGINT)) AS BIGINT)
+      |      AS ps_supplycost_cents
+      |  FROM lineitem GROUP BY 1, 2)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "tpch_q6" ->
@@ -967,5 +1107,63 @@ object ScaleQueries extends QueryPack {
         |    ORDER BY score DESC, tok ASC) AS rnk FROM scored)
         |SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, tok, tf, df, CAST(score AS BIGINT) AS score
         |FROM ranked WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
+
+    "tpch_q2" -> (psCte +
+      """,
+        |cand AS (SELECT p_partkey, p_name, s_name, s_acctbal, n_name, ps_supplycost_cents
+        |  FROM ps
+        |  JOIN part ON ps_partkey = p_partkey
+        |  JOIN supplier ON ps_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE p_type = 'LARGE' AND p_size <= 15 AND r_name = 'EUROPE'),
+        |mc AS (SELECT p_partkey AS mk, MIN(ps_supplycost_cents) AS min_cost
+        |  FROM cand GROUP BY 1)
+        |SELECT s_acctbal, s_name, n_name, p_partkey, p_name, ps_supplycost_cents
+        |FROM cand JOIN mc ON p_partkey = mk AND ps_supplycost_cents = min_cost
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100""".stripMargin),
+
+    "tpch_q11" -> (psCte +
+      """,
+        |bypart AS (SELECT ps_partkey,
+        |    CAST(SUM(ps_supplycost_cents * ps_availqty) AS BIGINT) AS value_cents
+        |  FROM ps
+        |  JOIN supplier ON ps_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE n_name = 'NATION_7' GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(value_cents) AS BIGINT) AS tot FROM bypart)
+        |SELECT ps_partkey, value_cents
+        |FROM bypart CROSS JOIN tot
+        |WHERE value_cents * 1000 > tot
+        |ORDER BY value_cents DESC, ps_partkey""".stripMargin),
+
+    "tpch_q16" -> (psCte +
+      """
+        |SELECT p_brand, p_type, p_size, COUNT(DISTINCT ps_suppkey) AS supplier_cnt
+        |FROM ps
+        |JOIN part ON ps_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#45' AND p_type <> 'PROMO'
+        |  AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+        |  AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin),
+
+    "tpch_q20" -> (psCte +
+      """,
+        |shipped96 AS (SELECT l_partkey AS sp, l_suppkey AS ss,
+        |    CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS qty_1996
+        |  FROM lineitem
+        |  WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+        |  GROUP BY 1, 2),
+        |cand AS (SELECT ps_suppkey FROM ps
+        |  JOIN shipped96 ON ps_partkey = sp AND ps_suppkey = ss
+        |  WHERE ps_availqty > qty_1996 * 2
+        |    AND ps_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%'))
+        |SELECT s_name, s_acctbal
+        |FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE n_name IN ('NATION_3', 'NATION_4', 'NATION_5')
+        |  AND s_suppkey IN (SELECT ps_suppkey FROM cand)
+        |ORDER BY s_name""".stripMargin),
   )
 }

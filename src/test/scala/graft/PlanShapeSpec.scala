@@ -189,4 +189,33 @@ class PlanShapeSpec extends SparkSpec {
   test("tfidf top-3 window gets map-side WindowGroupLimit pruning") {
     assert(plan("text_tfidf_top").contains("WindowGroupLimit"))
   }
+
+  test("q21's EXISTS/NOT-EXISTS pair stays on hash joins keyed by l_orderkey") {
+    val p = plan("tpch_q21")
+    assert(p.contains("LeftSemi") && p.contains("LeftAnti"),
+      s"correlation pair must decorrelate to semi + anti joins:\n${p.take(800)}")
+    // the supplier inequality and lateness ride as residuals on an equi
+    // key — a nested loop here is quadratic in order size at 100 TB
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"correlated join fell off the equi path:\n${p.take(800)}")
+  }
+
+  test("q19's OR-of-ANDs predicate keeps the partkey equi-join") {
+    val p = plan("tpch_q19")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"disjunctive predicate broke the equi-join:\n${p.take(800)}")
+  }
+
+  test("q15 scans the fact once: persisted aggregate feeds both max and filter") {
+    val p = plan("tpch_q15")
+    // both consumers (the equality filter and the global max) must read
+    // the persisted per-supplier aggregate — ReuseExchange can't dedupe
+    // the two subplans (one grows a null filter), so without the cache
+    // the 100-TB fact would be scanned twice. (Each InMemoryRelation
+    // echoes its child parquet scan in the plan TEXT, so counting 'Scan
+    // parquet' lines overcounts; the cache reads are the real signal.)
+    val cacheReads = "InMemoryTableScan".r.findAllIn(p).length
+    assert(cacheReads >= 2,
+      s"expected both subplans to read the cache, found $cacheReads:\n${p.take(800)}")
+  }
 }
