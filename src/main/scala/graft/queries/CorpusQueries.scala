@@ -128,6 +128,67 @@ object CorpusQueries extends QueryPack {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("gram").asc)
         .limit(20)),
+
+    // Per-domain quota cap: keep at most 15 docs per source, chosen by a
+    // deterministic pseudo-random order (portable md5-hash of doc_id, with
+    // doc_id breaking hash ties) — the standard "no domain dominates the
+    // mix" curation pass. The rn<=15 filter compiles to WindowGroupLimit,
+    // so each map task keeps only its local top-15 per source before the
+    // window shuffle — the shuffled volume is bounded by 15·|sources|
+    // per task regardless of corpus size.
+    "sample_domain_quota" -> ((s, d) => {
+      val w = Window.partitionBy("source")
+        .orderBy(TextOps.hash60(col("doc_id").cast("string")), col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("source"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 15)
+        .select(col("doc_id"), col("lang"), col("source"), col("rn").cast("long").as("rn"))
+        .orderBy("doc_id")
+    }),
+
+    // Temperature-based mixture resampling (alpha = 0.5): each language's
+    // target share is proportional to sqrt(count), flattening the head
+    // the way pre-training mixtures do. A doc survives when its portable
+    // 60-bit hash, reduced to a uniform u in [0, 1e6), clears the
+    // language's acceptance threshold. The comparison is a cross-
+    // multiplied integer inequality — u·S·cnt < 1e6·B·isqrt — so no
+    // float division can flip a row near the boundary in either engine
+    // (isqrt = floor of the correctly-rounded sqrt of an exact integer,
+    // identical in Spark and DuckDB). Two broadcast joins of constant-
+    // size aggregates; the fact is scanned once.
+    "sample_temperature" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"), col("source"))
+      val byLang = docs.groupBy("lang").agg(count(lit(1)).as("cnt"))
+        .withColumn("isqrt", expr("CAST(floor(sqrt(CAST(cnt AS DOUBLE))) AS BIGINT)"))
+      val tot = byLang.agg(sum("isqrt").as("s_isqrt"))
+      docs
+        .join(broadcast(byLang), "lang")
+        .crossJoin(broadcast(tot))
+        .withColumn("u", TextOps.hash60(col("doc_id").cast("string")) % 1000000L)
+        .filter(col("u") * col("s_isqrt") * col("cnt") <
+          lit(1000000L) * lit(200L) * col("isqrt"))
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy("doc_id")
+    }),
+
+    // Sliding-window token chunking (width 64, stride 32): the RAG /
+    // context-window preprocessing step. sequence+posexplode fans each
+    // doc into its chunk starts; slice materializes each overlapping
+    // span. Pure codegen'd map work — output scales with corpus size but
+    // never shuffles, and the explode keeps rows (not whole documents)
+    // as the unit of parallelism downstream.
+    "chunk_sliding_tokens" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+        .withColumn("n", size(col("toks")).cast("long"))
+        .select(col("doc_id"), col("toks"),
+          posexplode(expr("sequence(0L, greatest(n - 1L, 0L), 32L)")))
+        .select(col("doc_id"), col("pos").cast("long").as("chunk_idx"),
+          col("col").as("start"),
+          expr("CAST(size(slice(toks, CAST(col + 1 AS INT), 64)) AS BIGINT)").as("n_tok"),
+          expr("concat_ws(' ', slice(toks, CAST(col + 1 AS INT), 64))").as("chunk"))
+        .orderBy("doc_id", "chunk_idx")),
   )
 
   val oracle: Map[String, String] = Map(
@@ -190,5 +251,31 @@ object CorpusQueries extends QueryPack {
         |  FROM toks)
         |SELECT gram, COUNT(*) AS n FROM grams GROUP BY 1
         |ORDER BY n DESC, gram ASC LIMIT 20""".stripMargin,
+    "sample_domain_quota" ->
+      """WITH ranked AS (SELECT doc_id, lang, source,
+        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY
+        |      ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15))::BIGINT, doc_id) AS rn
+        |  FROM documents)
+        |SELECT doc_id, lang, source, CAST(rn AS BIGINT) AS rn
+        |FROM ranked WHERE rn <= 15 ORDER BY doc_id""".stripMargin,
+    "sample_temperature" ->
+      """WITH bylang AS (SELECT lang, COUNT(*) AS cnt,
+        |    CAST(floor(sqrt(CAST(COUNT(*) AS DOUBLE))) AS BIGINT) AS isqrt
+        |  FROM documents GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(isqrt) AS BIGINT) AS s_isqrt FROM bylang)
+        |SELECT doc_id, d.lang, source
+        |FROM documents d JOIN bylang USING (lang) CROSS JOIN tot
+        |WHERE (('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15))::BIGINT % 1000000)
+        |    * s_isqrt * cnt < 1000000 * 200 * isqrt
+        |ORDER BY doc_id""".stripMargin,
+    "chunk_sliding_tokens" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |st AS (SELECT doc_id, toks,
+        |    unnest(range(0, greatest(len(toks), 1), 32)) AS start FROM t)
+        |SELECT doc_id, CAST(start // 32 AS BIGINT) AS chunk_idx,
+        |  CAST(start AS BIGINT) AS start,
+        |  CAST(len(list_slice(toks, start + 1, start + 64)) AS BIGINT) AS n_tok,
+        |  array_to_string(list_slice(toks, start + 1, start + 64), ' ') AS chunk
+        |FROM st ORDER BY doc_id, chunk_idx""".stripMargin,
   )
 }

@@ -206,6 +206,29 @@ class PlanShapeSpec extends SparkSpec {
       s"disjunctive predicate broke the equi-join:\n${p.take(800)}")
   }
 
+  test("domain quota cap prunes map-side before the window shuffle") {
+    // the rn<=15 filter must compile to WindowGroupLimit so each task
+    // ships at most 15·|sources| rows into the exchange, not the corpus
+    assert(plan("sample_domain_quota").contains("WindowGroupLimit"))
+  }
+
+  test("temperature resampling joins only broadcast aggregates") {
+    // both mixture inputs (per-lang counts, global isqrt sum) are
+    // constant-size — a sort-merge join here would shuffle the corpus
+    // twice for a 5-row dimension
+    val p = plan("sample_temperature")
+    assert(p.contains("BroadcastHashJoin"), s"lang stats must broadcast:\n${p.take(600)}")
+    assert(!p.contains("SortMergeJoin"), s"corpus must not shuffle for tiny dims:\n${p.take(600)}")
+  }
+
+  test("q2 scans the candidate relation from cache on both consumers") {
+    // the argmin join reads q2_cand twice (min-per-part and the join
+    // back); without the persist the derived-partsupp aggregation —
+    // a full fact scan — would run twice
+    val cacheReads = "InMemoryTableScan".r.findAllIn(plan("tpch_q2")).length
+    assert(cacheReads >= 2)
+  }
+
   test("q15 scans the fact once: persisted aggregate feeds both max and filter") {
     val p = plan("tpch_q15")
     // both consumers (the equality filter and the global max) must read
