@@ -140,6 +140,50 @@ object StatsQueries extends QueryPack {
         .withColumn("status_known", col("status").isNotNull)
         .orderBy("o_orderkey")),
 
+    // Group-mean imputation: the fill-from-group-statistics pattern
+    // na_clean's constant fill can't express. Missingness is injected
+    // deterministically (zero tax ⇒ null), the per-group mean is computed
+    // in integer basis points with floor division (no float mean can
+    // diverge between engines), and the 3-row stats frame broadcasts back
+    // onto the fact. Two fact scans by design: the aggregate result is
+    // constant-size, so rescanning beats persisting the full fact at
+    // 100 TB (the scan is column-pruned to 4 columns either way).
+    "na_impute_group" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          expr("nullif(CAST(round(l_tax * 100) AS BIGINT), 0)").as("tax_pct"))
+      val stats = li.groupBy(col("l_returnflag").as("g"))
+        .agg(expr("sum(tax_pct) div count(tax_pct)").as("mean_pct"))
+      li.join(broadcast(stats), col("l_returnflag") === col("g"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          coalesce(col("tax_pct"), col("mean_pct")).as("tax_filled"),
+          col("tax_pct").isNull.as("was_imputed"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // Winsorization: clamp each group's price tail at its exact p05/p95
+    // (percentile ↔ quantile_cont share the linear-interpolation
+    // definition, so the bounds compare exactly — same parity as
+    // agg_percentile). Each clamped value rounds to cents BEFORE the sum,
+    // keeping the aggregate partition-order-independent. The bounds frame
+    // is 3 rows, broadcast back; the single-pass 100-TB variant swaps in
+    // approx_percentile (agg_approx_percentile demonstrates the parity
+    // discipline that requires).
+    "stats_winsorize" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select(col("l_returnflag"), col("l_extendedprice"))
+      val bounds = li.groupBy(col("l_returnflag").as("g"))
+        .agg(expr("percentile(l_extendedprice, 0.05)").as("lo"),
+          expr("percentile(l_extendedprice, 0.95)").as("hi"))
+      li.join(broadcast(bounds), col("l_returnflag") === col("g"))
+        .withColumn("w", least(greatest(col("l_extendedprice"), col("lo")), col("hi")))
+        .groupBy("l_returnflag")
+        .agg(count(when(col("l_extendedprice") < col("lo"), 1)).as("n_clip_low"),
+          count(when(col("l_extendedprice") > col("hi"), 1)).as("n_clip_high"),
+          sum(expr("CAST(round(w * 100) AS BIGINT)")).as("wsum_cents"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    }),
+
     // Deterministic STRATIFIED sampling: fixed quota per stratum (lang),
     // selected by md5-hash order so any engine draws the identical sample.
     // Rank-1..20 per stratum is WindowGroupLimit-prunable map-side; no
@@ -495,6 +539,31 @@ object StatsQueries extends QueryPack {
         |    * CAST(CAST(n AS HUGEINT) * syy
         |      - CAST(sy AS HUGEINT) * CAST(sy AS HUGEINT) AS DOUBLE)) AS corr
         |FROM a ORDER BY l_returnflag""".stripMargin,
+    "na_impute_group" ->
+      """WITH li AS (SELECT l_orderkey, l_linenumber, l_returnflag,
+        |    nullif(CAST(round(l_tax * 100) AS BIGINT), 0) AS tax_pct FROM lineitem),
+        |stats AS (SELECT l_returnflag AS g,
+        |    CAST(SUM(tax_pct) // COUNT(tax_pct) AS BIGINT) AS mean_pct
+        |  FROM li GROUP BY 1)
+        |SELECT l_orderkey, l_linenumber, l_returnflag,
+        |  coalesce(tax_pct, mean_pct) AS tax_filled,
+        |  tax_pct IS NULL AS was_imputed
+        |FROM li JOIN stats ON l_returnflag = g
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "stats_winsorize" ->
+      """WITH li AS (SELECT l_returnflag, l_extendedprice FROM lineitem),
+        |bounds AS (SELECT l_returnflag AS g,
+        |    quantile_cont(l_extendedprice, 0.05) AS lo,
+        |    quantile_cont(l_extendedprice, 0.95) AS hi
+        |  FROM li GROUP BY 1)
+        |SELECT l_returnflag,
+        |  COUNT(*) FILTER (l_extendedprice < lo) AS n_clip_low,
+        |  COUNT(*) FILTER (l_extendedprice > hi) AS n_clip_high,
+        |  CAST(SUM(CAST(round(least(greatest(l_extendedprice, lo), hi) * 100)
+        |    AS BIGINT)) AS BIGINT) AS wsum_cents,
+        |  COUNT(*) AS n
+        |FROM li JOIN bounds ON l_returnflag = g
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "na_clean" ->
       """SELECT o_orderkey,
         |  COALESCE(NULLIF(o_orderpriority, '4-NOT SPECIFIED'), 'unspecified') AS priority,

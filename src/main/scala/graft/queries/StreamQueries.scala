@@ -41,6 +41,23 @@ object StreamQueries extends QueryPack {
         Tables.customer(s, d).select("c_custkey", "c_mktsegment"))
         .orderBy("c_mktsegment", "event_type")),
 
+    // Streaming dedup's batch twin: at-least-once delivery simulated by
+    // re-delivering a deterministic subset (event_id % 7), then
+    // dropDuplicates on the delivery key — the batch semantics of
+    // Streams.dedupStream's dropDuplicatesWithinWatermark (StreamingSpec
+    // runs the stream side). Redelivered copies are byte-identical, so
+    // "keep any one row per key" is deterministic and oracle-able as
+    // DISTINCT. One shuffle on event_id; in the stream the same state
+    // key is bounded by the watermark horizon instead.
+    "stream_dedup_batcheq" -> ((s, d) => {
+      val e = Tables.events(s, d).select("event_id", "ts", "user_id", "event_type")
+      e.union(e.filter(col("event_id") % 7 === 0))
+        .dropDuplicates("event_id")
+        .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+          col("user_id"), col("event_type"))
+        .orderBy("event_id")
+    }),
+
     // flatMapGroupsWithState sessionization run in BATCH mode: the same
     // arbitrary-state function Streams runs as a stream. In one batch it
     // emits every session EXCEPT each user's final one (still "open" in
@@ -77,6 +94,13 @@ object StreamQueries extends QueryPack {
   )
 
   val oracle: Map[String, String] = Map(
+    "stream_dedup_batcheq" ->
+      """WITH delivered AS (
+        |  SELECT event_id, ts, user_id, event_type FROM events
+        |  UNION ALL
+        |  SELECT event_id, ts, user_id, event_type FROM events WHERE event_id % 7 = 0)
+        |SELECT DISTINCT event_id, epoch_us(ts) AS ts_us, user_id, event_type
+        |FROM delivered ORDER BY event_id""".stripMargin,
     "stream_static_join_batcheq" ->
       """SELECT c_mktsegment, event_type, COUNT(*) AS n_events,
         | CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents
