@@ -90,6 +90,26 @@ object Sinks {
     * only valid for SMALL code-table-sized frames, exactly the shape the
     * reference reads this way (≤660 rows).
     */
+  /** Fixture-side binary-file emitter + `binaryFile`-format read-back:
+    * row (id: long, payload: string) becomes one file `doc_<id>.bin` of
+    * the payload's utf8 bytes, then the directory is read with Spark's
+    * binaryFile source — the ingest format a multimodal lake uses for
+    * raw media files. The WRITE is driver-side fixture generation (same
+    * guard discipline as writeJsonArrayFile); the READ is the
+    * distributed path under test, and at scale it parallelizes per file.
+    */
+  def binaryFilesRoundTrip(spark: SparkSession, df: DataFrame, scratch: String): DataFrame = {
+    require(df.limit(10001).count() <= 10000,
+      "binaryFilesRoundTrip writes driver-side; fixture-sized frames only")
+    val dir = java.nio.file.Paths.get(scratch)
+    java.nio.file.Files.createDirectories(dir)
+    df.collect().foreach { r =>
+      java.nio.file.Files.write(dir.resolve(s"doc_${r.getLong(0)}.bin"),
+        r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+    spark.read.format("binaryFile").load(scratch)
+  }
+
   def jsonRoundTrip(spark: SparkSession, df: DataFrame, scratch: String): DataFrame = {
     val dir = java.nio.file.Paths.get(scratch)
     java.nio.file.Files.createDirectories(dir)

@@ -75,9 +75,34 @@ object MultimodalQueries extends QueryPack {
         .select(col("media_id"), col("frame_no"),
           col("pos").cast("long").as("dim"), col("col").as("feature"))
         .orderBy("media_id", "frame_no", "dim")),
+
+    // Raw-media ingest via Spark's binaryFile source: one file per asset
+    // read back as (path, length, content) — the format a multimodal lake
+    // lands camera/audio dumps in before any decode. The fixture writer
+    // is driver-side by construction (Sinks.binaryFilesRoundTrip guard);
+    // the scan under test is distributed, parallelizing per file, and
+    // the oracle recomputes byte length + sha256 from the source text.
+    "mm_scan_binary_files" -> ((s, d) => {
+      val docs = Tables.documents(s, d).filter(col("doc_id") < 50)
+        .select(col("doc_id"), col("text"))
+      graft.ops.Sinks.binaryFilesRoundTrip(s, docs,
+        s"${sys.props("java.io.tmpdir")}/graft-scratch-mm-$mmNonce/bin_docs")
+        .select(regexp_extract(col("path"), "([^/]+)$", 1).as("fname"),
+          col("length"), sha2(col("content"), 256).as("digest"))
+        .orderBy("fname")
+    }),
   )
 
+  // Scratch isolation for the binary-file fixture dir, mirroring
+  // RelationalQueries' runNonce (concurrent Verify+Bench must not race).
+  private val mmNonce: String = java.util.UUID.randomUUID.toString.take(8)
+
   val oracle: Map[String, String] = Map(
+    "mm_scan_binary_files" ->
+      """SELECT 'doc_' || CAST(doc_id AS VARCHAR) || '.bin' AS fname,
+        | CAST(octet_length(encode(text)) AS BIGINT) AS length,
+        | sha256(text) AS digest
+        |FROM documents WHERE doc_id < 50 ORDER BY fname""".stripMargin,
     "mm_binary_meta" ->
       """SELECT doc_id AS media_id,
         | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

@@ -334,6 +334,37 @@ object StatsQueries extends QueryPack {
     // update, unmatched keep the base row, new keys insert. The join-based
     // copy-on-write shape (updates ∪ base⟕anti updates) is exactly how
     // Delta/Iceberg execute MERGE; both sides shuffle once on the key.
+    // SCD type-2 dimension update: changed keys close out the prior
+    // version (valid_to stamped, is_current dropped) and append the new
+    // one; unchanged keys pass through. Three branches — expired, still-
+    // current, new — all gated by semi/anti joins on the SAME key, so at
+    // scale the small update set broadcasts and the dimension shuffles
+    // at most once. merge_upsert is the overwrite flavor; this is the
+    // history-keeping one.
+    "scd2_update" -> ((s, d) => {
+      val base = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"),
+          Cleaning.cents(col("c_acctbal")).as("bal_cents"))
+      val upd = base.filter(col("c_custkey") % 10 === 0)
+        .withColumn("c_mktsegment", lit("MOVED"))
+        .withColumn("bal_cents", col("bal_cents") + 50000L)
+      val updKeys = upd.select("c_custkey")
+      val expired = base.join(updKeys, Seq("c_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_mktsegment"), col("bal_cents"),
+          lit("1900-01-01").as("valid_from"), lit("2026-08-01").as("valid_to"),
+          lit(false).as("is_current"))
+      val unchanged = base.join(updKeys, Seq("c_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_mktsegment"), col("bal_cents"),
+          lit("1900-01-01").as("valid_from"), lit("9999-12-31").as("valid_to"),
+          lit(true).as("is_current"))
+      val fresh = upd
+        .select(col("c_custkey"), col("c_mktsegment"), col("bal_cents"),
+          lit("2026-08-01").as("valid_from"), lit("9999-12-31").as("valid_to"),
+          lit(true).as("is_current"))
+      expired.unionByName(unchanged).unionByName(fresh)
+        .orderBy("c_custkey", "valid_from")
+    }),
+
     "merge_upsert" -> ((s, d) => {
       val base = Tables.orders(s, d)
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
@@ -632,6 +663,23 @@ object StatsQueries extends QueryPack {
         |SELECT label, COUNT(*) AS n
         |FROM l JOIN dim ON st IS NOT DISTINCT FROM st2
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "scd2_update" ->
+      """WITH base AS (SELECT c_custkey, c_mktsegment,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents FROM customer),
+        |upd AS (SELECT c_custkey, 'MOVED' AS c_mktsegment, bal_cents + 50000 AS bal_cents
+        |  FROM base WHERE c_custkey % 10 = 0)
+        |SELECT c_custkey, c_mktsegment, bal_cents,
+        |    '1900-01-01' AS valid_from, '2026-08-01' AS valid_to, false AS is_current
+        |  FROM base WHERE c_custkey IN (SELECT c_custkey FROM upd)
+        |UNION ALL
+        |SELECT c_custkey, c_mktsegment, bal_cents,
+        |    '1900-01-01', '9999-12-31', true
+        |  FROM base WHERE c_custkey NOT IN (SELECT c_custkey FROM upd)
+        |UNION ALL
+        |SELECT c_custkey, c_mktsegment, bal_cents,
+        |    '2026-08-01', '9999-12-31', true
+        |  FROM upd
+        |ORDER BY c_custkey, valid_from""".stripMargin,
     "merge_upsert" ->
       """WITH base AS (SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus FROM orders),
         |upd AS (
