@@ -20,6 +20,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object StatsQueries extends QueryPack {
 
+  // Scratch isolation for sink_compacted's fixture dirs (concurrent
+  // Verify+Bench runs must not race on a shared path).
+  private val statsNonce: String = java.util.UUID.randomUUID.toString.take(8)
+
   // shared sub-shapes -----------------------------------------------------
   /** Premium-order counts per customer — the deliberately sparse right side
     * for the outer-join queries (most customers have no 150k+ order).
@@ -237,6 +241,25 @@ object StatsQueries extends QueryPack {
         .agg(count(lit(1)).as("n"),
           sum(Cleaning.cents(col("value"))).as("value_cents"))
         .orderBy("hour", "event_type")),
+
+    // Small-file compaction — the lake maintenance pass: a deliberately
+    // fragmented write (64 splinter files) is compacted by read →
+    // repartition(4) → rewrite, and the read-back proves both the layout
+    // (exactly 4 files via _metadata) and that no row or cent was lost.
+    // At scale the repartition target comes from bytes/128MB; round-robin
+    // repartition (no column args) avoids skewing compacted files by any
+    // key distribution.
+    "sink_compacted" -> ((s, d) => {
+      val frag = s"${sys.props("java.io.tmpdir")}/graft-scratch-stats-$statsNonce/frag"
+      val compact = s"${sys.props("java.io.tmpdir")}/graft-scratch-stats-$statsNonce/compact"
+      val e = Tables.events(s, d).select(col("event_id"), col("value"))
+      e.repartition(64).write.mode("overwrite").parquet(frag)
+      s.read.parquet(frag).repartition(4).write.mode("overwrite").parquet(compact)
+      s.read.parquet(compact)
+        .agg(countDistinct(expr("_metadata.file_name")).as("n_files"),
+          count(lit(1)).as("n_rows"),
+          sum(Cleaning.cents(col("value"))).as("value_cents"))
+    }),
 
     // Row provenance via the hidden _metadata column: which FILE did each
     // row come from, surfaced as a per-file row count + byte size — the
@@ -631,6 +654,12 @@ object StatsQueries extends QueryPack {
     // the oracle sees only table views, never paths, so it pins the
     // provable invariants: the metadata column yields THE file's basename
     // with a positive size, and every row carries it
+    // compaction invariants: exactly the target file count, and the
+    // content aggregate is byte-for-byte what the source held
+    "sink_compacted" ->
+      """SELECT CAST(4 AS BIGINT) AS n_files, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM events""".stripMargin,
     "scan_file_metadata" ->
       """SELECT 'lineitem.parquet' AS file_name, TRUE AS file_has_bytes,
         |  COUNT(*) AS n_rows
