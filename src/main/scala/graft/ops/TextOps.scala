@@ -63,6 +63,17 @@ object TextOps {
       array_min(transform(hashes, h => (lit(a) * (h % HashPrime) + lit(b)) % HashPrime))
     }: _*)
 
+  /** Native one-pass signature straight from the `array<string>` shingles
+    * (MD5 + all 8 affine mins in a single compiled loop — see
+    * [[graft.functions.MinHashSignature]]). Bit-identical to hashing with
+    * [[hash60]] then folding with [[minHashSignature]]; pinned by
+    * `TextOpsSpec`.
+    */
+  def minHashSigNative(shingles: Column): Column =
+    org.apache.spark.sql.GraftSqlBridge.toColumn(
+      graft.functions.MinHashSignature(
+        org.apache.spark.sql.GraftSqlBridge.toExpression(shingles)))
+
   /** LSH band keys, r=2 rows per band, b=4 bands over the k=8 signature.
     * Two documents are candidate near-dups iff they share at least one
     * band key — the join key that replaces the quadratic all-pairs scan.

@@ -80,6 +80,9 @@ object GraftFunctions {
     (FunctionIdentifier("dot_product"),
       info("dot_product", "dot_product(a, b) - sequential-fold dot product of two float/double arrays"),
       (args: Seq[Expression]) => DotProduct(args(0), args(1))),
+    (FunctionIdentifier("minhash_sig"),
+      info("minhash_sig", "minhash_sig(shingles) - one-pass k=8 MinHash signature over an array<string>"),
+      (args: Seq[Expression]) => graft.functions.MinHashSignature(args(0))),
   )
 
   /** Idempotent per-session registration (overwrites any prior entry). */

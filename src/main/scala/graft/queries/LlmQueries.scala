@@ -34,23 +34,34 @@ object LlmQueries extends QueryPack {
     subplanCache.getOrElseUpdate((s, d, kind),
       build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
-  /** documents → (doc_id, band, band_key) rows: 3-gram shingles explode to
-    * one row per (doc, shingle-hash); the k=8 signature is a codegen'd
-    * hash aggregate with map-side partial mins (docs with < 3 tokens carry
-    * no shingles and are excluded, mirrored in SQL).
+  /** documents → (doc_id, band, band_key) rows. The k=8 signature is the
+    * native one-pass expression ([[graft.functions.MinHashSignature]]):
+    * MD5 + all 8 affine mins in one compiled loop per document — the
+    * shingle explode (row count × ~doc length through a hash aggregate)
+    * is gone; the only shuffle left is the explicit repartition below.
+    * The retired explode+agg form survives as [[TextOps.minHashAgg]],
+    * pinned equivalent in `TextVectorOpsSpec`. Docs with < 3 tokens carry
+    * no shingles and are excluded, mirrored in SQL. At sf0.1 both shapes
+    * time alike (MD5 dominates); the win is the removed fan-out, which
+    * grows with corpus scale.
     */
   private def minhashBands(s: SparkSession, d: String): DataFrame =
     cached("minhash_bands", s, d) {
-      val exploded = Tables.documents(s, d)
+      Tables.documents(s, d)
         .filter(size(TextOps.tokens(col("text"))) >= 3)
         .select(col("doc_id"),
-          explode(TextOps.wordShingles(TextOps.tokens(col("text")), 3)).as("sh"))
-        .select(col("doc_id"), TextOps.hash60(col("sh")).as("h"))
-      TextOps.minHashAgg(exploded, "doc_id", "h")
-        .select(col("doc_id"),
-          TextOps.bandKeys(array((0 until 8).map(j => col(s"m$j")): _*)).as("bands"))
+          TextOps.minHashSigNative(
+            TextOps.wordShingles(TextOps.tokens(col("text")), 3)).as("sig"))
+        .select(col("doc_id"), TextOps.bandKeys(col("sig")).as("bands"))
         .select(col("doc_id"), posexplode(col("bands")))
         .select(col("doc_id"), col("pos").cast("long").as("band"), col("col").as("band_key"))
+        // map-only signatures inherit the scan's split count (ONE partition
+        // per ~128MB input file) — fine for the table itself, but every
+        // downstream broadcast-join/verify pipeline would inherit that
+        // parallelism too (the old agg shape left hash(doc_id) partitions
+        // here incidentally). Spread before persisting so per-pair verify
+        // work fans across the cluster.
+        .repartition(col("doc_id"))
     }
 
   /** (doc_id, gh) for every 5-gram shingle — shared by `text_fingerprint`

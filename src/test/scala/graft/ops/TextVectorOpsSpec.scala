@@ -66,6 +66,26 @@ class TextVectorOpsSpec extends SparkSpec {
       .as[(Long, Seq[Long])].collect().toMap
     assert(colMin == aggMin)
 
+    // the native one-pass expression (MD5 + affine mins in compiled code)
+    // must produce the identical signature — it replaces both forms above
+    // on the query path
+    val nativeMin = docs.select(col("doc_id"),
+      TextOps.minHashSigNative(
+        TextOps.wordShingles(TextOps.tokens(col("text")), 3)).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(nativeMin == colMin)
+
+    // shingle-free doc (< 3 tokens): both forms yield 8 nulls, not fake 0s
+    val shortDoc = Seq((9L, "w1 w2")).toDF("doc_id", "text")
+    def nullSig(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("sig")).as[Seq[Option[Long]]].head()
+    assert(nullSig(shortDoc.select(col("doc_id"), TextOps.minHashSigNative(
+        TextOps.wordShingles(TextOps.tokens(col("text")), 3)).as("sig")))
+      == Seq.fill(8)(None))
+    assert(nullSig(shortDoc.select(col("doc_id"), TextOps.minHashSignature(
+        TextOps.shingleHashes(col("text"), 3)).as("sig")))
+      == Seq.fill(8)(None))
+
     val colSim = docs
       .withColumn("hashes", transform(TextOps.tokens(col("text")), t => TextOps.hash60(t)))
       .select(col("doc_id"), TextOps.simHash60("hashes").as("s"))
