@@ -43,6 +43,48 @@ object CorpusQueries extends QueryPack {
         .orderBy("bucket", "pos")
     }),
 
+    // The full training-loop shape: TWO Lloyd iterations, where iteration
+    // 2's centroids are RECOMPUTED from iteration 1's assignment and
+    // broadcast back — the assign → update-model → reassign cycle every
+    // distributed trainer runs. Centroid components are integer-micro
+    // FLOOR-divided means (Spark `div` truncates toward zero while DuckDB
+    // `//` floors, and embedding sums go negative — the explicit CASE
+    // keeps both engines on floor), so the second assignment compares
+    // bit-identical doubles. Each iteration is one broadcast crossjoin
+    // (constant-size centroid set) + one hash agg; nothing iterates on
+    // the driver beyond plan composition.
+    "kmeans_iter2" -> ((s, d) => {
+      val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding").as("v"))
+      val cent0 = e.filter(col("vec_id") < 8).select(col("vec_id").as("c_id"), col("v").as("cv"))
+      val data = e.filter(col("vec_id") >= 8)
+      val aw = Window.partitionBy("vec_id").orderBy(col("c_cos").desc, col("c_id").asc)
+      def assign(cents: DataFrame): DataFrame =
+        data.crossJoin(broadcast(cents))
+          .withColumn("c_cos", VectorOps.cosine(col("v"), col("cv")))
+          .withColumn("arank", row_number().over(aw))
+          .filter(col("arank") === 1)
+          .select(col("vec_id"), col("v"), col("c_id").as("bucket"))
+      val moments1 = assign(cent0)
+        .select(col("bucket"), posexplode(col("v")))
+        .select(col("bucket"), col("pos"),
+          expr("CAST(round(CAST(col AS DOUBLE) * 1000000) AS BIGINT)").as("micro"))
+        .groupBy("bucket", "pos")
+        .agg(sum("micro").as("sm"), count(lit(1)).as("n"))
+        .select(col("bucket"), col("pos"),
+          expr("CASE WHEN sm % n = 0 OR sm >= 0 THEN sm div n ELSE sm div n - 1 END")
+            .as("cmicro"))
+      val cent1 = moments1.groupBy(col("bucket").as("c_id"))
+        .agg(expr("transform(array_sort(collect_list(struct(pos, cmicro))), " +
+          "r -> CAST(r.cmicro AS DOUBLE) / 1000000.0)").as("cv"))
+      assign(cent1)
+        .select(col("bucket"), posexplode(col("v")))
+        .select(col("bucket"), col("pos").cast("long").as("pos"),
+          expr("CAST(round(CAST(col AS DOUBLE) * 1000000) AS BIGINT)").as("micro"))
+        .groupBy("bucket", "pos")
+        .agg(count(lit(1)).as("n_members"), sum("micro").as("sum_micro"))
+        .orderBy("bucket", "pos")
+    }),
+
     // Numeric masking/redaction: every digit run in the payload replaced
     // with a mask plus a redaction count — the PII-scrub shape (the same
     // regexp_replace machinery applies to email/phone/SSN patterns). Pure
