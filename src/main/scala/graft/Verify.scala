@@ -17,8 +17,15 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // Dev-only filter (tools/check.py loop): comma-separated query ids.
-    // The driver never sets it, so the gate always runs the full set.
+    // The driver never sets it; if it leaks into a gate run we refuse to
+    // write oracle_sql.json below, so a partial dump can never be scored
+    // as a full round.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    only.foreach { f =>
+      System.err.println(
+        s"[verify] WARNING: SPARK_GRAFT_ONLY=${f.mkString(",")} — PARTIAL dump " +
+          "(dev mode); oracle_sql.json will NOT be written, only oracle_sql.partial.json.")
+    }
     val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_(n)) }
     selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
@@ -39,9 +46,13 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    // Filter active → gate artifact withheld: the driver's check would see
+    // a full oracle set but partial dumps and could under-verify a round.
+    val oracleOut = SparkEntry.oracleSql
+      .filter { case (k, _) => only.forall(_(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val oracleName = if (only.isDefined) "oracle_sql.partial.json" else "oracle_sql.json"
+    Files.writeString(Paths.get(s"$outDir/$oracleName"), oracleOut)
     spark.stop()
   }
 }

@@ -197,8 +197,13 @@ object CorpusQueries extends QueryPack {
     // multiplied integer inequality — u·S·cnt < 1e6·B·isqrt — so no
     // float division can flip a row near the boundary in either engine
     // (isqrt = floor of the correctly-rounded sqrt of an exact integer,
-    // identical in Spark and DuckDB). Two broadcast joins of constant-
-    // size aggregates; the fact is scanned once.
+    // identical in Spark and DuckDB). The product is evaluated in
+    // DECIMAL(38,0): with u < 2^20, s_isqrt ~ 2^17·√langs and cnt up to
+    // ~2^40 at 100 TB, u·S·cnt can pass 2^63 — Int64 would wrap silently
+    // while DuckDB promotes to HUGEINT, diverging exactly at the
+    // boundary. Decimal128 holds any u·S·cnt < 10^38 (cnt can reach
+    // ~10^12 with room to spare) and matches DuckDB's promotion. Two
+    // broadcast joins of constant-size aggregates; the fact scans once.
     "sample_temperature" -> ((s, d) => {
       val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"), col("source"))
       val byLang = docs.groupBy("lang").agg(count(lit(1)).as("cnt"))
@@ -208,8 +213,8 @@ object CorpusQueries extends QueryPack {
         .join(broadcast(byLang), "lang")
         .crossJoin(broadcast(tot))
         .withColumn("u", TextOps.hash60(col("doc_id").cast("string")) % 1000000L)
-        .filter(col("u") * col("s_isqrt") * col("cnt") <
-          lit(1000000L) * lit(200L) * col("isqrt"))
+        .filter(expr("CAST(u AS DECIMAL(38,0)) * s_isqrt * cnt " +
+          "< CAST(200000000 AS DECIMAL(38,0)) * isqrt"))
         .select(col("doc_id"), col("lang"), col("source"))
         .orderBy("doc_id")
     }),
@@ -244,6 +249,37 @@ object CorpusQueries extends QueryPack {
          |        ORDER BY ${LlmQueries.cosSql("e.v", "cv")} DESC, c_id) AS arank
          |    FROM e, cent WHERE e.vec_id >= 8) t WHERE arank = 1),
          |x AS (SELECT bucket, unnest(range(0, len(v))) AS pos, unnest(v) AS val FROM assign)
+         |SELECT bucket, CAST(pos AS BIGINT) AS pos, COUNT(*) AS n_members,
+         |  CAST(SUM(CAST(round(val*1000000) AS BIGINT)) AS BIGINT) AS sum_micro
+         |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // Two Lloyd iterations: iteration-2 centroids rebuilt from iteration
+    // 1's floor-divided integer-micro means. DuckDB's `//` TRUNCATES
+    // toward zero (like Spark's `div`), so the same floor CASE appears
+    // on both sides.
+    "kmeans_iter2" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+         |cent0 AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < 8),
+         |a1 AS (
+         |  SELECT vec_id, v, bucket FROM (
+         |    SELECT e.vec_id, e.v, c_id AS bucket,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${LlmQueries.cosSql("e.v", "cv")} DESC, c_id) AS arank
+         |    FROM e, cent0 WHERE e.vec_id >= 8) t WHERE arank = 1),
+         |m1 AS (SELECT bucket, pos, CAST(SUM(micro) AS BIGINT) AS sm, COUNT(*) AS n FROM (
+         |    SELECT bucket, unnest(range(0, len(v))) AS pos,
+         |      CAST(round(unnest(v)*1000000) AS BIGINT) AS micro FROM a1) x0
+         |  GROUP BY 1, 2),
+         |cent1 AS (SELECT bucket AS c_id,
+         |    list(CAST(CASE WHEN sm % n = 0 OR sm >= 0 THEN sm // n ELSE sm // n - 1 END
+         |      AS DOUBLE) / 1000000.0 ORDER BY pos) AS cv
+         |  FROM m1 GROUP BY 1),
+         |a2 AS (
+         |  SELECT vec_id, v, bucket FROM (
+         |    SELECT e.vec_id, e.v, c_id AS bucket,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${LlmQueries.cosSql("e.v", "cv")} DESC, c_id) AS arank
+         |    FROM e, cent1 WHERE e.vec_id >= 8) t WHERE arank = 1),
+         |x AS (SELECT bucket, unnest(range(0, len(v))) AS pos, unnest(v) AS val FROM a2)
          |SELECT bucket, CAST(pos AS BIGINT) AS pos, COUNT(*) AS n_members,
          |  CAST(SUM(CAST(round(val*1000000) AS BIGINT)) AS BIGINT) AS sum_micro
          |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,

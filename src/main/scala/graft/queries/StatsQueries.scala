@@ -352,11 +352,6 @@ object StatsQueries extends QueryPack {
         .orderBy("label")
     }),
 
-    // MERGE/upsert (the CDC lake operation): an updates frame (changed
-    // rows + brand-new keys) merged into the base — matched keys take the
-    // update, unmatched keep the base row, new keys insert. The join-based
-    // copy-on-write shape (updates ∪ base⟕anti updates) is exactly how
-    // Delta/Iceberg execute MERGE; both sides shuffle once on the key.
     // SCD type-2 dimension update: changed keys close out the prior
     // version (valid_to stamped, is_current dropped) and append the new
     // one; unchanged keys pass through. Three branches — expired, still-
@@ -388,6 +383,11 @@ object StatsQueries extends QueryPack {
         .orderBy("c_custkey", "valid_from")
     }),
 
+    // MERGE/upsert (the CDC lake operation): an updates frame (changed
+    // rows + brand-new keys) merged into the base — matched keys take the
+    // update, unmatched keep the base row, new keys insert. The join-based
+    // copy-on-write shape (updates ∪ base⟕anti updates) is exactly how
+    // Delta/Iceberg execute MERGE; both sides shuffle once on the key.
     "merge_upsert" -> ((s, d) => {
       val base = Tables.orders(s, d)
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),

@@ -19,7 +19,13 @@ for p in glob.glob(f"{sf_dir}/*.parquet"):
     name = os.path.basename(p)[:-len(".parquet")]
     con.execute(f"create view {name} as select * from read_parquet('{p}')")
 
-oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+# Full-set artifact preferred; .partial is what Verify writes under the
+# SPARK_GRAFT_ONLY dev filter (it refuses the gate name for partial dumps).
+_oracle_path = f"{out_dir}/oracle_sql.json"
+if not os.path.exists(_oracle_path):
+    _oracle_path = f"{out_dir}/oracle_sql.partial.json"
+    print(f"NOTE: using PARTIAL oracle set {_oracle_path} (dev filter run)")
+oracle = json.load(open(_oracle_path))
 ok, bad, noracle = [], [], []
 dump_dirs = sorted(glob.glob(f"{out_dir}/*/"))
 found = {os.path.basename(d.rstrip("/")) for d in dump_dirs}
