@@ -18,6 +18,7 @@ object SparkEntry {
     StatsQueries,
     LlmQueries,
     CorpusQueries,
+    RetrievalQueries,
     StreamQueries,
     MultimodalQueries,
     ScaleQueries,

@@ -229,6 +229,38 @@ class PlanShapeSpec extends SparkSpec {
     assert(cacheReads >= 2)
   }
 
+  test("bm25 top-k: broadcast stats, TakeOrderedAndProject, no cartesian") {
+    val p = plan("text_bm25_topk")
+    // df/avgdl are constant-size aggregates — they must broadcast back
+    // onto the tf rows, and the top-50 must be a per-partition top-k
+    assert(p.contains("BroadcastHashJoin"), s"term stats must broadcast:\n${p.take(600)}")
+    assert(p.contains("TakeOrderedAndProject"), "top-50 must not be a global sort")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("PQ ADC search joins codes to the 32-row table via broadcast hash") {
+    val p = plan("ann_pq_adc")
+    // the whole point of ADC: per-vector cost is a (subspace, code) hash
+    // lookup, never per-pair vector math — so the join must be broadcast
+    // hash on those keys and nothing may degenerate to a cartesian
+    assert(p.contains("BroadcastHashJoin"), s"ADC table must broadcast:\n${p.take(600)}")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("TakeOrderedAndProject"), "top-10 must not be a global sort")
+  }
+
+  test("CDC latest-wins prunes map-side before the per-key window shuffle") {
+    // rn=1 over (key ORDER BY seq DESC) must compile to WindowGroupLimit:
+    // each task ships at most one candidate row per key into the exchange
+    assert(plan("cdc_latest_wins").contains("WindowGroupLimit"))
+  }
+
+  test("erasure cascade is anti/semi joins with a broadcast tombstone set") {
+    val p = plan("gdpr_erasure_cascade")
+    assert(p.contains("LeftAnti") && p.contains("LeftSemi"),
+      s"cascade must be anti (erase) + semi (survivors) joins:\n${p.take(800)}")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q15 scans the fact once: persisted aggregate feeds both max and filter") {
     val p = plan("tpch_q15")
     // both consumers (the equality filter and the global max) must read

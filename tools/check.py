@@ -78,8 +78,10 @@ for qdir in dump_dirs:
         ok.append(name)
 
 print(f"== OK ({len(ok)}): {' '.join(ok)}")
+# Every declared query carries an oracle (SURVEY §2.13) — a dump with no
+# oracle SQL is a gate hole, not a pass, so it reddens the run too.
 for name, rows in noracle:
-    print(f"== NO-ORACLE: {name} rows={rows}")
+    print(f"== NO-ORACLE (fails gate): {name} rows={rows}")
 for name, why in bad:
     print(f"== FAIL: {name}: {why}")
-sys.exit(1 if bad else 0)
+sys.exit(1 if bad or noracle else 0)
