@@ -172,6 +172,29 @@ object AggWindowQueries extends QueryPack {
         .agg(sum(col("pq")).as("sum_qty"), sum(col("pn")).as("n"))
         .orderBy("l_returnflag")),
 
+    // Incremental view maintenance: yesterday's materialized rollup
+    // (base partition) merged with today's delta by SUMMING THE PARTIALS
+    // (sum, count are associative; avg derives from them at read time) —
+    // never re-scanning history. The oracle aggregates the FULL table
+    // directly, so the hash match proves merge-of-partials ≡ full
+    // recompute. At 100 TB this is the difference between a daily delta
+    // scan and a daily full scan.
+    "agg_incremental_merge" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_returnflag").as("flag"), cents(col("l_quantity")).as("qc"),
+          col("l_orderkey"))
+      def partial(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy("flag").agg(sum("qc").as("s"), count(lit(1)).as("n"))
+      val basePart = partial(li.filter(col("l_orderkey") % 10 =!= 0))
+      val deltaPart = partial(li.filter(col("l_orderkey") % 10 === 0))
+      basePart.unionByName(deltaPart)
+        .groupBy("flag")
+        .agg(sum("s").as("sum_qty_cents"), sum("n").as("n_rows"))
+        .select(col("flag"), col("sum_qty_cents"), col("n_rows"),
+          expr("sum_qty_cents * 10 div n_rows").as("avg_qty_milli"))
+        .orderBy("flag")
+    }),
+
     // PIVOT with explicit value list (explicit ⇒ deterministic output
     // columns, single-pass grouped aggregation underneath).
     "agg_pivot" -> ((s, d) =>
@@ -354,6 +377,15 @@ object AggWindowQueries extends QueryPack {
         | SUM(CAST(round(l_extendedprice*100) AS BIGINT)) / 100.0 AS sum_price,
         | MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
         | SUM(CAST(round(l_extendedprice*100) AS BIGINT)) / (COUNT(*) * 100.0) AS avg_price
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Full-table aggregate on purpose: matching it proves the engine's
+    // partial-merge path is exact.
+    "agg_incremental_merge" ->
+      """SELECT l_returnflag AS flag,
+        | CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
+        | COUNT(*) AS n_rows,
+        | CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) * 10 // COUNT(*) AS BIGINT)
+        |   AS avg_qty_milli
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "agg_salted" ->
       """SELECT l_returnflag, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,

@@ -56,6 +56,24 @@ object MultimodalQueries extends QueryPack {
           md5(col("resized")).as("resized_md5"))
         .orderBy("media_id")),
 
+    // Cross-media duplicate frames: every payload sliced into 16-byte
+    // frames, each frame content-hashed, and the hash histogram reduced
+    // to frames seen in MORE THAN ONE media item — the video/audio exact
+    // dedup primitive (intros, watermarks, silence blocks). Explode is
+    // shuffle-free; the only shuffle is the hash aggregate on frame hash,
+    // with map-side partial combine, so cost scales with distinct frames
+    // not corpus bytes. Top-50 by duplication count, TakeOrdered.
+    "mm_frame_dedup" -> ((s, d) =>
+      Multimodal.asMediaTable(Tables.documents(s, d))
+        .select(col("media_id"), explode(Multimodal.framesExpr("payload", 16)).as("frame"))
+        .select(col("media_id"),
+          graft.ops.TextOps.hash60(col("frame").cast("string")).as("frame_h"))
+        .groupBy("frame_h")
+        .agg(countDistinct("media_id").as("n_media"), count(lit(1)).as("n_occ"))
+        .filter(col("n_media") > 1)
+        .orderBy(col("n_occ").desc, col("frame_h"))
+        .limit(50)),
+
     // Feature extraction over sampled frames: an 8-dim feature vector per
     // frame (md5-derived — the deterministic stand-in for an image/audio
     // embedding model; a real extractor slots into the decodeStub seam).
@@ -98,6 +116,17 @@ object MultimodalQueries extends QueryPack {
   private val mmNonce: String = java.util.UUID.randomUUID.toString.take(8)
 
   val oracle: Map[String, String] = Map(
+    // ASCII corpus ⇒ byte frames == char frames, so the oracle slices the
+    // text side; 60-bit md5-prefix hash matches TextOps.hash60.
+    "mm_frame_dedup" ->
+      """WITH fr AS (SELECT doc_id AS media_id,
+        |    ('0x'||substr(md5(unnest(list_transform(
+        |      range(0, CAST(ceil(len(text) / 16.0) AS INT)),
+        |      i -> substr(text, i*16+1, 16)))),1,15))::BIGINT AS frame_h
+        |  FROM documents)
+        |SELECT frame_h, COUNT(DISTINCT media_id) AS n_media, COUNT(*) AS n_occ
+        |FROM fr GROUP BY 1 HAVING COUNT(DISTINCT media_id) > 1
+        |ORDER BY n_occ DESC, frame_h LIMIT 50""".stripMargin,
     "mm_scan_binary_files" ->
       """SELECT 'doc_' || CAST(doc_id AS VARCHAR) || '.bin' AS fname,
         | CAST(octet_length(encode(text)) AS BIGINT) AS length,
