@@ -219,6 +219,23 @@ object CorpusQueries extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // Deterministic 80/10/10 train/val/test split: the assignment is a
+    // pure function of the doc's portable 60-bit hash (no RNG, no state),
+    // so any worker — or a rerun months later — routes every document
+    // identically, and adding documents never reshuffles existing ones.
+    // Output is the per-(split, lang) audit: counts and char volume.
+    // Map work + one low-cardinality hash agg.
+    "split_train_val_test" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("bucket", TextOps.hash60(col("doc_id").cast("string")) % 100L)
+        .withColumn("split",
+          when(col("bucket") < 80, lit("train"))
+            .when(col("bucket") < 90, lit("val"))
+            .otherwise(lit("test")))
+        .groupBy("split", "lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("n_chars"))
+        .orderBy("split", "lang")),
+
     // Sliding-window token chunking (width 64, stride 32): the RAG /
     // context-window preprocessing step. sequence+posexplode fans each
     // doc into its chunk starts; slice materializes each overlapping
@@ -346,6 +363,14 @@ object CorpusQueries extends QueryPack {
         |WHERE (('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15))::BIGINT % 1000000)
         |    * s_isqrt * cnt < 1000000 * 200 * isqrt
         |ORDER BY doc_id""".stripMargin,
+    "split_train_val_test" ->
+      """WITH b AS (SELECT lang, n_chars,
+        |    ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15))::BIGINT % 100 AS bucket
+        |  FROM documents)
+        |SELECT CASE WHEN bucket < 80 THEN 'train'
+        |            WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+        |  lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS n_chars
+        |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "chunk_sliding_tokens" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |st AS (SELECT doc_id, toks,
