@@ -101,6 +101,57 @@ object StatsQueries extends QueryPack {
             .stripMargin.replaceAll("\n", " ")).as("var_cents2"))
         .orderBy("l_returnflag")),
 
+    // Single-pass column profiler: null rate, distinct count, min/max per
+    // profiled column, unpivoted to one audit row per column — the
+    // data-quality sweep every lake ingestion runs. ONE scan computes all
+    // metrics (the multi-distinct plans as one Expand, not three scans);
+    // stack() reshapes the 1-row aggregate, so no shuffle beyond the
+    // aggregate's own.
+    "profile_columns" -> ((s, d) =>
+      Tables.orders(s, d)
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("o_orderstatus").isNull, 1L).otherwise(0L)).as("nu_st"),
+          countDistinct("o_orderstatus").as("nd_st"),
+          min("o_orderstatus").as("mn_st"), max("o_orderstatus").as("mx_st"),
+          sum(when(col("o_orderpriority").isNull, 1L).otherwise(0L)).as("nu_pr"),
+          countDistinct("o_orderpriority").as("nd_pr"),
+          min("o_orderpriority").as("mn_pr"), max("o_orderpriority").as("mx_pr"),
+          sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("nu_ck"),
+          countDistinct("o_custkey").as("nd_ck"),
+          min("o_custkey").cast("string").as("mn_ck"),
+          max("o_custkey").cast("string").as("mx_ck"))
+        .select(expr(
+          """stack(3,
+            |  'o_custkey',       n, nu_ck, nd_ck, mn_ck, mx_ck,
+            |  'o_orderpriority', n, nu_pr, nd_pr, mn_pr, mx_pr,
+            |  'o_orderstatus',   n, nu_st, nd_st, mn_st, mx_st)
+            |AS (col_name, n_rows, n_null, n_distinct, min_val, max_val)"""
+            .stripMargin.replaceAll("\n", " ")))
+        .orderBy("col_name")),
+
+    // Point-anomaly detection, 3-sigma rule with ZERO floats: x is
+    // anomalous iff (x·n − Σx)² > 9·(n·Σx² − (Σx)²) — the |x−μ| > 3σ
+    // test cross-multiplied by n² so both engines compare exact integers
+    // (Spark in DECIMAL(38,0), DuckDB via HUGEINT promotion; (x·n−Σx)²
+    // reaches ~10²⁰ at sf0.1, far past Int64). Per-type stats are a
+    // 3-row broadcast; the fact scans once.
+    "anomaly_3sigma" -> ((s, d) => {
+      val e = Tables.events(s, d)
+        .select(col("event_id"), col("event_type"), Cleaning.cents(col("value")).as("cents"))
+      val st = e.groupBy("event_type").agg(
+        count(lit(1)).as("n"), sum("cents").as("s_"),
+        sum(expr("CAST(cents AS DECIMAL(38,0)) * cents")).as("q"))
+      e.join(broadcast(st), "event_type")
+        .filter(expr(
+          """(CAST(cents AS DECIMAL(38,0)) * n - s_)
+            |  * (CAST(cents AS DECIMAL(38,0)) * n - s_)
+            |  > CAST(9 AS DECIMAL(38,0))
+            |    * (CAST(n AS DECIMAL(38,0)) * q - CAST(s_ AS DECIMAL(38,0)) * s_)"""
+            .stripMargin.replaceAll("\n", " ")))
+        .select(col("event_id"), col("event_type"), col("cents"))
+        .orderBy("event_id")
+    }),
+
     // Pearson correlation + covariance from exact integer sums: quantity vs
     // price cents per return flag. covar_milli is pure integer arithmetic;
     // corr casts the SAME exact decimals to double on both engines, so the
@@ -559,6 +610,33 @@ object StatsQueries extends QueryPack {
         |  SELECT *, row_number() OVER (PARTITION BY l_returnflag
         |    ORDER BY n DESC, qty ASC) AS rnk FROM counts) t
         |WHERE rnk = 1 ORDER BY l_returnflag""".stripMargin,
+    "profile_columns" ->
+      """SELECT 'o_custkey' AS col_name, COUNT(*) AS n_rows,
+        |  CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+        |  COUNT(DISTINCT o_custkey) AS n_distinct,
+        |  CAST(MIN(o_custkey) AS VARCHAR) AS min_val,
+        |  CAST(MAX(o_custkey) AS VARCHAR) AS max_val FROM orders
+        |UNION ALL
+        |SELECT 'o_orderpriority', COUNT(*),
+        |  CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  COUNT(DISTINCT o_orderpriority),
+        |  MIN(o_orderpriority), MAX(o_orderpriority) FROM orders
+        |UNION ALL
+        |SELECT 'o_orderstatus', COUNT(*),
+        |  CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  COUNT(DISTINCT o_orderstatus),
+        |  MIN(o_orderstatus), MAX(o_orderstatus) FROM orders
+        |ORDER BY col_name""".stripMargin,
+    "anomaly_3sigma" ->
+      """WITH e AS (SELECT event_id, event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |st AS (SELECT event_type, COUNT(*)::HUGEINT AS n,
+        |    SUM(cents)::HUGEINT AS s, SUM(cents::HUGEINT * cents::HUGEINT) AS q
+        |  FROM e GROUP BY 1)
+        |SELECT event_id, e.event_type, cents
+        |FROM e JOIN st USING (event_type)
+        |WHERE (cents::HUGEINT * n - s) * (cents::HUGEINT * n - s) > 9 * (n * q - s * s)
+        |ORDER BY event_id""".stripMargin,
     "stats_describe" ->
       """WITH c AS (SELECT l_returnflag,
         |    CAST(round(l_extendedprice*100) AS BIGINT) AS c FROM lineitem),

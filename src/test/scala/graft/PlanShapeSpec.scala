@@ -261,6 +261,21 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("column profiler reads the table once: multi-distinct plans as Expand") {
+    val p = plan("profile_columns")
+    // three distinct-count columns must share ONE scan through an Expand,
+    // not re-scan the table per column
+    assert(p.contains("Expand"), s"multi-distinct lost its Expand plan:\n${p.take(600)}")
+    assert("Scan parquet".r.findAllIn(p).length == 1,
+      s"profiler must scan the table exactly once:\n${p.take(800)}")
+  }
+
+  test("anomaly filter joins only the broadcast per-type stats") {
+    val p = plan("anomaly_3sigma")
+    assert(p.contains("BroadcastHashJoin"), s"type stats must broadcast:\n${p.take(600)}")
+    assert(!p.contains("SortMergeJoin"), "fact must not shuffle for a 3-row dim")
+  }
+
   test("q15 scans the fact once: persisted aggregate feeds both max and filter") {
     val p = plan("tpch_q15")
     // both consumers (the equality filter and the global max) must read
