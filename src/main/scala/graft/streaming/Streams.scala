@@ -214,6 +214,33 @@ object Streams {
         col("c_ts"), col("p_ts"))
   }
 
+  /** Streaming CDC materialization, latest-wins: per-key state keeps the
+    * (seq, value, op) of the highest sequence number seen so far; each
+    * micro-batch re-emits the refreshed current row for keys it touched
+    * (update mode), with tombstone ops carried so the sink can drop
+    * deleted keys. The streaming twin of the batch `cdc_latest_wins`
+    * compaction — state is exactly one row per live key, so memory scales
+    * with keyspace, not change volume.
+    */
+  def cdcLatestStream(spark: org.apache.spark.sql.SparkSession,
+                      changes: DataFrame): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    val byKey = changes.selectExpr("k", "seq", "cents", "op")
+      .as[(Long, Long, Long, String)]
+      .groupByKey(_._1)
+    byKey.mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+      (k: Long, rows: Iterator[(Long, Long, Long, String)],
+       state: GroupState[(Long, Long, String)]) =>
+        var cur = state.getOption.getOrElse((-1L, 0L, ""))
+        rows.foreach { case (_, seq, cents, op) =>
+          if (seq > cur._1) cur = (seq, cents, op)
+        }
+        state.update(cur)
+        (k, cur._1, cur._2, cur._3)
+    }.toDF("k", "seq", "cur_cents", "last_op")
+  }
+
   /** Custom per-key streaming state via mapGroupsWithState: a running
     * per-user event count + last-seen timestamp (the arbitrary-state API
     * the built-in windows can't express).

@@ -74,6 +74,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("CDC latest-wins state converges across out-of-order micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Long, String)]
+    val q = Streams.cdcLatestStream(spark,
+        mem.toDF().toDF("k", "seq", "cents", "op"))
+      .writeStream.outputMode("update").format("memory")
+      .queryName("cdc_smoke").start()
+    try {
+      // batch 1: inserts + an early update for key 2
+      mem.addData((1L, 0L, 100L, "I"), (2L, 0L, 200L, "I"), (2L, 1L, 250L, "U"))
+      q.processAllAvailable()
+      // batch 2: delete key 1, STALE replay of key 2's insert (seq 0 —
+      // must NOT regress the state), new key 3
+      mem.addData((1L, 2L, 0L, "D"), (2L, 0L, 200L, "I"), (3L, 0L, 300L, "I"))
+      q.processAllAvailable()
+      // update mode: take each key's last emission (max seq wins)
+      val cur = spark.table("cdc_smoke")
+        .groupBy("k").agg(max(struct("seq", "cur_cents", "last_op")).as("m"))
+        .select("k", "m.cur_cents", "m.last_op")
+        .as[(Long, Long, String)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+      assert(cur == Map(1L -> ((0L, "D")), 2L -> ((250L, "U")), 3L -> ((300L, "I"))))
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState emits sessions only when a later event closes them") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
