@@ -117,6 +117,25 @@ object ScalarQueries extends QueryPack {
         .select(col("event_id"), col("parsed.k").as("k"))
         .orderBy("event_id")),
 
+    // ANSI-safe dirty-data handling: Spark 4 runs ANSI mode, where a
+    // single malformed row would kill a 100 TB job mid-flight — the try_*
+    // family converts those errors to nulls row-locally. Three shapes:
+    // try_divide (zero divisor → null, never Inf/error), try_cast over a
+    // deliberately sometimes-numeric slice of the JSON payload (parse
+    // failure → null), and try_element_at past the end of a split array
+    // (out-of-bounds → null). All codegen'd map work.
+    "clean_try_ops" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_id"),
+          graft.ops.Cleaning.cents(col("value")).as("cents"),
+          (col("event_id") % 5).as("k"),
+          col("props"), col("event_type"))
+        .select(col("event_id"),
+          expr("CAST(round(try_divide(cents * 1000, k)) AS BIGINT)").as("div_milli"),
+          expr("try_cast(substring(props, 8, 2) AS INT)").as("parsed_k"),
+          expr("try_element_at(split(event_type, 'i'), 3)").as("third_piece"))
+        .orderBy("event_id")),
+
     // Spark 4 VARIANT path: parse once into the binary semi-structured
     // type, then typed path extraction — the modern engine shape for
     // schema-on-read JSON (no per-path re-parse, no full struct schema).
@@ -187,6 +206,13 @@ object ScalarQueries extends QueryPack {
     "json_get_field" ->
       """SELECT event_id, json_extract_string(props, '$.k') AS k_str,
         | CAST(json_extract_string(props, '$.k') AS INT) AS k_int
+        |FROM events ORDER BY event_id""".stripMargin,
+    "clean_try_ops" ->
+      """SELECT event_id,
+        |  CAST(round(CAST(CAST(round(value*100) AS BIGINT) * 1000 AS DOUBLE)
+        |    / NULLIF(event_id % 5, 0)) AS BIGINT) AS div_milli,
+        |  TRY_CAST(substr(props, 8, 2) AS INTEGER) AS parsed_k,
+        |  string_split(event_type, 'i')[3] AS third_piece
         |FROM events ORDER BY event_id""".stripMargin,
     "json_from_schema" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
