@@ -38,9 +38,21 @@ object TextOps {
   def tokens(text: Column): Column = split(text, " ")
 
   /** Deterministic, engine-portable 60-bit hash: first 15 hex chars of md5.
-    * Always non-negative, fits a long.
+    * Always non-negative, fits a long. Native codegen expression
+    * ([[graft.functions.PortableHash60]]) — one digest, no hex-string
+    * round-trip; bit-identical to [[hash60Spec]] (pinned in
+    * `TextVectorOpsSpec`), so the DuckDB oracles are unchanged.
     */
-  def hash60(c: Column): Column = conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+  def hash60(c: Column): Column =
+    org.apache.spark.sql.GraftSqlBridge.toColumn(
+      graft.functions.PortableHash60(
+        org.apache.spark.sql.GraftSqlBridge.toExpression(c)))
+
+  /** The built-in-functions spec hash60 derives from; kept as the pin
+    * anchor for the native expression.
+    */
+  def hash60Spec(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
   /** Word n-gram shingles. Guarded: Spark's `sequence(1, size-k)` would
     * generate a DESCENDING sequence when size < n, so short docs map to an

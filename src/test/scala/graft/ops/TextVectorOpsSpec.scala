@@ -12,6 +12,17 @@ class TextVectorOpsSpec extends SparkSpec {
     assert(out == 426544247714475757L)
   }
 
+  test("native hash60 is bit-identical to the conv/substr/md5 spec form") {
+    val samples = Seq("", "a", "hello world", "héllo wörld ünïcode",
+      "0", "-1", "a b c d e f g", "x" * 500) ++ (0 until 50).map(i => s"doc_$i")
+    val df = samples.toDF("t")
+      .select(TextOps.hash60(col("t")).as("native"), TextOps.hash60Spec(col("t")).as("spec"))
+    val rows = df.as[(Long, Long)].collect()
+    rows.foreach { case (n, s) => assert(n == s, s"native $n != spec $s") }
+    // 60-bit: always non-negative
+    rows.foreach { case (n, _) => assert(n >= 0L) }
+  }
+
   test("wordShingles: counts, content, and the short-doc guard") {
     val df = Seq("a b c d e", "a b").toDF("t")
       .select(TextOps.wordShingles(TextOps.tokens(col("t")), 3).as("sh"))
