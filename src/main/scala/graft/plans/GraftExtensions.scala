@@ -83,6 +83,9 @@ object GraftFunctions {
     (FunctionIdentifier("minhash_sig"),
       info("minhash_sig", "minhash_sig(shingles) - one-pass k=8 MinHash signature over an array<string>"),
       (args: Seq[Expression]) => graft.functions.MinHashSignature(args(0))),
+    (FunctionIdentifier("portable_hash60"),
+      info("portable_hash60", "portable_hash60(s) - engine-portable 60-bit md5-prefix hash of a string"),
+      (args: Seq[Expression]) => graft.functions.PortableHash60(args(0))),
   )
 
   /** Idempotent per-session registration (overwrites any prior entry). */

@@ -508,6 +508,19 @@ object LlmQueries extends QueryPack {
            |ORDER BY v1""".stripMargin)
     }),
 
+    // SQL-surface parity for the native portable hash: the same codegen'd
+    // PortableHash60 reached via the FunctionRegistry — proving a pure-SQL
+    // user gets the identical engine-portable hash the Column API uses for
+    // sampling/splitting/dedup keying.
+    "sql_native_hash" -> ((s, d) => {
+      graft.plans.GraftFunctions.register(s)
+      s.sql(
+        s"""SELECT doc_id, portable_hash60(CAST(doc_id AS STRING)) AS h,
+           |  portable_hash60(CAST(doc_id AS STRING)) % 100 AS bucket
+           |FROM parquet.`$d/documents.parquet`
+           |ORDER BY doc_id""".stripMargin)
+    }),
+
     // Embedding near-dup via sign-LSH: 8 hyperplanes (the first 8 vectors)
     // give an 8-bit bucket; same-bucket pairs (540 of 125k possible at
     // sf0.01) are verified by exact cosine ≥ 0.3. Bucketing is a broadcast
@@ -710,6 +723,11 @@ object LlmQueries extends QueryPack {
          |FROM ex e JOIN documents d ON e.doc_id = d.doc_id
          |WHERE e.doc_id NOT IN (SELECT doc_id FROM losers)
          |ORDER BY e.doc_id""".stripMargin,
+    "sql_native_hash" ->
+      """SELECT doc_id,
+        |  ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15))::BIGINT AS h,
+        |  ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15))::BIGINT % 100 AS bucket
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "dedup_edit_prefilter" ->
       s"""WITH $mhSigSql,
          |pairs AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
