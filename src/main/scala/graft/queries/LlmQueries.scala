@@ -270,6 +270,47 @@ object LlmQueries extends QueryPack {
         .orderBy("d1", "d2")
     }),
 
+    // The quadratic-candidate guard every production LSH dedup needs: a
+    // degenerate band key shared by B documents emits B² candidate pairs
+    // (one boilerplate header shared by 1M docs → 10¹² pairs from a
+    // single band). Cap = drop bands whose population exceeds the
+    // threshold BEFORE the self-join, so worst-case candidate volume is
+    // bounded by cap²·n_bands regardless of content. Hot bands are few
+    // by definition — the ban list broadcasts. Threshold 2 here so the
+    // tiny corpus actually exercises the ban path (production uses
+    // hundreds); pairs supported only by over-populated bands vanish.
+    "dedup_minhash_capped" -> ((s, d) => {
+      val b = minhashBands(s, d)
+      val hot = b.groupBy("band", "band_key")
+        .agg(count(lit(1)).as("n_members"))
+        .filter(col("n_members") > 2)
+        .select("band", "band_key")
+      val cold = b.join(broadcast(hot), Seq("band", "band_key"), "left_anti")
+      cold.as("x").join(cold.as("y"),
+          col("x.band") === col("y.band") && col("x.band_key") === col("y.band_key") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+        .distinct()
+        .orderBy("d1", "d2")
+    }),
+
+    // Incremental dedup — today's ingest against the standing corpus:
+    // candidates are (new × old) band matches ONLY, so per-day work
+    // scales with |ingest| · band-collision rate, never |corpus|². The
+    // corpus band table is the persisted artifact a production pipeline
+    // maintains across days (here: the shared persisted minhashBands);
+    // new-vs-new pairs are the next day's corpus problem by convention.
+    "dedup_incremental_pairs" -> ((s, d) => {
+      val b = minhashBands(s, d)
+      val fresh = b.filter(col("doc_id") % 10 === 0)
+      val corpus = b.filter(col("doc_id") % 10 =!= 0)
+      fresh.as("x").join(corpus.as("y"),
+          col("x.band") === col("y.band") && col("x.band_key") === col("y.band_key"))
+        .select(col("x.doc_id").as("new_id"), col("y.doc_id").as("old_id"))
+        .distinct()
+        .orderBy("new_id", "old_id")
+    }),
+
     // The full near-dup pipeline closed end-to-end: MinHash-LSH candidate
     // generation (band join, never all-pairs) → exact edit-distance
     // verification on the tiny candidate set. Levenshtein is quadratic
@@ -723,6 +764,24 @@ object LlmQueries extends QueryPack {
          |FROM ex e JOIN documents d ON e.doc_id = d.doc_id
          |WHERE e.doc_id NOT IN (SELECT doc_id FROM losers)
          |ORDER BY e.doc_id""".stripMargin,
+    "dedup_minhash_capped" ->
+      s"""WITH $mhSigSql,
+         |hot AS (SELECT band, band_key FROM bandtab
+         |  GROUP BY 1, 2 HAVING COUNT(*) > 2),
+         |cold AS (SELECT b.* FROM bandtab b
+         |  WHERE NOT EXISTS (SELECT 1 FROM hot h
+         |    WHERE h.band = b.band AND h.band_key = b.band_key))
+         |SELECT DISTINCT a.doc_id AS d1, c.doc_id AS d2
+         |FROM cold a JOIN cold c
+         |  ON a.band = c.band AND a.band_key = c.band_key AND a.doc_id < c.doc_id
+         |ORDER BY d1, d2""".stripMargin,
+    "dedup_incremental_pairs" ->
+      s"""WITH $mhSigSql
+         |SELECT DISTINCT a.doc_id AS new_id, c.doc_id AS old_id
+         |FROM bandtab a JOIN bandtab c
+         |  ON a.band = c.band AND a.band_key = c.band_key
+         |WHERE a.doc_id % 10 = 0 AND c.doc_id % 10 <> 0
+         |ORDER BY new_id, old_id""".stripMargin,
     "sql_native_hash" ->
       """SELECT doc_id,
         |  ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15))::BIGINT AS h,
