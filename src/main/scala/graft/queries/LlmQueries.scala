@@ -413,6 +413,31 @@ object LlmQueries extends QueryPack {
         .select(col("id").as("doc_id"), col("comp").as("cluster_id"))
         .orderBy("doc_id")),
 
+    // Canonical-document selection — the step that turns near-dup
+    // CLUSTERS into a dedup decision: per cluster keep the
+    // highest-quality member (stopword-density milli-score, ties to the
+    // lowest doc_id via max(struct(score, -id)) — an associative
+    // aggregate with map-side partial combine, not a window sort).
+    // Output is the per-cluster audit: size, kept doc, its score.
+    "dedup_keep_best" -> ((s, d) => {
+      val labels = ccLabels(s, d)
+        .select(col("id").as("doc_id"), col("comp").as("cluster_id"))
+      val q = Tables.documents(s, d)
+        .withColumn("toks", TextOps.tokens(col("text")))
+        .select(col("doc_id"), size(col("toks")).cast("long").as("n_tok"),
+          size(filter(col("toks"), t => t.isin("the", "a", "of")))
+            .cast("long").as("stop_hits"))
+        .select(col("doc_id"), expr("(stop_hits * 1000) div n_tok").as("score_milli"))
+      labels.join(q, "doc_id")
+        .groupBy("cluster_id")
+        .agg(count(lit(1)).as("n_members"),
+          max(struct(col("score_milli"), (-col("doc_id")).as("neg_id"))).as("m"))
+        .select(col("cluster_id"), col("n_members"),
+          col("m.score_milli").as("best_score_milli"),
+          (-col("m.neg_id")).as("kept_doc_id"))
+        .orderBy("cluster_id")
+    }),
+
     // The whole corpus-cleaning pass as ONE query — the composition a
     // pre-training pipeline actually runs, end to end: quality filter
     // (pure map work) → exact dedup (one shuffle on sha256) → near-dup
@@ -764,6 +789,32 @@ object LlmQueries extends QueryPack {
          |FROM ex e JOIN documents d ON e.doc_id = d.doc_id
          |WHERE e.doc_id NOT IN (SELECT doc_id FROM losers)
          |ORDER BY e.doc_id""".stripMargin,
+    "dedup_keep_best" ->
+      s"""WITH RECURSIVE $mhSigSql,
+         |pairs AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |  FROM bandtab a JOIN bandtab b
+         |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+         |edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+         |  UNION ALL SELECT d2, d1 FROM pairs),
+         |cc AS (
+         |  SELECT d1 AS id, d1 AS comp FROM pairs
+         |  UNION SELECT d2, d2 FROM pairs
+         |  UNION
+         |  SELECT e.b AS id, cc.comp FROM cc JOIN edges e ON cc.id = e.a),
+         |labels AS (SELECT id AS doc_id, MIN(comp) AS cluster_id FROM cc GROUP BY 1),
+         |q AS (SELECT doc_id,
+         |    (CAST(len(list_filter(string_split(text, ' '),
+         |       x -> x IN ('the', 'a', 'of'))) AS BIGINT) * 1000)
+         |      // CAST(len(string_split(text, ' ')) AS BIGINT) AS score_milli
+         |  FROM documents),
+         |sel AS (SELECT cluster_id, doc_id, score_milli,
+         |    row_number() OVER (PARTITION BY cluster_id
+         |      ORDER BY score_milli DESC, doc_id) AS rn,
+         |    COUNT(*) OVER (PARTITION BY cluster_id) AS n_members
+         |  FROM labels JOIN q USING (doc_id))
+         |SELECT cluster_id, n_members, score_milli AS best_score_milli,
+         |  doc_id AS kept_doc_id
+         |FROM sel WHERE rn = 1 ORDER BY cluster_id""".stripMargin,
     "dedup_minhash_capped" ->
       s"""WITH $mhSigSql,
          |hot AS (SELECT band, band_key FROM bandtab

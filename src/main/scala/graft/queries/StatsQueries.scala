@@ -434,6 +434,29 @@ object StatsQueries extends QueryPack {
         .orderBy("c_custkey", "valid_from")
     }),
 
+    // Snapshot diff — the lake-audit operation answering "what changed
+    // between yesterday's table and today's": full-outer join on the key,
+    // rows classified added / removed / changed (unchanged rows dropped
+    // before the output sort, so the result scales with churn, not table
+    // size). One co-partitioned shuffle on the key for both sides.
+    "snapshot_diff" -> ((s, d) => {
+      val base = Tables.orders(s, d)
+        .select(col("o_orderkey").as("k"), Cleaning.cents(col("o_totalprice")).as("v"))
+      val newer = base.filter(col("k") % 50 =!= 0)
+        .withColumn("v", when(col("k") % 7 === 0, col("v") + 100L).otherwise(col("v")))
+        .unionByName(base.filter(col("k") % 101 === 0)
+          .select((col("k") + 10000000L).as("k"), col("v")))
+      base.as("a").join(newer.as("b"), col("a.k") === col("b.k"), "full_outer")
+        .select(coalesce(col("a.k"), col("b.k")).as("o_orderkey"),
+          when(col("a.k").isNull, "added")
+            .when(col("b.k").isNull, "removed")
+            .when(col("a.v") =!= col("b.v"), "changed")
+            .otherwise("unchanged").as("diff"),
+          col("a.v").as("old_cents"), col("b.v").as("new_cents"))
+        .filter(col("diff") =!= "unchanged")
+        .orderBy("o_orderkey")
+    }),
+
     // MERGE/upsert (the CDC lake operation): an updates frame (changed
     // rows + brand-new keys) merged into the base — matched keys take the
     // update, unmatched keep the base row, new keys insert. The join-based
@@ -610,6 +633,20 @@ object StatsQueries extends QueryPack {
         |  SELECT *, row_number() OVER (PARTITION BY l_returnflag
         |    ORDER BY n DESC, qty ASC) AS rnk FROM counts) t
         |WHERE rnk = 1 ORDER BY l_returnflag""".stripMargin,
+    "snapshot_diff" ->
+      """WITH base AS (SELECT o_orderkey AS k,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS v FROM orders),
+        |newer AS (
+        |  SELECT k, CASE WHEN k % 7 = 0 THEN v + 100 ELSE v END AS v
+        |  FROM base WHERE k % 50 <> 0
+        |  UNION ALL SELECT k + 10000000, v FROM base WHERE k % 101 = 0),
+        |d AS (SELECT COALESCE(a.k, b.k) AS o_orderkey,
+        |    CASE WHEN a.k IS NULL THEN 'added'
+        |         WHEN b.k IS NULL THEN 'removed'
+        |         WHEN a.v <> b.v THEN 'changed' ELSE 'unchanged' END AS diff,
+        |    a.v AS old_cents, b.v AS new_cents
+        |  FROM base a FULL OUTER JOIN newer b ON a.k = b.k)
+        |SELECT * FROM d WHERE diff <> 'unchanged' ORDER BY o_orderkey""".stripMargin,
     "profile_columns" ->
       """SELECT 'o_custkey' AS col_name, COUNT(*) AS n_rows,
         |  CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
