@@ -406,6 +406,38 @@ object ScaleQueries extends QueryPack {
         .orderBy("o_orderpriority")
     }),
 
+    // Interval-overlap join at scale: OSS Spark plans a raw
+    // `point BETWEEN start AND end` join as a nested loop (quadratic).
+    // The scale shape is BUCKET REPLICATION: each interval is exploded to
+    // the day buckets it covers (bounded by interval length), points key
+    // by their day, and the join becomes an EQUI-join on the bucket with
+    // the range predicate left as a cheap residual — cost is
+    // |points| + |intervals|·days, never |points|·|intervals|. Here: 3-day
+    // maintenance windows (every 500th order) matched against lineitem
+    // ship timestamps.
+    "join_interval_bucketed" -> ((s, d) => {
+      val win = Tables.orders(s, d).filter(col("o_orderkey") % 500 === 0)
+        .select(col("o_orderkey").as("w_id"),
+          col("o_orderdate").as("w_start"),
+          expr("o_orderdate + INTERVAL 3 DAYS").as("w_end"))
+      val winB = win.select(col("w_id"), col("w_start"), col("w_end"),
+          explode(expr(
+            "sequence(datediff(w_start, to_date('1970-01-01')), " +
+              "datediff(w_end, to_date('1970-01-01')))")).as("day"))
+      val pts = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_shipdate"),
+          expr("datediff(l_shipdate, to_date('1970-01-01'))").as("day"))
+      winB.join(pts, "day")
+        .filter(col("l_shipdate") >= col("w_start") && col("l_shipdate") <= col("w_end"))
+        .select(col("w_id"), col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        .distinct() // a point on a day boundary meets the window in 2 buckets
+        .groupBy("w_id")
+        .agg(count(lit(1)).as("n_hits"),
+          sum(col("l_quantity").cast("long")).as("sum_qty"))
+        .orderBy("w_id")
+    }),
+
     // Distributed triangle counting over the part co-purchase graph.
     // Edges: distinct (order, part) pairs self-joined per order (bounded
     // fan-out — the basket size caps pairs per order). Orientation: each
@@ -779,6 +811,18 @@ object ScaleQueries extends QueryPack {
       |  FROM lineitem GROUP BY 1, 2)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // The oracle uses the DIRECT range join — DuckDB's IEJoin handles it —
+    // so the hash match proves the bucket-replicated form is semantically
+    // identical to the naive interval join.
+    "join_interval_bucketed" ->
+      """WITH win AS (SELECT o_orderkey AS w_id, o_orderdate AS w_start,
+        |    o_orderdate + INTERVAL 3 DAY AS w_end
+        |  FROM orders WHERE o_orderkey % 500 = 0)
+        |SELECT w_id, COUNT(*) AS n_hits,
+        |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM win JOIN lineitem
+        |  ON l_shipdate >= w_start AND l_shipdate <= w_end
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "tpch_q6" ->
       """SELECT
         |  CAST(SUM(CAST(round(l_extendedprice * l_discount * 100) AS BIGINT)) AS BIGINT)

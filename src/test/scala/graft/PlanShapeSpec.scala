@@ -261,6 +261,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("interval join runs as a bucket equi-join, never a nested loop") {
+    val p = plan("join_interval_bucketed")
+    // a raw BETWEEN join would plan as BroadcastNestedLoopJoin — the
+    // bucket replication must turn it into a hash/merge join on `day`
+    // with the range predicate as a residual
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"interval join degenerated to a nested loop:\n${p.take(800)}")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), "bucket join must be an equi-join")
+  }
+
   test("column profiler reads the table once: multi-distinct plans as Expand") {
     val p = plan("profile_columns")
     // three distinct-count columns must share ONE scan through an Expand,
