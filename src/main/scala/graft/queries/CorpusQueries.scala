@@ -219,6 +219,27 @@ object CorpusQueries extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // Deterministic QUALITY-WEIGHTED sampling: priority = u div w where
+    // u is the doc's portable 60-bit hash and w its quality weight
+    // (stopword-hit count + 1) — the integer-exact cousin of
+    // Efraimidis–Spirakis priority sampling (u^(1/w) would need float
+    // pow; u div w keeps the same higher-weight ⇒ stochastically-smaller-
+    // priority property with zero float risk). Keep the 50 lowest
+    // priorities: higher-quality docs are proportionally likelier to
+    // survive, yet the draw is a pure function of (doc_id, text) — any
+    // engine, any rerun, same sample. Map work + one TakeOrdered top-k.
+    "sample_weighted_priority" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("toks", TextOps.tokens(col("text")))
+        .select(col("doc_id"), col("lang"),
+          (size(filter(col("toks"), t => t.isin("the", "a", "of"))).cast("long") + 1L)
+            .as("w"))
+        .withColumn("u", TextOps.hash60(col("doc_id").cast("string")))
+        .withColumn("priority", expr("u div w"))
+        .orderBy(col("priority"), col("doc_id"))
+        .limit(50)
+        .select(col("doc_id"), col("lang"), col("w"), col("priority"))),
+
     // Deterministic 80/10/10 train/val/test split: the assignment is a
     // pure function of the doc's portable 60-bit hash (no RNG, no state),
     // so any worker — or a rerun months later — routes every document
@@ -363,6 +384,14 @@ object CorpusQueries extends QueryPack {
         |WHERE (('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15))::BIGINT % 1000000)
         |    * s_isqrt * cnt < 1000000 * 200 * isqrt
         |ORDER BY doc_id""".stripMargin,
+    "sample_weighted_priority" ->
+      """WITH w AS (SELECT doc_id, lang,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      x -> x IN ('the', 'a', 'of'))) AS BIGINT) + 1 AS w,
+        |    ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15))::BIGINT AS u
+        |  FROM documents)
+        |SELECT doc_id, lang, w, u // w AS priority
+        |FROM w ORDER BY priority, doc_id LIMIT 50""".stripMargin,
     "split_train_val_test" ->
       """WITH b AS (SELECT lang, n_chars,
         |    ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15))::BIGINT % 100 AS bucket
