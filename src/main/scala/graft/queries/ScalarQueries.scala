@@ -123,7 +123,11 @@ object ScalarQueries extends QueryPack {
     // try_divide (zero divisor → null, never Inf/error), try_cast over a
     // deliberately sometimes-numeric slice of the JSON payload (parse
     // failure → null), and try_element_at past the end of a split array
-    // (out-of-bounds → null). All codegen'd map work.
+    // (out-of-bounds → null). Cost note: Spark 4 evaluates the try_*
+    // wrappers as CodegenFallback, so this projection runs interpreted —
+    // the price of the row-local error shield. On a hot path, guard
+    // explicitly instead (RLIKE/CASE stays inside codegen); this query
+    // exists to pin the try_* semantics.
     "clean_try_ops" -> ((s, d) =>
       Tables.events(s, d)
         .select(col("event_id"),
