@@ -35,7 +35,8 @@ import org.apache.spark.sql.types.{LongType, TimestampType}
 case class AsOfJoin(left: LogicalPlan, right: LogicalPlan,
                     leftKey: Expression, rightKey: Expression,
                     leftTs: Expression, rightTs: Expression,
-                    leftTie: Expression, rightTie: Expression)
+                    leftTie: Expression, rightTie: Expression,
+                    forward: Boolean = false)
     extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -45,16 +46,25 @@ case class AsOfJoin(left: LogicalPlan, right: LogicalPlan,
 
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, rk, lts, rts, ltie, rtie) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lts, rts, ltie, rtie) :: Nil
+    case AsOfJoin(l, r, lk, rk, lts, rts, ltie, rtie, fwd) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lts, rts, ltie, rtie, fwd) :: Nil
     case _ => Nil
   }
 }
 
+/** Merge pass, both directions. Backward (default): for each left row the
+  * LAST same-key right row with (ts, tie) <= the left's — needs a
+  * one-row best-match buffer. Forward: the FIRST same-key right row with
+  * (ts, tie) >= the left's — no buffer at all: advance past everything
+  * strictly earlier and the currently-buffered right row either matches
+  * or nothing does. A right row is never consumed until some left row
+  * passes it, so successive left rows can share the same forward match.
+  */
 case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
                         leftKey: Expression, rightKey: Expression,
                         leftTs: Expression, rightTs: Expression,
-                        leftTie: Expression, rightTie: Expression)
+                        leftTie: Expression, rightTie: Expression,
+                        forward: Boolean = false)
     extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
@@ -137,16 +147,28 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
           val lKeyV = k.asInstanceOf[Long]
           val lTsV = t.asInstanceOf[Long]
           val lTieV = e.asInstanceOf[Long]
-          // advance the right side through every row at-or-before this
-          // left row in (key, ts, tie) order, keeping the last same-key row
-          while (rHave && (rKeyV < lKeyV || (rKeyV == lKeyV &&
-              (rTsV < lTsV || (rTsV == lTsV && rTieV <= lTieV))))) {
-            if (rKeyV == lKeyV) { mRow = rRow; mKey = rKeyV }
-            pullRight()
+          if (forward) {
+            // advance past every right row STRICTLY before this left row;
+            // the buffered row is then the first at-or-after (if same key)
+            while (rHave && (rKeyV < lKeyV || (rKeyV == lKeyV &&
+                (rTsV < lTsV || (rTsV == lTsV && rTieV < lTieV))))) {
+              pullRight()
+            }
+            val r = if (rHave && rKeyV == lKeyV) { numMatched += 1; rRow }
+              else nullRight
+            project(joined(l, r))
+          } else {
+            // advance the right side through every row at-or-before this
+            // left row in (key, ts, tie) order, keeping the last same-key row
+            while (rHave && (rKeyV < lKeyV || (rKeyV == lKeyV &&
+                (rTsV < lTsV || (rTsV == lTsV && rTieV <= lTieV))))) {
+              if (rKeyV == lKeyV) { mRow = rRow; mKey = rKeyV }
+              pullRight()
+            }
+            val r = if (mRow != null && mKey == lKeyV) { numMatched += 1; mRow }
+              else nullRight
+            project(joined(l, r))
           }
-          val r = if (mRow != null && mKey == lKeyV) { numMatched += 1; mRow }
-            else nullRight
-          project(joined(l, r))
         }
       }
     }
@@ -167,7 +189,24 @@ object AsOfJoinOps {
     */
   def joinBackward(left: DataFrame, right: DataFrame,
                    leftKey: String, leftTs: String, leftTie: String,
-                   rightKey: String, rightTs: String, rightTie: String): DataFrame = {
+                   rightKey: String, rightTs: String, rightTie: String): DataFrame =
+    join(left, right, leftKey, leftTs, leftTie, rightKey, rightTs, rightTie,
+      forward = false)
+
+  /** Forward as-of left join: for each left row the FIRST right row with
+    * the same key and (ts, tie) >= the left's — the "next maintenance
+    * window / next error after this click" direction.
+    */
+  def joinForward(left: DataFrame, right: DataFrame,
+                  leftKey: String, leftTs: String, leftTie: String,
+                  rightKey: String, rightTs: String, rightTie: String): DataFrame =
+    join(left, right, leftKey, leftTs, leftTie, rightKey, rightTs, rightTie,
+      forward = true)
+
+  private def join(left: DataFrame, right: DataFrame,
+                   leftKey: String, leftTs: String, leftTie: String,
+                   rightKey: String, rightTs: String, rightTie: String,
+                   forward: Boolean): DataFrame = {
     val spark = left.sparkSession
     ensureStrategy(spark)
     val lp = left.queryExecution.analyzed
@@ -186,6 +225,6 @@ object AsOfJoinOps {
     GraftSqlBridge.ofRows(spark, AsOfJoin(lp, rp,
       checkType(attr(lp, leftKey)), checkType(attr(rp, rightKey)),
       checkType(attr(lp, leftTs)), checkType(attr(rp, rightTs)),
-      checkType(attr(lp, leftTie)), checkType(attr(rp, rightTie))))
+      checkType(attr(lp, leftTie)), checkType(attr(rp, rightTie)), forward))
   }
 }

@@ -420,6 +420,24 @@ object RelationalQueries extends QueryPack {
         .orderBy("click_id")
     }),
 
+    // FORWARD direction through the same custom operator: for each click,
+    // the FIRST error at-or-after it — the "next failure after this
+    // action" attribution query. Same one-pass co-partitioned merge; the
+    // oracle is the window composition scanned DESCENDING.
+    "join_asof_fwd_exec" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"), col("ts"))
+      val errors = e.filter(col("event_type") === "error")
+        .select(col("event_id").as("err_id"), col("user_id").as("err_user"),
+          col("ts").as("err_ts"))
+      graft.plans.AsOfJoinOps.joinForward(clicks, errors,
+          leftKey = "user_id", leftTs = "ts", leftTie = "click_id",
+          rightKey = "err_user", rightTs = "err_ts", rightTie = "err_id")
+        .select(col("click_id"), col("user_id"), col("err_id").as("next_error_id"))
+        .orderBy("click_id")
+    }),
+
     // Bucketed co-located join: both sides written bucketed by the join
     // key (bucketBy + saveAsTable), then joined WITHOUT a shuffle — the
     // executed plan has no Exchange above either scan. This is the
@@ -679,6 +697,17 @@ object RelationalQueries extends QueryPack {
         |  SELECT event_id, user_id, event_type,
         |    last_value(CASE WHEN event_type = 'error' THEN event_id END IGNORE NULLS)
         |      OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS asof_error_id
+        |  FROM events) t
+        |WHERE event_type = 'click' ORDER BY click_id""".stripMargin,
+    // forward = the same union-window trick scanned descending: at a
+    // click row, the errors already seen in (ts DESC, id DESC) order are
+    // exactly those at-or-after it, and last_value picks the nearest
+    "join_asof_fwd_exec" ->
+      """SELECT event_id AS click_id, user_id, next_error_id FROM (
+        |  SELECT event_id, user_id, event_type,
+        |    last_value(CASE WHEN event_type = 'error' THEN event_id END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+        |        ROWS UNBOUNDED PRECEDING) AS next_error_id
         |  FROM events) t
         |WHERE event_type = 'click' ORDER BY click_id""".stripMargin,
     "join_asof" ->

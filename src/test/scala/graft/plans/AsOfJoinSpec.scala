@@ -53,6 +53,35 @@ class AsOfJoinSpec extends SparkSpec {
     assert(viaExec.nonEmpty && viaExec == viaWindow)
   }
 
+  private def asofFwd(left: Seq[(Long, Long, Long)], right: Seq[(Long, Long, Long)]) = {
+    val l = left.toDF("user_id", "ts_us", "click_id")
+    val r = right.toDF("err_user", "err_ts", "err_id")
+    AsOfJoinOps.joinForward(l, r,
+        leftKey = "user_id", leftTs = "ts_us", leftTie = "click_id",
+        rightKey = "err_user", rightTs = "err_ts", rightTie = "err_id")
+      .select(col("click_id"), col("err_id"))
+      .as[(Long, Option[Long])].collect().sortBy(_._1).toSeq
+  }
+
+  test("forward as-of picks the earliest at-or-after right row per key") {
+    val got = asofFwd(
+      left = Seq((1L, 100L, 10L), (1L, 200L, 11L), (2L, 150L, 12L)),
+      right = Seq((1L, 150L, 20L), (1L, 150L, 21L), (2L, 140L, 22L)))
+    // click 10 (t=100): first error after is id 20 (t=150, lower tie);
+    // click 11 (t=200): both errors are before -> no match;
+    // click 12 (user 2, t=150): err 22 at t=140 is BEFORE -> no match
+    assert(got == Seq((10L, Some(20L)), (11L, None), (12L, None)))
+  }
+
+  test("forward: successive left rows can share one right match") {
+    val got = asofFwd(
+      left = Seq((1L, 10L, 1L), (1L, 20L, 2L), (1L, 30L, 3L)),
+      right = Seq((1L, 50L, 9L)))
+    // the single error at t=50 is the next one for ALL three clicks --
+    // the merge must not consume it after the first match
+    assert(got == Seq((1L, Some(9L)), (2L, Some(9L)), (3L, Some(9L))))
+  }
+
   test("plan contains AsOfJoinExec fed by co-partitioned sorted children") {
     val sf = "/root/testdata/sf0.001"
     val p = graft.SparkEntry.queries("join_asof_exec")(spark, sf)
