@@ -56,6 +56,26 @@ object MultimodalQueries extends QueryPack {
           md5(col("resized")).as("resized_md5"))
         .orderBy("media_id")),
 
+    // 2-D tile grid — the ViT patch-embedding pre-step: the payload
+    // viewed as a 64-byte-per-row raster, cut into a (row, col) grid of
+    // 16-byte tiles, each content-hashed. Pure map work (one explode per
+    // tile, no shuffle); downstream a patch embedder consumes
+    // (media, row, col, tile) exactly like frames. Ragged right/bottom
+    // tiles keep their true byte length.
+    "mm_tile_grid" -> ((s, d) =>
+      Multimodal.asMediaTable(Tables.documents(s, d))
+        .filter(col("media_id") < 100)
+        .select(col("media_id"), posexplode(Multimodal.framesExpr("payload", 64)))
+        .select(col("media_id"), col("pos").cast("long").as("tile_row"),
+          col("col").as("row_slice"))
+        .select(col("media_id"), col("tile_row"),
+          posexplode(Multimodal.framesExpr("row_slice", 16)))
+        .select(col("media_id"), col("tile_row"),
+          col("pos").cast("long").as("tile_col"),
+          expr("octet_length(col)").cast("long").as("tile_bytes"),
+          md5(col("col")).as("tile_md5"))
+        .orderBy("media_id", "tile_row", "tile_col")),
+
     // Cross-media duplicate frames: every payload sliced into 16-byte
     // frames, each frame content-hashed, and the hash histogram reduced
     // to frames seen in MORE THAN ONE media item — the video/audio exact
@@ -116,6 +136,21 @@ object MultimodalQueries extends QueryPack {
   private val mmNonce: String = java.util.UUID.randomUUID.toString.take(8)
 
   val oracle: Map[String, String] = Map(
+    "mm_tile_grid" ->
+      """WITH rows_ AS (SELECT doc_id AS media_id, text,
+        |    unnest(range(0, CAST(ceil(len(text) / 64.0) AS INT))) AS tile_row
+        |  FROM documents WHERE doc_id < 100),
+        |rs AS (SELECT media_id, tile_row,
+        |    substr(text, CAST(tile_row*64+1 AS INT), 64) AS row_slice FROM rows_),
+        |tiles AS (SELECT media_id, tile_row, row_slice,
+        |    unnest(range(0, CAST(ceil(len(row_slice) / 16.0) AS INT))) AS tile_col
+        |  FROM rs)
+        |SELECT media_id, CAST(tile_row AS BIGINT) AS tile_row,
+        |  CAST(tile_col AS BIGINT) AS tile_col,
+        |  CAST(len(substr(row_slice, CAST(tile_col*16+1 AS INT), 16)) AS BIGINT)
+        |    AS tile_bytes,
+        |  md5(substr(row_slice, CAST(tile_col*16+1 AS INT), 16)) AS tile_md5
+        |FROM tiles ORDER BY media_id, tile_row, tile_col""".stripMargin,
     // ASCII corpus ⇒ byte frames == char frames, so the oracle slices the
     // text side; 60-bit md5-prefix hash matches TextOps.hash60.
     "mm_frame_dedup" ->

@@ -420,6 +420,33 @@ object RelationalQueries extends QueryPack {
         .orderBy("click_id")
     }),
 
+    // Corrupt-record-tolerant ingest: PERMISSIVE JSON parsing routes
+    // malformed lines into _corrupt_record instead of failing the scan —
+    // at 100 TB a feed WILL contain broken lines and the job must count
+    // them, not die. The fixture is written literally inside the query
+    // (2 good lines, 2 broken ones) so the oracle is a constant; the
+    // capability under test is the engine's quarantine column.
+    "scan_json_corrupt" -> ((s, d) => {
+      val dir = scratch("corrupt_jsonl")
+      val f = new java.io.File(dir); f.mkdirs()
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$dir/data.jsonl"),
+        """{"id": 1, "v": "ok"}
+          |{"id": 2 BROKEN
+          |{"id": 3, "v": "ok"}
+          |not json at all
+          |""".stripMargin)
+      val schema = "id BIGINT, v STRING, _corrupt_record STRING"
+      s.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(dir)
+        .select(
+          count(when(col("_corrupt_record").isNull, 1)).as("n_good"),
+          count(col("_corrupt_record")).as("n_corrupt"),
+          sum(when(col("_corrupt_record").isNull, col("id"))).as("sum_good_ids"))
+    }),
+
     // FORWARD direction through the same custom operator: for each click,
     // the FIRST error at-or-after it — the "next failure after this
     // action" attribution query. Same one-pass co-partitioned merge; the
@@ -699,6 +726,11 @@ object RelationalQueries extends QueryPack {
         |      OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS asof_error_id
         |  FROM events) t
         |WHERE event_type = 'click' ORDER BY click_id""".stripMargin,
+    // the fixture is literal inside the query, so the oracle is the
+    // expected quarantine accounting as constants
+    "scan_json_corrupt" ->
+      """SELECT CAST(2 AS BIGINT) AS n_good, CAST(2 AS BIGINT) AS n_corrupt,
+        |  CAST(4 AS BIGINT) AS sum_good_ids""".stripMargin,
     // forward = the same union-window trick scanned descending: at a
     // click row, the errors already seen in (ts DESC, id DESC) order are
     // exactly those at-or-after it, and last_value picks the nearest
