@@ -357,6 +357,54 @@ object AggWindowQueries extends QueryPack {
         .withColumn("running_cents", sum(col("price_cents")).over(w))
         .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
     }),
+
+    // §2.4 boolean + bitwise aggregates: bool_and/bool_or short-circuit
+    // per partition (partial-combine friendly), bit_and/or/xor are the
+    // associative fold over the key space — all five ship as built-in
+    // hash-agg functions, one shuffle on the (tiny) status key.
+    "agg_bool_bitwise" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy("o_orderstatus")
+        .agg(expr("bool_and(o_totalprice > 1000.0)").as("all_big"),
+          expr("bool_or(o_custkey % 100 = 0)").as("any_century"),
+          expr("bit_and(o_orderkey)").as("key_and"),
+          expr("bit_or(o_orderkey)").as("key_or"),
+          expr("bit_xor(o_orderkey)").as("key_xor"))
+        .orderBy("o_orderstatus")),
+
+    // §2.5 TIME-based range frame: trailing one-hour event count + value
+    // sum per user, over exact epoch seconds (peers at the same second
+    // share the frame, so no tie-break is needed for the frame itself).
+    // One shuffle on user_id serves the window; at scale this is the
+    // "rolling rate limit / trailing spend" query.
+    "win_time_range_frame" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("sec")
+        .rangeBetween(-3600, Window.currentRow)
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"),
+          expr("unix_micros(ts) div 1000000").as("sec"),
+          cents(col("value")).as("v_cents"))
+        .withColumn("n_last_hour", count(lit(1)).over(w))
+        .withColumn("cents_last_hour", sum(col("v_cents")).over(w))
+        .orderBy("user_id", "sec", "event_id")
+    }),
+
+    // §2.5/§2.6 explicit NULL placement: Spark defaults to NULLS FIRST on
+    // ASC, DuckDB to NULLS LAST — leaving it implicit is a silent
+    // cross-engine divergence, so both the window order and the final
+    // sort pin it. Nulls synthesized deterministically (qty > 45).
+    "win_nulls_order" -> ((s, d) => {
+      val w = Window.partitionBy("l_suppkey")
+        .orderBy(col("q").asc_nulls_last, col("l_orderkey").asc,
+          col("l_linenumber").asc)
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"),
+          when(col("l_quantity") > 45, lit(null)).otherwise(col("l_quantity")).as("q"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 2)
+        .orderBy(col("q").desc_nulls_first, col("l_suppkey").asc,
+          col("l_orderkey").asc, col("l_linenumber").asc)
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -512,5 +560,32 @@ object AggWindowQueries extends QueryPack {
         |   PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey, l_suppkey
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_cents
         |FROM lineitem ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin,
+    "agg_bool_bitwise" ->
+      """SELECT o_orderstatus,
+        | bool_and(o_totalprice > 1000.0) AS all_big,
+        | bool_or(o_custkey % 100 = 0) AS any_century,
+        | bit_and(o_orderkey) AS key_and,
+        | bit_or(o_orderkey) AS key_or,
+        | bit_xor(o_orderkey) AS key_xor
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "win_time_range_frame" ->
+      """SELECT user_id, event_id, sec, v_cents,
+        | COUNT(*) OVER w AS n_last_hour,
+        | CAST(SUM(v_cents) OVER w AS BIGINT) AS cents_last_hour
+        |FROM (SELECT user_id, event_id, epoch_us(ts) // 1000000 AS sec,
+        |        CAST(round(value*100) AS BIGINT) AS v_cents FROM events) t
+        |WINDOW w AS (PARTITION BY user_id ORDER BY sec
+        |  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, sec, event_id""".stripMargin,
+    "win_nulls_order" ->
+      """SELECT * FROM (
+        |  SELECT l_orderkey, l_linenumber, l_suppkey,
+        |    CASE WHEN l_quantity > 45 THEN NULL ELSE l_quantity END AS q,
+        |    row_number() OVER (PARTITION BY l_suppkey
+        |      ORDER BY (CASE WHEN l_quantity > 45 THEN NULL ELSE l_quantity END)
+        |        ASC NULLS LAST, l_orderkey, l_linenumber) AS rn
+        |  FROM lineitem) t
+        |WHERE rn <= 2
+        |ORDER BY q DESC NULLS FIRST, l_suppkey, l_orderkey, l_linenumber""".stripMargin,
   )
 }

@@ -274,6 +274,66 @@ object CorpusQueries extends QueryPack {
           expr("CAST(size(slice(toks, CAST(col + 1 AS INT), 64)) AS BIGINT)").as("n_tok"),
           expr("concat_ws(' ', slice(toks, CAST(col + 1 AS INT), 64))").as("chunk"))
         .orderBy("doc_id", "chunk_idx")),
+
+    // HTML boilerplate stripping — the first pass over any web-crawl
+    // corpus: drop tags, decode entities to whitespace, collapse runs.
+    // Markup is synthesized deterministically around the corpus text
+    // (the test tables carry plain text), and the round-trip boolean
+    // proves strip(inject(text)) == text. Pure codegen'd map work.
+    "text_strip_html" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("html",
+          concat(lit("<p class=\"doc\"><span>"),
+            regexp_replace(col("text"), " fast ", " <b>fast</b> "),
+            lit("</span></p>&nbsp;<br/>")))
+        .withColumn("clean",
+          trim(regexp_replace(regexp_replace(regexp_replace(col("html"),
+            "<[^>]+>", ""), "&[a-z]+;", " "), "  +", " ")))
+        .select(col("doc_id"),
+          length(col("html")).cast("long").as("html_len"),
+          length(col("clean")).cast("long").as("clean_len"),
+          (col("clean") === col("text")).as("roundtrip_ok"))
+        .orderBy("doc_id")),
+
+    // Sentence segmentation + per-sentence stats: split on a delimiter
+    // token, then min/max/total token counts per document via array
+    // lambdas — no explode, no shuffle, one row in → one row out, which
+    // is the shape that survives 100 TB (the exploded alternative
+    // multiplies the shuffle input by mean sentence count).
+    "text_sentence_split" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("sents", split(col("text"), " a "))
+        .withColumn("lens", expr("transform(sents, x -> size(split(x, ' ')))"))
+        .select(col("doc_id"),
+          size(col("sents")).cast("long").as("n_sent"),
+          expr("CAST(aggregate(lens, 0, (acc, v) -> acc + v) AS BIGINT)").as("tot_toks"),
+          expr("CAST(array_max(lens) AS BIGINT)").as("max_toks"),
+          expr("CAST(array_min(lens) AS BIGINT)").as("min_toks"))
+        .orderBy("doc_id")),
+
+    // URL canonicalization — the dedup key for crawl data: scheme/host
+    // lowercased, www. and query/fragment stripped, trailing slash
+    // dropped, then grouped to show variant URLs collapsing to one
+    // canonical form. URLs synthesized deterministically per doc; the
+    // regex chain is the operator under test. Map work + one hash agg.
+    "url_canonicalize" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("url",
+          concat(lit("HTTP://WWW.Site"), (col("doc_id") % 7).cast("string"),
+            lit(".COM/"), col("source"), lit("/page"), (col("doc_id") % 3).cast("string"),
+            when(col("doc_id") % 2 === 0, lit("/?utm_source=x&id=9"))
+              .otherwise(lit("#frag"))))
+        .withColumn("nofrag", regexp_replace(col("url"), "[?#].*$", ""))
+        .withColumn("host",
+          regexp_replace(lower(regexp_extract(col("nofrag"), "^[A-Za-z]+://([^/]+)", 1)),
+            "^www\\.", ""))
+        .withColumn("path",
+          regexp_replace(regexp_extract(col("nofrag"), "^[A-Za-z]+://[^/]+(/.*)?$", 1),
+            "/$", ""))
+        .withColumn("canon", concat(lit("https://"), col("host"), col("path")))
+        .groupBy("canon")
+        .agg(count(lit(1)).as("n_docs"), min("doc_id").as("first_doc"))
+        .orderBy("canon")),
   )
 
   val oracle: Map[String, String] = Map(
@@ -409,5 +469,45 @@ object CorpusQueries extends QueryPack {
         |  CAST(len(list_slice(toks, start + 1, start + 64)) AS BIGINT) AS n_tok,
         |  array_to_string(list_slice(toks, start + 1, start + 64), ' ') AS chunk
         |FROM st ORDER BY doc_id, chunk_idx""".stripMargin,
+    "text_strip_html" ->
+      """WITH h AS (SELECT doc_id, text,
+        |    '<p class="doc"><span>'
+        |      || regexp_replace(text, ' fast ', ' <b>fast</b> ', 'g')
+        |      || '</span></p>&nbsp;<br/>' AS html
+        |  FROM documents),
+        |c AS (SELECT doc_id, text, html,
+        |    trim(regexp_replace(regexp_replace(regexp_replace(html,
+        |      '<[^>]+>', '', 'g'), '&[a-z]+;', ' ', 'g'), '  +', ' ', 'g')) AS clean
+        |  FROM h)
+        |SELECT doc_id, CAST(len(html) AS BIGINT) AS html_len,
+        |  CAST(len(clean) AS BIGINT) AS clean_len,
+        |  clean = text AS roundtrip_ok
+        |FROM c ORDER BY doc_id""".stripMargin,
+    "text_sentence_split" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_transform(string_split(text, ' a '),
+        |      x -> len(string_split(x, ' '))) AS lens
+        |  FROM documents)
+        |SELECT doc_id, CAST(len(lens) AS BIGINT) AS n_sent,
+        |  CAST(list_sum(lens) AS BIGINT) AS tot_toks,
+        |  CAST(list_max(lens) AS BIGINT) AS max_toks,
+        |  CAST(list_min(lens) AS BIGINT) AS min_toks
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "url_canonicalize" ->
+      """WITH u AS (SELECT doc_id,
+        |    'HTTP://WWW.Site' || CAST(doc_id % 7 AS VARCHAR) || '.COM/' || source
+        |      || '/page' || CAST(doc_id % 3 AS VARCHAR)
+        |      || CASE WHEN doc_id % 2 = 0 THEN '/?utm_source=x&id=9'
+        |              ELSE '#frag' END AS url
+        |  FROM documents),
+        |n AS (SELECT doc_id, regexp_replace(url, '[?#].*$', '') AS nofrag FROM u),
+        |c AS (SELECT doc_id, 'https://'
+        |    || regexp_replace(lower(regexp_extract(nofrag, '^[A-Za-z]+://([^/]+)', 1)),
+        |         '^www\.', '')
+        |    || regexp_replace(regexp_extract(nofrag, '^[A-Za-z]+://[^/]+(/.*)?$', 1),
+        |         '/$', '') AS canon
+        |  FROM n)
+        |SELECT canon, COUNT(*) AS n_docs, MIN(doc_id) AS first_doc
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

@@ -150,6 +150,17 @@ object ScalarQueries extends QueryPack {
           expr("variant_get(v, '$.k', 'bigint')").as("k_big"),
           expr("CAST(variant_get(v, '$.k', 'int') IS NOT NULL AS BOOLEAN)").as("has_k"))
         .orderBy("event_id")),
+
+    // §2.8 generator with ordinal: posexplode keeps the token's position —
+    // the lateral-view shape every tokenize/flatten step uses. Pure map
+    // work (a generate node inside the scan stage, no shuffle); output
+    // size is bounded by the filter before the explode, never after.
+    "explode_posexplode" -> ((s, d) =>
+      Tables.documents(s, d)
+        .filter(col("doc_id") % 25 === 0)
+        .select(col("doc_id"), posexplode(graft.ops.TextOps.tokens(col("text"))))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"), col("col").as("tok"))
+        .orderBy("doc_id", "pos")),
   )
 
   val oracle: Map[String, String] = Map(
@@ -226,5 +237,10 @@ object ScalarQueries extends QueryPack {
         | CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_big,
         | json_extract_string(props, '$.k') IS NOT NULL AS has_k
         |FROM events ORDER BY event_id""".stripMargin,
+    "explode_posexplode" ->
+      """SELECT doc_id, unnest(generate_series(1, len(string_split(text, ' ')))) - 1 AS pos,
+        | unnest(string_split(text, ' ')) AS tok
+        |FROM documents WHERE doc_id % 25 = 0
+        |ORDER BY doc_id, pos""".stripMargin,
   )
 }

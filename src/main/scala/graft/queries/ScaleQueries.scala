@@ -438,6 +438,40 @@ object ScaleQueries extends QueryPack {
         .orderBy("w_id")
     }),
 
+    // Spatial radius join via grid-cell bucketing — the 2-D sibling of
+    // the day-bucket interval join above: a distance predicate is not an
+    // equi-join, so the naive plan is an O(n·m) nested loop. Instead,
+    // each left point keys to its (cell x, cell y); each right point
+    // replicates to its 3×3 cell neighborhood (constant 9× blow-up of
+    // the SMALLER side only); the join becomes a hash equi-join on the
+    // cell pair and the exact distance check runs post-join. Cell size =
+    // radius guarantees no within-radius pair is missed, and a pair can
+    // meet in at most one cell (the left point's own), so no dedup pass
+    // is needed. Coordinates are integers derived from the portable hash
+    // so the distance math is exact in both engines.
+    "join_grid_spatial" -> ((s, d) => {
+      def coord(prefix: String, k: org.apache.spark.sql.Column) =
+        TextOps.hash60(concat(lit(prefix), k.cast("string"))) % 1000L
+      val cust = Tables.customer(s, d).select(col("c_custkey"),
+        coord("px", col("c_custkey")).as("x"), coord("py", col("c_custkey")).as("y"))
+        .withColumn("cx", expr("x div 8")).withColumn("cy", expr("y div 8"))
+      val supp = Tables.supplier(s, d).select(col("s_suppkey"),
+        coord("qx", col("s_suppkey")).as("sx"), coord("qy", col("s_suppkey")).as("sy"))
+        .withColumn("ddx", explode(expr("sequence(-1, 1)")))
+        .withColumn("ddy", explode(expr("sequence(-1, 1)")))
+        .select(col("s_suppkey"), col("sx"), col("sy"),
+          (expr("sx div 8") + col("ddx")).as("cx"),
+          (expr("sy div 8") + col("ddy")).as("cy"))
+      cust.join(supp, Seq("cx", "cy"))
+        .withColumn("dist2",
+          (col("x") - col("sx")) * (col("x") - col("sx"))
+            + (col("y") - col("sy")) * (col("y") - col("sy")))
+        .filter(col("dist2") <= 64L)
+        .select(col("c_custkey"), col("s_suppkey"), col("x"), col("y"),
+          col("sx"), col("sy"), col("dist2"))
+        .orderBy("c_custkey", "s_suppkey")
+    }),
+
     // Distributed triangle counting over the part co-purchase graph.
     // Edges: distinct (order, part) pairs self-joined per order (bounded
     // fan-out — the basket size caps pairs per order). Orientation: each
@@ -823,6 +857,22 @@ object ScaleQueries extends QueryPack {
         |FROM win JOIN lineitem
         |  ON l_shipdate >= w_start AND l_shipdate <= w_end
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Oracle uses the naive distance-predicate join — fine at sf0.01 and
+    // exactly what the grid bucketing must reproduce.
+    "join_grid_spatial" ->
+      """WITH cust AS (SELECT c_custkey,
+        |    ('0x'||substr(md5('px'||CAST(c_custkey AS VARCHAR)),1,15))::BIGINT % 1000 AS x,
+        |    ('0x'||substr(md5('py'||CAST(c_custkey AS VARCHAR)),1,15))::BIGINT % 1000 AS y
+        |  FROM customer),
+        |supp AS (SELECT s_suppkey,
+        |    ('0x'||substr(md5('qx'||CAST(s_suppkey AS VARCHAR)),1,15))::BIGINT % 1000 AS sx,
+        |    ('0x'||substr(md5('qy'||CAST(s_suppkey AS VARCHAR)),1,15))::BIGINT % 1000 AS sy
+        |  FROM supplier)
+        |SELECT c_custkey, s_suppkey, x, y, sx, sy,
+        |  (x-sx)*(x-sx) + (y-sy)*(y-sy) AS dist2
+        |FROM cust JOIN supp
+        |  ON (x-sx)*(x-sx) + (y-sy)*(y-sy) <= 64
+        |ORDER BY c_custkey, s_suppkey""".stripMargin,
     "tpch_q6" ->
       """SELECT
         |  CAST(SUM(CAST(round(l_extendedprice * l_discount * 100) AS BIGINT)) AS BIGINT)

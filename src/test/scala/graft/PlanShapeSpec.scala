@@ -272,6 +272,17 @@ class PlanShapeSpec extends SparkSpec {
       p.contains("BroadcastHashJoin"), "bucket join must be an equi-join")
   }
 
+  test("grid spatial join is a cell equi-join, never a distance nested loop") {
+    val p = plan("join_grid_spatial")
+    // the raw distance predicate would plan as BroadcastNestedLoopJoin;
+    // the 3×3 cell replication must turn it into a hash join on (cx, cy)
+    // with the exact dist2 check as a residual
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"spatial join degenerated to a nested loop:\n${p.take(800)}")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), "cell join must be an equi-join")
+  }
+
   test("column profiler reads the table once: multi-distinct plans as Expand") {
     val p = plan("profile_columns")
     // three distinct-count columns must share ONE scan through an Expand,
