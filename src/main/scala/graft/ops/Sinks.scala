@@ -51,6 +51,25 @@ object Sinks {
     spark.read.json(scratch)
   }
 
+  /** Round-trip through Spark 4's built-in XML source (the spark-xml
+    * donation): one element per record under `rowTag` — the feed-ingest /
+    * config-dump format. XML carries no schema, so readers conform types
+    * afterwards.
+    */
+  def xmlRoundTrip(spark: SparkSession, df: DataFrame, scratch: String): DataFrame = {
+    df.write.mode(SaveMode.Overwrite).option("rowTag", "row").xml(scratch)
+    spark.read.option("rowTag", "row").xml(scratch)
+  }
+
+  /** Round-trip through the line-oriented text source (one string column
+    * `value` per line) — the raw-log shape. Line-splittable, so a 100 TB
+    * directory parallelizes like CSV; parsing is the reader's job.
+    */
+  def textRoundTrip(spark: SparkSession, lines: DataFrame, scratch: String): DataFrame = {
+    lines.write.mode(SaveMode.Overwrite).text(scratch)
+    spark.read.text(scratch)
+  }
+
   /** Bucketed managed-table write: rows hash-partitioned into `buckets`
     * files per partition by `bucketCol` and sorted within buckets. Two
     * tables bucketed the same way join WITHOUT a shuffle (co-located

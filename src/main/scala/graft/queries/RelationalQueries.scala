@@ -87,6 +87,30 @@ object RelationalQueries extends QueryPack {
         .orderBy("n_nationkey")
     }),
 
+    // §2.1 XML scan via round-trip — Spark 4's built-in XML source (the
+    // merged spark-xml): one <row> element per record; conformTo recovers
+    // the typed schema XML doesn't carry.
+    "scan_xml" -> ((s, d) => {
+      val n = Tables.nation(s, d)
+      Conform.conformTo(Sinks.xmlRoundTrip(s, n, scratch("nation_xml")), n.schema)
+        .orderBy("n_nationkey")
+    }),
+
+    // §2.1 line-oriented text scan: delimited lines out, text source back
+    // (one `value` column per line), split + cast to reparse — the
+    // raw-log ingest path.
+    "scan_text" -> ((s, d) => {
+      val n = Tables.nation(s, d)
+      val lines = n.select(concat_ws("|",
+        col("n_nationkey"), col("n_name"), col("n_regionkey")).as("value"))
+      Sinks.textRoundTrip(s, lines, scratch("nation_text"))
+        .select(split(col("value"), "\\|").as("p"))
+        .select(col("p").getItem(0).cast("int").as("n_nationkey"),
+          col("p").getItem(1).as("n_name"),
+          col("p").getItem(2).cast("int").as("n_regionkey"))
+        .orderBy("n_nationkey")
+    }),
+
     // §2.1 empty-relation source + positional union-with-empty as a
     // cast-and-order operator (pyspark.py:159-167).
     "empty_relation_union" -> ((s, d) => {
@@ -580,6 +604,8 @@ object RelationalQueries extends QueryPack {
         |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin,
     "scan_csv" -> "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
     "scan_orc" -> "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+    "scan_xml" -> "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+    "scan_text" -> "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
     "scan_jsonl" -> "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
     "scan_json" -> "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
     "empty_relation_union" ->

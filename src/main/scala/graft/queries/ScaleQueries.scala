@@ -472,6 +472,36 @@ object ScaleQueries extends QueryPack {
         .orderBy("c_custkey", "s_suppkey")
     }),
 
+    // 2-D skyline (Pareto frontier, minimize both axes) WITHOUT the
+    // quadratic dominance self-join: after sorting lexicographically, a
+    // point is on the skyline iff its y beats the running min-y of every
+    // point before it — one window pass. Scaled in two levels: a local
+    // skyline per x-stripe prunes in parallel first (a dominated point is
+    // always dominated within its own stripe's prefix or by a stripe
+    // survivor), so the single-task global pass sees only the tiny
+    // survivor set, never the full table. The oracle cross-checks with
+    // the independent NOT EXISTS dominance formulation.
+    "skyline_window" -> ((s, d) => {
+      def coord(prefix: String, k: org.apache.spark.sql.Column) =
+        TextOps.hash60(concat(lit(prefix), k.cast("string"))) % 1000L
+      val pts = Tables.customer(s, d)
+        .select(coord("px", col("c_custkey")).as("x"),
+          coord("py", col("c_custkey")).as("y"))
+        .distinct()
+      val local = Window.partitionBy("bx").orderBy("x", "y")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val survivors = pts.withColumn("bx", expr("x div 64"))
+        .withColumn("mp", min("y").over(local))
+        .filter(col("mp").isNull || col("y") < col("mp"))
+      val global = Window.orderBy("x", "y")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      survivors
+        .withColumn("mg", min("y").over(global))
+        .filter(col("mg").isNull || col("y") < col("mg"))
+        .select("x", "y")
+        .orderBy("x", "y")
+    }),
+
     // Distributed triangle counting over the part co-purchase graph.
     // Edges: distinct (order, part) pairs self-joined per order (bounded
     // fan-out — the basket size caps pairs per order). Orientation: each
@@ -857,6 +887,15 @@ object ScaleQueries extends QueryPack {
         |FROM win JOIN lineitem
         |  ON l_shipdate >= w_start AND l_shipdate <= w_end
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "skyline_window" ->
+      """WITH pts AS (SELECT DISTINCT
+        |    ('0x'||substr(md5('px'||CAST(c_custkey AS VARCHAR)),1,15))::BIGINT % 1000 AS x,
+        |    ('0x'||substr(md5('py'||CAST(c_custkey AS VARCHAR)),1,15))::BIGINT % 1000 AS y
+        |  FROM customer)
+        |SELECT x, y FROM pts p
+        |WHERE NOT EXISTS (SELECT 1 FROM pts q
+        |  WHERE q.x <= p.x AND q.y <= p.y AND (q.x < p.x OR q.y < p.y))
+        |ORDER BY x, y""".stripMargin,
     // Oracle uses the naive distance-predicate join — fine at sf0.01 and
     // exactly what the grid bucketing must reproduce.
     "join_grid_spatial" ->

@@ -605,6 +605,49 @@ object StatsQueries extends QueryPack {
           expr("(unix_micros(pu) - unix_micros(su)) div 1000000").as("secs_to_convert"))
         .orderBy("user_id")
     }),
+
+    // WEIGHTED median without collecting: the distributed-percentile
+    // pattern — pre-aggregate weight per distinct value (bounds the
+    // window input at the value-domain size, not the row count), then a
+    // running weight sum per group picks the smallest value whose
+    // cumulative weight clears half the total. All integer centi-units;
+    // one shuffle on the group key serves both windows and the final agg.
+    "stats_weighted_median" -> ((s, d) => {
+      val byq = Tables.lineitem(s, d)
+        .select(col("l_returnflag"),
+          Cleaning.cents(col("l_quantity")).as("qty_centi"),
+          Cleaning.cents(col("l_extendedprice")).as("w"))
+        .groupBy("l_returnflag", "qty_centi")
+        .agg(sum("w").as("w"))
+      val cum = Window.partitionBy("l_returnflag").orderBy("qty_centi")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = Window.partitionBy("l_returnflag")
+      byq
+        .withColumn("cw", sum("w").over(cum))
+        .withColumn("tw", sum("w").over(tot))
+        .filter(col("cw") * 2 >= col("tw"))
+        .groupBy("l_returnflag")
+        .agg(min("qty_centi").as("wmedian_centi"), max("tw").as("total_weight"))
+        .orderBy("l_returnflag")
+    }),
+
+    // Key-skew profiler — the pre-join diagnostic that decides whether a
+    // shuffle needs salting: per-key counts, then the concentration of
+    // the 10 hottest keys as an exact ppm share. The top-10 side is a
+    // TakeOrdered (no global sort), totals broadcast back — the whole
+    // report costs one hash agg + two single-row joins at any scale.
+    "profile_key_skew" -> ((s, d) => {
+      val cnts = Tables.lineitem(s, d)
+        .groupBy("l_partkey").agg(count(lit(1)).as("cnt"))
+      val tot = cnts.agg(count(lit(1)).as("n_keys"), sum("cnt").as("n_rows"),
+        max("cnt").as("max_cnt"))
+      val top10 = cnts.orderBy(col("cnt").desc, col("l_partkey").asc).limit(10)
+        .agg(sum("cnt").as("top10_rows"))
+      tot.crossJoin(top10)
+        .select(col("n_keys"), col("n_rows"), col("max_cnt"),
+          expr("top10_rows * 1000000 div n_rows").as("top10_ppm"),
+          expr("max_cnt * n_keys * 1000 div n_rows").as("max_over_avg_milli"))
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -895,5 +938,28 @@ object StatsQueries extends QueryPack {
         |  (epoch_us(pu.pu) - epoch_us(su.su)) // 1000000 AS secs_to_convert
         |FROM su LEFT JOIN pu ON su.user_id = pu.user_id
         |ORDER BY su.user_id""".stripMargin,
+    "stats_weighted_median" ->
+      """WITH byq AS (SELECT l_returnflag,
+        |    CAST(round(l_quantity*100) AS BIGINT) AS qty_centi,
+        |    CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS w
+        |  FROM lineitem GROUP BY 1, 2),
+        |c AS (SELECT l_returnflag, qty_centi,
+        |    CAST(SUM(w) OVER (PARTITION BY l_returnflag ORDER BY qty_centi
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cw,
+        |    CAST(SUM(w) OVER (PARTITION BY l_returnflag) AS BIGINT) AS tw
+        |  FROM byq)
+        |SELECT l_returnflag, MIN(qty_centi) AS wmedian_centi,
+        |  MAX(tw) AS total_weight
+        |FROM c WHERE cw * 2 >= tw GROUP BY 1 ORDER BY 1""".stripMargin,
+    "profile_key_skew" ->
+      """WITH cnts AS (SELECT l_partkey, COUNT(*) AS cnt FROM lineitem GROUP BY 1),
+        |tot AS (SELECT COUNT(*) AS n_keys, CAST(SUM(cnt) AS BIGINT) AS n_rows,
+        |    CAST(MAX(cnt) AS BIGINT) AS max_cnt FROM cnts),
+        |t10 AS (SELECT CAST(SUM(cnt) AS BIGINT) AS top10_rows FROM (
+        |    SELECT cnt FROM cnts ORDER BY cnt DESC, l_partkey LIMIT 10) x)
+        |SELECT n_keys, n_rows, max_cnt,
+        |  top10_rows * 1000000 // n_rows AS top10_ppm,
+        |  max_cnt * n_keys * 1000 // n_rows AS max_over_avg_milli
+        |FROM tot, t10""".stripMargin,
   )
 }

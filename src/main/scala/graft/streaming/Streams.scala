@@ -68,6 +68,22 @@ object Streams {
       .format("memory")
       .trigger(Trigger.AvailableNow())
 
+  /** Append-mode tumbling aggregate: each window row emits EXACTLY ONCE,
+    * when the watermark passes the window end — and an event arriving
+    * more than `lateness` behind the max seen event time is dropped
+    * before the aggregation, never silently revising an already-emitted
+    * row. This is the at-most-how-late contract an event-time pipeline
+    * feeding a downstream table must pin; the update-mode twin above
+    * instead revises rows in place. State stays bounded because closed
+    * windows are evicted once emitted.
+    */
+  def tumblingAppendStream(events: DataFrame, width: String = "10 minutes",
+      lateness: String = "10 minutes"): DataStreamWriter[Row] =
+    tumblingAgg(events.withWatermark("ts", lateness), width)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+
   /** File-source → checkpointed parquet-sink relay, the production wiring
     * for a streaming lake ingest: the checkpoint's offset log records
     * which input files each micro-batch consumed and the file sink commits

@@ -56,6 +56,35 @@ class StreamingSpec extends SparkSpec {
     assert(ids == Seq(1L, 2L, 3L, 4L, 5L)) // duplicates collapsed
   }
 
+  test("watermark drops a too-late event and append mode emits windows once") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = Streams.tumblingAppendStream(mem.toDF())
+      .queryName("late_smoke").start()
+    try {
+      // batch 1: two events in window [00:00,00:10) + one at 00:35 that
+      // will advance the watermark to 00:25 for the NEXT batch
+      mem.addData(ev(1, "2024-01-01 00:01:00", "click", 1.0),
+        ev(2, "2024-01-01 00:05:00", "click", 2.0),
+        ev(3, "2024-01-01 00:35:00", "view", 4.0))
+      q.processAllAvailable()
+      // batch 2: a LATE click at 00:02 (behind the 00:25 watermark →
+      // dropped) and a fresh event to run the batch
+      mem.addData(ev(4, "2024-01-01 00:02:00", "click", 8.0),
+        ev(5, "2024-01-01 00:36:00", "view", 1.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("late_smoke")
+      .select("w_start", "event_type", "n_events", "value_cents")
+      .collect().map(r => (r.getTimestamp(0).toString, r.getString(1),
+        r.getLong(2), r.getLong(3))).toSeq
+    // window [00:00,00:10) finalized by the batch-2 watermark with the
+    // two ON-TIME clicks only — the late 800-cent click never lands;
+    // the [00:30,00:40) window stays open (watermark < its end), so
+    // nothing else has emitted yet
+    assert(rows == Seq(("2024-01-01 00:00:00.0", "click", 2L, 300L)))
+  }
+
   test("mapGroupsWithState maintains running per-user counts across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
