@@ -105,6 +105,18 @@ object TextOps {
        |                      (a2, h) -> a2 + ((shiftright(h, i) & 1) * 2 - 1)) >= 0
        |       THEN 1L ELSE 0L END, i))""".stripMargin)
 
+  /** Native one-pass 60-bit SimHash straight from the token array —
+    * MD5 + all 60 ±1 bit counters in one compiled loop
+    * ([[graft.functions.SimHash60Expr]]); bit-identical to both
+    * [[simHash60]] (the HOF spec) and [[simHashAgg]] (the explode+agg
+    * scale form) for non-empty inputs, pinned in `TextVectorOpsSpec`.
+    * Pure map work: no explode fan-out, no shuffle.
+    */
+  def simHash60Native(toks: Column): Column =
+    org.apache.spark.sql.GraftSqlBridge.toColumn(
+      graft.functions.SimHash60Expr(
+        org.apache.spark.sql.GraftSqlBridge.toExpression(toks)))
+
   /** 15-bit SimHash blocking keys (4 bands): near-dups (small Hamming
     * distance) agree on at least one band by pigeonhole, so the candidate
     * join runs on band equality, never all-pairs.

@@ -86,6 +86,9 @@ object GraftFunctions {
     (FunctionIdentifier("portable_hash60"),
       info("portable_hash60", "portable_hash60(s) - engine-portable 60-bit md5-prefix hash of a string"),
       (args: Seq[Expression]) => graft.functions.PortableHash60(args(0))),
+    (FunctionIdentifier("simhash60"),
+      info("simhash60", "simhash60(tokens) - one-pass 60-bit SimHash over an array<string>"),
+      (args: Seq[Expression]) => graft.functions.SimHash60Expr(args(0))),
   )
 
   /** Idempotent per-session registration (overwrites any prior entry). */

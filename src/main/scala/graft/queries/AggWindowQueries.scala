@@ -389,6 +389,22 @@ object AggWindowQueries extends QueryPack {
         .orderBy("user_id", "sec", "event_id")
     }),
 
+    // §2.4 argmin/argmax aggregates (max_by/min_by ↔ DuckDB arg_max/
+    // arg_min): "the customer of the latest order" without a self-join
+    // back to the max — one hash agg instead of agg + join. Ordering keys
+    // are made UNIQUE (o_orderkey, or cents⊕orderkey composite) because
+    // ties would otherwise be partition-order nondeterminism.
+    "agg_min_max_by" -> ((s, d) =>
+      Tables.orders(s, d)
+        .withColumn("pc", cents(col("o_totalprice")))
+        .groupBy("o_orderstatus")
+        .agg(expr("max_by(o_custkey, o_orderkey)").as("cust_of_last_order"),
+          expr("min_by(o_custkey, o_orderkey)").as("cust_of_first_order"),
+          expr("max_by(o_orderkey, pc * 10000000000L + o_orderkey)")
+            .as("top_value_order"),
+          max("pc").as("max_cents"))
+        .orderBy("o_orderstatus")),
+
     // §2.5/§2.6 explicit NULL placement: Spark defaults to NULLS FIRST on
     // ASC, DuckDB to NULLS LAST — leaving it implicit is a silent
     // cross-engine divergence, so both the window order and the final
@@ -560,6 +576,15 @@ object AggWindowQueries extends QueryPack {
         |   PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey, l_suppkey
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_cents
         |FROM lineitem ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin,
+    "agg_min_max_by" ->
+      """SELECT o_orderstatus,
+        | arg_max(o_custkey, o_orderkey) AS cust_of_last_order,
+        | arg_min(o_custkey, o_orderkey) AS cust_of_first_order,
+        | arg_max(o_orderkey,
+        |   CAST(round(o_totalprice*100) AS BIGINT) * 10000000000 + o_orderkey)
+        |   AS top_value_order,
+        | CAST(MAX(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS max_cents
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "agg_bool_bitwise" ->
       """SELECT o_orderstatus,
         | bool_and(o_totalprice > 1000.0) AS all_big,

@@ -311,6 +311,54 @@ object CorpusQueries extends QueryPack {
           expr("CAST(array_min(lens) AS BIGINT)").as("min_toks"))
         .orderBy("doc_id")),
 
+    // PII detection — the compliance scan every corpus needs before
+    // training: regex detectors for email- and phone-shaped spans,
+    // aggregated per source (counts + how many docs carry any hit).
+    // PII is injected deterministically (the corpus is synthetic), so
+    // the detectors have real positives to find. Pure map work + one
+    // low-cardinality hash agg; the redaction twin is text_redact_mask.
+    "text_pii_stats" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("txt",
+          when(col("doc_id") % 11 === 0,
+            concat(col("text"), lit(" contact_user"), col("doc_id"),
+              lit("@example.com")))
+            .when(col("doc_id") % 13 === 0,
+              concat(col("text"), lit(" call 555-01"),
+                lpad((col("doc_id") % 100).cast("string"), 2, "0")))
+            .otherwise(col("text")))
+        .select(col("source"),
+          size(expr("regexp_extract_all(txt, '[a-z0-9_]+@[a-z0-9.]+[a-z]', 0)"))
+            .cast("long").as("n_email"),
+          size(expr("regexp_extract_all(txt, '[0-9]{3}-[0-9]{4}', 0)"))
+            .cast("long").as("n_phone"))
+        .groupBy("source")
+        .agg(sum("n_email").as("n_email"), sum("n_phone").as("n_phone"),
+          count(when(col("n_email") + col("n_phone") > 0, 1)).as("n_docs_pii"))
+        .orderBy("source")),
+
+    // Deterministic class rebalancing: every language downsampled to the
+    // minority class's count by hash-order rank — the bias-control step
+    // before training, reproducible on any engine and stable under
+    // reruns. The per-class quota is data-dependent (broadcast single
+    // row), so the rank filter can't constant-prune map-side like the
+    // fixed-quota sampler; the window is still one shuffle on lang.
+    // sum_ids is the selection checksum: equal counts with different
+    // members would still fail the gate.
+    "sample_class_balance" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"))
+      val minCnt = docs.groupBy("lang").agg(count(lit(1)).as("cnt"))
+        .agg(min("cnt").as("min_cnt"))
+      val w = Window.partitionBy("lang")
+        .orderBy(TextOps.hash60(col("doc_id").cast("string")).asc, col("doc_id").asc)
+      docs.withColumn("rn", row_number().over(w).cast("long"))
+        .crossJoin(broadcast(minCnt))
+        .filter(col("rn") <= col("min_cnt"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_kept"), sum("doc_id").as("sum_ids"))
+        .orderBy("lang")
+    }),
+
     // URL canonicalization — the dedup key for crawl data: scheme/host
     // lowercased, www. and query/fragment stripped, trailing slash
     // dropped, then grouped to show variant URLs collapsing to one
@@ -493,6 +541,34 @@ object CorpusQueries extends QueryPack {
         |  CAST(list_max(lens) AS BIGINT) AS max_toks,
         |  CAST(list_min(lens) AS BIGINT) AS min_toks
         |FROM t ORDER BY doc_id""".stripMargin,
+    "text_pii_stats" ->
+      """WITH t AS (SELECT source,
+        |    CASE WHEN doc_id % 11 = 0
+        |           THEN text || ' contact_user' || CAST(doc_id AS VARCHAR)
+        |                || '@example.com'
+        |         WHEN doc_id % 13 = 0
+        |           THEN text || ' call 555-01'
+        |                || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+        |         ELSE text END AS txt
+        |  FROM documents),
+        |h AS (SELECT source,
+        |    CAST(len(regexp_extract_all(txt, '[a-z0-9_]+@[a-z0-9.]+[a-z]')) AS BIGINT)
+        |      AS n_email,
+        |    CAST(len(regexp_extract_all(txt, '[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phone
+        |  FROM t)
+        |SELECT source, CAST(SUM(n_email) AS BIGINT) AS n_email,
+        |  CAST(SUM(n_phone) AS BIGINT) AS n_phone,
+        |  COUNT(*) FILTER (n_email + n_phone > 0) AS n_docs_pii
+        |FROM h GROUP BY 1 ORDER BY 1""".stripMargin,
+    "sample_class_balance" ->
+      """WITH c AS (SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY 1),
+        |m AS (SELECT MIN(cnt) AS min_cnt FROM c),
+        |r AS (SELECT lang, doc_id, row_number() OVER (PARTITION BY lang
+        |    ORDER BY ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15))::BIGINT,
+        |      doc_id) AS rn
+        |  FROM documents)
+        |SELECT lang, COUNT(*) AS n_kept, CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+        |FROM r, m WHERE rn <= min_cnt GROUP BY 1 ORDER BY 1""".stripMargin,
     "url_canonicalize" ->
       """WITH u AS (SELECT doc_id,
         |    'HTTP://WWW.Site' || CAST(doc_id % 7 AS VARCHAR) || '.COM/' || source

@@ -79,10 +79,12 @@ object LlmQueries extends QueryPack {
 
   private def simhashSigs(s: SparkSession, d: String): DataFrame =
     cached("simhash_sigs", s, d) {
-      val exploded = Tables.documents(s, d)
-        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("t"))
-        .select(col("doc_id"), TextOps.hash60(col("t")).as("h"))
-      TextOps.simHashAgg(exploded, "doc_id", "h")
+      // native one-pass signature: pure map work, no explode, no shuffle
+      // (previously TextOps.simHashAgg over exploded (doc_id, hash60)
+      // rows — same bits, pinned in TextVectorOpsSpec)
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          TextOps.simHash60Native(TextOps.tokens(col("text"))).as("simhash"))
     }
 
   /** Near-dup cluster labels (id, comp) over the banded candidate pairs —

@@ -606,6 +606,23 @@ object StatsQueries extends QueryPack {
         .orderBy("user_id")
     }),
 
+    // Correlated LATERAL subquery with LIMIT — the SQL-surface spelling
+    // of top-N-per-group. Spark decorrelates it into the same
+    // WindowGroupLimit + hash-join plan the DataFrame window form gets
+    // (no per-row re-execution, no nested loop), so the readable SQL is
+    // also the scalable plan. Inner-join semantics: order-less customers
+    // drop out.
+    "join_lateral_topn" -> ((s, d) =>
+      s.sql(
+        s"""SELECT c.c_custkey, t.o_orderkey, t.pc
+           |FROM parquet.`$d/customer.parquet` c,
+           |LATERAL (SELECT o_orderkey,
+           |           CAST(round(o_totalprice*100) AS BIGINT) AS pc
+           |         FROM parquet.`$d/orders.parquet` o
+           |         WHERE o.o_custkey = c.c_custkey
+           |         ORDER BY pc DESC, o_orderkey LIMIT 2) t
+           |ORDER BY c.c_custkey, t.pc DESC, t.o_orderkey""".stripMargin)),
+
     // WEIGHTED median without collecting: the distributed-percentile
     // pattern — pre-aggregate weight per distinct value (bounds the
     // window input at the value-domain size, not the row count), then a
@@ -938,6 +955,14 @@ object StatsQueries extends QueryPack {
         |  (epoch_us(pu.pu) - epoch_us(su.su)) // 1000000 AS secs_to_convert
         |FROM su LEFT JOIN pu ON su.user_id = pu.user_id
         |ORDER BY su.user_id""".stripMargin,
+    "join_lateral_topn" ->
+      """SELECT c.c_custkey, t.o_orderkey, t.pc
+        |FROM customer c,
+        |LATERAL (SELECT o_orderkey,
+        |           CAST(round(o_totalprice*100) AS BIGINT) AS pc
+        |         FROM orders o WHERE o.o_custkey = c.c_custkey
+        |         ORDER BY pc DESC, o_orderkey LIMIT 2) t
+        |ORDER BY c.c_custkey, t.pc DESC, t.o_orderkey""".stripMargin,
     "stats_weighted_median" ->
       """WITH byq AS (SELECT l_returnflag,
         |    CAST(round(l_quantity*100) AS BIGINT) AS qty_centi,

@@ -23,6 +23,15 @@ class ExtensionsSpec extends SparkSpec {
     assert(plan.contains("cosinesimilarity"), s"unexpected resolution:\n$plan")
   }
 
+  test("simhash60 is SQL-callable: non-empty signs a signature, empty is null") {
+    val r = spark.sql(
+      "SELECT simhash60(array('a', 'b')) AS s, simhash60(array()) AS e").head()
+    assert(!r.isNullAt(0) && r.isNullAt(1))
+    val plan = spark.sql("SELECT simhash60(array('x'))")
+      .queryExecution.analyzed.toString.toLowerCase
+    assert(plan.contains("simhash60"), s"unexpected resolution:\n$plan")
+  }
+
   test("runtime register() works on a session built without the extensions config") {
     val bare = org.apache.spark.sql.SparkSession.builder()
       .master("local[1]").appName("graft-bare")

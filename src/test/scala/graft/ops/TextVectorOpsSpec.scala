@@ -106,6 +106,19 @@ class TextVectorOpsSpec extends SparkSpec {
         .select(col("doc_id"), TextOps.hash60(col("t")).as("h")), "doc_id", "h")
       .as[(Long, Long)].collect().toMap
     assert(colSim == aggSim)
+
+    // the native one-pass SimHash (MD5 + 60 ±1 counters in compiled code)
+    // must produce the identical bits — it replaces both forms above on
+    // the dedup_simhash query path; empty token array → null, never a
+    // fabricated signature
+    val nativeSim = docs.select(col("doc_id"),
+      TextOps.simHash60Native(TextOps.tokens(col("text"))).as("s"))
+      .as[(Long, Long)].collect().toMap
+    assert(nativeSim == colSim)
+    val emptySim = Seq(Tuple1(Seq.empty[String])).toDF("toks")
+      .select(TextOps.simHash60Native(col("toks")).as("s"))
+      .as[Option[Long]].head()
+    assert(emptySim.isEmpty)
   }
 
   test("TopKAggregator: bounded, deterministic ties, partition-layout invariant") {
