@@ -1,0 +1,70 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Geometric operators built from equi-join/window primitives — the shapes
+  * that keep 2-D predicates off nested-loop plans at scale. Both carry
+  * property-based proofs against their naive formulations
+  * (`PropertiesSpec`) on top of the fixed-data DuckDB oracles.
+  */
+object GeoOps {
+
+  /** 2-D skyline (Pareto frontier, minimize both columns) without the
+    * quadratic dominance self-join. After a lexicographic sort, a point is
+    * on the skyline iff its y beats the running min-y of everything before
+    * it. Two levels: a local skyline per x-stripe prunes in parallel (a
+    * dominated point is always dominated within its own stripe's prefix or
+    * by a stripe survivor — dominance is transitive), so the final
+    * single-task global pass sees only the small survivor set.
+    *
+    * Input must be DISTINCT (x, y) points; equal points do not dominate
+    * each other, so duplicates would all survive and the lex formula
+    * (which kills repeats) would disagree with the NOT EXISTS form.
+    */
+  def skyline2D(pts: DataFrame, x: String, y: String,
+                stripeWidth: Long): DataFrame = {
+    val local = Window.partitionBy("bx").orderBy(x, y)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val survivors = pts.withColumn("bx", expr(s"$x div $stripeWidth"))
+      .withColumn("mp", min(y).over(local))
+      .filter(col("mp").isNull || col(y) < col("mp"))
+    val global = Window.orderBy(x, y)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    survivors
+      .withColumn("mg", min(y).over(global))
+      .filter(col("mg").isNull || col(y) < col("mg"))
+      .select(x, y)
+  }
+
+  /** Radius join (squared euclidean distance ≤ r²) as a grid-cell hash
+    * equi-join: the left side keys to its own cell; the RIGHT side (pass
+    * the smaller one) replicates to its 3×3 cell neighborhood — a
+    * constant 9× blow-up. Cell size = radius guarantees any within-radius
+    * pair shares a replicated cell, and each pair meets in exactly one
+    * cell (the left point's own), so no dedup pass is needed. The exact
+    * distance check runs as a post-join residual. Output: left columns,
+    * right columns, `dist2`.
+    */
+  def radiusJoinGrid(left: DataFrame, lx: String, ly: String,
+                     right: DataFrame, rx: String, ry: String,
+                     r: Long): DataFrame = {
+    val leftCells = left
+      .withColumn("cx", expr(s"$lx div $r"))
+      .withColumn("cy", expr(s"$ly div $r"))
+    val rightCells = right
+      .withColumn("ddx", explode(expr("sequence(-1, 1)")))
+      .withColumn("ddy", explode(expr("sequence(-1, 1)")))
+      .withColumn("cx", expr(s"$rx div $r") + col("ddx"))
+      .withColumn("cy", expr(s"$ry div $r") + col("ddy"))
+      .drop("ddx", "ddy")
+    val d2: Column =
+      (col(lx) - col(rx)) * (col(lx) - col(rx)) +
+        (col(ly) - col(ry)) * (col(ly) - col(ry))
+    leftCells.join(rightCells, Seq("cx", "cy"))
+      .withColumn("dist2", d2)
+      .filter(col("dist2") <= r * r)
+      .drop("cx", "cy")
+  }
+}

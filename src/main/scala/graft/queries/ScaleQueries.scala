@@ -454,19 +454,9 @@ object ScaleQueries extends QueryPack {
         TextOps.hash60(concat(lit(prefix), k.cast("string"))) % 1000L
       val cust = Tables.customer(s, d).select(col("c_custkey"),
         coord("px", col("c_custkey")).as("x"), coord("py", col("c_custkey")).as("y"))
-        .withColumn("cx", expr("x div 8")).withColumn("cy", expr("y div 8"))
       val supp = Tables.supplier(s, d).select(col("s_suppkey"),
         coord("qx", col("s_suppkey")).as("sx"), coord("qy", col("s_suppkey")).as("sy"))
-        .withColumn("ddx", explode(expr("sequence(-1, 1)")))
-        .withColumn("ddy", explode(expr("sequence(-1, 1)")))
-        .select(col("s_suppkey"), col("sx"), col("sy"),
-          (expr("sx div 8") + col("ddx")).as("cx"),
-          (expr("sy div 8") + col("ddy")).as("cy"))
-      cust.join(supp, Seq("cx", "cy"))
-        .withColumn("dist2",
-          (col("x") - col("sx")) * (col("x") - col("sx"))
-            + (col("y") - col("sy")) * (col("y") - col("sy")))
-        .filter(col("dist2") <= 64L)
+      graft.ops.GeoOps.radiusJoinGrid(cust, "x", "y", supp, "sx", "sy", 8L)
         .select(col("c_custkey"), col("s_suppkey"), col("x"), col("y"),
           col("sx"), col("sy"), col("dist2"))
         .orderBy("c_custkey", "s_suppkey")
@@ -488,17 +478,7 @@ object ScaleQueries extends QueryPack {
         .select(coord("px", col("c_custkey")).as("x"),
           coord("py", col("c_custkey")).as("y"))
         .distinct()
-      val local = Window.partitionBy("bx").orderBy("x", "y")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val survivors = pts.withColumn("bx", expr("x div 64"))
-        .withColumn("mp", min("y").over(local))
-        .filter(col("mp").isNull || col("y") < col("mp"))
-      val global = Window.orderBy("x", "y")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      survivors
-        .withColumn("mg", min("y").over(global))
-        .filter(col("mg").isNull || col("y") < col("mg"))
-        .select("x", "y")
+      graft.ops.GeoOps.skyline2D(pts, "x", "y", stripeWidth = 64L)
         .orderBy("x", "y")
     }),
 

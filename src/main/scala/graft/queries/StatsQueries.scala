@@ -636,15 +636,9 @@ object StatsQueries extends QueryPack {
           Cleaning.cents(col("l_extendedprice")).as("w"))
         .groupBy("l_returnflag", "qty_centi")
         .agg(sum("w").as("w"))
-      val cum = Window.partitionBy("l_returnflag").orderBy("qty_centi")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val tot = Window.partitionBy("l_returnflag")
-      byq
-        .withColumn("cw", sum("w").over(cum))
-        .withColumn("tw", sum("w").over(tot))
-        .filter(col("cw") * 2 >= col("tw"))
-        .groupBy("l_returnflag")
-        .agg(min("qty_centi").as("wmedian_centi"), max("tw").as("total_weight"))
+      graft.ops.StatsOps.weightedMedian(byq, "l_returnflag", "qty_centi", "w")
+        .select(col("l_returnflag"), col("wmedian").as("wmedian_centi"),
+          col("total_weight"))
         .orderBy("l_returnflag")
     }),
 

@@ -77,6 +77,57 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("property: striped skyline equals the naive dominance filter") {
+    val ptGen = Gen.listOfN(60, Gen.zip(Gen.choose(0L, 100L), Gen.choose(0L, 100L)))
+    for (raw <- samples(ptGen, 4)) {
+      val pts = raw.distinct
+      val got = GeoOps.skyline2D(pts.toDF("x", "y"), "x", "y", stripeWidth = 16L)
+        .as[(Long, Long)].collect().toSet
+      val naive = pts.filter { case (px, py) =>
+        !pts.exists { case (qx, qy) =>
+          qx <= px && qy <= py && (qx < px || qy < py) }
+      }.toSet
+      assert(got == naive, s"skyline mismatch on ${pts.size} points")
+    }
+  }
+
+  test("property: grid radius join equals the naive distance join") {
+    val ptGen = Gen.listOfN(30, Gen.zip(Gen.choose(0L, 60L), Gen.choose(0L, 60L)))
+    for (Seq(a, b) <- samples(ptGen, 8).grouped(2).toSeq) {
+      val l = a.zipWithIndex.map { case ((x, y), i) => (i.toLong, x, y) }
+      val r = b.zipWithIndex.map { case ((x, y), i) => (i.toLong, x, y) }
+      val got = GeoOps.radiusJoinGrid(l.toDF("lid", "x", "y"), "x", "y",
+          r.toDF("rid", "rx", "ry"), "rx", "ry", 7L)
+        .select("lid", "rid").as[(Long, Long)].collect()
+      val naive = for {
+        (li, lxx, lyy) <- l; (ri, rxx, ryy) <- r
+        if (lxx - rxx) * (lxx - rxx) + (lyy - ryy) * (lyy - ryy) <= 49
+      } yield (li, ri)
+      // exactly-once per qualifying pair: sets AND multiplicities agree
+      assert(got.sorted.toSeq == naive.sorted)
+    }
+  }
+
+  test("property: weighted median satisfies its defining inequality") {
+    val rowGen = Gen.listOfN(40,
+      Gen.zip(Gen.oneOf("g1", "g2"), Gen.choose(1L, 20L), Gen.choose(1L, 9L)))
+    for (rs <- samples(rowGen, 4) if rs.nonEmpty) {
+      val byValue = rs.toDF("g", "v", "w").groupBy("g", "v")
+        .agg(sum("w").as("w"))
+      val got = StatsOps.weightedMedian(byValue, "g", "v", "w")
+        .select("g", "wmedian").as[(String, Long)].collect().toMap
+      val naive = rs.groupBy(_._1).map { case (g, rows) =>
+        val total = rows.map(_._3).sum
+        val sorted = rows.groupBy(_._2).view.mapValues(_.map(_._3).sum)
+          .toSeq.sortBy(_._1)
+        val m = sorted.scanLeft((0L, 0L)) { case ((_, acc), (v, w)) =>
+          (v, acc + w) }.drop(1).find { case (_, cw) => cw * 2 >= total }.get._1
+        g -> m
+      }
+      assert(got == naive)
+    }
+  }
+
   test("property: z-order key is a bijection that preserves per-dimension order") {
     val dimGen = Gen.choose(0L, 65535L)
     val pts = samples(Gen.zip(dimGen, dimGen), 60).distinct
