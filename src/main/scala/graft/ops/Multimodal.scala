@@ -63,4 +63,36 @@ object Multimodal {
       }
       .toDF("media_id", "width", "height", "n_bytes")
   }
+
+  /** THE BATCH-INFERENCE SEAM: rows grouped into fixed-size batches
+    * inside each partition — the Arrow-batch shape a pandas UDF or GPU
+    * inference step consumes — with the "model" invoked once per BATCH
+    * and results flattened back to rows. `batchSize` bounds peak memory
+    * at batchSize × payload, exactly the knob a real inference stage
+    * tunes against accelerator memory; model/codec init is paid once per
+    * partition (before the batch loop), not per row or per batch. The
+    * stub "embeds" each payload as (byte sum mod 997) so the plumbing is
+    * oracle-checkable; a real model returns per-row vectors through the
+    * identical shape.
+    */
+  def batchInferStub(spark: SparkSession, media: DataFrame,
+                     batchSize: Int): DataFrame = {
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        // val model = Model.load(...)  <- real weights load once per partition
+        rows.grouped(batchSize).flatMap { batch =>
+          // one vectorized call per batch in a real implementation
+          val nInBatch = batch.size.toLong
+          batch.map { case (id, bytes) =>
+            var s = 0L
+            var i = 0
+            while (i < bytes.length) { s += (bytes(i) & 0xff); i += 1 }
+            (id, s % 997, bytes.length.toLong, nInBatch)
+          }
+        }
+      }
+      .toDF("media_id", "feat", "n_bytes", "batch_rows")
+  }
 }

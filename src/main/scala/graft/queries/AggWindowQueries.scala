@@ -405,6 +405,25 @@ object AggWindowQueries extends QueryPack {
           max("pc").as("max_cents"))
         .orderBy("o_orderstatus")),
 
+    // §2.5 DISTINCT count over a window — Spark (like most engines)
+    // forbids COUNT(DISTINCT) in window frames; the dense_rank-max trick
+    // delivers per-partition distinct counts on every row without a
+    // groupBy + join-back: dense_rank along the value order, then max
+    // over the whole partition. Both windows share one shuffle on the
+    // partition key.
+    "win_count_distinct" -> ((s, d) => {
+      val byVal = Window.partitionBy("l_returnflag").orderBy("l_partkey")
+      val whole = Window.partitionBy("l_returnflag")
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"))
+        .withColumn("dr", dense_rank().over(byVal))
+        .withColumn("n_distinct_parts", max("dr").over(whole).cast("long"))
+        .drop("dr")
+        .filter(col("l_orderkey") % 500 === 0)
+        .orderBy("l_returnflag", "l_orderkey", "l_linenumber", "l_partkey")
+    }),
+
     // §2.5/§2.6 explicit NULL placement: Spark defaults to NULLS FIRST on
     // ASC, DuckDB to NULLS LAST — leaving it implicit is a silent
     // cross-engine divergence, so both the window order and the final
@@ -602,6 +621,20 @@ object AggWindowQueries extends QueryPack {
         |WINDOW w AS (PARTITION BY user_id ORDER BY sec
         |  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
         |ORDER BY user_id, sec, event_id""".stripMargin,
+    "win_count_distinct" ->
+      """SELECT l_returnflag, l_orderkey, l_linenumber, l_partkey,
+        |  n_distinct_parts
+        |FROM (
+        |  SELECT l_returnflag, l_orderkey, l_linenumber, l_partkey,
+        |    CAST(MAX(dr) OVER (PARTITION BY l_returnflag) AS BIGINT)
+        |      AS n_distinct_parts
+        |  FROM (
+        |    SELECT l_returnflag, l_orderkey, l_linenumber, l_partkey,
+        |      dense_rank() OVER (PARTITION BY l_returnflag
+        |        ORDER BY l_partkey) AS dr
+        |    FROM lineitem) a) b
+        |WHERE l_orderkey % 500 = 0
+        |ORDER BY l_returnflag, l_orderkey, l_linenumber, l_partkey""".stripMargin,
     "win_nulls_order" ->
       """SELECT * FROM (
         |  SELECT l_orderkey, l_linenumber, l_suppkey,

@@ -114,6 +114,19 @@ object MultimodalQueries extends QueryPack {
           col("pos").cast("long").as("dim"), col("col").as("feature"))
         .orderBy("media_id", "frame_no", "dim")),
 
+    // Batched inference over the media table: fixed-size batches inside
+    // each partition (the Arrow/pandas-UDF batch shape), one "model" call
+    // per batch, rows back out — see Multimodal.batchInferStub. batch_rows
+    // is partition-layout-dependent bookkeeping, so the ORACLE-compared
+    // output drops it (the batching mechanics are pinned by unit test
+    // instead); feat = payload byte-sum mod 997 is the deterministic
+    // stand-in a real encoder replaces.
+    "mm_batch_infer" -> ((s, d) =>
+      graft.ops.Multimodal.batchInferStub(s,
+          graft.ops.Multimodal.asMediaTable(Tables.documents(s, d)), 32)
+        .select(col("media_id"), col("feat"), col("n_bytes"))
+        .orderBy("media_id")),
+
     // Raw-media ingest via Spark's binaryFile source: one file per asset
     // read back as (path, length, content) — the format a multimodal lake
     // lands camera/audio dumps in before any decode. The fixture writer
@@ -162,6 +175,13 @@ object MultimodalQueries extends QueryPack {
         |SELECT frame_h, COUNT(DISTINCT media_id) AS n_media, COUNT(*) AS n_occ
         |FROM fr GROUP BY 1 HAVING COUNT(DISTINCT media_id) > 1
         |ORDER BY n_occ DESC, frame_h LIMIT 50""".stripMargin,
+    "mm_batch_infer" ->
+      """WITH c AS (SELECT doc_id, length(text) AS len,
+        |    unnest(generate_series(1, length(text))) AS i, text FROM documents)
+        |SELECT doc_id AS media_id,
+        |  CAST(SUM(ascii(substring(text, i, 1))) % 997 AS BIGINT) AS feat,
+        |  CAST(MAX(len) AS BIGINT) AS n_bytes
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
     "mm_scan_binary_files" ->
       """SELECT 'doc_' || CAST(doc_id AS VARCHAR) || '.bin' AS fname,
         | CAST(octet_length(encode(text)) AS BIGINT) AS length,

@@ -37,4 +37,21 @@ class MultimodalSpec extends SparkSpec {
     assert(out1.map(_._1) == Seq(1L, 2L))
     assert(out1.forall { case (_, w, h, n) => w >= 64 && h >= 64 && n > 0 })
   }
+
+  test("batchInferStub groups rows into fixed batches with a ragged tail") {
+    val many = (1L to 10L).map(i => (i, s"payload number $i body"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val out = Multimodal.batchInferStub(spark,
+        Multimodal.asMediaTable(many).repartition(1), batchSize = 4)
+      .select("media_id", "feat", "batch_rows")
+      .as[(Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    // 10 rows in one partition at batch size 4 → batches of 4, 4, 2
+    assert(out.map(_._3).sorted == Seq(2L, 2L, 4L, 4L, 4L, 4L, 4L, 4L, 4L, 4L))
+    // feat is a pure function of the payload: byte sum mod 997
+    val expected = many.select("doc_id", "text").as[(Long, String)].collect()
+      .toMap.view.mapValues(t => t.getBytes("UTF-8").map(_ & 0xff).map(_.toLong).sum % 997)
+    assert(out.forall { case (id, f, _) => f == expected(id) })
+  }
 }
