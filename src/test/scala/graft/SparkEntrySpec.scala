@@ -63,4 +63,28 @@ class SparkEntrySpec extends SparkSpec {
       assert(a == b, s"$name differs across runs")
     }
   }
+
+  test("results are invariant to the shuffle partition count") {
+    // the distributed-correctness property the DuckDB gate can't see: the
+    // same query must produce identical rows whatever the cluster layout.
+    // Probes cover each place layout could leak in: partial aggregation
+    // order, window partitioning, banded self-joins, the two-level
+    // skyline prune, grid-cell join, and zipWithIndex id assignment.
+    val probes = Seq("agg_group_sum", "stats_weighted_median",
+      "dedup_minhash_pairs", "skyline_window", "join_grid_spatial",
+      "win_running_sum", "id_zip_index", "sample_class_balance")
+    val orig = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      val base = probes.map { n =>
+        n -> SparkEntry.queries(n)(spark, sf).collect().toSeq
+      }.toMap
+      for (p <- Seq("3", "17")) {
+        spark.conf.set("spark.sql.shuffle.partitions", p)
+        probes.foreach { n =>
+          assert(SparkEntry.queries(n)(spark, sf).collect().toSeq == base(n),
+            s"$n differs at shuffle.partitions=$p")
+        }
+      }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", orig)
+  }
 }
