@@ -311,6 +311,39 @@ object CorpusQueries extends QueryPack {
           expr("CAST(array_min(lens) AS BIGINT)").as("min_toks"))
         .orderBy("doc_id")),
 
+    // One BPE merge iteration — the tokenizer-TRAINING step, distributed:
+    // word-frequency table (one shuffle on the word), adjacent symbol-pair
+    // counts weighted by word frequency (map-side explode of 2-char
+    // windows, hash agg), argmax pair (single-row TakeOrdered, broadcast
+    // back), then the merge applied corpus-wide with exact replacement
+    // accounting. pair_count counts overlapping occurrences (faithful to
+    // the classic BPE counting pass); n_replacements counts the
+    // non-overlapping left-to-right rewrites replace() performs — both
+    // reported. Iterating = repeating this plan with the fused symbol.
+    "bpe_merge_iter" -> ((s, d) => {
+      val words = Tables.documents(s, d)
+        .select(explode(TextOps.tokens(col("text"))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("cnt"))
+        .filter(length(col("w")) >= 2)
+      val top1 = words
+        .select(col("w"), col("cnt"), explode(expr(
+          "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+          .as("pair"))
+        .groupBy("pair")
+        .agg(sum("cnt").as("pair_count"), countDistinct("w").as("n_words"))
+        .orderBy(col("pair_count").desc, col("pair").asc)
+        .limit(1)
+      words.crossJoin(broadcast(top1))
+        .agg(max("pair").as("pair"), max("pair_count").as("pair_count"),
+          max("n_words").as("n_words"),
+          sum((length(col("w")) - length(expr("replace(w, pair, '#')")))
+            * col("cnt")).as("n_replacements"),
+          sum(length(col("w")) * col("cnt")).as("symbols_before"),
+          (sum(length(col("w")) * col("cnt"))
+            - sum((length(col("w")) - length(expr("replace(w, pair, '#')")))
+              * col("cnt"))).as("symbols_after"))
+    }),
+
     // PII detection — the compliance scan every corpus needs before
     // training: regex detectors for email- and phone-shaped spans,
     // aggregated per source (counts + how many docs carry any hit).
@@ -541,6 +574,26 @@ object CorpusQueries extends QueryPack {
         |  CAST(list_max(lens) AS BIGINT) AS max_toks,
         |  CAST(list_min(lens) AS BIGINT) AS min_toks
         |FROM t ORDER BY doc_id""".stripMargin,
+    "bpe_merge_iter" ->
+      """WITH words AS (SELECT w, COUNT(*) AS cnt
+        |    FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+        |    GROUP BY 1 HAVING length(w) >= 2),
+        |pairs AS (SELECT w, cnt,
+        |    unnest(list_transform(generate_series(1, length(w) - 1),
+        |      i -> substring(w, i, 2))) AS pair
+        |  FROM words),
+        |top1 AS (SELECT pair, CAST(SUM(cnt) AS BIGINT) AS pair_count,
+        |    COUNT(DISTINCT w) AS n_words
+        |  FROM pairs GROUP BY 1 ORDER BY pair_count DESC, pair LIMIT 1)
+        |SELECT MAX(pair) AS pair, MAX(pair_count) AS pair_count,
+        |  MAX(n_words) AS n_words,
+        |  CAST(SUM((length(w) - length(replace(w, pair, '#'))) * cnt) AS BIGINT)
+        |    AS n_replacements,
+        |  CAST(SUM(length(w) * cnt) AS BIGINT) AS symbols_before,
+        |  CAST(SUM(length(w) * cnt)
+        |    - SUM((length(w) - length(replace(w, pair, '#'))) * cnt) AS BIGINT)
+        |    AS symbols_after
+        |FROM words, top1""".stripMargin,
     "text_pii_stats" ->
       """WITH t AS (SELECT source,
         |    CASE WHEN doc_id % 11 = 0
