@@ -518,6 +518,29 @@ object ScaleQueries extends QueryPack {
       nNodes.crossJoin(nEdges).crossJoin(nTri)
     }),
 
+    // k-core peeling (k=2, two fixed rounds) over the co-purchase graph —
+    // the iterative degree-prune every graph-cleaning pipeline runs before
+    // expensive analytics (nodes that can't be in a 2-core never close a
+    // triangle). Each round is one degree hash-agg + two semi-equi-joins
+    // filtering the symmetric edge list; fixed iteration count keeps it a
+    // static plan that any engine reproduces (a to-convergence loop would
+    // iterate the same plan driver-side). Output: surviving nodes with
+    // post-peel degrees.
+    "graph_kcore_peel" -> ((s, d) => {
+      val e = copurchaseEdges(s, d)
+      val sym = e.select(col("u"), col("v"))
+        .unionAll(e.select(col("v").as("u"), col("u").as("v")))
+      def peel(edges: DataFrame): DataFrame = {
+        val keep = edges.groupBy("u").agg(count(lit(1)).as("dg"))
+          .filter(col("dg") >= 2).select("u")
+        edges.join(keep, Seq("u"), "left_semi")
+          .join(keep.select(col("u").as("v")), Seq("v"), "left_semi")
+      }
+      peel(peel(sym))
+        .groupBy("u").agg(count(lit(1)).as("degree"))
+        .orderBy("u")
+    }),
+
     // Gap-based sessionization in batch: the canonical lag + running-sum
     // session-id assignment, then per-session stats. One shuffle on
     // user_id serves both windows AND the final aggregation (same key),
@@ -1084,6 +1107,19 @@ object ScaleQueries extends QueryPack {
         |  ON o_orderpriority = pri
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    "graph_kcore_peel" ->
+      """WITH po AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |      FROM lineitem WHERE l_quantity >= 40),
+        |e AS (SELECT DISTINCT a.p AS u, b.p AS v
+        |      FROM po a JOIN po b ON a.o = b.o AND a.p < b.p),
+        |s0 AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+        |k1 AS (SELECT u FROM s0 GROUP BY 1 HAVING COUNT(*) >= 2),
+        |s1 AS (SELECT s0.u, s0.v FROM s0
+        |  WHERE s0.u IN (SELECT u FROM k1) AND s0.v IN (SELECT u FROM k1)),
+        |k2 AS (SELECT u FROM s1 GROUP BY 1 HAVING COUNT(*) >= 2),
+        |s2 AS (SELECT s1.u, s1.v FROM s1
+        |  WHERE s1.u IN (SELECT u FROM k2) AND s1.v IN (SELECT u FROM k2))
+        |SELECT u, COUNT(*) AS degree FROM s2 GROUP BY 1 ORDER BY 1""".stripMargin,
     "graph_triangles" ->
       """WITH po AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
         |      FROM lineitem WHERE l_quantity >= 40),

@@ -642,6 +642,34 @@ object StatsQueries extends QueryPack {
         .orderBy("l_returnflag")
     }),
 
+    // Referential-integrity audit — the lake-health check run after every
+    // load: orphan counts for each foreign-key edge of the star schema
+    // (facts pointing at missing dims), plus the total row count per
+    // relation so the orphan rate is readable. Each edge is one left-anti
+    // join on its key — the dims broadcast at any realistic scale, so the
+    // whole audit is a single pass over each fact. Orphans are
+    // synthesized (keys shifted out of range on a deterministic slice)
+    // because the generator's data is referentially clean.
+    "quality_referential" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"),
+          when(col("l_linenumber") % 97 === 0, col("l_partkey") + 90000000L)
+            .otherwise(col("l_partkey")).as("l_partkey"))
+      val orders = Tables.orders(s, d).select(col("o_orderkey"))
+      val parts = Tables.part(s, d).select(col("p_partkey"))
+      def audit(fact: DataFrame, key: String, dim: DataFrame, dimKey: String,
+                edge: String) =
+        fact.join(dim, col(key) === col(dimKey), "left_anti")
+          .agg(count(lit(1)).as("n_orphans"))
+          .select(lit(edge).as("edge"), col("n_orphans"))
+          .crossJoin(fact.agg(count(lit(1)).as("n_rows")))
+      audit(li.select("l_orderkey"), "l_orderkey", orders, "o_orderkey",
+          "lineitem->orders")
+        .unionByName(audit(li.select("l_partkey"), "l_partkey", parts,
+          "p_partkey", "lineitem->part"))
+        .orderBy("edge")
+    }),
+
     // Key-skew profiler — the pre-join diagnostic that decides whether a
     // shuffle needs salting: per-key counts, then the concentration of
     // the 10 hottest keys as an exact ppm share. The top-10 side is a
@@ -970,6 +998,21 @@ object StatsQueries extends QueryPack {
         |SELECT l_returnflag, MIN(qty_centi) AS wmedian_centi,
         |  MAX(tw) AS total_weight
         |FROM c WHERE cw * 2 >= tw GROUP BY 1 ORDER BY 1""".stripMargin,
+    "quality_referential" ->
+      """WITH li AS (SELECT l_orderkey,
+        |    CASE WHEN l_linenumber % 97 = 0 THEN l_partkey + 90000000
+        |         ELSE l_partkey END AS l_partkey
+        |  FROM lineitem)
+        |SELECT 'lineitem->orders' AS edge,
+        |  (SELECT COUNT(*) FROM li WHERE l_orderkey NOT IN
+        |    (SELECT o_orderkey FROM orders)) AS n_orphans,
+        |  (SELECT COUNT(*) FROM li) AS n_rows
+        |UNION ALL
+        |SELECT 'lineitem->part',
+        |  (SELECT COUNT(*) FROM li WHERE l_partkey NOT IN
+        |    (SELECT p_partkey FROM part)),
+        |  (SELECT COUNT(*) FROM li)
+        |ORDER BY edge""".stripMargin,
     "profile_key_skew" ->
       """WITH cnts AS (SELECT l_partkey, COUNT(*) AS cnt FROM lineitem GROUP BY 1),
         |tot AS (SELECT COUNT(*) AS n_keys, CAST(SUM(cnt) AS BIGINT) AS n_rows,

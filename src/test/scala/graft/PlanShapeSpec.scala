@@ -272,6 +272,13 @@ class PlanShapeSpec extends SparkSpec {
       p.contains("BroadcastHashJoin"), "bucket join must be an equi-join")
   }
 
+  test("lateral LIMIT top-N decorrelates to WindowGroupLimit, not a re-executed subquery") {
+    val p = plan("join_lateral_topn")
+    assert(p.contains("WindowGroupLimit"),
+      s"lateral decorrelation lost its rank-limit pruning:\n${p.take(800)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("grid spatial join is a cell equi-join, never a distance nested loop") {
     val p = plan("join_grid_spatial")
     // the raw distance predicate would plan as BroadcastNestedLoopJoin;
