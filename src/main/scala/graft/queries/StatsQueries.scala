@@ -623,6 +623,53 @@ object StatsQueries extends QueryPack {
            |         ORDER BY pc DESC, o_orderkey LIMIT 2) t
            |ORDER BY c.c_custkey, t.pc DESC, t.o_orderkey""".stripMargin)),
 
+    // OHLC downsampling — the time-series compaction every metrics/market
+    // pipeline runs: per (type, 6-hour bucket), the opening and closing
+    // values (argmin/argmax over the UNIQUE (ts, event_id) order, so ties
+    // can't flip across engines) plus high/low/volume. One hash agg with
+    // map-side partial combine; no window, no sort until the final
+    // presentation ORDER BY.
+    "time_downsample_ohlc" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_type"),
+          expr("unix_micros(ts) div 21600000000").as("bucket6h"),
+          expr("CAST(unix_micros(ts) AS DECIMAL(38,0)) * 10000000 + event_id")
+            .as("ord"),
+          Cleaning.cents(col("value")).as("v_cents"))
+        .groupBy("event_type", "bucket6h")
+        .agg(expr("min_by(v_cents, ord)").as("open_cents"),
+          max("v_cents").as("high_cents"),
+          min("v_cents").as("low_cents"),
+          expr("max_by(v_cents, ord)").as("close_cents"),
+          count(lit(1)).as("n_events"))
+        .orderBy("event_type", "bucket6h")),
+
+    // Robust outlier detection via MAD (median absolute deviation): the
+    // 3-sigma test's heavy-tail-proof sibling. Exact integer medians via
+    // the pre-aggregated weighted-median operator (weight 1), reused for
+    // BOTH the center and the deviation median; flag rows where
+    // |v - med| > 3 * MAD in pure integer arithmetic. Two grouped
+    // aggregates + one broadcast join back to the fact.
+    "stats_mad_outliers" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_type"), col("event_id"),
+          Cleaning.cents(col("value")).as("v"))
+      val med = graft.ops.StatsOps.weightedMedian(
+          ev.groupBy("event_type", "v").agg(count(lit(1)).as("w")),
+          "event_type", "v", "w")
+        .select(col("event_type"), col("wmedian").as("med"))
+      val dev = ev.join(broadcast(med), "event_type")
+        .withColumn("ad", abs(col("v") - col("med")))
+      val mad = graft.ops.StatsOps.weightedMedian(
+          dev.groupBy("event_type", "ad").agg(count(lit(1)).as("w")),
+          "event_type", "ad", "w")
+        .select(col("event_type"), col("wmedian").as("mad"))
+      dev.join(broadcast(mad), "event_type")
+        .filter(col("ad") > col("mad") * 3)
+        .select(col("event_type"), col("event_id"), col("v"), col("med"), col("mad"))
+        .orderBy("event_type", "event_id")
+    }),
+
     // WEIGHTED median without collecting: the distributed-percentile
     // pattern — pre-aggregate weight per distinct value (bounds the
     // window input at the value-domain size, not the row count), then a
@@ -998,6 +1045,41 @@ object StatsQueries extends QueryPack {
         |SELECT l_returnflag, MIN(qty_centi) AS wmedian_centi,
         |  MAX(tw) AS total_weight
         |FROM c WHERE cw * 2 >= tw GROUP BY 1 ORDER BY 1""".stripMargin,
+    "time_downsample_ohlc" ->
+      """WITH e AS (SELECT event_type,
+        |    epoch_us(ts) // 21600000000 AS bucket6h,
+        |    epoch_us(ts)::HUGEINT * 10000000 + event_id AS ord,
+        |    CAST(round(value*100) AS BIGINT) AS v_cents
+        |  FROM events)
+        |SELECT event_type, bucket6h,
+        |  arg_min(v_cents, ord) AS open_cents,
+        |  CAST(MAX(v_cents) AS BIGINT) AS high_cents,
+        |  CAST(MIN(v_cents) AS BIGINT) AS low_cents,
+        |  arg_max(v_cents, ord) AS close_cents,
+        |  COUNT(*) AS n_events
+        |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "stats_mad_outliers" ->
+      """WITH ev AS (SELECT event_type, event_id,
+        |    CAST(round(value*100) AS BIGINT) AS v FROM events),
+        |byv AS (SELECT event_type, v, COUNT(*) AS w FROM ev GROUP BY 1, 2),
+        |c AS (SELECT event_type, v,
+        |    SUM(w) OVER (PARTITION BY event_type ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+        |    SUM(w) OVER (PARTITION BY event_type) AS tw FROM byv),
+        |med AS (SELECT event_type, MIN(v) AS med FROM c WHERE cw*2 >= tw GROUP BY 1),
+        |dev AS (SELECT ev.event_type, ev.event_id, ev.v, med.med,
+        |    abs(ev.v - med.med) AS ad
+        |  FROM ev JOIN med ON ev.event_type = med.event_type),
+        |byad AS (SELECT event_type, ad, COUNT(*) AS w FROM dev GROUP BY 1, 2),
+        |c2 AS (SELECT event_type, ad,
+        |    SUM(w) OVER (PARTITION BY event_type ORDER BY ad
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+        |    SUM(w) OVER (PARTITION BY event_type) AS tw FROM byad),
+        |mad AS (SELECT event_type, MIN(ad) AS mad FROM c2 WHERE cw*2 >= tw GROUP BY 1)
+        |SELECT dev.event_type, dev.event_id, dev.v, dev.med, mad.mad
+        |FROM dev JOIN mad ON dev.event_type = mad.event_type
+        |WHERE dev.ad > mad.mad * 3
+        |ORDER BY 1, 2""".stripMargin,
     "quality_referential" ->
       """WITH li AS (SELECT l_orderkey,
         |    CASE WHEN l_linenumber % 97 = 0 THEN l_partkey + 90000000

@@ -261,6 +261,26 @@ object Streams {
     * per-user event count + last-seen timestamp (the arbitrary-state API
     * the built-in windows can't express).
     */
+  /** Spark 4 `transformWithState` (the arbitrary-stateful successor to
+    * mapGroupsWithState): per-key running totals held in a typed
+    * `ValueState` through the new StatefulProcessor lifecycle (init /
+    * handleInputRows, with timers and per-state TTL available). Requires
+    * the RocksDB state store provider (set in the session conf) — which
+    * is also the scale story: state lives off-heap in RocksDB with
+    * changelog checkpointing instead of filling executor heaps.
+    */
+  def runningTotalsStream(spark: org.apache.spark.sql.SparkSession,
+                          events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import spark.implicits._
+    events.select(col("user_id"), cents(col("value")).as("cents"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new RunningTotalsProcessor,
+        TimeMode.None(), OutputMode.Update())
+      .toDF("user_id", "n_events", "cents_total")
+  }
+
   def runningUserCounts(spark: org.apache.spark.sql.SparkSession,
                         events: DataFrame): DataFrame = {
     import spark.implicits._
@@ -276,5 +296,33 @@ object Streams {
         state.update((n, last))
         (user, n, last)
     }.toDF("user_id", "n_events", "last_seen_sec")
+  }
+}
+
+/** Per-key (count, cents-total) accumulator for
+  * [[Streams.runningTotalsStream]]. Top-level class (not an anonymous
+  * closure) so the processor serializes cleanly to executors.
+  */
+class RunningTotalsProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, Long), (Long, Long, Long)] {
+  import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues,
+    TTLConfig, ValueState}
+
+  @transient private var totals: ValueState[(Long, Long)] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    totals = getHandle.getValueState[(Long, Long)]("totals",
+      org.apache.spark.sql.Encoders.product[(Long, Long)], TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
+                               timerValues: TimerValues):
+      Iterator[(Long, Long, Long)] = {
+    val (n0, c0) = if (totals.exists()) totals.get() else (0L, 0L)
+    var n = n0
+    var c = c0
+    rows.foreach { case (_, cents) => n += 1; c += cents }
+    totals.update((n, c))
+    Iterator.single((key, n, c))
   }
 }

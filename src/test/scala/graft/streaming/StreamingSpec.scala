@@ -103,6 +103,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transformWithState keeps per-key running totals in RocksDB ValueState") {
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    // the new API requires the RocksDB provider — also the scale story
+    // (off-heap state + changelog checkpointing)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[Ev]
+      val q = Streams.runningTotalsStream(spark, mem.toDF())
+        .writeStream.outputMode("update").format("memory")
+        .queryName("tws_smoke").start()
+      try {
+        mem.addData(sample: _*) // users 0,1,2 get ids {3}, {1,4}, {2,5}
+        q.processAllAvailable()
+        mem.addData(ev(7, "2024-01-01 00:40:00", "click", 2.0)) // user 1 again
+        q.processAllAvailable()
+      } finally q.stop()
+      // update mode re-emits a key each batch it changes; the LAST row per
+      // key carries the accumulated state across batches
+      val last = spark.table("tws_smoke").collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
+        .groupBy(_._1).view.mapValues(_.last._2).toMap
+      assert(last(0L) == ((1L, 400L)))          // ev 3: 4.0
+      assert(last(1L) == ((3L, 350L)))          // ev 1, 4, 7: 1.0 + 0.5 + 2.0
+      assert(last(2L) == ((2L, 1150L)))         // ev 2, 5: 2.5 + 9.0
+    } finally prev match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("CDC latest-wins state converges across out-of-order micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Long, Long, String)]
