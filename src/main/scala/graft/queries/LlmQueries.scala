@@ -371,6 +371,37 @@ object LlmQueries extends QueryPack {
     // predicate runs once per LSH candidate pair, so the optimizer rule
     // (not the query shape) is the scale lever here. Result is identical
     // with or without the rule (pinned by ExtensionsSpec + this oracle).
+    // Sorted-neighborhood dedup blocking — the third blocking family
+    // beside LSH bands and sign-LSH buckets: sort by a prefix key within
+    // hash-bounded blocks, compare each doc only to its next 2 neighbors
+    // in sort order (candidate count is 2n, never n²), verify with
+    // bounded edit distance (the LevenshteinThresholdRewrite rule turns
+    // the filter into a length guard + banded DP). Cross-block neighbor
+    // misses are inherent to blocked SNM; production runs multi-pass with
+    // rotated keys.
+    "dedup_sorted_neighborhood" -> ((s, d) => {
+      val keyed = Tables.documents(s, d)
+        .select(col("doc_id"), substring(col("text"), 1, 24).as("k"),
+          substring(col("text"), 1, 40).as("p40"),
+          substring(col("text"), 1, 1).as("blk"))
+      val w = Window.partitionBy("blk").orderBy("k", "doc_id")
+      val wn = keyed
+        .withColumn("n1_id", lead("doc_id", 1).over(w))
+        .withColumn("n1_p", lead("p40", 1).over(w))
+        .withColumn("n2_id", lead("doc_id", 2).over(w))
+        .withColumn("n2_p", lead("p40", 2).over(w))
+      val pairs = wn.select(col("doc_id").as("d1"), col("n1_id").as("d2"),
+          col("p40").as("pa"), col("n1_p").as("pb"))
+        .unionAll(wn.select(col("doc_id"), col("n2_id"), col("p40"),
+          col("n2_p")))
+        .filter(col("d2").isNotNull)
+      pairs
+        .withColumn("dist", levenshtein(col("pa"), col("pb")).cast("long"))
+        .filter(col("dist") <= 12)
+        .select("d1", "d2", "dist")
+        .orderBy("d1", "d2")
+    }),
+
     "dedup_edit_prefilter" -> ((s, d) => {
       val b = minhashBands(s, d)
       val pairs = b.as("x").join(b.as("y"),
@@ -840,6 +871,21 @@ object LlmQueries extends QueryPack {
         |  ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15))::BIGINT AS h,
         |  ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15))::BIGINT % 100 AS bucket
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "dedup_sorted_neighborhood" ->
+      """WITH keyed AS (SELECT doc_id, substring(text, 1, 24) AS k,
+        |    substring(text, 1, 40) AS p40, substring(text, 1, 1) AS blk
+        |  FROM documents),
+        |wn AS (SELECT doc_id, k, p40, blk,
+        |    lead(doc_id, 1) OVER w AS n1_id, lead(p40, 1) OVER w AS n1_p,
+        |    lead(doc_id, 2) OVER w AS n2_id, lead(p40, 2) OVER w AS n2_p
+        |  FROM keyed WINDOW w AS (PARTITION BY blk ORDER BY k, doc_id)),
+        |pairs AS (
+        |  SELECT doc_id AS d1, n1_id AS d2, p40 AS pa, n1_p AS pb FROM wn
+        |  UNION ALL
+        |  SELECT doc_id, n2_id, p40, n2_p FROM wn)
+        |SELECT d1, d2, levenshtein(pa, pb) AS dist
+        |FROM pairs WHERE d2 IS NOT NULL AND levenshtein(pa, pb) <= 12
+        |ORDER BY d1, d2""".stripMargin,
     "dedup_edit_prefilter" ->
       s"""WITH $mhSigSql,
          |pairs AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2

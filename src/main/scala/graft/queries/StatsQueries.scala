@@ -623,6 +623,27 @@ object StatsQueries extends QueryPack {
            |         ORDER BY pc DESC, o_orderkey LIMIT 2) t
            |ORDER BY c.c_custkey, t.pc DESC, t.o_orderkey""".stripMargin)),
 
+    // Event-transition matrix (the user-journey / Markov-chain profile):
+    // lag the event type along each user's timeline, count (from, to)
+    // pairs, and report each transition's share of its source state in
+    // exact ppm. One shuffle on user_id for the window; the transition
+    // table is tiny (|types|²) so the share join broadcasts.
+    "events_transitions" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val trans = Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("prev_type", lag("event_type", 1).over(w))
+        .filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type").as("from_type"),
+          col("event_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val totals = trans.groupBy("from_type").agg(sum("n").as("n_from"))
+      trans.join(broadcast(totals), "from_type")
+        .select(col("from_type"), col("to_type"), col("n"),
+          expr("n * 1000000 div n_from").as("share_ppm"))
+        .orderBy("from_type", "to_type")
+    }),
+
     // OHLC downsampling — the time-series compaction every metrics/market
     // pipeline runs: per (type, 6-hour bucket), the opening and closing
     // values (argmin/argmax over the UNIQUE (ts, event_id) order, so ties
@@ -1045,6 +1066,20 @@ object StatsQueries extends QueryPack {
         |SELECT l_returnflag, MIN(qty_centi) AS wmedian_centi,
         |  MAX(tw) AS total_weight
         |FROM c WHERE cw * 2 >= tw GROUP BY 1 ORDER BY 1""".stripMargin,
+    "events_transitions" ->
+      """WITH t AS (SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev_type
+        |  FROM events),
+        |trans AS (SELECT prev_type AS from_type, event_type AS to_type,
+        |    COUNT(*) AS n
+        |  FROM t WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS n_from
+        |  FROM trans GROUP BY 1)
+        |SELECT trans.from_type, trans.to_type, trans.n,
+        |  trans.n * 1000000 // tot.n_from AS share_ppm
+        |FROM trans JOIN tot ON trans.from_type = tot.from_type
+        |ORDER BY 1, 2""".stripMargin,
     "time_downsample_ohlc" ->
       """WITH e AS (SELECT event_type,
         |    epoch_us(ts) // 21600000000 AS bucket6h,
