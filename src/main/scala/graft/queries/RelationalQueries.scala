@@ -471,6 +471,33 @@ object RelationalQueries extends QueryPack {
           sum(when(col("_corrupt_record").isNull, col("id"))).as("sum_good_ids"))
     }),
 
+    // §2.1 malformed-CSV tolerance, the CSV twin of scan_json_corrupt:
+    // PERMISSIVE mode parks unparseable lines in the corrupt-record
+    // column instead of failing the 100 TB job (Spark 4 ANSI mode would
+    // otherwise throw on the bad cast). Counts + a clean-rows checksum.
+    "scan_csv_corrupt" -> ((s, d) => {
+      val dir = scratch("corrupt_csv")
+      val f = new java.io.File(dir); f.mkdirs()
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$dir/data.csv"),
+        """id,v
+          |1,ok
+          |oops,this id is not a number
+          |3,ok
+          |4,ok
+          |""".stripMargin)
+      val schema = "id BIGINT, v STRING, _corrupt_record STRING"
+      s.read.schema(schema)
+        .option("header", "true")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(dir)
+        .select(
+          count(when(col("_corrupt_record").isNull, 1)).as("n_good"),
+          count(col("_corrupt_record")).as("n_corrupt"),
+          sum(when(col("_corrupt_record").isNull, col("id"))).as("sum_good_ids"))
+    }),
+
     // FORWARD direction through the same custom operator: for each click,
     // the FIRST error at-or-after it — the "next failure after this
     // action" attribution query. Same one-pass co-partitioned merge; the
@@ -757,6 +784,9 @@ object RelationalQueries extends QueryPack {
     "scan_json_corrupt" ->
       """SELECT CAST(2 AS BIGINT) AS n_good, CAST(2 AS BIGINT) AS n_corrupt,
         |  CAST(4 AS BIGINT) AS sum_good_ids""".stripMargin,
+    "scan_csv_corrupt" ->
+      """SELECT CAST(3 AS BIGINT) AS n_good, CAST(1 AS BIGINT) AS n_corrupt,
+        |  CAST(8 AS BIGINT) AS sum_good_ids""".stripMargin,
     // forward = the same union-window trick scanned descending: at a
     // click row, the errors already seen in (ts DESC, id DESC) order are
     // exactly those at-or-after it, and last_value picks the nearest

@@ -151,6 +151,22 @@ object ScalarQueries extends QueryPack {
           expr("CAST(variant_get(v, '$.k', 'int') IS NOT NULL AS BOOLEAN)").as("has_k"))
         .orderBy("event_id")),
 
+    // Spark 4 COLLATIONS: grouping under UTF8_LCASE merges case variants
+    // at the comparison layer — no lower() normalization column, and the
+    // hash aggregate/shuffle key is collation-aware end to end. Case
+    // variants are synthesized by key parity; the output re-lowercases
+    // the representative (which variant survives per group is
+    // layout-dependent, the collated GROUPING is not). The oracle is the
+    // classic lower()-normalized GROUP BY — identical groups for ASCII.
+    "str_collation_group" -> ((s, d) =>
+      Tables.part(s, d)
+        .select(when(col("p_partkey") % 2 === 0, upper(col("p_brand")))
+          .otherwise(lower(col("p_brand"))).as("name_cased"), col("p_partkey"))
+        .groupBy(expr("collate(name_cased, 'UTF8_LCASE')").as("k"))
+        .agg(count(lit(1)).as("n"), min("p_partkey").as("first_key"))
+        .select(lower(col("k")).as("brand"), col("n"), col("first_key"))
+        .orderBy("brand")),
+
     // §2.8 generator with ordinal: posexplode keeps the token's position —
     // the lateral-view shape every tokenize/flatten step uses. Pure map
     // work (a generate node inside the scan stage, no shuffle); output
@@ -237,6 +253,11 @@ object ScalarQueries extends QueryPack {
         | CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_big,
         | json_extract_string(props, '$.k') IS NOT NULL AS has_k
         |FROM events ORDER BY event_id""".stripMargin,
+    "str_collation_group" ->
+      """SELECT lower(CASE WHEN p_partkey % 2 = 0 THEN upper(p_brand)
+        |             ELSE lower(p_brand) END) AS brand,
+        |  COUNT(*) AS n, MIN(p_partkey) AS first_key
+        |FROM part GROUP BY 1 ORDER BY 1""".stripMargin,
     "explode_posexplode" ->
       """SELECT doc_id, unnest(generate_series(1, len(string_split(text, ' ')))) - 1 AS pos,
         | unnest(string_split(text, ' ')) AS tok
