@@ -36,7 +36,8 @@ case class AsOfJoin(left: LogicalPlan, right: LogicalPlan,
                     leftKey: Expression, rightKey: Expression,
                     leftTs: Expression, rightTs: Expression,
                     leftTie: Expression, rightTie: Expression,
-                    forward: Boolean = false)
+                    forward: Boolean = false,
+                    tolerance: Option[Long] = None)
     extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -46,8 +47,9 @@ case class AsOfJoin(left: LogicalPlan, right: LogicalPlan,
 
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, rk, lts, rts, ltie, rtie, fwd) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lts, rts, ltie, rtie, fwd) :: Nil
+    case AsOfJoin(l, r, lk, rk, lts, rts, ltie, rtie, fwd, tol) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lts, rts, ltie, rtie,
+        fwd, tol) :: Nil
     case _ => Nil
   }
 }
@@ -64,7 +66,8 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
                         leftKey: Expression, rightKey: Expression,
                         leftTs: Expression, rightTs: Expression,
                         leftTie: Expression, rightTie: Expression,
-                        forward: Boolean = false)
+                        forward: Boolean = false,
+                        tolerance: Option[Long] = None)
     extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
@@ -106,6 +109,9 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     val rightWidth = right.output.size
     val numOutputRows = longMetric("numOutputRows")
     val numMatched = longMetric("numMatched")
+    // max staleness in the ts column's units (micros for timestamps);
+    // Long.MaxValue = unbounded, so the hot loop stays branch-free
+    val tol = tolerance.getOrElse(Long.MaxValue)
 
     left.execute().zipPartitions(right.execute()) { (li, ri) =>
       val nullRight = new GenericInternalRow(rightWidth)
@@ -117,9 +123,9 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
         private var rRow: InternalRow = _
         private var rKeyV, rTsV, rTieV = 0L
         private var rHave = false
-        // the current best match and its key
+        // the current best match, its key, and its ts (for tolerance)
         private var mRow: InternalRow = _
-        private var mKey = 0L
+        private var mKey, mTsV = 0L
         pullRight()
 
         private def pullRight(): Unit = {
@@ -154,19 +160,21 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
                 (rTsV < lTsV || (rTsV == lTsV && rTieV < lTieV))))) {
               pullRight()
             }
-            val r = if (rHave && rKeyV == lKeyV) { numMatched += 1; rRow }
-              else nullRight
+            val r = if (rHave && rKeyV == lKeyV && rTsV - lTsV <= tol) {
+              numMatched += 1; rRow
+            } else nullRight
             project(joined(l, r))
           } else {
             // advance the right side through every row at-or-before this
             // left row in (key, ts, tie) order, keeping the last same-key row
             while (rHave && (rKeyV < lKeyV || (rKeyV == lKeyV &&
                 (rTsV < lTsV || (rTsV == lTsV && rTieV <= lTieV))))) {
-              if (rKeyV == lKeyV) { mRow = rRow; mKey = rKeyV }
+              if (rKeyV == lKeyV) { mRow = rRow; mKey = rKeyV; mTsV = rTsV }
               pullRight()
             }
-            val r = if (mRow != null && mKey == lKeyV) { numMatched += 1; mRow }
-              else nullRight
+            val r = if (mRow != null && mKey == lKeyV && lTsV - mTsV <= tol) {
+              numMatched += 1; mRow
+            } else nullRight
             project(joined(l, r))
           }
         }
@@ -185,28 +193,34 @@ object AsOfJoinOps {
 
   /** Backward as-of left join. Column names must be unique across the two
     * sides (rename the right side first); key/ts/tie must be long-valued
-    * (bigint or timestamp).
+    * (bigint or timestamp). `tolerance` (same units as ts — micros for
+    * timestamps) bounds the match's staleness: a right row more than
+    * `tolerance` older than the left row yields null instead — the
+    * "last reading, but only if fresh" contract.
     */
   def joinBackward(left: DataFrame, right: DataFrame,
                    leftKey: String, leftTs: String, leftTie: String,
-                   rightKey: String, rightTs: String, rightTie: String): DataFrame =
+                   rightKey: String, rightTs: String, rightTie: String,
+                   tolerance: Option[Long] = None): DataFrame =
     join(left, right, leftKey, leftTs, leftTie, rightKey, rightTs, rightTie,
-      forward = false)
+      forward = false, tolerance)
 
   /** Forward as-of left join: for each left row the FIRST right row with
     * the same key and (ts, tie) >= the left's — the "next maintenance
-    * window / next error after this click" direction.
+    * window / next error after this click" direction. `tolerance` bounds
+    * how far AHEAD the match may be.
     */
   def joinForward(left: DataFrame, right: DataFrame,
                   leftKey: String, leftTs: String, leftTie: String,
-                  rightKey: String, rightTs: String, rightTie: String): DataFrame =
+                  rightKey: String, rightTs: String, rightTie: String,
+                  tolerance: Option[Long] = None): DataFrame =
     join(left, right, leftKey, leftTs, leftTie, rightKey, rightTs, rightTie,
-      forward = true)
+      forward = true, tolerance)
 
   private def join(left: DataFrame, right: DataFrame,
                    leftKey: String, leftTs: String, leftTie: String,
                    rightKey: String, rightTs: String, rightTie: String,
-                   forward: Boolean): DataFrame = {
+                   forward: Boolean, tolerance: Option[Long] = None): DataFrame = {
     val spark = left.sparkSession
     ensureStrategy(spark)
     val lp = left.queryExecution.analyzed
@@ -225,6 +239,7 @@ object AsOfJoinOps {
     GraftSqlBridge.ofRows(spark, AsOfJoin(lp, rp,
       checkType(attr(lp, leftKey)), checkType(attr(rp, rightKey)),
       checkType(attr(lp, leftTs)), checkType(attr(rp, rightTs)),
-      checkType(attr(lp, leftTie)), checkType(attr(rp, rightTie)), forward))
+      checkType(attr(lp, leftTie)), checkType(attr(rp, rightTie)), forward,
+      tolerance))
   }
 }

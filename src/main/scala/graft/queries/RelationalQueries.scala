@@ -471,6 +471,28 @@ object RelationalQueries extends QueryPack {
           sum(when(col("_corrupt_record").isNull, col("id"))).as("sum_good_ids"))
     }),
 
+    // TOLERANCE-bounded as-of through the same custom operator: the last
+    // error before each click, but only if it happened within the last
+    // hour — the "last reading, if fresh" contract every sensor/session
+    // attribution uses. Staleness is checked inside the merge (no
+    // post-join filter recomputation); the oracle carries the matched
+    // error's timestamp through the window form and nulls stale matches.
+    "join_asof_tol_exec" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"), col("ts"))
+      val errors = e.filter(col("event_type") === "error")
+        .select(col("event_id").as("err_id"), col("user_id").as("err_user"),
+          col("ts").as("err_ts"))
+      graft.plans.AsOfJoinOps.joinBackward(clicks, errors,
+          leftKey = "user_id", leftTs = "ts", leftTie = "click_id",
+          rightKey = "err_user", rightTs = "err_ts", rightTie = "err_id",
+          tolerance = Some(3600000000L)) // 1 hour in micros
+        .select(col("click_id"), col("user_id"),
+          col("err_id").as("recent_error_id"))
+        .orderBy("click_id")
+    }),
+
     // §2.1 malformed-CSV tolerance, the CSV twin of scan_json_corrupt:
     // PERMISSIVE mode parks unparseable lines in the corrupt-record
     // column instead of failing the 100 TB job (Spark 4 ANSI mode would
@@ -778,6 +800,24 @@ object RelationalQueries extends QueryPack {
         |    last_value(CASE WHEN event_type = 'error' THEN event_id END IGNORE NULLS)
         |      OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS asof_error_id
         |  FROM events) t
+        |WHERE event_type = 'click' ORDER BY click_id""".stripMargin,
+    // same union-window trick, with the matched error's timestamp carried
+    // alongside its id so staleness can null the pair
+    "join_asof_tol_exec" ->
+      """SELECT click_id, user_id,
+        |  CASE WHEN asof_err_us IS NOT NULL
+        |         AND click_us - asof_err_us <= 3600000000
+        |       THEN asof_error_id END AS recent_error_id
+        |FROM (
+        |  SELECT event_id AS click_id, user_id, event_type,
+        |    epoch_us(ts) AS click_us,
+        |    last_value(CASE WHEN event_type = 'error' THEN event_id END
+        |      IGNORE NULLS) OVER w AS asof_error_id,
+        |    last_value(CASE WHEN event_type = 'error' THEN epoch_us(ts) END
+        |      IGNORE NULLS) OVER w AS asof_err_us
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING)) t
         |WHERE event_type = 'click' ORDER BY click_id""".stripMargin,
     // the fixture is literal inside the query, so the oracle is the
     // expected quarantine accounting as constants

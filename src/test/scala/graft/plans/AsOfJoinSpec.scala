@@ -39,6 +39,20 @@ class AsOfJoinSpec extends SparkSpec {
     assert(got == Seq((10L, Some(5L)), (12L, Some(5L))))
   }
 
+  test("tolerance nulls matches older than the staleness bound") {
+    val l = Seq((1L, 100L, 10L), (1L, 200L, 11L)).toDF("user_id", "ts_us", "click_id")
+    val r = Seq((1L, 95L, 20L)).toDF("err_user", "err_ts", "err_id")
+    def run(tol: Option[Long]) =
+      AsOfJoinOps.joinBackward(l, r, "user_id", "ts_us", "click_id",
+          "err_user", "err_ts", "err_id", tol)
+        .select(col("click_id"), col("err_id"))
+        .as[(Long, Option[Long])].collect().sortBy(_._1).toSeq
+    // unbounded: both clicks see err 20; tol=10: only the click 5 ticks
+    // after it does (200 - 95 = 105 > 10 → null)
+    assert(run(None) == Seq((10L, Some(20L)), (11L, Some(20L))))
+    assert(run(Some(10L)) == Seq((10L, Some(20L)), (11L, None)))
+  }
+
   test("empty right side yields all-null matches; empty left yields nothing") {
     assert(asof(Seq((1L, 10L, 1L)), Seq.empty) == Seq((1L, None)))
     assert(asof(Seq.empty, Seq((1L, 10L, 1L))) == Seq.empty)
