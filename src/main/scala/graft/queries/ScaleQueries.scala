@@ -518,6 +518,30 @@ object ScaleQueries extends QueryPack {
       nNodes.crossJoin(nEdges).crossJoin(nTri)
     }),
 
+    // Spark 4 RECURSIVE CTE: breadth-first reachability from the smallest
+    // co-purchase node, capped at 3 hops — the transitive-closure shape
+    // (bill-of-materials, org charts, escalation chains) that previously
+    // required driver-side iteration. The recursion fans out as ordinary
+    // joins per step; the depth cap bounds work (max-degree ~23 here, so
+    // ≤ 23³ paths). hops = min depth per reached node, n_paths = distinct
+    // walks — both exact integers.
+    "sql_recursive_cte" -> ((s, d) =>
+      s.sql(
+        s"""WITH RECURSIVE
+           |po AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+           |  FROM parquet.`$d/lineitem.parquet` WHERE l_quantity >= 40),
+           |e AS (SELECT DISTINCT a.p AS u, b.p AS v
+           |  FROM po a JOIN po b ON a.o = b.o AND a.p <> b.p),
+           |seed AS (SELECT CAST(MIN(u) AS BIGINT) AS s FROM e),
+           |walk(node, depth) AS (
+           |  SELECT s AS node, 0 AS depth FROM seed
+           |  UNION ALL
+           |  SELECT e.v AS node, w.depth + 1 AS depth
+           |  FROM walk w JOIN e ON e.u = w.node WHERE w.depth < 3)
+           |SELECT node, CAST(MIN(depth) AS BIGINT) AS hops,
+           |  COUNT(*) AS n_paths
+           |FROM walk GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // k-core peeling (k=2, two fixed rounds) over the co-purchase graph —
     // the iterative degree-prune every graph-cleaning pipeline runs before
     // expensive analytics (nodes that can't be in a 2-core never close a
@@ -1107,6 +1131,21 @@ object ScaleQueries extends QueryPack {
         |  ON o_orderpriority = pri
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    "sql_recursive_cte" ->
+      """WITH RECURSIVE
+        |po AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |  FROM lineitem WHERE l_quantity >= 40),
+        |e AS (SELECT DISTINCT a.p AS u, b.p AS v
+        |  FROM po a JOIN po b ON a.o = b.o AND a.p <> b.p),
+        |seed AS (SELECT CAST(MIN(u) AS BIGINT) AS s FROM e),
+        |walk(node, depth) AS (
+        |  SELECT s AS node, 0 AS depth FROM seed
+        |  UNION ALL
+        |  SELECT e.v AS node, w.depth + 1 AS depth
+        |  FROM walk w JOIN e ON e.u = w.node WHERE w.depth < 3)
+        |SELECT node, CAST(MIN(depth) AS BIGINT) AS hops,
+        |  COUNT(*) AS n_paths
+        |FROM walk GROUP BY 1 ORDER BY 1""".stripMargin,
     "graph_kcore_peel" ->
       """WITH po AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
         |      FROM lineitem WHERE l_quantity >= 40),
