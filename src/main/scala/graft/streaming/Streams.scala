@@ -281,6 +281,28 @@ object Streams {
       .toDF("user_id", "n_events", "cents_total")
   }
 
+  /** Idle-session closing on transformWithState EVENT-TIME TIMERS: every
+    * batch refreshes the user's (count, last-seen) state and re-arms a
+    * timer at last-seen + gap; when the WATERMARK passes the armed time
+    * the framework calls handleExpiredTimer, the session row is emitted
+    * exactly once, and the state clears. The timer-driven shape gives
+    * explicit control of emission and state lifetime that window-based
+    * sessionization hides — and state never outlives idle keys, which is
+    * what bounds it at 100 TB/day ingest.
+    */
+  def idleSessionsStream(spark: org.apache.spark.sql.SparkSession,
+                         events: DataFrame, gapMs: Long): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import spark.implicits._
+    events.withWatermark("ts", "1 minute")
+      .select(col("user_id"), (unix_micros(col("ts")) / 1000L).cast("long").as("ms"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new IdleSessionCloser(gapMs),
+        TimeMode.EventTime(), OutputMode.Append())
+      .toDF("user_id", "n_events", "last_ms")
+  }
+
   def runningUserCounts(spark: org.apache.spark.sql.SparkSession,
                         events: DataFrame): DataFrame = {
     import spark.implicits._
@@ -296,6 +318,45 @@ object Streams {
         state.update((n, last))
         (user, n, last)
     }.toDF("user_id", "n_events", "last_seen_sec")
+  }
+}
+
+/** Event-time-timer session closer for [[Streams.idleSessionsStream]]:
+  * state is (n_events, last_ms, armed_timer_ms); rows re-arm, the
+  * watermark fires, expiry emits and clears.
+  */
+class IdleSessionCloser(gapMs: Long)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, Long), (Long, Long, Long)] {
+  import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode,
+    TimeMode, TimerValues, TTLConfig, ValueState}
+
+  @transient private var st: ValueState[(Long, Long, Long)] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[(Long, Long, Long)]("session",
+      org.apache.spark.sql.Encoders.product[(Long, Long, Long)], TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
+                               timerValues: TimerValues):
+      Iterator[(Long, Long, Long)] = {
+    val (n0, last0, armed0) = if (st.exists()) st.get() else (0L, 0L, 0L)
+    var n = n0
+    var last = last0
+    rows.foreach { case (_, ms) => n += 1; if (ms > last) last = ms }
+    if (armed0 > 0L) getHandle.deleteTimer(armed0)
+    val t = last + gapMs
+    getHandle.registerTimer(t)
+    st.update((n, last, t))
+    Iterator.empty
+  }
+
+  override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+                                  expiredTimerInfo: ExpiredTimerInfo):
+      Iterator[(Long, Long, Long)] = {
+    val (n, last, _) = st.get()
+    st.clear()
+    Iterator.single((key, n, last))
   }
 }
 

@@ -135,6 +135,42 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("event-time timers close idle sessions exactly once and clear state") {
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[Ev]
+      val q = Streams.idleSessionsStream(spark, mem.toDF(), gapMs = 600000L)
+        .writeStream.outputMode("append").format("memory")
+        .queryName("timer_smoke").start()
+      try {
+        // users 1 and 2 are active early, then go idle
+        mem.addData(ev(1, "2024-01-01 00:01:00", "click", 1.0),  // user 1
+          ev(4, "2024-01-01 00:03:00", "click", 2.0),            // user 1
+          ev(2, "2024-01-01 00:02:00", "view", 3.0))             // user 2
+        q.processAllAvailable()
+        // a much later event advances the watermark past their timers...
+        mem.addData(ev(3, "2024-01-01 01:00:00", "click", 4.0))  // user 0
+        q.processAllAvailable()
+        // ...which takes effect in the NEXT batch (watermark lags a batch)
+        mem.addData(ev(6, "2024-01-01 01:05:00", "click", 5.0))  // user 0
+        q.processAllAvailable()
+      } finally q.stop()
+      val rows = spark.table("timer_smoke")
+        .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+      // idle users emitted exactly once with their full session; user 0's
+      // timer (01:05 + gap) is still ahead of the watermark → not emitted
+      assert(rows.keySet == Set(1L, 2L))
+      assert(rows(1L) == ((2L, Timestamp.valueOf("2024-01-01 00:03:00").getTime)))
+      assert(rows(2L) == ((1L, Timestamp.valueOf("2024-01-01 00:02:00").getTime)))
+    } finally prev match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("CDC latest-wins state converges across out-of-order micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Long, Long, String)]
