@@ -560,7 +560,13 @@ object ScaleQueries extends QueryPack {
         edges.join(keep, Seq("u"), "left_semi")
           .join(keep.select(col("u").as("v")), Seq("v"), "left_semi")
       }
-      peel(peel(sym))
+      // each peel consumes its input THREE times (degree agg + two semi
+      // joins), so round 1's output must be materialized or round 2
+      // re-executes it per consumer — the iterate-then-persist discipline
+      // every multi-round graph loop needs (round 0 reads the already-
+      // persisted copurchase edges)
+      val round1 = cached("kcore_round1", s, d) { peel(sym) }
+      peel(round1)
         .groupBy("u").agg(count(lit(1)).as("degree"))
         .orderBy("u")
     }),
