@@ -525,22 +525,29 @@ object ScaleQueries extends QueryPack {
     // joins per step; the depth cap bounds work (max-degree ~23 here, so
     // ≤ 23³ paths). hops = min depth per reached node, n_paths = distinct
     // walks — both exact integers.
-    "sql_recursive_cte" -> ((s, d) =>
+    "sql_recursive_cte" -> ((s, d) => {
+      // the recursion re-reads the edge relation once PER STEP, so it
+      // must come from the persisted co-purchase cache (via a temp view),
+      // not a CTE the planner would re-derive from the self-join each
+      // iteration; symmetrized here because BFS walks both directions
+      val e = copurchaseEdges(s, d)
+      e.select(col("u"), col("v"))
+        .unionAll(e.select(col("v").as("u"), col("u").as("v")))
+        .createOrReplaceTempView("graft_copurchase_sym")
       s.sql(
-        s"""WITH RECURSIVE
-           |po AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
-           |  FROM parquet.`$d/lineitem.parquet` WHERE l_quantity >= 40),
-           |e AS (SELECT DISTINCT a.p AS u, b.p AS v
-           |  FROM po a JOIN po b ON a.o = b.o AND a.p <> b.p),
-           |seed AS (SELECT CAST(MIN(u) AS BIGINT) AS s FROM e),
-           |walk(node, depth) AS (
-           |  SELECT s AS node, 0 AS depth FROM seed
-           |  UNION ALL
-           |  SELECT e.v AS node, w.depth + 1 AS depth
-           |  FROM walk w JOIN e ON e.u = w.node WHERE w.depth < 3)
-           |SELECT node, CAST(MIN(depth) AS BIGINT) AS hops,
-           |  COUNT(*) AS n_paths
-           |FROM walk GROUP BY 1 ORDER BY 1""".stripMargin)),
+        """WITH RECURSIVE
+          |seed AS (SELECT CAST(MIN(u) AS BIGINT) AS s
+          |  FROM graft_copurchase_sym),
+          |walk(node, depth) AS (
+          |  SELECT s AS node, 0 AS depth FROM seed
+          |  UNION ALL
+          |  SELECT e.v AS node, w.depth + 1 AS depth
+          |  FROM walk w JOIN graft_copurchase_sym e ON e.u = w.node
+          |  WHERE w.depth < 3)
+          |SELECT node, CAST(MIN(depth) AS BIGINT) AS hops,
+          |  COUNT(*) AS n_paths
+          |FROM walk GROUP BY 1 ORDER BY 1""".stripMargin)
+    }),
 
     // k-core peeling (k=2, two fixed rounds) over the co-purchase graph —
     // the iterative degree-prune every graph-cleaning pipeline runs before
