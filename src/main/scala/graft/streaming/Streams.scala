@@ -303,6 +303,23 @@ object Streams {
       .toDF("user_id", "n_events", "last_ms")
   }
 
+  /** Per-user event-type histogram on transformWithState MAP STATE: the
+    * map is the "GROUP BY inside the state" shape — one entry updated
+    * per row — where a ValueState would re-serialize the whole histogram
+    * on every event. Emits (user, n_distinct_types, n_events) updates.
+    */
+  def typeHistogramStream(spark: org.apache.spark.sql.SparkSession,
+                          events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import spark.implicits._
+    events.select(col("user_id"), col("event_type"))
+      .as[(Long, String)]
+      .groupByKey(_._1)
+      .transformWithState(new TypeHistogramProcessor,
+        TimeMode.None(), OutputMode.Update())
+      .toDF("user_id", "n_types", "n_events")
+  }
+
   def runningUserCounts(spark: org.apache.spark.sql.SparkSession,
                         events: DataFrame): DataFrame = {
     import spark.implicits._
@@ -357,6 +374,36 @@ class IdleSessionCloser(gapMs: Long)
     val (n, last, _) = st.get()
     st.clear()
     Iterator.single((key, n, last))
+  }
+}
+
+/** Event-type → count MapState histogram for
+  * [[Streams.typeHistogramStream]]: one map entry touched per input row.
+  */
+class TypeHistogramProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, String), (Long, Long, Long)] {
+  import org.apache.spark.sql.streaming.{MapState, OutputMode, TimeMode,
+    TimerValues, TTLConfig}
+
+  @transient private var hist: MapState[String, Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    hist = getHandle.getMapState[String, Long]("hist",
+      org.apache.spark.sql.Encoders.STRING,
+      org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[(Long, String)],
+                               timerValues: TimerValues):
+      Iterator[(Long, Long, Long)] = {
+    rows.foreach { case (_, t) =>
+      val c = if (hist.containsKey(t)) hist.getValue(t) else 0L
+      hist.updateValue(t, c + 1L)
+    }
+    var nTypes = 0L
+    var nEvents = 0L
+    hist.values().foreach { c => nTypes += 1; nEvents += c }
+    Iterator.single((key, nTypes, nEvents))
   }
 }
 

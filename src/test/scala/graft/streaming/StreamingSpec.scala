@@ -135,6 +135,34 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("MapState keeps a per-user event-type histogram across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[Ev]
+      val q = Streams.typeHistogramStream(spark, mem.toDF())
+        .writeStream.outputMode("update").format("memory")
+        .queryName("hist_smoke").start()
+      try {
+        mem.addData(sample: _*) // user1: click,click  user2: click,error  user0: view
+        q.processAllAvailable()
+        mem.addData(ev(7, "2024-01-01 00:40:00", "view", 1.0)) // user 1, NEW type
+        q.processAllAvailable()
+      } finally q.stop()
+      val last = spark.table("hist_smoke").collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
+        .groupBy(_._1).view.mapValues(_.last._2).toMap
+      assert(last(0L) == ((1L, 1L)))  // view ×1
+      assert(last(1L) == ((2L, 3L)))  // click ×2 + view ×1 across batches
+      assert(last(2L) == ((2L, 2L)))  // click, error
+    } finally prev match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("event-time timers close idle sessions exactly once and clear state") {
     implicit val sqlCtx = spark.sqlContext
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
