@@ -272,6 +272,29 @@ class PlanShapeSpec extends SparkSpec {
       p.contains("BroadcastHashJoin"), "bucket join must be an equi-join")
   }
 
+  test("OHLC downsampling is a pure two-phase hash aggregate, no window") {
+    val p = plan("time_downsample_ohlc")
+    assert(p.contains("HashAggregate"), "OHLC must be a hash aggregate")
+    // a window formulation would sort every event per key; argmin/argmax
+    // keep it map-side combinable
+    assert(!p.contains("WindowExec") && !p.contains("Window ("),
+      s"OHLC regressed to a window plan:\n${p.take(600)}")
+  }
+
+  test("MAD outlier detection joins the fact only against broadcast medians") {
+    val p = plan("stats_mad_outliers")
+    assert(p.contains("BroadcastHashJoin"), "median join must broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      s"per-type medians should never shuffle the fact into a merge join:\n${p.take(600)}")
+  }
+
+  test("BPE argmax merge broadcasts a single-row aggregate, never the vocab") {
+    val p = plan("bpe_merge_iter")
+    // top1 is LIMIT 1 of an aggregate → TakeOrdered feeding a broadcast
+    assert(p.contains("TakeOrderedAndProject"), "argmax pair must be a top-k, not a sort")
+    assert(p.contains("BroadcastExchange"), "the single-row pair must broadcast")
+  }
+
   test("lateral LIMIT top-N decorrelates to WindowGroupLimit, not a re-executed subquery") {
     val p = plan("join_lateral_topn")
     assert(p.contains("WindowGroupLimit"),
