@@ -71,7 +71,10 @@ object LevenshteinThresholdRewrite extends Rule[LogicalPlan] {
 object GraftFunctions {
 
   private def info(name: String, usage: String) =
-    new ExpressionInfo(classOf[CosineSimilarity].getName, null, name, usage, "")
+    // the full 11-arg constructor is the non-deprecated one that still
+    // carries a usage string for DESCRIBE FUNCTION
+    new ExpressionInfo(classOf[CosineSimilarity].getName, null, name, usage,
+      "", "", "", "", "", "", "built-in")
 
   val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("cosine_sim"),
