@@ -151,6 +151,25 @@ object ScalarQueries extends QueryPack {
           expr("CAST(variant_get(v, '$.k', 'int') IS NOT NULL AS BOOLEAN)").as("has_k"))
         .orderBy("event_id")),
 
+    // §2.8 calendar interval arithmetic: day/month shifts with month-end
+    // clamping (add_months), last_day, day-count to a fixed cutoff, and
+    // quarter extraction — the due-date/SLA vocabulary. All map work;
+    // dates emitted as ISO strings (the gate compares strings, not
+    // engine-specific date dtypes).
+    "time_interval_math" -> ((s, d) =>
+      Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          date_format(date_add(col("o_orderdate"), 30), "yyyy-MM-dd")
+            .as("due_date"),
+          date_format(add_months(col("o_orderdate"), 3), "yyyy-MM-dd")
+            .as("q_review"),
+          date_format(last_day(col("o_orderdate")), "yyyy-MM-dd")
+            .as("month_end"),
+          datediff(lit(java.sql.Date.valueOf("1998-12-31")), col("o_orderdate"))
+            .cast("int").as("days_to_cutoff"),
+          quarter(col("o_orderdate")).as("q"))
+        .orderBy("o_orderkey")),
+
     // Spark 4 COLLATIONS: grouping under UTF8_LCASE merges case variants
     // at the comparison layer — no lower() normalization column, and the
     // hash aggregate/shuffle key is collation-aware end to end. Case
@@ -253,6 +272,15 @@ object ScalarQueries extends QueryPack {
         | CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_big,
         | json_extract_string(props, '$.k') IS NOT NULL AS has_k
         |FROM events ORDER BY event_id""".stripMargin,
+    "time_interval_math" ->
+      """SELECT o_orderkey,
+        |  strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS due_date,
+        |  strftime(o_orderdate + INTERVAL 3 MONTH, '%Y-%m-%d') AS q_review,
+        |  strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end,
+        |  CAST(datediff('day', o_orderdate, DATE '1998-12-31') AS INT)
+        |    AS days_to_cutoff,
+        |  CAST(date_part('quarter', o_orderdate) AS INT) AS q
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "str_collation_group" ->
       """SELECT lower(CASE WHEN p_partkey % 2 = 0 THEN upper(p_brand)
         |             ELSE lower(p_brand) END) AS brand,
