@@ -320,6 +320,24 @@ object Streams {
       .toDF("user_id", "n_types", "n_events")
   }
 
+  /** Bounded recent-events buffer on transformWithState LIST STATE: the
+    * last 3 event ids per user survive across batches (append, then trim
+    * by rewriting the list), emitted as a CSV audit row per batch. The
+    * list is the "ring buffer in state" shape — fraud trails, recent-
+    * activity panels — that MapState/ValueState don't express naturally.
+    */
+  def recentEventsStream(spark: org.apache.spark.sql.SparkSession,
+                         events: DataFrame, keep: Int = 3): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import spark.implicits._
+    events.select(col("user_id"), col("event_id"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new RecentEventsProcessor(keep),
+        TimeMode.None(), OutputMode.Update())
+      .toDF("user_id", "n_recent", "recent_ids")
+  }
+
   def runningUserCounts(spark: org.apache.spark.sql.SparkSession,
                         events: DataFrame): DataFrame = {
     import spark.implicits._
@@ -374,6 +392,33 @@ class IdleSessionCloser(gapMs: Long)
     val (n, last, _) = st.get()
     st.clear()
     Iterator.single((key, n, last))
+  }
+}
+
+/** Last-`keep` event ids per key in ListState for
+  * [[Streams.recentEventsStream]]. Incoming rows are sorted by id before
+  * appending so the buffer is deterministic whatever the shuffle order.
+  */
+class RecentEventsProcessor(keep: Int)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, Long), (Long, Long, String)] {
+  import org.apache.spark.sql.streaming.{ListState, OutputMode, TimeMode,
+    TimerValues, TTLConfig}
+
+  @transient private var recent: ListState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    recent = getHandle.getListState[Long]("recent",
+      org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
+                               timerValues: TimerValues):
+      Iterator[(Long, Long, String)] = {
+    val incoming = rows.map(_._2).toArray.sorted
+    val merged = ((if (recent.exists()) recent.get().toArray else Array.empty[Long])
+      ++ incoming).takeRight(keep)
+    recent.put(merged)
+    Iterator.single((key, merged.length.toLong, merged.mkString(",")))
   }
 }
 

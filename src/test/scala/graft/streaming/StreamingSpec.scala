@@ -135,6 +135,37 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("ListState keeps only the last 3 event ids per user across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[Ev]
+      val q = Streams.recentEventsStream(spark, mem.toDF())
+        .writeStream.outputMode("update").format("memory")
+        .queryName("recent_smoke").start()
+      try {
+        // user 1 gets ids 1, 4 in batch 1 then 7, 10, 13 in batch 2 —
+        // the buffer must trim to the LAST three across batches
+        mem.addData(ev(1, "2024-01-01 00:01:00", "click", 1.0),
+          ev(4, "2024-01-01 00:02:00", "click", 1.0))
+        q.processAllAvailable()
+        mem.addData(ev(7, "2024-01-01 00:03:00", "click", 1.0),
+          ev(10, "2024-01-01 00:04:00", "click", 1.0),
+          ev(13, "2024-01-01 00:05:00", "click", 1.0))
+        q.processAllAvailable()
+      } finally q.stop()
+      val last = spark.table("recent_smoke").collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getString(2))))
+        .groupBy(_._1).view.mapValues(_.last._2).toMap
+      assert(last(1L) == ((3L, "7,10,13")))
+    } finally prev match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("MapState keeps a per-user event-type histogram across batches") {
     implicit val sqlCtx = spark.sqlContext
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
