@@ -641,6 +641,36 @@ object LlmQueries extends QueryPack {
         .select(col("x.vec_id").as("d1"), col("y.vec_id").as("d2"), col("cosine"))
         .orderBy("d1", "d2")
     }),
+
+    // HARD-NEGATIVE MINING — the contrastive-training twin of the query
+    // above: same sign-LSH buckets generate the candidates, but the KEPT
+    // pairs are the ones BELOW the similarity threshold — vectors the
+    // hash thinks are close but aren't, exactly the informative negatives
+    // a retrieval model trains on. Top-2 hardest (highest cosine among
+    // negatives) per anchor via a rank window; candidate generation stays
+    // a bucket equi-join, never all-pairs.
+    "sample_hard_negatives" -> ((s, d) => {
+      val e = embVecs(s, d)
+      val planes = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("p_id"), col("v").as("pv"))
+      val buckets = e.crossJoin(broadcast(planes))
+        .select(col("vec_id"),
+          when(VectorOps.dot(col("v"), col("pv")) >= 0,
+            expr("shiftleft(1L, CAST(p_id AS INT))")).otherwise(lit(0L)).as("bit"))
+        .groupBy("vec_id")
+        .agg(sum("bit").as("bucket"))
+      val bv = buckets.join(e, "vec_id")
+      val w = Window.partitionBy("d1")
+        .orderBy(col("cosine").desc, col("d2").asc)
+      bv.as("x").join(bv.as("y"),
+          col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
+        .withColumn("cosine", VectorOps.cosine(col("x.v"), col("y.v")))
+        .filter(col("cosine") < 0.3)
+        .select(col("x.vec_id").as("d1"), col("y.vec_id").as("d2"), col("cosine"))
+        .withColumn("neg_rank", row_number().over(w).cast("long"))
+        .filter(col("neg_rank") <= 2)
+        .orderBy("d1", "neg_rank")
+    }),
   )
 
   // DuckDB-side signature machinery shared by the minhash oracles; the
@@ -1002,5 +1032,23 @@ object LlmQueries extends QueryPack {
          |FROM bv x JOIN bv y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
          |WHERE ${cosSql("x.v", "y.v")} >= 0.3
          |ORDER BY d1, d2""".stripMargin,
+    "sample_hard_negatives" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+         |planes AS (SELECT vec_id AS p_id, v AS pv FROM e WHERE vec_id < 8),
+         |buckets AS (
+         |  SELECT e.vec_id, CAST(SUM(CASE WHEN
+         |      list_reduce(list_transform(list_zip(e.v, pv), z -> z[1]*z[2]), (x, y) -> x+y) >= 0
+         |    THEN (1::BIGINT << p_id) ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM e, planes GROUP BY e.vec_id),
+         |bv AS (SELECT b.vec_id, bucket, v FROM buckets b JOIN e ON b.vec_id = e.vec_id),
+         |neg AS (
+         |  SELECT x.vec_id AS d1, y.vec_id AS d2, ${cosSql("x.v", "y.v")} AS cosine
+         |  FROM bv x JOIN bv y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+         |  WHERE ${cosSql("x.v", "y.v")} < 0.3)
+         |SELECT d1, d2, cosine, neg_rank FROM (
+         |  SELECT d1, d2, cosine, row_number() OVER (PARTITION BY d1
+         |    ORDER BY cosine DESC, d2) AS neg_rank
+         |  FROM neg) t
+         |WHERE neg_rank <= 2 ORDER BY d1, neg_rank""".stripMargin,
   )
 }
