@@ -272,6 +272,31 @@ class PlanShapeSpec extends SparkSpec {
       p.contains("BroadcastHashJoin"), "bucket join must be an equi-join")
   }
 
+  test("runtime bloom filter injects a semi-join reduction on a selective shuffle join") {
+    import org.apache.spark.sql.functions.col
+    val c = spark.conf
+    val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+    val saved = keys.map(k => k -> c.getOption(k)).toMap
+    try {
+      // force the shuffle-join shape (no broadcast) and let the filter
+      // apply to any scan size — the 100 TB behavior, where the selective
+      // dim side's bloom filter prunes fact rows BEFORE the exchange
+      c.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      c.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      val ord = spark.read.parquet(s"$sf/orders.parquet")
+        .filter(col("o_totalprice") > 400000)
+      val p = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderstatus").count()
+        .queryExecution.executedPlan.toString
+      assert(p.contains("bloom_filter_agg") || p.contains("might_contain"),
+        s"runtime bloom filter not injected:\n${p.take(800)}")
+    } finally saved.foreach { case (k, v) =>
+      v match { case Some(x) => c.set(k, x); case None => c.unset(k) }
+    }
+  }
+
   test("OHLC downsampling is a pure two-phase hash aggregate, no window") {
     val p = plan("time_downsample_ohlc")
     assert(p.contains("HashAggregate"), "OHLC must be a hash aggregate")
