@@ -389,6 +389,25 @@ object AggWindowQueries extends QueryPack {
         .orderBy("user_id", "sec", "event_id")
     }),
 
+    // §2.4 ROLLUP with GROUPING() disambiguation: when a rollup key is
+    // itself NULLABLE, the subtotal rows' NULLs are indistinguishable
+    // from data NULLs without grouping() — the correctness nuance every
+    // reporting layer on top of rollup hits. Nulls synthesized on a
+    // deterministic key slice; the explicit NULLS FIRST in the sort pins
+    // cross-engine placement.
+    "agg_rollup_grouping" -> ((s, d) =>
+      Tables.orders(s, d)
+        .select(when(col("o_orderkey") % 13 === 0, lit(null))
+          .otherwise(col("o_orderstatus")).as("status"),
+          col("o_orderpriority").as("prio"),
+          cents(col("o_totalprice")).as("pc"))
+        .rollup("status", "prio")
+        .agg(expr("CAST(grouping(status) AS BIGINT)").as("g_status"),
+          expr("CAST(grouping(prio) AS BIGINT)").as("g_prio"),
+          count(lit(1)).as("n"), sum("pc").as("sum_cents"))
+        .orderBy(col("g_status"), col("g_prio"),
+          col("status").asc_nulls_first, col("prio").asc_nulls_first)),
+
     // §2.4 argmin/argmax aggregates (max_by/min_by ↔ DuckDB arg_max/
     // arg_min): "the customer of the latest order" without a self-join
     // back to the max — one hash agg instead of agg + join. Ordering keys
@@ -595,6 +614,18 @@ object AggWindowQueries extends QueryPack {
         |   PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey, l_suppkey
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_cents
         |FROM lineitem ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin,
+    "agg_rollup_grouping" ->
+      """WITH o AS (SELECT CASE WHEN o_orderkey % 13 = 0 THEN NULL
+        |                       ELSE o_orderstatus END AS status,
+        |    o_orderpriority AS prio,
+        |    CAST(round(o_totalprice*100) AS BIGINT) AS pc
+        |  FROM orders)
+        |SELECT status, prio,
+        |  CAST(GROUPING(status) AS BIGINT) AS g_status,
+        |  CAST(GROUPING(prio) AS BIGINT) AS g_prio,
+        |  COUNT(*) AS n, CAST(SUM(pc) AS BIGINT) AS sum_cents
+        |FROM o GROUP BY ROLLUP(status, prio)
+        |ORDER BY g_status, g_prio, status NULLS FIRST, prio NULLS FIRST""".stripMargin,
     "agg_min_max_by" ->
       """SELECT o_orderstatus,
         | arg_max(o_custkey, o_orderkey) AS cust_of_last_order,
