@@ -55,10 +55,19 @@ object Bench {
       .mkString("{", ",", "}")
     val total = ok.map(_._2).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // Storage-residency report: after the round-6 leaked-persist regression
+    // (VERDICT r6 — bench times depended on block-manager residency), the
+    // bench asserts its own hygiene. With shared subplans materialized to
+    // scratch parquet (graft.ops.Scratch) this should be ~zero; a nonzero
+    // value here makes any future residency regression attributable.
+    val storage = spark.sparkContext.getRDDStorageInfo
+    val cachedRdds = storage.length
+    val cachedMem = storage.map(_.memSize).sum
+    val cachedDisk = storage.map(_.diskSize).sum
     val detail =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"cached_rdds":$cachedRdds,"cached_mem_bytes":$cachedMem,"cached_disk_bytes":$cachedDisk,"sf":"$sfDir"}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), detail + "\n")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.length},"n_failed":${failed.length},"failed":$failedJson,"queries_file":"$outFile","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.length},"n_failed":${failed.length},"failed":$failedJson,"cached_rdds":$cachedRdds,"cached_mem_bytes":$cachedMem,"queries_file":"$outFile","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The measured scale-up evidence behind SURVEY §6's dedup claims: runs
+  * the LSH dedup family at 1× and K× (default 10×) corpus size and
+  * records CANDIDATE-PAIR counts against their analytic bounds, plus
+  * wall-clock. Replication is id-offset with text kept identical — the
+  * adversarial duplicate-heavy corpus where every replica group collides
+  * in every band, i.e. exactly the case the hot-bucket cap exists for:
+  *
+  *   - uncapped pairs: collision groups grow quadratically (the measured
+  *     blow-up that motivates capping);
+  *   - capped pairs: each doc sits in ≤ n_bands buckets of ≤ cap members,
+  *     so candidates ≤ n_docs · n_bands · (cap−1)/2 — LINEAR in corpus
+  *     size, asserted here at both scales;
+  *   - sorted-neighborhood: ≤ (window−1) · n_docs by construction,
+  *     asserted;
+  *   - incremental: (fresh × standing) band matches only — grows with
+  *     the ingest slice, never |corpus|².
+  *
+  * `runMain graft.ScaleExperiment` → one JSON line per scale on stdout;
+  * SPARK_GRAFT_SF_DIR picks the base corpus (default sf0.1),
+  * SPARK_GRAFT_SCALE_K the replication factor.
+  */
+object ScaleExperiment {
+
+  private val Cap = 2    // dedup_minhash_capped keeps buckets with ≤ 2 members
+  private val NBands = 8 // MinHashSignature emits 8 bands
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val k = sys.env.getOrElse("SPARK_GRAFT_SCALE_K", "10").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val rep = replicaDir(spark, sfDir, k)
+    Seq(("1x", sfDir), (s"${k}x", rep)).foreach { case (tag, dir) =>
+      println(measure(spark, tag, dir))
+    }
+    spark.stop()
+  }
+
+  /** K id-offset copies of documents (text identical — every replica
+    * group is an exact-dup cluster), written once per (base, k).
+    */
+  private def replicaDir(spark: SparkSession, sfDir: String, k: Int): String = {
+    val base = new java.io.File(sfDir.stripSuffix("/")).getName
+    val out = s"${sys.props("java.io.tmpdir")}/graft-scale-${base}-x$k"
+    val docs = Tables.documents(spark, sfDir)
+    val span = docs.agg(max("doc_id")).head.getLong(0) + 1
+    (0 until k).map(i => docs.withColumn("doc_id", col("doc_id") + lit(i * span)))
+      .reduce(_ unionAll _)
+      .write.mode(SaveMode.Overwrite).parquet(s"$out/documents.parquet")
+    out
+  }
+
+  private def measure(spark: SparkSession, tag: String, dir: String): String = {
+    val bands = queries.LlmQueries.minhashBands(spark, dir)
+    val nDocs = Tables.documents(spark, dir).count()
+
+    // candidate counts, BEFORE the distinct/verify stages
+    val uncapped = selfPairs(bands).count()
+    val hot = bands.groupBy("band", "band_key")
+      .agg(count(lit(1)).as("n")).filter(col("n") > Cap)
+      .select("band", "band_key")
+    val cold = bands.join(broadcast(hot), Seq("band", "band_key"), "left_anti")
+    val capped = selfPairs(cold).count()
+    val cappedBound = nDocs * NBands * (Cap - 1) / 2
+    require(capped <= cappedBound,
+      s"[$tag] capped candidates $capped exceed n_docs*n_bands*(cap-1)/2 = $cappedBound")
+    val fresh = bands.filter(col("doc_id") % 10 === 0)
+    val standing = bands.filter(col("doc_id") % 10 =!= 0)
+    val incremental = fresh.as("x").join(standing.as("y"),
+      col("x.band") === col("y.band") && col("x.band_key") === col("y.band_key")).count()
+    val snBound = 2L * nDocs // window of 2 successors per doc
+
+    val times = Seq("dedup_minhash_capped", "dedup_sorted_neighborhood",
+      "dedup_incremental_pairs", "dedup_minhash_pairs").map { q =>
+      val t0 = System.nanoTime()
+      val n = SparkEntry.queries(q)(spark, dir).queryExecution.toRdd.count()
+      if (q == "dedup_sorted_neighborhood")
+        require(n <= snBound, s"[$tag] sorted-neighborhood emitted $n > 2*n_docs=$snBound")
+      f""""$q":{"sec":${(System.nanoTime() - t0) / 1e9}%.2f,"rows":$n}"""
+    }.mkString(",")
+
+    s"""{"scale":"$tag","n_docs":$nDocs,"candidates":{"uncapped":$uncapped,""" +
+      s""""capped":$capped,"capped_bound":$cappedBound,"incremental":$incremental},""" +
+      s""""queries":{$times}}"""
+  }
+
+  private def selfPairs(b: DataFrame): DataFrame =
+    b.as("x").join(b.as("y"),
+      col("x.band") === col("y.band") && col("x.band_key") === col("y.band_key") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id"), col("y.doc_id"))
+}

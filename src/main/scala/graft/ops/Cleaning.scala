@@ -111,4 +111,19 @@ object Cleaning {
     * at any parallelism (SURVEY.md §7.4 risk 5).
     */
   def cents(c: Column): Column = round(c * 100).cast("long")
+
+  /** Constant-valued but NON-FOLDABLE partition key for windows whose
+    * input is provably bounded (post-`limit` rank assignment, oracle-only
+    * id stand-ins). A bare `Window.orderBy` logs WindowExec's
+    * "No Partition Defined" warning, which drowned the bench logs
+    * (VERDICT r6) and hides any *real* unpartitioned window; a literal
+    * `partitionBy(lit(0))` doesn't help because Catalyst's
+    * EliminateWindowPartitions strips foldable keys and the warning
+    * returns (and `hash(c) * 0` gets arithmetic-simplified to the same
+    * fate). `pmod(hash(c), 1)` evaluates to 0 on every row (hash is
+    * null-safe, never null) but survives optimization as a live-column
+    * expression — same single-partition execution, chosen explicitly and
+    * silently.
+    */
+  def singlePartitionKey(c: Column): Column = pmod(hash(c), lit(1))
 }

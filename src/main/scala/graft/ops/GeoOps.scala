@@ -12,12 +12,19 @@ import org.apache.spark.sql.{Column, DataFrame}
 object GeoOps {
 
   /** 2-D skyline (Pareto frontier, minimize both columns) without the
-    * quadratic dominance self-join. After a lexicographic sort, a point is
-    * on the skyline iff its y beats the running min-y of everything before
-    * it. Two levels: a local skyline per x-stripe prunes in parallel (a
-    * dominated point is always dominated within its own stripe's prefix or
-    * by a stripe survivor — dominance is transitive), so the final
-    * single-task global pass sees only the small survivor set.
+    * quadratic dominance self-join AND without any global sort. Pass 1:
+    * a local skyline per x-stripe prunes in parallel (within a stripe,
+    * after the lex sort a point survives iff its y beats the running
+    * min-y of everything before it). Pass 2: any cross-stripe dominator q
+    * of p lies in a strictly earlier stripe (so q.x < p.x), hence p
+    * survives iff p.y beats the min-y over ALL earlier stripes — and each
+    * stripe's min-y is attained by one of its local survivors (dominance
+    * is transitive), so a one-row-per-stripe prefix-min table, built by a
+    * tiny triangular self-join and BROADCAST back onto the survivors,
+    * finishes the skyline. No stage ever sees more than one stripe's
+    * points in one task (round 6's version ran a global window over the
+    * survivor set — worst case, anti-correlated data, that's the whole
+    * input in a single task).
     *
     * Input must be DISTINCT (x, y) points; equal points do not dominate
     * each other, so duplicates would all survive and the lex formula
@@ -30,11 +37,18 @@ object GeoOps {
     val survivors = pts.withColumn("bx", expr(s"$x div $stripeWidth"))
       .withColumn("mp", min(y).over(local))
       .filter(col("mp").isNull || col(y) < col("mp"))
-    val global = Window.orderBy(x, y)
-      .rowsBetween(Window.unboundedPreceding, -1)
+      .drop("mp")
+    // one row per stripe → prefix-exclusive min over earlier stripes via
+    // a triangular self-join (n_stripes² pairs of single rows — bounded
+    // by the x-range, never by the point count)
+    val stripeMins = survivors.groupBy("bx").agg(min(y).as("smin"))
+    val prefixMins = stripeMins.select(col("bx"), col("smin"))
+      .join(stripeMins.select(col("bx").as("pbx"), col("smin").as("psmin")),
+        col("pbx") < col("bx"), "left")
+      .groupBy("bx").agg(min("psmin").as("pmin"))
     survivors
-      .withColumn("mg", min(y).over(global))
-      .filter(col("mg").isNull || col(y) < col("mg"))
+      .join(broadcast(prefixMins), Seq("bx"), "left")
+      .filter(col("pmin").isNull || col(y) < col("pmin"))
       .select(x, y)
   }
 

@@ -1,0 +1,53 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+import scala.collection.concurrent.TrieMap
+
+/** Write-once scratch-parquet materialization for subplans shared across
+  * queries (LSH band tables, BM25 scores, derived partsupp, …).
+  *
+  * Round 6 memoized these as `persist(MEMORY_AND_DISK)` DataFrames that
+  * were never released. Across a 228-query bench the leaked blocks filled
+  * the unified storage pool, so whether any given query ran warm or cold
+  * depended on the JVM's heap headroom and eviction order — the driver's
+  * run came out 1.44× slower than the builder's run of identical code
+  * (VERDICT r6). A bench number that depends on which JVM ran it is not a
+  * number.
+  *
+  * The fix is the production-artifact shape: write the shared subplan ONCE
+  * per (session, sf-dir, kind) to scratch parquet and hand every consumer
+  * a fresh scan of it. Executor storage memory stays empty, repeated reads
+  * are column-pruned parquet scans served by the OS page cache, and the
+  * cost model no longer depends on block-manager residency. This is also
+  * exactly what a 100-TB pipeline does with its band/signature tables:
+  * materialize to the lake, read back — not pin in executor memory.
+  */
+object Scratch {
+
+  private val runNonce: String = java.util.UUID.randomUUID.toString.take(8)
+
+  /** Per-JVM scratch root; cleaned up by the OS tmp reaper, never reused
+    * across processes (the nonce), so a fresh run always rebuilds.
+    */
+  def base: String = s"${sys.props("java.io.tmpdir")}/graft-scratch-$runNonce"
+
+  // (session, sf-dir, kind) -> materialized parquet path. Keyed by session
+  // so a restarted SparkSession rebuilds instead of trusting files written
+  // under a stopped session's configuration.
+  private val paths = TrieMap.empty[(SparkSession, String, String), String]
+
+  /** Materialize `build` to scratch parquet once per (session, dir, kind)
+    * and return a read-back scan. The write is eager on first call; every
+    * call (including the first) returns a plain parquet relation, so all
+    * consumers see the identical plan shape.
+    */
+  def materialize(kind: String, s: SparkSession, d: String)(build: => DataFrame): DataFrame = {
+    val path = paths.getOrElseUpdate((s, d, kind), {
+      val p = s"$base/${kind}_${(d.hashCode & 0xffffff).toHexString}"
+      build.write.mode(SaveMode.Overwrite).parquet(p)
+      p
+    })
+    s.read.parquet(path)
+  }
+}

@@ -24,12 +24,16 @@ object AggWindowQueries extends QueryPack {
 
     // §2.4 deterministic id assignment — the oracle-safe stand-in for the
     // reference's monotonically_increasing_id (pyspark.py:179,297).
-    // CAVEAT: an un-partitioned window is a single-task sort — fine for a
+    // CAVEAT: a single-group window is a single-task sort — fine for a
     // dimension table, oracle-determinism-only otherwise. The 100 TB path
-    // is `id_zip_index` below.
+    // is `id_zip_index` below. The constant-but-non-foldable partition
+    // key (Cleaning.singlePartitionKey) makes the single-task choice
+    // explicit instead of tripping the WindowExec warning.
     "id_row_number" -> ((s, d) =>
       Tables.customer(s, d)
-        .withColumn("id", row_number().over(Window.orderBy("c_custkey")).cast("long"))
+        .withColumn("id", row_number().over(
+          Window.partitionBy(graft.ops.Cleaning.singlePartitionKey(col("c_custkey")))
+            .orderBy("c_custkey")).cast("long"))
         .select("id", "c_custkey", "c_name")
         .orderBy("id")),
 

@@ -22,17 +22,24 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object LlmQueries extends QueryPack {
 
   // The band/signature subplans are each consumed up to 4× per pair query
-  // (twice per self-join side), and by several queries in one run. Memoize
-  // the PERSISTED table per (session, dir) so signature computation runs
-  // once — the production discipline for LSH dedup (build the band table,
-  // persist, self-join against it). State is one small table per sf dir,
-  // keyed by session so a fresh session rebuilds rather than reading a
-  // stopped session's cache.
-  private val subplanCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
+  // (twice per self-join side), and by several queries in one run. They are
+  // materialized ONCE per (session, dir) to scratch parquet and every
+  // consumer reads the artifact back — the production discipline for LSH
+  // dedup (build the band table, write it to the lake, self-join against
+  // it). See [[graft.ops.Scratch]] for why this replaced the round-6
+  // memoized persist (leaked storage memory made bench times depend on
+  // which JVM ran them).
   private def cached(kind: String, s: SparkSession, d: String)(build: => DataFrame): DataFrame =
-    subplanCache.getOrElseUpdate((s, d, kind),
-      build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    graft.ops.Scratch.materialize(kind, s, d)(build)
+
+  /** The standing MinHash band table's cross-run artifact location —
+    * deliberately nonce-FREE and derived only from the sf dir's basename,
+    * so a later process (or the DuckDB oracle, via `read_parquet`) finds
+    * the same files: this path is durable pipeline state, not scratch.
+    */
+  private[queries] def standingBandsPath(d: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft-standing-bands-" +
+      new java.io.File(d.stripSuffix("/")).getName
 
   /** documents → (doc_id, band, band_key) rows. The k=8 signature is the
     * native one-pass expression ([[graft.functions.MinHashSignature]]):
@@ -45,7 +52,7 @@ object LlmQueries extends QueryPack {
     * time alike (MD5 dominates); the win is the removed fan-out, which
     * grows with corpus scale.
     */
-  private def minhashBands(s: SparkSession, d: String): DataFrame =
+  private[graft] def minhashBands(s: SparkSession, d: String): DataFrame =
     cached("minhash_bands", s, d) {
       Tables.documents(s, d)
         .filter(size(TextOps.tokens(col("text"))) >= 3)
@@ -59,8 +66,9 @@ object LlmQueries extends QueryPack {
         // per ~128MB input file) — fine for the table itself, but every
         // downstream broadcast-join/verify pipeline would inherit that
         // parallelism too (the old agg shape left hash(doc_id) partitions
-        // here incidentally). Spread before persisting so per-pair verify
-        // work fans across the cluster.
+        // here incidentally). Spread before the scratch write so the
+        // artifact lands as many files and verify work fans across the
+        // cluster.
         .repartition(col("doc_id"))
     }
 
@@ -307,6 +315,28 @@ object LlmQueries extends QueryPack {
       val fresh = b.filter(col("doc_id") % 10 === 0)
       val corpus = b.filter(col("doc_id") % 10 =!= 0)
       fresh.as("x").join(corpus.as("y"),
+          col("x.band") === col("y.band") && col("x.band_key") === col("y.band_key"))
+        .select(col("x.doc_id").as("new_id"), col("y.doc_id").as("old_id"))
+        .distinct()
+        .orderBy("new_id", "old_id")
+    }),
+
+    // Cross-RUN incremental dedup: same semantics as the query above, but
+    // the standing band table crosses a PROCESS boundary — written once as
+    // a parquet artifact at a deterministic path (no run nonce: the
+    // artifact IS the state a daily pipeline maintains), then read back by
+    // path, and the DuckDB oracle reads the very same files. Per-day cost
+    // = signature pass over the ingest + one band equi-join against the
+    // artifact scan; appending today's fresh bands to the artifact (the
+    // `.mode("append")` away) rolls the corpus forward for tomorrow.
+    "dedup_incremental_persisted" -> ((s, d) => {
+      val path = standingBandsPath(d)
+      // day-0 bootstrap, idempotent overwrite so reruns stay deterministic
+      minhashBands(s, d).filter(col("doc_id") % 10 =!= 0)
+        .write.mode("overwrite").parquet(path)
+      val standing = s.read.parquet(path)
+      val fresh = minhashBands(s, d).filter(col("doc_id") % 10 === 0)
+      fresh.as("x").join(standing.as("y"),
           col("x.band") === col("y.band") && col("x.band_key") === col("y.band_key"))
         .select(col("x.doc_id").as("new_id"), col("y.doc_id").as("old_id"))
         .distinct()
@@ -895,6 +925,19 @@ object LlmQueries extends QueryPack {
          |FROM bandtab a JOIN bandtab c
          |  ON a.band = c.band AND a.band_key = c.band_key
          |WHERE a.doc_id % 10 = 0 AND c.doc_id % 10 <> 0
+         |ORDER BY new_id, old_id""".stripMargin,
+    // The standing side reads the SAME parquet artifact the Spark query
+    // wrote (the correctness gate always runs at sf0.01, so the nonce-free
+    // path below is the one standingBandsPath emits there) — only the
+    // fresh side is re-derived; a mismatch in the artifact itself would
+    // fail the gate, which is the point of the cross-process claim.
+    "dedup_incremental_persisted" ->
+      s"""WITH $mhSigSql
+         |SELECT DISTINCT a.doc_id AS new_id, c.doc_id AS old_id
+         |FROM bandtab a
+         |JOIN read_parquet('/tmp/graft-standing-bands-sf0.01/*.parquet') c
+         |  ON a.band = c.band AND a.band_key = c.band_key
+         |WHERE a.doc_id % 10 = 0
          |ORDER BY new_id, old_id""".stripMargin,
     "sql_native_hash" ->
       """SELECT doc_id,

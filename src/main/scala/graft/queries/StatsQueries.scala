@@ -719,9 +719,12 @@ object StatsQueries extends QueryPack {
     // synthesized (keys shifted out of range on a deterministic slice)
     // because the generator's data is referentially clean.
     "quality_referential" -> ((s, d) => {
+      // the orphan slice keys off l_orderkey (wide range) — l_linenumber
+      // is always 1..7 in this generator, so a slice keyed on it would
+      // never fire and the left-anti path would go untested (ADVICE r6)
       val li = Tables.lineitem(s, d)
         .select(col("l_orderkey"),
-          when(col("l_linenumber") % 97 === 0, col("l_partkey") + 90000000L)
+          when(col("l_orderkey") % 97 === 0, col("l_partkey") + 90000000L)
             .otherwise(col("l_partkey")).as("l_partkey"))
       val orders = Tables.orders(s, d).select(col("o_orderkey"))
       val parts = Tables.part(s, d).select(col("p_partkey"))
@@ -1117,7 +1120,7 @@ object StatsQueries extends QueryPack {
         |ORDER BY 1, 2""".stripMargin,
     "quality_referential" ->
       """WITH li AS (SELECT l_orderkey,
-        |    CASE WHEN l_linenumber % 97 = 0 THEN l_partkey + 90000000
+        |    CASE WHEN l_orderkey % 97 = 0 THEN l_partkey + 90000000
         |         ELSE l_partkey END AS l_partkey
         |  FROM lineitem)
         |SELECT 'lineitem->orders' AS edge,

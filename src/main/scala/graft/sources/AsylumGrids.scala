@@ -9,10 +9,11 @@ import org.apache.spark.sql.functions._
   * num_accepted_defensively)` table, the `asylum_cleaned.csv` shape that
   * `Pipelines.parseAsylum` ingests.
   *
-  * Decoding `.xlsx` cells is a binary codec (xlrd in the reference; not
-  * in this stack) — the same seam as the multimodal decoders, so it stays
-  * outside the engine. The input here is the cell grid ANY decoder
-  * emits: `(sheet, row, col, str, num)` rows. Everything the reference
+  * Decoding `.xlsx` cells is a binary codec (xlrd in the reference) — the
+  * same seam as the multimodal decoders. [[Xlsx]] closes it in-stack
+  * (zip + StAX over the public OOXML format, decoded on executors); the
+  * input here is the cell grid ANY decoder emits:
+  * `(sheet, row, col, str, num)` rows. Everything the reference
   * did after xlrd is relational and runs distributed:
   *   - years from header row 3, cols 1-10 (`parse_excel_files.py:22`);
   *   - country names from col 0, rows 15..height-1 per sheet (`:18-20`);
@@ -32,6 +33,12 @@ object AsylumGrids {
 
   /** Reference per-sheet data heights (`parse_excel_files.py:14`). */
   val referenceHeights: Seq[Int] = Seq(76, 118, 109)
+
+  /** Reference workbook basenames in metric-column order
+    * (`parse_excel_files.py:12`) — the [[Xlsx.cellGrid]] sheet mapping.
+    */
+  val referenceFiles: Seq[String] =
+    Seq("fy2018_table14d", "fy2018_table17d", "fy2018_table19d")
 
   /** cells: (sheet int, row int, col int, str string, num double|null) —
     * `num` set iff the decoder saw a numeric cell.

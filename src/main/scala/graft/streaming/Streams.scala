@@ -395,9 +395,13 @@ class IdleSessionCloser(gapMs: Long)
   }
 }
 
-/** Last-`keep` event ids per key in ListState for
-  * [[Streams.recentEventsStream]]. Incoming rows are sorted by id before
-  * appending so the buffer is deterministic whatever the shuffle order.
+/** Top-`keep` event ids per key in ListState for
+  * [[Streams.recentEventsStream]]. Contract: the buffer holds the `keep`
+  * LARGEST ids seen so far (global top-k by id), so the retained set is
+  * identical whatever order micro-batches or shuffled rows arrive in —
+  * old state and incoming ids are merged and re-sorted before the cut
+  * (appending sorted batches would keep a batch-arrival-dependent set;
+  * ADVICE r6).
   */
 class RecentEventsProcessor(keep: Int)
     extends org.apache.spark.sql.streaming.StatefulProcessor[
@@ -414,9 +418,9 @@ class RecentEventsProcessor(keep: Int)
   override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
                                timerValues: TimerValues):
       Iterator[(Long, Long, String)] = {
-    val incoming = rows.map(_._2).toArray.sorted
+    val incoming = rows.map(_._2).toArray
     val merged = ((if (recent.exists()) recent.get().toArray else Array.empty[Long])
-      ++ incoming).takeRight(keep)
+      ++ incoming).sorted.takeRight(keep)
     recent.put(merged)
     Iterator.single((key, merged.length.toLong, merged.mkString(",")))
   }

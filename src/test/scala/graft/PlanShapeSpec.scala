@@ -221,19 +221,30 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"corpus must not shuffle for tiny dims:\n${p.take(600)}")
   }
 
-  test("q2 scans the candidate relation from cache on both consumers") {
+  test("q2 scans the materialized candidate relation on both consumers") {
     // the argmin join reads q2_cand twice (min-per-part and the join
-    // back); without the persist the derived-partsupp aggregation —
-    // a full fact scan — would run twice
-    val cacheReads = "InMemoryTableScan".r.findAllIn(plan("tpch_q2")).length
-    assert(cacheReads >= 2)
+    // back); both must be scans of the scratch-parquet artifact — without
+    // the materialization the derived-partsupp aggregation (a full fact
+    // scan) would run twice
+    val p = plan("tpch_q2")
+    val artifactReads = "graft-scratch[^\\]]*q2_cand".r.findAllIn(p).length
+    assert(artifactReads >= 2,
+      s"expected both consumers to scan the q2_cand artifact, found $artifactReads")
+    assert(!p.contains("lineitem.parquet"),
+      "the fact must never be re-scanned once the candidate artifact exists")
   }
 
   test("bm25 top-k: broadcast stats, TakeOrderedAndProject, no cartesian") {
-    val p = plan("text_bm25_topk")
+    // the query itself reads the materialized score artifact; the
+    // broadcast-stats property lives in the BUILD plan, pinned separately
+    val build = queries.RetrievalQueries.bm25Build(spark, sf)
+      .queryExecution.executedPlan.toString
     // df/avgdl are constant-size aggregates — they must broadcast back
     // onto the tf rows, and the top-50 must be a per-partition top-k
-    assert(p.contains("BroadcastHashJoin"), s"term stats must broadcast:\n${p.take(600)}")
+    assert(build.contains("BroadcastHashJoin"),
+      s"term stats must broadcast:\n${build.take(600)}")
+    assert(!build.contains("CartesianProduct"))
+    val p = plan("text_bm25_topk")
     assert(p.contains("TakeOrderedAndProject"), "top-50 must not be a global sort")
     assert(!p.contains("CartesianProduct"))
   }
@@ -353,16 +364,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), "fact must not shuffle for a 3-row dim")
   }
 
-  test("q15 scans the fact once: persisted aggregate feeds both max and filter") {
+  test("q15 scans the fact once: materialized aggregate feeds both max and filter") {
     val p = plan("tpch_q15")
     // both consumers (the equality filter and the global max) must read
-    // the persisted per-supplier aggregate — ReuseExchange can't dedupe
-    // the two subplans (one grows a null filter), so without the cache
-    // the 100-TB fact would be scanned twice. (Each InMemoryRelation
-    // echoes its child parquet scan in the plan TEXT, so counting 'Scan
-    // parquet' lines overcounts; the cache reads are the real signal.)
-    val cacheReads = "InMemoryTableScan".r.findAllIn(p).length
-    assert(cacheReads >= 2,
-      s"expected both subplans to read the cache, found $cacheReads:\n${p.take(800)}")
+    // the materialized per-supplier aggregate — ReuseExchange can't
+    // dedupe the two subplans (one grows a null filter), so without the
+    // artifact the 100-TB fact would be scanned twice
+    val artifactReads = "graft-scratch[^\\]]*q15_rev".r.findAllIn(p).length
+    assert(artifactReads >= 2,
+      s"expected both subplans to read the q15_rev artifact, found $artifactReads:\n${p.take(800)}")
+    assert(!p.contains("lineitem.parquet"),
+      "the fact must never be re-scanned once the revenue artifact exists")
   }
 }

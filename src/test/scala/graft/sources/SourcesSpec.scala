@@ -99,4 +99,115 @@ class SourcesSpec extends SparkSpec {
       ("El Salvador", 2018, Some(800), Some(250), None)))
     assert(!rows.exists(_._1 == "Total"), "height bound must slice trailing rows")
   }
+
+  // ---- real .xlsx end-to-end (Xlsx decoder + AsylumGrids relational half) ----
+
+  /** 0-based column index → OOXML letters (0→A, 27→AB). */
+  private def colLetters(c: Int): String = {
+    var n = c + 1
+    val sb = new StringBuilder
+    while (n > 0) { sb.insert(0, ('A' + (n - 1) % 26).toChar); n = (n - 1) / 26 }
+    sb.result()
+  }
+
+  /** Build a real one-sheet xlsx: zip of the minimal OOXML parts, with
+    * strings routed through the shared-string table (one as a rich-text
+    * pair of runs, to pin concatenation) except `inline`, emitted as an
+    * inlineStr cell.
+    */
+  private def xlsxBytes(cells: Seq[(Int, Int, Any)], inline: Set[String] = Set.empty,
+                        richText: Set[String] = Set.empty): Array[Byte] = {
+    val strings = cells.collect {
+      case (_, _, s: String) if !inline(s) => s
+    }.distinct
+    val sidx = strings.zipWithIndex.toMap
+    def cellXml(rw: Int, c: Int, v: Any): String = {
+      val ref = s"${colLetters(c)}${rw + 1}"
+      v match {
+        case d: Double => s"""<c r="$ref"><v>$d</v></c>"""
+        case i: Int => s"""<c r="$ref"><v>$i</v></c>"""
+        case s: String if inline(s) =>
+          s"""<c r="$ref" t="inlineStr"><is><t>$s</t></is></c>"""
+        case s: String => s"""<c r="$ref" t="s"><v>${sidx(s)}</v></c>"""
+      }
+    }
+    val rowsXml = cells.groupBy(_._1).toSeq.sortBy(_._1).map { case (rw, cs) =>
+      s"""<row r="${rw + 1}">""" +
+        cs.sortBy(_._2).map { case (r2, c, v) => cellXml(r2, c, v) }.mkString +
+        "</row>"
+    }.mkString
+    def si(s: String): String =
+      if (richText(s)) { // split into two runs
+        val (a, b) = s.splitAt(s.length / 2)
+        s"<si><r><t xml:space=\"preserve\">$a</t></r><r><t>$b</t></r></si>"
+      } else s"<si><t>$s</t></si>"
+    val parts = Map(
+      "[Content_Types].xml" ->
+        """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+          |<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types"/>""".stripMargin,
+      "xl/workbook.xml" ->
+        """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+          |<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+          |<sheets><sheet name="Sheet1" sheetId="1"/></sheets></workbook>""".stripMargin,
+      "xl/sharedStrings.xml" ->
+        s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+           |<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" count="${strings.length}" uniqueCount="${strings.length}">${strings.map(si).mkString}</sst>""".stripMargin,
+      "xl/worksheets/sheet1.xml" ->
+        s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+           |<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+           |<sheetData>$rowsXml</sheetData></worksheet>""".stripMargin)
+    val bos = new java.io.ByteArrayOutputStream()
+    val zos = new java.util.zip.ZipOutputStream(bos)
+    parts.foreach { case (name, content) =>
+      zos.putNextEntry(new java.util.zip.ZipEntry(name))
+      zos.write(content.getBytes("UTF-8"))
+      zos.closeEntry()
+    }
+    zos.close()
+    bos.toByteArray
+  }
+
+  test("Xlsx.parseRef decodes multi-letter columns") {
+    assert(Xlsx.parseRef("A1") == (0, 0))
+    assert(Xlsx.parseRef("B4") == (3, 1))
+    assert(Xlsx.parseRef("Z10") == (9, 25))
+    assert(Xlsx.parseRef("AB3") == (2, 27))
+  }
+
+  test("real xlsx workbooks → cell grid → reference asylum output end-to-end") {
+    // the same logical content as the grid test above, but written as
+    // three REAL xlsx workbooks (zip + OOXML parts) named per the
+    // reference's file list, with a title row and sheet-0 quirks: "D"
+    // suppression markers, a rich-text country name, an inlineStr cell
+    val dir = Files.createTempDirectory("graft-xlsx-").toString
+    def sheet(cells: Seq[(Int, Int, Any)], inline: Set[String] = Set.empty,
+              rich: Set[String] = Set.empty) = xlsxBytes(
+      Seq((0, 0, "Table 14d. Refugee Arrivals: title row")) ++ cells, inline, rich)
+    val books = Seq(
+      sheet(Seq(
+        (3, 1, 2017), (3, 2, 2018),
+        (15, 0, "China"), (16, 0, "El Salvador"), (17, 0, "Total"),
+        (15, 1, 1200.0), (15, 2, "D"),
+        (16, 1, 900.0), (16, 2, 800.0),
+        (17, 1, 99999.0)), rich = Set("El Salvador")),
+      sheet(Seq(
+        (3, 1, 2017), (3, 2, 2018),
+        (15, 0, "China"), (16, 0, "El Salvador"),
+        (15, 1, 300.0), (16, 2, 250.0)), inline = Set("El Salvador")),
+      sheet(Seq(
+        (3, 1, 2017),
+        (15, 0, "China"), (15, 1, 150.5))))
+    AsylumGrids.referenceFiles.zip(books).foreach { case (name, bytes) =>
+      Files.write(java.nio.file.Paths.get(dir, s"$name.xlsx"), bytes)
+    }
+    val out = Xlsx.asylumFromXlsxDir(spark, dir, heights = Seq(17, 17, 16))
+    assert(out.columns.toSeq == Seq("country", "year") ++ AsylumGrids.metricCols)
+    val rows = out
+      .as[(String, Int, Option[Int], Option[Int], Option[Int])].collect().toSeq
+    assert(rows == Seq(
+      ("China", 2017, Some(1200), Some(300), Some(150)),
+      ("China", 2018, None, None, None),
+      ("El Salvador", 2017, Some(900), None, None),
+      ("El Salvador", 2018, Some(800), Some(250), None)))
+  }
 }
