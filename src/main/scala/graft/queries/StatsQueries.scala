@@ -254,14 +254,17 @@ object StatsQueries extends QueryPack {
     }),
 
     // Heavy hitters: event types above a 20% frequency share, in exact
-    // milli-units. The share denominator is an un-partitioned window over
+    // milli-units. The share denominator is a single-group window over
     // the ALREADY-AGGREGATED frame (5 rows), not the raw events — the
-    // raw-side work is one partial-combine aggregation.
+    // raw-side work is one partial-combine aggregation. The constant
+    // non-foldable partition key (see Cleaning.singlePartitionKey) keeps
+    // the WindowExec all-to-one warning reserved for unbounded inputs.
     "heavy_hitters" -> ((s, d) =>
       Tables.events(s, d)
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"))
-        .withColumn("share_milli", expr("n * 1000 div sum(n) OVER ()"))
+        .withColumn("share_milli",
+          expr("n * 1000 div sum(n) OVER (PARTITION BY pmod(hash(event_type), 1))"))
         .filter(col("share_milli") >= 200)
         .orderBy("event_type")),
 

@@ -321,10 +321,13 @@ object Streams {
   }
 
   /** Bounded recent-events buffer on transformWithState LIST STATE: the
-    * last 3 event ids per user survive across batches (append, then trim
-    * by rewriting the list), emitted as a CSV audit row per batch. The
-    * list is the "ring buffer in state" shape — fraud trails, recent-
-    * activity panels — that MapState/ValueState don't express naturally.
+    * top-3 event ids per user survive across batches (merge old state
+    * with the incoming batch, re-sort, trim by rewriting the list),
+    * emitted as a CSV audit row per batch. The list is the "ring buffer
+    * in state" shape — fraud trails, recent-activity panels — that
+    * MapState/ValueState don't express naturally; the global-top-k-by-id
+    * contract makes the retained set independent of batch arrival order
+    * (see [[RecentEventsProcessor]]).
     */
   def recentEventsStream(spark: org.apache.spark.sql.SparkSession,
                          events: DataFrame, keep: Int = 3): DataFrame = {

@@ -166,6 +166,40 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("ListState top-k is batch-arrival-order independent (late small ids)") {
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[Ev]
+      val q = Streams.recentEventsStream(spark, mem.toDF())
+        .writeStream.outputMode("update").format("memory")
+        .queryName("recent_ooo").start()
+      try {
+        // the LARGE ids arrive first; a later batch delivers only SMALLER
+        // ids — append-then-trim would evict 10 and 13 in favor of the
+        // late arrivals, so the retained set must be re-sorted as the
+        // global top-3 by id (ADVICE r6)
+        mem.addData(ev(10, "2024-01-01 00:04:00", "click", 1.0),
+          ev(13, "2024-01-01 00:05:00", "click", 1.0))
+        q.processAllAvailable()
+        mem.addData(ev(1, "2024-01-01 00:01:00", "click", 1.0),
+          ev(7, "2024-01-01 00:03:00", "click", 1.0),
+          ev(4, "2024-01-01 00:02:00", "click", 1.0))
+        q.processAllAvailable()
+      } finally q.stop()
+      val last = spark.table("recent_ooo").collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getString(2))))
+        .groupBy(_._1).view.mapValues(_.last._2).toMap
+      assert(last(1L) == ((3L, "7,10,13")),
+        "top-3 by id must survive a late batch of smaller ids")
+    } finally prev match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("MapState keeps a per-user event-type histogram across batches") {
     implicit val sqlCtx = spark.sqlContext
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
