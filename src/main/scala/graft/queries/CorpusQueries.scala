@@ -171,6 +171,32 @@ object CorpusQueries extends QueryPack {
         .orderBy(col("n").desc, col("gram").asc)
         .limit(20)),
 
+    // Collocation mining by Dice coefficient — the integer-exact
+    // association score 2·c₁₂·1000 div (c₁+c₂) that serves PMI's phrase-
+    // detection role without PMI's log (float log ordering is not
+    // portable across engines; Dice is the word2phrase-style score and
+    // needs only integer arithmetic). Unigram and bigram counts are one
+    // hash aggregate over an exploded scan each; the marginals join back
+    // on the WORD keys, so those joins shuffle the vocabulary, never the
+    // corpus. A min-count floor prunes the noise tail before ranking and
+    // the top-50 is TakeOrderedAndProject, not a global sort.
+    "text_collocation_dice" -> ((s, d) => {
+      val toks = Tables.documents(s, d).select(TextOps.tokens(col("text")).as("t"))
+      val uni = toks.select(explode(col("t")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c"))
+      val bi = toks.select(explode(TextOps.wordShingles(col("t"), 2)).as("g"))
+        .groupBy("g").agg(count(lit(1)).as("c12"))
+        .filter(col("c12") >= 5)
+        .withColumn("w1", expr("split(g, ' ')[0]"))
+        .withColumn("w2", expr("split(g, ' ')[1]"))
+      bi.join(uni.select(col("w").as("w1"), col("c").as("c1")), "w1")
+        .join(uni.select(col("w").as("w2"), col("c").as("c2")), "w2")
+        .select(col("g").as("bigram"), col("c12"), col("c1"), col("c2"),
+          expr("c12 * 2000 div (c1 + c2)").as("dice_milli"))
+        .orderBy(col("dice_milli").desc, col("bigram").asc)
+        .limit(50)
+    }),
+
     // Per-domain quota cap: keep at most 15 docs per source, chosen by a
     // deterministic pseudo-random order (portable md5-hash of doc_id, with
     // doc_id breaking hash ties) — the standard "no domain dominates the
@@ -508,6 +534,19 @@ object CorpusQueries extends QueryPack {
         |  FROM toks)
         |SELECT gram, COUNT(*) AS n FROM grams GROUP BY 1
         |ORDER BY n DESC, gram ASC LIMIT 20""".stripMargin,
+    "text_collocation_dice" ->
+      """WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+        |uc AS (SELECT w, COUNT(*) AS c FROM (SELECT unnest(t) AS w FROM toks)
+        |  GROUP BY 1),
+        |bc AS (SELECT g, COUNT(*) AS c12 FROM (
+        |    SELECT unnest(list_transform(range(1, len(t)),
+        |      i -> array_to_string(list_slice(t, i, i+1), ' '))) AS g FROM toks)
+        |  GROUP BY 1 HAVING COUNT(*) >= 5)
+        |SELECT g AS bigram, c12, u1.c AS c1, u2.c AS c2,
+        |  c12 * 2000 // (u1.c + u2.c) AS dice_milli
+        |FROM bc JOIN uc u1 ON string_split(g, ' ')[1] = u1.w
+        |        JOIN uc u2 ON string_split(g, ' ')[2] = u2.w
+        |ORDER BY dice_milli DESC, bigram ASC LIMIT 50""".stripMargin,
     "sample_domain_quota" ->
       """WITH ranked AS (SELECT doc_id, lang, source,
         |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY

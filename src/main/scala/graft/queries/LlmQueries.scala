@@ -394,6 +394,78 @@ object LlmQueries extends QueryPack {
         .orderBy("d1", "d2")
     }),
 
+    // Asymmetric CONTAINMENT on the candidate pairs: |A∩B| / |A| and
+    // / |B| in exact milli. Jaccard misses subset duplication — a short
+    // doc quoted wholesale inside a long one scores low J but 1000-milli
+    // containment on the short side — and that's the common shape of
+    // training-set contamination (a benchmark item embedded in a web
+    // page). Same banded candidate set and shared shingle artifact as the
+    // Jaccard verify; only the normalization differs.
+    "text_minhash_containment" -> ((s, d) => {
+      val b = minhashBands(s, d)
+      val pairs = b.as("x").join(b.as("y"),
+          col("x.band") === col("y.band") && col("x.band_key") === col("y.band_key") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+        .distinct()
+      val sh = cached("jaccard_shingles", s, d) {
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            array_distinct(TextOps.wordShingles(TextOps.tokens(col("text")), 3)).as("sh"))
+      }
+      pairs
+        .join(sh.select(col("doc_id").as("d1"), col("sh").as("s1")), "d1")
+        .join(sh.select(col("doc_id").as("d2"), col("sh").as("s2")), "d2")
+        .select(col("d1"), col("d2"),
+          expr("CAST(size(array_intersect(s1, s2)) AS BIGINT) * 1000 div size(s1)")
+            .as("contain1_milli"),
+          expr("CAST(size(array_intersect(s1, s2)) AS BIGINT) * 1000 div size(s2)")
+            .as("contain2_milli"))
+        .orderBy("d1", "d2")
+    }),
+
+    // Estimator calibration for the k=8 MinHash: per candidate pair, the
+    // SIGNATURE-only Jaccard estimate (matching components / 8, exact
+    // eighths in milli) beside the exact shingle Jaccard and the signed
+    // error. At 100 TB this is the design trade made measurable: the
+    // estimate joins two 64-byte signatures (no document text touched),
+    // so a pipeline can tier its verify — accept on high estimate, reject
+    // on low, pay the exact set intersection only in the uncertain band.
+    "dedup_minhash_estimate" -> ((s, d) => {
+      val b = minhashBands(s, d)
+      val pairs = b.as("x").join(b.as("y"),
+          col("x.band") === col("y.band") && col("x.band_key") === col("y.band_key") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+        .distinct()
+      val sigs = cached("minhash_sigs", s, d) {
+        Tables.documents(s, d)
+          .filter(size(TextOps.tokens(col("text"))) >= 3)
+          .select(col("doc_id"),
+            TextOps.minHashSigNative(
+              TextOps.wordShingles(TextOps.tokens(col("text")), 3)).as("sig"))
+      }
+      val sh = cached("jaccard_shingles", s, d) {
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            array_distinct(TextOps.wordShingles(TextOps.tokens(col("text")), 3)).as("sh"))
+      }
+      pairs
+        .join(sigs.select(col("doc_id").as("d1"), col("sig").as("g1")), "d1")
+        .join(sigs.select(col("doc_id").as("d2"), col("sig").as("g2")), "d2")
+        .join(sh.select(col("doc_id").as("d1"), col("sh").as("s1")), "d1")
+        .join(sh.select(col("doc_id").as("d2"), col("sh").as("s2")), "d2")
+        .select(col("d1"), col("d2"),
+          expr("CAST(size(filter(zip_with(g1, g2, (a, b) -> a = b), m -> m)) AS BIGINT)")
+            .as("n_match"),
+          expr("CAST(size(filter(zip_with(g1, g2, (a, b) -> a = b), m -> m)) AS BIGINT) * 125")
+            .as("est_milli"),
+          expr("CAST(size(array_intersect(s1, s2)) AS BIGINT) * 1000 div " +
+            "size(array_distinct(concat(s1, s2)))").as("jaccard_milli"))
+        .withColumn("err_milli", col("est_milli") - col("jaccard_milli"))
+        .orderBy("d1", "d2")
+    }),
+
     // The DECISION form of the verify stage: keep candidate pairs whose
     // edit distance is within a bound. The `levenshtein <= k` predicate is
     // what [[graft.plans.LevenshteinThresholdRewrite]] rewrites into a
@@ -830,6 +902,47 @@ object LlmQueries extends QueryPack {
          |  CAST(len(list_intersect(x.sh, y.sh)) AS BIGINT) * 1000
          |    // CAST(len(list_distinct(list_concat(x.sh, y.sh))) AS BIGINT) AS jaccard_milli
          |FROM pairs JOIN shs x ON d1 = x.doc_id JOIN shs y ON d2 = y.doc_id
+         |ORDER BY d1, d2""".stripMargin,
+    "text_minhash_containment" ->
+      s"""WITH $mhSigSql,
+         |pairs AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |  FROM bandtab a JOIN bandtab b
+         |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+         |shs AS (SELECT doc_id, list_distinct(
+         |    list_transform(range(1, len(string_split(text,' '))-1),
+         |      i -> array_to_string(list_slice(string_split(text,' '), i, i+2), ' '))) AS sh
+         |  FROM documents)
+         |SELECT d1, d2,
+         |  CAST(len(list_intersect(x.sh, y.sh)) AS BIGINT) * 1000
+         |    // CAST(len(x.sh) AS BIGINT) AS contain1_milli,
+         |  CAST(len(list_intersect(x.sh, y.sh)) AS BIGINT) * 1000
+         |    // CAST(len(y.sh) AS BIGINT) AS contain2_milli
+         |FROM pairs JOIN shs x ON d1 = x.doc_id JOIN shs y ON d2 = y.doc_id
+         |ORDER BY d1, d2""".stripMargin,
+    "dedup_minhash_estimate" ->
+      s"""WITH $mhSigSql,
+         |pairs AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |  FROM bandtab a JOIN bandtab b
+         |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+         |shs AS (SELECT doc_id, list_distinct(
+         |    list_transform(range(1, len(string_split(text,' '))-1),
+         |      i -> array_to_string(list_slice(string_split(text,' '), i, i+2), ' '))) AS sh
+         |  FROM documents)
+         |SELECT d1, d2,
+         |  CAST((CASE WHEN sx.m0=sy.m0 THEN 1 ELSE 0 END)
+         |     + (CASE WHEN sx.m1=sy.m1 THEN 1 ELSE 0 END)
+         |     + (CASE WHEN sx.m2=sy.m2 THEN 1 ELSE 0 END)
+         |     + (CASE WHEN sx.m3=sy.m3 THEN 1 ELSE 0 END)
+         |     + (CASE WHEN sx.m4=sy.m4 THEN 1 ELSE 0 END)
+         |     + (CASE WHEN sx.m5=sy.m5 THEN 1 ELSE 0 END)
+         |     + (CASE WHEN sx.m6=sy.m6 THEN 1 ELSE 0 END)
+         |     + (CASE WHEN sx.m7=sy.m7 THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
+         |  n_match * 125 AS est_milli,
+         |  CAST(len(list_intersect(x.sh, y.sh)) AS BIGINT) * 1000
+         |    // CAST(len(list_distinct(list_concat(x.sh, y.sh))) AS BIGINT) AS jaccard_milli,
+         |  est_milli - jaccard_milli AS err_milli
+         |FROM pairs JOIN sig sx ON d1 = sx.doc_id JOIN sig sy ON d2 = sy.doc_id
+         |  JOIN shs x ON d1 = x.doc_id JOIN shs y ON d2 = y.doc_id
          |ORDER BY d1, d2""".stripMargin,
     "dedup_degree_stats" ->
       s"""WITH $mhSigSql,

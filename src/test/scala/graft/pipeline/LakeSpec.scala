@@ -128,6 +128,19 @@ class LakeSpec extends SparkSpec {
       Set("CA", "NV", "TX"))
   }
 
+  test("no pipeline plan contains a window: ids come from the zip-index path") {
+    // VERDICT r6 flagged the lake's id assignment (a global row_number
+    // window) as its only single-task stage; the ids now come from
+    // range-partition + zipWithIndex, so no Window node of any kind may
+    // appear in the parse-pipeline plans
+    val in = fixtures.toString
+    Seq(Pipelines.parseAsylum(spark, in), Pipelines.parseWorker(spark, in))
+      .foreach { df =>
+        val p = df.queryExecution.executedPlan.toString
+        assert(!p.contains("Window"), s"unexpected window stage:\n${p.take(800)}")
+      }
+  }
+
   test("Lake.build is overwrite-idempotent: a rerun produces identical counts") {
     val first = counts
     val again = Lake.build(spark, fixtures.toString, out.toString)
