@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis and document-dedup primitives for LLM-training-data
@@ -159,4 +159,22 @@ object TextOps {
     exploded.groupBy(docCol).agg(bitSums.head, bitSums.tail: _*)
       .select(col(docCol), assembled.as("simhash"))
   }
+
+  /** Any (doc_id, text, …) relation → its (doc_id, band, band_key) LSH
+    * band table: the one MinHash banding chain (native one-pass k=8
+    * signature, r=2/b=4 band keys, posexplode), shared by the batch
+    * queries (`LlmQueries.minhashBands`, which adds scratch
+    * materialization and a spread repartition) and the streaming at-ingest
+    * dedup (`Streams.incrementalDedupStream`, which runs it per
+    * micro-batch). Docs with < 3 tokens carry no shingles and are
+    * excluded. Pure map work — safe in a streaming plan.
+    */
+  def minhashBandTable(docs: DataFrame): DataFrame =
+    docs
+      .filter(size(tokens(col("text"))) >= 3)
+      .select(col("doc_id"),
+        minHashSigNative(wordShingles(tokens(col("text")), 3)).as("sig"))
+      .select(col("doc_id"), bandKeys(col("sig")).as("bands"))
+      .select(col("doc_id"), posexplode(col("bands")))
+      .select(col("doc_id"), col("pos").cast("long").as("band"), col("col").as("band_key"))
 }

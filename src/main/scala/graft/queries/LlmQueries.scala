@@ -54,14 +54,7 @@ object LlmQueries extends QueryPack {
     */
   private[graft] def minhashBands(s: SparkSession, d: String): DataFrame =
     cached("minhash_bands", s, d) {
-      Tables.documents(s, d)
-        .filter(size(TextOps.tokens(col("text"))) >= 3)
-        .select(col("doc_id"),
-          TextOps.minHashSigNative(
-            TextOps.wordShingles(TextOps.tokens(col("text")), 3)).as("sig"))
-        .select(col("doc_id"), TextOps.bandKeys(col("sig")).as("bands"))
-        .select(col("doc_id"), posexplode(col("bands")))
-        .select(col("doc_id"), col("pos").cast("long").as("band"), col("col").as("band_key"))
+      TextOps.minhashBandTable(Tables.documents(s, d))
         // map-only signatures inherit the scan's split count (ONE partition
         // per ~128MB input file) — fine for the table itself, but every
         // downstream broadcast-join/verify pipeline would inherit that

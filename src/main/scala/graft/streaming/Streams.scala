@@ -205,6 +205,51 @@ object Streams {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Streaming at-ingest dedup: the cross-run incremental MinHash dedup
+    * (the artifact contract of `dedup_incremental_persisted`) composed
+    * with Structured Streaming. Per micro-batch of documents:
+    *   1. band the batch — the map-only MinHash chain
+    *      ([[graft.ops.TextOps.minhashBandTable]]), no shuffle;
+    *   2. equi-join batch bands against the standing parquet artifact —
+    *      the (new × old) candidate set ONLY, so per-batch cost scales
+    *      with the batch and its collision rate, never |corpus|²;
+    *   3. append the candidate pairs to `outDir` (the dedup decision log);
+    *   4. append the batch bands to the artifact — the corpus rolls
+    *      forward and the NEXT batch sees this one as standing.
+    * New-vs-new pairs inside one batch are deliberately not emitted (the
+    * same convention as the batch query: they are the next pass's corpus
+    * problem). foreachBatch is at-least-once, so a replayed batch can
+    * re-append candidates and bands; both are harmless downstream —
+    * candidates are verified per pair (set semantics) and duplicate band
+    * rows only re-surface the same pairs.
+    */
+  def incrementalDedupStream(spark: org.apache.spark.sql.SparkSession,
+                             docs: DataFrame, artifact: String, outDir: String,
+                             checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch(dedupBatch(spark, artifact, outDir) _)
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .start()
+
+  private def dedupBatch(spark: org.apache.spark.sql.SparkSession,
+                         artifact: String, outDir: String)
+                        (batch: DataFrame, batchId: Long): Unit = {
+    val bands = graft.ops.TextOps.minhashBandTable(batch).cache()
+    try {
+      if (new java.io.File(artifact).exists()) {
+        val standing = spark.read.parquet(artifact)
+        bands.as("x").join(standing.as("y"),
+            col("x.band") === col("y.band") && col("x.band_key") === col("y.band_key"))
+          .select(col("x.doc_id").as("new_id"), col("y.doc_id").as("old_id"))
+          .distinct()
+          .write.mode("append").parquet(outDir)
+      }
+      bands.write.mode("append").parquet(artifact)
+    } finally bands.unpersist()
+  }
+
   /** Stream–stream INNER join with event-time bounds: each click joins
     * purchases by the same user within [click_ts, click_ts + 30 min].
     * Both sides carry watermarks and the join condition bounds event time

@@ -416,4 +416,35 @@ class StreamingSpec extends SparkSpec {
     assert(got == Seq((1L, 1.0), (2L, 20.0), (3L, 3.0), (4L, 4.0)),
       s"merge target wrong: $got")
   }
+
+  test("at-ingest dedup: batch bands join the standing artifact, then roll it forward") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft-ingest-dedup-")
+    val artifact = root.resolve("bands").toString
+    val outDir = root.resolve("candidates").toString
+    val ckpt = root.resolve("ckpt").toString
+    val mem = MemoryStream[(Long, String)]
+    val q = Streams.incrementalDedupStream(spark,
+      mem.toDF().toDF("doc_id", "text"), artifact, outDir, ckpt)
+    try {
+      // batch 1: two identical docs — no standing corpus yet, so no
+      // candidates (new-vs-new is the next pass's problem), but the
+      // artifact now holds their bands
+      mem.addData((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"))
+      q.processAllAvailable()
+      assert(!new java.io.File(outDir).exists(),
+        "first batch must emit no candidates")
+      // batch 2: one more identical doc — candidates vs BOTH standing
+      // docs, found via the read-back artifact, never a rescan of batch 1
+      mem.addData((11L, "alpha beta gamma delta"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val cands = spark.read.parquet(outDir)
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(cands == Seq((11L, 1L), (11L, 2L)), s"candidates wrong: $cands")
+    val standingDocs = spark.read.parquet(artifact)
+      .select("doc_id").distinct().as[Long].collect().sorted.toSeq
+    assert(standingDocs == Seq(1L, 2L, 11L),
+      "artifact must roll forward to include every ingested batch")
+  }
 }
