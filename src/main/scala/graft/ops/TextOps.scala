@@ -54,11 +54,23 @@ object TextOps {
   def hash60Spec(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
-  /** Word n-gram shingles. Guarded: Spark's `sequence(1, size-k)` would
-    * generate a DESCENDING sequence when size < n, so short docs map to an
-    * explicit empty array.
+  /** Word n-gram shingles — the native one-pass expression
+    * ([[graft.functions.WordShinglesExpr]]): every shingle consumer used
+    * to drop out of whole-stage codegen because the HOF spec below is
+    * CodegenFallback. Bit-identical to [[wordShinglesSpec]], pinned in
+    * `TextVectorOpsSpec`.
     */
   def wordShingles(toks: Column, n: Int): Column =
+    org.apache.spark.sql.GraftSqlBridge.toColumn(
+      graft.functions.WordShinglesExpr(
+        org.apache.spark.sql.GraftSqlBridge.toExpression(toks), n))
+
+  /** The HOF specification form of [[wordShingles]], kept as the
+    * equivalence-test witness. Guarded: Spark's `sequence(1, size-k)`
+    * would generate a DESCENDING sequence when size < n, so short docs
+    * map to an explicit empty array.
+    */
+  def wordShinglesSpec(toks: Column, n: Int): Column =
     when(size(toks) < n, array().cast("array<string>"))
       .otherwise(transform(sequence(lit(1), size(toks) - (n - 1)),
         i => concat_ws(" ", slice(toks, i, lit(n)))))

@@ -31,6 +31,21 @@ class TextVectorOpsSpec extends SparkSpec {
     assert(rows(1).isEmpty) // < n tokens ⇒ empty, not a descending-sequence blowup
   }
 
+  test("native wordShingles is bit-identical to the HOF spec form") {
+    val samples = Seq("", "a", "a b", "a b c", "a b c d e f g",
+      "héllo wörld ünïcode tokens here", "x " * 200 + "y",
+      "  leading and  double  spaces") ++
+      (0 until 50).map(i => s"doc $i body word$i tail")
+    for (n <- Seq(2, 3, 5)) {
+      val df = samples.toDF("t")
+        .select(TextOps.wordShingles(TextOps.tokens(col("t")), n).as("native"),
+          TextOps.wordShinglesSpec(TextOps.tokens(col("t")), n).as("spec"))
+      df.as[(Seq[String], Seq[String])].collect().foreach { case (nat, spec) =>
+        assert(nat == spec, s"n=$n: native $nat != spec $spec")
+      }
+    }
+  }
+
   test("minHashSignature: deterministic, k=8, identical docs get identical signatures") {
     val df = Seq("w1 w2 w3 w4 w5", "w1 w2 w3 w4 w5", "z1 z2 z3 z4 z5").toDF("t")
       .select(TextOps.minHashSignature(TextOps.shingleHashes(col("t"), 3)).as("sig"))
