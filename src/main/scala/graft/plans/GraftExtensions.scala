@@ -92,6 +92,11 @@ object GraftFunctions {
     (FunctionIdentifier("simhash60"),
       info("simhash60", "simhash60(tokens) - one-pass 60-bit SimHash over an array<string>"),
       (args: Seq[Expression]) => graft.functions.SimHash60Expr(args(0))),
+    (FunctionIdentifier("word_shingles"),
+      info("word_shingles",
+        "word_shingles(tokens, n) - word n-gram shingles of an array<string>; n must be a literal"),
+      (args: Seq[Expression]) => graft.functions.WordShinglesExpr(args(0),
+        args(1).eval(null).asInstanceOf[Number].intValue)),
   )
 
   /** Idempotent per-session registration (overwrites any prior entry). */

@@ -715,6 +715,19 @@ object LlmQueries extends QueryPack {
            |ORDER BY doc_id""".stripMargin)
     }),
 
+    // SQL-surface parity for native shingling: word_shingles via the
+    // FunctionRegistry (a pure-SQL user gets the same compiled loop the
+    // Column API uses on every LSH path), exploded to the top-10 3-gram
+    // census — the n=3 companion to text_ngram_top's bigram form.
+    "sql_native_shingles" -> ((s, d) => {
+      graft.plans.GraftFunctions.register(s)
+      s.sql(
+        s"""SELECT gram, COUNT(*) AS n
+           |FROM (SELECT explode(word_shingles(split(text, ' '), 3)) AS gram
+           |      FROM parquet.`$d/documents.parquet`)
+           |GROUP BY gram ORDER BY n DESC, gram ASC LIMIT 10""".stripMargin)
+    }),
+
     // Embedding near-dup via sign-LSH: 8 hyperplanes (the first 8 vectors)
     // give an 8-bit bucket; same-bucket pairs (540 of 125k possible at
     // sf0.01) are verified by exact cosine ≥ 0.3. Bucketing is a broadcast
@@ -1045,6 +1058,13 @@ object LlmQueries extends QueryPack {
          |  ON a.band = c.band AND a.band_key = c.band_key
          |WHERE a.doc_id % 10 = 0
          |ORDER BY new_id, old_id""".stripMargin,
+    "sql_native_shingles" ->
+      """WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+        |grams AS (SELECT unnest(list_transform(range(1, len(t)-1),
+        |    i -> array_to_string(list_slice(t, i, i+2), ' '))) AS gram
+        |  FROM toks WHERE len(t) >= 3)
+        |SELECT gram, COUNT(*) AS n FROM grams GROUP BY 1
+        |ORDER BY n DESC, gram ASC LIMIT 10""".stripMargin,
     "sql_native_hash" ->
       """SELECT doc_id,
         |  ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15))::BIGINT AS h,

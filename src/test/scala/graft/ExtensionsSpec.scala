@@ -32,6 +32,14 @@ class ExtensionsSpec extends SparkSpec {
     assert(plan.contains("simhash60"), s"unexpected resolution:\n$plan")
   }
 
+  test("word_shingles is SQL-callable with a literal width; short input is empty") {
+    val r = spark.sql(
+      "SELECT word_shingles(array('a','b','c','d'), 2) AS sh, " +
+        "word_shingles(array('a'), 3) AS short").head()
+    assert(r.getSeq[String](0) == Seq("a b", "b c", "c d"))
+    assert(r.getSeq[String](1).isEmpty)
+  }
+
   test("runtime register() works on a session built without the extensions config") {
     val bare = org.apache.spark.sql.SparkSession.builder()
       .master("local[1]").appName("graft-bare")
