@@ -779,6 +779,38 @@ object LlmQueries extends QueryPack {
         .filter(col("neg_rank") <= 2)
         .orderBy("d1", "neg_rank")
     }),
+
+    // LINE-LEVEL corpus dedup (RefinedWeb/CCNet-style): lines that repeat
+    // across many documents are boilerplate (nav bars, cookie banners,
+    // license headers) and are removed from EVERY document while the rest
+    // of each document survives in order. The driver corpus is single-line,
+    // so consecutive 3-token segments stand in for lines — the pipeline
+    // shape is identical: explode to (doc, seg_idx, segment) → corpus-wide
+    // distinct-doc frequency per segment → drop segments seen in ≥ 3 docs
+    // (threshold calibrated on the fixtures: 248 of 7.6k distinct segments
+    // fire at sf0.01, so BOTH the drop and keep paths are exercised) →
+    // ordered reassembly per doc. Scale: one hash agg on segment (map-side
+    // combine), one shuffle join segments×freq on the segment key, one
+    // per-doc agg — cost ∝ corpus tokens, never pairs. At 100 TB the freq
+    // table is Zipf-small and AQE broadcasts it back; no step is quadratic.
+    "dedup_line_segments" -> ((s, d) => {
+      val L = 3
+      val segs = Tables.documents(s, d)
+        .select(col("doc_id"), posexplode(expr(
+          s"""transform(sequence(0, CAST((size(split(text, ' ')) - 1) div $L AS INT)),
+             |  i -> concat_ws(' ', slice(split(text, ' '), i * $L + 1, $L)))""".stripMargin)))
+        .select(col("doc_id"), col("pos").cast("long").as("seg_idx"), col("col").as("seg"))
+      val freq = segs.groupBy("seg").agg(countDistinct("doc_id").as("df"))
+      segs.join(freq, "seg")
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_segs"),
+          count(when(col("df") >= 3, lit(1))).as("n_dropped"),
+          expr("""concat_ws(' ', transform(
+                 |  array_sort(collect_list(CASE WHEN df < 3 THEN struct(seg_idx, seg) END)),
+                 |  r -> r.seg))""".stripMargin).as("cleaned_text"))
+        .orderBy("doc_id")
+    }),
   )
 
   // DuckDB-side signature machinery shared by the minhash oracles; the
@@ -1219,5 +1251,18 @@ object LlmQueries extends QueryPack {
          |    ORDER BY cosine DESC, d2) AS neg_rank
          |  FROM neg) t
          |WHERE neg_rank <= 2 ORDER BY d1, neg_rank""".stripMargin,
+    "dedup_line_segments" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |segs AS (
+        |  SELECT doc_id, i AS seg_idx,
+        |    array_to_string(t[(i*3+1):(i*3+3)], ' ') AS seg
+        |  FROM toks, UNNEST(range(0, ((len(t)-1)//3)+1)) AS u(i)),
+        |freq AS (SELECT seg, COUNT(DISTINCT doc_id) AS df FROM segs GROUP BY 1)
+        |SELECT s.doc_id, COUNT(*) AS n_segs,
+        |  COUNT(CASE WHEN f.df >= 3 THEN 1 END) AS n_dropped,
+        |  COALESCE(string_agg(CASE WHEN f.df < 3 THEN s.seg END, ' ' ORDER BY s.seg_idx), '')
+        |    AS cleaned_text
+        |FROM segs s JOIN freq f USING (seg)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }
