@@ -49,6 +49,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("Join") && p.contains("band"))
   }
 
+  test("semantic-cluster dedup: broadcast centroid assignment, bucket equi-join pairs") {
+    val p = plan("dedup_semantic_cluster")
+    // the only cartesian is the broadcast against the constant-size centroid
+    // set (BroadcastNestedLoopJoin); the PAIR join must be a hash/merge
+    // equi-join keyed on the cluster bucket
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "centroid assignment must broadcast")
+    assert(!p.contains("CartesianProduct"), s"all-pairs cartesian in semantic dedup:\n$p")
+    assert(p.linesIterator.exists(l =>
+        (l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin")) && l.contains("bucket")),
+      s"pair generation is not a bucket equi-join:\n$p")
+  }
+
   test("native cosine expression fuses into whole-stage codegen over a scan") {
     import org.apache.spark.sql.functions._
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
