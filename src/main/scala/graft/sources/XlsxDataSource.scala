@@ -1,0 +1,183 @@
+package graft.sources
+
+import java.io.{IOException, ObjectInputStream, ObjectOutputStream}
+import java.util
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.{DoubleType, IntegerType, StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `.xlsx` workbooks as a first-class DataSource V2 table:
+  * {{{ spark.read.format("xlsx").load(dir) }}}
+  * yields the `(file, row, col, str, num)` cell grid that
+  * [[AsylumGrids.asylumFromCells]] (and any other consumer of decoded
+  * sheets) operates on — the reference's workbook ingest
+  * (`/root/reference/scripts/parse_excel_files.py:16-27`, xlrd) as a
+  * declarative scan instead of a helper method.
+  *
+  * Same decoder, better engine integration than [[Xlsx.cellGrid]]:
+  *   - one [[InputPartition]] PER WORKBOOK — a 10,000-file drop plans
+  *     10,000 independent tasks with no driver-side decode;
+  *   - column pruning pushes into the scan
+  *     ([[SupportsPushDownRequiredColumns]]): `select(count(num))` never
+  *     allocates the string cells;
+  *   - the Hadoop conf travels to executors via Writable serialization,
+  *     so any configured filesystem (file://, hdfs://, s3a://) resolves
+  *     on the task side exactly as the driver saw it.
+  *
+  * The decode itself stays [[Xlsx.decodeFirstSheet]] — zip + two StAX
+  * passes over public-spec OOXML parts, no external library.
+  */
+final class XlsxDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "xlsx"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    XlsxDataSource.schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table = {
+    val path = properties.get("path")
+    require(path != null && path.nonEmpty, "xlsx source requires a load(path)")
+    new XlsxTable(path)
+  }
+}
+
+object XlsxDataSource {
+  /** Fixed cell-grid schema: exactly one of (str, num) is set per cell,
+    * mirroring the xlrd float-vs-text dichotomy the reference keys on.
+    */
+  val schema: StructType = StructType(Seq(
+    StructField("file", StringType, nullable = false),
+    StructField("row", IntegerType, nullable = false),
+    StructField("col", IntegerType, nullable = false),
+    StructField("str", StringType, nullable = true),
+    StructField("num", DoubleType, nullable = true)))
+}
+
+private final class XlsxTable(path: String) extends Table with SupportsRead {
+  override def name(): String = s"xlsx:$path"
+  override def schema(): StructType = XlsxDataSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new XlsxScanBuilder(path)
+}
+
+private final class XlsxScanBuilder(path: String)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = XlsxDataSource.schema
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = new XlsxScan(path, required)
+}
+
+private final class XlsxScan(path: String, required: StructType) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+
+  /** Driver-side: LIST the workbooks (names only — no decode). A
+    * directory lists `*.xlsx` inside it; anything else is treated as a
+    * file or glob, matching `spark.read` path conventions.
+    */
+  override def planInputPartitions(): Array[InputPartition] = {
+    val conf = SparkSession.active.sessionState.newHadoopConf()
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    val pattern = if (fs.isDirectory(p)) new Path(p, "*.xlsx") else p
+    val statuses = Option(fs.globStatus(pattern)).getOrElse(Array.empty)
+    require(statuses.nonEmpty, s"no workbooks match $pattern")
+    val serConf = new XlsxSerializableConf(conf)
+    statuses.filter(_.isFile).sortBy(_.getPath.toString)
+      .map(st => XlsxInputPartition(st.getPath.toString, serConf): InputPartition)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new XlsxReaderFactory(required)
+}
+
+/** One workbook = one partition = one task. */
+private final case class XlsxInputPartition(file: String, conf: XlsxSerializableConf)
+  extends InputPartition
+
+private final class XlsxReaderFactory(required: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[XlsxInputPartition]
+    new XlsxPartitionReader(p.file, p.conf.value, required)
+  }
+}
+
+/** Executor-side: pull the workbook bytes through the (deserialized)
+  * Hadoop conf, decode once lazily on first `next()`, then iterate cells
+  * projected to the pruned schema.
+  */
+private final class XlsxPartitionReader(file: String, conf: Configuration,
+                                        required: StructType)
+    extends PartitionReader[InternalRow] {
+  private var cells: Iterator[Xlsx.Cell] = _
+  private var current: Xlsx.Cell = _
+  private val fileUtf8 = UTF8String.fromString(file)
+
+  override def next(): Boolean = {
+    if (cells == null) {
+      val path = new Path(file)
+      val fs = path.getFileSystem(conf)
+      val in = fs.open(path)
+      val bytes = try in.readAllBytes() finally in.close()
+      cells = Xlsx.decodeFirstSheet(bytes).iterator
+    }
+    if (cells.hasNext) { current = cells.next(); true } else false
+  }
+
+  override def get(): InternalRow = {
+    val values = new Array[Any](required.length)
+    var i = 0
+    while (i < required.length) {
+      values(i) = required.fields(i).name match {
+        case "file" => fileUtf8
+        case "row" => current.row
+        case "col" => current.col
+        case "str" => if (current.str == null) null else UTF8String.fromString(current.str)
+        case "num" => current.num.map(Double.box).orNull
+        case other => throw new IllegalArgumentException(s"unknown column $other")
+      }
+      i += 1
+    }
+    new GenericInternalRow(values)
+  }
+
+  override def close(): Unit = { cells = null }
+}
+
+/** Hadoop `Configuration` is not `java.io.Serializable`; ship it to tasks
+  * via its own Writable representation (the standard wrapper pattern —
+  * Spark's internal equivalent is `private[spark]`).
+  */
+private final class XlsxSerializableConf(@transient private var conf: Configuration)
+    extends Serializable {
+  def value: Configuration = conf
+
+  @throws(classOf[IOException])
+  private def writeObject(out: ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    conf.write(out)
+  }
+
+  @throws(classOf[IOException])
+  private def readObject(in: ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    conf = new Configuration(false)
+    conf.readFields(in)
+  }
+}

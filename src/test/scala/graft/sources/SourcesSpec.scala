@@ -2,6 +2,7 @@ package graft.sources
 
 import graft.SparkSpec
 import java.nio.file.Files
+import org.apache.spark.sql.functions.{element_at, regexp_replace, split, typedLit}
 
 /** Engine-side pre-ETL sources: the SAS-label text parse (fully native —
   * the fixture reproduces the documented line shapes of
@@ -209,5 +210,52 @@ class SourcesSpec extends SparkSpec {
       ("China", 2018, None, None, None),
       ("El Salvador", 2017, Some(900), None, None),
       ("El Salvador", 2018, Some(800), Some(250), None)))
+  }
+
+  test("DSv2 xlsx source: short-name format, per-file partitions, column pruning") {
+    val dir = Files.createTempDirectory("graft-xlsx-dsv2-").toString
+    val book = xlsxBytes(Seq(
+      (0, 0, "Header"), (1, 0, "alpha"), (1, 1, 10.5), (2, 1, 20.0)))
+    val book2 = xlsxBytes(Seq((0, 0, "beta"), (0, 1, 7.0)))
+    Files.write(java.nio.file.Paths.get(dir, "a.xlsx"), book)
+    Files.write(java.nio.file.Paths.get(dir, "b.xlsx"), book2)
+
+    // registered short name resolves through META-INF/services
+    val df = spark.read.format("xlsx").load(dir)
+    assert(df.columns.toSeq == Seq("file", "row", "col", "str", "num"))
+    // one input partition per workbook
+    assert(df.rdd.getNumPartitions == 2)
+
+    val cells = df.select("file", "row", "col", "str", "num")
+      .as[(String, Int, Int, Option[String], Option[Double])]
+      .collect().toSeq
+      .map { case (f, r, c, s, n) => (f.split('/').last, r, c, s, n) }
+      .sortBy(t => (t._1, t._2, t._3))
+    assert(cells == Seq(
+      ("a.xlsx", 0, 0, Some("Header"), None),
+      ("a.xlsx", 1, 0, Some("alpha"), None),
+      ("a.xlsx", 1, 1, None, Some(10.5)),
+      ("a.xlsx", 2, 1, None, Some(20.0)),
+      ("b.xlsx", 0, 0, Some("beta"), None),
+      ("b.xlsx", 0, 1, None, Some(7.0))))
+
+    // column pruning pushes into the scan: the BatchScan's read schema
+    // carries only the selected column
+    val pruned = df.select("num")
+    val scanLine = pruned.queryExecution.executedPlan.toString.linesIterator
+      .find(_.contains("BatchScan")).getOrElse("")
+    assert(scanLine.contains("num") && !scanLine.contains("str"),
+      s"scan did not prune columns: $scanLine")
+    assert(pruned.as[Option[Double]].collect().flatten.sorted.toSeq ==
+      Seq(7.0, 10.5, 20.0))
+
+    // the DSv2 grid feeds the same relational half as Xlsx.cellGrid
+    val sheetOrder = Map("a" -> 0, "b" -> 1)
+    val grid = df
+      .withColumn("sheet",
+        element_at(typedLit(sheetOrder),
+          regexp_replace(element_at(split($"file", "/"), -1), "\\.xlsx$", "")))
+      .select($"sheet", $"row", $"col", $"str", $"num")
+    assert(grid.where($"sheet" === 0).count() == 4)
   }
 }
