@@ -647,6 +647,39 @@ object ScaleQueries extends QueryPack {
         .orderBy("grp")
     }),
 
+    // Misra-Gries heavy-hitter sketch ([[graft.functions.MisraGries]], a
+    // native TypedImperativeAggregate) with its guarantees proven in the
+    // gate: k=128 counters over the 150-user event stream, so the
+    // compress path genuinely fires (the buffer overflows) while the
+    // deterministic bounds hold for ANY merge order: est ≤ exact,
+    // est ≥ exact − n/(k+1), and every key heavier than n/(k+1) is
+    // guaranteed tracked. Only the O(k) summary crosses the merge tree —
+    // the sketch the 100-TB "top talkers" pass ships instead of a full
+    // groupBy when cardinality explodes.
+    "agg_misra_gries" -> ((s, d) => {
+      import org.apache.spark.sql.GraftSqlBridge.{toColumn, toExpression}
+      val kCounters = 128
+      val ev = Tables.events(s, d)
+      val mgCol = toColumn(graft.functions.MisraGries(
+        toExpression(col("user_id").cast("string")), kCounters).toAggregateExpression())
+      val entries = ev.agg(mgCol.as("mg"))
+        .select(explode(col("mg")).as("e"))
+        .select(col("e.key").as("key"), col("e.est").as("est"))
+      val exact = ev.groupBy(col("user_id").cast("string").as("key"))
+        .agg(count(lit(1)).as("exact_n"))
+      val tot = ev.agg(count(lit(1)).as("total_n"))
+      exact.join(broadcast(entries), Seq("key"), "left")
+        .crossJoin(broadcast(tot))
+        .select(col("key").cast("long").as("user_id"), col("exact_n"),
+          (coalesce(col("est"), lit(0L)) <= col("exact_n") &&
+            coalesce(col("est"), lit(0L)) >=
+              col("exact_n") - (col("total_n") / (kCounters + 1)).cast("long") - 1L)
+            .as("within_bound"),
+          (col("exact_n") <= (col("total_n") / (kCounters + 1)).cast("long") ||
+            coalesce(col("est"), lit(0L)) > 0L).as("tracked_if_heavy"))
+        .orderBy("user_id")
+    }),
+
     // Int8 scalar quantization of the embedding corpus — the standard
     // 4× memory compression before ANN serving. Per vector: symmetric
     // scale = max|v|/127, quantize, and emit (a) the integer checksum of
@@ -1210,6 +1243,11 @@ object ScaleQueries extends QueryPack {
 
     "agg_count_min" ->
       """SELECT event_type, COUNT(*) AS exact_n, true AS within_bound
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "agg_misra_gries" ->
+      """SELECT user_id, COUNT(*) AS exact_n,
+        |  true AS within_bound, true AS tracked_if_heavy
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "agg_hll_union" ->
