@@ -10,8 +10,8 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
-import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, StringEndsWith}
 import org.apache.spark.sql.types.{DoubleType, IntegerType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -73,22 +73,77 @@ private final class XlsxTable(path: String) extends Table with SupportsRead {
 }
 
 private final class XlsxScanBuilder(path: String)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
   private var required: StructType = XlsxDataSource.schema
+  private var pushed: Array[Filter] = Array.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new XlsxScan(path, required)
+  /** Accept `file` equality/membership/suffix filters (they prune WHOLE
+    * workbook partitions at planning time — the decode never runs) and
+    * `row`/`col` comparisons (applied per cell inside the reader, before
+    * row materialization). Everything accepted is also kept as a residual
+    * upstairs (we return the full set), so Spark double-checks — the
+    * pushdown is a pruning optimization, never a correctness dependency.
+    */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(XlsxFilters.supported)
+    filters
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = new XlsxScan(path, required, pushed)
 }
 
-private final class XlsxScan(path: String, required: StructType) extends Scan with Batch {
+/** The simple-predicate subset the xlsx scan understands. */
+private object XlsxFilters {
+  def supported(f: Filter): Boolean = f match {
+    case EqualTo("file", _: String) => true
+    case In("file", vs) => vs.forall(_.isInstanceOf[String])
+    case StringEndsWith("file", _) => true
+    case EqualTo(a, _) if a == "row" || a == "col" => true
+    case GreaterThan(a, _) if a == "row" || a == "col" => true
+    case GreaterThanOrEqual(a, _) if a == "row" || a == "col" => true
+    case LessThan(a, _) if a == "row" || a == "col" => true
+    case LessThanOrEqual(a, _) if a == "row" || a == "col" => true
+    case _ => false
+  }
+
+  /** Does workbook `file` survive the file-level predicates? */
+  def keepFile(file: String, filters: Array[Filter]): Boolean = filters.forall {
+    case EqualTo("file", v: String) => file == v
+    case In("file", vs) => vs.contains(file)
+    case StringEndsWith("file", suffix) => file.endsWith(suffix)
+    case _ => true // row/col filters don't constrain the file list
+  }
+
+  /** Does a decoded cell survive the row/col predicates? */
+  def keepCell(c: Xlsx.Cell, filters: Array[Filter]): Boolean = filters.forall {
+    case EqualTo("row", v: Int) => c.row == v
+    case GreaterThan("row", v: Int) => c.row > v
+    case GreaterThanOrEqual("row", v: Int) => c.row >= v
+    case LessThan("row", v: Int) => c.row < v
+    case LessThanOrEqual("row", v: Int) => c.row <= v
+    case EqualTo("col", v: Int) => c.col == v
+    case GreaterThan("col", v: Int) => c.col > v
+    case GreaterThanOrEqual("col", v: Int) => c.col >= v
+    case LessThan("col", v: Int) => c.col < v
+    case LessThanOrEqual("col", v: Int) => c.col <= v
+    case _ => true
+  }
+}
+
+private final class XlsxScan(path: String, required: StructType,
+                             filters: Array[Filter]) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
-  /** Driver-side: LIST the workbooks (names only — no decode). A
-    * directory lists `*.xlsx` inside it; anything else is treated as a
-    * file or glob, matching `spark.read` path conventions.
+  /** Driver-side: LIST the workbooks (names only — no decode), then drop
+    * every partition the pushed `file` predicates rule out. A directory
+    * lists `*.xlsx` inside it; anything else is treated as a file or
+    * glob, matching `spark.read` path conventions.
     */
   override def planInputPartitions(): Array[InputPartition] = {
     val conf = SparkSession.active.sessionState.newHadoopConf()
@@ -99,22 +154,26 @@ private final class XlsxScan(path: String, required: StructType) extends Scan wi
     require(statuses.nonEmpty, s"no workbooks match $pattern")
     val serConf = new XlsxSerializableConf(conf)
     statuses.filter(_.isFile).sortBy(_.getPath.toString)
+      .filter(st => XlsxFilters.keepFile(st.getPath.toString, filters))
       .map(st => XlsxInputPartition(st.getPath.toString, serConf): InputPartition)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new XlsxReaderFactory(required)
+    new XlsxReaderFactory(required, filters)
+
+  override def description(): String =
+    s"xlsx $path, PushedFilters: ${filters.mkString("[", ", ", "]")}"
 }
 
 /** One workbook = one partition = one task. */
 private final case class XlsxInputPartition(file: String, conf: XlsxSerializableConf)
   extends InputPartition
 
-private final class XlsxReaderFactory(required: StructType)
+private final class XlsxReaderFactory(required: StructType, filters: Array[Filter])
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[XlsxInputPartition]
-    new XlsxPartitionReader(p.file, p.conf.value, required)
+    new XlsxPartitionReader(p.file, p.conf.value, required, filters)
   }
 }
 
@@ -123,7 +182,7 @@ private final class XlsxReaderFactory(required: StructType)
   * projected to the pruned schema.
   */
 private final class XlsxPartitionReader(file: String, conf: Configuration,
-                                        required: StructType)
+                                        required: StructType, filters: Array[Filter])
     extends PartitionReader[InternalRow] {
   private var cells: Iterator[Xlsx.Cell] = _
   private var current: Xlsx.Cell = _
@@ -136,6 +195,7 @@ private final class XlsxPartitionReader(file: String, conf: Configuration,
       val in = fs.open(path)
       val bytes = try in.readAllBytes() finally in.close()
       cells = Xlsx.decodeFirstSheet(bytes).iterator
+        .filter(XlsxFilters.keepCell(_, filters))
     }
     if (cells.hasNext) { current = cells.next(); true } else false
   }

@@ -257,5 +257,21 @@ class SourcesSpec extends SparkSpec {
           regexp_replace(element_at(split($"file", "/"), -1), "\\.xlsx$", "")))
       .select($"sheet", $"row", $"col", $"str", $"num")
     assert(grid.where($"sheet" === 0).count() == 4)
+
+    // ---- filter pushdown ----
+    // a `file` suffix predicate prunes whole workbook PARTITIONS at
+    // planning time: only b.xlsx's task is scheduled
+    val oneBook = df.where($"file".endsWith("b.xlsx"))
+    assert(oneBook.rdd.getNumPartitions == 1, "file filter did not prune partitions")
+    assert(oneBook.count() == 2)
+    // row/col predicates reach the scan (PushedFilters in the plan) and
+    // still return exact results (Spark re-applies them as residuals)
+    val rowFiltered = df.where($"row" >= 1 && $"col" === 1)
+    val planStr = rowFiltered.queryExecution.executedPlan.toString
+    assert(planStr.contains("PushedFilters") &&
+      (planStr.contains("GreaterThanOrEqual(row") || planStr.contains("row")),
+      s"row/col filters not pushed:\n$planStr")
+    assert(rowFiltered.select("num").as[Option[Double]].collect().flatten.sorted.toSeq ==
+      Seq(10.5, 20.0))
   }
 }
