@@ -668,6 +668,43 @@ object StatsQueries extends QueryPack {
           count(lit(1)).as("n_events"))
         .orderBy("event_type", "bucket6h")),
 
+    // Distribution-drift screening: two-sample Kolmogorov-Smirnov
+    // distance of each source's doc-length distribution against the rest
+    // of the corpus, in EXACT integers — the per-ingest-source monitor a
+    // training-data pipeline runs before a new crawl slice is admitted.
+    // D = max_v |F_src(v) − F_rest(v)| is computed cross-multiplied
+    // (|cum_src·n_rest − cum_rest·n_src|, bigint-exact, no float CDFs);
+    // sources screening at D ≥ 0.2 flag as drifted (5 of 20 fire on the
+    // fixtures, so both outcomes are exercised). Shapes: the evaluation
+    // grid is sources × distinct values (small — at 100 TB you'd bucket
+    // values first), per-source CDFs are partitioned running sums, and
+    // the corpus-wide CDF falls out of summing the grid's per-source
+    // cumulatives — no unpartitioned window anywhere.
+    "stats_ks_test" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("source"), col("n_chars"))
+      val grid = docs.select("source").distinct()
+        .crossJoin(docs.select("n_chars").distinct())
+      val cnts = docs.groupBy("source", "n_chars").agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy("source").orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = grid.join(cnts, Seq("source", "n_chars"), "left")
+        .withColumn("cum_src", sum(coalesce(col("cnt"), lit(0L))).over(w))
+      val cumAll = cum.groupBy("n_chars").agg(sum("cum_src").as("cum_all"))
+      val nSrc = docs.groupBy("source").agg(count(lit(1)).as("n_src"))
+      val tot = docs.agg(count(lit(1)).as("n_all"))
+      cum.join(cumAll, "n_chars")
+        .join(broadcast(nSrc), "source")
+        .crossJoin(broadcast(tot))
+        .select(col("source"), col("n_src"), (col("n_all") - col("n_src")).as("n_rest"),
+          abs(col("cum_src") * (col("n_all") - col("n_src"))
+            - (col("cum_all") - col("cum_src")) * col("n_src")).as("dev"))
+        .groupBy("source", "n_src", "n_rest")
+        .agg(max("dev").as("ks_num"))
+        .withColumn("ks_milli", expr("ks_num * 1000 div (n_src * n_rest)"))
+        .withColumn("drifted", col("ks_milli") >= 200)
+        .orderBy("source")
+    }),
+
     // Robust outlier detection via MAD (median absolute deviation): the
     // 3-sigma test's heavy-tail-proof sibling. Exact integer medians via
     // the pre-aggregated weighted-median operator (weight 1), reused for
@@ -1099,6 +1136,30 @@ object StatsQueries extends QueryPack {
         |  arg_max(v_cents, ord) AS close_cents,
         |  COUNT(*) AS n_events
         |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "stats_ks_test" ->
+      """WITH d AS (SELECT source, n_chars FROM documents),
+        |grid AS (SELECT source, n_chars
+        |  FROM (SELECT DISTINCT source FROM d), (SELECT DISTINCT n_chars FROM d)),
+        |cnt AS (SELECT source, n_chars, COUNT(*) AS c FROM d GROUP BY 1, 2),
+        |cum AS (SELECT g.source, g.n_chars,
+        |    SUM(COALESCE(cnt.c, 0)) OVER (PARTITION BY g.source ORDER BY g.n_chars)
+        |      AS cum_src
+        |  FROM grid g LEFT JOIN cnt USING (source, n_chars)),
+        |call AS (SELECT n_chars, SUM(cum_src) AS cum_all FROM cum GROUP BY 1),
+        |ns AS (SELECT source, COUNT(*) AS n_src FROM d GROUP BY 1),
+        |tot AS (SELECT COUNT(*) AS n_all FROM d),
+        |ks AS (
+        |  SELECT cum.source, ANY_VALUE(n_src) AS n_src,
+        |    ANY_VALUE(n_all - n_src) AS n_rest,
+        |    MAX(ABS(cum_src * (n_all - n_src) - (cum_all - cum_src) * n_src)) AS ks_num
+        |  FROM cum JOIN call USING (n_chars) JOIN ns USING (source) CROSS JOIN tot
+        |  GROUP BY 1)
+        |SELECT source, CAST(n_src AS BIGINT) AS n_src, CAST(n_rest AS BIGINT) AS n_rest,
+        |  CAST(ks_num AS BIGINT) AS ks_num,
+        |  CAST(ks_num * 1000 // (n_src * n_rest) AS BIGINT) AS ks_milli,
+        |  ks_num * 1000 // (n_src * n_rest) >= 200 AS drifted
+        |FROM ks ORDER BY source""".stripMargin,
+
     "stats_mad_outliers" ->
       """WITH ev AS (SELECT event_type, event_id,
         |    CAST(round(value*100) AS BIGINT) AS v FROM events),
