@@ -1,0 +1,191 @@
+package graft.sources
+
+import java.io.{BufferedReader, InputStreamReader}
+import java.nio.charset.StandardCharsets
+import java.util
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl}
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Deterministic micro-batch REPLAY of a line-oriented log:
+  * {{{
+  *   spark.readStream.format("replay-lines")
+  *     .option("maxLinesPerBatch", 100).load(path)
+  * }}}
+  * yields `(offset BIGINT, value STRING)` — each line exactly once, in
+  * file order, at most `maxLinesPerBatch` per micro-batch. Compose
+  * `from_json` downstream for typed events: this is the standard
+  * backfill/replay entry of a streaming pipeline (re-run yesterday's
+  * event log through the SAME streaming query that serves live traffic)
+  * and the missing read-side quadrant next to the engine's DSv2 batch
+  * source, stateful operators, and exactly-once sinks.
+  *
+  * Offsets are LINE COUNTS — checkpointable, restart-safe (a resumed
+  * query continues from the committed line, proven in `StreamingSpec`),
+  * and growth-aware: `latestOffset` re-counts the file each poll, so
+  * lines appended between triggers stream like a `tail -f`.
+  *
+  * Scale notes, honestly: one partition per batch (a replay is
+  * throughput-bound on the consumer, and per-batch order is the
+  * contract), and the reader line-skips to the batch start rather than
+  * byte-seeking — the production upgrade is a block index (byte offset
+  * every N lines) exactly like the one a 100-TB log store keeps per
+  * object; the offset CONTRACT (stable line numbers) doesn't change.
+  */
+final class ReplayLinesSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "replay-lines"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    ReplayLinesSource.schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table = {
+    val path = properties.get("path")
+    require(path != null && path.nonEmpty, "replay-lines requires a load(path)")
+    val maxLines = Option(properties.get("maxLinesPerBatch")).map(_.toLong).getOrElse(1000L)
+    require(maxLines > 0, s"maxLinesPerBatch must be positive, got $maxLines")
+    new ReplayLinesTable(path, maxLines)
+  }
+}
+
+object ReplayLinesSource {
+  val schema: StructType = StructType(Seq(
+    StructField("offset", LongType, nullable = false),
+    StructField("value", StringType, nullable = false)))
+
+  /** Count '\n'-separated lines (trailing partial line counts). */
+  private[sources] def countLines(path: String): Long = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(SparkSession.active.sessionState.newHadoopConf())
+    if (!fs.exists(p)) 0L
+    else {
+      val in = new BufferedReader(
+        new InputStreamReader(fs.open(p), StandardCharsets.UTF_8))
+      try Iterator.continually(in.readLine()).takeWhile(_ != null).size.toLong
+      finally in.close()
+    }
+  }
+}
+
+private final class ReplayLinesTable(path: String, maxLines: Long)
+    extends Table with SupportsRead {
+  override def name(): String = s"replay-lines:$path"
+  override def schema(): StructType = ReplayLinesSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan {
+        override def readSchema(): StructType = ReplayLinesSource.schema
+        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+          new ReplayMicroBatchStream(path, maxLines)
+      }
+    }
+}
+
+/** Line-count offset; serialized as the bare number. */
+private final case class ReplayOffset(line: Long) extends Offset {
+  override def json(): String = line.toString
+}
+
+private final class ReplayMicroBatchStream(path: String, maxLines: Long)
+    extends MicroBatchStream with SupportsAdmissionControl {
+
+  override def initialOffset(): Offset = ReplayOffset(0L)
+
+  override def deserializeOffset(json: String): Offset = ReplayOffset(json.toLong)
+
+  /** Admission control (the stateless two-arg contract — restart-correct
+    * because the engine hands back the checkpointed start): advance by at
+    * most `maxLines` past the committed position. The file is re-counted
+    * every poll, so lines appended between triggers keep streaming.
+    */
+  override def latestOffset(startOffset: Offset, limit: ReadLimit): Offset = {
+    val start = startOffset.asInstanceOf[ReplayOffset].line
+    val cap = limit match {
+      case r: ReadMaxRows => math.min(r.maxRows(), maxLines)
+      case _ => maxLines
+    }
+    val available = ReplayLinesSource.countLines(path)
+    ReplayOffset(math.max(math.min(start + cap, available), start))
+  }
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(maxLines)
+
+  override def reportLatestOffset(): Offset =
+    ReplayOffset(ReplayLinesSource.countLines(path))
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "replay-lines implements SupportsAdmissionControl; the engine calls latestOffset(start, limit)")
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[ReplayOffset].line
+    val e = end.asInstanceOf[ReplayOffset].line
+    if (e <= s) Array.empty
+    else {
+      val conf = SparkSession.active.sessionState.newHadoopConf()
+      Array(ReplayInputPartition(path, s, e, new SerializableHadoopConf(conf)))
+    }
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+        val p = partition.asInstanceOf[ReplayInputPartition]
+        new ReplayPartitionReader(p)
+      }
+    }
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+private final case class ReplayInputPartition(path: String, start: Long, end: Long,
+                                              conf: SerializableHadoopConf)
+  extends InputPartition
+
+private final class ReplayPartitionReader(p: ReplayInputPartition)
+    extends PartitionReader[InternalRow] {
+  private var reader: BufferedReader = _
+  private var lineNo = p.start
+  private var current: String = _
+
+  override def next(): Boolean = {
+    if (reader == null) {
+      val path = new Path(p.path)
+      val fs = path.getFileSystem(p.conf.value)
+      reader = new BufferedReader(
+        new InputStreamReader(fs.open(path), StandardCharsets.UTF_8))
+      var skip = 0L
+      while (skip < p.start && reader.readLine() != null) skip += 1
+    }
+    if (lineNo >= p.end) false
+    else {
+      current = reader.readLine()
+      current != null
+    }
+  }
+
+  override def get(): InternalRow = {
+    val row = new GenericInternalRow(
+      Array[Any](lineNo, UTF8String.fromString(current)))
+    lineNo += 1
+    row
+  }
+
+  override def close(): Unit = {
+    if (reader != null) reader.close()
+    reader = null
+  }
+}

@@ -152,7 +152,7 @@ private final class XlsxScan(path: String, required: StructType,
     val pattern = if (fs.isDirectory(p)) new Path(p, "*.xlsx") else p
     val statuses = Option(fs.globStatus(pattern)).getOrElse(Array.empty)
     require(statuses.nonEmpty, s"no workbooks match $pattern")
-    val serConf = new XlsxSerializableConf(conf)
+    val serConf = new SerializableHadoopConf(conf)
     statuses.filter(_.isFile).sortBy(_.getPath.toString)
       .filter(st => XlsxFilters.keepFile(st.getPath.toString, filters))
       .map(st => XlsxInputPartition(st.getPath.toString, serConf): InputPartition)
@@ -166,7 +166,7 @@ private final class XlsxScan(path: String, required: StructType,
 }
 
 /** One workbook = one partition = one task. */
-private final case class XlsxInputPartition(file: String, conf: XlsxSerializableConf)
+private final case class XlsxInputPartition(file: String, conf: SerializableHadoopConf)
   extends InputPartition
 
 private final class XlsxReaderFactory(required: StructType, filters: Array[Filter])
@@ -222,10 +222,11 @@ private final class XlsxPartitionReader(file: String, conf: Configuration,
 
 /** Hadoop `Configuration` is not `java.io.Serializable`; ship it to tasks
   * via its own Writable representation (the standard wrapper pattern —
-  * Spark's internal equivalent is `private[spark]`).
+  * Spark's internal equivalent is `private[spark]`). Shared by every
+  * graft DSv2 source that opens files on executors.
   */
-private final class XlsxSerializableConf(@transient private var conf: Configuration)
-    extends Serializable {
+private[sources] final class SerializableHadoopConf(
+    @transient private var conf: Configuration) extends Serializable {
   def value: Configuration = conf
 
   @throws(classOf[IOException])
