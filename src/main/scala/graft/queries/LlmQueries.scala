@@ -831,11 +831,17 @@ object LlmQueries extends QueryPack {
     // table is Zipf-small and AQE broadcasts it back; no step is quadratic.
     "dedup_line_segments" -> ((s, d) => {
       val L = 3
-      val segs = Tables.documents(s, d)
-        .select(col("doc_id"), posexplode(expr(
-          s"""transform(sequence(0, CAST((size(split(text, ' ')) - 1) div $L AS INT)),
-             |  i -> concat_ws(' ', slice(split(text, ' '), i * $L + 1, $L)))""".stripMargin)))
-        .select(col("doc_id"), col("pos").cast("long").as("seg_idx"), col("col").as("seg"))
+      // materialized once: the frequency aggregate AND the join side both
+      // consume the exploded segment relation — scratch parquet beats
+      // re-running the explode per consumer (same discipline as the LSH
+      // band tables)
+      val segs = cached("line_segments", s, d) {
+        Tables.documents(s, d)
+          .select(col("doc_id"), posexplode(expr(
+            s"""transform(sequence(0, CAST((size(split(text, ' ')) - 1) div $L AS INT)),
+               |  i -> concat_ws(' ', slice(split(text, ' '), i * $L + 1, $L)))""".stripMargin)))
+          .select(col("doc_id"), col("pos").cast("long").as("seg_idx"), col("col").as("seg"))
+      }
       val freq = segs.groupBy("seg").agg(countDistinct("doc_id").as("df"))
       segs.join(freq, "seg")
         .groupBy("doc_id")

@@ -10,7 +10,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics}
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, StringEndsWith}
 import org.apache.spark.sql.types.{DoubleType, IntegerType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -136,9 +136,29 @@ private object XlsxFilters {
 }
 
 private final class XlsxScan(path: String, required: StructType,
-                             filters: Array[Filter]) extends Scan with Batch {
+                             filters: Array[Filter])
+    extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** Report the post-pruning byte size so Catalyst's join planning sees a
+    * real estimate (a pruned-to-one-workbook scan should broadcast). The
+    * compressed-zip size understates decoded width; workbook XML inflates
+    * roughly 5× and the estimate only needs the right order of magnitude.
+    */
+  override def estimateStatistics(): Statistics = {
+    val conf = SparkSession.active.sessionState.newHadoopConf()
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    val pattern = if (fs.isDirectory(p)) new Path(p, "*.xlsx") else p
+    val bytes = Option(fs.globStatus(pattern)).getOrElse(Array.empty)
+      .filter(st => st.isFile && XlsxFilters.keepFile(st.getPath.toString, filters))
+      .map(_.getLen).sum
+    new Statistics {
+      override def sizeInBytes(): util.OptionalLong = util.OptionalLong.of(bytes * 5)
+      override def numRows(): util.OptionalLong = util.OptionalLong.empty()
+    }
+  }
 
   /** Driver-side: LIST the workbooks (names only — no decode), then drop
     * every partition the pushed `file` predicates rule out. A directory

@@ -49,6 +49,23 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("Join") && p.contains("band"))
   }
 
+  test("line-segment dedup: frequency side joins back as an equi-join, no cartesian") {
+    val p = plan("dedup_line_segments")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"segment-frequency join degenerated:\n$p")
+    assert(p.contains("Join"), "missing the segments-to-frequency join")
+  }
+
+  test("KS drift screen: every window is partitioned by source") {
+    val p = plan("stats_ks_test")
+    // per-source CDFs partition their running sums; the corpus CDF comes
+    // from re-aggregating them — no unpartitioned (all-to-one) window
+    val windows = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(windows.nonEmpty)
+    assert(windows.forall(_.contains("source#")),
+      s"unpartitioned window in KS plan:\n${windows.mkString("\n")}")
+  }
+
   test("semantic-cluster dedup: broadcast centroid assignment, bucket equi-join pairs") {
     val p = plan("dedup_semantic_cluster")
     // the only cartesian is the broadcast against the constant-size centroid

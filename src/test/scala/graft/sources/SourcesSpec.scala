@@ -273,5 +273,11 @@ class SourcesSpec extends SparkSpec {
       s"row/col filters not pushed:\n$planStr")
     assert(rowFiltered.select("num").as[Option[Double]].collect().flatten.sorted.toSeq ==
       Seq(10.5, 20.0))
+
+    // reported statistics shrink with file pruning (broadcast planning input)
+    val fullSize = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val prunedSize = oneBook.queryExecution.optimizedPlan.stats.sizeInBytes
+    assert(prunedSize > 0 && prunedSize < fullSize,
+      s"pruned scan must report a smaller size: $prunedSize vs $fullSize")
   }
 }
