@@ -609,6 +609,66 @@ object StatsQueries extends QueryPack {
         .orderBy("user_id")
     }),
 
+    // Poisson bootstrap over the corpus-mean doc length: B=32 replicates
+    // where each doc's per-replicate multiplicity is drawn from Poisson(1)
+    // via the engine-portable hash (inverse-CDF on hash(doc:rep) % 1e6 —
+    // DETERMINISTIC, so the DuckDB oracle reproduces every replicate
+    // bit-for-bit; same discipline as the hash splits). The output table
+    // of replicate means IS the sampling distribution — its spread is the
+    // confidence interval a pipeline puts on any quality metric before/
+    // after a filter change. Scale: one explode ×B (map-side), one hash
+    // agg on the B-sized key — cost ∝ B·corpus, state ∝ B; the classic
+    // single-pass bootstrap for data too big to resample row-by-row.
+    "stats_bootstrap_ci" -> ((s, d) => {
+      val B = 32
+      val rep = Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars"),
+          explode(expr(s"sequence(0, ${B - 1})")).as("replicate"))
+      val u = graft.ops.TextOps.hash60(
+        concat_ws(":", col("doc_id"), col("replicate"))) % 1000000L
+      val w = when(u < 367879L, 0L).when(u < 735759L, 1L).when(u < 919699L, 2L)
+        .when(u < 981012L, 3L).when(u < 996340L, 4L).when(u < 999406L, 5L)
+        .otherwise(6L)
+      rep.withColumn("w", w)
+        .groupBy("replicate")
+        .agg(sum("w").as("n_eff"),
+          sum(col("w") * col("n_chars")).as("wsum"))
+        .select(col("replicate").cast("int").as("replicate"), col("n_eff"),
+          expr("CASE WHEN n_eff = 0 THEN NULL ELSE wsum * 1000 div n_eff END")
+            .as("mean_milli"))
+        .orderBy("replicate")
+    }),
+
+    // ORDERED 3-step funnel signup → view → purchase: each stage's
+    // earliest qualifying event must come at-or-after the PREVIOUS
+    // stage's event for that user (events_funnel's 2-step generalized to
+    // a sequence pattern). Three filtered min-aggregations chained by
+    // per-user equi-joins — each stage shrinks the key set, so the plan
+    // stays a sequence of shuffles on user_id with no windows and no
+    // sequence scan; at 100 TB each stage is a partial-aggregated hash
+    // agg over only that stage's event type.
+    "events_funnel3" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val s1 = e.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min(col("ts")).as("t1"))
+      val s2 = e.filter(col("event_type") === "view")
+        .join(s1, "user_id").filter(col("ts") >= col("t1"))
+        .groupBy("user_id").agg(min(col("t1")).as("t1"), min(col("ts")).as("t2"))
+      val s3 = e.filter(col("event_type") === "purchase")
+        .join(s2.select("user_id", "t2"), "user_id").filter(col("ts") >= col("t2"))
+        .groupBy("user_id").agg(min(col("ts")).as("t3"))
+      s1.join(s2.select("user_id", "t2"), Seq("user_id"), "left")
+        .join(s3, Seq("user_id"), "left")
+        .select(col("user_id"),
+          unix_micros(col("t1")).as("signup_us"),
+          unix_micros(col("t2")).as("view_us"),
+          unix_micros(col("t3")).as("purchase_us"),
+          col("t2").isNotNull.as("reached_view"),
+          col("t3").isNotNull.as("reached_purchase"),
+          expr("(unix_micros(t3) - unix_micros(t1)) div 1000000").as("secs_full_funnel"))
+        .orderBy("user_id")
+    }),
+
     // Correlated LATERAL subquery with LIMIT — the SQL-surface spelling
     // of top-N-per-group. Spark decorrelates it into the same
     // WindowGroupLimit + hash-join plan the DataFrame window form gets
@@ -1088,6 +1148,41 @@ object StatsQueries extends QueryPack {
         |  (epoch_us(pu.pu) - epoch_us(su.su)) // 1000000 AS secs_to_convert
         |FROM su LEFT JOIN pu ON su.user_id = pu.user_id
         |ORDER BY su.user_id""".stripMargin,
+    "stats_bootstrap_ci" ->
+      """WITH rep AS (
+        |  SELECT doc_id, n_chars, r AS replicate
+        |  FROM documents, UNNEST(range(0, 32)) AS t(r)),
+        |u AS (SELECT replicate, n_chars,
+        |    ('0x' || substr(md5(doc_id || ':' || replicate), 1, 15))::BIGINT % 1000000 AS u
+        |  FROM rep),
+        |w AS (SELECT replicate, n_chars,
+        |    CASE WHEN u < 367879 THEN 0 WHEN u < 735759 THEN 1
+        |         WHEN u < 919699 THEN 2 WHEN u < 981012 THEN 3
+        |         WHEN u < 996340 THEN 4 WHEN u < 999406 THEN 5 ELSE 6 END AS w
+        |  FROM u)
+        |SELECT CAST(replicate AS INT) AS replicate, CAST(SUM(w) AS BIGINT) AS n_eff,
+        |  CASE WHEN SUM(w) = 0 THEN NULL
+        |       ELSE CAST(SUM(w * n_chars) * 1000 // SUM(w) AS BIGINT) END AS mean_milli
+        |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
+    "events_funnel3" ->
+      """WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, MIN(s1.t1) AS t1, MIN(e.ts) AS t2
+        |  FROM events e JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'view' AND e.ts >= s1.t1 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, MIN(e.ts) AS t3
+        |  FROM events e JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts >= s2.t2 GROUP BY 1)
+        |SELECT s1.user_id,
+        |  epoch_us(s1.t1) AS signup_us,
+        |  epoch_us(s2.t2) AS view_us,
+        |  epoch_us(s3.t3) AS purchase_us,
+        |  s2.user_id IS NOT NULL AS reached_view,
+        |  s3.user_id IS NOT NULL AS reached_purchase,
+        |  (epoch_us(s3.t3) - epoch_us(s1.t1)) // 1000000 AS secs_full_funnel
+        |FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+        |LEFT JOIN s3 ON s1.user_id = s3.user_id
+        |ORDER BY s1.user_id""".stripMargin,
     "join_lateral_topn" ->
       """SELECT c.c_custkey, t.o_orderkey, t.pc
         |FROM customer c,
