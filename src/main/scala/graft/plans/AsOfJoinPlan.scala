@@ -37,8 +37,10 @@ case class AsOfJoin(left: LogicalPlan, right: LogicalPlan,
                     leftTs: Expression, rightTs: Expression,
                     leftTie: Expression, rightTie: Expression,
                     forward: Boolean = false,
-                    tolerance: Option[Long] = None)
+                    tolerance: Option[Long] = None,
+                    nearest: Boolean = false)
     extends BinaryNode {
+  require(!(forward && nearest), "as-of direction is backward, forward, OR nearest")
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(l: LogicalPlan, r: LogicalPlan): AsOfJoin =
@@ -47,9 +49,9 @@ case class AsOfJoin(left: LogicalPlan, right: LogicalPlan,
 
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, rk, lts, rts, ltie, rtie, fwd, tol) =>
+    case AsOfJoin(l, r, lk, rk, lts, rts, ltie, rtie, fwd, tol, near) =>
       AsOfJoinExec(planLater(l), planLater(r), lk, rk, lts, rts, ltie, rtie,
-        fwd, tol) :: Nil
+        fwd, tol, near) :: Nil
     case _ => Nil
   }
 }
@@ -67,7 +69,8 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
                         leftTs: Expression, rightTs: Expression,
                         leftTie: Expression, rightTie: Expression,
                         forward: Boolean = false,
-                        tolerance: Option[Long] = None)
+                        tolerance: Option[Long] = None,
+                        nearest: Boolean = false)
     extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
@@ -172,10 +175,26 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
               if (rKeyV == lKeyV) { mRow = rRow; mKey = rKeyV; mTsV = rTsV }
               pullRight()
             }
-            val r = if (mRow != null && mKey == lKeyV && lTsV - mTsV <= tol) {
-              numMatched += 1; mRow
-            } else nullRight
-            project(joined(l, r))
+            if (nearest) {
+              // nearest = the closer of the backward best (mRow) and the
+              // first not-yet-consumed forward row (rRow); ties prefer
+              // backward. The forward row is NOT consumed, so later left
+              // rows can still match it — same invariant as forward mode.
+              val hasBack = mRow != null && mKey == lKeyV
+              val hasFwd = rHave && rKeyV == lKeyV
+              val r =
+                if (hasBack && (!hasFwd || lTsV - mTsV <= rTsV - lTsV)) {
+                  if (lTsV - mTsV <= tol) { numMatched += 1; mRow } else nullRight
+                } else if (hasFwd && rTsV - lTsV <= tol) {
+                  numMatched += 1; rRow
+                } else nullRight
+              project(joined(l, r))
+            } else {
+              val r = if (mRow != null && mKey == lKeyV && lTsV - mTsV <= tol) {
+                numMatched += 1; mRow
+              } else nullRight
+              project(joined(l, r))
+            }
           }
         }
       }
@@ -217,10 +236,25 @@ object AsOfJoinOps {
     join(left, right, leftKey, leftTs, leftTie, rightKey, rightTs, rightTie,
       forward = true, tolerance)
 
+  /** Nearest as-of left join: the same-key right row minimizing the
+    * absolute time distance, in EITHER direction; equidistant candidates
+    * resolve backward (then by the tie column, matching each direction's
+    * own contract). `tolerance` bounds the distance. Still one merge pass
+    * with O(1) state: the backward best plus the single buffered
+    * forward row are the only two candidates that can win.
+    */
+  def joinNearest(left: DataFrame, right: DataFrame,
+                  leftKey: String, leftTs: String, leftTie: String,
+                  rightKey: String, rightTs: String, rightTie: String,
+                  tolerance: Option[Long] = None): DataFrame =
+    join(left, right, leftKey, leftTs, leftTie, rightKey, rightTs, rightTie,
+      forward = false, tolerance, nearest = true)
+
   private def join(left: DataFrame, right: DataFrame,
                    leftKey: String, leftTs: String, leftTie: String,
                    rightKey: String, rightTs: String, rightTie: String,
-                   forward: Boolean, tolerance: Option[Long] = None): DataFrame = {
+                   forward: Boolean, tolerance: Option[Long] = None,
+                   nearest: Boolean = false): DataFrame = {
     val spark = left.sparkSession
     ensureStrategy(spark)
     val lp = left.queryExecution.analyzed
@@ -240,6 +274,6 @@ object AsOfJoinOps {
       checkType(attr(lp, leftKey)), checkType(attr(rp, rightKey)),
       checkType(attr(lp, leftTs)), checkType(attr(rp, rightTs)),
       checkType(attr(lp, leftTie)), checkType(attr(rp, rightTie)), forward,
-      tolerance))
+      tolerance, nearest))
   }
 }

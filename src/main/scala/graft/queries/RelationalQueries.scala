@@ -538,6 +538,28 @@ object RelationalQueries extends QueryPack {
         .orderBy("click_id")
     }),
 
+    // The custom operator's THIRD direction: nearest-in-either-direction
+    // as-of (the "closest sensor reading" contract). Still one merge pass
+    // with O(1) state — per left row the only candidates that can win are
+    // the backward best and the single buffered forward row; equidistant
+    // pairs resolve backward. The oracle ranks ALL candidate pairs per
+    // click by (distance, backward-first, direction-correct tie) and
+    // keeps rank 1, independently reproducing the operator's choice.
+    "join_asof_nearest_exec" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"), col("ts"))
+      val errors = e.filter(col("event_type") === "error")
+        .select(col("event_id").as("err_id"), col("user_id").as("err_user"),
+          col("ts").as("err_ts"))
+      graft.plans.AsOfJoinOps.joinNearest(clicks, errors,
+          leftKey = "user_id", leftTs = "ts", leftTie = "click_id",
+          rightKey = "err_user", rightTs = "err_ts", rightTie = "err_id")
+        .select(col("click_id"), col("user_id"),
+          col("err_id").as("nearest_error_id"))
+        .orderBy("click_id")
+    }),
+
     // Bucketed co-located join: both sides written bucketed by the join
     // key (bucketBy + saveAsTable), then joined WITHOUT a shuffle — the
     // executed plan has no Exchange above either scan. This is the
@@ -827,6 +849,26 @@ object RelationalQueries extends QueryPack {
     "scan_csv_corrupt" ->
       """SELECT CAST(3 AS BIGINT) AS n_good, CAST(1 AS BIGINT) AS n_corrupt,
         |  CAST(8 AS BIGINT) AS sum_good_ids""".stripMargin,
+    // nearest = rank every same-user (click, error) pair by absolute
+    // distance, backward side preferred on ties, and the direction's own
+    // tie-column order within a side (max id backward, min id forward)
+    "join_asof_nearest_exec" ->
+      """WITH clicks AS (SELECT event_id AS click_id, user_id, epoch_us(ts) AS c_us
+        |  FROM events WHERE event_type = 'click'),
+        |errs AS (SELECT event_id AS err_id, user_id, epoch_us(ts) AS e_us
+        |  FROM events WHERE event_type = 'error'),
+        |cand AS (
+        |  SELECT c.click_id, e.err_id,
+        |    row_number() OVER (PARTITION BY c.click_id ORDER BY
+        |      abs(c.c_us - e.e_us) ASC,
+        |      (e.e_us < c.c_us OR (e.e_us = c.c_us AND e.err_id <= c.click_id)) DESC,
+        |      CASE WHEN e.e_us < c.c_us OR (e.e_us = c.c_us AND e.err_id <= c.click_id)
+        |           THEN -e.err_id ELSE e.err_id END ASC) AS rn
+        |  FROM clicks c JOIN errs e USING (user_id))
+        |SELECT c.click_id, c.user_id, cand.err_id AS nearest_error_id
+        |FROM clicks c LEFT JOIN (SELECT click_id, err_id FROM cand WHERE rn = 1) cand
+        |  USING (click_id)
+        |ORDER BY c.click_id""".stripMargin,
     // forward = the same union-window trick scanned descending: at a
     // click row, the errors already seen in (ts DESC, id DESC) order are
     // exactly those at-or-after it, and last_value picks the nearest

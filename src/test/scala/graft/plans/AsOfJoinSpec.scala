@@ -58,6 +58,50 @@ class AsOfJoinSpec extends SparkSpec {
     assert(asof(Seq.empty, Seq((1L, 10L, 1L))) == Seq.empty)
   }
 
+  private def asofNearest(left: Seq[(Long, Long, Long)], right: Seq[(Long, Long, Long)],
+                          tol: Option[Long] = None) = {
+    val l = left.toDF("user_id", "ts_us", "click_id")
+    val r = right.toDF("err_user", "err_ts", "err_id")
+    AsOfJoinOps.joinNearest(l, r,
+        leftKey = "user_id", leftTs = "ts_us", leftTie = "click_id",
+        rightKey = "err_user", rightTs = "err_ts", rightTie = "err_id", tol)
+      .select(col("click_id"), col("err_id"))
+      .as[(Long, Option[Long])].collect().sortBy(_._1).toSeq
+  }
+
+  test("nearest as-of picks the closer side in either direction") {
+    val got = asofNearest(
+      left = Seq((1L, 100L, 10L), (1L, 200L, 11L), (2L, 150L, 12L)),
+      right = Seq((1L, 90L, 20L), (1L, 205L, 21L), (2L, 160L, 22L)))
+    // click 10: back dist 10 < fwd dist 105 → 20; click 11: fwd dist 5 →
+    // 21; click 12 (user 2): only a FORWARD row exists (backward-only
+    // mode returned null here) → 22
+    assert(got == Seq((10L, Some(20L)), (11L, Some(21L)), (12L, Some(22L))))
+  }
+
+  test("nearest: equidistant candidates resolve backward") {
+    val got = asofNearest(
+      left = Seq((1L, 100L, 10L)),
+      right = Seq((1L, 90L, 20L), (1L, 110L, 21L)))
+    assert(got == Seq((10L, Some(20L))))
+  }
+
+  test("nearest: tolerance bounds the absolute distance") {
+    val got = asofNearest(
+      left = Seq((1L, 100L, 10L), (1L, 300L, 11L)),
+      right = Seq((1L, 90L, 20L)),
+      tol = Some(50L))
+    // click 10: dist 10 ≤ 50 → 20; click 11: dist 210 > 50 → null
+    assert(got == Seq((10L, Some(20L)), (11L, None)))
+  }
+
+  test("nearest: successive left rows can share one forward candidate") {
+    val got = asofNearest(
+      left = Seq((1L, 100L, 10L), (1L, 101L, 11L), (1L, 102L, 12L)),
+      right = Seq((1L, 103L, 20L)))
+    assert(got == Seq((10L, Some(20L)), (11L, Some(20L)), (12L, Some(20L))))
+  }
+
   test("operator matches the window composition on the real events table") {
     val sf = "/root/testdata/sf0.001"
     val viaExec = graft.SparkEntry.queries("join_asof_exec")(spark, sf)
