@@ -97,6 +97,14 @@ object GraftFunctions {
         "word_shingles(tokens, n) - word n-gram shingles of an array<string>; n must be a literal"),
       (args: Seq[Expression]) => graft.functions.WordShinglesExpr(args(0),
         args(1).eval(null).asInstanceOf[Number].intValue)),
+    (FunctionIdentifier("misra_gries"),
+      info("misra_gries",
+        "misra_gries(key, k) - heavy-hitter summary with at most k counters; " +
+          "array<struct<key,est>> with est <= exact <= est + n/(k+1); k must be a literal"),
+      // an AggregateFunction IS an Expression: the analyzer wraps it in
+      // an AggregateExpression when it lands in an aggregation context
+      (args: Seq[Expression]) => graft.functions.MisraGries(args(0),
+        args(1).eval(null).asInstanceOf[Number].intValue)),
   )
 
   /** Idempotent per-session registration (overwrites any prior entry). */

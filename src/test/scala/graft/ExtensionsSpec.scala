@@ -40,6 +40,14 @@ class ExtensionsSpec extends SparkSpec {
     assert(r.getSeq[String](1).isEmpty)
   }
 
+  test("misra_gries is SQL-callable and exact when k covers the cardinality") {
+    val r = spark.sql(
+      "SELECT misra_gries(k, 8) AS mg FROM VALUES ('a'),('a'),('b'),('a'),('c') t(k)")
+      .selectExpr("inline(mg)")
+      .collect().map(row => (row.getString(0), row.getLong(1))).toMap
+    assert(r == Map("a" -> 3L, "b" -> 1L, "c" -> 1L))
+  }
+
   test("runtime register() works on a session built without the extensions config") {
     val bare = org.apache.spark.sql.SparkSession.builder()
       .master("local[1]").appName("graft-bare")

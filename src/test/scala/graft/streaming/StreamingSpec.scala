@@ -506,4 +506,39 @@ class StreamingSpec extends SparkSpec {
     assert(seen.sorted.toSeq == (0L until 32L).map(i => (i, i)),
       "every line exactly once, offset == line number == parsed payload")
   }
+
+  test("replay-lines composes with event-time watermarks and windowed aggregation") {
+    import java.nio.file.Files
+    import scala.jdk.CollectionConverters._
+    // an event log replayed through the SAME windowed aggregation a live
+    // stream would run: event-time tumbling 10-min counts with a watermark
+    val dir = Files.createTempDirectory("graft-replay-win-")
+    val log = dir.resolve("ev.jsonl")
+    val lines = Seq(
+      """{"ts":"2024-01-01 00:01:00","v":1}""",
+      """{"ts":"2024-01-01 00:04:00","v":2}""",
+      """{"ts":"2024-01-01 00:11:00","v":3}""",
+      """{"ts":"2024-01-01 00:25:00","v":4}""",
+      """{"ts":"2024-01-01 00:13:00","v":5}""") // out of order within replay
+    Files.write(log, lines.asJava)
+    val parsed = spark.readStream.format("replay-lines")
+      .option("maxLinesPerBatch", 2) // forces multi-batch accumulation
+      .load(log.toString)
+      .select(from_json(col("value"),
+        org.apache.spark.sql.types.StructType.fromDDL("ts TIMESTAMP, v LONG")).as("e"))
+      .select(col("e.ts").as("ts"), col("e.v").as("v"))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "10 minutes"))
+      .agg(count(lit(1)).as("n"), sum("v").as("sv"))
+      .select(col("window.start").cast("string").as("w"), col("n"), col("sv"))
+    val q = parsed.writeStream.outputMode("complete")
+      .format("memory").queryName("replay_win").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("replay_win").as[(String, Long, Long)]
+      .collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      ("2024-01-01 00:00:00", 2L, 3L),
+      ("2024-01-01 00:10:00", 2L, 8L),
+      ("2024-01-01 00:20:00", 1L, 4L)))
+  }
 }
