@@ -84,11 +84,15 @@ object ScaleExperiment {
     val snBound = 2L * nDocs // window of 2 successors per doc
 
     val times = Seq("dedup_minhash_capped", "dedup_sorted_neighborhood",
-      "dedup_incremental_pairs", "dedup_minhash_pairs").map { q =>
+      "dedup_incremental_pairs", "dedup_minhash_pairs", "dedup_line_segments").map { q =>
       val t0 = System.nanoTime()
       val n = SparkEntry.queries(q)(spark, dir).queryExecution.toRdd.count()
       if (q == "dedup_sorted_neighborhood")
         require(n <= snBound, s"[$tag] sorted-neighborhood emitted $n > 2*n_docs=$snBound")
+      if (q == "dedup_line_segments")
+        // one output row per doc at ANY scale: the line-dedup pipeline has
+        // no pairwise stage whose output could grow super-linearly
+        require(n == nDocs, s"[$tag] line-segment dedup emitted $n rows != n_docs=$nDocs")
       f""""$q":{"sec":${(System.nanoTime() - t0) / 1e9}%.2f,"rows":$n}"""
     }.mkString(",")
 
