@@ -4,6 +4,7 @@ import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, Da
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow}
 import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.catalyst.util.GenericArrayData
@@ -42,6 +43,14 @@ case class MisraGries(
 
   require(k >= 1, s"Misra-Gries needs at least one counter, got $k")
 
+  // analysis-time type check (the ExpectsInputTypes trait is private[sql],
+  // same note as VectorExpressions): a bigint child fails the analyzer
+  // with a clear message instead of a task-side ClassCastException
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"misra_gries key must be STRING (cast first), got ${child.dataType.simpleString}")
+
   override def createAggregationBuffer(): mutable.HashMap[String, Long] =
     mutable.HashMap.empty[String, Long]
 
@@ -76,11 +85,21 @@ case class MisraGries(
     * non-positive ones. Each compress removes ≥ (k+1)·c total weight while
     * reducing any single key's counter by exactly c — the charging argument
     * behind the n/(k+1) bound.
+    *
+    * The update path always compresses at size k+1, where the (k+1)-th
+    * largest IS the minimum — an O(k) scan, keeping update O(k) worst-case
+    * with no allocation-and-sort per new key on a high-cardinality stream.
+    * Only the merge path (size up to 2k, once per shuffled partial) pays
+    * the sort.
     */
   private def compress(buffer: mutable.HashMap[String, Long]): Unit = {
-    val counts = buffer.values.toArray
-    java.util.Arrays.sort(counts)
-    val c = counts(counts.length - 1 - k) // (k+1)-th largest
+    val c =
+      if (buffer.size == k + 1) buffer.values.min
+      else {
+        val counts = buffer.values.toArray
+        java.util.Arrays.sort(counts)
+        counts(counts.length - 1 - k) // (k+1)-th largest
+      }
     buffer.filterInPlace((_, v) => v > c)
     if (c > 0) buffer.mapValuesInPlace((_, v) => v - c)
   }

@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 
-import scala.collection.concurrent.TrieMap
+import java.util.concurrent.ConcurrentHashMap
 
 /** Write-once scratch-parquet materialization for subplans shared across
   * queries (LSH band tables, BM25 scores, derived partsupp, …).
@@ -34,8 +34,11 @@ object Scratch {
 
   // (session, sf-dir, kind) -> materialized parquet path. Keyed by session
   // so a restarted SparkSession rebuilds instead of trusting files written
-  // under a stopped session's configuration.
-  private val paths = TrieMap.empty[(SparkSession, String, String), String]
+  // under a stopped session's configuration. ConcurrentHashMap.computeIfAbsent
+  // runs the build EXACTLY ONCE per key even under concurrent first calls —
+  // TrieMap.getOrElseUpdate could evaluate it twice, racing two Overwrite
+  // writes into the same deterministic path mid-commit.
+  private val paths = new ConcurrentHashMap[(SparkSession, String, String), String]()
 
   /** Materialize `build` to scratch parquet once per (session, dir, kind)
     * and return a read-back scan. The write is eager on first call; every
@@ -43,7 +46,7 @@ object Scratch {
     * consumers see the identical plan shape.
     */
   def materialize(kind: String, s: SparkSession, d: String)(build: => DataFrame): DataFrame = {
-    val path = paths.getOrElseUpdate((s, d, kind), {
+    val path = paths.computeIfAbsent((s, d, kind), _ => {
       val p = s"$base/${kind}_${(d.hashCode & 0xffffff).toHexString}"
       build.write.mode(SaveMode.Overwrite).parquet(p)
       p

@@ -96,7 +96,7 @@ object GraftFunctions {
       info("word_shingles",
         "word_shingles(tokens, n) - word n-gram shingles of an array<string>; n must be a literal"),
       (args: Seq[Expression]) => graft.functions.WordShinglesExpr(args(0),
-        args(1).eval(null).asInstanceOf[Number].intValue)),
+        literalInt("word_shingles", "n", args(1)))),
     (FunctionIdentifier("misra_gries"),
       info("misra_gries",
         "misra_gries(key, k) - heavy-hitter summary with at most k counters; " +
@@ -104,8 +104,20 @@ object GraftFunctions {
       // an AggregateFunction IS an Expression: the analyzer wraps it in
       // an AggregateExpression when it lands in an aggregation context
       (args: Seq[Expression]) => graft.functions.MisraGries(args(0),
-        args(1).eval(null).asInstanceOf[Number].intValue)),
+        literalInt("misra_gries", "k", args(1)))),
   )
+
+  /** Analysis-time literal check: a non-foldable width/size argument gets
+    * a clear error instead of a null-eval internal crash.
+    */
+  private def literalInt(fn: String, arg: String, e: Expression): Int = {
+    require(e.foldable, s"$fn(..., $arg): $arg must be a literal integer, got ${e.sql}")
+    e.eval(null) match {
+      case n: Number => n.intValue
+      case other => throw new IllegalArgumentException(
+        s"$fn(..., $arg): $arg must be a literal integer, got $other")
+    }
+  }
 
   /** Idempotent per-session registration (overwrites any prior entry). */
   def register(spark: SparkSession): Unit =

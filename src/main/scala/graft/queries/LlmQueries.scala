@@ -1120,15 +1120,16 @@ object LlmQueries extends QueryPack {
          |WHERE a.doc_id % 10 = 0 AND c.doc_id % 10 <> 0
          |ORDER BY new_id, old_id""".stripMargin,
     // The standing side reads the SAME parquet artifact the Spark query
-    // wrote (the correctness gate always runs at sf0.01, so the nonce-free
-    // path below is the one standingBandsPath emits there) — only the
-    // fresh side is re-derived; a mismatch in the artifact itself would
-    // fail the gate, which is the point of the cross-process claim.
+    // wrote (the correctness gate always runs at sf0.01; the path is
+    // interpolated from standingBandsPath so it tracks java.io.tmpdir
+    // instead of assuming /tmp) — only the fresh side is re-derived; a
+    // mismatch in the artifact itself would fail the gate, which is the
+    // point of the cross-process claim.
     "dedup_incremental_persisted" ->
       s"""WITH $mhSigSql
          |SELECT DISTINCT a.doc_id AS new_id, c.doc_id AS old_id
          |FROM bandtab a
-         |JOIN read_parquet('/tmp/graft-standing-bands-sf0.01/*.parquet') c
+         |JOIN read_parquet('${standingBandsPath("sf0.01")}/*.parquet') c
          |  ON a.band = c.band AND a.band_key = c.band_key
          |WHERE a.doc_id % 10 = 0
          |ORDER BY new_id, old_id""".stripMargin,

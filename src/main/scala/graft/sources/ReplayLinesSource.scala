@@ -63,16 +63,34 @@ object ReplayLinesSource {
     StructField("offset", LongType, nullable = false),
     StructField("value", StringType, nullable = false)))
 
-  /** Count '\n'-separated lines (trailing partial line counts). */
-  private[sources] def countLines(path: String): Long = {
+  /** Count only '\n'-TERMINATED lines. A trailing partial line (a
+    * producer's in-flight write in tail-follow mode) is deliberately NOT
+    * counted: if it were, a trigger landing mid-write would emit the
+    * truncated prefix as line N, and the next batch's line-skip would
+    * then jump over the completed line — corrupting one record and
+    * silently dropping its remainder. Not counting it means the line is
+    * simply picked up whole by the next poll.
+    */
+  private[graft] def countLines(path: String): Long = {
     val p = new Path(path)
     val fs = p.getFileSystem(SparkSession.active.sessionState.newHadoopConf())
     if (!fs.exists(p)) 0L
     else {
-      val in = new BufferedReader(
-        new InputStreamReader(fs.open(p), StandardCharsets.UTF_8))
-      try Iterator.continually(in.readLine()).takeWhile(_ != null).size.toLong
-      finally in.close()
+      val in = fs.open(p)
+      try {
+        var n = 0L
+        val buf = new Array[Byte](64 * 1024)
+        var read = in.read(buf)
+        while (read > 0) {
+          var i = 0
+          while (i < read) {
+            if (buf(i) == '\n') n += 1
+            i += 1
+          }
+          read = in.read(buf)
+        }
+        n
+      } finally in.close()
     }
   }
 }

@@ -126,7 +126,10 @@ object Xlsx {
               cellType match {
                 case "s" =>
                   out += Cell(cellRow, curCol, shared(text.trim.toInt), None)
-                case "str" | "b" | "e" =>
+                // "d" is the ECMA-376 ISO-8601 date type: its value is a
+                // date STRING, not a serial number — routing it through
+                // the numeric branch would NumberFormatException the task
+                case "str" | "b" | "e" | "d" =>
                   out += Cell(cellRow, curCol, text, None)
                 case _ => // "" or "n": numeric
                   out += Cell(cellRow, curCol, null, Some(text.trim.toDouble))

@@ -208,6 +208,20 @@ private final class XlsxPartitionReader(file: String, conf: Configuration,
   private var current: Xlsx.Cell = _
   private val fileUtf8 = UTF8String.fromString(file)
 
+  // the required-schema-position → cell-field mapping is fixed for the
+  // partition; resolve the name matches ONCE instead of per row per field
+  private val extractors: Array[Xlsx.Cell => Any] =
+    required.fields.map[Xlsx.Cell => Any] { f =>
+      f.name match {
+        case "file" => _ => fileUtf8
+        case "row" => c => c.row
+        case "col" => c => c.col
+        case "str" => c => if (c.str == null) null else UTF8String.fromString(c.str)
+        case "num" => c => c.num.map(Double.box).orNull
+        case other => throw new IllegalArgumentException(s"unknown column $other")
+      }
+    }
+
   override def next(): Boolean = {
     if (cells == null) {
       val path = new Path(file)
@@ -221,17 +235,10 @@ private final class XlsxPartitionReader(file: String, conf: Configuration,
   }
 
   override def get(): InternalRow = {
-    val values = new Array[Any](required.length)
+    val values = new Array[Any](extractors.length)
     var i = 0
-    while (i < required.length) {
-      values(i) = required.fields(i).name match {
-        case "file" => fileUtf8
-        case "row" => current.row
-        case "col" => current.col
-        case "str" => if (current.str == null) null else UTF8String.fromString(current.str)
-        case "num" => current.num.map(Double.box).orNull
-        case other => throw new IllegalArgumentException(s"unknown column $other")
-      }
+    while (i < extractors.length) {
+      values(i) = extractors(i)(current)
       i += 1
     }
     new GenericInternalRow(values)

@@ -218,10 +218,13 @@ object Streams {
     *      forward and the NEXT batch sees this one as standing.
     * New-vs-new pairs inside one batch are deliberately not emitted (the
     * same convention as the batch query: they are the next pass's corpus
-    * problem). foreachBatch is at-least-once, so a replayed batch can
-    * re-append candidates and bands; both are harmless downstream —
-    * candidates are verified per pair (set semantics) and duplicate band
-    * rows only re-surface the same pairs.
+    * problem). foreachBatch is at-least-once, so both writes are keyed by
+    * batch id and OVERWRITE their own `batch_id=N` subdir — a replayed
+    * batch replaces its previous partial output instead of appending a
+    * duplicate, and the standing join explicitly excludes the current
+    * batch's own rows (present only during a replay) so neither
+    * self-pairs nor intra-batch pairs can leak out. Net effect:
+    * exactly-once artifact roll-forward on an at-least-once trigger.
     */
   def incrementalDedupStream(spark: org.apache.spark.sql.SparkSession,
                              docs: DataFrame, artifact: String, outDir: String,
@@ -237,16 +240,26 @@ object Streams {
                          artifact: String, outDir: String)
                         (batch: DataFrame, batchId: Long): Unit = {
     val bands = graft.ops.TextOps.minhashBandTable(batch).cache()
+    // filesystem resolved through the Hadoop conf, not java.io.File — the
+    // artifact lives wherever the pipeline points it (file://, hdfs://,
+    // s3a://); a local-only existence check would silently disable the
+    // standing join everywhere else
+    val fs = new org.apache.hadoop.fs.Path(artifact)
+      .getFileSystem(spark.sessionState.newHadoopConf())
     try {
-      if (new java.io.File(artifact).exists()) {
+      if (fs.exists(new org.apache.hadoop.fs.Path(artifact))) {
+        // batch_id is a partition column of the artifact; dropping the
+        // CURRENT id excludes this batch's own bands, which are standing
+        // only if a previous attempt of this same batch crashed mid-write
         val standing = spark.read.parquet(artifact)
+          .filter(col("batch_id") =!= batchId)
         bands.as("x").join(standing.as("y"),
             col("x.band") === col("y.band") && col("x.band_key") === col("y.band_key"))
           .select(col("x.doc_id").as("new_id"), col("y.doc_id").as("old_id"))
           .distinct()
-          .write.mode("append").parquet(outDir)
+          .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
       }
-      bands.write.mode("append").parquet(artifact)
+      bands.write.mode("overwrite").parquet(s"$artifact/batch_id=$batchId")
     } finally bands.unpersist()
   }
 

@@ -440,6 +440,7 @@ class StreamingSpec extends SparkSpec {
       q.processAllAvailable()
     } finally q.stop()
     val cands = spark.read.parquet(outDir)
+      .select("new_id", "old_id") // batch_id partition col carries the replay key
       .as[(Long, Long)].collect().sorted.toSeq
     assert(cands == Seq((11L, 1L), (11L, 2L)), s"candidates wrong: $cands")
     val standingDocs = spark.read.parquet(artifact)
@@ -505,6 +506,20 @@ class StreamingSpec extends SparkSpec {
     try q2.processAllAvailable() finally q2.stop()
     assert(seen.sorted.toSeq == (0L until 32L).map(i => (i, i)),
       "every line exactly once, offset == line number == parsed payload")
+  }
+
+  test("replay-lines never emits a producer's in-flight partial line") {
+    import java.nio.file.{Files, StandardOpenOption}
+    spark.version // force the shared session: countLines resolves the FS through it
+    val dir = Files.createTempDirectory("graft-replay-partial-")
+    val log = dir.resolve("log.txt")
+    // two complete lines plus an UNTERMINATED third (mid-write producer)
+    Files.writeString(log, "one\ntwo\npar")
+    assert(graft.sources.ReplayLinesSource.countLines(log.toString) == 2,
+      "a trailing partial line must not be admitted")
+    // producer finishes the line: it becomes visible whole
+    Files.writeString(log, "tial\n", StandardOpenOption.APPEND)
+    assert(graft.sources.ReplayLinesSource.countLines(log.toString) == 3)
   }
 
   test("replay-lines composes with event-time watermarks and windowed aggregation") {
