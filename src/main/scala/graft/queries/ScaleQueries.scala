@@ -647,6 +647,45 @@ object ScaleQueries extends QueryPack {
         .orderBy("grp")
     }),
 
+    // NEGATIVE SAMPLING over the co-purchase graph — the link-prediction
+    // training-data op: for every node, deterministic pseudo-random
+    // candidate partners (engine-portable hash → dense node rank), NON-
+    // edges kept via an anti-join against the real edge set, first 2
+    // valid tries per node. Zero RNG state: rerun-stable, add-only-safe,
+    // and the oracle reproduces every sample bit-for-bit. Scale: node
+    // ranking is a dimension-sized bounded window (constant non-foldable
+    // partition key, same discipline as the post-limit rank windows);
+    // candidate generation is map work + one broadcast-sized join back on
+    // rank; the anti-join shuffles on the normalized pair key.
+    "graph_negative_samples" -> ((s, d) => {
+      val edges = copurchaseEdges(s, d)
+      val nodes = edges.select(col("u").as("node"))
+        .union(edges.select(col("v").as("node"))).distinct()
+      val wR = Window.partitionBy(graft.ops.Cleaning.singlePartitionKey(col("node")))
+        .orderBy("node")
+      val ranked = nodes.withColumn("r", row_number().over(wR).cast("long") - 1L)
+      val nNodes = ranked.agg(count(lit(1)).as("n_nodes"))
+      val tries = ranked.select(col("node").as("samp_u"))
+        .crossJoin(broadcast(nNodes))
+        .select(col("samp_u"), col("n_nodes"),
+          explode(expr("sequence(0, 5)")).as("try_i"))
+        .withColumn("cand_r",
+          graft.ops.TextOps.hash60(concat_ws(":", col("samp_u"), col("try_i")))
+            % col("n_nodes"))
+      val withV = tries.join(broadcast(ranked.select(col("r").as("cand_r"),
+          col("node").as("samp_v"))), "cand_r")
+        .filter(col("samp_v") =!= col("samp_u"))
+      val nonEdges = withV.join(edges,
+          least(col("samp_u"), col("samp_v")) === col("u") &&
+            greatest(col("samp_u"), col("samp_v")) === col("v"), "left_anti")
+      val wK = Window.partitionBy("samp_u").orderBy("try_i")
+      nonEdges.withColumn("pick", row_number().over(wK))
+        .filter(col("pick") <= 2)
+        .select(col("samp_u").as("u"), col("samp_v").as("neg_v"),
+          col("try_i").cast("long").as("try_i"), col("pick").cast("long").as("pick"))
+        .orderBy("u", "pick")
+    }),
+
     // Misra-Gries heavy-hitter sketch ([[graft.functions.MisraGries]], a
     // native TypedImperativeAggregate) with its guarantees proven in the
     // gate: k=128 counters over the 150-user event stream, so the
@@ -1244,6 +1283,32 @@ object ScaleQueries extends QueryPack {
     "agg_count_min" ->
       """SELECT event_type, COUNT(*) AS exact_n, true AS within_bound
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "graph_negative_samples" ->
+      """WITH po AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |  FROM lineitem WHERE l_quantity >= 40),
+        |edges AS (SELECT DISTINCT a.p AS u, b.p AS v
+        |  FROM po a JOIN po b ON a.o = b.o AND a.p < b.p),
+        |nodes AS (SELECT DISTINCT node FROM
+        |  (SELECT u AS node FROM edges UNION ALL SELECT v FROM edges)),
+        |ranked AS (SELECT node, row_number() OVER (ORDER BY node) - 1 AS r FROM nodes),
+        |nn AS (SELECT COUNT(*) AS n_nodes FROM ranked),
+        |tries AS (SELECT rk.node AS samp_u, t.i AS try_i,
+        |    ('0x' || substr(md5(rk.node || ':' || t.i), 1, 15))::BIGINT % n_nodes AS cand_r
+        |  FROM ranked rk, nn, UNNEST(range(0, 6)) AS t(i)),
+        |withv AS (SELECT samp_u, try_i, r2.node AS samp_v
+        |  FROM tries JOIN ranked r2 ON tries.cand_r = r2.r
+        |  WHERE r2.node <> samp_u),
+        |nonedges AS (SELECT * FROM withv w WHERE NOT EXISTS (
+        |  SELECT 1 FROM edges e
+        |  WHERE e.u = LEAST(w.samp_u, w.samp_v)
+        |    AND e.v = GREATEST(w.samp_u, w.samp_v))),
+        |picked AS (SELECT samp_u, samp_v, try_i,
+        |    row_number() OVER (PARTITION BY samp_u ORDER BY try_i) AS pick
+        |  FROM nonedges)
+        |SELECT samp_u AS u, samp_v AS neg_v, CAST(try_i AS BIGINT) AS try_i,
+        |  CAST(pick AS BIGINT) AS pick
+        |FROM picked WHERE pick <= 2 ORDER BY u, pick""".stripMargin,
 
     "agg_misra_gries" ->
       """SELECT user_id, COUNT(*) AS exact_n,
