@@ -780,6 +780,42 @@ object LlmQueries extends QueryPack {
         .orderBy("d1", "neg_rank")
     }),
 
+    // ONE-CALL corpus health report — the dashboard row a pipeline posts
+    // after every ingest: corpus size and diversity, exact-duplicate
+    // volume, near-duplicate pressure (LSH candidate pairs, from the
+    // shared band artifact — no recompute), and quality-gate failures
+    // (text_quality's exact predicate). Every input is a single-row
+    // aggregate crossJoined together, so the "report" is one job over
+    // one corpus scan plus the materialized band table.
+    "corpus_health_report" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val basic = docs.agg(count(lit(1)).as("n_docs"),
+        countDistinct("lang").as("n_langs"),
+        countDistinct("source").as("n_sources"),
+        sum(size(split(col("text"), " ")).cast("long")).as("total_tokens"))
+      val exact = docs.groupBy(sha2(col("text"), 256).as("h"))
+        .agg(count(lit(1)).as("n"))
+        .agg(coalesce(sum(when(col("n") > 1, col("n"))), lit(0L))
+          .as("n_exact_dup_docs"))
+      val b = minhashBands(s, d)
+      val near = b.as("x").join(b.as("y"),
+          col("x.band") === col("y.band") && col("x.band_key") === col("y.band_key") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id"), col("y.doc_id")).distinct()
+        .agg(count(lit(1)).as("n_near_dup_pairs"))
+      val qual = docs
+        .withColumn("toks", TextOps.tokens(col("text")))
+        .select(length(col("text")).cast("long").as("len_chars"),
+          size(col("toks")).cast("long").as("n_tok"),
+          size(filter(col("toks"), t => t.isin("the", "a", "of")))
+            .cast("long").as("stop_hits"))
+        .withColumn("ok",
+          expr("(stop_hits * 1000) div n_tok") >= 40 &&
+            col("len_chars").between(50, 5000))
+        .agg(count(when(!col("ok"), lit(1))).as("n_quality_fail"))
+      basic.crossJoin(exact).crossJoin(near).crossJoin(qual)
+    }),
+
     // SEMANTIC dedup, cluster-blocked (the SemDeDup recipe): k-means
     // cluster assignment is the blocking key — candidate pairs form ONLY
     // within a cluster, then exact cosine ≥ 0.3 marks the duplicate and
@@ -1294,6 +1330,30 @@ object LlmQueries extends QueryPack {
          |    ORDER BY cosine DESC, d2) AS neg_rank
          |  FROM neg) t
          |WHERE neg_rank <= 2 ORDER BY d1, neg_rank""".stripMargin,
+    "corpus_health_report" ->
+      s"""WITH $mhSigSql,
+         |basic AS (SELECT COUNT(*) AS n_docs,
+         |    COUNT(DISTINCT lang) AS n_langs,
+         |    COUNT(DISTINCT source) AS n_sources,
+         |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+         |  FROM documents),
+         |exact AS (SELECT CAST(COALESCE(SUM(CASE WHEN n > 1 THEN n END), 0) AS BIGINT)
+         |    AS n_exact_dup_docs
+         |  FROM (SELECT sha256(text) AS h, COUNT(*) AS n FROM documents GROUP BY 1)),
+         |near AS (SELECT COUNT(*) AS n_near_dup_pairs FROM (
+         |  SELECT DISTINCT a.doc_id, b.doc_id AS d2 FROM bandtab a JOIN bandtab b
+         |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id)),
+         |q AS (SELECT doc_id, length(text) AS len_chars,
+         |    len(string_split(text, ' ')) AS n_tok,
+         |    len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a', 'of')))
+         |      AS stop_hits
+         |  FROM documents),
+         |qual AS (SELECT COUNT(CASE WHEN NOT
+         |      ((stop_hits * 1000) // n_tok >= 40 AND len_chars BETWEEN 50 AND 5000)
+         |    THEN 1 END) AS n_quality_fail FROM q)
+         |SELECT n_docs, n_langs, n_sources, total_tokens, n_exact_dup_docs,
+         |  n_near_dup_pairs, n_quality_fail
+         |FROM basic, exact, near, qual""".stripMargin,
     "dedup_semantic_cluster" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
          |cent AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < 8),

@@ -66,6 +66,13 @@ class PlanShapeSpec extends SparkSpec {
       s"unpartitioned window in KS plan:\n${windows.mkString("\n")}")
   }
 
+  test("negative sampling: rank join broadcasts, edge rejection is an anti join") {
+    val p = plan("graph_negative_samples")
+    assert(!p.contains("CartesianProduct"), s"cartesian in negative sampling:\n$p")
+    assert(p.contains("LeftAnti"), "edge rejection must be an anti join")
+    assert(p.contains("BroadcastHashJoin"), "rank lookup must broadcast the node table")
+  }
+
   test("semantic-cluster dedup: broadcast centroid assignment, bucket equi-join pairs") {
     val p = plan("dedup_semantic_cluster")
     // the only cartesian is the broadcast against the constant-size centroid
