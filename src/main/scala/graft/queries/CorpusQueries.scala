@@ -123,6 +123,45 @@ object CorpusQueries extends QueryPack {
           max("n_chars").as("max_chars"))
         .orderBy("bucket")),
 
+    // EQUI-DEPTH length histogram — the quantile-bucket twin of
+    // doc_len_histogram's fixed-width buckets (skewed length
+    // distributions put 90% of docs in one fixed bucket; deciles always
+    // balance). ntile over (n_chars, doc_id) is deterministic (unique
+    // tiebreak), partitioned by lang so no global sort; at corpus scale
+    // the per-stratum sort is the same exchange every per-lang window
+    // here rides.
+    "histogram_equi_depth" -> ((s, d) => {
+      val w = Window.partitionBy("lang").orderBy(col("n_chars"), col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("lang"), col("n_chars"), col("doc_id"))
+        .withColumn("decile", ntile(10).over(w).cast("long"))
+        .groupBy("lang", "decile")
+        .agg(count(lit(1)).as("n_docs"),
+          min("n_chars").as("lo_chars"), max("n_chars").as("hi_chars"))
+        .orderBy("lang", "decile")
+    }),
+
+    // Inverted index (token -> posting list) — the retrieval-side build
+    // step BM25 ranking assumes. Per-token document frequency plus the
+    // first-8 posting head; the head is ranked BEFORE collecting
+    // (row_number <= 8 riding the same exchange as the df count), so no
+    // task ever buffers a stop-word's full posting list — per-group state
+    // is O(8) at any corpus size.
+    "text_inverted_index" -> ((s, d) => {
+      val td = Tables.documents(s, d)
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+        .filter(length(col("tok")) >= 3)
+        .distinct()
+      val w = Window.partitionBy("tok").orderBy("doc_id")
+      td.withColumn("rn", row_number().over(w))
+        .withColumn("df", count(lit(1)).over(Window.partitionBy("tok")))
+        .filter(col("df") >= 20 && col("rn") <= 8)
+        .groupBy(col("tok"), col("df"))
+        .agg(concat_ws(",", sort_array(collect_list(col("doc_id"))))
+          .as("postings_head"))
+        .orderBy("tok")
+    }),
+
     // Benchmark-contamination check: candidate docs that share ≥3 distinct
     // 5-gram shingles with a held-out benchmark set (docs 0–4 stand in).
     // The overlap is an equi-join on the shingle hash — scales to a
@@ -507,6 +546,26 @@ object CorpusQueries extends QueryPack {
       """SELECT least(n_chars // 100, 19) AS bucket, COUNT(*) AS n_docs,
         |  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "histogram_equi_depth" ->
+      """WITH r AS (SELECT lang, n_chars,
+        |    ntile(10) OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS decile
+        |  FROM documents)
+        |SELECT lang, decile, COUNT(*) AS n_docs,
+        |  MIN(n_chars) AS lo_chars, MAX(n_chars) AS hi_chars
+        |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "text_inverted_index" ->
+      """WITH td AS (SELECT DISTINCT doc_id, tok FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |    FROM documents)
+        |  WHERE length(tok) >= 3),
+        |r AS (SELECT doc_id, tok,
+        |    row_number() OVER (PARTITION BY tok ORDER BY doc_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY tok) AS df
+        |  FROM td)
+        |SELECT tok, CAST(df AS BIGINT) AS df,
+        |  string_agg(doc_id, ',' ORDER BY doc_id) AS postings_head
+        |FROM r WHERE df >= 20 AND rn <= 8
+        |GROUP BY 1, 2 ORDER BY tok""".stripMargin,
     "contamination_ngram" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |grams AS (SELECT doc_id,

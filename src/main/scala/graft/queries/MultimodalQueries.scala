@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.ops.Multimodal
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Multimodal binary-column queries: the documents table viewed as opaque
@@ -94,6 +95,39 @@ object MultimodalQueries extends QueryPack {
         .orderBy(col("n_occ").desc, col("frame_h"))
         .limit(50)),
 
+    // PERCEPTUAL HASH (average-hash): the image near-dup primitive — a
+    // 16-bit signature from 16 equal tiles over the first 256 payload
+    // bytes, bit i set iff tile i's byte mean exceeds the global mean.
+    // Equal tile lengths make the comparison exact integers (tsum*16 >
+    // total ⇔ mean_tile > mean_global — no float mean). The byte fan-out
+    // is pure map work; the two aggregates are hash aggs with partial
+    // combine; the dup flag is a window count over the 16-bit hash space
+    // (bounded partitions by construction). A real image pipeline swaps
+    // the byte grid for decoded luma tiles via the decodeStub seam —
+    // the signature/banding mechanics are identical.
+    "mm_perceptual_hash" -> ((s, d) => {
+      val tiles = Tables.documents(s, d)
+        .filter(col("n_chars") >= 256)
+        .select(col("doc_id").as("media_id"), col("text"),
+          explode(expr("sequence(0, 255)")).as("pos"))
+        .select(col("media_id"), expr("pos div 16").as("tile"),
+          expr("CAST(ascii(substring(text, pos + 1, 1)) AS BIGINT)").as("b"))
+        .groupBy("media_id", "tile").agg(sum("b").as("tsum"))
+      val hashed = tiles
+        .withColumn("total", sum("tsum").over(Window.partitionBy("media_id")))
+        .withColumn("bit",
+          when(col("tsum") * 16 > col("total"),
+            expr("shiftleft(CAST(1 AS BIGINT), CAST(tile AS INT))"))
+            .otherwise(lit(0L)))
+        .groupBy("media_id").agg(sum("bit").as("ahash16"))
+      hashed
+        .withColumn("n_same_hash",
+          count(lit(1)).over(Window.partitionBy("ahash16")))
+        .select(col("media_id"), col("ahash16"), col("n_same_hash"),
+          (col("n_same_hash") > 1).as("is_dup"))
+        .orderBy("media_id")
+    }),
+
     // Feature extraction over sampled frames: an 8-dim feature vector per
     // frame (md5-derived — the deterministic stand-in for an image/audio
     // embedding model; a real extractor slots into the decodeStub seam).
@@ -149,6 +183,25 @@ object MultimodalQueries extends QueryPack {
   private val mmNonce: String = java.util.UUID.randomUUID.toString.take(8)
 
   val oracle: Map[String, String] = Map(
+    "mm_perceptual_hash" ->
+      """WITH p AS (SELECT doc_id AS media_id, text,
+        |    unnest(range(0, 256)) AS pos
+        |  FROM documents WHERE n_chars >= 256),
+        |b AS (SELECT media_id, pos // 16 AS tile,
+        |    CAST(ascii(substring(text, CAST(pos + 1 AS INT), 1)) AS BIGINT) AS b
+        |  FROM p),
+        |t AS (SELECT media_id, tile, CAST(SUM(b) AS BIGINT) AS tsum
+        |  FROM b GROUP BY 1, 2),
+        |tt AS (SELECT *, SUM(tsum) OVER (PARTITION BY media_id) AS total FROM t),
+        |h AS (SELECT media_id,
+        |    CAST(SUM(CASE WHEN tsum * 16 > total
+        |         THEN CAST(1 AS BIGINT) << CAST(tile AS INT) ELSE 0 END)
+        |      AS BIGINT) AS ahash16
+        |  FROM tt GROUP BY 1)
+        |SELECT media_id, ahash16,
+        |  COUNT(*) OVER (PARTITION BY ahash16) AS n_same_hash,
+        |  COUNT(*) OVER (PARTITION BY ahash16) > 1 AS is_dup
+        |FROM h ORDER BY media_id""".stripMargin,
     "mm_tile_grid" ->
       """WITH rows_ AS (SELECT doc_id AS media_id, text,
         |    unnest(range(0, CAST(ceil(len(text) / 64.0) AS INT))) AS tile_row

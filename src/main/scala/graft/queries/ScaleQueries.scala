@@ -599,6 +599,38 @@ object ScaleQueries extends QueryPack {
         .orderBy("user_id", "sess_seq")
     }),
 
+    // COMMON-NEIGHBOR link-prediction scoring over the co-purchase graph —
+    // the positive-scoring complement to graph_negative_samples (together
+    // they are the training set for a link predictor). Candidate pairs are
+    // wedges a-mid-c; the quadratic hazard is hub middles (deg(mid)^2
+    // wedges), so middles above a degree cap are banned BEFORE the wedge
+    // join — the graph analogue of dedup_minhash_capped's hot-band ban,
+    // bounding work at n_mid * cap^2. Real edges leave via LeftAnti on the
+    // normalized pair; the neighborhood-Jaccard score 1000*cn div
+    // (deg(a)+deg(c)-cn) is exact integer; top-20 by (score, pair) is a
+    // TakeOrderedAndProject, never a global sort.
+    "graph_common_neighbors" -> ((s, d) => {
+      val e = copurchaseEdges(s, d)
+      val sym = e.select(col("u"), col("v"))
+        .unionAll(e.select(col("v").as("u"), col("u").as("v")))
+      val deg = sym.groupBy(col("u").as("node")).agg(count(lit(1)).as("dg"))
+      val mids = deg.filter(col("dg") <= 16).select(col("node").as("m"))
+      val s1 = sym.join(mids, col("u") === col("m"))
+        .select(col("u").as("mid"), col("v").as("a"))
+      val s2 = sym.select(col("u").as("mid2"), col("v").as("c"))
+      val cn = s1.join(s2, col("mid") === col("mid2") && col("a") < col("c"))
+        .groupBy("a", "c").agg(count(lit(1)).as("cn"))
+      val nonEdge = cn.join(e,
+        cn("a") === e("u") && cn("c") === e("v"), "left_anti")
+      val da = deg.select(col("node").as("a2"), col("dg").as("da"))
+      val dc = deg.select(col("node").as("c2"), col("dg").as("dc"))
+      nonEdge.join(da, col("a") === col("a2")).join(dc, col("c") === col("c2"))
+        .select(col("a"), col("c"), col("cn"),
+          expr("1000 * cn div (da + dc - cn)").as("jaccard_milli"))
+        .orderBy(col("jaccard_milli").desc, col("a"), col("c"))
+        .limit(20)
+    }),
+
     // Count-min sketch with its error bound proven IN the correctness
     // gate (same discipline as agg_approx_distinct / agg_approx_percentile):
     // the sketch is built distributedly (associative partial merges — the
@@ -792,6 +824,42 @@ object ScaleQueries extends QueryPack {
           coalesce(col("value_cents"), lit(0L)).as("value_cents"),
           col("filled_cents"))
         .orderBy("user_id", "day")
+    }),
+
+    // LINEAR interpolation of missing hourly points — the numeric
+    // complement to time_gap_fill's carry-forward (sensor/metric series
+    // want a slope, not a step). Spine join as in time_gap_fill; the
+    // surrounding observed values+times come from two frames over ONE
+    // exchange on event_type (carry-forward last, carry-backward first,
+    // both ignoreNulls), and the interpolated value is the exact integer
+    // pv + (nv-pv)*(t-pt) div (nt-pt) over epoch micros — floor division
+    // of identical rationals on both engines, no float slope.
+    "time_linear_interp" -> ((s, d) => {
+      val hourly = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+        .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents"))
+      val spine = hourly.groupBy("event_type")
+        .agg(min("hr").as("h0"), max("hr").as("h1"))
+        .select(col("event_type"),
+          explode(expr("sequence(h0, h1, interval 1 hour)")).as("hr"))
+      val w = Window.partitionBy("event_type").orderBy("hr")
+      val wPrev = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wNext = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      spine.join(hourly, Seq("event_type", "hr"), "left")
+        .withColumn("t", unix_micros(col("hr")))
+        .withColumn("pv", last(col("cents"), ignoreNulls = true).over(wPrev))
+        .withColumn("pt",
+          last(when(col("cents").isNotNull, col("t")), ignoreNulls = true).over(wPrev))
+        .withColumn("nv", first(col("cents"), ignoreNulls = true).over(wNext))
+        .withColumn("nt",
+          first(when(col("cents").isNotNull, col("t")), ignoreNulls = true).over(wNext))
+        .select(col("event_type"),
+          date_format(col("hr"), "yyyy-MM-dd HH:mm").as("hr"),
+          col("cents").isNotNull.as("observed"),
+          when(col("cents").isNotNull, col("cents"))
+            .otherwise(expr("pv + (nv - pv) * (t - pt) div (nt - pt)"))
+            .as("interp_cents"))
+        .orderBy("event_type", "hr")
     }),
 
     // Schema-evolution read: two parquet batches written with DIFFERENT
@@ -1374,6 +1442,54 @@ object ScaleQueries extends QueryPack {
         |FROM spine s LEFT JOIN daily d
         |  ON s.user_id = d.user_id AND s.day = d.day
         |ORDER BY s.user_id, s.day""".stripMargin,
+
+    "time_linear_interp" ->
+      """WITH hourly AS (SELECT event_type, date_trunc('hour', ts) AS hr,
+        |    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM events GROUP BY 1, 2),
+        |spine AS (SELECT event_type,
+        |    unnest(generate_series(min(hr), max(hr), INTERVAL 1 HOUR)) AS hr
+        |  FROM hourly GROUP BY event_type),
+        |j AS (SELECT s.event_type, s.hr, h.cents, epoch_us(s.hr) AS t
+        |  FROM spine s LEFT JOIN hourly h
+        |    ON s.event_type = h.event_type AND s.hr = h.hr),
+        |f AS (SELECT *,
+        |    last_value(cents IGNORE NULLS) OVER wp AS pv,
+        |    last_value(CASE WHEN cents IS NOT NULL THEN t END IGNORE NULLS)
+        |      OVER wp AS pt,
+        |    first_value(cents IGNORE NULLS) OVER wn AS nv,
+        |    first_value(CASE WHEN cents IS NOT NULL THEN t END IGNORE NULLS)
+        |      OVER wn AS nt
+        |  FROM j
+        |  WINDOW wp AS (PARTITION BY event_type ORDER BY hr
+        |      ROWS UNBOUNDED PRECEDING),
+        |    wn AS (PARTITION BY event_type ORDER BY hr
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT event_type, strftime(hr, '%Y-%m-%d %H:%M') AS hr,
+        |  cents IS NOT NULL AS observed,
+        |  CASE WHEN cents IS NOT NULL THEN cents
+        |       ELSE pv + (nv - pv) * (t - pt) // (nt - pt) END AS interp_cents
+        |FROM f ORDER BY event_type, hr""".stripMargin,
+
+    "graph_common_neighbors" ->
+      """WITH po AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |      FROM lineitem WHERE l_quantity >= 40),
+        |e AS (SELECT DISTINCT a.p AS u, b.p AS v
+        |      FROM po a JOIN po b ON a.o = b.o AND a.p < b.p),
+        |sym AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+        |deg AS (SELECT u AS node, COUNT(*) AS dg FROM sym GROUP BY 1),
+        |mids AS (SELECT node FROM deg WHERE dg <= 16),
+        |w AS (SELECT s1.v AS a, s2.v AS c, COUNT(*) AS cn
+        |  FROM sym s1 JOIN sym s2 ON s1.u = s2.u AND s1.v < s2.v
+        |  WHERE s1.u IN (SELECT node FROM mids)
+        |  GROUP BY 1, 2),
+        |ne AS (SELECT a, c, cn FROM w
+        |  WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.u = w.a AND e.v = w.c)),
+        |j AS (SELECT a, c, CAST(cn AS BIGINT) AS cn,
+        |    CAST(1000 * cn // (da.dg + dc.dg - cn) AS BIGINT) AS jaccard_milli
+        |  FROM ne JOIN deg da ON da.node = ne.a JOIN deg dc ON dc.node = ne.c)
+        |SELECT a, c, cn, jaccard_milli FROM j
+        |ORDER BY jaccard_milli DESC, a, c LIMIT 20""".stripMargin,
 
     // batch v1 = even keys without the status column; v2 = odd keys with
     // it — the merged read must null the column exactly on v1

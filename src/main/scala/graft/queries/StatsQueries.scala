@@ -182,6 +182,69 @@ object StatsQueries extends QueryPack {
             .stripMargin.replaceAll("\n", " ")).as("corr"))
         .orderBy("l_returnflag")),
 
+    // Spearman RANK correlation per group — the robust complement to
+    // stats_corr's Pearson (monotone association, outlier-insensitive).
+    // Ranks come from row_number over (value, unique key), so they are a
+    // permutation of 1..n with a DETERMINISTIC tie order both engines
+    // reproduce (the classic tie-averaged variant needs float half-ranks;
+    // this tiebroken variant stays integer-exact). With distinct ranks the
+    // closed form applies: rho = 1 - 6*sum(d^2) / (n*(n^2-1)); sum(d^2)
+    // <= n^3 fits a long through ~2M rows/group, and the one double is
+    // derived from the same exact integers on both engines. Two ranking
+    // windows share one exchange on l_returnflag.
+    "stats_spearman" -> ((s, d) => {
+      // (l_orderkey, l_linenumber) is NOT unique in this generator's
+      // lineitem, but (l_orderkey, l_linenumber, q, c) is — so each rank
+      // order ends in the OTHER measure to stay total (else identical-key
+      // rows pair ranks engine-arbitrarily and sd2 drifts).
+      val wq = Window.partitionBy("l_returnflag")
+        .orderBy(col("q"), col("l_orderkey"), col("l_linenumber"), col("c"))
+      val wc = Window.partitionBy("l_returnflag")
+        .orderBy(col("c"), col("l_orderkey"), col("l_linenumber"), col("q"))
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast("long").as("q"),
+          Cleaning.cents(col("l_extendedprice")).as("c"))
+        .withColumn("rq", row_number().over(wq).cast("long"))
+        .withColumn("rc", row_number().over(wc).cast("long"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(expr("(rq - rc) * (rq - rc)")).as("sd2"))
+        .select(col("l_returnflag"), col("n"), col("sd2"),
+          expr("""1.0 - 6.0 * CAST(sd2 AS DOUBLE)
+                 | / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - 1.0))"""
+            .stripMargin.replaceAll("\n", " ")).as("spearman_rho"))
+        .orderBy("l_returnflag")
+    }),
+
+    // Chi-square test of independence on the lang x source contingency
+    // table — the categorical-drift screen beside stats_ks_test's
+    // numeric one. Everything is exact integers: expected counts stay as
+    // the cross-multiplied identity (O-E)^2/E = (N*O - R*C)^2 / (N*R*C),
+    // evaluated in DECIMAL(38,0) (DuckDB HUGEINT) with floor division to
+    // milli units, so no float expectation can diverge between engines.
+    // Cost: one corpus hash-agg; the marginals are tiny broadcast sides.
+    "stats_chi2" -> ((s, d) => {
+      val obs = Tables.documents(s, d)
+        .groupBy("lang", "source").agg(count(lit(1)).as("o"))
+      val rowT = obs.groupBy("lang").agg(sum("o").as("r"))
+      val colT = obs.groupBy("source").agg(sum("o").as("cc"))
+      val tot = obs.agg(sum("o").as("n"))
+      obs.join(rowT, "lang").join(colT, "source").crossJoin(tot)
+        .select(col("lang"), col("source"), col("o"), col("r"), col("cc"), col("n"),
+          expr("CAST(r AS DECIMAL(38,0)) * CAST(cc AS DECIMAL(38,0)) div CAST(n AS DECIMAL(38,0))")
+            .as("exp_floor"),
+          expr("""CAST(1000 AS DECIMAL(38,0))
+                 | * ((CAST(n AS DECIMAL(38,0)) * CAST(o AS DECIMAL(38,0))
+                 |     - CAST(r AS DECIMAL(38,0)) * CAST(cc AS DECIMAL(38,0)))
+                 |    * (CAST(n AS DECIMAL(38,0)) * CAST(o AS DECIMAL(38,0))
+                 |     - CAST(r AS DECIMAL(38,0)) * CAST(cc AS DECIMAL(38,0))))
+                 | div (CAST(n AS DECIMAL(38,0)) * CAST(r AS DECIMAL(38,0))
+                 |      * CAST(cc AS DECIMAL(38,0)))"""
+            .stripMargin.replaceAll("\n", " ")).as("contrib_milli"))
+        .orderBy("lang", "source")
+    }),
+
     // Null-handling surface (na.fill / na.replace): nulls injected
     // deterministically with nullif, then filled with a default and
     // value-mapped — all pure map work, no shuffle.
@@ -961,6 +1024,40 @@ object StatsQueries extends QueryPack {
         |    * CAST(CAST(n AS HUGEINT) * syy
         |      - CAST(sy AS HUGEINT) * CAST(sy AS HUGEINT) AS DOUBLE)) AS corr
         |FROM a ORDER BY l_returnflag""".stripMargin,
+    "stats_spearman" ->
+      """WITH b AS (SELECT l_returnflag, l_orderkey, l_linenumber,
+        |    CAST(l_quantity AS BIGINT) AS q,
+        |    CAST(round(l_extendedprice*100) AS BIGINT) AS c FROM lineitem),
+        |r AS (SELECT l_returnflag,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY q, l_orderkey, l_linenumber, c) AS rq,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY c, l_orderkey, l_linenumber, q) AS rc
+        |  FROM b)
+        |SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(SUM((rq - rc) * (rq - rc)) AS BIGINT) AS sd2,
+        |  1.0 - 6.0 * CAST(SUM((rq - rc) * (rq - rc)) AS DOUBLE)
+        |    / (CAST(COUNT(*) AS DOUBLE)
+        |       * (CAST(COUNT(*) AS DOUBLE) * CAST(COUNT(*) AS DOUBLE) - 1.0)) AS spearman_rho
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+    "stats_chi2" ->
+      """WITH obs AS (SELECT lang, source, COUNT(*) AS o
+        |    FROM documents GROUP BY 1, 2),
+        |rt AS (SELECT lang, CAST(SUM(o) AS BIGINT) AS r FROM obs GROUP BY 1),
+        |ct AS (SELECT source, CAST(SUM(o) AS BIGINT) AS cc FROM obs GROUP BY 1),
+        |t AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM obs)
+        |SELECT lang, source, o, r, cc, n,
+        |  CAST(CAST(r AS HUGEINT) * CAST(cc AS HUGEINT)
+        |    // CAST(n AS HUGEINT) AS BIGINT) AS exp_floor,
+        |  CAST(CAST(1000 AS HUGEINT)
+        |    * ((CAST(n AS HUGEINT) * CAST(o AS HUGEINT)
+        |        - CAST(r AS HUGEINT) * CAST(cc AS HUGEINT))
+        |       * (CAST(n AS HUGEINT) * CAST(o AS HUGEINT)
+        |        - CAST(r AS HUGEINT) * CAST(cc AS HUGEINT)))
+        |    // (CAST(n AS HUGEINT) * CAST(r AS HUGEINT)
+        |       * CAST(cc AS HUGEINT)) AS BIGINT) AS contrib_milli
+        |FROM obs JOIN rt USING (lang) JOIN ct USING (source) CROSS JOIN t
+        |ORDER BY lang, source""".stripMargin,
     "na_impute_group" ->
       """WITH li AS (SELECT l_orderkey, l_linenumber, l_returnflag,
         |    nullif(CAST(round(l_tax * 100) AS BIGINT), 0) AS tax_pct FROM lineitem),

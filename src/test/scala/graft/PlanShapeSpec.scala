@@ -73,6 +73,13 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), "rank lookup must broadcast the node table")
   }
 
+  test("common-neighbor scoring: wedge join is equi, edge removal is anti, top-k never global-sorts") {
+    val p = plan("graph_common_neighbors")
+    assert(!p.contains("CartesianProduct"), s"cartesian in common-neighbor scoring:\n$p")
+    assert(p.contains("LeftAnti"), "known-edge removal must be an anti join")
+    assert(p.contains("TakeOrderedAndProject"), "top-20 must be TakeOrdered, not a global sort")
+  }
+
   test("semantic-cluster dedup: broadcast centroid assignment, bucket equi-join pairs") {
     val p = plan("dedup_semantic_cluster")
     // the only cartesian is the broadcast against the constant-size centroid
