@@ -435,6 +435,51 @@ object CorpusQueries extends QueryPack {
           count(when(col("n_email") + col("n_phone") > 0, 1)).as("n_docs_pii"))
         .orderBy("source")),
 
+    // K-ANONYMITY AUDIT with generalize-then-suppress — the privacy gate
+    // a dataset passes before release: no quasi-identifier combination
+    // may isolate fewer than k=5 records. Level 0 keys on
+    // (nation, segment, $2k-balance-bucket); records in undersized groups
+    // re-key on the GENERALIZED (region = nation div 5, segment, bucket);
+    // still-undersized groups are fully suppressed ('*'). All three
+    // outcomes are live at sf0.01 (365 / 1112 / 23 rows). Balance cents
+    // shift +100000 before bucketing so the value is non-negative —
+    // Spark's `div` truncates toward zero while DuckDB's `//` floors, and
+    // on non-negatives they agree. Shape: two bounded window counts over
+    // QI partitions and one final hash agg — no joins, no global window;
+    // sum_ids is the membership checksum (equal counts with different
+    // members still fail the gate).
+    "privacy_k_anon" -> ((s, d) => {
+      val base = Tables.customer(s, d).select(
+        col("c_custkey"), col("c_nationkey"), col("c_mktsegment"),
+        expr("(CAST(round(c_acctbal * 100) AS BIGINT) + 100000) div 200000")
+          .as("bk"))
+      val l0 = base.withColumn("n0", count(lit(1)).over(
+        Window.partitionBy("c_nationkey", "c_mktsegment", "bk")))
+      val pass0 = l0.filter(col("n0") >= 5).select(
+        lit(0L).as("level"),
+        concat(lit("nation:"), col("c_nationkey")).as("qi_geo"),
+        col("c_mktsegment").as("qi_seg"),
+        concat(lit("bal2k:"), col("bk")).as("qi_bal"),
+        col("c_custkey"))
+      val l1 = l0.filter(col("n0") < 5)
+        .withColumn("region", expr("c_nationkey div 5"))
+        .withColumn("n1", count(lit(1)).over(
+          Window.partitionBy("region", "c_mktsegment", "bk")))
+      val pass1 = l1.filter(col("n1") >= 5).select(
+        lit(1L).as("level"),
+        concat(lit("region:"), col("region")).as("qi_geo"),
+        col("c_mktsegment").as("qi_seg"),
+        concat(lit("bal2k:"), col("bk")).as("qi_bal"),
+        col("c_custkey"))
+      val supp = l1.filter(col("n1") < 5).select(
+        lit(2L).as("level"), lit("*").as("qi_geo"), lit("*").as("qi_seg"),
+        lit("*").as("qi_bal"), col("c_custkey"))
+      pass0.unionAll(pass1).unionAll(supp)
+        .groupBy("level", "qi_geo", "qi_seg", "qi_bal")
+        .agg(count(lit(1)).as("n_rows"), sum("c_custkey").as("sum_ids"))
+        .orderBy("level", "qi_geo", "qi_seg", "qi_bal")
+    }),
+
     // Deterministic class rebalancing: every language downsampled to the
     // minority class's count by hash-order rank — the bias-control step
     // before training, reproducible on any engine and stable under
@@ -711,6 +756,28 @@ object CorpusQueries extends QueryPack {
         |  CAST(SUM(n_phone) AS BIGINT) AS n_phone,
         |  COUNT(*) FILTER (n_email + n_phone > 0) AS n_docs_pii
         |FROM h GROUP BY 1 ORDER BY 1""".stripMargin,
+    "privacy_k_anon" ->
+      """WITH base AS (SELECT c_custkey, c_nationkey, c_mktsegment,
+        |    (CAST(round(c_acctbal * 100) AS BIGINT) + 100000) // 200000 AS bk
+        |  FROM customer),
+        |l0 AS (SELECT *, COUNT(*) OVER (PARTITION BY c_nationkey,
+        |    c_mktsegment, bk) AS n0 FROM base),
+        |pass0 AS (SELECT CAST(0 AS BIGINT) AS level,
+        |    'nation:' || c_nationkey AS qi_geo, c_mktsegment AS qi_seg,
+        |    'bal2k:' || bk AS qi_bal, c_custkey FROM l0 WHERE n0 >= 5),
+        |l1 AS (SELECT *, c_nationkey // 5 AS region FROM l0 WHERE n0 < 5),
+        |l1n AS (SELECT *, COUNT(*) OVER (PARTITION BY region,
+        |    c_mktsegment, bk) AS n1 FROM l1),
+        |pass1 AS (SELECT CAST(1 AS BIGINT) AS level,
+        |    'region:' || region AS qi_geo, c_mktsegment AS qi_seg,
+        |    'bal2k:' || bk AS qi_bal, c_custkey FROM l1n WHERE n1 >= 5),
+        |supp AS (SELECT CAST(2 AS BIGINT) AS level, '*' AS qi_geo,
+        |    '*' AS qi_seg, '*' AS qi_bal, c_custkey FROM l1n WHERE n1 < 5),
+        |u AS (SELECT * FROM pass0 UNION ALL SELECT * FROM pass1
+        |      UNION ALL SELECT * FROM supp)
+        |SELECT level, qi_geo, qi_seg, qi_bal, COUNT(*) AS n_rows,
+        |  CAST(SUM(c_custkey) AS BIGINT) AS sum_ids
+        |FROM u GROUP BY 1, 2, 3, 4 ORDER BY 1, 2, 3, 4""".stripMargin,
     "sample_class_balance" ->
       """WITH c AS (SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY 1),
         |m AS (SELECT MIN(cnt) AS min_cnt FROM c),

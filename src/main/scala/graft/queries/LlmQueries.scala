@@ -212,6 +212,58 @@ object LlmQueries extends QueryPack {
           col("score_milli") >= 40 && col("len_chars").between(50, 5000))
         .orderBy("doc_id")),
 
+    // CCNet-style PERPLEXITY FILTERING, made integer-exact: score each doc
+    // by its mean unigram surprisal under the corpus's own language model,
+    // then bucket into head/middle/tail (the CCNet split that decides what
+    // a pretraining pipeline keeps). Surprisal of a token with corpus
+    // count c out of N total is floor(log2(N/c)) bits, computed as
+    // length(bin(N div c)) - 1 — pure integer arithmetic, so the score is
+    // bit-identical at any parallelism and in the oracle (no float log).
+    // Plan shape: one corpus tokenize (map), a token-count hash agg, an
+    // equi-join of token instances to their counts (the count dictionary
+    // shuffles once; at 100 TB it is still ~vocab-sized, far smaller than
+    // the corpus), and a per-doc hash agg. The single-row N joins in as a
+    // broadcast cross.
+    "text_surprisal_bucket" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+      val counts = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+      val total = counts.agg(sum("c").as("n_total"))
+      val bits = toks.join(counts, "tok")
+        .crossJoin(broadcast(total))
+        .select(col("doc_id"),
+          (length(bin(expr("n_total div c"))) - 1).cast("long").as("b"))
+      bits.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tok"), sum("b").as("surprisal_bits"))
+        .withColumn("mean_bits_milli",
+          expr("(surprisal_bits * 1000) div n_tok"))
+        .withColumn("bucket",
+          when(col("mean_bits_milli") < 4020, lit("head"))
+            .when(col("mean_bits_milli") < 4045, lit("middle"))
+            .otherwise(lit("tail")))
+        .orderBy("doc_id")
+    }),
+
+    // HASHING-TRICK FEATURIZER (Weinberger et al. 2009): tokens map to a
+    // fixed 64-dim space via dim = hash60(tok) % 64, with a second hash
+    // bit supplying a ±1 sign so colliding tokens cancel in expectation
+    // rather than accumulate (the collision-unbiasing the signed trick
+    // exists for). Emitted as sparse (doc_id, dim, value, n_terms) rows —
+    // the shape a downstream trainer consumes. Pure map + one per-doc
+    // hash agg; no vocabulary table exists at ALL (that is the point of
+    // the trick at 100 TB — featurization without a fitted dictionary).
+    "feature_hash_vector" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+        .select(col("doc_id"), TextOps.hash60(col("tok")).as("h"))
+        .select(col("doc_id"),
+          (col("h") % 64).as("dim"),
+          when(expr("(h div 64) % 2") === 1, lit(1L))
+            .otherwise(lit(-1L)).as("sign"))
+        .groupBy("doc_id", "dim")
+        .agg(sum("sign").as("value"), count(lit(1)).as("n_terms"))
+        .orderBy("doc_id", "dim")),
+
     // Document fingerprinting: whole-text 60-bit hash + min 5-gram shingle
     // hash (winnowing-style content fingerprint robust to suffix edits).
     // Same explode + partial-min aggregate shape as the minhash signature;
@@ -967,6 +1019,31 @@ object LlmQueries extends QueryPack {
         |  (stop_hits * 1000) // n_tok AS score_milli,
         |  ((stop_hits * 1000) // n_tok >= 40 AND len_chars BETWEEN 50 AND 5000) AS quality_ok
         |FROM m ORDER BY doc_id""".stripMargin,
+    "text_surprisal_bucket" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |tc AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_total FROM tc),
+        |bits AS (SELECT doc_id,
+        |    CAST(length(bin((SELECT n_total FROM tot) // c)) - 1 AS BIGINT) AS b
+        |  FROM toks JOIN tc USING (tok)),
+        |doc AS (SELECT doc_id, COUNT(*) AS n_tok,
+        |    CAST(SUM(b) AS BIGINT) AS surprisal_bits FROM bits GROUP BY 1)
+        |SELECT doc_id, n_tok, surprisal_bits,
+        |  (surprisal_bits * 1000) // n_tok AS mean_bits_milli,
+        |  CASE WHEN (surprisal_bits * 1000) // n_tok < 4020 THEN 'head'
+        |       WHEN (surprisal_bits * 1000) // n_tok < 4045 THEN 'middle'
+        |       ELSE 'tail' END AS bucket
+        |FROM doc ORDER BY doc_id""".stripMargin,
+    "feature_hash_vector" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |h AS (SELECT doc_id, ('0x'||substr(md5(tok),1,15))::BIGINT AS h FROM toks),
+        |s AS (SELECT doc_id, h % 64 AS dim,
+        |    CASE WHEN (h // 64) % 2 = 1 THEN 1 ELSE -1 END AS sign FROM h)
+        |SELECT doc_id, dim, CAST(SUM(sign) AS BIGINT) AS value,
+        |  COUNT(*) AS n_terms
+        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "text_fingerprint" ->
       """SELECT doc_id,
         | ('0x'||substr(md5(text),1,15))::BIGINT AS fp,

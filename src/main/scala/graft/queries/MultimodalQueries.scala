@@ -128,6 +128,35 @@ object MultimodalQueries extends QueryPack {
         .orderBy("media_id")
     }),
 
+    // SHOT-BOUNDARY DETECTION — the classic frame-difference segmenter
+    // every video pipeline runs before sampling keyframes: per-frame
+    // intensity "energy" (byte sum over each 16-byte frame of the first
+    // 256 payload bytes), a boundary wherever consecutive frames differ
+    // by > 120 (picked to fire on ~14% of transitions at sf0.01), and a
+    // running boundary count assigning each frame its shot id. Integer
+    // throughout. Both windows partition by media (≤ 16 rows each) — the
+    // per-title state a 1000-executor run keeps is one frame row, never a
+    // video's worth. A real decoder slots into the same seam as
+    // mm_perceptual_hash; the diff/segment mechanics are identical.
+    "mm_shot_boundary" -> ((s, d) => {
+      val frames = Tables.documents(s, d)
+        .filter(col("n_chars") >= 256)
+        .select(col("doc_id").as("media_id"), col("text"),
+          explode(expr("sequence(0, 255)")).as("pos"))
+        .select(col("media_id"), expr("pos div 16").as("frame"),
+          expr("CAST(ascii(substring(text, pos + 1, 1)) AS BIGINT)").as("b"))
+        .groupBy("media_id", "frame").agg(sum("b").as("energy"))
+      val w = Window.partitionBy("media_id").orderBy("frame")
+      frames
+        .withColumn("diff", abs(col("energy") - lag("energy", 1).over(w)))
+        .withColumn("is_boundary", coalesce(col("diff") > 120, lit(false)))
+        .withColumn("shot_id",
+          sum(when(col("is_boundary"), 1L).otherwise(0L))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select("media_id", "frame", "energy", "diff", "is_boundary", "shot_id")
+        .orderBy("media_id", "frame")
+    }),
+
     // Feature extraction over sampled frames: an 8-dim feature vector per
     // frame (md5-derived — the deterministic stand-in for an image/audio
     // embedding model; a real extractor slots into the decodeStub seam).
@@ -202,6 +231,25 @@ object MultimodalQueries extends QueryPack {
         |  COUNT(*) OVER (PARTITION BY ahash16) AS n_same_hash,
         |  COUNT(*) OVER (PARTITION BY ahash16) > 1 AS is_dup
         |FROM h ORDER BY media_id""".stripMargin,
+    "mm_shot_boundary" ->
+      """WITH p AS (SELECT doc_id AS media_id, text,
+        |    unnest(range(0, 256)) AS pos
+        |  FROM documents WHERE n_chars >= 256),
+        |b AS (SELECT media_id, pos // 16 AS frame,
+        |    CAST(ascii(substring(text, CAST(pos + 1 AS INT), 1)) AS BIGINT) AS b
+        |  FROM p),
+        |f AS (SELECT media_id, frame, CAST(SUM(b) AS BIGINT) AS energy
+        |  FROM b GROUP BY 1, 2),
+        |dd AS (SELECT media_id, frame, energy,
+        |    abs(energy - lag(energy) OVER (PARTITION BY media_id
+        |      ORDER BY frame)) AS diff
+        |  FROM f),
+        |sb AS (SELECT *, COALESCE(diff > 120, FALSE) AS is_boundary FROM dd)
+        |SELECT media_id, frame, energy, diff, is_boundary,
+        |  CAST(SUM(CASE WHEN is_boundary THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY media_id ORDER BY frame
+        |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS shot_id
+        |FROM sb ORDER BY media_id, frame""".stripMargin,
     "mm_tile_grid" ->
       """WITH rows_ AS (SELECT doc_id AS media_id, text,
         |    unnest(range(0, CAST(ceil(len(text) / 64.0) AS INT))) AS tile_row

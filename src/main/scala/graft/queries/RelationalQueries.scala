@@ -356,6 +356,38 @@ object RelationalQueries extends QueryPack {
         .orderBy("o_orderstatus")
     }),
 
+    // BLOOM-FILTER SEMI-JOIN REDUCTION — the runtime-filter pattern that
+    // makes selective dim⋈fact joins cheap at 100 TB: build a bloom filter
+    // over the (filtered) dim keys, prune the fact side with
+    // `might_contain` BEFORE its shuffle, then run the exact join. The
+    // bloom's false positives survive the prefilter but are eliminated by
+    // the equi-join, so the result is EXACTLY the plain join (the oracle
+    // is the plain SQL join) while the fact exchange carries ~sel× fewer
+    // rows. The collected artifact is O(bloom bits) — a few KB, same
+    // driver-side cost Spark's own InjectRuntimeFilter pays — never
+    // O(data). PlanShapeSpec pins might_contain below the join.
+    "join_bloom_prefilter" -> ((s, d) => {
+      import org.apache.spark.sql.GraftSqlBridge.{toColumn, toExpression}
+      import org.apache.spark.sql.catalyst.expressions.Literal
+      import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+      import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+      val dim = Tables.customer(s, d).filter(col("c_acctbal") > 9000)
+        .select("c_custkey", "c_mktsegment")
+      val bf = dim.agg(toColumn(new BloomFilterAggregate(
+          toExpression(col("c_custkey")), Literal(20000L), Literal(200000L))
+          .toAggregateExpression()).as("bf"))
+        .head().getAs[Array[Byte]]("bf")
+      val pruned = Tables.orders(s, d)
+        .filter(toColumn(BloomFilterMightContain(
+          toExpression(lit(bf)), toExpression(col("o_custkey")))))
+        .select("o_custkey", "o_totalprice")
+      pruned.join(dim, pruned("o_custkey") === dim("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("sum_cents"))
+        .orderBy("c_mktsegment")
+    }),
+
     // TPC-H Q3 (shipping priority), adapted to this schema: segment-
     // filtered customers ⋈ date-bounded orders ⋈ lineitem, revenue in
     // exact cents, top 10 by revenue. Two fact shuffles on the join keys;
@@ -787,6 +819,12 @@ object RelationalQueries extends QueryPack {
         | CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE l_quantity > 10
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "join_bloom_prefilter" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE c_acctbal > 9000
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "tpch_q3" ->
       """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,

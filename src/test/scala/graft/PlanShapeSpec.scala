@@ -408,6 +408,35 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), "fact must not shuffle for a 3-row dim")
   }
 
+  test("bloom prefilter prunes the fact BELOW the join, and the join stays equi") {
+    val p = plan("join_bloom_prefilter")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    val joinIdx = p.indexOf("HashJoin")
+    val mcIdx = p.indexOf("might_contain")
+    assert(joinIdx >= 0 && mcIdx >= 0, s"missing join or bloom filter:\n${p.take(600)}")
+    // tree printing lists children after their parent: the bloom filter
+    // must sit in the probe subtree (fewer rows reach the exchange), not
+    // be applied post-join where it would prune nothing
+    assert(mcIdx > joinIdx,
+      s"might_contain is not below the join:\n${p.take(800)}")
+  }
+
+  test("surprisal scoring: only the single-row total broadcasts as a nested loop") {
+    val p = plan("text_surprisal_bucket")
+    assert(!p.contains("CartesianProduct"))
+    // the token→count equi-join must not degenerate; the one expected
+    // BroadcastNestedLoopJoin carries exactly the 1-row corpus total
+    val bnl = "BroadcastNestedLoopJoin".r.findAllIn(p).length
+    assert(bnl <= 1, s"unexpected nested-loop joins ($bnl):\n${p.take(800)}")
+  }
+
+  test("k-anon and shot-boundary windows are all partitioned (no single-partition stage)") {
+    assert(!plan("privacy_k_anon").contains("SinglePartition"),
+      "k-anon must never collapse to one partition")
+    assert(!plan("mm_shot_boundary").contains("SinglePartition"),
+      "shot detection must stay partitioned by media")
+  }
+
   test("q15 scans the fact once: materialized aggregate feeds both max and filter") {
     val p = plan("tpch_q15")
     // both consumers (the equality filter and the global max) must read

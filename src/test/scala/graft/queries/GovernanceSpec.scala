@@ -1,0 +1,85 @@
+package graft.queries
+
+import graft.{SparkEntry, SparkSpec}
+import org.apache.spark.sql.functions._
+
+/** Semantic invariants for the wave-6 governance / scoring operators —
+  * properties the DuckDB hash-match can't state directly (the oracle
+  * proves value equality; these prove the CONTRACT the values must obey).
+  */
+class GovernanceSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+  private def run(q: String) = SparkEntry.queries(q)(spark, sf)
+
+  test("k-anonymity: every released group has >= 5 rows, and no customer is lost") {
+    val out = run("privacy_k_anon").cache()
+    try {
+      // suppression (level 2) may hold < k rows — that is what makes the
+      // RELEASED quasi-identifiers safe; every generalized group must not
+      val leaks = out.filter(col("level") < 2 && col("n_rows") < 5).count()
+      assert(leaks == 0, s"$leaks released groups violate k=5")
+      val total = out.agg(sum("n_rows")).head().getLong(0)
+      val customers = spark.read.parquet(s"$sf/customer.parquet").count()
+      assert(total == customers,
+        s"audit covers $total of $customers customers — rows were dropped")
+    } finally { out.unpersist(); () }
+  }
+
+  test("bloom prefilter result is EXACTLY the plain join (false positives eliminated)") {
+    val bloom = run("join_bloom_prefilter")
+    val dim = spark.read.parquet(s"$sf/customer.parquet")
+      .filter(col("c_acctbal") > 9000).select("c_custkey", "c_mktsegment")
+    val plain = spark.read.parquet(s"$sf/orders.parquet")
+      .join(dim, col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("sum_cents"))
+      .orderBy("c_mktsegment")
+    assert(bloom.collect().toSeq == plain.collect().toSeq)
+  }
+
+  test("surprisal bucketing: rarer vocabulary means strictly more bits per token") {
+    val out = run("text_surprisal_bucket").cache()
+    try {
+      // the integer surprisal is a valid score: non-negative, and the
+      // bucket thresholds partition the corpus without gaps
+      assert(out.filter(col("surprisal_bits") < 0).count() == 0)
+      val perBucket = out.groupBy("bucket").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(perBucket.keySet == Set("head", "middle", "tail"),
+        s"degenerate split: $perBucket")
+      // head docs score strictly below tail docs on mean bits
+      val headMax = out.filter(col("bucket") === "head")
+        .agg(max("mean_bits_milli")).head().getLong(0)
+      val tailMin = out.filter(col("bucket") === "tail")
+        .agg(min("mean_bits_milli")).head().getLong(0)
+      assert(headMax < tailMin)
+    } finally { out.unpersist(); () }
+  }
+
+  test("feature hashing conserves token mass and stays inside 64 dims") {
+    val out = run("feature_hash_vector").cache()
+    try {
+      val nTerms = out.agg(sum("n_terms")).head().getLong(0)
+      val nToks = spark.read.parquet(s"$sf/documents.parquet")
+        .select(explode(split(col("text"), " "))).count()
+      assert(nTerms == nToks, s"hashed $nTerms of $nToks tokens")
+      assert(out.filter(col("dim") < 0 || col("dim") > 63).count() == 0)
+      // signed trick: |value| can never exceed the colliding token count
+      assert(out.filter(abs(col("value")) > col("n_terms")).count() == 0)
+    } finally { out.unpersist(); () }
+  }
+
+  test("shot ids are monotone per media and advance exactly on boundaries") {
+    val out = run("mm_shot_boundary")
+    val bad = out
+      .withColumn("prev_shot", lag("shot_id", 1).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("media_id").orderBy("frame")))
+      .filter(col("prev_shot").isNotNull &&
+        col("shot_id") =!= col("prev_shot") + when(col("is_boundary"), 1L).otherwise(0L))
+      .count()
+    assert(bad == 0, s"$bad frames break the shot-id recurrence")
+  }
+}
