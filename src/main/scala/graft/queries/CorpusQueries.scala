@@ -502,6 +502,31 @@ object CorpusQueries extends QueryPack {
         .orderBy("lang")
     }),
 
+    // TEMPERATURE-BASED MIXTURE SCHEDULE (multilingual-LM sampling, T=0.5):
+    // per-source weights ∝ sqrt(n_tokens) flatten the source distribution
+    // so low-resource sources are not drowned, and the plan emits each
+    // source's sampling share (ppm), its token allocation out of a 100k
+    // budget, and the implied epoch count (milli) — the "how many times
+    // does each source repeat" table a data-mixing run is driven by.
+    // Integer-exact despite the sqrt: IEEE-754 sqrt is CORRECTLY ROUNDED
+    // (unlike log/pow), so floor(sqrt(double)) of an exact integer < 2^52
+    // is the true integer square root on every engine. One corpus scan,
+    // one 20-row aggregate, broadcast total.
+    "sample_mix_schedule" -> ((s, d) => {
+      val src = Tables.documents(s, d)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(split(col("text"), " ")).cast("long")).as("n_toks"))
+        .withColumn("wgt", floor(sqrt(col("n_toks").cast("double"))).cast("long"))
+      val tot = src.agg(sum("wgt").as("wsum"))
+      src.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_docs"), col("n_toks"), col("wgt"),
+          expr("(wgt * 1000000) div wsum").as("share_ppm"),
+          expr("(100000 * wgt) div wsum").as("planned_toks"))
+        .withColumn("epochs_milli", expr("(planned_toks * 1000) div n_toks"))
+        .orderBy("source")
+    }),
+
     // URL canonicalization — the dedup key for crawl data: scheme/host
     // lowercased, www. and query/fragment stripped, trailing slash
     // dropped, then grouped to show variant URLs collapsing to one
@@ -756,6 +781,18 @@ object CorpusQueries extends QueryPack {
         |  CAST(SUM(n_phone) AS BIGINT) AS n_phone,
         |  COUNT(*) FILTER (n_email + n_phone > 0) AS n_docs_pii
         |FROM h GROUP BY 1 ORDER BY 1""".stripMargin,
+    "sample_mix_schedule" ->
+      """WITH s AS (SELECT source, COUNT(*) AS n_docs,
+        |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_toks
+        |  FROM documents GROUP BY 1),
+        |w AS (SELECT *, CAST(floor(sqrt(CAST(n_toks AS DOUBLE))) AS BIGINT) AS wgt
+        |  FROM s),
+        |t AS (SELECT CAST(SUM(wgt) AS BIGINT) AS wsum FROM w)
+        |SELECT source, n_docs, n_toks, wgt,
+        |  (wgt * 1000000) // (SELECT wsum FROM t) AS share_ppm,
+        |  (100000 * wgt) // (SELECT wsum FROM t) AS planned_toks,
+        |  ((100000 * wgt) // (SELECT wsum FROM t)) * 1000 // n_toks AS epochs_milli
+        |FROM w ORDER BY source""".stripMargin,
     "privacy_k_anon" ->
       """WITH base AS (SELECT c_custkey, c_nationkey, c_mktsegment,
         |    (CAST(round(c_acctbal * 100) AS BIGINT) + 100000) // 200000 AS bk

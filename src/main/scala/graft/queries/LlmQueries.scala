@@ -264,6 +264,39 @@ object LlmQueries extends QueryPack {
         .agg(sum("sign").as("value"), count(lit(1)).as("n_terms"))
         .orderBy("doc_id", "dim")),
 
+    // EXACT-SUBSTRING span dedup (the char-level family member beside the
+    // word-shingle MinHash and line-level dedups): stride-16 32-char
+    // grams are hashed corpus-wide; a gram seen in MORE THAN ONE doc
+    // marks its position, and adjacent marked positions (gap ≤ 32) merge
+    // gaps-and-islands-style into contiguous duplicated spans — the
+    // "remove repeated passages, keep the rest" primitive for boilerplate
+    // and licence blocks. The stride bounds fan-out at n_chars/16 rows
+    // per doc; candidate marking is a hash-agg + equi-join (never
+    // pairwise); the island windows partition per doc and are bounded by
+    // the doc's own gram count.
+    "dedup_substring_span" -> ((s, d) => {
+      val g = Tables.documents(s, d).filter(col("n_chars") >= 32)
+        .select(col("doc_id"), col("text"),
+          explode(expr(
+            "transform(sequence(0, CAST((n_chars - 32) div 16 AS INT)), i -> CAST(i AS BIGINT) * 16)"))
+            .as("p"))
+        .select(col("doc_id"), col("p"),
+          TextOps.hash60(expr("substring(text, CAST(p + 1 AS INT), 32)")).as("h"))
+      val dup = g.groupBy("h").agg(countDistinct("doc_id").as("nd"))
+        .filter(col("nd") > 1).select("h")
+      val w = Window.partitionBy("doc_id").orderBy("p")
+      g.join(dup, "h").select("doc_id", "p")
+        .withColumn("brk",
+          when(col("p") - lag("p", 1).over(w) <= 32, 0L).otherwise(1L))
+        .withColumn("span", sum("brk").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("doc_id", "span")
+        .agg(min("p").as("span_start"), (max("p") + 32).as("span_end"),
+          count(lit(1)).as("n_grams"))
+        .select("doc_id", "span_start", "span_end", "n_grams")
+        .orderBy("doc_id", "span_start")
+    }),
+
     // Document fingerprinting: whole-text 60-bit hash + min 5-gram shingle
     // hash (winnowing-style content fingerprint robust to suffix edits).
     // Same explode + partial-min aggregate shape as the minhash signature;
@@ -1035,6 +1068,23 @@ object LlmQueries extends QueryPack {
         |       WHEN (surprisal_bits * 1000) // n_tok < 4045 THEN 'middle'
         |       ELSE 'tail' END AS bucket
         |FROM doc ORDER BY doc_id""".stripMargin,
+    "dedup_substring_span" ->
+      """WITH pos AS (SELECT doc_id, text,
+        |    unnest(range(0, (n_chars - 32) // 16 + 1)) * 16 AS p
+        |  FROM documents WHERE n_chars >= 32),
+        |g AS (SELECT doc_id, p,
+        |    ('0x'||substr(md5(substr(text, CAST(p + 1 AS INT), 32)),1,15))::BIGINT AS h
+        |  FROM pos),
+        |dup AS (SELECT h FROM g GROUP BY h HAVING COUNT(DISTINCT doc_id) > 1),
+        |m AS (SELECT doc_id, p FROM g JOIN dup USING (h)),
+        |isl AS (SELECT doc_id, p,
+        |    CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) <= 32
+        |         THEN 0 ELSE 1 END AS brk FROM m),
+        |grp AS (SELECT doc_id, p, CAST(SUM(brk) OVER (PARTITION BY doc_id
+        |    ORDER BY p ROWS UNBOUNDED PRECEDING) AS BIGINT) AS span FROM isl)
+        |SELECT doc_id, CAST(MIN(p) AS BIGINT) AS span_start,
+        |  CAST(MAX(p) + 32 AS BIGINT) AS span_end, COUNT(*) AS n_grams
+        |FROM grp GROUP BY doc_id, span ORDER BY doc_id, span_start""".stripMargin,
     "feature_hash_vector" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
         |  FROM documents),

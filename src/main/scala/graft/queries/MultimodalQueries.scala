@@ -157,6 +157,36 @@ object MultimodalQueries extends QueryPack {
         .orderBy("media_id", "frame")
     }),
 
+    // VOICE-ACTIVITY DETECTION over the audio seam: windowed signal energy
+    // (sum of squared samples per 32-sample window over the first 256
+    // payload bytes), a fixed energy gate (315000 ≈ the corpus median, so
+    // both states are well-populated), and consecutive active windows
+    // merged gaps-and-islands-style into speech segments with start/end/
+    // energy — the segmenter an ASR pipeline runs before transcription.
+    // Integer throughout; both windows partition per media (≤ 8 rows).
+    // A real PCM decoder slots into the same seam as the frame ops; the
+    // energy-gate/segment-merge mechanics are identical.
+    "mm_audio_vad" -> ((s, d) => {
+      val wins = Tables.documents(s, d)
+        .filter(col("n_chars") >= 256)
+        .select(col("doc_id").as("media_id"), col("text"),
+          explode(expr("sequence(0, 255)")).as("pos"))
+        .select(col("media_id"), expr("pos div 32").as("win"),
+          expr("CAST(ascii(substring(text, pos + 1, 1)) AS BIGINT)").as("b"))
+        .groupBy("media_id", "win").agg(sum(expr("b * b")).as("ssq"))
+      val w = Window.partitionBy("media_id").orderBy("win")
+      wins.filter(col("ssq") > 315000)
+        .withColumn("brk",
+          when(col("win") - lag("win", 1).over(w) === 1, 0L).otherwise(1L))
+        .withColumn("seg", sum("brk").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("media_id", "seg")
+        .agg(min("win").as("start_win"), max("win").as("end_win"),
+          count(lit(1)).as("n_windows"), sum("ssq").as("energy"))
+        .select("media_id", "start_win", "end_win", "n_windows", "energy")
+        .orderBy("media_id", "start_win")
+    }),
+
     // Feature extraction over sampled frames: an 8-dim feature vector per
     // frame (md5-derived — the deterministic stand-in for an image/audio
     // embedding model; a real extractor slots into the decodeStub seam).
@@ -231,6 +261,24 @@ object MultimodalQueries extends QueryPack {
         |  COUNT(*) OVER (PARTITION BY ahash16) AS n_same_hash,
         |  COUNT(*) OVER (PARTITION BY ahash16) > 1 AS is_dup
         |FROM h ORDER BY media_id""".stripMargin,
+    "mm_audio_vad" ->
+      """WITH p AS (SELECT doc_id AS media_id, text,
+        |    unnest(range(0, 256)) AS pos
+        |  FROM documents WHERE n_chars >= 256),
+        |s AS (SELECT media_id, pos // 32 AS win,
+        |    CAST(ascii(substring(text, CAST(pos + 1 AS INT), 1)) AS BIGINT) AS b
+        |  FROM p),
+        |w AS (SELECT media_id, win, CAST(SUM(b * b) AS BIGINT) AS ssq
+        |  FROM s GROUP BY 1, 2),
+        |act AS (SELECT * FROM w WHERE ssq > 315000),
+        |isl AS (SELECT *, CASE WHEN win - lag(win) OVER (PARTITION BY media_id
+        |      ORDER BY win) = 1 THEN 0 ELSE 1 END AS brk FROM act),
+        |grp AS (SELECT *, CAST(SUM(brk) OVER (PARTITION BY media_id
+        |    ORDER BY win ROWS UNBOUNDED PRECEDING) AS BIGINT) AS seg FROM isl)
+        |SELECT media_id, CAST(MIN(win) AS BIGINT) AS start_win,
+        |  CAST(MAX(win) AS BIGINT) AS end_win, COUNT(*) AS n_windows,
+        |  CAST(SUM(ssq) AS BIGINT) AS energy
+        |FROM grp GROUP BY media_id, seg ORDER BY media_id, start_win""".stripMargin,
     "mm_shot_boundary" ->
       """WITH p AS (SELECT doc_id AS media_id, text,
         |    unnest(range(0, 256)) AS pos

@@ -732,6 +732,32 @@ object StatsQueries extends QueryPack {
         .orderBy("user_id")
     }),
 
+    // LAST-TOUCH ATTRIBUTION with a 7-day lookback — the conversion-credit
+    // assignment every marketing warehouse runs: each purchase is credited
+    // to the user's most recent preceding view, and the credit expires
+    // when the gap exceeds the window. One carry-forward window per user
+    // (last view ts, ignoreNulls, running frame) — the same single-shuffle
+    // shape as sessionization, NOT a purchases×views join; (ts, event_id)
+    // tie-break keeps same-timestamp rows deterministic.
+    "events_attribution" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .filter(col("event_type").isin("view", "purchase"))
+        .select(col("user_id"), col("ts"), col("event_type"), col("event_id"))
+        .withColumn("last_view",
+          last(when(col("event_type") === "view", col("ts")), ignoreNulls = true)
+            .over(w))
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("purchase_us"),
+          unix_micros(col("last_view")).as("view_us"))
+        .withColumn("attributed",
+          col("view_us").isNotNull &&
+            col("purchase_us") - col("view_us") <= 604800L * 1000000L)
+        .orderBy("event_id")
+    }),
+
     // Correlated LATERAL subquery with LIMIT — the SQL-surface spelling
     // of top-N-per-group. Spark decorrelates it into the same
     // WindowGroupLimit + hash-join plan the DataFrame window form gets
@@ -1280,6 +1306,20 @@ object StatsQueries extends QueryPack {
         |FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
         |LEFT JOIN s3 ON s1.user_id = s3.user_id
         |ORDER BY s1.user_id""".stripMargin,
+    "events_attribution" ->
+      """WITH ue AS (SELECT user_id, ts, event_type, event_id FROM events
+        |  WHERE event_type IN ('view', 'purchase')),
+        |c AS (SELECT *,
+        |    last_value(CASE WHEN event_type = 'view' THEN ts END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS UNBOUNDED PRECEDING) AS last_view
+        |  FROM ue)
+        |SELECT user_id, event_id, epoch_us(ts) AS purchase_us,
+        |  epoch_us(last_view) AS view_us,
+        |  COALESCE(epoch_us(last_view) IS NOT NULL
+        |    AND epoch_us(ts) - epoch_us(last_view) <= 604800000000, FALSE)
+        |    AS attributed
+        |FROM c WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
     "join_lateral_topn" ->
       """SELECT c.c_custkey, t.o_orderkey, t.pc
         |FROM customer c,

@@ -437,6 +437,20 @@ class PlanShapeSpec extends SparkSpec {
       "shot detection must stay partitioned by media")
   }
 
+  test("substring-span dedup marks candidates via hash equi-join, never pairwise") {
+    val p = plan("dedup_substring_span")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"gram-candidate marking degenerated:\n${p.take(800)}")
+    assert(!p.contains("SinglePartition"), "island windows must stay per-doc")
+  }
+
+  test("attribution and VAD stay partitioned end to end") {
+    assert(!plan("events_attribution").contains("SinglePartition"),
+      "attribution must shuffle once on user_id, never collapse")
+    assert(!plan("mm_audio_vad").contains("SinglePartition"),
+      "VAD windows must stay per-media")
+  }
+
   test("q15 scans the fact once: materialized aggregate feeds both max and filter") {
     val p = plan("tpch_q15")
     // both consumers (the equality filter and the global max) must read

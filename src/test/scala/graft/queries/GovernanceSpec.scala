@@ -71,6 +71,65 @@ class GovernanceSpec extends SparkSpec {
     } finally { out.unpersist(); () }
   }
 
+  test("substring spans: disjoint per doc, stride-consistent, >= one gram wide") {
+    val out = run("dedup_substring_span").cache()
+    try {
+      // span_end - span_start must equal stride*(n_grams-1) + gram_len
+      val inconsistent = out.filter(
+        col("span_end") - col("span_start") =!= (col("n_grams") - 1) * 16 + 32).count()
+      assert(inconsistent == 0, s"$inconsistent spans break the stride arithmetic")
+      val overlaps = out.as("a").join(out.as("b"),
+        col("a.doc_id") === col("b.doc_id") &&
+          col("a.span_start") < col("b.span_start") &&
+          col("b.span_start") < col("a.span_end")).count()
+      assert(overlaps == 0, s"$overlaps overlapping span pairs — islands merge failed")
+    } finally { out.unpersist(); () }
+  }
+
+  test("mix schedule: weights are true integer square roots and shares sum to ~1") {
+    val out = run("sample_mix_schedule").cache()
+    try {
+      val badRoot = out.filter(
+        col("wgt") * col("wgt") > col("n_toks") ||
+          (col("wgt") + 1) * (col("wgt") + 1) <= col("n_toks")).count()
+      assert(badRoot == 0, "floor(sqrt) is not the integer square root")
+      val Array(total, n) = out.agg(sum("share_ppm"), count(lit(1)))
+        .head().toSeq.map(_.asInstanceOf[Long]).toArray
+      // each source floors away < 1 ppm
+      assert(total <= 1000000L && total > 1000000L - n,
+        s"shares sum to $total ppm across $n sources")
+    } finally { out.unpersist(); () }
+  }
+
+  test("attribution: every purchase appears once; credit never postdates the purchase") {
+    val out = run("events_attribution").cache()
+    try {
+      val purchases = graft.Tables.events(spark, sf)
+        .filter(col("event_type") === "purchase").count()
+      assert(out.count() == purchases, "purchases dropped or duplicated")
+      val timeTravel = out.filter(col("view_us") > col("purchase_us")).count()
+      assert(timeTravel == 0, s"$timeTravel purchases credited to a LATER view")
+      val staleCredit = out.filter(col("attributed") &&
+        col("purchase_us") - col("view_us") > 604800L * 1000000L).count()
+      assert(staleCredit == 0, s"$staleCredit credits escaped the 7-day lookback")
+    } finally { out.unpersist(); () }
+  }
+
+  test("VAD segments: window counts close and segments never touch or overlap") {
+    val out = run("mm_audio_vad").cache()
+    try {
+      val badWidth = out.filter(
+        col("n_windows") =!= col("end_win") - col("start_win") + 1).count()
+      assert(badWidth == 0, "a segment's window count disagrees with its bounds")
+      // consecutive segments per media must be separated by an INACTIVE gap
+      val touching = out.as("a").join(out.as("b"),
+        col("a.media_id") === col("b.media_id") &&
+          col("b.start_win") > col("a.start_win") &&
+          col("b.start_win") <= col("a.end_win") + 1).count()
+      assert(touching == 0, s"$touching segment pairs touch — merge missed them")
+    } finally { out.unpersist(); () }
+  }
+
   test("shot ids are monotone per media and advance exactly on boundaries") {
     val out = run("mm_shot_boundary")
     val bad = out
