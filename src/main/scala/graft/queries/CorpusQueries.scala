@@ -112,6 +112,29 @@ object CorpusQueries extends QueryPack {
           expr("max_tok_freq * 1000 div n_tok").as("top_milli"))
         .orderBy("doc_id")),
 
+    // OUT-OF-VOCABULARY rate — tokenizer-coverage screening: the vocabulary
+    // is every token holding ≥ 1/32 of corpus token mass (an integer mass
+    // compare, so no top-k tie nondeterminism), built in one aggregate and
+    // broadcast back onto the exploded tokens; each doc reports its token
+    // count, OOV count and OOV rate in milli. At 100 TB the vocab stays a
+    // broadcast (mass-threshold caps it at ≤ 32 entries by construction)
+    // and the per-doc rollup is the only shuffle.
+    "text_oov_rate" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+      val freq = toks.groupBy("tok").agg(count(lit(1)).as("n"))
+      val tot = freq.agg(sum("n").as("n_total"))
+      val vocab = freq.crossJoin(broadcast(tot))
+        .filter(col("n") * 32 >= col("n_total"))
+        .select(col("tok"), lit(1L).as("in_vocab"))
+      toks.join(broadcast(vocab), Seq("tok"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tok"),
+          sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+        .withColumn("oov_milli", expr("n_oov * 1000 div n_tok"))
+        .orderBy("doc_id")
+    }),
+
     // Length histogram: 100-char buckets with an overflow bucket — the
     // corpus-profiling sweep that sizes chunking/truncation decisions.
     // Integer bucket arithmetic (no width_bucket float edges).
@@ -480,6 +503,27 @@ object CorpusQueries extends QueryPack {
         .orderBy("level", "qi_geo", "qi_seg", "qi_bal")
     }),
 
+    // L-DIVERSITY audit — the release gate ONE STEP PAST k-anonymity: a
+    // QI group that is large enough (k) can still leak if everyone in it
+    // shares the same sensitive value, so each (nation, segment) group
+    // must also hold ≥ 3 distinct balance buckets AND no single bucket
+    // may hold a majority (the "well-represented" check). Two cascaded
+    // hash aggregates, both with map-side partials; the sensitive
+    // attribute never leaves aggregate form.
+    "privacy_l_diversity" -> ((s, d) =>
+      Tables.customer(s, d)
+        .select(col("c_nationkey"), col("c_mktsegment"),
+          expr("(CAST(round(c_acctbal * 100) AS BIGINT) + 100000) div 200000")
+            .as("bk"))
+        .groupBy("c_nationkey", "c_mktsegment", "bk")
+        .agg(count(lit(1)).as("nb"))
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(sum("nb").as("n_rows"), count(lit(1)).as("l_distinct"),
+          max("nb").as("top_sens"))
+        .withColumn("release_ok",
+          col("l_distinct") >= 3 && col("top_sens") * 2 <= col("n_rows"))
+        .orderBy("c_nationkey", "c_mktsegment")),
+
     // Deterministic class rebalancing: every language downsampled to the
     // minority class's count by hash-order rank — the bias-control step
     // before training, reproducible on any engine and stable under
@@ -611,6 +655,17 @@ object CorpusQueries extends QueryPack {
         |SELECT doc_id, n_tok, n_distinct, max_tok_freq,
         |  (n_tok - n_distinct) * 1000 // n_tok AS rep_milli,
         |  max_tok_freq * 1000 // n_tok AS top_milli
+        |FROM a ORDER BY doc_id""".stripMargin,
+    "text_oov_rate" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |f AS (SELECT tok, COUNT(*) AS n FROM t GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total FROM f),
+        |a AS (SELECT doc_id, COUNT(*) AS n_tok,
+        |    CAST(COUNT(*) FILTER (tok NOT IN
+        |      (SELECT tok FROM f WHERE n * 32 >= (SELECT n_total FROM tot)))
+        |      AS BIGINT) AS n_oov
+        |  FROM t GROUP BY doc_id)
+        |SELECT doc_id, n_tok, n_oov, n_oov * 1000 // n_tok AS oov_milli
         |FROM a ORDER BY doc_id""".stripMargin,
     "doc_len_histogram" ->
       """SELECT least(n_chars // 100, 19) AS bucket, COUNT(*) AS n_docs,
@@ -815,6 +870,16 @@ object CorpusQueries extends QueryPack {
         |SELECT level, qi_geo, qi_seg, qi_bal, COUNT(*) AS n_rows,
         |  CAST(SUM(c_custkey) AS BIGINT) AS sum_ids
         |FROM u GROUP BY 1, 2, 3, 4 ORDER BY 1, 2, 3, 4""".stripMargin,
+    "privacy_l_diversity" ->
+      """WITH base AS (SELECT c_nationkey, c_mktsegment,
+        |    (CAST(round(c_acctbal * 100) AS BIGINT) + 100000) // 200000 AS bk
+        |  FROM customer),
+        |g AS (SELECT c_nationkey, c_mktsegment, bk, COUNT(*) AS nb
+        |  FROM base GROUP BY 1, 2, 3)
+        |SELECT c_nationkey, c_mktsegment, CAST(SUM(nb) AS BIGINT) AS n_rows,
+        |  COUNT(*) AS l_distinct, MAX(nb) AS top_sens,
+        |  COUNT(*) >= 3 AND MAX(nb) * 2 <= SUM(nb) AS release_ok
+        |FROM g GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "sample_class_balance" ->
       """WITH c AS (SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY 1),
         |m AS (SELECT MIN(cnt) AS min_cnt FROM c),

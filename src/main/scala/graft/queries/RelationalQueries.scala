@@ -264,6 +264,27 @@ object RelationalQueries extends QueryPack {
           .selectExpr("l_quantity as qty"))
         .orderBy("qty")),
 
+    // §2.7 EXCEPT ALL — bag semantics: each quantity survives with
+    // multiplicity max(0, count_left − count_right), so the deep-discount
+    // lines subtract one occurrence each instead of erasing the value.
+    // Spark plans this as a count-aggregate + generate (one shuffle on the
+    // value), never a sort-merge of raw rows — the shape that scales.
+    "setop_except_all" -> ((s, d) =>
+      Tables.lineitem(s, d).selectExpr("l_quantity as qty")
+        .exceptAll(Tables.lineitem(s, d).filter(col("l_discount") > 0.05)
+          .selectExpr("l_quantity as qty"))
+        .orderBy("qty")),
+
+    // §2.7 INTERSECT ALL — bag semantics: multiplicity is
+    // min(count_left, count_right) per value; same count-and-replicate
+    // plan as EXCEPT ALL.
+    "setop_intersect_all" -> ((s, d) =>
+      Tables.lineitem(s, d).selectExpr("l_quantity as qty")
+        .intersectAll(Tables.lineitem(s, d)
+          .filter(col("l_returnflag") === "R")
+          .selectExpr("l_quantity as qty"))
+        .orderBy("qty")),
+
     // §2.4 whole-row dedup — the reference's post-scan `dropDuplicates()`
     // (pyspark.py:178,197,222,267,279,297): a hash aggregate on all columns.
     "dedup_distinct" -> ((s, d) =>
@@ -773,6 +794,14 @@ object RelationalQueries extends QueryPack {
     "setop_except" ->
       """SELECT l_quantity AS qty FROM lineitem
         |EXCEPT SELECT l_quantity AS qty FROM lineitem WHERE l_quantity <= 10
+        |ORDER BY qty""".stripMargin,
+    "setop_except_all" ->
+      """SELECT l_quantity AS qty FROM lineitem
+        |EXCEPT ALL SELECT l_quantity AS qty FROM lineitem WHERE l_discount > 0.05
+        |ORDER BY qty""".stripMargin,
+    "setop_intersect_all" ->
+      """SELECT l_quantity AS qty FROM lineitem
+        |INTERSECT ALL SELECT l_quantity AS qty FROM lineitem WHERE l_returnflag = 'R'
         |ORDER BY qty""".stripMargin,
     "dedup_distinct" ->
       """SELECT DISTINCT l_returnflag, l_linestatus, l_quantity FROM lineitem

@@ -182,6 +182,31 @@ object StatsQueries extends QueryPack {
             .stripMargin.replaceAll("\n", " ")).as("corr"))
         .orderBy("l_returnflag")),
 
+    // Per-key linear-regression TREND — "is this metric drifting and how
+    // fast": ordinary-least-squares slope of event value (cents) against
+    // event day, from the five classic sufficient sums in ONE partial-agg
+    // pass (the same single-shuffle shape as stats_corr; regr_slope's
+    // streaming form). The closed form n·Σxy − Σx·Σy over n·Σx² − (Σx)²
+    // is evaluated in DECIMAL(38,0) so the division is integer-exact
+    // (ppm of a cent per day) on any engine — no float accumulation
+    // order to disagree about. Day index keeps the products tiny; a
+    // wider time range just widens the decimals, never the plan.
+    "stats_regr_slope" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_type"),
+          expr("datediff(CAST(ts AS DATE), DATE '2024-01-01')").as("x"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("y"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+          sum(expr("x * x")).as("sxx"), sum(expr("x * y")).as("sxy"))
+        .select(col("event_type"), col("n"), col("sy").as("sum_y_cents"),
+          expr("""CAST((CAST(n AS DECIMAL(38,0)) * CAST(sxy AS DECIMAL(38,0))
+                 |  - CAST(sx AS DECIMAL(38,0)) * CAST(sy AS DECIMAL(38,0))) * 1000000
+                 | div (CAST(n AS DECIMAL(38,0)) * CAST(sxx AS DECIMAL(38,0))
+                 |  - CAST(sx AS DECIMAL(38,0)) * CAST(sx AS DECIMAL(38,0))) AS BIGINT)"""
+            .stripMargin.replaceAll("\n", " ")).as("slope_cpd_ppm"))
+        .orderBy("event_type")),
+
     // Spearman RANK correlation per group — the robust complement to
     // stats_corr's Pearson (monotone association, outlier-insensitive).
     // Ranks come from row_number over (value, unique key), so they are a
@@ -1050,6 +1075,20 @@ object StatsQueries extends QueryPack {
         |    * CAST(CAST(n AS HUGEINT) * syy
         |      - CAST(sy AS HUGEINT) * CAST(sy AS HUGEINT) AS DOUBLE)) AS corr
         |FROM a ORDER BY l_returnflag""".stripMargin,
+    "stats_regr_slope" ->
+      """WITH e AS (SELECT event_type,
+        |    datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS x,
+        |    CAST(round(value * 100) AS BIGINT) AS y FROM events),
+        |a AS (SELECT event_type, COUNT(*) AS n,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |    CAST(SUM(x * x) AS BIGINT) AS sxx, CAST(SUM(x * y) AS BIGINT) AS sxy
+        |  FROM e GROUP BY 1)
+        |SELECT event_type, n, sy AS sum_y_cents,
+        |  CAST((CAST(n AS HUGEINT) * CAST(sxy AS HUGEINT)
+        |    - CAST(sx AS HUGEINT) * CAST(sy AS HUGEINT)) * 1000000
+        |    // (CAST(n AS HUGEINT) * CAST(sxx AS HUGEINT)
+        |    - CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT)) AS BIGINT) AS slope_cpd_ppm
+        |FROM a ORDER BY event_type""".stripMargin,
     "stats_spearman" ->
       """WITH b AS (SELECT l_returnflag, l_orderkey, l_linenumber,
         |    CAST(l_quantity AS BIGINT) AS q,

@@ -444,6 +444,25 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SinglePartition"), "island windows must stay per-doc")
   }
 
+  test("OOV vocab join broadcasts; slope aggregates with map-side partials") {
+    val oov = plan("text_oov_rate")
+    assert(oov.contains("BroadcastHashJoin"),
+      "the mass-thresholded vocab must broadcast onto the token stream")
+    assert(!oov.contains("CartesianProduct"))
+    val slope = plan("stats_regr_slope")
+    assert("HashAggregate".r.findAllIn(slope).length >= 2,
+      "slope sums must partial-aggregate before the event_type shuffle")
+  }
+
+  test("bag set ops plan as aggregate+generate, never a row-by-row join") {
+    for (q <- Seq("setop_except_all", "setop_intersect_all")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q degenerated to a pairwise plan")
+      assert(p.contains("Generate"), s"$q lost the count-and-replicate shape")
+    }
+  }
+
   test("attribution and VAD stay partitioned end to end") {
     assert(!plan("events_attribution").contains("SinglePartition"),
       "attribution must shuffle once on user_id, never collapse")

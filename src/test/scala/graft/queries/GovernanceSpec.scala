@@ -141,4 +141,61 @@ class GovernanceSpec extends SparkSpec {
       .count()
     assert(bad == 0, s"$bad frames break the shot-id recurrence")
   }
+
+  test("bag set ops: EXCEPT ALL and INTERSECT ALL partition a sub-bag exactly") {
+    // both right sides are FILTERS of the left, i.e. true sub-bags, so
+    // |A exceptAll B| must equal |A| - |B| and |A intersectAll B| = |B|
+    val li = graft.Tables.lineitem(spark, sf)
+    val nAll = li.count()
+    val nDisc = li.filter(col("l_discount") > 0.05).count()
+    val nRet = li.filter(col("l_returnflag") === "R").count()
+    assert(run("setop_except_all").count() == nAll - nDisc,
+      "EXCEPT ALL multiplicity arithmetic broken")
+    assert(run("setop_intersect_all").count() == nRet,
+      "INTERSECT ALL of a sub-bag must return the sub-bag's cardinality")
+  }
+
+  test("OOV rate: rates bounded, rare tokens detected, per-doc counts close") {
+    val out = run("text_oov_rate").cache()
+    try {
+      val oob = out.filter(col("oov_milli") < 0 || col("oov_milli") > 1000 ||
+        col("n_oov") > col("n_tok")).count()
+      assert(oob == 0, s"$oob docs report impossible OOV rates")
+      assert(out.agg(sum("n_oov")).head().getLong(0) > 0,
+        "no OOV tokens found — the mass threshold excluded nothing, test is vacuous")
+      val totTok = out.agg(sum("n_tok")).head().getLong(0)
+      val corpusTok = graft.Tables.documents(spark, sf)
+        .select(explode(split(col("text"), " "))).count()
+      assert(totTok == corpusTok, "per-doc token counts do not cover the corpus")
+    } finally { out.unpersist(); () }
+  }
+
+  test("l-diversity: release flag is exactly the conjunction of its two conditions") {
+    val out = run("privacy_l_diversity").cache()
+    try {
+      val wrong = out.filter(col("release_ok") =!=
+        (col("l_distinct") >= 3 && col("top_sens") * 2 <= col("n_rows"))).count()
+      assert(wrong == 0, s"$wrong groups have an inconsistent release flag")
+      // both outcomes must be populated or the gate proves nothing
+      val ok = out.filter(col("release_ok")).count()
+      assert(ok > 0 && ok < out.count(), "release flag is degenerate on this corpus")
+      val total = out.agg(sum("n_rows")).head().getLong(0)
+      assert(total == graft.Tables.customer(spark, sf).count(),
+        "audit lost customers")
+    } finally { out.unpersist(); () }
+  }
+
+  test("regression slope matches Spark's native regr_slope within 1 ppm") {
+    val native = graft.Tables.events(spark, sf)
+      .select(col("event_type"),
+        expr("datediff(CAST(ts AS DATE), DATE '2024-01-01')").cast("double").as("x"),
+        expr("round(value * 100)").as("y"))
+      .groupBy("event_type").agg(expr("regr_slope(y, x)").as("slope"))
+    val got = run("stats_regr_slope")
+      .join(native, "event_type")
+      .select(col("event_type"), col("slope_cpd_ppm"),
+        (col("slope") * 1e6).as("native_ppm"))
+    val off = got.filter(abs(col("slope_cpd_ppm") - col("native_ppm")) > 1.0).count()
+    assert(off == 0, "integer-exact slope disagrees with native regr_slope")
+  }
 }
