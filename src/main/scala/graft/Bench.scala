@@ -65,9 +65,18 @@ object Bench {
     val cachedMem = storage.map(_.memSize).sum
     val cachedDisk = storage.map(_.diskSize).sum
     val detail =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"cached_rdds":$cachedRdds,"cached_mem_bytes":$cachedMem,"cached_disk_bytes":$cachedDisk,"sf":"$sfDir"}"""
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), detail + "\n")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.length},"n_failed":${failed.length},"failed":$failedJson,"cached_rdds":$cachedRdds,"cached_mem_bytes":$cachedMem,"queries_file":"$outFile","sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.length},"n_failed":${failed.length},"queries":$qs,"failed":$failedJson,"cached_rdds":$cachedRdds,"cached_mem_bytes":$cachedMem,"cached_disk_bytes":$cachedDisk,"sf":"$sfDir"}"""
+    // Recorder contract (ADVICE r7): a run with ANY failed query must never
+    // replace the last known-good snapshot — round 7 overwrote a clean
+    // 264-query baseline with a 38-failure run and the harness's rc:0 let
+    // it through. Failed runs go to a sibling `.failed.json` for forensics
+    // and the process exits non-zero so no gate keyed on exit code passes.
+    val target =
+      if (failed.isEmpty) outFile
+      else outFile.stripSuffix(".json") + ".failed.json"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(target), detail + "\n")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.length},"n_failed":${failed.length},"failed":$failedJson,"cached_rdds":$cachedRdds,"cached_mem_bytes":$cachedMem,"queries_file":"$target","sf":"$sfDir"}""")
     spark.stop()
+    if (failed.nonEmpty) sys.exit(1)
   }
 }

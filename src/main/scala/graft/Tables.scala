@@ -21,18 +21,34 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = apply(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame = apply(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = apply(s, d, "region")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects outright ([PARQUET_TYPE_ILLEGAL]). Read nanos as long
-    * and convert to a microsecond timestamp (exact: the generator writes
-    * microsecond-precision values).
+  /** `events.ts` has shipped as two different parquet types across
+    * testdata generations: TIMESTAMP(NANOS) (which Spark's vectorized
+    * reader rejects outright, [PARQUET_TYPE_ILLEGAL], hence the
+    * nanosAsLong escape hatch) and plain TIMESTAMP(MICROS)
+    * (isAdjustedToUTC=false, which Spark resolves as TIMESTAMP_NTZ).
+    * Blindly applying the nanos→micros arithmetic to an
+    * already-timestamp column is a type error — round 7's bench lost 38
+    * queries to exactly that. Dispatch on the RESOLVED dtype instead, and
+    * normalize every shape to session-zoned TimestampType so downstream
+    * window/gap/as-of logic sees one stable type regardless of which
+    * generator wrote the file.
     */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // `ts div 1000`, not `ts / 1000`: nano-epoch values (~1.7e18) exceed
-    // double's 2^53 exact-integer range, so float division rounds the
-    // microsecond.
-    apply(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val raw = apply(s, d, "events")
+    raw.schema("ts").dataType match {
+      // Nano-epoch longs: `ts div 1000`, not `ts / 1000` — nano values
+      // (~1.7e18) exceed double's 2^53 exact range, so float division
+      // would round the microsecond.
+      case LongType => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      // NTZ → session-zoned: with the UTC session both mains pin, this is
+      // an exact reinterpretation of the same microsecond value.
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType => raw
+      case other => sys.error(s"events.ts: unexpected parquet-resolved type $other")
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")

@@ -27,10 +27,12 @@ object Verify {
           "(dev mode); oracle_sql.json will NOT be written, only oracle_sql.partial.json.")
     }
     val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_(n)) }
+    val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
     selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        failures(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
@@ -53,6 +55,17 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     val oracleName = if (only.isDefined) "oracle_sql.partial.json" else "oracle_sql.json"
     Files.writeString(Paths.get(s"$outDir/$oracleName"), oracleOut)
+    // Failure manifest (ADVICE r7): a query that throws has no parquet dump,
+    // and the driver's compare would otherwise just omit it — shrinking
+    // coverage invisibly (round 7 lost 38 queries this way). Always write
+    // the manifest (empty object on a clean run) so "no failures" is an
+    // asserted fact, not an absence of evidence.
+    val failJson = failures.map { case (k, v) => s"${q(k)}: ${q(v)}" }
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/_verify_failures.json"), failJson)
+    println(s"[verify] ${selected.size - failures.size}/${selected.size} queries dumped, " +
+      s"${failures.size} failed" +
+      (if (failures.nonEmpty) ": " + failures.keys.mkString(", ") else ""))
     spark.stop()
   }
 }
