@@ -105,6 +105,13 @@ object GraftFunctions {
       // an AggregateExpression when it lands in an aggregation context
       (args: Seq[Expression]) => graft.functions.MisraGries(args(0),
         literalInt("misra_gries", "k", args(1)))),
+    (FunctionIdentifier("kmv_sketch"),
+      info("kmv_sketch",
+        "kmv_sketch(hash, k) - k-minimum-values distinct sketch over a BIGINT " +
+          "hash column; deterministic ascending array of the k smallest distinct " +
+          "values; k must be a literal"),
+      (args: Seq[Expression]) => graft.functions.KmvSketch(args(0),
+        literalInt("kmv_sketch", "k", args(1)))),
   )
 
   /** Analysis-time literal check: a non-foldable width/size argument gets

@@ -488,6 +488,29 @@ object ScaleQueries extends QueryPack {
     // hub nodes get in-edges, not out-edges, so no reducer sees a hub's
     // full neighborhood squared. Three shuffles total (edges, degrees,
     // wedge-close), all equi-joins.
+    // Degree assortativity of the co-purchase graph (Newman 2002): do
+    // hub parts connect to hubs? Pearson correlation of endpoint degrees
+    // over the SYMMETRIZED edge list — symmetry makes Σa=Σb and Σa²=Σb²,
+    // so the usual 6-sum formula collapses to 4 exact integer sums and
+    // one double ratio (mirrored in the oracle). Degrees join back as
+    // equi-joins; nothing pairwise beyond the edges themselves.
+    "graph_assortativity" -> ((s, d) => {
+      val e = copurchaseEdges(s, d)
+      val deg = e.select(col("u").as("node")).union(e.select(col("v").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("dg"))
+      val pairs = e
+        .join(deg.select(col("node").as("u"), col("dg").as("du")), "u")
+        .join(deg.select(col("node").as("v"), col("dg").as("dv")), "v")
+        .select(col("du").as("a"), col("dv").as("b"))
+      pairs.union(pairs.select(col("b").as("a"), col("a").as("b")))
+        .agg(count(lit(1)).as("m2"), sum("a").as("sa"),
+          sum(col("a") * col("b")).as("sab"), sum(col("a") * col("a")).as("saa"))
+        .selectExpr("m2 div 2 AS n_edges",
+          """CAST(floor(1000.0 * (m2 * CAST(sab AS DOUBLE) - CAST(sa AS DOUBLE) * sa)
+            | / (m2 * CAST(saa AS DOUBLE) - CAST(sa AS DOUBLE) * sa)) AS BIGINT)
+            | AS assortativity_milli""".stripMargin.replaceAll("\n", " "))
+    }),
+
     "graph_triangles" -> ((s, d) => {
       val e = copurchaseEdges(s, d)
       val oriented = cached("oriented_edges", s, d) {
@@ -1296,6 +1319,23 @@ object ScaleQueries extends QueryPack {
         |SELECT node, CAST(MIN(depth) AS BIGINT) AS hops,
         |  COUNT(*) AS n_paths
         |FROM walk GROUP BY 1 ORDER BY 1""".stripMargin,
+    "graph_assortativity" ->
+      """WITH po AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |  FROM lineitem WHERE l_quantity >= 40),
+        |e AS (SELECT DISTINCT a.p AS u, b.p AS v
+        |  FROM po a JOIN po b ON a.o = b.o AND a.p < b.p),
+        |deg AS (SELECT node, COUNT(*) AS dg FROM (
+        |    SELECT u AS node FROM e UNION ALL SELECT v FROM e) GROUP BY 1),
+        |pairs AS (SELECT du.dg AS a, dv.dg AS b
+        |  FROM e JOIN deg du ON e.u = du.node JOIN deg dv ON e.v = dv.node),
+        |sym AS (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs),
+        |agg AS (SELECT COUNT(*) AS m2, SUM(a) AS sa,
+        |    SUM(a::HUGEINT * b) AS sab, SUM(a::HUGEINT * a) AS saa FROM sym)
+        |SELECT CAST(m2 // 2 AS BIGINT) AS n_edges,
+        |  CAST(floor(1000.0 * (m2 * CAST(sab AS DOUBLE) - CAST(sa AS DOUBLE) * sa)
+        |    / (m2 * CAST(saa AS DOUBLE) - CAST(sa AS DOUBLE) * sa)) AS BIGINT)
+        |    AS assortativity_milli
+        |FROM agg""".stripMargin,
     "graph_kcore_peel" ->
       """WITH po AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
         |      FROM lineitem WHERE l_quantity >= 40),

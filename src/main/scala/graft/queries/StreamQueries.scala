@@ -32,6 +32,19 @@ object StreamQueries extends QueryPack {
           col("event_type"), col("n_events"), col("value_cents"))
         .orderBy("w_start", "event_type")),
 
+    // Distinct-user estimation per tumbling hour via the native KMV
+    // sketch — the custom TypedImperativeAggregate exercised through the
+    // SAME aggregation path streaming state uses (StreamingSpec runs the
+    // stream side and pins stream ≡ batch). KMV determinism (k smallest
+    // are merge-order-independent) is what makes this oracle-able at all:
+    // the estimate is a pure function of the window's distinct-hash SET.
+    "stream_kmv_distinct_batcheq" -> ((s, d) =>
+      Streams.kmvWindowDistinct(Tables.events(s, d))
+        .select(date_format(col("w_start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
+          date_format(col("w_end"), "yyyy-MM-dd HH:mm:ss").as("w_end"),
+          col("n_events"), col("est_users"))
+        .orderBy("w_start")),
+
     // Stream–static join: events enriched against the static customer
     // dimension (broadcast — no stream-side shuffle, no state), then a
     // keyed aggregation. The oracle verifies the batch twin; StreamingSpec
@@ -136,6 +149,22 @@ object StreamQueries extends QueryPack {
         | event_type, COUNT(*) AS n_events,
         | CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents
         |FROM events GROUP BY 1, 2, 3 ORDER BY 1, 3""".stripMargin,
+    "stream_kmv_distinct_batcheq" ->
+      """WITH b AS (SELECT time_bucket(INTERVAL '60 minutes', ts) AS w,
+        |    ('0x'||substr(md5(CAST(user_id AS VARCHAR)),1,15))::BIGINT AS h
+        |  FROM events),
+        |d AS (SELECT DISTINCT w, h FROM b),
+        |r AS (SELECT w, h, row_number() OVER (PARTITION BY w ORDER BY h) AS rn FROM d),
+        |sk AS (SELECT w, COUNT(*) AS sz, max(h) AS hk FROM r WHERE rn <= 32 GROUP BY w),
+        |n AS (SELECT time_bucket(INTERVAL '60 minutes', ts) AS w, COUNT(*) AS n_events
+        |  FROM events GROUP BY 1)
+        |SELECT strftime(n.w, '%Y-%m-%d %H:%M:%S') AS w_start,
+        |  strftime(n.w + INTERVAL 60 MINUTE, '%Y-%m-%d %H:%M:%S') AS w_end,
+        |  n_events,
+        |  CASE WHEN sz < 32 THEN CAST(sz AS BIGINT)
+        |       ELSE CAST(floor(31 * 1152921504606846976.0 / hk) AS BIGINT) END AS est_users
+        |FROM n JOIN sk ON n.w = sk.w ORDER BY w_start""".stripMargin,
+
     "stream_sliding_window_batcheq" ->
       """WITH w AS (
         |  SELECT event_type, value,

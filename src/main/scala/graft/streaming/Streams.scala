@@ -31,6 +31,32 @@ object Streams {
       .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
         col("event_type"), col("n_events"), col("value_cents"))
 
+  /** Per-tumbling-window distinct-user estimate via the native mergeable
+    * KMV sketch ([[graft.functions.KmvSketch]]) — the custom
+    * TypedImperativeAggregate running INSIDE streaming aggregation state:
+    * each micro-batch updates the O(k) buffer through the same
+    * update/merge/serialize path the state store uses, and merge-order
+    * independence makes the streamed result row-identical to the batch
+    * run. When a window saw fewer than k distinct users the sketch IS the
+    * exact set (est = its size); past k the standard (k−1)·2⁶⁰/h_k
+    * estimator applies.
+    */
+  def kmvWindowDistinct(events: DataFrame, width: String = "60 minutes",
+                        k: Int = 32): DataFrame = {
+    import org.apache.spark.sql.GraftSqlBridge.{toColumn, toExpression}
+    val h = graft.ops.TextOps.hash60(col("user_id").cast("string"))
+    val sk = toColumn(
+      graft.functions.KmvSketch(toExpression(h), k).toAggregateExpression())
+    events
+      .groupBy(window(col("ts"), width))
+      .agg(count(lit(1)).as("n_events"), sk.as("sketch"))
+      .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
+        col("n_events"),
+        when(size(col("sketch")) < k, size(col("sketch")).cast("long"))
+          .otherwise(expr(s"CAST(floor((${k - 1} * 1152921504606846976.0)" +
+            " / element_at(sketch, -1)) AS BIGINT)")).as("est_users"))
+  }
+
   /** Sliding windows: width 10 min, slide 5 min — every event lands in
     * exactly two windows; same shuffle shape as tumbling with a 2×
     * row expansion before the partial aggregation.

@@ -470,6 +470,43 @@ class PlanShapeSpec extends SparkSpec {
       "VAD windows must stay per-media")
   }
 
+  test("kmv sketches are distributed partial top-k, never a rank window") {
+    val p = plan("agg_kmv_intersect")
+    // each side's k smallest hashes must plan as TakeOrderedAndProject
+    // (map-side partial top-k, constant memory per task) — a per-side
+    // row_number window would sort the full shingle universe
+    assert(p.contains("TakeOrderedAndProject"),
+      s"kmv sketch lost the partial top-k shape:\n${p.take(800)}")
+    assert(!p.contains("window"), s"rank window crept into the kmv plan")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("multiprobe lsh candidates come from a bucket equi-join, never all-pairs") {
+    val p = plan("ann_multiprobe_lsh")
+    assert(!p.contains("CartesianProduct"),
+      "candidate generation degenerated to all-pairs")
+    // the only nested-loop joins allowed are the 8-row hyperplane
+    // broadcasts (the subtree appears once per bdata consumer): every one
+    // must be a BuildRight broadcast cross, never an unbounded pair join
+    val bnl = p.linesIterator.filter(_.contains("BroadcastNestedLoopJoin")).toSeq
+    assert(bnl.forall(_.contains("BuildRight")),
+      s"non-broadcast pair join in multiprobe plan:\n${bnl.mkString("\n")}")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), "bucket probe must be an equi-join")
+  }
+
+  test("trend day-dimension windows never touch the event-row volume") {
+    // acf/cusum windows run over the daily-count artifact (one row per
+    // day); the event-volume aggregation below them must be a hash
+    // aggregate, and the artifact read must come from scratch parquet
+    for (q <- Seq("time_acf", "events_cusum")) {
+      val p = plan(q)
+      assert(p.contains("graft-scratch"),
+        s"$q must read the materialized daily-count artifact")
+      assert(p.contains("HashAggregate"), s"$q lost partial aggregation")
+    }
+  }
+
   test("q15 scans the fact once: materialized aggregate feeds both max and filter") {
     val p = plan("tpch_q15")
     // both consumers (the equality filter and the global max) must read

@@ -42,6 +42,30 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("native kmv sketch aggregates inside streaming state and matches its batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    // two micro-batches so the sketch buffer round-trips through the state
+    // store (serialize → merge) between batches, not just within one
+    mem.addData(sample.take(3): _*)
+    mem.addData(sample.drop(3): _*)
+    val q = Streams.kmvWindowDistinct(mem.toDF(), width = "10 minutes")
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("kmv_smoke")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("kmv_smoke")
+      .select("w_start", "n_events", "est_users")
+      .orderBy("w_start").collect().toSeq
+    val batch = Streams.kmvWindowDistinct(sample.toDF(), width = "10 minutes")
+      .select("w_start", "n_events", "est_users")
+      .orderBy("w_start").collect().toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+    // under-k windows report EXACT distinct users (sample has ≤3 users)
+    assert(streamed.forall(_.getAs[Long]("est_users") <= 3))
+  }
+
   test("dropDuplicatesWithinWatermark dedups a stream by event_id") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
