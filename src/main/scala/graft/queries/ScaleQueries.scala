@@ -538,6 +538,40 @@ object ScaleQueries extends QueryPack {
       nNodes.crossJoin(nEdges).crossJoin(nTri)
     }),
 
+    // Global clustering coefficient = 3·triangles / wedges ("of all
+    // open two-paths, how many close?"). Triangles reuse the SAME
+    // degree-oriented edge artifact graph_triangles counts on (no hub
+    // sees its neighborhood squared); wedges need NO join at all —
+    // Σ d(d−1)/2 over the degree table. Coefficient in exact ppm via
+    // integer division.
+    "graph_clustering_coeff" -> ((s, d) => {
+      val e = copurchaseEdges(s, d)
+      val oriented = cached("oriented_edges", s, d) {
+        val deg = e.select(col("u").as("node")).union(e.select(col("v").as("node")))
+          .groupBy("node").agg(count(lit(1)).as("dg"))
+        val du = deg.select(col("node").as("u"), col("dg").as("du"))
+        val dv = deg.select(col("node").as("v"), col("dg").as("dv"))
+        e.join(du, "u").join(dv, "v")
+          .select(
+            when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")),
+              col("u")).otherwise(col("v")).as("src"),
+            when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")),
+              col("v")).otherwise(col("u")).as("dst"))
+      }
+      val o1 = oriented.select(col("src").as("a"), col("dst").as("b"))
+      val o2 = oriented.select(col("src").as("b2"), col("dst").as("c"))
+      val tri = o1.join(o2, col("b") === col("b2"))
+        .join(oriented.select(col("src").as("a2"), col("dst").as("c2")),
+          col("a") === col("a2") && col("c") === col("c2"))
+        .agg(count(lit(1)).as("n_triangles"))
+      val wedges = e.select(col("u").as("node")).union(e.select(col("v").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("dg"))
+        .agg(sum(expr("(dg * (dg - 1)) div 2")).as("n_wedges"))
+      wedges.crossJoin(broadcast(tri))
+        .selectExpr("n_wedges", "n_triangles",
+          "(3000000 * n_triangles) div n_wedges AS coeff_ppm")
+    }),
+
     // Spark 4 RECURSIVE CTE: breadth-first reachability from the smallest
     // co-purchase node, capped at 3 hops — the transitive-closure shape
     // (bill-of-materials, org charts, escalation chains) that previously
@@ -1319,6 +1353,26 @@ object ScaleQueries extends QueryPack {
         |SELECT node, CAST(MIN(depth) AS BIGINT) AS hops,
         |  COUNT(*) AS n_paths
         |FROM walk GROUP BY 1 ORDER BY 1""".stripMargin,
+    "graph_clustering_coeff" ->
+      """WITH po AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |  FROM lineitem WHERE l_quantity >= 40),
+        |e AS (SELECT DISTINCT a.p AS u, b.p AS v
+        |  FROM po a JOIN po b ON a.o = b.o AND a.p < b.p),
+        |deg AS (SELECT node, COUNT(*) AS dg FROM (
+        |    SELECT u AS node FROM e UNION ALL SELECT v FROM e) GROUP BY 1),
+        |o AS (SELECT CASE WHEN du.dg < dv.dg OR (du.dg = dv.dg AND e.u < e.v)
+        |        THEN e.u ELSE e.v END AS src,
+        |      CASE WHEN du.dg < dv.dg OR (du.dg = dv.dg AND e.u < e.v)
+        |        THEN e.v ELSE e.u END AS dst
+        |  FROM e JOIN deg du ON e.u = du.node JOIN deg dv ON e.v = dv.node),
+        |tri AS (SELECT COUNT(*) AS n_triangles FROM o o1
+        |  JOIN o o2 ON o1.dst = o2.src
+        |  JOIN o o3 ON o3.src = o1.src AND o3.dst = o2.dst),
+        |w AS (SELECT SUM((dg * (dg - 1)) // 2) AS n_wedges FROM deg)
+        |SELECT CAST(n_wedges AS BIGINT) AS n_wedges,
+        |  CAST(n_triangles AS BIGINT) AS n_triangles,
+        |  CAST((3000000 * n_triangles) // n_wedges AS BIGINT) AS coeff_ppm
+        |FROM w CROSS JOIN tri""".stripMargin,
     "graph_assortativity" ->
       """WITH po AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
         |  FROM lineitem WHERE l_quantity >= 40),

@@ -228,6 +228,82 @@ object TrendQueries extends QueryPack {
           "(m * CAST(floor(63 * 1152921504606846976.0 / hku) AS BIGINT)) div 64 AS est_intersect")
     }),
 
+    // Top-10 3-step user-journey paths (the trigram extension of the
+    // bigram events_transitions): two leads over the per-user ordered
+    // stream, one hash aggregate on the path, TakeOrderedAndProject for
+    // the top-k. Path mining at its simplest — and the shape stays one
+    // shuffle on user_id plus a types³-bounded aggregate at any volume.
+    "events_path_trigrams" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("s2", lead("event_type", 1).over(w))
+        .withColumn("s3", lead("event_type", 2).over(w))
+        .filter(col("s2").isNotNull && col("s3").isNotNull)
+        .groupBy(col("event_type").as("s1"), col("s2"), col("s3"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("s1"), col("s2"), col("s3"))
+        .limit(10)
+    }),
+
+    // Jensen–Shannon divergence between the two corpus halves' token
+    // distributions — the symmetric, bounded [0, ln 2] drift measure for
+    // text (PSI's sibling for vocabularies). Joins are vocabulary-sized;
+    // each token's contribution ½p·ln(p/m) + ½q·ln(q/m) is micro-rounded
+    // BEFORE summing (order-independent; zero-side terms vanish by the
+    // 0·ln0 = 0 limit, expressed as CASE in both engines).
+    "text_js_divergence" -> ((s, d) => {
+      val counts = Tables.documents(s, d)
+        .select((col("doc_id") % 2).as("side"),
+          explode(TextOps.tokens(col("text"))).as("tok"))
+        .groupBy("side", "tok").agg(count(lit(1)).as("c"))
+      val a = counts.filter(col("side") === 0).select(col("tok"), col("c").as("ca"))
+      val b = counts.filter(col("side") === 1).select(col("tok"), col("c").as("cb"))
+      val tot = counts.agg(
+        sum(when(col("side") === 0, col("c")).otherwise(0L)).as("na"),
+        sum(when(col("side") === 1, col("c")).otherwise(0L)).as("nb"))
+      a.join(b, Seq("tok"), "full_outer")
+        .na.fill(0L, Seq("ca", "cb"))
+        .crossJoin(broadcast(tot))
+        .selectExpr("tok", "ca", "cb", "na", "nb",
+          """CAST(round((
+            |  CASE WHEN ca > 0 THEN 0.5 * (CAST(ca AS DOUBLE)/na)
+            |    * ln((CAST(ca AS DOUBLE)/na)
+            |         / (0.5*(CAST(ca AS DOUBLE)/na) + 0.5*(CAST(cb AS DOUBLE)/nb))) ELSE 0.0 END
+            |+ CASE WHEN cb > 0 THEN 0.5 * (CAST(cb AS DOUBLE)/nb)
+            |    * ln((CAST(cb AS DOUBLE)/nb)
+            |         / (0.5*(CAST(ca AS DOUBLE)/na) + 0.5*(CAST(cb AS DOUBLE)/nb))) ELSE 0.0 END
+            |) * 1e6) AS BIGINT) AS contrib_micro""".stripMargin.replaceAll("\n", " "))
+        .agg(count(lit(1)).cast("long").as("vocab"),
+          max("na").as("n_tokens_a"), max("nb").as("n_tokens_b"),
+          sum("contrib_micro").as("jsd_micronats"))
+    }),
+
+    // Trailing-7-day rolling z-score per day — the windowed sibling of
+    // anomaly_3sigma: each day scored against ITS OWN recent history, so
+    // a level shift stops polluting the baseline after a week. Mean and
+    // sample variance come from integer window sums (n, Σx, Σx²); the
+    // one double is the final z, identical formula in the oracle; zero
+    // variance guards to z = 0.
+    "time_rolling_zscore" -> ((s, d) => {
+      val daily = dailyCounts(s, d)
+      val w = Window.partitionBy(Cleaning.singlePartitionKey(col("day")))
+        .orderBy("day").rowsBetween(-6, Window.currentRow)
+      daily
+        .withColumn("n_win", count(lit(1)).over(w).cast("long"))
+        .withColumn("s_win", sum("x").over(w))
+        .withColumn("q_win", sum(col("x") * col("x")).over(w))
+        .selectExpr("day", "x", "n_win",
+          """CAST(CASE WHEN n_win > 1
+            |   AND n_win * q_win - s_win * s_win > 0
+            |  THEN floor(1000.0 * (x - CAST(s_win AS DOUBLE)/n_win)
+            |    / sqrt((n_win*CAST(q_win AS DOUBLE) - CAST(s_win AS DOUBLE)*s_win)
+            |           / (CAST(n_win AS DOUBLE)*(n_win - 1))))
+            |  ELSE 0 END AS BIGINT) AS z_milli""".stripMargin.replaceAll("\n", " "))
+        .withColumn("is_anomaly", abs(col("z_milli")) >= 3000L)
+        .orderBy("day")
+    }),
+
     // Stationary distribution of the user-journey Markov chain (power
     // iteration, 8 unrolled rounds): where does a user's session
     // ultimately settle? The transition matrix is state-dimension-sized
@@ -651,6 +727,60 @@ object TrendQueries extends QueryPack {
         |  CAST(floor(1000000.0 * (2.0 * sixi - (n + 1.0) * total_chars)
         |    / (CAST(n AS DOUBLE) * total_chars)) AS BIGINT) AS gini_ppm
         |FROM agg""".stripMargin,
+
+    "events_path_trigrams" ->
+      """WITH o AS (SELECT user_id, event_type AS s1,
+        |    lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS s2,
+        |    lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS s3
+        |  FROM events)
+        |SELECT s1, s2, s3, COUNT(*) AS n
+        |FROM o WHERE s2 IS NOT NULL AND s3 IS NOT NULL
+        |GROUP BY 1, 2, 3 ORDER BY n DESC, s1, s2, s3 LIMIT 10""".stripMargin,
+
+    "text_js_divergence" ->
+      """WITH counts AS (SELECT doc_id % 2 AS side, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |g AS (SELECT side, tok, COUNT(*) AS c FROM counts GROUP BY 1, 2),
+        |a AS (SELECT tok, c AS ca FROM g WHERE side = 0),
+        |b AS (SELECT tok, c AS cb FROM g WHERE side = 1),
+        |tot AS (SELECT
+        |    SUM(CASE WHEN side = 0 THEN c ELSE 0 END) AS na,
+        |    SUM(CASE WHEN side = 1 THEN c ELSE 0 END) AS nb FROM g),
+        |j AS (SELECT COALESCE(a.tok, b.tok) AS tok,
+        |    COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb, na, nb
+        |  FROM a FULL OUTER JOIN b ON a.tok = b.tok CROSS JOIN tot),
+        |terms AS (SELECT na, nb,
+        |    CAST(round((
+        |      CASE WHEN ca > 0 THEN 0.5 * (CAST(ca AS DOUBLE)/na)
+        |        * ln((CAST(ca AS DOUBLE)/na)
+        |             / (0.5*(CAST(ca AS DOUBLE)/na) + 0.5*(CAST(cb AS DOUBLE)/nb))) ELSE 0.0 END
+        |    + CASE WHEN cb > 0 THEN 0.5 * (CAST(cb AS DOUBLE)/nb)
+        |        * ln((CAST(cb AS DOUBLE)/nb)
+        |             / (0.5*(CAST(ca AS DOUBLE)/na) + 0.5*(CAST(cb AS DOUBLE)/nb))) ELSE 0.0 END
+        |    ) * 1e6) AS BIGINT) AS contrib_micro
+        |  FROM j)
+        |SELECT COUNT(*) AS vocab, CAST(max(na) AS BIGINT) AS n_tokens_a,
+        |  CAST(max(nb) AS BIGINT) AS n_tokens_b,
+        |  CAST(SUM(contrib_micro) AS BIGINT) AS jsd_micronats
+        |FROM terms""".stripMargin,
+
+    "time_rolling_zscore" ->
+      """WITH daily AS (SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, COUNT(*) AS x
+        |  FROM events GROUP BY 1),
+        |win AS (SELECT day, x,
+        |    COUNT(*) OVER w AS n_win,
+        |    SUM(x) OVER w AS s_win,
+        |    SUM(x * x) OVER w AS q_win
+        |  FROM daily WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)),
+        |z AS (SELECT day, x, CAST(n_win AS BIGINT) AS n_win,
+        |    CAST(CASE WHEN n_win > 1 AND n_win * q_win - s_win * s_win > 0
+        |      THEN floor(1000.0 * (x - CAST(s_win AS DOUBLE)/n_win)
+        |        / sqrt((n_win*CAST(q_win AS DOUBLE) - CAST(s_win AS DOUBLE)*s_win)
+        |               / (CAST(n_win AS DOUBLE)*(n_win - 1))))
+        |      ELSE 0 END AS BIGINT) AS z_milli
+        |  FROM win)
+        |SELECT day, x, n_win, z_milli, abs(z_milli) >= 3000 AS is_anomaly
+        |FROM z ORDER BY day""".stripMargin,
 
     "events_markov_stationary" -> {
       // 8 unrolled power-iteration CTEs, each the exact integer update

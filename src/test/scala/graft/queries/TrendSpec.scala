@@ -214,6 +214,51 @@ class TrendSpec extends SparkSpec {
     assert(row.getAs[Long]("n_edges") > 0L)
   }
 
+  test("js divergence lands in [0, ln2] micro-nats with both sides populated") {
+    val row = TrendQueries.queries("text_js_divergence")(spark, sf).collect().head
+    val jsd = row.getAs[Long]("jsd_micronats")
+    // ln 2 ≈ 0.6931; per-token micro rounding can add ± vocab/2 slack
+    val vocab = row.getAs[Long]("vocab")
+    assert(jsd >= -vocab && jsd <= 693148L + vocab)
+    assert(row.getAs[Long]("n_tokens_a") > 0 && row.getAs[Long]("n_tokens_b") > 0)
+  }
+
+  test("path trigrams are dominated by their bigram prefixes") {
+    val tri = TrendQueries.queries("events_path_trigrams")(spark, sf).collect()
+    assert(tri.nonEmpty && tri.length <= 10)
+    val counts = tri.map(_.getAs[Long]("n"))
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b })
+    // each trigram (s1,s2,s3) is an instance of the bigram (s1,s2): its
+    // count can never exceed that bigram's count
+    val bi = graft.SparkEntry.queries("events_transitions")(spark, sf).collect()
+      .map(r => (r.getAs[String]("from_type"), r.getAs[String]("to_type")) ->
+        r.getAs[Long]("n")).toMap
+    tri.foreach { r =>
+      val key = (r.getAs[String]("s1"), r.getAs[String]("s2"))
+      assert(r.getAs[Long]("n") <= bi.getOrElse(key, 0L),
+        s"trigram exceeds its bigram prefix at $key")
+    }
+  }
+
+  test("rolling zscore windows ramp to 7 days and z is finite-guarded") {
+    val rows = TrendQueries.queries("time_rolling_zscore")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val wins = rows.map(_.getAs[Long]("n_win"))
+    // warmup ramp 1,2,...,7 then constant 7
+    assert(wins.take(7).toSeq === (1L to math.min(7, wins.length)))
+    assert(wins.drop(7).forall(_ === 7L))
+    rows.foreach(r =>
+      assert(r.getAs[Boolean]("is_anomaly") === (math.abs(r.getAs[Long]("z_milli")) >= 3000L)))
+  }
+
+  test("clustering coefficient is a closed-wedge fraction in [0, 1e6] ppm") {
+    val row = graft.SparkEntry.queries("graph_clustering_coeff")(spark, sf).collect().head
+    val ppm = row.getAs[Long]("coeff_ppm")
+    assert(ppm >= 0L && ppm <= 1000000L)
+    // 3·triangles can never exceed the wedge count
+    assert(3 * row.getAs[Long]("n_triangles") <= row.getAs[Long]("n_wedges"))
+  }
+
   test("multiprobe lsh returns valid descending top-3 and never trails single-probe recall") {
     val multi = TrendQueries.queries("ann_multiprobe_lsh")(spark, sf).collect()
     assert(multi.nonEmpty)
