@@ -46,6 +46,25 @@ object ScaleExperiment {
     Seq(("1x", sfDir), (s"${k}x", rep)).foreach { case (tag, dir) =>
       println(measure(spark, tag, dir))
     }
+    // Scale-INVARIANCE of the content summaries: id-offset replicas add
+    // no new shingles, lengths, or phrase structure, so these outputs
+    // must be BIT-IDENTICAL at 1× and K× — the strongest statement that
+    // the operators measure content, not volume. (Gini: every length's
+    // count scales by K, all shares cancel. RAKE: degree and freq both
+    // scale by K and the milli score is floor of their unchanged ratio.)
+    val invariants: Seq[(String, Seq[String])] = Seq(
+      // raw counts scale by K; the RATIO columns must not move at all
+      ("stats_gini", Seq("gini_ppm")),
+      ("text_keyword_rake", Seq("tok", "score_milli")))
+    for ((q, cols) <- invariants) {
+      val one = SparkEntry.queries(q)(spark, sfDir)
+        .select(cols.head, cols.tail: _*).collect().map(_.toString).toSeq
+      val kx = SparkEntry.queries(q)(spark, rep)
+        .select(cols.head, cols.tail: _*).collect().map(_.toString).toSeq
+      require(one == kx,
+        s"$q is not scale-invariant under replication:\n 1x=$one\n ${k}x=$kx")
+      println(s"""{"invariant":"$q","cols":"${cols.mkString(",")}","scales":["1x","${k}x"],"identical":true}""")
+    }
     spark.stop()
   }
 
