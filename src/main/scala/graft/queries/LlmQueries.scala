@@ -626,6 +626,27 @@ object LlmQueries extends QueryPack {
         .select(col("id").as("doc_id"), col("comp").as("cluster_id"))
         .orderBy("doc_id")),
 
+    // SoftDeDup: instead of DROPPING near-duplicates, every document is
+    // kept with sampling weight 1/cluster_size (ppm) — the training-data
+    // variant that preserves coverage while removing duplication bias
+    // (each near-dup CLUSTER contributes one unit of effective mass in
+    // expectation). Singletons (not in any cluster) weigh 1e6; reuses the
+    // shared CC-label artifact, so the marginal cost over dedup_cluster
+    // is one size aggregate and one left join on doc_id.
+    "dedup_softdedup_weights" -> ((s, d) => {
+      val labels = ccLabels(s, d)
+        .select(col("id").as("doc_id"), col("comp").as("cluster_id"))
+      val sized = labels.join(
+        labels.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size")),
+        "cluster_id")
+      Tables.documents(s, d).select(col("doc_id"))
+        .join(sized.select(col("doc_id"), col("cluster_size")), Seq("doc_id"), "left")
+        .na.fill(1L, Seq("cluster_size"))
+        .selectExpr("doc_id", "cluster_size",
+          "1000000 div cluster_size AS weight_ppm")
+        .orderBy("doc_id")
+    }),
+
     // Canonical-document selection — the step that turns near-dup
     // CLUSTERS into a dedup decision: per cluster keep the
     // highest-quality member (stopword-density milli-score, ties to the
@@ -1213,6 +1234,26 @@ object LlmQueries extends QueryPack {
          |  SELECT e.b AS id, cc.comp FROM cc JOIN edges e ON cc.id = e.a)
          |SELECT id AS doc_id, MIN(comp) AS cluster_id FROM cc
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "dedup_softdedup_weights" ->
+      s"""WITH RECURSIVE $mhSigSql,
+         |pairs AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |  FROM bandtab a JOIN bandtab b
+         |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+         |edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+         |  UNION ALL SELECT d2, d1 FROM pairs),
+         |cc AS (
+         |  SELECT d1 AS id, d1 AS comp FROM pairs
+         |  UNION SELECT d2, d2 FROM pairs
+         |  UNION
+         |  SELECT e.b AS id, cc.comp FROM cc JOIN edges e ON cc.id = e.a),
+         |labels AS (SELECT id AS doc_id, MIN(comp) AS cluster_id FROM cc GROUP BY 1),
+         |sizes AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM labels GROUP BY 1),
+         |sized AS (SELECT doc_id, cluster_size
+         |  FROM labels JOIN sizes USING (cluster_id))
+         |SELECT d.doc_id, COALESCE(cluster_size, 1) AS cluster_size,
+         |  CAST(1000000 // COALESCE(cluster_size, 1) AS BIGINT) AS weight_ppm
+         |FROM documents d LEFT JOIN sized s ON d.doc_id = s.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
     "pipeline_corpus_clean" ->
       s"""WITH RECURSIVE $mhSigSql,
          |pairs AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2

@@ -395,6 +395,63 @@ object TrendQueries extends QueryPack {
           "(1000 * x_after) div n_after - (1000 * x_before) div n_before AS shift_milli")
     }),
 
+    // POINT-IN-TIME join against the SCD2 dimension (the lake-query
+    // answer to "what was this customer's segment WHEN the event
+    // happened"): equi-join on the key with the validity range as a
+    // residual predicate — each event matches exactly one version
+    // because versions partition time. This is the feature-store
+    // correctness primitive (no leakage from future dimension states),
+    // and the plan is the scale shape: one shuffle on the key, range
+    // check riding the join.
+    "join_scd2_pointintime" -> ((s, d) => {
+      val dim = StatsQueries.queries("scd2_update")(s, d)
+      val ev = Tables.events(s, d).select(col("event_id"),
+        (col("user_id") + 1).as("c_custkey"),
+        date_format(to_date(col("ts")), "yyyy-MM-dd").as("ev_date"))
+      ev.join(dim, Seq("c_custkey"))
+        .filter(col("ev_date") >= col("valid_from") && col("ev_date") < col("valid_to"))
+        .select(col("event_id"), col("c_custkey"), col("c_mktsegment"),
+          col("bal_cents"), col("is_current"))
+        .orderBy("event_id")
+    }),
+
+    // Velocity rule — the fraud/abuse screen "too many events from one
+    // account in a trailing day": a RANGE frame over event-time micros
+    // partitioned per user (never global), alert at ≥ 5. The time-based
+    // frame is what makes it a velocity check rather than a row count —
+    // bursts score high regardless of how the rows interleave.
+    "events_fraud_velocity" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("us")
+        .rangeBetween(-86400000000L, 0)
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+        .withColumn("n_24h", count(lit(1)).over(w).cast("long"))
+        .withColumn("is_velocity_alert", col("n_24h") >= 5L)
+        .orderBy("user_id", "us", "event_id")
+    }),
+
+    // Laplace mechanism with a SEEDED noise source (per-key hash60 →
+    // uniform → inverse-CDF Laplace, b = sensitivity/ε = 1): the
+    // differential-privacy release shape with reproducible draws, so the
+    // oracle can verify the mechanism arithmetic exactly. A production
+    // release would draw fresh randomness (and would NOT publish true_n
+    // beside it — both appear here because the gate needs ground truth);
+    // what this pins is the exact noise math and the ε accounting column.
+    "privacy_dp_laplace" -> ((s, d) => {
+      Tables.customer(s, d)
+        .groupBy("c_nationkey").agg(count(lit(1)).as("true_n"))
+        .withColumn("u",
+          TextOps.hash60(col("c_nationkey").cast("string")) / lit(1152921504606846976.0) - 0.5)
+        .selectExpr("c_nationkey", "true_n",
+          // greatest() floors the log argument: a hash of exactly 0 (p ≈
+          // 2⁻⁶⁰) would otherwise take ln(0) → ±inf → ANSI cast error
+          """CAST(true_n + round(CASE WHEN u >= 0 THEN -ln(greatest(1e-18, 1.0 - 2.0*u))
+            | ELSE ln(greatest(1e-18, 1.0 + 2.0*u)) END) AS BIGINT) AS noised_n"""
+            .stripMargin.replaceAll("\n", " "),
+          "CAST(1000 AS BIGINT) AS epsilon_milli")
+        .orderBy("c_nationkey")
+    }),
+
     // t-closeness release audit — the third rung of the privacy ladder
     // beside privacy_k_anon and privacy_l_diversity: a QI group passes
     // only if its SENSITIVE-VALUE DISTRIBUTION stays close to the global
@@ -727,6 +784,49 @@ object TrendQueries extends QueryPack {
         |  CAST(floor(1000000.0 * (2.0 * sixi - (n + 1.0) * total_chars)
         |    / (CAST(n AS DOUBLE) * total_chars)) AS BIGINT) AS gini_ppm
         |FROM agg""".stripMargin,
+
+    "join_scd2_pointintime" ->
+      """WITH base AS (SELECT c_custkey, c_mktsegment,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents FROM customer),
+        |upd AS (SELECT c_custkey, 'MOVED' AS c_mktsegment, bal_cents + 50000 AS bal_cents
+        |  FROM base WHERE c_custkey % 10 = 0),
+        |dim AS (
+        |  SELECT c_custkey, c_mktsegment, bal_cents,
+        |      '1900-01-01' AS valid_from, '2026-08-01' AS valid_to, false AS is_current
+        |    FROM base WHERE c_custkey IN (SELECT c_custkey FROM upd)
+        |  UNION ALL
+        |  SELECT c_custkey, c_mktsegment, bal_cents,
+        |      '1900-01-01', '9999-12-31', true
+        |    FROM base WHERE c_custkey NOT IN (SELECT c_custkey FROM upd)
+        |  UNION ALL
+        |  SELECT c_custkey, c_mktsegment, bal_cents,
+        |      '2026-08-01', '9999-12-31', true FROM upd),
+        |ev AS (SELECT event_id, user_id + 1 AS c_custkey,
+        |    strftime(CAST(ts AS DATE), '%Y-%m-%d') AS ev_date FROM events)
+        |SELECT event_id, ev.c_custkey, c_mktsegment, bal_cents, is_current
+        |FROM ev JOIN dim ON ev.c_custkey = dim.c_custkey
+        |WHERE ev_date >= valid_from AND ev_date < valid_to
+        |ORDER BY event_id""".stripMargin,
+
+    "events_fraud_velocity" ->
+      """SELECT user_id, event_id, epoch_us(ts) AS us,
+        |  CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |    RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_24h,
+        |  COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |    RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW) >= 5 AS is_velocity_alert
+        |FROM events ORDER BY user_id, us, event_id""".stripMargin,
+
+    "privacy_dp_laplace" ->
+      """WITH g AS (SELECT c_nationkey, COUNT(*) AS true_n FROM customer GROUP BY 1),
+        |u AS (SELECT c_nationkey, true_n,
+        |    ('0x'||substr(md5(CAST(c_nationkey AS VARCHAR)),1,15))::BIGINT
+        |      / 1152921504606846976.0 - 0.5 AS u
+        |  FROM g)
+        |SELECT c_nationkey, true_n,
+        |  CAST(true_n + round(CASE WHEN u >= 0 THEN -ln(greatest(1e-18, 1.0 - 2.0*u))
+        |    ELSE ln(greatest(1e-18, 1.0 + 2.0*u)) END) AS BIGINT) AS noised_n,
+        |  CAST(1000 AS BIGINT) AS epsilon_milli
+        |FROM u ORDER BY c_nationkey""".stripMargin,
 
     "events_path_trigrams" ->
       """WITH o AS (SELECT user_id, event_type AS s1,

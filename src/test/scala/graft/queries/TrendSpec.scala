@@ -259,6 +259,69 @@ class TrendSpec extends SparkSpec {
     assert(3 * row.getAs[Long]("n_triangles") <= row.getAs[Long]("n_wedges"))
   }
 
+  test("scd2 point-in-time join resolves exactly one version per event") {
+    val rows = TrendQueries.queries("join_scd2_pointintime")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // one row per (event, key): versions partition time, so no event can
+    // match two versions and none may silently drop (all event users map
+    // into the dimension key range on the fixtures)
+    val ids = rows.map(_.getAs[Long]("event_id"))
+    assert(ids.distinct.length === ids.length)
+    // 2024 events predate the 2026 update cut: every updated key must
+    // resolve to its EXPIRED (pre-update) version — no future leakage
+    rows.filter(_.getAs[Long]("c_custkey") % 10 == 0)
+      .foreach { r =>
+        assert(!r.getAs[Boolean]("is_current"))
+        assert(r.getAs[String]("c_mktsegment") != "MOVED")
+      }
+  }
+
+  test("velocity counts are trailing-window consistent") {
+    val rows = TrendQueries.queries("events_fraud_velocity")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_24h") >= 1L)
+      assert(r.getAs[Boolean]("is_velocity_alert") === (r.getAs[Long]("n_24h") >= 5L))
+    }
+    // brute-force check on one user: trailing count within 24h micros
+    val byUser = rows.groupBy(_.getAs[Long]("user_id")).maxBy(_._2.length)._2
+      .sortBy(r => (r.getAs[Long]("us"), r.getAs[Long]("event_id")))
+    byUser.foreach { r =>
+      val us = r.getAs[Long]("us")
+      val expected = byUser.count(x =>
+        x.getAs[Long]("us") >= us - 86400000000L && x.getAs[Long]("us") <= us)
+      assert(r.getAs[Long]("n_24h") === expected)
+    }
+  }
+
+  test("laplace mechanism noise is mean-bounded and reproducible") {
+    val a = TrendQueries.queries("privacy_dp_laplace")(spark, sf).collect()
+    val b = TrendQueries.queries("privacy_dp_laplace")(spark, sf).collect()
+    assert(a.map(_.toString).toSeq === b.map(_.toString).toSeq) // seeded ⇒ reproducible
+    val absNoise = a.map(r => math.abs(r.getAs[Long]("noised_n") - r.getAs[Long]("true_n")))
+    // Laplace(b=1): P(|noise| > 20) = e⁻²⁰ — any larger draw means the
+    // inverse-CDF arithmetic is wrong
+    assert(absNoise.forall(_ <= 20L))
+  }
+
+  test("softdedup weights make every near-dup cluster contribute ~one unit of mass") {
+    val rows = LlmQueries.queries("dedup_softdedup_weights")(spark, sf).collect()
+    val nDocs = graft.Tables.documents(spark, sf).count()
+    assert(rows.length === nDocs) // coverage preserved: nothing dropped
+    rows.foreach { r =>
+      val sz = r.getAs[Long]("cluster_size")
+      assert(sz >= 1L)
+      assert(r.getAs[Long]("weight_ppm") === 1000000L / sz)
+    }
+    // cluster members agree on size via the cluster query
+    val clustered = LlmQueries.queries("dedup_cluster")(spark, sf).collect()
+      .groupBy(_.getAs[Long]("cluster_id")).map { case (_, m) => m.length }
+    val sizesSeen = rows.map(_.getAs[Long]("cluster_size")).filter(_ > 1).sorted
+    val sizesExpected = clustered.filter(_ > 1)
+      .flatMap(n => Seq.fill(n)(n.toLong)).toSeq.sorted
+    assert(sizesSeen === sizesExpected)
+  }
+
   test("multiprobe lsh returns valid descending top-3 and never trails single-probe recall") {
     val multi = TrendQueries.queries("ann_multiprobe_lsh")(spark, sf).collect()
     assert(multi.nonEmpty)
