@@ -572,6 +572,34 @@ object ScaleQueries extends QueryPack {
           "(3000000 * n_triangles) div n_wedges AS coeff_ppm")
     }),
 
+    // Modularity of the BRAND partition on the co-purchase graph (Newman
+    // Q): do same-brand parts co-occur in orders more than a random graph
+    // with the same degrees would predict? Q = e_in/m − Σ_c (D_c/2m)²,
+    // kept integer until one floor-scaled ratio: ppm =
+    // floor(1e6·(4·m·e_in − ΣD_c²)/(4m²)). Community lookup is a
+    // broadcast of the part dimension; everything else is the degree
+    // table — no pairwise work beyond the edges themselves.
+    "graph_modularity" -> ((s, d) => {
+      val e = copurchaseEdges(s, d)
+      val brand = Tables.part(s, d).select(col("p_partkey"), col("p_brand"))
+      val labeled = e
+        .join(broadcast(brand.select(col("p_partkey").as("u"), col("p_brand").as("bu"))), "u")
+        .join(broadcast(brand.select(col("p_partkey").as("v"), col("p_brand").as("bv"))), "v")
+      val m = labeled.agg(count(lit(1)).as("m"),
+        sum(when(col("bu") === col("bv"), 1L).otherwise(0L)).as("e_in"))
+      val degSq = e.select(col("u").as("node")).union(e.select(col("v").as("node")))
+        .join(broadcast(brand.select(col("p_partkey").as("node"), col("p_brand"))), "node")
+        .groupBy("p_brand").agg(count(lit(1)).as("dc"))
+        .agg(sum(expr("CAST(dc AS DECIMAL(38,0)) * dc")).as("sum_dc2"),
+          count(lit(1)).as("n_communities"))
+      m.crossJoin(broadcast(degSq))
+        .selectExpr("m", "e_in", "n_communities",
+          """CAST(floor(1000000.0 *
+            | (4.0 * m * e_in - CAST(sum_dc2 AS DOUBLE))
+            | / (4.0 * CAST(m AS DOUBLE) * m)) AS BIGINT) AS modularity_ppm"""
+            .stripMargin.replaceAll("\n", " "))
+    }),
+
     // Spark 4 RECURSIVE CTE: breadth-first reachability from the smallest
     // co-purchase node, capped at 3 hops — the transitive-closure shape
     // (bill-of-materials, org charts, escalation chains) that previously
@@ -1353,6 +1381,27 @@ object ScaleQueries extends QueryPack {
         |SELECT node, CAST(MIN(depth) AS BIGINT) AS hops,
         |  COUNT(*) AS n_paths
         |FROM walk GROUP BY 1 ORDER BY 1""".stripMargin,
+    "graph_modularity" ->
+      """WITH po AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |  FROM lineitem WHERE l_quantity >= 40),
+        |e AS (SELECT DISTINCT a.p AS u, b.p AS v
+        |  FROM po a JOIN po b ON a.o = b.o AND a.p < b.p),
+        |lab AS (SELECT u, v, pu.p_brand AS bu, pv.p_brand AS bv
+        |  FROM e JOIN part pu ON e.u = pu.p_partkey
+        |         JOIN part pv ON e.v = pv.p_partkey),
+        |m AS (SELECT COUNT(*) AS m,
+        |    SUM(CASE WHEN bu = bv THEN 1 ELSE 0 END) AS e_in FROM lab),
+        |dg AS (SELECT p_brand, COUNT(*) AS dc FROM (
+        |    SELECT u AS node FROM e UNION ALL SELECT v FROM e) n
+        |  JOIN part ON n.node = part.p_partkey GROUP BY 1),
+        |sq AS (SELECT SUM(dc::HUGEINT * dc) AS sum_dc2,
+        |    COUNT(*) AS n_communities FROM dg)
+        |SELECT CAST(m AS BIGINT) AS m, CAST(e_in AS BIGINT) AS e_in,
+        |  CAST(n_communities AS BIGINT) AS n_communities,
+        |  CAST(floor(1000000.0 *
+        |    (4.0 * m * e_in - CAST(sum_dc2 AS DOUBLE))
+        |    / (4.0 * CAST(m AS DOUBLE) * m)) AS BIGINT) AS modularity_ppm
+        |FROM m CROSS JOIN sq""".stripMargin,
     "graph_clustering_coeff" ->
       """WITH po AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
         |  FROM lineitem WHERE l_quantity >= 40),

@@ -152,6 +152,35 @@ object TrendQueries extends QueryPack {
         .orderBy("k")
     }),
 
+    // Periodogram of the daily series (DFT power at periods N/k, k=1..10)
+    // — the spectral "is there a weekly cycle" check beside time_acf's
+    // lag view. Each (k, t) term z·cos / z·sin is rounded to MILLI-scaled
+    // integers BEFORE summing, so the Fourier sums are exact integer
+    // aggregations (order-independent, engine-portable — trig agreement
+    // at 1 ulp is 8 orders below the rounding grain); only the final
+    // |X_k|² combines them, in a double expression mirrored in the
+    // oracle. Day-dimension work throughout; the k-grid is a 10-row
+    // broadcast.
+    "time_periodogram" -> ((s, d) => {
+      val daily = dailyCounts(s, d)
+      val tot = daily.agg(count(lit(1)).as("nn"), sum("x").as("sx"))
+      val w = Window.partitionBy(Cleaning.singlePartitionKey(col("day"))).orderBy("day")
+      val idx = daily.crossJoin(broadcast(tot))
+        .withColumn("t", row_number().over(w).cast("long"))
+        .withColumn("z", col("nn") * col("x") - col("sx"))
+        .select("t", "z", "nn")
+      val ks = s.range(1, 11).select(col("id").as("k"))
+      broadcast(ks).crossJoin(idx)
+        .selectExpr("k",
+          "CAST(round(z * cos(2 * pi() * k * t / nn) * 1000) AS BIGINT) AS c_term",
+          "CAST(round(z * sin(2 * pi() * k * t / nn) * 1000) AS BIGINT) AS s_term")
+        .groupBy("k")
+        .agg(sum("c_term").as("ck"), sum("s_term").as("sk"))
+        .selectExpr("k",
+          "CAST(floor((CAST(ck AS DOUBLE)*ck + CAST(sk AS DOUBLE)*sk) / 1e6) AS BIGINT) AS power_z2")
+        .orderBy("k")
+    }),
+
     // CUSUM change-point screen over daily event volume: cumulative sum
     // of the exactly-centered deviations N·x_t − S (integers — no float
     // mean), peak day flagged where |CUSUM| is maximal. The running sum
@@ -757,6 +786,23 @@ object TrendQueries extends QueryPack {
         |  CAST(floor(1000000.0 * CAST(SUM(za * zb) AS DOUBLE)
         |    / CAST((SELECT den FROM den) AS DOUBLE)) AS BIGINT) AS acf_ppm
         |FROM pairs GROUP BY k ORDER BY k""".stripMargin,
+
+    "time_periodogram" ->
+      """WITH daily AS (SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, COUNT(*) AS x
+        |  FROM events GROUP BY 1),
+        |tot AS (SELECT COUNT(*) AS nn, SUM(x) AS sx FROM daily),
+        |idx AS (SELECT row_number() OVER (ORDER BY day) AS t,
+        |    CAST(nn * x - sx AS BIGINT) AS z, nn
+        |  FROM daily, tot),
+        |ks AS (SELECT unnest(range(1, 11)) AS k),
+        |terms AS (SELECT k,
+        |    CAST(round(z * cos(2 * pi() * k * t / nn) * 1000) AS BIGINT) AS c_term,
+        |    CAST(round(z * sin(2 * pi() * k * t / nn) * 1000) AS BIGINT) AS s_term
+        |  FROM ks CROSS JOIN idx),
+        |agg AS (SELECT k, SUM(c_term) AS ck, SUM(s_term) AS sk FROM terms GROUP BY 1)
+        |SELECT CAST(k AS BIGINT) AS k,
+        |  CAST(floor((CAST(ck AS DOUBLE)*ck + CAST(sk AS DOUBLE)*sk) / 1e6) AS BIGINT) AS power_z2
+        |FROM agg ORDER BY k""".stripMargin,
 
     "events_cusum" ->
       """WITH daily AS (SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, COUNT(*) AS x

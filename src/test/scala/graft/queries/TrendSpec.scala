@@ -322,6 +322,20 @@ class TrendSpec extends SparkSpec {
     assert(sizesSeen === sizesExpected)
   }
 
+  test("periodogram powers are nonnegative across the full k grid") {
+    val rows = TrendQueries.queries("time_periodogram")(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("k")).toSeq === (1L to 10L))
+    rows.foreach(r => assert(r.getAs[Long]("power_z2") >= 0L))
+  }
+
+  test("modularity is bounded and intra-community edges never exceed the total") {
+    val row = graft.SparkEntry.queries("graph_modularity")(spark, sf).collect().head
+    assert(row.getAs[Long]("e_in") <= row.getAs[Long]("m"))
+    val q = row.getAs[Long]("modularity_ppm")
+    assert(q >= -1000000L && q <= 1000000L)
+    assert(row.getAs[Long]("n_communities") <= 25L)
+  }
+
   test("multiprobe lsh returns valid descending top-3 and never trails single-probe recall") {
     val multi = TrendQueries.queries("ann_multiprobe_lsh")(spark, sf).collect()
     assert(multi.nonEmpty)
