@@ -675,6 +675,83 @@ object TrendQueries extends QueryPack {
             | AS slope_ppm""".stripMargin.replaceAll("\n", " "))
     }),
 
+    // SQL-surface parity for the native KMV aggregate: a pure-SQL user
+    // reaches the same TypedImperativeAggregate through the
+    // FunctionRegistry (`kmv_sketch(hash, k)`), composed with
+    // portable_hash60 and LATERAL VIEW posexplode — the whole sketch
+    // pipeline with zero Column-API code.
+    "sql_native_kmv" -> ((s, d) => {
+      graft.plans.GraftFunctions.register(s)
+      s.sql(
+        s"""WITH g AS (
+           |  SELECT doc_id % 2 AS side,
+           |    kmv_sketch(portable_hash60(text), 16) AS sk
+           |  FROM parquet.`$d/documents.parquet`
+           |  GROUP BY 1)
+           |SELECT side, CAST(pos + 1 AS BIGINT) AS pos, h
+           |FROM g LATERAL VIEW posexplode(sk) t AS pos, h
+           |ORDER BY side, pos""".stripMargin)
+    }),
+
+    // HLL set algebra by inclusion–exclusion: |A∩B| estimated as
+    // Â + B̂ − Â∪B from three approx_count_distinct sketches (A = heavy
+    // lineitems, B = returned ones), checked against the exact
+    // intersection — the "overlap of two segments without a join" trick,
+    // with the compounded-error bound enforced per run (the
+    // agg_approx_distinct oracle-reshape: exacts hash-compare, the
+    // estimate is asserted within 10% of the exact union).
+    "agg_hll_intersection" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_partkey").as("pk"),
+          (col("l_quantity") >= 25).as("a"), (col("l_returnflag") === "R").as("b"))
+      val exact = li.agg(
+        countDistinct(when(col("a"), col("pk"))).as("exact_a"),
+        countDistinct(when(col("b"), col("pk"))).as("exact_b"),
+        countDistinct(when(col("a") || col("b"), col("pk"))).as("exact_union"),
+        countDistinct(when(col("a") && col("b"), col("pk"))).as("exact_intersect"))
+      val approx = li.agg(
+        approx_count_distinct(when(col("a"), col("pk"))).as("ha"),
+        approx_count_distinct(when(col("b"), col("pk"))).as("hb"),
+        approx_count_distinct(when(col("a") || col("b"), col("pk"))).as("hu"))
+      exact.crossJoin(broadcast(approx))
+        .select(col("exact_a"), col("exact_b"), col("exact_union"), col("exact_intersect"),
+          (abs(col("ha") + col("hb") - col("hu") - col("exact_intersect")) <=
+            col("exact_union") * 0.1).as("within_bound"))
+    }),
+
+    // Kaplan–Meier survival of inter-purchase gaps: S(t) = Π (1 − dᵢ/nᵢ)
+    // over the ordered distinct gap values — "what fraction of purchase
+    // intervals exceed t days". The product is computed as exp of the
+    // window-sum of MICRO-ROUNDED ln(1 − d/n) terms, so the running
+    // product is order-independent and engine-portable; the final step
+    // (d = n, survival exactly 0) is a CASE in both engines. Windows run
+    // over distinct gap values only.
+    "events_survival_km" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val gaps = Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"))
+        .withColumn("prev", lag("ts", 1).over(w))
+        .filter(col("prev").isNotNull)
+        .select(datediff(to_date(col("ts")), to_date(col("prev"))).cast("long").as("gap_days"))
+      val byGap = gaps.groupBy("gap_days").agg(count(lit(1)).as("d"))
+      val tot = byGap.agg(sum("d").as("n_total"))
+      val wg = Window.partitionBy(Cleaning.singlePartitionKey(col("gap_days")))
+        .orderBy("gap_days").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      byGap.crossJoin(broadcast(tot))
+        .withColumn("cum_d", sum("d").over(wg))
+        .withColumn("n_risk", col("n_total") - col("cum_d") + col("d"))
+        .withColumn("lnterm_micro",
+          expr("CAST(round(CASE WHEN d = n_risk THEN 0.0 " +
+            "ELSE ln(1.0 - CAST(d AS DOUBLE) / n_risk) END * 1e6) AS BIGINT)"))
+        .withColumn("cum_ln", sum("lnterm_micro").over(wg))
+        .selectExpr("gap_days", "n_risk", "d",
+          """CAST(CASE WHEN d = n_risk THEN 0
+            | ELSE floor(exp(CAST(cum_ln AS DOUBLE) / 1e6) * 1e6) END AS BIGINT)
+            | AS surv_ppm""".stripMargin.replaceAll("\n", " "))
+        .orderBy("gap_days")
+    }),
+
     // Multiprobe sign-LSH ANN: 8 hyperplanes give a 256-bucket code; each
     // query probes its OWN bucket plus the bucket with its least-confident
     // bit flipped (smallest |dot| margin — the Lv et al. multi-probe idea),
@@ -830,6 +907,49 @@ object TrendQueries extends QueryPack {
         |  CAST(floor(1000000.0 * (2.0 * sixi - (n + 1.0) * total_chars)
         |    / (CAST(n AS DOUBLE) * total_chars)) AS BIGINT) AS gini_ppm
         |FROM agg""".stripMargin,
+
+    "sql_native_kmv" ->
+      """WITH h AS (SELECT DISTINCT doc_id % 2 AS side,
+        |    ('0x'||substr(md5(text),1,15))::BIGINT AS h
+        |  FROM documents),
+        |r AS (SELECT side, h, row_number() OVER (PARTITION BY side ORDER BY h) AS pos
+        |  FROM h)
+        |SELECT side, CAST(pos AS BIGINT) AS pos, h
+        |FROM r WHERE pos <= 16 ORDER BY side, pos""".stripMargin,
+
+    "agg_hll_intersection" ->
+      """SELECT
+        |  COUNT(DISTINCT CASE WHEN l_quantity >= 25 THEN l_partkey END) AS exact_a,
+        |  COUNT(DISTINCT CASE WHEN l_returnflag = 'R' THEN l_partkey END) AS exact_b,
+        |  COUNT(DISTINCT CASE WHEN l_quantity >= 25 OR l_returnflag = 'R'
+        |    THEN l_partkey END) AS exact_union,
+        |  COUNT(DISTINCT CASE WHEN l_quantity >= 25 AND l_returnflag = 'R'
+        |    THEN l_partkey END) AS exact_intersect,
+        |  true AS within_bound
+        |FROM lineitem""".stripMargin,
+
+    "events_survival_km" ->
+      """WITH p AS (SELECT user_id, ts, event_id,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events WHERE event_type = 'purchase'),
+        |gaps AS (SELECT date_diff('day', CAST(prev AS DATE), CAST(ts AS DATE)) AS gap_days
+        |  FROM p WHERE prev IS NOT NULL),
+        |by_gap AS (SELECT gap_days, COUNT(*) AS d FROM gaps GROUP BY 1),
+        |tot AS (SELECT SUM(d) AS n_total FROM by_gap),
+        |cum AS (SELECT gap_days, d,
+        |    n_total - SUM(d) OVER (ORDER BY gap_days ROWS UNBOUNDED PRECEDING) + d AS n_risk
+        |  FROM by_gap, tot),
+        |terms AS (SELECT gap_days, d, n_risk,
+        |    CAST(round(CASE WHEN d = n_risk THEN 0.0
+        |      ELSE ln(1.0 - CAST(d AS DOUBLE) / n_risk) END * 1e6) AS BIGINT) AS lnterm_micro
+        |  FROM cum),
+        |acc AS (SELECT gap_days, CAST(n_risk AS BIGINT) AS n_risk, d,
+        |    SUM(lnterm_micro) OVER (ORDER BY gap_days ROWS UNBOUNDED PRECEDING) AS cum_ln
+        |  FROM terms)
+        |SELECT gap_days, n_risk, d,
+        |  CAST(CASE WHEN d = n_risk THEN 0
+        |    ELSE floor(exp(CAST(cum_ln AS DOUBLE) / 1e6) * 1e6) END AS BIGINT) AS surv_ppm
+        |FROM acc ORDER BY gap_days""".stripMargin,
 
     "join_scd2_pointintime" ->
       """WITH base AS (SELECT c_custkey, c_mktsegment,

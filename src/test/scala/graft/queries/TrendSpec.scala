@@ -336,6 +336,43 @@ class TrendSpec extends SparkSpec {
     assert(row.getAs[Long]("n_communities") <= 25L)
   }
 
+  test("survival curve is monotone nonincreasing from 1e6 to 0") {
+    val rows = TrendQueries.queries("events_survival_km")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val surv = rows.map(_.getAs[Long]("surv_ppm"))
+    assert(surv.zip(surv.tail).forall { case (a, b) => a >= b }, "survival must not increase")
+    assert(surv.head <= 1000000L)
+    assert(surv.last === 0L) // the largest observed gap exhausts the risk set
+    // risk sets shrink by exactly the events consumed
+    val byGap = rows.sortBy(_.getAs[Long]("gap_days"))
+    byGap.zip(byGap.tail).foreach { case (prev, next) =>
+      assert(next.getAs[Long]("n_risk") ===
+        prev.getAs[Long]("n_risk") - prev.getAs[Long]("d"))
+    }
+  }
+
+  test("hll inclusion-exclusion respects exact set algebra") {
+    val row = TrendQueries.queries("agg_hll_intersection")(spark, sf).collect().head
+    val (a, b) = (row.getAs[Long]("exact_a"), row.getAs[Long]("exact_b"))
+    val (u, i) = (row.getAs[Long]("exact_union"), row.getAs[Long]("exact_intersect"))
+    assert(a + b - u === i) // inclusion-exclusion on the exacts
+    assert(row.getAs[Boolean]("within_bound"))
+  }
+
+  test("sql-surface kmv equals the column-api k-smallest of distinct doc hashes") {
+    val viaSql = TrendQueries.queries("sql_native_kmv")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("side"), r.getAs[Long]("pos"), r.getAs[Long]("h"))).toSeq
+    import org.apache.spark.sql.functions.{col => c}
+    val expected = graft.Tables.documents(spark, sf)
+      .select((c("doc_id") % 2).as("side"), graft.ops.TextOps.hash60(c("text")).as("h"))
+      .distinct().collect()
+      .groupBy(_.getAs[Long]("side")).toSeq.flatMap { case (side, rs) =>
+        rs.map(_.getAs[Long]("h")).sorted.take(16).zipWithIndex
+          .map { case (h, i) => (side, i + 1L, h) }
+      }.sorted
+    assert(viaSql.sorted === expected)
+  }
+
   test("multiprobe lsh returns valid descending top-3 and never trails single-probe recall") {
     val multi = TrendQueries.queries("ann_multiprobe_lsh")(spark, sf).collect()
     assert(multi.nonEmpty)
