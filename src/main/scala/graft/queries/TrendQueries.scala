@@ -333,6 +333,52 @@ object TrendQueries extends QueryPack {
         .orderBy("day")
     }),
 
+    // Entropy rate of the user-journey chain: per source state, the
+    // Shannon entropy of its transition distribution (micro-nats,
+    // per-term rounded — the text_entropy discipline), weighted into the
+    // single behavioral-predictability number Σ π̂_i H_i with the
+    // empirical state frequencies as weights. Low rate = deterministic
+    // journeys; ln(|types|) = fully random. Transition table is
+    // types²-bounded.
+    "events_entropy_rate" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val trans = Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("nxt", lead("event_type", 1).over(w))
+        .filter(col("nxt").isNotNull)
+        .groupBy(col("event_type").as("cur"), col("nxt"))
+        .agg(count(lit(1)).as("c"))
+      val rows = trans.groupBy("cur").agg(sum("c").as("r"))
+      val tot = rows.agg(sum("r").as("n_total"))
+      val perState = trans.join(rows, "cur")
+        .withColumn("h_term_micro",
+          expr("CAST(round((CAST(c AS DOUBLE) / r) * ln(CAST(r AS DOUBLE) / c) * 1e6) AS BIGINT)"))
+        .groupBy("cur").agg(max("r").as("r"), sum("h_term_micro").as("h_micro"))
+      perState.crossJoin(broadcast(tot))
+        .select(col("cur"), col("r").as("n_transitions"), col("h_micro"),
+          expr("(r * h_micro) div n_total").as("weighted_micro"))
+        .orderBy("cur")
+    }),
+
+    // Heaps' law vocabulary-growth profile: distinct vocabulary after the
+    // first k documents, at doubling checkpoints — the corpus-diversity
+    // curve (sub-linear growth = healthy natural text; linear = id-like
+    // junk tokens). Each token contributes at its FIRST document (one
+    // min-aggregate over the token stream); checkpoint counts are a
+    // broadcast join against the log₂-bounded checkpoint list.
+    "text_heaps_law" -> ((s, d) => {
+      val firstSeen = Tables.documents(s, d)
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+        .groupBy("tok").agg(min("doc_id").as("first_doc"))
+      val nDocs = Tables.documents(s, d).agg(max("doc_id").as("max_id"))
+      val cps = s.range(0, 20).select(expr("shiftleft(1L, CAST(id AS INT))").as("k"))
+        .crossJoin(broadcast(nDocs)).filter(col("k") <= col("max_id") * 2).select("k")
+      firstSeen.crossJoin(broadcast(cps))
+        .filter(col("first_doc") < col("k"))
+        .groupBy("k").agg(count(lit(1)).as("vocab"))
+        .orderBy("k")
+    }),
+
     // Stationary distribution of the user-journey Markov chain (power
     // iteration, 8 unrolled rounds): where does a user's session
     // ultimately settle? The transition matrix is state-dimension-sized
@@ -1047,6 +1093,38 @@ object TrendQueries extends QueryPack {
         |  FROM win)
         |SELECT day, x, n_win, z_milli, abs(z_milli) >= 3000 AS is_anomaly
         |FROM z ORDER BY day""".stripMargin,
+
+    "events_entropy_rate" ->
+      """WITH ordered AS (SELECT user_id, event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+        |  FROM events),
+        |tr AS (SELECT event_type AS cur, nxt, COUNT(*) AS c
+        |  FROM ordered WHERE nxt IS NOT NULL GROUP BY 1, 2),
+        |r AS (SELECT cur, SUM(c) AS r FROM tr GROUP BY 1),
+        |tot AS (SELECT SUM(r) AS n_total FROM r),
+        |terms AS (SELECT tr.cur, tr.c, r.r,
+        |    CAST(round((CAST(c AS DOUBLE) / r) * ln(CAST(r AS DOUBLE) / c) * 1e6) AS BIGINT)
+        |      AS h_term_micro
+        |  FROM tr JOIN r ON tr.cur = r.cur),
+        |per_state AS (SELECT cur, max(r) AS r, SUM(h_term_micro) AS h_micro
+        |  FROM terms GROUP BY 1)
+        |SELECT cur, CAST(r AS BIGINT) AS n_transitions,
+        |  CAST(h_micro AS BIGINT) AS h_micro,
+        |  CAST((r * h_micro) // n_total AS BIGINT) AS weighted_micro
+        |FROM per_state CROSS JOIN tot ORDER BY cur""".stripMargin,
+
+    "text_heaps_law" ->
+      """WITH first_seen AS (SELECT tok, MIN(doc_id) AS first_doc FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) t
+        |  GROUP BY 1),
+        |nd AS (SELECT MAX(doc_id) AS max_id FROM documents),
+        |cps AS (SELECT (1::BIGINT << CAST(k AS INT)) AS k
+        |  FROM (SELECT unnest(range(0, 20)) AS k) s, nd
+        |  WHERE (1::BIGINT << CAST(k AS INT)) <= max_id * 2)
+        |SELECT k, COUNT(*) AS vocab
+        |FROM first_seen CROSS JOIN cps
+        |WHERE first_doc < k
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "events_markov_stationary" -> {
       // 8 unrolled power-iteration CTEs, each the exact integer update

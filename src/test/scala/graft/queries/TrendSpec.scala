@@ -373,6 +373,31 @@ class TrendSpec extends SparkSpec {
     assert(viaSql.sorted === expected)
   }
 
+  test("entropy rate per state is bounded by ln of the branching factor") {
+    val rows = TrendQueries.queries("events_entropy_rate")(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 5)
+    // H_i ≤ ln(5) nats for a 5-state chain; micro rounding adds ≤ 5
+    rows.foreach { r =>
+      val h = r.getAs[Long]("h_micro")
+      assert(h >= 0L && h <= 1609444L, s"state entropy $h outside [0, ln5]")
+      assert(r.getAs[Long]("weighted_micro") <= h)
+    }
+  }
+
+  test("heaps vocabulary growth is monotone and ends at the full vocabulary") {
+    val rows = TrendQueries.queries("text_heaps_law")(spark, sf).collect()
+      .sortBy(_.getAs[Long]("k"))
+    assert(rows.nonEmpty)
+    val vs = rows.map(_.getAs[Long]("vocab"))
+    assert(vs.zip(vs.tail).forall { case (a, b) => a <= b }, "vocab must not shrink")
+    import org.apache.spark.sql.functions.{col => c, explode, countDistinct}
+    val full = graft.Tables.documents(spark, sf)
+      .select(explode(graft.ops.TextOps.tokens(c("text"))).as("tok"))
+      .agg(countDistinct("tok")).collect().head.getLong(0)
+    // the last checkpoint (k ≥ max_id+1) covers every document
+    assert(vs.last === full)
+  }
+
   test("multiprobe lsh returns valid descending top-3 and never trails single-probe recall") {
     val multi = TrendQueries.queries("ann_multiprobe_lsh")(spark, sf).collect()
     assert(multi.nonEmpty)
