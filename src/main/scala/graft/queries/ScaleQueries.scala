@@ -538,6 +538,30 @@ object ScaleQueries extends QueryPack {
       nNodes.crossJoin(nEdges).crossJoin(nTri)
     }),
 
+    // Power-law exponent of the degree distribution (the "is this a
+    // scale-free hub structure" screen behind the hub caps every graph
+    // query here relies on): integer floor-log2 OLS over the top-256
+    // nodes by degree — the text_zipf_slope machinery pointed at the
+    // graph. Top-k is TakeOrderedAndProject; the rank window runs
+    // post-limit on 256 rows.
+    "graph_degree_powerlaw" -> ((s, d) => {
+      val e = copurchaseEdges(s, d)
+      val deg = e.select(col("u").as("node")).union(e.select(col("v").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("dg"))
+        .orderBy(col("dg").desc, col("node").asc).limit(256)
+      val w = Window.partitionBy(graft.ops.Cleaning.singlePartitionKey(col("node")))
+        .orderBy(col("dg").desc, col("node").asc)
+      deg.withColumn("r", row_number().over(w).cast("long"))
+        .select((length(bin(col("r"))) - 1).cast("long").as("x"),
+          (length(bin(col("dg"))) - 1).cast("long").as("y"))
+        .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+        .selectExpr("n",
+          """CAST(floor(1000000.0 * (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+            | / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)) AS BIGINT)
+            | AS slope_ppm""".stripMargin.replaceAll("\n", " "))
+    }),
+
     // Global clustering coefficient = 3·triangles / wedges ("of all
     // open two-paths, how many close?"). Triangles reuse the SAME
     // degree-oriented edge artifact graph_triangles counts on (no hub
@@ -1381,6 +1405,24 @@ object ScaleQueries extends QueryPack {
         |SELECT node, CAST(MIN(depth) AS BIGINT) AS hops,
         |  COUNT(*) AS n_paths
         |FROM walk GROUP BY 1 ORDER BY 1""".stripMargin,
+    "graph_degree_powerlaw" ->
+      """WITH po AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |  FROM lineitem WHERE l_quantity >= 40),
+        |e AS (SELECT DISTINCT a.p AS u, b.p AS v
+        |  FROM po a JOIN po b ON a.o = b.o AND a.p < b.p),
+        |deg AS (SELECT node, COUNT(*) AS dg FROM (
+        |    SELECT u AS node FROM e UNION ALL SELECT v FROM e) GROUP BY 1
+        |  ORDER BY dg DESC, node LIMIT 256),
+        |ranked AS (SELECT dg, row_number() OVER (ORDER BY dg DESC, node) AS r FROM deg),
+        |xy AS (SELECT CAST(length(bin(r)) - 1 AS BIGINT) AS x,
+        |    CAST(length(bin(dg)) - 1 AS BIGINT) AS y FROM ranked),
+        |agg AS (SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+        |    SUM(x * y) AS sxy, SUM(x * x) AS sxx FROM xy)
+        |SELECT CAST(n AS BIGINT) AS n,
+        |  CAST(floor(1000000.0 * (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+        |    / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)) AS BIGINT)
+        |    AS slope_ppm
+        |FROM agg""".stripMargin,
     "graph_modularity" ->
       """WITH po AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
         |  FROM lineitem WHERE l_quantity >= 40),

@@ -181,6 +181,34 @@ object TrendQueries extends QueryPack {
         .orderBy("k")
     }),
 
+    // Wald–Wolfowitz runs test on the daily series: are above-mean and
+    // below-mean days RANDOMLY interleaved, or do they clump (trend/
+    // regime) or alternate (oscillation)? Signs come from the exact
+    // integer centering N·x − S (ties-to-negative deterministically);
+    // runs, n₊, n₋ are integer window counts over the day dimension; the
+    // one double is the final z against E[R] = 1 + 2n₊n₋/n.
+    "stats_runs_test" -> ((s, d) => {
+      val daily = dailyCounts(s, d)
+      val tot = daily.agg(count(lit(1)).as("nn"), sum("x").as("sx"))
+      val w = Window.partitionBy(Cleaning.singlePartitionKey(col("day"))).orderBy("day")
+      val signed = daily.crossJoin(broadcast(tot))
+        .withColumn("pos", (col("nn") * col("x") - col("sx")) > 0)
+        .withColumn("chg",
+          when(lag("pos", 1).over(w).isNull || lag("pos", 1).over(w) =!= col("pos"), 1L)
+            .otherwise(0L))
+      signed.agg(
+        sum(when(col("pos"), 1L).otherwise(0L)).as("n_pos"),
+        sum(when(!col("pos"), 1L).otherwise(0L)).as("n_neg"),
+        sum("chg").as("runs"))
+        .selectExpr("n_pos", "n_neg", "runs",
+          """CAST(floor(1000.0 *
+            |  (runs - (1.0 + 2.0 * n_pos * n_neg / (n_pos + n_neg)))
+            |  / sqrt(2.0 * n_pos * n_neg * (2.0 * n_pos * n_neg - n_pos - n_neg)
+            |     / ((CAST(n_pos + n_neg AS DOUBLE)) * (n_pos + n_neg)
+            |        * (n_pos + n_neg - 1.0)))) AS BIGINT) AS z_milli"""
+            .stripMargin.replaceAll("\n", " "))
+    }),
+
     // CUSUM change-point screen over daily event volume: cumulative sum
     // of the exactly-centered deviations N·x_t − S (integers — no float
     // mean), peak day flagged where |CUSUM| is maximal. The running sum
@@ -695,6 +723,32 @@ object TrendQueries extends QueryPack {
         .orderBy("dow")
     }),
 
+    // Neyman optimal allocation: how a 1000-doc audit sample should split
+    // across language strata — n_h ∝ N_h·S_h (size × within-stratum
+    // stddev of doc length), the design that minimizes estimator variance
+    // at fixed budget. Stratum moments come from exact integer sums; the
+    // allocation shares are per-mille integers from a double formula
+    // mirrored in the oracle.
+    "sample_neyman_alloc" -> ((s, d) => {
+      val st = Tables.documents(s, d)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_h"), sum("n_chars").as("s_h"),
+          sum(expr("CAST(n_chars AS DECIMAL(38,0)) * n_chars")).as("q_h"))
+      // weights rounded to integer MILLI before the cross-stratum sum —
+      // a double sum over strata would be partition-order-dependent
+      val tot = st
+        .selectExpr("lang", "n_h",
+          """CAST(round(1000.0 * n_h
+            | * sqrt((n_h*CAST(q_h AS DOUBLE) - CAST(s_h AS DOUBLE)*s_h)
+            |   / (CAST(n_h AS DOUBLE)*n_h*(n_h-1)))) AS BIGINT) AS w_milli"""
+            .stripMargin.replaceAll("\n", " "))
+      val sum_w = tot.agg(sum("w_milli").as("sum_w"))
+      tot.crossJoin(broadcast(sum_w))
+        .selectExpr("lang", "n_h",
+          "CAST(floor(1000.0 * w_milli / sum_w) AS BIGINT) AS alloc_permille")
+        .orderBy("lang")
+    }),
+
     // Zipf exponent of the token-frequency distribution (corpus
     // naturalness screen: real text fits slope ≈ −1; generated or
     // boilerplate-heavy corpora drift). OLS over integer floor-log2
@@ -926,6 +980,42 @@ object TrendQueries extends QueryPack {
         |SELECT CAST(k AS BIGINT) AS k,
         |  CAST(floor((CAST(ck AS DOUBLE)*ck + CAST(sk AS DOUBLE)*sk) / 1e6) AS BIGINT) AS power_z2
         |FROM agg ORDER BY k""".stripMargin,
+
+    "stats_runs_test" ->
+      """WITH daily AS (SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, COUNT(*) AS x
+        |  FROM events GROUP BY 1),
+        |tot AS (SELECT COUNT(*) AS nn, SUM(x) AS sx FROM daily),
+        |signed AS (SELECT day, (nn * x - sx) > 0 AS pos FROM daily, tot),
+        |chg AS (SELECT pos,
+        |    CASE WHEN lag(pos) OVER (ORDER BY day) IS NULL
+        |           OR lag(pos) OVER (ORDER BY day) <> pos THEN 1 ELSE 0 END AS chg
+        |  FROM signed),
+        |agg AS (SELECT
+        |    SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS n_pos,
+        |    SUM(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS n_neg,
+        |    SUM(chg) AS runs FROM chg)
+        |SELECT CAST(n_pos AS BIGINT) AS n_pos, CAST(n_neg AS BIGINT) AS n_neg,
+        |  CAST(runs AS BIGINT) AS runs,
+        |  CAST(floor(1000.0 *
+        |    (runs - (1.0 + 2.0 * n_pos * n_neg / (n_pos + n_neg)))
+        |    / sqrt(2.0 * n_pos * n_neg * (2.0 * n_pos * n_neg - n_pos - n_neg)
+        |       / ((CAST(n_pos + n_neg AS DOUBLE)) * (n_pos + n_neg)
+        |          * (n_pos + n_neg - 1.0)))) AS BIGINT) AS z_milli
+        |FROM agg""".stripMargin,
+
+    "sample_neyman_alloc" ->
+      """WITH st AS (SELECT lang, COUNT(*) AS n_h, SUM(n_chars) AS s_h,
+        |    SUM(n_chars::HUGEINT * n_chars) AS q_h
+        |  FROM documents GROUP BY 1),
+        |tot AS (SELECT lang, n_h,
+        |    CAST(round(1000.0 * n_h
+        |      * sqrt((n_h*CAST(q_h AS DOUBLE) - CAST(s_h AS DOUBLE)*s_h)
+        |        / (CAST(n_h AS DOUBLE)*n_h*(n_h-1)))) AS BIGINT) AS w_milli
+        |  FROM st),
+        |sw AS (SELECT SUM(w_milli) AS sum_w FROM tot)
+        |SELECT lang, CAST(n_h AS BIGINT) AS n_h,
+        |  CAST(floor(1000.0 * w_milli / sum_w) AS BIGINT) AS alloc_permille
+        |FROM tot CROSS JOIN sw ORDER BY lang""".stripMargin,
 
     "events_cusum" ->
       """WITH daily AS (SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, COUNT(*) AS x

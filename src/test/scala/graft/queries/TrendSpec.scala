@@ -398,6 +398,30 @@ class TrendSpec extends SparkSpec {
     assert(vs.last === full)
   }
 
+  test("runs test counts partition the series and runs stay in the valid range") {
+    val row = TrendQueries.queries("stats_runs_test")(spark, sf).collect().head
+    val (np, nn) = (row.getAs[Long]("n_pos"), row.getAs[Long]("n_neg"))
+    val runs = row.getAs[Long]("runs")
+    val nDays = TrendQueries.queries("events_cusum")(spark, sf).count()
+    assert(np + nn === nDays)
+    // runs ∈ [1, min-interleaving bound]
+    assert(runs >= 1L && runs <= 2 * math.min(np, nn) + 1)
+  }
+
+  test("neyman allocation shares sum to ~1000 permille over the strata") {
+    val rows = TrendQueries.queries("sample_neyman_alloc")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getAs[Long]("alloc_permille")).sum
+    // floor truncation loses < 1 permille per stratum
+    assert(total > 1000L - rows.length && total <= 1000L)
+  }
+
+  test("degree power-law slope is negative over the ranked hubs") {
+    val row = graft.SparkEntry.queries("graph_degree_powerlaw")(spark, sf).collect().head
+    assert(row.getAs[Long]("n") > 10)
+    assert(row.getAs[Long]("slope_ppm") <= 0L)
+  }
+
   test("multiprobe lsh returns valid descending top-3 and never trails single-probe recall") {
     val multi = TrendQueries.queries("ann_multiprobe_lsh")(spark, sf).collect()
     assert(multi.nonEmpty)
