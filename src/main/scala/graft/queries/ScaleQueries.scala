@@ -504,7 +504,10 @@ object ScaleQueries extends QueryPack {
         .select(col("du").as("a"), col("dv").as("b"))
       pairs.union(pairs.select(col("b").as("a"), col("a").as("b")))
         .agg(count(lit(1)).as("m2"), sum("a").as("sa"),
-          sum(col("a") * col("b")).as("sab"), sum(col("a") * col("a")).as("saa"))
+          // DECIMAL(38,0) accumulation mirrors the oracle's HUGEINT: a*b over
+          // hub degrees overflows Long well below target scale (ANSI throw).
+          sum(col("a").cast("decimal(38,0)") * col("b")).as("sab"),
+          sum(col("a").cast("decimal(38,0)") * col("a")).as("saa"))
         .selectExpr("m2 div 2 AS n_edges",
           """CAST(floor(1000.0 * (m2 * CAST(sab AS DOUBLE) - CAST(sa AS DOUBLE) * sa)
             | / (m2 * CAST(saa AS DOUBLE) - CAST(sa AS DOUBLE) * sa)) AS BIGINT)

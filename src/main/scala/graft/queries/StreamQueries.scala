@@ -153,7 +153,7 @@ object StreamQueries extends QueryPack {
       """WITH b AS (SELECT time_bucket(INTERVAL '60 minutes', ts) AS w,
         |    ('0x'||substr(md5(CAST(user_id AS VARCHAR)),1,15))::BIGINT AS h
         |  FROM events),
-        |d AS (SELECT DISTINCT w, h FROM b),
+        |d AS (SELECT DISTINCT w, h FROM b WHERE h IS NOT NULL),
         |r AS (SELECT w, h, row_number() OVER (PARTITION BY w ORDER BY h) AS rn FROM d),
         |sk AS (SELECT w, COUNT(*) AS sz, max(h) AS hk FROM r WHERE rn <= 32 GROUP BY w),
         |n AS (SELECT time_bucket(INTERVAL '60 minutes', ts) AS w, COUNT(*) AS n_events

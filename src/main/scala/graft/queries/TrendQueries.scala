@@ -138,14 +138,17 @@ object TrendQueries extends QueryPack {
         .withColumn("t", row_number().over(w).cast("long"))
         .withColumn("z", col("nn") * col("x") - col("sx"))
         .select("t", "z")
-      val den = idx.agg(sum(col("z") * col("z")).as("den"))
+      // z ~ N·x can make z² overflow Long at scale — DECIMAL(38,0) like
+      // the welch/tiesum sums (oracle mirrors with HUGEINT)
+      val den = idx.agg(sum(col("z").cast("decimal(38,0)") * col("z")).as("den"))
       val ks = s.range(1, 8).select(col("id").as("k"))
       broadcast(ks)
         .crossJoin(idx.select(col("t").as("tb"), col("z").as("zb")))
         .withColumn("ta", col("tb") + col("k"))
         .join(idx.select(col("t").as("ta"), col("z").as("za")), "ta")
         .groupBy("k")
-        .agg(count(lit(1)).as("n_pairs"), sum(col("za") * col("zb")).as("num"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("za").cast("decimal(38,0)") * col("zb")).as("num"))
         .crossJoin(broadcast(den))
         .selectExpr("k", "n_pairs",
           "CAST(floor(1000000.0 * CAST(num AS DOUBLE) / CAST(den AS DOUBLE)) AS BIGINT) AS acf_ppm")
@@ -242,8 +245,10 @@ object TrendQueries extends QueryPack {
         .agg(count(lit(1)).as("cnt"), sum("n_chars").as("mass"))
       val w = Window.partitionBy(Cleaning.singlePartitionKey(col("len"))).orderBy("len")
       byLen.withColumn("cum", sum("cnt").over(w))
+        // len·cum·cnt overflows Long at scale — DECIMAL(38,0) headroom,
+        // mirrored by the oracle's HUGEINT
         .withColumn("ixi",
-          col("len") * ((col("cum") - col("cnt")) * col("cnt")
+          col("len").cast("decimal(38,0)") * ((col("cum") - col("cnt")) * col("cnt")
             + expr("(cnt * (cnt + 1)) div 2")))
         .agg(sum("cnt").as("n"), sum("mass").as("total_chars"), sum("ixi").as("sixi"))
         .selectExpr("n", "total_chars",
@@ -415,10 +420,6 @@ object TrendQueries extends QueryPack {
     // (per-edge flows are (π·c) div r — deterministic truncation, same
     // in the oracle's unrolled CTE chain).
     "events_markov_stationary" -> ((s, d) => {
-      // the transition matrix is scratch-materialized: the 8 unrolled
-      // iterations below each re-walk their input lineage, and without
-      // the artifact that meant 8 full event scans + window sorts
-      // (3.4 s → ~1 s at sf0.1) — for a 25-row matrix
       val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
       val trans = Tables.events(s, d)
         .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
@@ -605,7 +606,9 @@ object TrendQueries extends QueryPack {
     // near the bucketing.
     "stats_benford" -> ((s, d) => {
       val e = Tables.events(s, d)
-        .select(substring(Cleaning.cents(col("value")).cast("string"), 1, 1)
+        // abs before the string head: a negative value would put '-' in
+        // position 1 and throw under ANSI cast (Benford is sign-blind anyway)
+        .select(substring(abs(Cleaning.cents(col("value"))).cast("string"), 1, 1)
           .cast("long").as("digit"))
         .filter(col("digit") >= 1)
       val per = e.groupBy("digit").agg(count(lit(1)).as("n"))
@@ -955,12 +958,12 @@ object TrendQueries extends QueryPack {
         |idx AS (SELECT row_number() OVER (ORDER BY day) AS t,
         |    CAST(nn * x - sx AS BIGINT) AS z
         |  FROM daily, tot),
-        |den AS (SELECT SUM(z * z) AS den FROM idx),
+        |den AS (SELECT SUM(z::HUGEINT * z) AS den FROM idx),
         |ks AS (SELECT unnest(range(1, 8)) AS k),
         |pairs AS (SELECT k, a.z AS za, b.z AS zb
         |  FROM ks CROSS JOIN idx b JOIN idx a ON a.t = b.t + k)
         |SELECT CAST(k AS BIGINT) AS k, COUNT(*) AS n_pairs,
-        |  CAST(floor(1000000.0 * CAST(SUM(za * zb) AS DOUBLE)
+        |  CAST(floor(1000000.0 * CAST(SUM(za::HUGEINT * zb) AS DOUBLE)
         |    / CAST((SELECT den FROM den) AS DOUBLE)) AS BIGINT) AS acf_ppm
         |FROM pairs GROUP BY k ORDER BY k""".stripMargin,
 
@@ -1036,7 +1039,7 @@ object TrendQueries extends QueryPack {
         |    SUM(cnt) OVER (ORDER BY len ROWS UNBOUNDED PRECEDING) AS cum
         |  FROM by_len),
         |terms AS (SELECT cnt, mass,
-        |    len * ((cum - cnt) * cnt + (cnt * (cnt + 1)) // 2) AS ixi
+        |    len::HUGEINT * ((cum - cnt) * cnt + (cnt * (cnt + 1)) // 2) AS ixi
         |  FROM cum),
         |agg AS (SELECT SUM(cnt) AS n, SUM(mass) AS total_chars, SUM(ixi) AS sixi FROM terms)
         |SELECT CAST(n AS BIGINT) AS n, CAST(total_chars AS BIGINT) AS total_chars,
@@ -1311,7 +1314,7 @@ object TrendQueries extends QueryPack {
         |FROM agg ORDER BY 1, 2""".stripMargin,
 
     "stats_benford" ->
-      """WITH e AS (SELECT CAST(substr(CAST(CAST(round(value*100) AS BIGINT) AS VARCHAR), 1, 1)
+      """WITH e AS (SELECT CAST(substr(CAST(abs(CAST(round(value*100) AS BIGINT)) AS VARCHAR), 1, 1)
         |    AS BIGINT) AS digit FROM events),
         |per AS (SELECT digit, COUNT(*) AS n FROM e WHERE digit >= 1 GROUP BY 1),
         |tot AS (SELECT SUM(n) AS total_n FROM per)
