@@ -2,9 +2,11 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Per-round benchmark: runs every declared query on SPARK_GRAFT_SF_DIR.
-  * Each query runs `SPARK_GRAFT_BENCH_REPS`× (default 3) and reports the
-  * MEDIAN (single iterations were too jittery to detect real regressions —
-  * see VERDICT r3). The timed action is `queryExecution.toRdd.count()`,
+  * Each query runs one untimed warm-up rep then `SPARK_GRAFT_BENCH_REPS`×
+  * (default 3) timed, reporting the MIN (single iterations were too jittery
+  * to detect real regressions — VERDICT r3 — and the median of 3 still
+  * caught first-touch JIT spikes in a fresh JVM — VERDICT r8).
+  * The timed action is `queryExecution.toRdd.count()`,
   * which executes the full physical plan including final sorts and all
   * projected columns — `df.count()` would let Catalyst prune exactly the
   * operators the queries exist to demonstrate.
@@ -37,17 +39,36 @@ object Bench {
       .map(_.split(",").map(_.trim).toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
+    val verbose = sys.env.contains("SPARK_GRAFT_BENCH_VERBOSE")
+    // One untimed warm-up rep before the timed ones: first-touch JIT of a
+    // query's unique codepaths (variant parse, codegen'd expressions) showed
+    // up INSIDE the timed reps in a fresh JVM — e.g. json_variant_get's
+    // per-rep profile was 1.40/0.79/1.96 s with the C2 compile landing on
+    // rep 3, so even the median of 3 was 2.6× the steady state (VERDICT r8
+    // driver-context outliers). The warm-up rep never enters the median.
+    val warmup = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUP", "1").toInt
     val results = selected.map { case (name, fn) =>
       var failed = false
-      val times = (1 to reps).map { _ =>
+      (1 to warmup).foreach { _ =>
+        try { fn(spark, sfDir).queryExecution.toRdd.count() }
+        catch { case _: Throwable => () } // failures surface in timed reps
+      }
+      val raw = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).queryExecution.toRdd.count() }
         catch { case e: Throwable =>
           failed = true
           System.err.println(s"[bench] $name failed: ${e.getMessage}") }
         (System.nanoTime() - t0) / 1e9
-      }.sorted
-      (name, if (failed) -1.0 else times(times.length / 2))
+      }
+      if (verbose)
+        System.err.println(s"[bench] $name reps: " +
+          raw.map(t => f"$t%.3f").mkString(" "))
+      // MIN of the timed reps, not median: timing noise is strictly upward
+      // (GC pause, late C2 compile, scheduler contention — nothing ever makes
+      // a query run FASTER than its steady state), and r8 showed the JIT
+      // spike can land on rep 2-3 where it contaminates even a median of 3.
+      (name, if (failed) -1.0 else raw.min)
     }
     val ok = results.filter(_._2 >= 0)
     val failed = results.collect { case (n, t) if t < 0 => n }
