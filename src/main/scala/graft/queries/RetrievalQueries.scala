@@ -187,6 +187,56 @@ object RetrievalQueries extends QueryPack {
         .limit(10)
     }),
 
+    // IVF-PQ composed index — the billion-vector ANN architecture: an IVF
+    // coarse quantizer prunes the corpus to the 2 probed buckets per query
+    // BEFORE any distance work, then candidates are scored by PQ
+    // asymmetric-distance lookups (sum of 4 table probes against a
+    // constant per-query ADC table) instead of full-vector math. At 100 TB
+    // the cost per query is |2 buckets| ADC lookups — never a corpus scan,
+    // never a vector multiply outside the constant codebook tables. The
+    // centroid set (vec_id < 8) doubles as coarse quantizer and PQ
+    // codebook, same convention as ann_ivf_topk / ann_pq_adc.
+    "ann_ivf_pq_adc" -> ((s, d) => {
+      val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding").as("v"))
+      val cent = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("c_id"), col("v").as("cv"))
+      // coarse assignment: every data vector to its best-cosine bucket
+      // (8-row broadcast fan-out + rank-1 window, map-side WindowGroupLimit)
+      val aw = Window.partitionBy("vec_id").orderBy(col("c_cos").desc, col("c_id").asc)
+      val assign = e.filter(col("vec_id") >= 8).crossJoin(broadcast(cent))
+        .withColumn("c_cos", VectorOps.cosine(col("v"), col("cv")))
+        .withColumn("arank", row_number().over(aw))
+        .filter(col("arank") === 1)
+        .select(col("vec_id"), col("c_id").as("bucket"))
+      val q = e.filter(col("vec_id") >= 8 && col("vec_id") < 13)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      val pw = Window.partitionBy("q_id").orderBy(col("c_cos").desc, col("c_id").asc)
+      val probes = q.crossJoin(broadcast(cent))
+        .withColumn("c_cos", VectorOps.cosine(col("qv"), col("cv")))
+        .withColumn("prank", row_number().over(pw))
+        .filter(col("prank") <= 2)
+        .select(col("q_id"), col("qv"), col("c_id").as("bucket"))
+      // per-query ADC table: queries × 4 subspaces × 8 codewords = 160
+      // constant rows, broadcast onto the candidates
+      val adc = q.crossJoin(broadcast(cent.select(col("c_id").as("cw_id"), col("cv"))))
+        .select(col("q_id"), col("cw_id"), posexplode(subDists("qv", "cv")))
+        .select(col("q_id"), col("cw_id"), col("pos").cast("long").as("subspace"),
+          col("col").as("qd2"))
+      // candidate set = members of the probed buckets ONLY — the bucket
+      // equi-join is the pruning step; ADC scoring never sees the rest
+      val cand = probes.select("q_id", "bucket").join(assign, "bucket")
+        .filter(col("q_id") =!= col("vec_id"))
+        .select("q_id", "vec_id", "bucket")
+      val rw = Window.partitionBy("q_id").orderBy(col("adc_milli2").asc, col("vec_id").asc)
+      cand.join(pqAssign(s, d), "vec_id")
+        .join(broadcast(adc), Seq("q_id", "subspace", "cw_id"))
+        .groupBy("q_id", "vec_id", "bucket")
+        .agg(sum("qd2").as("adc_milli2"))
+        .withColumn("rnk", row_number().over(rw).cast("long"))
+        .filter(col("rnk") <= 10)
+        .orderBy("q_id", "rnk")
+    }),
+
     // CDC log compaction, latest-wins: a change stream (insert baseline,
     // update every 5th key, delete every 20th) collapsed to current state
     // — max-seq version per key kept, tombstones dropped. ONE shuffle on
@@ -313,6 +363,38 @@ object RetrievalQueries extends QueryPack {
          |SELECT vec_id, CAST(SUM(qd2) AS BIGINT) AS adc_milli2
          |FROM assigned JOIN adc USING (subspace, cw_id)
          |GROUP BY 1 ORDER BY adc_milli2, vec_id LIMIT 10""".stripMargin,
+    "ann_ivf_pq_adc" ->
+      s"""WITH $pqSql,
+         |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id >= 8 AND vec_id < 13),
+         |assignb AS (SELECT vec_id, bucket FROM (
+         |    SELECT e.vec_id, cw_id AS bucket,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${LlmQueries.cosSql("e.v", "cv")} DESC, cw_id) AS arank
+         |    FROM e CROSS JOIN cw WHERE e.vec_id >= 8) t WHERE arank = 1),
+         |probes AS (SELECT q_id, bucket FROM (
+         |    SELECT q_id, cw_id AS bucket,
+         |      row_number() OVER (PARTITION BY q_id
+         |        ORDER BY ${LlmQueries.cosSql("qv", "cv")} DESC, cw_id) AS prank
+         |    FROM q CROSS JOIN cw) t WHERE prank <= 2),
+         |adc AS (SELECT q_id, cw_id, CAST(s AS BIGINT) AS subspace,
+         |    list_aggregate(list_transform(
+         |      list_zip(list_slice(qv, s*16+1, s*16+16), list_slice(cv, s*16+1, s*16+16)),
+         |      z -> (round(z[1]*1000)::BIGINT - round(z[2]*1000)::BIGINT)
+         |         * (round(z[1]*1000)::BIGINT - round(z[2]*1000)::BIGINT)), 'sum') AS qd2
+         |  FROM q CROSS JOIN cw CROSS JOIN sub),
+         |cand AS (SELECT q_id, a.vec_id, a.bucket
+         |  FROM probes p JOIN assignb a ON p.bucket = a.bucket
+         |  WHERE q_id <> a.vec_id),
+         |scored AS (SELECT c.q_id, c.vec_id, c.bucket,
+         |    CAST(SUM(qd2) AS BIGINT) AS adc_milli2
+         |  FROM cand c JOIN assigned s2 ON c.vec_id = s2.vec_id
+         |  JOIN adc ON adc.q_id = c.q_id AND adc.subspace = s2.subspace
+         |    AND adc.cw_id = s2.cw_id
+         |  GROUP BY 1, 2, 3)
+         |SELECT q_id, vec_id, bucket, adc_milli2, rnk FROM (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+         |    ORDER BY adc_milli2, vec_id) AS BIGINT) AS rnk FROM scored) t
+         |WHERE rnk <= 10 ORDER BY q_id, rnk""".stripMargin,
     "cdc_latest_wins" ->
       """WITH base AS (SELECT o_orderkey AS k,
         |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),

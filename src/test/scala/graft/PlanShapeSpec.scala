@@ -303,6 +303,22 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), "top-10 must not be a global sort")
   }
 
+  test("IVF-PQ: bucket equi-join prunes before ADC, tables broadcast, no full-corpus scan into ADC") {
+    val p = plan("ann_ivf_pq_adc")
+    // the composed index's whole point: candidates come from the probed-
+    // bucket equi-join, and the per-query ADC table is a broadcast hash
+    // lookup. The only nested loops allowed are the constant 8-row
+    // centroid/codebook broadcasts — every BNLJ must be a BuildRight
+    // broadcast cross, never an unbounded pair join, and no cartesian.
+    assert(!p.contains("CartesianProduct"),
+      s"IVF-PQ degenerated to an all-pairs plan:\n${p.take(800)}")
+    val bnl = p.linesIterator.filter(_.contains("BroadcastNestedLoopJoin")).toSeq
+    assert(bnl.forall(_.contains("BuildRight")),
+      s"non-broadcast pair join in IVF-PQ plan:\n${bnl.mkString("\n")}")
+    assert(p.contains("BroadcastHashJoin"), s"ADC/centroid tables must broadcast:\n${p.take(600)}")
+    assert(p.contains("WindowGroupLimit"), "per-query top-10 must prune map-side")
+  }
+
   test("CDC latest-wins prunes map-side before the per-key window shuffle") {
     // rn=1 over (key ORDER BY seq DESC) must compile to WindowGroupLimit:
     // each task ships at most one candidate row per key into the exchange
