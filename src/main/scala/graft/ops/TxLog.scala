@@ -1,0 +1,188 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+import java.nio.file.{FileAlreadyExistsException, Files, Path, Paths}
+import java.util.ConcurrentModificationException
+import scala.jdk.CollectionConverters._
+
+/** Atomic table-commit protocol — the Delta/Iceberg-style transaction
+  * layer under the lake's MERGE / snapshot-diff / dynamic-overwrite ops.
+  *
+  * Layout:
+  * {{{
+  *   <table>/_txlog/00000000000000000001.json   // manifest per version
+  *   <table>/data/<uuid>/part-*.parquet         // immutable staged segments
+  * }}}
+  *
+  * A manifest lists the data segments the commit ADDS and the previously
+  * live segments it REMOVES; a reader's snapshot at version V is the fold
+  * of manifests 1..V (adds minus later removes). Correctness rests on two
+  * properties:
+  *
+  *  - **Atomic publish.** A manifest is written to a temp file and moved
+  *    into the log WITHOUT overwrite — on POSIX a same-directory rename,
+  *    on HDFS the no-overwrite rename, on S3 a conditional PUT. A crash
+  *    before the move leaves staged parquet that no manifest references:
+  *    invisible to every reader, collectable by [[vacuum]].
+  *  - **Optimistic concurrency (CAS on the version number).** Two writers
+  *    racing for version N+1 both attempt the no-overwrite move; exactly
+  *    one wins. A blind APPEND (removes nothing) retries against the new
+  *    head and lands at N+2. A commit that removes segments (overwrite,
+  *    compaction, MERGE rewrite) is only valid against the exact snapshot
+  *    it read — any concurrent commit conflicts and the loser aborts with
+  *    `ConcurrentModificationException`, never publishing a lost update.
+  *
+  * Readers resolve their segment list ONCE per snapshot call; because
+  * segments are immutable and removes only drop them from the manifest
+  * (the bytes stay until vacuum), a snapshot taken before a commit keeps
+  * reading its own consistent file set afterwards — snapshot isolation
+  * without locks, which is what lets 1000 executors read a table that is
+  * being rewritten under them.
+  */
+object TxLog {
+
+  final case class Manifest(version: Long, op: String,
+                            adds: Seq[String], removes: Seq[String],
+                            readVersion: Long)
+
+  private def logDir(table: String): Path = Paths.get(table, "_txlog")
+  private def fmt(v: Long): String = f"$v%020d.json"
+
+  def init(table: String): Unit = {
+    Files.createDirectories(logDir(table))
+    Files.createDirectories(Paths.get(table, "data"))
+  }
+
+  private def listVersions(table: String): Seq[Long] = {
+    val dir = logDir(table)
+    if (!Files.isDirectory(dir)) Seq.empty
+    else Files.list(dir).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(_.matches("\\d{20}\\.json"))
+      .map(_.stripSuffix(".json").toLong)
+      .toSeq.sorted
+  }
+
+  def currentVersion(table: String): Long =
+    listVersions(table).lastOption.getOrElse(0L)
+
+  // manifests are written by us, so the hand-rolled JSON below never needs
+  // escaping (uuid paths + fixed op names); parsing goes through Jackson
+  // (bundled with Spark) so a torn/garbage file fails loudly, not quietly
+  private def manifestJson(m: Manifest): String = {
+    def arr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
+    s"""{"version":${m.version},"op":"${m.op}","adds":${arr(m.adds)},""" +
+      s""""removes":${arr(m.removes)},"readVersion":${m.readVersion}}"""
+  }
+
+  def readManifest(table: String, v: Long): Manifest = {
+    val node = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(Files.readString(logDir(table).resolve(fmt(v))))
+    def arr(field: String): Seq[String] =
+      node.get(field).elements().asScala.map(_.asText()).toSeq
+    Manifest(node.get("version").asLong(), node.get("op").asText(),
+      arr("adds"), arr("removes"), node.get("readVersion").asLong())
+  }
+
+  /** Live segment paths at `asOf` (default: latest). Resolved once —
+    * this list IS the reader's isolation boundary.
+    */
+  def liveFiles(table: String, asOf: Option[Long] = None): Seq[String] = {
+    val vs = listVersions(table).filter(v => asOf.forall(v <= _))
+    vs.foldLeft(Vector.empty[String]) { (live, v) =>
+      val m = readManifest(table, v)
+      live.filterNot(m.removes.contains) ++ m.adds
+    }
+  }
+
+  /** Snapshot read: the live segments as one parquet relation. Schema
+    * comes from the footers; an empty table needs a reader-side schema,
+    * so we require at least one committed segment.
+    */
+  def snapshot(spark: SparkSession, table: String,
+               asOf: Option[Long] = None): DataFrame = {
+    val files = liveFiles(table, asOf)
+    require(files.nonEmpty, s"no committed segments in $table at $asOf")
+    spark.read.parquet(files: _*)
+  }
+
+  /** Stage a dataframe as a new immutable segment directory — NOT yet
+    * visible to any reader (no manifest references it until commit).
+    */
+  def stage(df: DataFrame, table: String): String = {
+    init(table)
+    val p = s"$table/data/${java.util.UUID.randomUUID}"
+    df.write.mode(SaveMode.ErrorIfExists).parquet(p)
+    p
+  }
+
+  /** Publish a commit built against `readVersion`. CAS loop on the
+    * version file; see the object doc for the conflict rules.
+    */
+  def commit(table: String, op: String, adds: Seq[String],
+             removes: Seq[String], readVersion: Long): Long = {
+    init(table)
+    var attempts = 0
+    while (attempts < 100) {
+      attempts += 1
+      val cur = currentVersion(table)
+      if (removes.nonEmpty && cur != readVersion)
+        throw new ConcurrentModificationException(
+          s"$table: commit '$op' read version $readVersion but head is $cur — " +
+            "a concurrent commit landed; rebase on the new snapshot and retry")
+      val target = cur + 1
+      val m = Manifest(target, op, adds, removes, readVersion)
+      val tmp = Files.createTempFile(logDir(table), s".$target-", ".tmp")
+      Files.writeString(tmp, manifestJson(m))
+      try {
+        // no-overwrite move = the atomic publish primitive (POSIX rename /
+        // HDFS rename / S3 conditional PUT); loser of the race lands in
+        // the catch and re-evaluates against the new head
+        Files.move(tmp, logDir(table).resolve(fmt(target)))
+        return target
+      } catch {
+        case _: FileAlreadyExistsException => Files.deleteIfExists(tmp)
+      }
+    }
+    throw new IllegalStateException(s"$table: commit '$op' starved after 100 CAS attempts")
+  }
+
+  /** Blind append: stage + commit, auto-retrying across concurrent heads
+    * (an append conflicts with nothing).
+    */
+  def append(df: DataFrame, table: String): Long = {
+    val p = stage(df, table)
+    commit(table, "append", Seq(p), Seq.empty, currentVersion(table))
+  }
+
+  /** Full-table overwrite (the copy-on-write MERGE/compaction shape):
+    * stage the replacement, then atomically swap it for the exact segment
+    * set this writer read. Any concurrent commit aborts the swap.
+    */
+  def overwrite(df: DataFrame, table: String): Long = {
+    init(table)
+    val rv = currentVersion(table)
+    val live = liveFiles(table, Some(rv))
+    val p = stage(df, table)
+    commit(table, "overwrite", Seq(p), live, rv)
+  }
+
+  /** Garbage-collect segment dirs referenced by NO version ≥
+    * `keepVersionsFrom` — removes both crash-orphaned staged data (never
+    * committed) and segments only old snapshots could see. Time travel
+    * below the horizon stops working, by design.
+    */
+  def vacuum(table: String, keepVersionsFrom: Long): Seq[String] = {
+    val keep = listVersions(table).filter(_ >= keepVersionsFrom)
+      .flatMap(v => liveFiles(table, Some(v))).toSet
+    val dataDir = Paths.get(table, "data")
+    if (!Files.isDirectory(dataDir)) return Seq.empty
+    val doomed = Files.list(dataDir).iterator().asScala
+      .filterNot(p => keep.contains(p.toString)).toSeq
+    doomed.foreach { p =>
+      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    }
+    doomed.map(_.toString)
+  }
+}

@@ -34,6 +34,27 @@ object StatsQueries extends QueryPack {
       .groupBy(col("o_custkey"))
       .agg(count(lit(1)).as("n_premium"))
 
+  /** TxLog demo table, built ONCE per (session, dir) by three committed
+    * transactions; both lake_txlog queries read it through the manifest
+    * log. computeIfAbsent gives exactly-once build under concurrent first
+    * callers (same discipline as ops.Scratch).
+    */
+  private val txTables =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+  private def txTable(s: SparkSession, d: String): String =
+    txTables.computeIfAbsent((s, d), _ => {
+      val t = s"${graft.ops.Scratch.base}/txtable_${(d.hashCode & 0xffffff).toHexString}"
+      val base = Tables.orders(s, d)
+        .select(col("o_orderkey"), Cleaning.cents(col("o_totalprice")).as("cents"))
+      graft.ops.TxLog.append(base.filter(col("o_orderkey") % 2 === 1), t)
+      graft.ops.TxLog.append(base.filter(col("o_orderkey") % 2 === 0), t)
+      val merged = graft.ops.TxLog.snapshot(s, t)
+        .withColumn("cents",
+          when(col("o_orderkey") % 5 === 0, col("cents") + 500L).otherwise(col("cents")))
+      graft.ops.TxLog.overwrite(merged, t)
+      t
+    })
+
   val queries: Map[String, Q] = Map(
     // FULL OUTER join with unmatched rows on BOTH sides: low-nation
     // customers vs premium-order buyers. At scale this is a shuffle
@@ -574,6 +595,32 @@ object StatsQueries extends QueryPack {
         .orderBy("o_orderkey")
     }),
 
+    // Snapshot read through the atomic commit protocol (ops.TxLog — the
+    // Delta/Iceberg-style manifest log layered under merge_upsert /
+    // snapshot_diff). The table is built by three committed transactions
+    // (append odds, append evens, copy-on-write MERGE overwrite applying
+    // +500 cents to keys %5); the query reads the HEAD snapshot, i.e. the
+    // fold of the manifest log — proving the published state equals the
+    // logical result of the transaction sequence. Readers only ever see
+    // committed segment lists, so a crashed writer's staged parquet can
+    // never leak into this result (crash/conflict paths pinned in
+    // TxLogSpec).
+    "lake_txlog_snapshot" -> ((s, d) =>
+      graft.ops.TxLog.snapshot(s, txTable(s, d)).orderBy("o_orderkey")),
+
+    // Time travel over the same manifest log: aggregate state AT each
+    // committed version (v1 = odd keys only, v2 = full base, v3 = after
+    // the MERGE overwrite). Each snapshot(asOf) resolves its own immutable
+    // segment list — removed segments stay on disk until vacuum, which is
+    // exactly why historical reads are consistent while the head moves.
+    "lake_txlog_time_travel" -> ((s, d) => {
+      val t = txTable(s, d)
+      def at(v: Long) = graft.ops.TxLog.snapshot(s, t, Some(v))
+        .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+        .select(lit(v).as("version"), col("n"), col("sum_cents"))
+      at(1).unionByName(at(2)).unionByName(at(3)).orderBy("version")
+    }),
+
     // Z-order (Morton) clustering key: 16-bit part/supplier dimensions
     // interleaved with built-in bit expressions (fully codegen'd map
     // work). Range-partitioning + sorting by this key gives parquet
@@ -1000,6 +1047,23 @@ object StatsQueries extends QueryPack {
         |  SELECT *, row_number() OVER (PARTITION BY l_returnflag
         |    ORDER BY n DESC, qty ASC) AS rnk FROM counts) t
         |WHERE rnk = 1 ORDER BY l_returnflag""".stripMargin,
+    "lake_txlog_snapshot" ->
+      """SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT)
+        |  + CASE WHEN o_orderkey % 5 = 0 THEN 500 ELSE 0 END AS cents
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "lake_txlog_time_travel" ->
+      """WITH base AS (SELECT o_orderkey,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+        |v AS (
+        |  SELECT 1 AS version, COUNT(*) AS n, SUM(cents) AS sum_cents
+        |  FROM base WHERE o_orderkey % 2 = 1
+        |  UNION ALL SELECT 2, COUNT(*), SUM(cents) FROM base
+        |  UNION ALL SELECT 3, COUNT(*),
+        |    SUM(CASE WHEN o_orderkey % 5 = 0 THEN cents + 500 ELSE cents END)
+        |  FROM base)
+        |SELECT CAST(version AS BIGINT) AS version, n,
+        |  CAST(sum_cents AS BIGINT) AS sum_cents
+        |FROM v ORDER BY version""".stripMargin,
     "snapshot_diff" ->
       """WITH base AS (SELECT o_orderkey AS k,
         |    CAST(round(o_totalprice * 100) AS BIGINT) AS v FROM orders),

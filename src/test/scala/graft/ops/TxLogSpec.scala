@@ -1,0 +1,112 @@
+package graft.ops
+
+import graft.SparkSpec
+
+import java.nio.file.{Files, Paths}
+import java.util.ConcurrentModificationException
+
+/** Transaction-protocol guarantees of [[TxLog]]: atomic publish (a crash
+  * before the manifest move leaves nothing visible), optimistic-CAS
+  * conflict detection between concurrent writers, snapshot isolation for
+  * readers, append auto-retry, time travel, and vacuum's horizon.
+  */
+class TxLogSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshTable(): String =
+    Files.createTempDirectory("txlog-spec-").resolve("t").toString
+
+  private def rows(xs: (Long, Long)*) =
+    xs.toSeq.toDF("k", "v")
+
+  test("crash before publish: staged segments are invisible to readers") {
+    val t = freshTable()
+    TxLog.append(rows(1L -> 10L, 2L -> 20L), t)
+    val before = TxLog.snapshot(spark, t).as[(Long, Long)].collect().sortBy(_._1)
+    // a writer that stages data and dies before commit…
+    val orphan = TxLog.stage(rows(99L -> 999L), t)
+    assert(Files.exists(Paths.get(orphan)), "staged bytes exist on disk")
+    // …changes nothing a reader can see: same version, same rows
+    assert(TxLog.currentVersion(t) === 1L)
+    val after = TxLog.snapshot(spark, t).as[(Long, Long)].collect().sortBy(_._1)
+    assert(after.toSeq === before.toSeq)
+    // vacuum collects the orphan without touching committed data
+    val collected = TxLog.vacuum(t, keepVersionsFrom = 1L)
+    assert(collected.contains(orphan) && !Files.exists(Paths.get(orphan)))
+    assert(TxLog.snapshot(spark, t).count() === 2L)
+  }
+
+  test("two-writer conflict: concurrent overwrite aborts the stale writer") {
+    val t = freshTable()
+    TxLog.append(rows(1L -> 10L, 2L -> 20L), t)
+    // both writers read version 1
+    val rv = TxLog.currentVersion(t)
+    val liveAtRv = TxLog.liveFiles(t, Some(rv))
+    // writer A rewrites and publishes first
+    val aSeg = TxLog.stage(rows(1L -> 11L, 2L -> 21L), t)
+    assert(TxLog.commit(t, "overwrite", Seq(aSeg), liveAtRv, rv) === 2L)
+    // writer B, still based on version 1, must NOT silently clobber A
+    val bSeg = TxLog.stage(rows(1L -> 12L, 2L -> 22L), t)
+    intercept[ConcurrentModificationException] {
+      TxLog.commit(t, "overwrite", Seq(bSeg), liveAtRv, rv)
+    }
+    // A's update survives — no lost update
+    val head = TxLog.snapshot(spark, t).as[(Long, Long)].collect().toMap
+    assert(head === Map(1L -> 11L, 2L -> 21L))
+    assert(TxLog.currentVersion(t) === 2L)
+  }
+
+  test("append auto-retries past a concurrent head and loses nothing") {
+    val t = freshTable()
+    TxLog.append(rows(1L -> 10L), t)
+    // commit with a STALE readVersion (pretend another writer landed v1
+    // after we read v0): a blind append conflicts with nothing, so the
+    // CAS loop must land it at the next free version
+    val seg = TxLog.stage(rows(2L -> 20L), t)
+    val v = TxLog.commit(t, "append", Seq(seg), Seq.empty, readVersion = 0L)
+    assert(v === 2L)
+    assert(TxLog.snapshot(spark, t).count() === 2L)
+  }
+
+  test("snapshot isolation: a resolved reader survives a later overwrite") {
+    val t = freshTable()
+    TxLog.append(rows(1L -> 10L, 2L -> 20L), t)
+    val reader = TxLog.snapshot(spark, t) // resolves its segment list NOW
+    TxLog.overwrite(rows(1L -> 99L), t)   // head moves under the reader
+    // the old reader still sees its own consistent snapshot…
+    assert(reader.as[(Long, Long)].collect().toMap === Map(1L -> 10L, 2L -> 20L))
+    // …while a new reader sees the head
+    assert(TxLog.snapshot(spark, t).as[(Long, Long)].collect().toMap === Map(1L -> 99L))
+  }
+
+  test("time travel reads any committed version; vacuum enforces its horizon") {
+    val t = freshTable()
+    TxLog.append(rows(1L -> 10L), t)            // v1
+    TxLog.append(rows(2L -> 20L), t)            // v2
+    TxLog.overwrite(rows(1L -> 11L, 2L -> 21L), t) // v3
+    assert(TxLog.snapshot(spark, t, Some(1L)).as[(Long, Long)].collect().toMap
+      === Map(1L -> 10L))
+    assert(TxLog.snapshot(spark, t, Some(2L)).as[(Long, Long)].collect().toMap
+      === Map(1L -> 10L, 2L -> 20L))
+    assert(TxLog.snapshot(spark, t, Some(3L)).as[(Long, Long)].collect().toMap
+      === Map(1L -> 11L, 2L -> 21L))
+    // vacuum to the head: v1/v2-only segments are collected, head intact
+    TxLog.vacuum(t, keepVersionsFrom = 3L)
+    assert(TxLog.snapshot(spark, t).as[(Long, Long)].collect().toMap
+      === Map(1L -> 11L, 2L -> 21L))
+    intercept[Exception] { TxLog.snapshot(spark, t, Some(2L)).collect() }
+  }
+
+  test("CAS race: two manifests for the same version — exactly one wins") {
+    val t = freshTable()
+    TxLog.append(rows(1L -> 10L), t)
+    // simulate the physical race: both writers target version 2; the
+    // second no-overwrite move must fail, not corrupt the log
+    val s1 = TxLog.stage(rows(2L -> 20L), t)
+    val s2 = TxLog.stage(rows(3L -> 30L), t)
+    val v1 = TxLog.commit(t, "append", Seq(s1), Seq.empty, 1L)
+    val v2 = TxLog.commit(t, "append", Seq(s2), Seq.empty, 1L)
+    assert(Set(v1, v2) === Set(2L, 3L), "both commits land, on distinct versions")
+    assert(TxLog.snapshot(spark, t).count() === 3L)
+  }
+}
