@@ -128,6 +128,53 @@ object MultimodalQueries extends QueryPack {
         .orderBy("media_id")
     }),
 
+    // REAL CODEC ROUND-TRIP + perceptual hash over DECODED pixels: each
+    // doc's first 256 chars become a 16×16 8-bit grayscale image, PNG-
+    // encoded and decoded back via javax.imageio INSIDE the partition
+    // seam (`Multimodal.encodePngGray`/`decodePngGray` — an actual image
+    // codec, not the stub), then average-hashed over a true 2-D tile grid
+    // (4×4 pixel boxes → 16 tiles), bit i set iff tile-sum·16 > image
+    // total — exact integers end to end. PNG is lossless, so the DuckDB
+    // oracle reproduces the signature from the text bytes directly: the
+    // query proves decode(encode(x)) == x through the full distributed
+    // path. The codec stage is per-partition imperative (codec dispatch
+    // amortized); dup grouping/order stay declarative.
+    "mm_decode_ahash" -> ((s, d) => {
+      import s.implicits._
+      val sigs = Tables.documents(s, d)
+        .filter(col("n_chars") >= 256)
+        .select(col("doc_id"), substring(col("text"), 1, 256).as("head"))
+        .as[(Long, String)]
+        .mapPartitions { rows =>
+          rows.map { case (id, head) =>
+            val luma = new Array[Byte](256)
+            var i = 0
+            while (i < 256) { luma(i) = (head.charAt(i) & 0xff).toByte; i += 1 }
+            val png = Multimodal.encodePngGray(luma, 16, 16)
+            val (w, h, dec) = Multimodal.decodePngGray(png)
+            val tsum = new Array[Long](16)
+            i = 0
+            while (i < dec.length) {
+              val r = i / 16
+              val c = i % 16
+              tsum((r / 4) * 4 + (c / 4)) += (dec(i) & 0xff)
+              i += 1
+            }
+            val total = tsum.sum
+            var ahash = 0L
+            var t = 0
+            while (t < 16) { if (tsum(t) * 16 > total) ahash |= (1L << t); t += 1 }
+            (id, w.toLong, h.toLong, ahash)
+          }
+        }
+        .toDF("media_id", "width", "height", "ahash16")
+      sigs
+        .withColumn("n_same_hash", count(lit(1)).over(Window.partitionBy("ahash16")))
+        .select(col("media_id"), col("width"), col("height"), col("ahash16"),
+          col("n_same_hash"), (col("n_same_hash") > 1).as("is_dup"))
+        .orderBy("media_id")
+    }),
+
     // SHOT-BOUNDARY DETECTION — the classic frame-difference segmenter
     // every video pipeline runs before sampling keyframes: per-frame
     // intensity "energy" (byte sum over each 16-byte frame of the first
@@ -258,6 +305,27 @@ object MultimodalQueries extends QueryPack {
         |      AS BIGINT) AS ahash16
         |  FROM tt GROUP BY 1)
         |SELECT media_id, ahash16,
+        |  COUNT(*) OVER (PARTITION BY ahash16) AS n_same_hash,
+        |  COUNT(*) OVER (PARTITION BY ahash16) > 1 AS is_dup
+        |FROM h ORDER BY media_id""".stripMargin,
+    "mm_decode_ahash" ->
+      """WITH p AS (SELECT doc_id AS media_id, text,
+        |    unnest(range(0, 256)) AS pos
+        |  FROM documents WHERE n_chars >= 256),
+        |b AS (SELECT media_id,
+        |    ((pos // 16) // 4) * 4 + (pos % 16) // 4 AS tile,
+        |    CAST(ascii(substring(text, CAST(pos + 1 AS INT), 1)) AS BIGINT) % 256 AS b
+        |  FROM p),
+        |t AS (SELECT media_id, tile, CAST(SUM(b) AS BIGINT) AS tsum
+        |  FROM b GROUP BY 1, 2),
+        |tt AS (SELECT *, SUM(tsum) OVER (PARTITION BY media_id) AS total FROM t),
+        |h AS (SELECT media_id,
+        |    CAST(SUM(CASE WHEN tsum * 16 > total
+        |         THEN CAST(1 AS BIGINT) << CAST(tile AS INT) ELSE 0 END)
+        |      AS BIGINT) AS ahash16
+        |  FROM tt GROUP BY 1)
+        |SELECT media_id, CAST(16 AS BIGINT) AS width, CAST(16 AS BIGINT) AS height,
+        |  ahash16,
         |  COUNT(*) OVER (PARTITION BY ahash16) AS n_same_hash,
         |  COUNT(*) OVER (PARTITION BY ahash16) > 1 AS is_dup
         |FROM h ORDER BY media_id""".stripMargin,

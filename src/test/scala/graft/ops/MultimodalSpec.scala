@@ -38,6 +38,34 @@ class MultimodalSpec extends SparkSpec {
     assert(out1.forall { case (_, w, h, n) => w >= 64 && h >= 64 && n > 0 })
   }
 
+  test("PNG codec round-trips 8-bit grayscale rasters bit-exactly") {
+    // all 256 byte values present — any color-space transform would show
+    val luma = Array.tabulate(256)(i => i.toByte)
+    val png = Multimodal.encodePngGray(luma, 16, 16)
+    // a real PNG container, not a passthrough
+    assert(png.take(4).toSeq == Seq(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte))
+    val (w, h, dec) = Multimodal.decodePngGray(png)
+    assert((w, h) == (16, 16))
+    assert(dec.toSeq == luma.toSeq, "lossless round-trip of every sample value")
+    // non-square dims carried by the container, not assumed
+    val wide = Array.tabulate(96)(i => (i * 7 % 256).toByte)
+    val (w2, h2, dec2) = Multimodal.decodePngGray(Multimodal.encodePngGray(wide, 32, 3))
+    assert((w2, h2) == (32, 3) && dec2.toSeq == wide.toSeq)
+  }
+
+  test("decodeImages runs the real codec through the partition seam") {
+    val imgs = Seq(
+      (1L, Multimodal.encodePngGray(Array.fill(256)(7.toByte), 16, 16)),
+      (2L, Multimodal.encodePngGray(Array.tabulate(64)(_.toByte), 8, 8)))
+      .toDF("media_id", "payload")
+    val out = Multimodal.decodeImages(spark, imgs.repartition(3))
+      .orderBy("media_id")
+      .as[(Long, Int, Int, Array[Byte])].collect().toSeq
+    assert(out.map(r => (r._1, r._2, r._3)) == Seq((1L, 16, 16), (2L, 8, 8)))
+    assert(out(0)._4.forall(_ == 7.toByte) && out(0)._4.length == 256)
+    assert(out(1)._4.toSeq == Array.tabulate(64)(_.toByte).toSeq)
+  }
+
   test("batchInferStub groups rows into fixed batches with a ragged tail") {
     val many = (1L to 10L).map(i => (i, s"payload number $i body"))
       .toDF("doc_id", "text")
