@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ops.{TextOps, VectorOps}
+import graft.ops.{Cleaning, TextOps, VectorOps}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -17,6 +17,63 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * units (micro/milli) so results are partition-order-independent.
   */
 object CorpusQueries extends QueryPack {
+
+  // Shared-subplan materialization (LlmQueries discipline): iterative
+  // trains (BPE merges) write each round to scratch parquet so plan
+  // lineage stays linear in iterations, not exponential.
+  private def cached(kind: String, s: SparkSession, d: String)(build: => DataFrame): DataFrame =
+    graft.ops.Scratch.materialize(kind, s, d)(build)
+
+  /** Per-doc BPE tokenization result (shared by bpe_encode and
+    * pack_token_bins_bpe): whitespace vs BPE token counts + the token-id
+    * checksum pinning the exact tokenization.
+    */
+  private def bpeDocTokens(s: SparkSession, d: String): DataFrame = {
+      val sep = "\u0001"
+      val words0 = Tables.documents(s, d)
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("w"))
+      def mergeOnce(v: DataFrame): DataFrame = {
+        val top1 = v
+          .select(col("cnt"), expr(s"slice(split(rep, '$sep'), 2, 1000000)").as("syms"))
+          .filter(size(col("syms")) >= 2)
+          .select(col("cnt"), explode(expr(
+            """transform(sequence(1, size(syms) - 1),
+              |  i -> struct(element_at(syms, i) AS p1,
+              |              element_at(syms, i + 1) AS p2))""".stripMargin))
+            .as("p"))
+          .groupBy(col("p.p1").as("p1"), col("p.p2").as("p2"))
+          .agg(sum("cnt").as("pc"))
+          .orderBy(col("pc").desc, col("p1").asc, col("p2").asc)
+          .limit(1)
+        v.crossJoin(broadcast(top1))
+          .withColumn("rep",
+            expr(s"replace(rep, concat('$sep', p1, '$sep', p2), concat('$sep', p1, p2))"))
+          .select("w", "cnt", "rep")
+      }
+      val vocab = (0 to 4).foldLeft[DataFrame](null) { (v, i) =>
+        cached(s"bpe_vocab_$i", s, d) {
+          if (i == 0)
+            words0.groupBy("w").agg(count(lit(1)).as("cnt"))
+              .withColumn("rep", regexp_replace(col("w"), "(.)", sep + "$1"))
+          else mergeOnce(v)
+        }
+      }
+      val symId = vocab
+        .select(explode(expr(s"slice(split(rep, '$sep'), 2, 1000000)")).as("sym"))
+        .distinct()
+        .withColumn("tok_id", row_number().over(
+          Window.partitionBy(Cleaning.singlePartitionKey(col("sym"))).orderBy("sym"))
+          .cast("long"))
+      val perWord = vocab
+        .select(col("w"), explode(expr(s"slice(split(rep, '$sep'), 2, 1000000)")).as("sym"))
+        .join(symId, "sym")
+        .groupBy("w")
+        .agg(sum("tok_id").as("w_id_sum"), count(lit(1)).as("w_n_sym"))
+      words0.join(perWord, "w")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_ws_tokens"), sum("w_n_sym").as("n_bpe_tokens"),
+          sum("w_id_sum").as("tok_id_sum"))
+  }
 
   val queries: Map[String, Q] = Map(
     // One Lloyd iteration of k-means over the embedding corpus: assign
@@ -432,6 +489,41 @@ object CorpusQueries extends QueryPack {
               * col("cnt"))).as("symbols_after"))
     }),
 
+    // BPE ENCODE — the tokenizer-APPLICATION pass that bpe_merge_iter's
+    // training step feeds: 4 merges learned iteratively on the word-
+    // frequency table (merge k+1 counted AFTER merges 1..k applied — the
+    // real BPE training loop, unrolled), then the corpus tokenized with
+    // them and every symbol mapped to its id in the final vocabulary.
+    // The separator representation (\u0001 before every symbol) makes one
+    // left-to-right replace() exactly equal to BPE's non-overlapping
+    // leftmost pair merge, so the whole encode is engine-portable string
+    // algebra — the DuckDB oracle unrolls the identical 4 replaces.
+    // Scale: training runs on the VOCABULARY (each iteration scratch-
+    // materialized, so cost is linear in iterations, not 2^k lineage);
+    // the corpus pass is one explode + equi-join vocab→doc and one hash
+    // agg. Output: per-doc whitespace vs BPE token counts + the token-id
+    // checksum that pins the exact tokenization (pack_token_bins packs on
+    // these counts downstream).
+    "bpe_encode" -> ((s, d) => bpeDocTokens(s, d).orderBy("doc_id")),
+
+    // The packing pass fed by REAL token ids: same greedy 1024-token
+    // sequential binning as pack_token_bins, but weighted by the BPE
+    // token counts the 4 learned merges produce instead of whitespace
+    // counts — the actual pretraining-batch packing input. The encode
+    // runs once (scratch vocab artifacts shared with bpe_encode); this
+    // query adds only the doc-dimension window.
+    "pack_token_bins_bpe" -> ((s, d) => {
+      val w = Window.partitionBy("lang").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      bpeDocTokens(s, d)
+        .join(Tables.documents(s, d).select("doc_id", "lang"), "doc_id")
+        .select(col("doc_id"), col("lang"), col("n_bpe_tokens").as("n_tok"))
+        .withColumn("cum", sum("n_tok").over(w))
+        .select(col("doc_id"), col("lang"), col("n_tok"),
+          expr("(cum - n_tok) div 1024").as("bin"))
+        .orderBy("doc_id")
+    }),
+
     // PII detection — the compliance scan every corpus needs before
     // training: regex detectors for email- and phone-shaped spans,
     // aggregated per source (counts + how many docs carry any hit).
@@ -817,6 +909,71 @@ object CorpusQueries extends QueryPack {
         |    - SUM((length(w) - length(replace(w, pair, '#'))) * cnt) AS BIGINT)
         |    AS symbols_after
         |FROM words, top1""".stripMargin,
+    "bpe_encode" -> {
+      // one training iteration, as a SQL template over the previous vocab
+      // CTE — mirrors the Spark mergeOnce exactly (same tie-break, same
+      // left-to-right replace on the separator representation)
+      def it(i: Int): String = {
+        val prev = s"v${i - 1}"
+        s"""p$i AS (SELECT p1, p2 FROM (
+           |    SELECT syms[i] AS p1, syms[i + 1] AS p2, CAST(SUM(cnt) AS BIGINT) AS pc
+           |    FROM (
+           |      SELECT cnt, syms, unnest(generate_series(1, len(syms) - 1)) AS i
+           |      FROM (SELECT cnt, string_split(rep, chr(1))[2:] AS syms FROM $prev) a
+           |      WHERE len(syms) >= 2) b
+           |    GROUP BY 1, 2 ORDER BY pc DESC, p1, p2 LIMIT 1) t),
+           |v$i AS (SELECT w, cnt,
+           |    replace(rep, chr(1) || p1 || chr(1) || p2, chr(1) || p1 || p2) AS rep
+           |  FROM $prev CROSS JOIN p$i)""".stripMargin
+      }
+      s"""WITH w0 AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+         |v0 AS (SELECT w, COUNT(*) AS cnt,
+         |    regexp_replace(w, '(.)', chr(1) || '\\1', 'g') AS rep
+         |  FROM w0 GROUP BY 1),
+         |${(1 to 4).map(it).mkString(",\n")},
+         |syms AS (SELECT DISTINCT unnest(string_split(rep, chr(1))[2:]) AS sym FROM v4),
+         |symid AS (SELECT sym, CAST(row_number() OVER (ORDER BY sym) AS BIGINT) AS tok_id
+         |  FROM syms),
+         |wid AS (SELECT w, CAST(SUM(tok_id) AS BIGINT) AS w_id_sum,
+         |    COUNT(*) AS w_n_sym
+         |  FROM (SELECT w, unnest(string_split(rep, chr(1))[2:]) AS sym FROM v4) x
+         |  JOIN symid USING (sym) GROUP BY 1)
+         |SELECT doc_id, COUNT(*) AS n_ws_tokens,
+         |  CAST(SUM(w_n_sym) AS BIGINT) AS n_bpe_tokens,
+         |  CAST(SUM(w_id_sum) AS BIGINT) AS tok_id_sum
+         |FROM w0 JOIN wid USING (w)
+         |GROUP BY 1 ORDER BY doc_id""".stripMargin
+    },
+    "pack_token_bins_bpe" -> {
+      def it(i: Int): String = {
+        val prev = s"v${i - 1}"
+        s"""p$i AS (SELECT p1, p2 FROM (
+           |    SELECT syms[i] AS p1, syms[i + 1] AS p2, CAST(SUM(cnt) AS BIGINT) AS pc
+           |    FROM (
+           |      SELECT cnt, syms, unnest(generate_series(1, len(syms) - 1)) AS i
+           |      FROM (SELECT cnt, string_split(rep, chr(1))[2:] AS syms FROM $prev) a
+           |      WHERE len(syms) >= 2) b
+           |    GROUP BY 1, 2 ORDER BY pc DESC, p1, p2 LIMIT 1) t),
+           |v$i AS (SELECT w, cnt,
+           |    replace(rep, chr(1) || p1 || chr(1) || p2, chr(1) || p1 || p2) AS rep
+           |  FROM $prev CROSS JOIN p$i)""".stripMargin
+      }
+      s"""WITH w0 AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+         |v0 AS (SELECT w, COUNT(*) AS cnt,
+         |    regexp_replace(w, '(.)', chr(1) || '\\1', 'g') AS rep
+         |  FROM w0 GROUP BY 1),
+         |${(1 to 4).map(it).mkString(",\n")},
+         |wn AS (SELECT w, CAST(len(string_split(rep, chr(1))[2:]) AS BIGINT) AS w_n_sym
+         |  FROM v4),
+         |enc AS (SELECT doc_id, CAST(SUM(w_n_sym) AS BIGINT) AS n_tok
+         |  FROM w0 JOIN wn USING (w) GROUP BY 1),
+         |j AS (SELECT d.doc_id, d.lang, n_tok
+         |  FROM documents d JOIN enc ON d.doc_id = enc.doc_id),
+         |c AS (SELECT doc_id, lang, n_tok, SUM(n_tok) OVER (PARTITION BY lang
+         |    ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM j)
+         |SELECT doc_id, lang, n_tok, CAST((cum - n_tok) // 1024 AS BIGINT) AS bin
+         |FROM c ORDER BY doc_id""".stripMargin
+    },
     "text_pii_stats" ->
       """WITH t AS (SELECT source,
         |    CASE WHEN doc_id % 11 = 0
