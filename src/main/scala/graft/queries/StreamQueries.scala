@@ -95,6 +95,25 @@ object StreamQueries extends QueryPack {
         .orderBy("user_id", "click_id", "purchase_id")
     }),
 
+    // LEFT OUTER flavor of the interval join: clicks that found no
+    // purchase in-window survive with null purchase columns — on the
+    // static table this is a plain left join; in streaming the same plan
+    // emits the null rows exactly once after watermark eviction
+    // (StreamingSpec pins the micro-batch timeline). Nulls order first in
+    // Spark ASC and last in DuckDB, so the sort key wraps purchase_id in
+    // coalesce(…, -1) on both sides.
+    "stream_stream_left_join_batcheq" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      Streams.clickPurchaseLeftJoin(
+          e.filter(col("event_type") === "click"),
+          e.filter(col("event_type") === "purchase"))
+        .select(col("user_id"), col("click_id"), col("purchase_id"),
+          unix_micros(col("c_ts")).as("c_us"), unix_micros(col("p_ts")).as("p_us"),
+          col("matched"))
+        .orderBy(col("user_id"), col("click_id"),
+          coalesce(col("purchase_id"), lit(-1L)))
+    }),
+
     // Session windows (5-minute gap) per user; session end = last event +
     // gap, mirrored in the oracle's islands computation.
     "stream_session_window_batcheq" -> ((s, d) =>
@@ -143,6 +162,15 @@ object StreamQueries extends QueryPack {
         | AND c.event_type = 'click' AND p.event_type = 'purchase'
         | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
         |ORDER BY c.user_id, click_id, purchase_id""".stripMargin,
+    "stream_stream_left_join_batcheq" ->
+      """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+        | epoch_us(c.ts) AS c_us, epoch_us(p.ts) AS p_us,
+        | p.event_id IS NOT NULL AS matched
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.user_id
+        | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+        |ORDER BY c.user_id, click_id, COALESCE(purchase_id, -1)""".stripMargin,
     "stream_tumbling_window_batcheq" ->
       """SELECT strftime(time_bucket(INTERVAL '10 minutes', ts), '%Y-%m-%d %H:%M:%S') AS w_start,
         | strftime(time_bucket(INTERVAL '10 minutes', ts) + INTERVAL 10 MINUTE, '%Y-%m-%d %H:%M:%S') AS w_end,

@@ -314,6 +314,36 @@ object Streams {
         col("c_ts"), col("p_ts"))
   }
 
+  /** Stream–stream LEFT OUTER join with watermark-evicted unmatched
+    * emission: same user/time-bound pairing as [[clickPurchaseJoin]], but
+    * a click with NO purchase inside its 30-minute window still emits —
+    * with null purchase columns — once BOTH watermarks pass the click's
+    * eviction bound (c_ts + 30 min), i.e. once a match is provably
+    * impossible. That late, exactly-once null emission is the semantics
+    * that make outer stream joins hard; Spark's state store provides it
+    * when the join carries watermarks + a two-sided event-time bound.
+    * Batch twin: an ordinary left join (oracled by
+    * `stream_stream_left_join_batcheq`); micro-batch eviction timeline
+    * pinned in StreamingSpec.
+    */
+  def clickPurchaseLeftJoin(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    val p = purchases
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    c.join(p,
+        col("c_user") === col("p_user") &&
+          col("p_ts") >= col("c_ts") &&
+          col("p_ts") <= col("c_ts") + expr("INTERVAL 30 MINUTES"),
+        "leftOuter")
+      .select(col("c_user").as("user_id"), col("click_id"), col("purchase_id"),
+        col("c_ts"), col("p_ts"), col("purchase_id").isNotNull.as("matched"))
+  }
+
   /** Streaming CDC materialization, latest-wins: per-key state keeps the
     * (seq, value, op) of the highest sequence number seen so far; each
     * micro-batch re-emits the refreshed current row for keys it touched

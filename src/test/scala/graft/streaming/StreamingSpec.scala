@@ -418,6 +418,56 @@ class StreamingSpec extends SparkSpec {
       .collect().sorted.toSeq
     assert(streamed == batch)
   }
+  test("left-outer stream-stream join emits unmatched rows exactly once after eviction") {
+    implicit val sqlCtx = spark.sqlContext
+    // user = id % 3 → click 10 is user 1, click 11 is user 2
+    val (cm, pm) = (MemoryStream[Ev], MemoryStream[Ev])
+    val q = Streams.clickPurchaseLeftJoin(cm.toDF(), pm.toDF())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ssleft_smoke").start()
+    def rows() = spark.table("ssleft_smoke")
+      .select("user_id", "click_id", "purchase_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).sorted.toSeq
+    try {
+      // batch 1: click 10 (user 1) matches purchase 22; click 11 (user 2)
+      // has no purchase in its 30-min window
+      cm.addData(ev(10, "2024-01-01 01:00:00", "click", 1.0),
+        ev(11, "2024-01-01 01:00:00", "click", 1.0))
+      pm.addData(ev(22, "2024-01-01 01:20:00", "purchase", 5.0))
+      q.processAllAvailable()
+      // the matched row may emit immediately; the unmatched click MUST NOT
+      // emit yet — a match is still possible until the watermark passes
+      // 01:30 (no-null invariant, not timing-dependent)
+      assert(!rows().exists(_._3 == -1L),
+        s"null row emitted before eviction: ${rows()}")
+      // batch 2: advance BOTH watermarks past 01:30 + 1h lag
+      cm.addData(ev(13, "2024-01-01 04:00:00", "click", 1.0))
+      pm.addData(ev(29, "2024-01-01 04:00:00", "purchase", 5.0))
+      q.processAllAvailable()
+      // batch 3: push the watermark further so click 13's own eviction
+      // fires too — total emission must stay exactly-once per click
+      cm.addData(ev(16, "2024-01-01 08:00:00", "click", 1.0))
+      pm.addData(ev(35, "2024-01-01 08:00:00", "purchase", 5.0))
+      q.processAllAvailable()
+      val out = rows()
+      assert(out.count(r => r._2 == 11L) == 1, s"click 11 must emit exactly once: $out")
+      assert(out.contains((2L, 11L, -1L)), s"click 11 must emit with null purchase: $out")
+      assert(out.contains((1L, 10L, 22L)), s"matched pair must survive: $out")
+      assert(out.count(r => r._2 == 13L) == 1 && out.contains((1L, 13L, -1L)),
+        s"click 13 evicts unmatched exactly once: $out")
+    } finally q.stop()
+    // batch twin agrees on the final relation for the same closed input
+    val clicks = Seq(ev(10, "2024-01-01 01:00:00", "click", 1.0),
+      ev(11, "2024-01-01 01:00:00", "click", 1.0))
+    val purchases = Seq(ev(22, "2024-01-01 01:20:00", "purchase", 5.0))
+    val batch = Streams.clickPurchaseLeftJoin(clicks.toDF(), purchases.toDF())
+      .select("user_id", "click_id", "purchase_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).sorted.toSeq
+    assert(batch == Seq((1L, 10L, 22L), (2L, 11L, -1L)))
+  }
+
   test("foreachBatch merge sink upserts micro-batches into a parquet target") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
