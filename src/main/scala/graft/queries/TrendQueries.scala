@@ -4,7 +4,7 @@ import graft.Tables
 import graft.ops.{Cleaning, Scratch, TextOps, VectorOps}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** Trend / drift / scoring pack (round 8): the monitoring layer a
   * production corpus pipeline runs BESIDE the ingest queries — two-sample
@@ -554,6 +554,51 @@ object TrendQueries extends QueryPack {
             .stripMargin.replaceAll("\n", " "),
           "CAST(1000 AS BIGINT) AS epsilon_milli")
         .orderBy("c_nationkey")
+    }),
+
+    // DP COMPOSITION LEDGER — the epsilon accounting that sits above any
+    // set of DP releases: three seeded-Laplace releases over the customer
+    // table (per-nation counts at ε=1.0, per-segment counts at ε=0.5, a
+    // global count at ε=0.25; scale = 1/ε, same deterministic draw recipe
+    // as privacy_dp_laplace so the mechanism stays oracle-exact), each
+    // ledgered with its query count and release-level ε. Within a release
+    // the partitions are DISJOINT (each customer is in exactly one nation
+    // / one segment), so PARALLEL composition applies: release ε = the
+    // per-query ε, NOT the sum. Across releases the same individuals are
+    // re-queried, so BASIC (sequential) composition adds the release
+    // epsilons into the 1750-milli total budget row. released_checksum
+    // ties every ledger row to the actual noised outputs it accounts for.
+    "privacy_dp_ledger" -> ((s, d) => {
+      def noised(g: DataFrame, key: Column, epsMilli: Long): DataFrame =
+        g.withColumn("u",
+            TextOps.hash60(key) / lit(1152921504606846976.0) - 0.5)
+          .withColumn("noised_n", expr(
+            s"""CAST(true_n + round((1000.0 / $epsMilli) *
+               | (CASE WHEN u >= 0 THEN -ln(greatest(1e-18, 1.0 - 2.0*u))
+               |  ELSE ln(greatest(1e-18, 1.0 + 2.0*u)) END)) AS BIGINT)"""
+              .stripMargin.replaceAll("\n", " ")))
+      val c = Tables.customer(s, d)
+      val r1 = noised(c.groupBy(col("c_nationkey").as("k")).agg(count(lit(1)).as("true_n")),
+        concat(lit("r1:"), col("k").cast("string")), 1000L)
+      val r2 = noised(c.groupBy(col("c_mktsegment").as("k")).agg(count(lit(1)).as("true_n")),
+        concat(lit("r2:"), col("k")), 500L)
+      val r3 = noised(c.agg(count(lit(1)).as("true_n")), lit("r3:all"), 250L)
+      def row(df: DataFrame, name: String, epsMilli: Long, comp: String) =
+        df.agg(count(lit(1)).as("n_queries"), sum("noised_n").as("released_checksum"))
+          .select(lit(name).as("release"), lit(comp).as("composition"),
+            col("n_queries"), lit(epsMilli).as("eps_query_milli"),
+            lit(epsMilli).as("eps_release_milli"), col("released_checksum"))
+      val releases = row(r1, "r1_nation_counts", 1000L, "parallel")
+        .unionByName(row(r2, "r2_segment_counts", 500L, "parallel"))
+        .unionByName(row(r3, "r3_global_count", 250L, "single"))
+      val total = releases
+        .agg(sum("n_queries").as("n_queries"),
+          sum("eps_release_milli").as("eps_release_milli"),
+          sum("released_checksum").as("released_checksum"))
+        .select(lit("total").as("release"), lit("sequential").as("composition"),
+          col("n_queries"), lit(0L).as("eps_query_milli"),
+          col("eps_release_milli"), col("released_checksum"))
+      releases.unionByName(total).orderBy("release")
     }),
 
     // t-closeness release audit — the third rung of the privacy ladder
@@ -1132,6 +1177,40 @@ object TrendQueries extends QueryPack {
         |    ELSE ln(greatest(1e-18, 1.0 + 2.0*u)) END) AS BIGINT) AS noised_n,
         |  CAST(1000 AS BIGINT) AS epsilon_milli
         |FROM u ORDER BY c_nationkey""".stripMargin,
+
+    "privacy_dp_ledger" -> {
+      def rel(groupSql: String, keySql: String, epsMilli: Long): String =
+        s"""SELECT COUNT(*) AS n_queries, CAST(SUM(
+           |    true_n + round((1000.0 / $epsMilli) *
+           |      (CASE WHEN u >= 0 THEN -ln(greatest(1e-18, 1.0 - 2.0*u))
+           |       ELSE ln(greatest(1e-18, 1.0 + 2.0*u)) END))
+           |  ) AS BIGINT) AS released_checksum FROM (
+           |  SELECT true_n,
+           |    ('0x'||substr(md5($keySql),1,15))::BIGINT
+           |      / 1152921504606846976.0 - 0.5 AS u
+           |  FROM ($groupSql) g) t""".stripMargin
+      val r1 = rel("SELECT c_nationkey AS k, COUNT(*) AS true_n FROM customer GROUP BY 1",
+        "'r1:' || CAST(k AS VARCHAR)", 1000L)
+      val r2 = rel("SELECT c_mktsegment AS k, COUNT(*) AS true_n FROM customer GROUP BY 1",
+        "'r2:' || k", 500L)
+      val r3 = rel("SELECT COUNT(*) AS true_n FROM customer", "'r3:all'", 250L)
+      s"""WITH rel1 AS ($r1), rel2 AS ($r2), rel3 AS ($r3),
+         |rows_ AS (
+         |  SELECT 'r1_nation_counts' AS release, 'parallel' AS composition,
+         |    n_queries, CAST(1000 AS BIGINT) AS eps_query_milli,
+         |    CAST(1000 AS BIGINT) AS eps_release_milli, released_checksum FROM rel1
+         |  UNION ALL SELECT 'r2_segment_counts', 'parallel', n_queries,
+         |    500, 500, released_checksum FROM rel2
+         |  UNION ALL SELECT 'r3_global_count', 'single', n_queries,
+         |    250, 250, released_checksum FROM rel3),
+         |tot AS (SELECT 'total' AS release, 'sequential' AS composition,
+         |    CAST(SUM(n_queries) AS BIGINT) AS n_queries,
+         |    CAST(0 AS BIGINT) AS eps_query_milli,
+         |    CAST(SUM(eps_release_milli) AS BIGINT) AS eps_release_milli,
+         |    CAST(SUM(released_checksum) AS BIGINT) AS released_checksum
+         |  FROM rows_)
+         |SELECT * FROM rows_ UNION ALL SELECT * FROM tot ORDER BY release""".stripMargin
+    },
 
     "events_path_trigrams" ->
       """WITH o AS (SELECT user_id, event_type AS s1,
