@@ -51,29 +51,48 @@ object ScaleData {
 
     /** K copies with each (column → span-name) offset applied per replica,
       * key dtypes preserved so downstream loaders see identical schemas.
+      * `perturb(i)` lets content columns vary per replica.
       */
-    def replicate(df: DataFrame, offsets: (String, String)*): DataFrame =
+    def replicate(df: DataFrame, offsets: (String, String)*)(
+        perturb: Int => DataFrame => DataFrame = _ => identity): DataFrame =
       (0 until k).map { i =>
-        offsets.foldLeft(df) { case (acc, (c, sp)) =>
+        perturb(i)(offsets.foldLeft(df) { case (acc, (c, sp)) =>
           acc.withColumn(c,
             (col(c) + lit(i * spans(sp))).cast(df.schema(c).dataType))
-        }
+        })
       }.reduce(_ unionAll _)
+
+    // Replica 0 is the base corpus verbatim; replicas 1..K-1 carry NEW
+    // content, not byte-copies — a 10× corpus of exact duplicates makes
+    // every LSH/embedding bucket 10× hotter and candidate pairs 100×,
+    // which measures the replication artifact, not the engine (that
+    // adversarial shape is ScaleExperiment's job, separately). Word
+    // suffixes give each replica a disjoint vocabulary (token counts,
+    // lengths, and shingle structure keep the base distribution);
+    // embedding components shift by a deterministic per-(replica, dim)
+    // grid so sign-LSH/IVF buckets spread instead of stacking.
+    def docPerturb(i: Int): DataFrame => DataFrame =
+      df => if (i == 0) df
+      else df.withColumn("text", expr(s"replace(text, ' ', '_r$i ')"))
+    def embPerturb(i: Int): DataFrame => DataFrame =
+      df => if (i == 0) df
+      else df.withColumn("embedding", expr(
+        s"transform(embedding, (x, j) -> CAST(x + ((($i * 37 + j) % 11) - 5) * 0.017 AS FLOAT))"))
 
     val tables: Seq[(String, DataFrame)] = Seq(
       "region" -> Tables.region(spark, sfDir),
       "nation" -> Tables.nation(spark, sfDir),
-      "customer" -> replicate(Tables.customer(spark, sfDir), "c_custkey" -> "custkey"),
-      "supplier" -> replicate(Tables.supplier(spark, sfDir), "s_suppkey" -> "suppkey"),
-      "part" -> replicate(Tables.part(spark, sfDir), "p_partkey" -> "partkey"),
+      "customer" -> replicate(Tables.customer(spark, sfDir), "c_custkey" -> "custkey")(),
+      "supplier" -> replicate(Tables.supplier(spark, sfDir), "s_suppkey" -> "suppkey")(),
+      "part" -> replicate(Tables.part(spark, sfDir), "p_partkey" -> "partkey")(),
       "orders" -> replicate(Tables.orders(spark, sfDir),
-        "o_orderkey" -> "orderkey", "o_custkey" -> "custkey"),
+        "o_orderkey" -> "orderkey", "o_custkey" -> "custkey")(),
       "lineitem" -> replicate(Tables.lineitem(spark, sfDir),
-        "l_orderkey" -> "orderkey", "l_partkey" -> "partkey", "l_suppkey" -> "suppkey"),
+        "l_orderkey" -> "orderkey", "l_partkey" -> "partkey", "l_suppkey" -> "suppkey")(),
       "events" -> replicate(Tables.events(spark, sfDir),
-        "event_id" -> "eventid", "user_id" -> "userid"),
-      "documents" -> replicate(Tables.documents(spark, sfDir), "doc_id" -> "docid"),
-      "embeddings" -> replicate(Tables.embeddings(spark, sfDir), "vec_id" -> "vecid"))
+        "event_id" -> "eventid", "user_id" -> "userid")(),
+      "documents" -> replicate(Tables.documents(spark, sfDir), "doc_id" -> "docid")(docPerturb),
+      "embeddings" -> replicate(Tables.embeddings(spark, sfDir), "vec_id" -> "vecid")(embPerturb))
 
     val counts = tables.map { case (name, df) =>
       df.write.mode(SaveMode.Overwrite).parquet(s"$out/$name.parquet")

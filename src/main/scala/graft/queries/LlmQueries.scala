@@ -583,8 +583,18 @@ object LlmQueries extends QueryPack {
     }),
 
     "dedup_edit_prefilter" -> ((s, d) => {
+      // hot-band cap (threshold 8) BEFORE the self-join: the full-text
+      // levenshtein verify is the most expensive per-pair kernel in the
+      // dedup family, so this query must inherit the capped candidate
+      // bound (≤ cap²·n_bands per bucket) — the r9 sf1 bench measured the
+      // uncapped version going 156× on a duplicate-heavy 10× corpus,
+      // exactly the blow-up dedup_minhash_capped documents.
       val b = minhashBands(s, d)
-      val pairs = b.as("x").join(b.as("y"),
+      val hot = b.groupBy("band", "band_key")
+        .agg(count(lit(1)).as("n")).filter(col("n") > 8)
+        .select("band", "band_key")
+      val cold = b.join(broadcast(hot), Seq("band", "band_key"), "left_anti")
+      val pairs = cold.as("x").join(cold.as("y"),
           col("x.band") === col("y.band") && col("x.band_key") === col("y.band_key") &&
             col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
@@ -1366,8 +1376,12 @@ object LlmQueries extends QueryPack {
         |ORDER BY d1, d2""".stripMargin,
     "dedup_edit_prefilter" ->
       s"""WITH $mhSigSql,
+         |hot AS (SELECT band, band_key FROM bandtab
+         |  GROUP BY 1, 2 HAVING COUNT(*) > 8),
+         |cold AS (SELECT * FROM bandtab WHERE (band, band_key) NOT IN
+         |  (SELECT (band, band_key) FROM hot)),
          |pairs AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-         |  FROM bandtab a JOIN bandtab b
+         |  FROM cold a JOIN cold b
          |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id)
          |SELECT d1, d2
          |FROM pairs JOIN documents x ON d1 = x.doc_id JOIN documents y ON d2 = y.doc_id
