@@ -168,6 +168,68 @@ object TxLog {
     commit(table, "overwrite", Seq(p), live, rv)
   }
 
+  /** MERGE through the commit protocol — the copy-on-write upsert every
+    * table format executes: matched keys take the update, unmatched keep
+    * the base row, new keys insert, and the whole rewrite publishes as ONE
+    * atomic overwrite commit against the exact snapshot it read. A
+    * concurrent commit aborts the swap (no lost update), which is
+    * precisely the guarantee the join-based `merge_upsert` query alone
+    * cannot give two racing writers.
+    */
+  def merge(spark: SparkSession, updates: DataFrame, table: String,
+            key: String): Long = {
+    init(table)
+    val rv = currentVersion(table)
+    val live = liveFiles(table, Some(rv))
+    require(live.nonEmpty, s"merge into empty table $table")
+    val base = spark.read.parquet(live: _*)
+    val merged = updates.unionByName(
+      base.join(updates.select(key), Seq(key), "left_anti"))
+    val p = stage(merged, table)
+    commit(table, "merge", Seq(p), live, rv)
+  }
+
+  /** Small-file compaction as a commit: rewrite the current live segment
+    * set into one segment and atomically swap. Logically a no-op (same
+    * rows), physically the maintenance operation that keeps scan-side
+    * file counts bounded; readers resolved before the compaction keep
+    * their old segment list (bytes persist until vacuum), so compaction
+    * never blocks or breaks a running scan — the property `TxLogSpec`
+    * pins.
+    */
+  def compact(spark: SparkSession, table: String): Long = {
+    val rv = currentVersion(table)
+    val live = liveFiles(table, Some(rv))
+    require(live.nonEmpty, s"compact of empty table $table")
+    val p = stage(spark.read.parquet(live: _*), table)
+    commit(table, "compact", Seq(p), live, rv)
+  }
+
+  private val StreamOp = "stream_append_b(\\d+)".r
+
+  /** Highest micro-batch id ever committed by [[streamingAppend]], or -1. */
+  def maxCommittedBatch(table: String): Long =
+    listVersions(table).map(readManifest(table, _).op)
+      .collect { case StreamOp(b) => b.toLong }
+      .maxOption.getOrElse(-1L)
+
+  /** Exactly-once streaming sink step (the foreachBatch body): append a
+    * micro-batch as one atomic commit carrying its batch id in the
+    * manifest. On restart Spark replays the last unacknowledged batch —
+    * the replay finds its id already committed and SKIPS, so the
+    * file-sink output is transactional without any sink-side dedup
+    * column. Returns the committed version, or -1 for a skipped replay.
+    */
+  def streamingAppend(df: DataFrame, table: String, batchId: Long): Long = {
+    init(table)
+    if (batchId <= maxCommittedBatch(table)) -1L
+    else {
+      val p = stage(df, table)
+      commit(table, s"stream_append_b$batchId", Seq(p), Seq.empty,
+        currentVersion(table))
+    }
+  }
+
   /** Garbage-collect segment dirs referenced by NO version ≥
     * `keepVersionsFrom` — removes both crash-orphaned staged data (never
     * committed) and segments only old snapshots could see. Time travel

@@ -55,6 +55,44 @@ object StatsQueries extends QueryPack {
       t
     })
 
+  /** Second TxLog table: base appended, then `merge_upsert`'s exact update
+    * set applied THROUGH `TxLog.merge` — one atomic copy-on-write commit
+    * (concurrent-writer conflicts abort; TxLogSpec). Built once per
+    * (session, dir) so re-reads are idempotent.
+    */
+  private def txMergeTable(s: SparkSession, d: String): String =
+    txTables.computeIfAbsent((s, "merge:" + d), _ => {
+      val t = s"${graft.ops.Scratch.base}/txmerge_${(d.hashCode & 0xffffff).toHexString}"
+      val base = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_orderstatus"))
+      graft.ops.TxLog.append(base, t)
+      val updates = base.filter(col("o_orderkey") % 7 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+        .withColumn("o_orderstatus", lit("U"))
+        .unionByName(
+          base.filter(col("o_orderkey") % 101 === 0)
+            .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+              col("o_custkey"), col("o_totalprice"),
+              lit("N").as("o_orderstatus")))
+      graft.ops.TxLog.merge(s, updates, t, "o_orderkey")
+      t
+    })
+
+  /** Third TxLog table: two appends then `TxLog.compact` — the version
+    * history the compaction query reads back.
+    */
+  private def txCompactTable(s: SparkSession, d: String): String =
+    txTables.computeIfAbsent((s, "compact:" + d), _ => {
+      val t = s"${graft.ops.Scratch.base}/txcompact_${(d.hashCode & 0xffffff).toHexString}"
+      val base = Tables.orders(s, d)
+        .select(col("o_orderkey"), Cleaning.cents(col("o_totalprice")).as("cents"))
+      graft.ops.TxLog.append(base.filter(col("o_orderkey") % 2 === 1), t)
+      graft.ops.TxLog.append(base.filter(col("o_orderkey") % 2 === 0), t)
+      graft.ops.TxLog.compact(s, t)
+      t
+    })
+
   val queries: Map[String, Q] = Map(
     // FULL OUTER join with unmatched rows on BOTH sides: low-nation
     // customers vs premium-order buyers. At scale this is a shuffle
@@ -621,6 +659,35 @@ object StatsQueries extends QueryPack {
       at(1).unionByName(at(2)).unionByName(at(3)).orderBy("version")
     }),
 
+    // MERGE executed THROUGH the commit protocol: merge_upsert's exact
+    // update set applied by TxLog.merge — updates ∪ base⟕anti staged and
+    // swapped in ONE atomic overwrite commit, so two racing writers can't
+    // lose updates (the guarantee the join-based query alone can't give;
+    // conflict path pinned in TxLogSpec). The result read back through
+    // the manifest log must equal the logical merge.
+    "lake_txlog_merge" -> ((s, d) =>
+      graft.ops.TxLog.snapshot(s, txMergeTable(s, d))
+        .select(col("o_orderkey"), col("o_custkey"),
+          Cleaning.cents(col("o_totalprice")).as("price_cents"),
+          col("o_orderstatus"))
+        .orderBy("o_orderkey")),
+
+    // Compaction as a version-history read: two appends then one compact
+    // commit; per committed version, the live-segment count and the row
+    // count AT that snapshot. Compaction changes the physical layout
+    // (2 segments → 1) and nothing else — and old snapshots stay
+    // readable while it happens (reader-isolation spec in TxLogSpec).
+    "lake_txlog_compact" -> ((s, d) => {
+      import s.implicits._
+      val t = txCompactTable(s, d)
+      val hist = (1L to graft.ops.TxLog.currentVersion(t)).map { v =>
+        (v, graft.ops.TxLog.readManifest(t, v).op,
+          graft.ops.TxLog.liveFiles(t, Some(v)).size.toLong,
+          graft.ops.TxLog.snapshot(s, t, Some(v)).count())
+      }
+      hist.toDF("version", "op", "n_segments", "n_rows").orderBy("version")
+    }),
+
     // Z-order (Morton) clustering key: 16-bit part/supplier dimensions
     // interleaved with built-in bit expressions (fully codegen'd map
     // work). Range-partitioning + sorting by this key gives parquet
@@ -1047,6 +1114,33 @@ object StatsQueries extends QueryPack {
         |  SELECT *, row_number() OVER (PARTITION BY l_returnflag
         |    ORDER BY n DESC, qty ASC) AS rnk FROM counts) t
         |WHERE rnk = 1 ORDER BY l_returnflag""".stripMargin,
+    "lake_txlog_merge" ->
+      """WITH base AS (SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus FROM orders),
+        |upd AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice + 1000.0 AS o_totalprice,
+        |    'U' AS o_orderstatus
+        |  FROM base WHERE o_orderkey % 7 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_custkey, o_totalprice, 'N'
+        |  FROM base WHERE o_orderkey % 101 = 0),
+        |m AS (SELECT * FROM upd
+        |  UNION ALL
+        |  SELECT * FROM base
+        |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd))
+        |SELECT o_orderkey, o_custkey,
+        |  CAST(round(o_totalprice*100) AS BIGINT) AS price_cents, o_orderstatus
+        |FROM m ORDER BY o_orderkey""".stripMargin,
+    "lake_txlog_compact" ->
+      """WITH n AS (SELECT COUNT(*) AS n_all FROM orders),
+        |odd AS (SELECT COUNT(*) AS n_odd FROM orders WHERE o_orderkey % 2 = 1),
+        |v AS (
+        |  SELECT 1 AS version, 'append' AS op, 1 AS n_segments,
+        |    (SELECT n_odd FROM odd) AS n_rows
+        |  UNION ALL SELECT 2, 'append', 2, (SELECT n_all FROM n)
+        |  UNION ALL SELECT 3, 'compact', 1, (SELECT n_all FROM n))
+        |SELECT CAST(version AS BIGINT) AS version, op,
+        |  CAST(n_segments AS BIGINT) AS n_segments, CAST(n_rows AS BIGINT) AS n_rows
+        |FROM v ORDER BY version""".stripMargin,
     "lake_txlog_snapshot" ->
       """SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT)
         |  + CASE WHEN o_orderkey % 5 = 0 THEN 500 ELSE 0 END AS cents

@@ -97,6 +97,52 @@ class TxLogSpec extends SparkSpec {
     intercept[Exception] { TxLog.snapshot(spark, t, Some(2L)).collect() }
   }
 
+  test("merge is one atomic commit; a concurrent merge aborts, no lost update") {
+    val t = freshTable()
+    TxLog.append(rows(1L -> 10L, 2L -> 20L, 3L -> 30L), t)
+    // matched key updates, new key inserts, untouched key survives
+    TxLog.merge(spark, rows(2L -> 99L, 4L -> 40L), t, "k")
+    assert(TxLog.snapshot(spark, t).as[(Long, Long)].collect().toMap
+      === Map(1L -> 10L, 2L -> 99L, 3L -> 30L, 4L -> 40L))
+    assert(TxLog.currentVersion(t) === 2L)
+    // a writer that read version 1 and merges after v2 landed must abort —
+    // its rewrite would silently drop the first merge's rows
+    val live1 = TxLog.liveFiles(t, Some(1L))
+    val seg = TxLog.stage(rows(1L -> 11L), t)
+    intercept[ConcurrentModificationException] {
+      TxLog.commit(t, "merge", Seq(seg), live1, 1L)
+    }
+    assert(TxLog.snapshot(spark, t).as[(Long, Long)].collect().toMap
+      .get(2L).contains(99L), "first merge survives the aborted race")
+  }
+
+  test("compaction rewrites layout, not content, and never breaks a live reader") {
+    val t = freshTable()
+    TxLog.append(rows(1L -> 10L), t)
+    TxLog.append(rows(2L -> 20L), t)
+    assert(TxLog.liveFiles(t, None).size === 2)
+    val reader = TxLog.snapshot(spark, t) // resolves the 2-segment list
+    val v = TxLog.compact(spark, t)
+    assert(v === 3L && TxLog.liveFiles(t, None).size === 1)
+    // same rows through the compacted head…
+    assert(TxLog.snapshot(spark, t).as[(Long, Long)].collect().toMap
+      === Map(1L -> 10L, 2L -> 20L))
+    // …and the pre-compaction reader still scans its old segments
+    assert(reader.as[(Long, Long)].collect().toMap === Map(1L -> 10L, 2L -> 20L))
+  }
+
+  test("streaming append is exactly-once across batch replays") {
+    val t = freshTable()
+    assert(TxLog.streamingAppend(rows(1L -> 10L), t, batchId = 0L) === 1L)
+    // a restart replays the unacknowledged batch — the commit must SKIP
+    assert(TxLog.streamingAppend(rows(1L -> 10L), t, batchId = 0L) === -1L)
+    assert(TxLog.streamingAppend(rows(2L -> 20L), t, batchId = 1L) === 2L)
+    assert(TxLog.maxCommittedBatch(t) === 1L)
+    assert(TxLog.snapshot(spark, t).count() === 2L, "no duplicate rows from the replay")
+    // the skipped replay staged nothing a reader can see; vacuum stays clean
+    assert(TxLog.currentVersion(t) === 2L)
+  }
+
   test("CAS race: two manifests for the same version — exactly one wins") {
     val t = freshTable()
     TxLog.append(rows(1L -> 10L), t)

@@ -468,6 +468,28 @@ class StreamingSpec extends SparkSpec {
     assert(batch == Seq((1L, 10L, 22L), (2L, 11L, -1L)))
   }
 
+  test("foreachBatch txlog sink publishes each micro-batch as one atomic commit") {
+    implicit val sqlCtx = spark.sqlContext
+    val t = java.nio.file.Files.createTempDirectory("txsink-").resolve("t").toString
+    val mem = MemoryStream[Ev]
+    mem.addData(ev(1, "2024-01-01 00:01:00", "click", 1.0),
+      ev(2, "2024-01-01 00:02:00", "view", 2.0))
+    val q = mem.toDF().select(col("event_id"), col("user_id"))
+      .writeStream.outputMode("append")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        graft.ops.TxLog.streamingAppend(df, t, id); ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    try q.processAllAvailable() finally q.stop()
+    assert(graft.ops.TxLog.snapshot(spark, t).count() === 2L)
+    assert(graft.ops.TxLog.maxCommittedBatch(t) >= 0L)
+    // simulate the post-restart replay of the last batch: skipped, no dups
+    val last = graft.ops.TxLog.maxCommittedBatch(t)
+    val replay = graft.ops.TxLog.streamingAppend(
+      Seq((1L, 1L)).toDF("event_id", "user_id"), t, last)
+    assert(replay === -1L && graft.ops.TxLog.snapshot(spark, t).count() === 2L)
+  }
+
   test("foreachBatch merge sink upserts micro-batches into a parquet target") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
