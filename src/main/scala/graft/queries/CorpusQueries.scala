@@ -24,6 +24,40 @@ object CorpusQueries extends QueryPack {
   private def cached(kind: String, s: SparkSession, d: String)(build: => DataFrame): DataFrame =
     graft.ops.Scratch.materialize(kind, s, d)(build)
 
+  /** Rank-1 centroid assignment (broadcast constant-size centroid set) —
+    * shared by the k-means queries and the trained-IVF index build.
+    */
+  private def kmAssign(data: DataFrame, cents: DataFrame): DataFrame = {
+    val aw = Window.partitionBy("vec_id").orderBy(col("c_cos").desc, col("c_id").asc)
+    data.crossJoin(broadcast(cents))
+      .withColumn("c_cos", VectorOps.cosine(col("v"), col("cv")))
+      .withColumn("arank", row_number().over(aw))
+      .filter(col("arank") === 1)
+      .select(col("vec_id"), col("v"), col("c_id").as("bucket"))
+  }
+
+  /** One Lloyd update from the fixed seed centroids (vec_id < 8):
+    * integer-micro FLOOR-divided component means, exactly kmeans_iter2's
+    * model step — the TRAINED coarse quantizer `ann_ivf_trained` probes.
+    */
+  private def kmTrainedCentroids(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding").as("v"))
+    val cent0 = e.filter(col("vec_id") < 8).select(col("vec_id").as("c_id"), col("v").as("cv"))
+    val data = e.filter(col("vec_id") >= 8)
+    val moments1 = kmAssign(data, cent0)
+      .select(col("bucket"), posexplode(col("v")))
+      .select(col("bucket"), col("pos"),
+        expr("CAST(round(CAST(col AS DOUBLE) * 1000000) AS BIGINT)").as("micro"))
+      .groupBy("bucket", "pos")
+      .agg(sum("micro").as("sm"), count(lit(1)).as("n"))
+      .select(col("bucket"), col("pos"),
+        expr("CASE WHEN sm % n = 0 OR sm >= 0 THEN sm div n ELSE sm div n - 1 END")
+          .as("cmicro"))
+    moments1.groupBy(col("bucket").as("c_id"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, cmicro))), " +
+        "r -> CAST(r.cmicro AS DOUBLE) / 1000000.0)").as("cv"))
+  }
+
   /** Per-doc BPE tokenization result (shared by bpe_encode and
     * pack_token_bins_bpe): whitespace vs BPE token counts + the token-id
     * checksum pinning the exact tokenization.
@@ -112,34 +146,83 @@ object CorpusQueries extends QueryPack {
     // the driver beyond plan composition.
     "kmeans_iter2" -> ((s, d) => {
       val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding").as("v"))
-      val cent0 = e.filter(col("vec_id") < 8).select(col("vec_id").as("c_id"), col("v").as("cv"))
       val data = e.filter(col("vec_id") >= 8)
-      val aw = Window.partitionBy("vec_id").orderBy(col("c_cos").desc, col("c_id").asc)
-      def assign(cents: DataFrame): DataFrame =
-        data.crossJoin(broadcast(cents))
-          .withColumn("c_cos", VectorOps.cosine(col("v"), col("cv")))
-          .withColumn("arank", row_number().over(aw))
-          .filter(col("arank") === 1)
-          .select(col("vec_id"), col("v"), col("c_id").as("bucket"))
-      val moments1 = assign(cent0)
-        .select(col("bucket"), posexplode(col("v")))
-        .select(col("bucket"), col("pos"),
-          expr("CAST(round(CAST(col AS DOUBLE) * 1000000) AS BIGINT)").as("micro"))
-        .groupBy("bucket", "pos")
-        .agg(sum("micro").as("sm"), count(lit(1)).as("n"))
-        .select(col("bucket"), col("pos"),
-          expr("CASE WHEN sm % n = 0 OR sm >= 0 THEN sm div n ELSE sm div n - 1 END")
-            .as("cmicro"))
-      val cent1 = moments1.groupBy(col("bucket").as("c_id"))
-        .agg(expr("transform(array_sort(collect_list(struct(pos, cmicro))), " +
-          "r -> CAST(r.cmicro AS DOUBLE) / 1000000.0)").as("cv"))
-      assign(cent1)
+      kmAssign(data, kmTrainedCentroids(s, d))
         .select(col("bucket"), posexplode(col("v")))
         .select(col("bucket"), col("pos").cast("long").as("pos"),
           expr("CAST(round(CAST(col AS DOUBLE) * 1000000) AS BIGINT)").as("micro"))
         .groupBy("bucket", "pos")
         .agg(count(lit(1)).as("n_members"), sum("micro").as("sum_micro"))
         .orderBy("bucket", "pos")
+    }),
+
+    // BOTTOM-K-BY-HASH uniform sample + quantile estimate — the
+    // DataSketches-style mergeable sampling primitive: per group keep the
+    // 64 rows with the smallest portable hashes (merge-order-DETERMINISTIC,
+    // unlike reservoir sampling — the k smallest of a set don't depend on
+    // arrival order, so the sample itself is engine-reproducible), then
+    // estimate the median as the sample's lower median. Ground truth is
+    // the exact lower median computed beside it; err_cents pins the
+    // estimator's actual error. The sample path is a WindowGroupLimit-
+    // prunable rank-64 per group — each map task forwards ≤ 64 rows per
+    // group into the exchange regardless of corpus size; only the ground-
+    // truth rank (gate-only) walks all rows.
+    "sample_bottomk_median" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_type"), col("event_id"),
+          Cleaning.cents(col("value")).as("cents"))
+      val wh = Window.partitionBy("event_type").orderBy(col("h"), col("event_id"))
+      val ws = Window.partitionBy("event_type").orderBy(col("cents"), col("event_id"))
+      val est = ev
+        .withColumn("h", TextOps.hash60(col("event_id").cast("string")))
+        .withColumn("rn", row_number().over(wh))
+        .filter(col("rn") <= 64)
+        .withColumn("sz", count(lit(1)).over(Window.partitionBy("event_type")))
+        .withColumn("sr", row_number().over(ws))
+        .filter(col("sr") === expr("(sz + 1) div 2"))
+        .select(col("event_type"), col("sz").cast("long").as("sample_n"),
+          col("cents").as("est_median_cents"))
+      val wv = Window.partitionBy("event_type").orderBy(col("cents"), col("event_id"))
+      val exact = ev
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+        .withColumn("r", row_number().over(wv))
+        .filter(col("r") === expr("(n + 1) div 2"))
+        .select(col("event_type"), col("n"), col("cents").as("true_median_cents"))
+      est.join(exact, "event_type")
+        .select(col("event_type"), col("n"), col("sample_n"),
+          col("est_median_cents"), col("true_median_cents"),
+          abs(col("est_median_cents") - col("true_median_cents")).as("err_cents"))
+        .orderBy("event_type")
+    }),
+
+    // IVF over TRAINED centroids — the real index-BUILD path: the coarse
+    // quantizer is not the raw seed set but the k-means-updated model
+    // (kmTrainedCentroids = one exact-integer Lloyd step), buckets are
+    // re-assigned against it, and queries 2-probe it for top-5 search.
+    // Composing train → assign → probe → search in one plan is what an
+    // IVF index build does at 100 TB; every stage is a broadcast of the
+    // constant-size centroid set + rank windows with map-side
+    // WindowGroupLimit, candidates stay a bucket equi-join.
+    "ann_ivf_trained" -> ((s, d) => {
+      val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding").as("v"))
+      val cent1 = kmTrainedCentroids(s, d)
+      val assign = kmAssign(e.filter(col("vec_id") >= 8), cent1)
+      val q = e.filter(col("vec_id") >= 8 && col("vec_id") < 13)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      val pw = Window.partitionBy("q_id").orderBy(col("c_cos").desc, col("c_id").asc)
+      val probes = q.crossJoin(broadcast(cent1))
+        .withColumn("c_cos", VectorOps.cosine(col("qv"), col("cv")))
+        .withColumn("prank", row_number().over(pw))
+        .filter(col("prank") <= 2)
+        .select(col("q_id"), col("qv"), col("c_id").as("bucket"))
+      val rw = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id").asc)
+      probes.join(assign, "bucket")
+        .filter(col("q_id") =!= col("vec_id"))
+        .withColumn("cosine", VectorOps.cosine(col("qv"), col("v")))
+        .withColumn("rnk", row_number().over(rw).cast("long"))
+        .filter(col("rnk") <= 5)
+        .select("q_id", "vec_id", "bucket", "cosine", "rnk")
+        .orderBy("q_id", "rnk")
     }),
 
     // Numeric masking/redaction: every digit run in the payload replaced
@@ -706,6 +789,68 @@ object CorpusQueries extends QueryPack {
     // 1's floor-divided integer-micro means. DuckDB's `//` TRUNCATES
     // toward zero (like Spark's `div`), so the same floor CASE appears
     // on both sides.
+    "sample_bottomk_median" ->
+      """WITH ev AS (SELECT event_type, event_id,
+        |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |h AS (SELECT *,
+        |    ('0x'||substr(md5(CAST(event_id AS VARCHAR)),1,15))::BIGINT AS h
+        |  FROM ev),
+        |samp AS (SELECT event_type, event_id, cents FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY event_type
+        |      ORDER BY h, event_id) AS rn FROM h) t WHERE rn <= 64),
+        |est AS (SELECT event_type, CAST(sz AS BIGINT) AS sample_n,
+        |    cents AS est_median_cents FROM (
+        |    SELECT *, COUNT(*) OVER (PARTITION BY event_type) AS sz,
+        |      row_number() OVER (PARTITION BY event_type
+        |        ORDER BY cents, event_id) AS sr FROM samp) t
+        |  WHERE sr = (sz + 1) // 2),
+        |ex AS (SELECT event_type, CAST(n AS BIGINT) AS n,
+        |    cents AS true_median_cents FROM (
+        |    SELECT *, COUNT(*) OVER (PARTITION BY event_type) AS n,
+        |      row_number() OVER (PARTITION BY event_type
+        |        ORDER BY cents, event_id) AS r FROM ev) t
+        |  WHERE r = (n + 1) // 2)
+        |SELECT est.event_type, n, sample_n, est_median_cents, true_median_cents,
+        |  abs(est_median_cents - true_median_cents) AS err_cents
+        |FROM est JOIN ex ON est.event_type = ex.event_type
+        |ORDER BY est.event_type""".stripMargin,
+    "ann_ivf_trained" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+         |cent0 AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < 8),
+         |a1 AS (
+         |  SELECT vec_id, v, bucket FROM (
+         |    SELECT e.vec_id, e.v, c_id AS bucket,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${LlmQueries.cosSql("e.v", "cv")} DESC, c_id) AS arank
+         |    FROM e, cent0 WHERE e.vec_id >= 8) t WHERE arank = 1),
+         |m1 AS (SELECT bucket, pos, CAST(SUM(micro) AS BIGINT) AS sm, COUNT(*) AS n FROM (
+         |    SELECT bucket, unnest(range(0, len(v))) AS pos,
+         |      CAST(round(unnest(v)*1000000) AS BIGINT) AS micro FROM a1) x0
+         |  GROUP BY 1, 2),
+         |cent1 AS (SELECT bucket AS c_id,
+         |    list(CAST(CASE WHEN sm % n = 0 OR sm >= 0 THEN sm // n ELSE sm // n - 1 END
+         |      AS DOUBLE) / 1000000.0 ORDER BY pos) AS cv
+         |  FROM m1 GROUP BY 1),
+         |a2 AS (
+         |  SELECT vec_id, v, bucket FROM (
+         |    SELECT e.vec_id, e.v, c_id AS bucket,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${LlmQueries.cosSql("e.v", "cv")} DESC, c_id) AS arank
+         |    FROM e, cent1 WHERE e.vec_id >= 8) t WHERE arank = 1),
+         |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id >= 8 AND vec_id < 13),
+         |probes AS (SELECT q_id, qv, bucket FROM (
+         |    SELECT q_id, qv, c_id AS bucket,
+         |      row_number() OVER (PARTITION BY q_id
+         |        ORDER BY ${LlmQueries.cosSql("qv", "cv")} DESC, c_id) AS prank
+         |    FROM q, cent1) t WHERE prank <= 2),
+         |res AS (SELECT q_id, a.vec_id, a.bucket,
+         |    ${LlmQueries.cosSql("qv", "a.v")} AS cosine
+         |  FROM probes p JOIN a2 a ON p.bucket = a.bucket
+         |  WHERE q_id <> a.vec_id)
+         |SELECT q_id, vec_id, bucket, cosine, rnk FROM (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+         |    ORDER BY cosine DESC, vec_id) AS BIGINT) AS rnk FROM res) t
+         |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
     "kmeans_iter2" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
          |cent0 AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < 8),
