@@ -666,6 +666,40 @@ object ScaleQueries extends QueryPack {
     // static plan that any engine reproduces (a to-convergence loop would
     // iterate the same plan driver-side). Output: surviving nodes with
     // post-peel degrees.
+    // LABEL-PROPAGATION COMMUNITIES (3 synchronous rounds, deterministic):
+    // every node starts as its own label; each round it adopts the label
+    // most frequent among its neighbors, ties broken by the SMALLEST
+    // label — so the fixed 3-round unroll is bit-stable on any engine
+    // (synchronous LPA can oscillate, which is exactly why the round
+    // count is part of the operator's definition here). Per round: one
+    // equi-join of the symmetrized edges with the label table + a
+    // rank-1-per-node window (WindowGroupLimit-prunable) — 3 bounded
+    // shuffles total, never an iteration-until-convergence driver loop.
+    // The community histogram is the modularity-pipeline input.
+    "graph_lpa_communities" -> ((s, d) => {
+      val sym = cached("lpa_sym", s, d) {
+        val e = copurchaseEdges(s, d)
+        e.select(col("u"), col("v"))
+          .union(e.select(col("v").as("u"), col("u").as("v")))
+      }
+      def propagate(labels: DataFrame): DataFrame = {
+        val w = Window.partitionBy("node").orderBy(col("c").desc, col("lbl").asc)
+        sym.join(labels.withColumnRenamed("node", "v"), "v")
+          .groupBy(col("u").as("node"), col("lbl"))
+          .agg(count(lit(1)).as("c"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select("node", "lbl")
+      }
+      val l0 = sym.select(col("u").as("node")).distinct()
+        .withColumn("lbl", col("node"))
+      val l3 = (1 to 3).foldLeft(l0)((l, _) => propagate(l))
+      l3.groupBy(col("lbl").as("community"))
+        .agg(count(lit(1)).as("n_members"), min("node").as("min_node"),
+          max("node").as("max_node"))
+        .orderBy("community")
+    }),
+
     "graph_kcore_peel" -> ((s, d) => {
       val e = copurchaseEdges(s, d)
       val sym = e.select(col("u"), col("v"))
@@ -1484,6 +1518,25 @@ object ScaleQueries extends QueryPack {
         |    / (m2 * CAST(saa AS DOUBLE) - CAST(sa AS DOUBLE) * sa)) AS BIGINT)
         |    AS assortativity_milli
         |FROM agg""".stripMargin,
+    "graph_lpa_communities" -> {
+      def round(i: Int): String =
+        s"""r$i AS (SELECT node, lbl FROM (
+           |    SELECT s0.u AS node, l.lbl, COUNT(*) AS c,
+           |      row_number() OVER (PARTITION BY s0.u
+           |        ORDER BY COUNT(*) DESC, l.lbl) AS rn
+           |    FROM s0 JOIN r${i - 1} l ON s0.v = l.node
+           |    GROUP BY 1, 2) t WHERE rn = 1)""".stripMargin
+      s"""WITH po AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+         |  FROM lineitem WHERE l_quantity >= 40),
+         |e AS (SELECT DISTINCT a.p AS u, b.p AS v
+         |  FROM po a JOIN po b ON a.o = b.o AND a.p < b.p),
+         |s0 AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+         |r0 AS (SELECT DISTINCT u AS node, u AS lbl FROM s0),
+         |${(1 to 3).map(round).mkString(",\n")}
+         |SELECT lbl AS community, COUNT(*) AS n_members,
+         |  MIN(node) AS min_node, MAX(node) AS max_node
+         |FROM r3 GROUP BY 1 ORDER BY community""".stripMargin
+    },
     "graph_kcore_peel" ->
       """WITH po AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
         |      FROM lineitem WHERE l_quantity >= 40),

@@ -114,6 +114,22 @@ object StreamQueries extends QueryPack {
           coalesce(col("purchase_id"), lit(-1L)))
     }),
 
+    // FULL OUTER flavor: unmatched rows from BOTH sides survive (clicks
+    // that never converted AND purchases with no attributable click) —
+    // on the static table a plain full join; in streaming the symmetric
+    // watermark-eviction emission. Null-stable sort keys via coalesce.
+    "stream_stream_full_join_batcheq" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      Streams.clickPurchaseFullJoin(
+          e.filter(col("event_type") === "click"),
+          e.filter(col("event_type") === "purchase"))
+        .select(col("user_id"), col("click_id"), col("purchase_id"),
+          unix_micros(col("c_ts")).as("c_us"), unix_micros(col("p_ts")).as("p_us"),
+          col("matched"))
+        .orderBy(col("user_id"), coalesce(col("click_id"), lit(-1L)),
+          coalesce(col("purchase_id"), lit(-1L)))
+    }),
+
     // Session windows (5-minute gap) per user; session end = last event +
     // gap, mirrored in the oracle's islands computation.
     "stream_session_window_batcheq" -> ((s, d) =>
@@ -171,6 +187,17 @@ object StreamQueries extends QueryPack {
         |  ON c.user_id = p.user_id
         | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
         |ORDER BY c.user_id, click_id, COALESCE(purchase_id, -1)""".stripMargin,
+    "stream_stream_full_join_batcheq" ->
+      """SELECT COALESCE(c.user_id, p.user_id) AS user_id,
+        | c.event_id AS click_id, p.event_id AS purchase_id,
+        | epoch_us(c.ts) AS c_us, epoch_us(p.ts) AS p_us,
+        | c.event_id IS NOT NULL AND p.event_id IS NOT NULL AS matched
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |FULL JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.user_id
+        | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+        |ORDER BY COALESCE(c.user_id, p.user_id),
+        |  COALESCE(c.event_id, -1), COALESCE(p.event_id, -1)""".stripMargin,
     "stream_tumbling_window_batcheq" ->
       """SELECT strftime(time_bucket(INTERVAL '10 minutes', ts), '%Y-%m-%d %H:%M:%S') AS w_start,
         | strftime(time_bucket(INTERVAL '10 minutes', ts) + INTERVAL 10 MINUTE, '%Y-%m-%d %H:%M:%S') AS w_end,

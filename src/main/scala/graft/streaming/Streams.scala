@@ -344,6 +344,32 @@ object Streams {
         col("c_ts"), col("p_ts"), col("purchase_id").isNotNull.as("matched"))
   }
 
+  /** FULL OUTER completion of the stream–stream join family: unmatched
+    * rows from EITHER side emit with nulls once both watermarks pass
+    * their eviction bound — clicks that converted, clicks that didn't,
+    * and purchases with no attributable click, in one stream. Same
+    * state-eviction contract as [[clickPurchaseLeftJoin]], applied
+    * symmetrically.
+    */
+  def clickPurchaseFullJoin(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    val p = purchases
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    c.join(p,
+        col("c_user") === col("p_user") &&
+          col("p_ts") >= col("c_ts") &&
+          col("p_ts") <= col("c_ts") + expr("INTERVAL 30 MINUTES"),
+        "fullOuter")
+      .select(coalesce(col("c_user"), col("p_user")).as("user_id"),
+        col("click_id"), col("purchase_id"), col("c_ts"), col("p_ts"),
+        (col("click_id").isNotNull && col("purchase_id").isNotNull).as("matched"))
+  }
+
   /** Streaming CDC materialization, latest-wins: per-key state keeps the
     * (seq, value, op) of the highest sequence number seen so far; each
     * micro-batch re-emits the refreshed current row for keys it touched

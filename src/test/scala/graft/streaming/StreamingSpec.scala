@@ -468,6 +468,43 @@ class StreamingSpec extends SparkSpec {
     assert(batch == Seq((1L, 10L, 22L), (2L, 11L, -1L)))
   }
 
+  test("full-outer stream-stream join emits unmatched rows from BOTH sides after eviction") {
+    implicit val sqlCtx = spark.sqlContext
+    val (cm, pm) = (MemoryStream[Ev], MemoryStream[Ev])
+    val q = Streams.clickPurchaseFullJoin(cm.toDF(), pm.toDF())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ssfull_smoke").start()
+    def rows() = spark.table("ssfull_smoke")
+      .select("user_id", "click_id", "purchase_id")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).sorted.toSeq
+    try {
+      // click 10 (user 1) matches purchase 22; click 11 (user 2) never
+      // converts; purchase 24 (user 0) has no attributable click
+      cm.addData(ev(10, "2024-01-01 01:00:00", "click", 1.0),
+        ev(11, "2024-01-01 01:00:00", "click", 1.0))
+      pm.addData(ev(22, "2024-01-01 01:20:00", "purchase", 5.0),
+        ev(24, "2024-01-01 01:00:00", "purchase", 5.0))
+      q.processAllAvailable()
+      assert(!rows().exists(r => r._2 == -1L || r._3 == -1L),
+        s"no null row before eviction is provable: ${rows()}")
+      // advance both watermarks far past every eviction bound
+      cm.addData(ev(16, "2024-01-01 08:00:00", "click", 1.0))
+      pm.addData(ev(35, "2024-01-01 08:00:00", "purchase", 5.0))
+      q.processAllAvailable()
+      cm.addData(ev(17, "2024-01-01 12:00:00", "click", 1.0))
+      pm.addData(ev(36, "2024-01-01 12:00:00", "purchase", 5.0))
+      q.processAllAvailable()
+      val out = rows()
+      assert(out.contains((1L, 10L, 22L)), s"matched pair: $out")
+      assert(out.count(_._2 == 11L) == 1 && out.contains((2L, 11L, -1L)),
+        s"unmatched click emits null-purchase exactly once: $out")
+      assert(out.count(_._3 == 24L) == 1 && out.contains((0L, -1L, 24L)),
+        s"unmatched purchase emits null-click exactly once: $out")
+    } finally q.stop()
+  }
+
   test("foreachBatch txlog sink publishes each micro-batch as one atomic commit") {
     implicit val sqlCtx = spark.sqlContext
     val t = java.nio.file.Files.createTempDirectory("txsink-").resolve("t").toString
