@@ -155,6 +155,37 @@ object TrendQueries extends QueryPack {
         .orderBy("k")
     }),
 
+    // STL-style additive decomposition of the daily series, integer-exact:
+    // trend = centered 7-day moving average (milli, only where the full
+    // window exists — edge days are EXCLUDED rather than emitted null so
+    // both engines' dtypes and values stay exact), seasonal = per-ISO-dow
+    // FLOOR-mean of the detrended series (the explicit CASE keeps Spark's
+    // truncating div on floor semantics for negatives), residual = the
+    // rest. x ≡ trend + seasonal + residual (milli) by construction —
+    // the anomaly screen that survives weekly cycles, beside
+    // time_rolling_zscore's cycle-blind one. Windows run over the DAY
+    // dimension (one row per day at any event volume).
+    "time_stl_decompose" -> ((s, d) => {
+      val w7 = Window.partitionBy(Cleaning.singlePartitionKey(col("day")))
+        .orderBy("day").rowsBetween(-3, 3)
+      val interior = dailyCounts(s, d)
+        .withColumn("wn", count(lit(1)).over(w7))
+        .withColumn("tsum", sum(col("x") * 1000).over(w7))
+        .filter(col("wn") === 7)
+        .withColumn("trend_milli", expr("tsum div 7"))
+        .withColumn("det_milli", col("x") * 1000 - col("trend_milli"))
+        .withColumn("dow", expr("weekday(to_date(day)) + 1"))
+      val seas = interior.groupBy("dow")
+        .agg(sum("det_milli").as("sm"), count(lit(1)).as("n"))
+        .select(col("dow"),
+          expr("CASE WHEN sm % n = 0 OR sm >= 0 THEN sm div n ELSE sm div n - 1 END")
+            .as("seas_milli"))
+      interior.join(broadcast(seas), "dow")
+        .select(col("day"), col("x"), col("trend_milli"), col("seas_milli"),
+          (col("x") * 1000 - col("trend_milli") - col("seas_milli")).as("resid_milli"))
+        .orderBy("day")
+    }),
+
     // Periodogram of the daily series (DFT power at periods N/k, k=1..10)
     // — the spectral "is there a weekly cycle" check beside time_acf's
     // lag view. Each (k, t) term z·cos / z·sin is rounded to MILLI-scaled
@@ -1012,6 +1043,25 @@ object TrendQueries extends QueryPack {
         |    / CAST((SELECT den FROM den) AS DOUBLE)) AS BIGINT) AS acf_ppm
         |FROM pairs GROUP BY k ORDER BY k""".stripMargin,
 
+    "time_stl_decompose" ->
+      """WITH daily AS (SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, COUNT(*) AS x
+        |  FROM events GROUP BY 1),
+        |win AS (SELECT day, x,
+        |    COUNT(*) OVER w AS wn, SUM(x * 1000) OVER w AS tsum
+        |  FROM daily WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |interior AS (SELECT day, CAST(x AS BIGINT) AS x,
+        |    CAST(tsum // 7 AS BIGINT) AS trend_milli,
+        |    CAST(x * 1000 - tsum // 7 AS BIGINT) AS det_milli,
+        |    isodow(CAST(day AS DATE)) AS dow
+        |  FROM win WHERE wn = 7),
+        |seas AS (SELECT dow,
+        |    CAST(CASE WHEN SUM(det_milli) % COUNT(*) = 0 OR SUM(det_milli) >= 0
+        |      THEN SUM(det_milli) // COUNT(*)
+        |      ELSE SUM(det_milli) // COUNT(*) - 1 END AS BIGINT) AS seas_milli
+        |  FROM interior GROUP BY 1)
+        |SELECT day, x, trend_milli, seas_milli,
+        |  CAST(x * 1000 - trend_milli - seas_milli AS BIGINT) AS resid_milli
+        |FROM interior JOIN seas USING (dow) ORDER BY day""".stripMargin,
     "time_periodogram" ->
       """WITH daily AS (SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, COUNT(*) AS x
         |  FROM events GROUP BY 1),

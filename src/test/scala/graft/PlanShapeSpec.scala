@@ -319,6 +319,25 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), "per-query top-10 must prune map-side")
   }
 
+  test("trained-IVF composes train/assign/probe without any cartesian") {
+    val p = plan("ann_ivf_trained")
+    assert(!p.contains("CartesianProduct"), s"all-pairs in trained IVF:\n${p.take(800)}")
+    val bnl = p.linesIterator.filter(_.contains("BroadcastNestedLoopJoin")).toSeq
+    assert(bnl.forall(_.contains("BuildRight")),
+      s"non-broadcast pair join in trained-IVF plan:\n${bnl.mkString("\n")}")
+    assert(p.contains("WindowGroupLimit"), "rank-1/top-5 windows must prune map-side")
+  }
+
+  test("bottom-k sample rank prunes map-side; LPA rounds stay equi-joins") {
+    val ps = plan("sample_bottomk_median")
+    assert(ps.contains("WindowGroupLimit"),
+      "rank-64 sample must forward <= 64 rows per group per task")
+    val pl = plan("graph_lpa_communities")
+    assert(!pl.contains("CartesianProduct") && !pl.contains("BroadcastNestedLoopJoin"),
+      s"LPA propagation degenerated to a pair join:\n${pl.take(800)}")
+    assert(pl.contains("WindowGroupLimit"), "per-node rank-1 label vote must prune map-side")
+  }
+
   test("CDC latest-wins prunes map-side before the per-key window shuffle") {
     // rn=1 over (key ORDER BY seq DESC) must compile to WindowGroupLimit:
     // each task ships at most one candidate row per key into the exchange
