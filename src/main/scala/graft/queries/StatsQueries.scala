@@ -659,6 +659,48 @@ object StatsQueries extends QueryPack {
       at(1).unionByName(at(2)).unionByName(at(3)).orderBy("version")
     }),
 
+    // ENTITY RESOLUTION → GOLDEN RECORD (the MDM/survivorship pipeline):
+    // dirty twins are synthesized deterministically (every 50th customer
+    // gets a second record: offset id, last phone digit zeroed, balance
+    // MISSING), then the four canonical ER stages run distributed —
+    // (1) BLOCK on the name key (candidate pairs only within a block,
+    // never all-pairs), (2) MATCH pairs by phone edit distance ≤ 2,
+    // (3) CLUSTER matches with the generic label-propagation CC (blocks
+    // here are ≤ 2 records so comp = min pair id, which is what the
+    // oracle computes closed-form), (4) SURVIVE per cluster: id = min
+    // record, phone by source priority (min_by rec_id), balance by
+    // completeness (max skips the twin's null), conflict flag from
+    // distinct phone count. Multi-source clusters only — the dedup
+    // decision output a steward reviews.
+    "er_golden_record" -> ((s, d) => {
+      val base = Tables.customer(s, d)
+      // the generated customer table carries no phone column; derive a
+      // deterministic one from the key so the match stage has a real
+      // field to compare (same derivation in the oracle)
+      val phone = expr("concat('555-', lpad(CAST(c_custkey % 10000 AS STRING), 4, '0'))")
+      val clean = base.select(col("c_custkey").as("rec_id"), col("c_name"),
+        phone.as("phone"), Cleaning.cents(col("c_acctbal")).as("bal"))
+      val twins = base.filter(col("c_custkey") % 50 === 0)
+        .select((col("c_custkey") + 20000000L).as("rec_id"), col("c_name"),
+          expr("concat(substring(concat('555-', lpad(CAST(c_custkey % 10000 AS STRING), 4, '0')), 1, 7), '0')").as("phone"),
+          lit(null).cast("long").as("bal"))
+      val rec = clean.unionByName(twins)
+      val pairs = rec.as("a").join(rec.as("b"),
+          col("a.c_name") === col("b.c_name") && col("a.rec_id") < col("b.rec_id"))
+        .filter(levenshtein(col("a.phone"), col("b.phone")) <= 2)
+        .select(col("a.rec_id").as("src"), col("b.rec_id").as("dst"))
+      val comp = graft.ops.GraphOps.connectedComponents(pairs)
+        .withColumnRenamed("id", "rec_id")
+      rec.join(comp, "rec_id")
+        .groupBy("comp")
+        .agg(min("rec_id").as("golden_id"), count(lit(1)).as("n_sources"),
+          expr("min_by(phone, rec_id)").as("phone"),
+          max("bal").as("best_bal_cents"),
+          (countDistinct("phone") > 1).as("has_conflict"))
+        .select("golden_id", "n_sources", "phone", "best_bal_cents", "has_conflict")
+        .orderBy("golden_id")
+    }),
+
     // MERGE executed THROUGH the commit protocol: merge_upsert's exact
     // update set applied by TxLog.merge — updates ∪ base⟕anti staged and
     // swapped in ONE atomic overwrite commit, so two racing writers can't
@@ -1114,6 +1156,28 @@ object StatsQueries extends QueryPack {
         |  SELECT *, row_number() OVER (PARTITION BY l_returnflag
         |    ORDER BY n DESC, qty ASC) AS rnk FROM counts) t
         |WHERE rnk = 1 ORDER BY l_returnflag""".stripMargin,
+    "er_golden_record" ->
+      """WITH clean AS (SELECT c_custkey AS rec_id, c_name,
+        |    '555-' || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') AS phone,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS bal
+        |  FROM customer),
+        |tw AS (SELECT c_custkey + 20000000 AS rec_id, c_name,
+        |    substr('555-' || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0'),
+        |      1, 7) || '0' AS phone,
+        |    CAST(NULL AS BIGINT) AS bal
+        |  FROM customer WHERE c_custkey % 50 = 0),
+        |rec AS (SELECT * FROM clean UNION ALL SELECT * FROM tw),
+        |pairs AS (SELECT a.rec_id AS ra, b.rec_id AS rb
+        |  FROM rec a JOIN rec b ON a.c_name = b.c_name AND a.rec_id < b.rec_id
+        |  WHERE levenshtein(a.phone, b.phone) <= 2),
+        |cl AS (SELECT ra AS comp, ra AS rec_id FROM pairs
+        |  UNION SELECT ra, rb FROM pairs)
+        |SELECT MIN(r.rec_id) AS golden_id, COUNT(*) AS n_sources,
+        |  arg_min(r.phone, r.rec_id) AS phone,
+        |  CAST(MAX(r.bal) AS BIGINT) AS best_bal_cents,
+        |  COUNT(DISTINCT r.phone) > 1 AS has_conflict
+        |FROM cl JOIN rec r ON cl.rec_id = r.rec_id
+        |GROUP BY cl.comp ORDER BY golden_id""".stripMargin,
     "lake_txlog_merge" ->
       """WITH base AS (SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus FROM orders),
         |upd AS (
