@@ -44,7 +44,13 @@ object TxLog {
 
   final case class Manifest(version: Long, op: String,
                             adds: Seq[String], removes: Seq[String],
-                            readVersion: Long)
+                            readVersion: Long,
+                            stats: Map[String, SegStats] = Map.empty)
+
+  /** Per-segment min/max of one tracked column — the Iceberg/Delta-style
+    * file-skipping statistic a reader prunes on without opening footers.
+    */
+  final case class SegStats(col: String, min: Long, max: Long)
 
   private def logDir(table: String): Path = Paths.get(table, "_txlog")
   private def fmt(v: Long): String = f"$v%020d.json"
@@ -72,8 +78,12 @@ object TxLog {
   // (bundled with Spark) so a torn/garbage file fails loudly, not quietly
   private def manifestJson(m: Manifest): String = {
     def arr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val stats = m.stats.map { case (p, s) =>
+      s""""$p":{"col":"${s.col}","min":${s.min},"max":${s.max}}"""
+    }.mkString("{", ",", "}")
     s"""{"version":${m.version},"op":"${m.op}","adds":${arr(m.adds)},""" +
-      s""""removes":${arr(m.removes)},"readVersion":${m.readVersion}}"""
+      s""""removes":${arr(m.removes)},"readVersion":${m.readVersion},""" +
+      s""""stats":$stats}"""
   }
 
   def readManifest(table: String, v: Long): Manifest = {
@@ -81,8 +91,14 @@ object TxLog {
       .readTree(Files.readString(logDir(table).resolve(fmt(v))))
     def arr(field: String): Seq[String] =
       node.get(field).elements().asScala.map(_.asText()).toSeq
+    val stats = Option(node.get("stats")).map { sn =>
+      sn.properties().asScala.map { e =>
+        e.getKey -> SegStats(e.getValue.get("col").asText(),
+          e.getValue.get("min").asLong(), e.getValue.get("max").asLong())
+      }.toMap
+    }.getOrElse(Map.empty[String, SegStats]) // pre-stats manifests stay readable
     Manifest(node.get("version").asLong(), node.get("op").asText(),
-      arr("adds"), arr("removes"), node.get("readVersion").asLong())
+      arr("adds"), arr("removes"), node.get("readVersion").asLong(), stats)
   }
 
   /** Live segment paths at `asOf` (default: latest). Resolved once —
@@ -121,7 +137,12 @@ object TxLog {
     * version file; see the object doc for the conflict rules.
     */
   def commit(table: String, op: String, adds: Seq[String],
-             removes: Seq[String], readVersion: Long): Long = {
+             removes: Seq[String], readVersion: Long): Long =
+    commit(table, op, adds, removes, readVersion, Map.empty[String, SegStats])
+
+  def commit(table: String, op: String, adds: Seq[String],
+             removes: Seq[String], readVersion: Long,
+             stats: Map[String, SegStats]): Long = {
     init(table)
     var attempts = 0
     while (attempts < 100) {
@@ -132,7 +153,7 @@ object TxLog {
           s"$table: commit '$op' read version $readVersion but head is $cur — " +
             "a concurrent commit landed; rebase on the new snapshot and retry")
       val target = cur + 1
-      val m = Manifest(target, op, adds, removes, readVersion)
+      val m = Manifest(target, op, adds, removes, readVersion, stats)
       val tmp = Files.createTempFile(logDir(table), s".$target-", ".tmp")
       Files.writeString(tmp, manifestJson(m))
       try {
@@ -166,6 +187,53 @@ object TxLog {
     val live = liveFiles(table, Some(rv))
     val p = stage(df, table)
     commit(table, "overwrite", Seq(p), live, rv)
+  }
+
+  /** Append with manifest-level min/max stats on `statsCol` — the
+    * Iceberg/Delta data-skipping write path: one extra aggregate at write
+    * time buys every future reader segment pruning WITHOUT opening a
+    * single parquet footer (at 100 TB the manifest scan is driver-side
+    * metadata; the skipped segments are the I/O saved).
+    */
+  def appendWithStats(df: DataFrame, table: String, statsCol: String): Long = {
+    import org.apache.spark.sql.functions.{max => fmax, min => fmin, col => fcol}
+    val p = stage(df, table)
+    val r = df.sparkSession.read.parquet(p)
+      .agg(fmin(fcol(statsCol).cast("long")), fmax(fcol(statsCol).cast("long"))).head()
+    val stats =
+      if (r.isNullAt(0)) Map.empty[String, SegStats]
+      else Map(p -> SegStats(statsCol, r.getLong(0), r.getLong(1)))
+    commit(table, "append", Seq(p), Seq.empty, currentVersion(table), stats)
+  }
+
+  /** Live segments carrying their accumulated stats (None for segments
+    * committed without stats — those can never be pruned).
+    */
+  def liveFilesWithStats(table: String,
+                         asOf: Option[Long] = None): Seq[(String, Option[SegStats])] = {
+    val vs = listVersions(table).filter(v => asOf.forall(v <= _))
+    val (live, stats) = vs.foldLeft((Vector.empty[String], Map.empty[String, SegStats])) {
+      case ((liveAcc, statAcc), v) =>
+        val m = readManifest(table, v)
+        (liveAcc.filterNot(m.removes.contains) ++ m.adds, statAcc ++ m.stats)
+    }
+    live.map(p => p -> stats.get(p))
+  }
+
+  /** Stats-pruned snapshot: only segments whose [min, max] on `statsCol`
+    * intersects [lo, hi] are read (stat-less segments are conservatively
+    * kept). Returns the pruned relation plus (scanned, total) segment
+    * counts so callers can assert the skipping actually happened.
+    */
+  def snapshotPruned(spark: SparkSession, table: String, statsCol: String,
+                     lo: Long, hi: Long): (DataFrame, Int, Int) = {
+    val all = liveFilesWithStats(table)
+    val keep = all.collect {
+      case (p, None) => p
+      case (p, Some(s)) if s.col != statsCol || (s.max >= lo && s.min <= hi) => p
+    }
+    require(keep.nonEmpty, s"predicate [$lo,$hi] prunes every segment of $table")
+    (spark.read.parquet(keep: _*), keep.size, all.size)
   }
 
   /** MERGE through the commit protocol — the copy-on-write upsert every

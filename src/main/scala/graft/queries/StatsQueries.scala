@@ -93,6 +93,23 @@ object StatsQueries extends QueryPack {
       t
     })
 
+  /** Fourth TxLog table: 4 range-disjoint appends with manifest min/max
+    * stats on o_orderkey — the data-skipping layout the pruned-scan
+    * query reads.
+    */
+  private def txStatsTable(s: SparkSession, d: String): String =
+    txTables.computeIfAbsent((s, "stats:" + d), _ => {
+      val t = s"${graft.ops.Scratch.base}/txstats_${(d.hashCode & 0xffffff).toHexString}"
+      val base = Tables.orders(s, d)
+        .select(col("o_orderkey"), Cleaning.cents(col("o_totalprice")).as("cents"))
+      val q = base.agg(max("o_orderkey")).head().getLong(0) / 4 + 1
+      (0L to 3L).foreach { b =>
+        graft.ops.TxLog.appendWithStats(
+          base.filter(expr(s"o_orderkey div $q") === b), t, "o_orderkey")
+      }
+      t
+    })
+
   val queries: Map[String, Q] = Map(
     // FULL OUTER join with unmatched rows on BOTH sides: low-nation
     // customers vs premium-order buyers. At scale this is a shuffle
@@ -659,6 +676,25 @@ object StatsQueries extends QueryPack {
       at(1).unionByName(at(2)).unionByName(at(3)).orderBy("version")
     }),
 
+    // MANIFEST-LEVEL DATA SKIPPING (Iceberg/Delta-style file pruning):
+    // 4 range-disjoint segments committed with min/max stats on
+    // o_orderkey; a range read prunes to the ONE overlapping segment
+    // from the manifest alone — no parquet footer opened for the other
+    // three. The (scanned, total) counts are emitted so the gate proves
+    // the skip actually happened, and the range predicate is still
+    // applied reader-side as the residual (stats pruning is an
+    // optimization, never the filter).
+    "lake_txlog_pruned_scan" -> ((s, d) => {
+      val t = txStatsTable(s, d)
+      val q = Tables.orders(s, d).agg(max("o_orderkey")).head().getLong(0) / 4 + 1
+      val (df, scanned, total) =
+        graft.ops.TxLog.snapshotPruned(s, t, "o_orderkey", q, 2 * q - 1)
+      df.filter(col("o_orderkey") >= q && col("o_orderkey") < 2 * q)
+        .agg(count(lit(1)).as("n_rows"), sum("cents").as("sum_cents"))
+        .select(lit(scanned.toLong).as("n_scanned"), lit(total.toLong).as("n_total"),
+          col("n_rows"), col("sum_cents"))
+    }),
+
     // ENTITY RESOLUTION → GOLDEN RECORD (the MDM/survivorship pipeline):
     // dirty twins are synthesized deterministically (every 50th customer
     // gets a second record: offset id, last phone digit zeroed, balance
@@ -1156,6 +1192,12 @@ object StatsQueries extends QueryPack {
         |  SELECT *, row_number() OVER (PARTITION BY l_returnflag
         |    ORDER BY n DESC, qty ASC) AS rnk FROM counts) t
         |WHERE rnk = 1 ORDER BY l_returnflag""".stripMargin,
+    "lake_txlog_pruned_scan" ->
+      """WITH m AS (SELECT MAX(o_orderkey) // 4 + 1 AS q FROM orders)
+        |SELECT CAST(1 AS BIGINT) AS n_scanned, CAST(4 AS BIGINT) AS n_total,
+        |  COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM orders, m WHERE o_orderkey >= q AND o_orderkey < 2 * q""".stripMargin,
     "er_golden_record" ->
       """WITH clean AS (SELECT c_custkey AS rec_id, c_name,
         |    '555-' || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') AS phone,

@@ -143,6 +143,33 @@ class TxLogSpec extends SparkSpec {
     assert(TxLog.currentVersion(t) === 2L)
   }
 
+  test("manifest stats prune segments; stat-less segments are kept conservatively") {
+    val t = freshTable()
+    TxLog.appendWithStats(rows(1L -> 10L, 5L -> 50L), t, "k")    // k in [1,5]
+    TxLog.appendWithStats(rows(10L -> 100L, 15L -> 150L), t, "k") // k in [10,15]
+    TxLog.appendWithStats(rows(20L -> 200L), t, "k")              // k in [20,20]
+    // a range inside the middle segment reads exactly ONE of three
+    val (df, scanned, total) = TxLog.snapshotPruned(spark, t, "k", 9L, 16L)
+    assert((scanned, total) === (1, 3))
+    assert(df.as[(Long, Long)].collect().toMap === Map(10L -> 100L, 15L -> 150L))
+    // a stats-less commit can never be pruned — correctness over skipping
+    TxLog.append(rows(99L -> 999L), t)
+    val (df2, scanned2, total2) = TxLog.snapshotPruned(spark, t, "k", 9L, 16L)
+    assert((scanned2, total2) === (2, 4), "unknown-range segment must be scanned")
+    assert(df2.count() === 3L)
+    // a predicate that would prune EVERYTHING refuses instead of
+    // returning a schemaless empty relation
+    intercept[IllegalArgumentException] {
+      TxLog.snapshotPruned(spark, freshTableWithOneStatSeg(), "k", 1000L, 2000L)
+    }
+  }
+
+  private def freshTableWithOneStatSeg(): String = {
+    val t = freshTable()
+    TxLog.appendWithStats(rows(1L -> 10L), t, "k")
+    t
+  }
+
   test("CAS race: two manifests for the same version — exactly one wins") {
     val t = freshTable()
     TxLog.append(rows(1L -> 10L), t)
