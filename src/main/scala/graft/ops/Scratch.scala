@@ -32,13 +32,20 @@ object Scratch {
     */
   def base: String = s"${sys.props("java.io.tmpdir")}/graft-scratch-$runNonce"
 
-  // (session, sf-dir, kind) -> materialized parquet path. Keyed by session
-  // so a restarted SparkSession rebuilds instead of trusting files written
-  // under a stopped session's configuration. ConcurrentHashMap.computeIfAbsent
-  // runs the build EXACTLY ONCE per key even under concurrent first calls —
-  // TrieMap.getOrElseUpdate could evaluate it twice, racing two Overwrite
-  // writes into the same deterministic path mid-commit.
-  private val paths = new ConcurrentHashMap[(SparkSession, String, String), String]()
+  // (session, sf-dir, kind) -> build-state holder. Keyed by session so a
+  // restarted SparkSession rebuilds instead of trusting files written
+  // under a stopped session's configuration. The map's computeIfAbsent
+  // only inserts a TRIVIAL holder (never runs the build inside the map
+  // operation): running user code inside the mapping function means a
+  // build that itself materializes another artifact re-enters the same
+  // ConcurrentHashMap — an IllegalStateException("Recursive update")
+  // whenever the two keys share a hash bin, which surfaced as a flaky
+  // full-suite failure in r9. The holder's monitor gives the
+  // exactly-once build guarantee instead (double-checked under the
+  // per-key lock, so concurrent first callers still build once and
+  // nested materializations are safe by construction).
+  private final class Holder { @volatile var done = false }
+  private val holders = new ConcurrentHashMap[(SparkSession, String, String), Holder]()
 
   /** Materialize `build` to scratch parquet once per (session, dir, kind)
     * and return a read-back scan. The write is eager on first call; every
@@ -46,11 +53,14 @@ object Scratch {
     * consumers see the identical plan shape.
     */
   def materialize(kind: String, s: SparkSession, d: String)(build: => DataFrame): DataFrame = {
-    val path = paths.computeIfAbsent((s, d, kind), _ => {
-      val p = s"$base/${kind}_${(d.hashCode & 0xffffff).toHexString}"
-      build.write.mode(SaveMode.Overwrite).parquet(p)
-      p
-    })
-    s.read.parquet(path)
+    val p = s"$base/${kind}_${(d.hashCode & 0xffffff).toHexString}"
+    val holder = holders.computeIfAbsent((s, d, kind), _ => new Holder)
+    if (!holder.done) holder.synchronized {
+      if (!holder.done) {
+        build.write.mode(SaveMode.Overwrite).parquet(p)
+        holder.done = true
+      }
+    }
+    s.read.parquet(p)
   }
 }

@@ -92,9 +92,13 @@ object LlmQueries extends QueryPack {
     * the iterative CC runs once per (session, dir); both the cluster
     * query and the corpus-clean pipeline read the same labels.
     */
-  private def ccLabels(s: SparkSession, d: String): DataFrame =
+  private def ccLabels(s: SparkSession, d: String): DataFrame = {
+    // bands materialize BEFORE the cc_labels build: Scratch.materialize
+    // inside another's mapping fn is a nested computeIfAbsent on one map
+    // ("Recursive update" when the keys share a bin — found via the r9
+    // full-suite flake)
+    val b = minhashBands(s, d)
     cached("cc_labels", s, d) {
-      val b = minhashBands(s, d)
       val pairs = b.as("x").join(b.as("y"),
           col("x.band") === col("y.band") && col("x.band_key") === col("y.band_key") &&
             col("x.doc_id") < col("y.doc_id"))
@@ -102,6 +106,7 @@ object LlmQueries extends QueryPack {
         .distinct()
       graft.ops.GraphOps.connectedComponents(pairs)
     }
+  }
 
   // raw float[] — the native cosine/dot expressions widen per element, so
   // no transform() conversion sits in the scan→similarity pipeline and the

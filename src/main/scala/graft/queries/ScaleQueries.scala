@@ -677,8 +677,13 @@ object ScaleQueries extends QueryPack {
     // shuffles total, never an iteration-until-convergence driver loop.
     // The community histogram is the modularity-pipeline input.
     "graph_lpa_communities" -> ((s, d) => {
+      // materialize the edge artifact BEFORE entering the lpa_sym build:
+      // a Scratch.materialize call inside another's mapping function is a
+      // nested ConcurrentHashMap.computeIfAbsent on the same map, which
+      // throws "Recursive update" when the two keys share a hash bin
+      // (caught as a flaky full-suite failure in r9)
+      val e = copurchaseEdges(s, d)
       val sym = cached("lpa_sym", s, d) {
-        val e = copurchaseEdges(s, d)
         e.select(col("u"), col("v"))
           .union(e.select(col("v").as("u"), col("u").as("v")))
       }
