@@ -103,7 +103,8 @@ object ScaleExperiment {
     val snBound = 2L * nDocs // window of 2 successors per doc
 
     val times = Seq("dedup_minhash_capped", "dedup_sorted_neighborhood",
-      "dedup_incremental_pairs", "dedup_minhash_pairs", "dedup_line_segments").map { q =>
+      "dedup_incremental_pairs", "dedup_minhash_pairs", "dedup_line_segments",
+      "dedup_edit_prefilter").map { q =>
       val t0 = System.nanoTime()
       val n = SparkEntry.queries(q)(spark, dir).queryExecution.toRdd.count()
       if (q == "dedup_sorted_neighborhood")
@@ -112,6 +113,13 @@ object ScaleExperiment {
         // one output row per doc at ANY scale: the line-dedup pipeline has
         // no pairwise stage whose output could grow super-linearly
         require(n == nDocs, s"[$tag] line-segment dedup emitted $n rows != n_docs=$nDocs")
+      if (q == "dedup_edit_prefilter")
+        // hot-band cap (threshold 8, 8 bands): each doc sits in ≤ 8 cold
+        // buckets of ≤ 8 members, so confirmed pairs ≤ n_docs·8·7/2 — the
+        // LINEAR bound the r9 cap added after the uncapped version went
+        // 156× on this exact duplicate-heavy replica
+        require(n <= 28L * nDocs,
+          s"[$tag] capped edit-prefilter emitted $n > 28*n_docs=${28L * nDocs}")
       f""""$q":{"sec":${(System.nanoTime() - t0) / 1e9}%.2f,"rows":$n}"""
     }.mkString(",")
 

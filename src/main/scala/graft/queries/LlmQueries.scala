@@ -477,6 +477,41 @@ object LlmQueries extends QueryPack {
         .orderBy("d1", "d2")
     }),
 
+    // DEDUP OPERATING CURVE — the threshold-tuning artifact every dedup
+    // rollout needs: for Jaccard thresholds 500..900 milli, how many of
+    // the LSH candidate pairs would be confirmed as duplicates? One
+    // exact-Jaccard pass over the (pruned) candidate set, a 5-row
+    // threshold broadcast fan-out, one small aggregate — the sweep costs
+    // one verify, not five, because the per-pair score is computed once
+    // and compared five ways. confirm_ppm is the dial a steward reads
+    // before picking the production threshold.
+    "dedup_threshold_curve" -> ((s, d) => {
+      val b = minhashBands(s, d)
+      val pairs = b.as("x").join(b.as("y"),
+          col("x.band") === col("y.band") && col("x.band_key") === col("y.band_key") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+        .distinct()
+      val sh = cached("jaccard_shingles", s, d) {
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            array_distinct(TextOps.wordShingles(TextOps.tokens(col("text")), 3)).as("sh"))
+      }
+      val scored = pairs
+        .join(sh.select(col("doc_id").as("d1"), col("sh").as("s1")), "d1")
+        .join(sh.select(col("doc_id").as("d2"), col("sh").as("s2")), "d2")
+        .select(expr("CAST(size(array_intersect(s1, s2)) AS BIGINT) * 1000 div " +
+          "size(array_distinct(concat(s1, s2)))").as("jaccard_milli"))
+      val ts = s.range(5, 10).select((col("id") * 100).as("threshold_milli"))
+      scored.crossJoin(broadcast(ts))
+        .groupBy("threshold_milli")
+        .agg(count(lit(1)).as("n_candidates"),
+          sum(when(col("jaccard_milli") >= col("threshold_milli"), 1L)
+            .otherwise(0L)).as("n_confirmed"))
+        .withColumn("confirm_ppm", expr("n_confirmed * 1000000 div n_candidates"))
+        .orderBy("threshold_milli")
+    }),
+
     // Asymmetric CONTAINMENT on the candidate pairs: |A∩B| / |A| and
     // / |B| in exact milli. Jaccard misses subset duplication — a short
     // doc quoted wholesale inside a long one scores low J but 1000-milli
@@ -1167,6 +1202,27 @@ object LlmQueries extends QueryPack {
          |    // greatest(length(x.text), length(y.text)) AS dist_milli
          |FROM pairs JOIN documents x ON d1 = x.doc_id JOIN documents y ON d2 = y.doc_id
          |ORDER BY d1, d2""".stripMargin,
+    "dedup_threshold_curve" ->
+      s"""WITH $mhSigSql,
+         |pairs AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |  FROM bandtab a JOIN bandtab b
+         |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+         |shs AS (SELECT doc_id, list_distinct(
+         |    list_transform(range(1, len(string_split(text,' '))-1),
+         |      i -> array_to_string(list_slice(string_split(text,' '), i, i+2), ' '))) AS sh
+         |  FROM documents),
+         |scored AS (SELECT
+         |    CAST(len(list_intersect(x.sh, y.sh)) AS BIGINT) * 1000
+         |      // CAST(len(list_distinct(list_concat(x.sh, y.sh))) AS BIGINT) AS jm
+         |  FROM pairs JOIN shs x ON d1 = x.doc_id JOIN shs y ON d2 = y.doc_id),
+         |ts AS (SELECT unnest([500, 600, 700, 800, 900]) AS threshold_milli)
+         |SELECT CAST(threshold_milli AS BIGINT) AS threshold_milli,
+         |  COUNT(*) AS n_candidates,
+         |  CAST(SUM(CASE WHEN jm >= threshold_milli THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_confirmed,
+         |  CAST(SUM(CASE WHEN jm >= threshold_milli THEN 1 ELSE 0 END) * 1000000
+         |    // COUNT(*) AS BIGINT) AS confirm_ppm
+         |FROM scored CROSS JOIN ts GROUP BY 1 ORDER BY 1""".stripMargin,
     "dedup_jaccard_verify" ->
       s"""WITH $mhSigSql,
          |pairs AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
