@@ -634,6 +634,20 @@ object ScaleQueries extends QueryPack {
     // joins per step; the depth cap bounds work (max-degree ~23 here, so
     // ≤ 23³ paths). hops = min depth per reached node, n_paths = distinct
     // walks — both exact integers.
+    // SQL-surface PIVOT clause (the parser path, not the DataFrame
+    // .pivot API that agg_pivot covers): line status pivoted to columns
+    // with summed cents. Catalyst lowers it to the same two-phase
+    // pivot-aggregate; the oracle spells it as CASE aggregation, which
+    // is also exactly what a pre-PIVOT SQL dialect would write.
+    "sql_pivot_syntax" -> ((s, d) =>
+      s.sql(
+        s"""SELECT * FROM (
+           |  SELECT l_returnflag, l_linestatus,
+           |    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+           |  FROM parquet.`$d/lineitem.parquet`)
+           |PIVOT (SUM(cents) FOR l_linestatus IN ('O' AS o_cents, 'F' AS f_cents))
+           |ORDER BY l_returnflag""".stripMargin)),
+
     "sql_recursive_cte" -> ((s, d) => {
       // the recursion re-reads the edge relation once PER STEP, so it
       // must come from the persisted co-purchase cache (via a temp view),
@@ -1432,6 +1446,13 @@ object ScaleQueries extends QueryPack {
         |  ON o_orderpriority = pri
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    "sql_pivot_syntax" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CASE WHEN l_linestatus = 'O'
+        |    THEN CAST(round(l_extendedprice * 100) AS BIGINT) END) AS BIGINT) AS o_cents,
+        |  CAST(SUM(CASE WHEN l_linestatus = 'F'
+        |    THEN CAST(round(l_extendedprice * 100) AS BIGINT) END) AS BIGINT) AS f_cents
+        |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
     "sql_recursive_cte" ->
       """WITH RECURSIVE
         |po AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p

@@ -114,6 +114,26 @@ object StreamQueries extends QueryPack {
           coalesce(col("purchase_id"), lit(-1L)))
     }),
 
+    // DYNAMIC-GAP session windows: the gap is a per-EVENT expression
+    // (purchases hold the session open 10 minutes, everything else 5) —
+    // Spark merges the per-event intervals [ts, ts+gap) by overlap, which
+    // the oracle reproduces as an islands computation over the running
+    // max of interval ends (order-insensitive: tied timestamps always
+    // merge, so any deterministic tie order yields the same sessions).
+    // This is session_window's second signature — the one adaptive
+    // timeout logic (checkout flows, long-form media) actually needs.
+    "stream_dynamic_session_batcheq" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(session_window(col("ts"),
+          when(col("event_type") === "purchase", "10 minutes")
+            .otherwise("5 minutes")), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("s_start"),
+          date_format(col("session_window.end"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("s_end"),
+          col("n_events"))
+        .orderBy("user_id", "s_start")),
+
     // FULL OUTER flavor: unmatched rows from BOTH sides survive (clicks
     // that never converted AND purchases with no attributable click) —
     // on the static table a plain full join; in streaming the symmetric
@@ -231,6 +251,24 @@ object StreamQueries extends QueryPack {
         | event_type, COUNT(*) AS n_events,
         | CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents
         |FROM w GROUP BY 1, 2, 3 ORDER BY 1, 3""".stripMargin,
+    "stream_dynamic_session_batcheq" ->
+      """WITH o AS (SELECT user_id, ts,
+        |    ts + CASE WHEN event_type = 'purchase' THEN INTERVAL 10 MINUTE
+        |         ELSE INTERVAL 5 MINUTE END AS w_end
+        |  FROM events),
+        |m AS (SELECT user_id, ts, w_end,
+        |    MAX(w_end) OVER (PARTITION BY user_id ORDER BY ts, w_end
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+        |  FROM o),
+        |n AS (SELECT *, CASE WHEN prev_end IS NULL OR ts >= prev_end
+        |    THEN 1 ELSE 0 END AS new_s FROM m),
+        |s AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id
+        |    ORDER BY ts, w_end ROWS UNBOUNDED PRECEDING) AS sid FROM n)
+        |SELECT user_id,
+        |  strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS s_start,
+        |  strftime(MAX(w_end), '%Y-%m-%d %H:%M:%S.%f') AS s_end,
+        |  COUNT(*) AS n_events
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, s_start""".stripMargin,
     "stream_session_window_batcheq" ->
       """WITH o AS (SELECT user_id, ts, value,
         |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev FROM events),
