@@ -175,6 +175,39 @@ object MultimodalQueries extends QueryPack {
         .orderBy("media_id")
     }),
 
+    // DECODED-PIXEL RESIZE: the 16×16 grayscale image round-tripped
+    // through the real PNG codec (same seam as mm_decode_ahash), then
+    // box-averaged to a 4×4 raster — each output pixel the EXACT integer
+    // mean (sum div 16) of its 4×4 source box. This is the thumbnail /
+    // vision-model-input downsample, done on decoded samples rather than
+    // raw payload bytes; lossless codec + exact division keep the oracle
+    // bit-for-bit from the source text.
+    "mm_resize_decoded" -> ((s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .filter(col("n_chars") >= 256)
+        .select(col("doc_id"), substring(col("text"), 1, 256).as("head"))
+        .as[(Long, String)]
+        .mapPartitions { rows =>
+          rows.flatMap { case (id, head) =>
+            val luma = new Array[Byte](256)
+            var i = 0
+            while (i < 256) { luma(i) = (head.charAt(i) & 0xff).toByte; i += 1 }
+            val (_, _, dec) = Multimodal.decodePngGray(
+              Multimodal.encodePngGray(luma, 16, 16))
+            val sums = new Array[Long](16)
+            i = 0
+            while (i < dec.length) {
+              sums((i / 16 / 4) * 4 + (i % 16) / 4) += (dec(i) & 0xff)
+              i += 1
+            }
+            (0 until 16).map(px => (id, px.toLong, sums(px) / 16))
+          }
+        }
+        .toDF("media_id", "px", "v")
+        .orderBy("media_id", "px")
+    }),
+
     // SHOT-BOUNDARY DETECTION — the classic frame-difference segmenter
     // every video pipeline runs before sampling keyframes: per-frame
     // intensity "energy" (byte sum over each 16-byte frame of the first
@@ -308,6 +341,17 @@ object MultimodalQueries extends QueryPack {
         |  COUNT(*) OVER (PARTITION BY ahash16) AS n_same_hash,
         |  COUNT(*) OVER (PARTITION BY ahash16) > 1 AS is_dup
         |FROM h ORDER BY media_id""".stripMargin,
+    "mm_resize_decoded" ->
+      """WITH p AS (SELECT doc_id AS media_id, text,
+        |    unnest(range(0, 256)) AS pos
+        |  FROM documents WHERE n_chars >= 256),
+        |b AS (SELECT media_id,
+        |    ((pos // 16) // 4) * 4 + (pos % 16) // 4 AS px,
+        |    CAST(ascii(substring(text, CAST(pos + 1 AS INT), 1)) AS BIGINT) % 256 AS b
+        |  FROM p)
+        |SELECT media_id, CAST(px AS BIGINT) AS px,
+        |  CAST(SUM(b) // 16 AS BIGINT) AS v
+        |FROM b GROUP BY 1, 2 ORDER BY media_id, px""".stripMargin,
     "mm_decode_ahash" ->
       """WITH p AS (SELECT doc_id AS media_id, text,
         |    unnest(range(0, 256)) AS pos

@@ -676,6 +676,30 @@ object StatsQueries extends QueryPack {
       at(1).unionByName(at(2)).unionByName(at(3)).orderBy("version")
     }),
 
+    // CHANGE DATA FEED from the commit log: the row-level delta between
+    // two committed versions, computed by diffing their snapshots (both
+    // resolved from the manifest log — time travel makes CDF a pure
+    // read-side derivation, no write-side change tracking needed). Here:
+    // v2 (full base) → v3 (after the MERGE overwrite) yields exactly the
+    // +500-cents updates on keys %5; unchanged rows are dropped before
+    // the output sort so the feed scales with churn, not table size.
+    "lake_txlog_changes" -> ((s, d) => {
+      val t = txTable(s, d)
+      val before = graft.ops.TxLog.snapshot(s, t, Some(2))
+        .select(col("o_orderkey").as("k"), col("cents").as("old_cents"))
+      val after = graft.ops.TxLog.snapshot(s, t, Some(3))
+        .select(col("o_orderkey").as("k"), col("cents").as("new_cents"))
+      before.join(after, Seq("k"), "full_outer")
+        .select(col("k").as("o_orderkey"),
+          when(col("old_cents").isNull, "insert")
+            .when(col("new_cents").isNull, "delete")
+            .when(col("old_cents") =!= col("new_cents"), "update")
+            .otherwise("unchanged").as("change"),
+          col("old_cents"), col("new_cents"))
+        .filter(col("change") =!= "unchanged")
+        .orderBy("o_orderkey")
+    }),
+
     // MANIFEST-LEVEL DATA SKIPPING (Iceberg/Delta-style file pruning):
     // 4 range-disjoint segments committed with min/max stats on
     // o_orderkey; a range read prunes to the ONE overlapping segment
@@ -1192,6 +1216,11 @@ object StatsQueries extends QueryPack {
         |  SELECT *, row_number() OVER (PARTITION BY l_returnflag
         |    ORDER BY n DESC, qty ASC) AS rnk FROM counts) t
         |WHERE rnk = 1 ORDER BY l_returnflag""".stripMargin,
+    "lake_txlog_changes" ->
+      """SELECT o_orderkey, 'update' AS change,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS old_cents,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) + 500 AS new_cents
+        |FROM orders WHERE o_orderkey % 5 = 0 ORDER BY o_orderkey""".stripMargin,
     "lake_txlog_pruned_scan" ->
       """WITH m AS (SELECT MAX(o_orderkey) // 4 + 1 AS q FROM orders)
         |SELECT CAST(1 AS BIGINT) AS n_scanned, CAST(4 AS BIGINT) AS n_total,
