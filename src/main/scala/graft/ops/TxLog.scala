@@ -48,9 +48,13 @@ object TxLog {
                             stats: Map[String, SegStats] = Map.empty)
 
   /** Per-segment min/max of one tracked column — the Iceberg/Delta-style
-    * file-skipping statistic a reader prunes on without opening footers.
+    * file-skipping statistic a reader prunes on without opening footers —
+    * plus an optional Bloom filter over the column's values for POINT
+    * lookups (min/max is useless when segment key ranges interleave; the
+    * bloom still prunes definitively-absent keys).
     */
-  final case class SegStats(col: String, min: Long, max: Long)
+  final case class SegStats(col: String, min: Long, max: Long,
+                            bloomHex: Option[String] = None)
 
   private def logDir(table: String): Path = Paths.get(table, "_txlog")
   private def fmt(v: Long): String = f"$v%020d.json"
@@ -79,7 +83,8 @@ object TxLog {
   private def manifestJson(m: Manifest): String = {
     def arr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
     val stats = m.stats.map { case (p, s) =>
-      s""""$p":{"col":"${s.col}","min":${s.min},"max":${s.max}}"""
+      val bloom = s.bloomHex.map(h => s""","bloom":"$h"""").getOrElse("")
+      s""""$p":{"col":"${s.col}","min":${s.min},"max":${s.max}$bloom}"""
     }.mkString("{", ",", "}")
     s"""{"version":${m.version},"op":"${m.op}","adds":${arr(m.adds)},""" +
       s""""removes":${arr(m.removes)},"readVersion":${m.readVersion},""" +
@@ -94,7 +99,8 @@ object TxLog {
     val stats = Option(node.get("stats")).map { sn =>
       sn.properties().asScala.map { e =>
         e.getKey -> SegStats(e.getValue.get("col").asText(),
-          e.getValue.get("min").asLong(), e.getValue.get("max").asLong())
+          e.getValue.get("min").asLong(), e.getValue.get("max").asLong(),
+          Option(e.getValue.get("bloom")).map(_.asText()))
       }.toMap
     }.getOrElse(Map.empty[String, SegStats]) // pre-stats manifests stay readable
     Manifest(node.get("version").asLong(), node.get("op").asText(),
@@ -204,6 +210,72 @@ object TxLog {
       if (r.isNullAt(0)) Map.empty[String, SegStats]
       else Map(p -> SegStats(statsCol, r.getLong(0), r.getLong(1)))
     commit(table, "append", Seq(p), Seq.empty, currentVersion(table), stats)
+  }
+
+  // Bloom parameters: 2^20 bits / 3 probes — <0.2% false-positive odds at
+  // ~40k keys per segment; a false positive only costs one extra segment
+  // scan, never a wrong row. Probe positions use xxhash64 seeded 0..2 so
+  // writer (distributed) and reader (one-row eval) agree by construction.
+  private val BloomBits = 1 << 20
+  private val BloomWords = BloomBits / 64
+
+  private def bloomPositions(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{array, lit, pmod, xxhash64}
+    array((0 until 3).map(s => pmod(xxhash64(c, lit(s)), lit(BloomBits.toLong))): _*)
+  }
+
+  /** Append carrying BOTH min/max and a Bloom filter on `keyCol`. The
+    * bloom builds DISTRIBUTED: each row contributes its 3 bit masks,
+    * folded by a (word → bit_or) aggregate whose output is at most
+    * [[BloomWords]] rows — the only driver-side step is hex-packing that
+    * bounded result into the manifest.
+    */
+  def appendWithBloom(df: DataFrame, table: String, keyCol: String): Long = {
+    import org.apache.spark.sql.functions.{col => fcol, explode, expr, max => fmax, min => fmin}
+    val p = stage(df, table)
+    val sdf = df.sparkSession.read.parquet(p)
+    val mm = sdf.agg(fmin(fcol(keyCol).cast("long")), fmax(fcol(keyCol).cast("long"))).head()
+    val words = sdf.select(explode(bloomPositions(fcol(keyCol))).as("pos"))
+      .select(expr("CAST(pos div 64 AS INT)").as("w"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").as("m"))
+      .groupBy("w").agg(expr("bit_or(m)").as("bits"))
+      .collect()
+    val arr = new Array[Long](BloomWords)
+    words.foreach(r => arr(r.getInt(0)) = r.getLong(1))
+    val hex = arr.map(l => f"$l%016x").mkString
+    val stats =
+      if (mm.isNullAt(0)) Map.empty[String, SegStats]
+      else Map(p -> SegStats(keyCol, mm.getLong(0), mm.getLong(1), Some(hex)))
+    commit(table, "append", Seq(p), Seq.empty, currentVersion(table), stats)
+  }
+
+  private def bloomMightContain(hex: String, positions: Seq[Long]): Boolean =
+    positions.forall { pos =>
+      val w = (pos / 64).toInt
+      val bit = 1L << (pos % 64).toInt
+      val word = java.lang.Long.parseUnsignedLong(hex.substring(w * 16, w * 16 + 16), 16)
+      (word & bit) != 0
+    }
+
+  /** Point lookup pruned by manifest stats: a segment is skipped when its
+    * [min,max] excludes the key OR its Bloom filter proves absence —
+    * the latter is what works when segment key ranges interleave.
+    * Stat-less segments are conservatively scanned.
+    */
+  def snapshotPointLookup(spark: SparkSession, table: String, keyCol: String,
+                          key: Long): (DataFrame, Int, Int) = {
+    import org.apache.spark.sql.functions.lit
+    val pos = spark.range(1).select(bloomPositions(lit(key)).as("p"))
+      .head().getSeq[Long](0)
+    val all = liveFilesWithStats(table)
+    val keep = all.collect {
+      case (p, None) => p
+      case (p, Some(s)) if s.col != keyCol => p
+      case (p, Some(s)) if key >= s.min && key <= s.max &&
+        s.bloomHex.forall(bloomMightContain(_, pos)) => p
+    }
+    require(keep.nonEmpty, s"key $key pruned from every segment of $table")
+    (spark.read.parquet(keep: _*), keep.size, all.size)
   }
 
   /** Live segments carrying their accumulated stats (None for segments

@@ -110,6 +110,22 @@ object StatsQueries extends QueryPack {
       t
     })
 
+  /** Fifth TxLog table: 4 appends split by o_orderkey % 4 — INTERLEAVED
+    * key ranges, so min/max stats cannot prune a point lookup and only
+    * the per-segment Bloom filter can.
+    */
+  private def txBloomTable(s: SparkSession, d: String): String =
+    txTables.computeIfAbsent((s, "bloom:" + d), _ => {
+      val t = s"${graft.ops.Scratch.base}/txbloom_${(d.hashCode & 0xffffff).toHexString}"
+      val base = Tables.orders(s, d)
+        .select(col("o_orderkey"), Cleaning.cents(col("o_totalprice")).as("cents"))
+      (0L to 3L).foreach { b =>
+        graft.ops.TxLog.appendWithBloom(
+          base.filter(col("o_orderkey") % 4 === b), t, "o_orderkey")
+      }
+      t
+    })
+
   val queries: Map[String, Q] = Map(
     // FULL OUTER join with unmatched rows on BOTH sides: low-nation
     // customers vs premium-order buyers. At scale this is a shuffle
@@ -676,6 +692,25 @@ object StatsQueries extends QueryPack {
       at(1).unionByName(at(2)).unionByName(at(3)).orderBy("version")
     }),
 
+    // BLOOM-FILTER segment skipping — the point-lookup complement to
+    // min/max stats: segments are split by key MODULUS, so every
+    // segment's [min, max] spans the whole key space and range stats
+    // prune nothing; the per-segment Bloom (2^20 bits, built by a
+    // distributed word→bit_or aggregate at commit time) still proves the
+    // key absent from 3 of 4 segments. A false positive costs one extra
+    // scan, never a wrong row — the lookup predicate is applied
+    // reader-side as always.
+    "lake_txlog_bloom_lookup" -> ((s, d) => {
+      val t = txBloomTable(s, d)
+      val key = Tables.orders(s, d).agg(max("o_orderkey")).head().getLong(0)
+      val (df, scanned, total) =
+        graft.ops.TxLog.snapshotPointLookup(s, t, "o_orderkey", key)
+      df.filter(col("o_orderkey") === key)
+        .agg(count(lit(1)).as("n_rows"), sum("cents").as("key_cents"))
+        .select(lit(scanned.toLong).as("n_scanned"), lit(total.toLong).as("n_total"),
+          col("n_rows"), col("key_cents"))
+    }),
+
     // CHANGE DATA FEED from the commit log: the row-level delta between
     // two committed versions, computed by diffing their snapshots (both
     // resolved from the manifest log — time travel makes CDF a pure
@@ -1216,6 +1251,12 @@ object StatsQueries extends QueryPack {
         |  SELECT *, row_number() OVER (PARTITION BY l_returnflag
         |    ORDER BY n DESC, qty ASC) AS rnk FROM counts) t
         |WHERE rnk = 1 ORDER BY l_returnflag""".stripMargin,
+    "lake_txlog_bloom_lookup" ->
+      """WITH k AS (SELECT MAX(o_orderkey) AS key FROM orders)
+        |SELECT CAST(1 AS BIGINT) AS n_scanned, CAST(4 AS BIGINT) AS n_total,
+        |  COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS key_cents
+        |FROM orders, k WHERE o_orderkey = key""".stripMargin,
     "lake_txlog_changes" ->
       """SELECT o_orderkey, 'update' AS change,
         |  CAST(round(o_totalprice * 100) AS BIGINT) AS old_cents,

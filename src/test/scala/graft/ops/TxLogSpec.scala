@@ -2,6 +2,8 @@ package graft.ops
 
 import graft.SparkSpec
 
+import org.apache.spark.sql.functions.col
+
 import java.nio.file.{Files, Paths}
 import java.util.ConcurrentModificationException
 
@@ -168,6 +170,25 @@ class TxLogSpec extends SparkSpec {
     val t = freshTable()
     TxLog.appendWithStats(rows(1L -> 10L), t, "k")
     t
+  }
+
+  test("bloom stats prune point lookups across interleaved key ranges") {
+    val t = freshTable()
+    // modulus split: every segment's [min,max] covers the key space
+    TxLog.appendWithBloom(rows(1L -> 10L, 3L -> 30L, 5L -> 50L), t, "k")  // odd
+    TxLog.appendWithBloom(rows(2L -> 20L, 4L -> 40L, 6L -> 60L), t, "k")  // even
+    val (df, scanned, total) = TxLog.snapshotPointLookup(spark, t, "k", 4L)
+    assert(total === 2)
+    assert(scanned === 1, "bloom must prove 4 absent from the odd segment")
+    assert(df.filter(col("k") === 4L).as[(Long, Long)].collect().toSeq === Seq((4L, 40L)))
+    // a key in NO segment prunes everything → loud refusal, not empty scan
+    intercept[IllegalArgumentException] {
+      TxLog.snapshotPointLookup(spark, t, "k", 999L)
+    }
+    // stat-less segments are always scanned
+    TxLog.append(rows(7L -> 70L), t)
+    val (_, scanned2, total2) = TxLog.snapshotPointLookup(spark, t, "k", 4L)
+    assert((scanned2, total2) === (2, 3))
   }
 
   test("CAS race: two manifests for the same version — exactly one wins") {
