@@ -370,6 +370,36 @@ object TxLog {
     }
   }
 
+  /** Clustered compaction — the OPTIMIZE/ZORDER maintenance op: rewrite
+    * the live set into `buckets` RANGE-DISJOINT segments on `clusterCol`
+    * (bucket b = keys in [b·q, (b+1)·q)), each committed with tight
+    * min/max stats, in ONE atomic swap. Content is untouched; what
+    * changes is that range predicates can now prune segments — the
+    * modulus/arrival layouts a table accretes make every segment span
+    * the whole key space, and this is the operation that repairs that.
+    */
+  def compactClustered(spark: SparkSession, table: String, clusterCol: String,
+                       buckets: Int): Long = {
+    import org.apache.spark.sql.functions.{col => fcol, expr, max => fmax, min => fmin}
+    val rv = currentVersion(table)
+    val live = liveFiles(table, Some(rv))
+    require(live.nonEmpty, s"optimize of empty table $table")
+    val base = spark.read.parquet(live: _*)
+    val mx = base.agg(fmax(fcol(clusterCol).cast("long"))).head().getLong(0)
+    val q = mx / buckets + 1
+    val staged = (0 until buckets).flatMap { b =>
+      val part = base.filter(expr(s"$clusterCol div $q") === b)
+      if (part.isEmpty) None
+      else {
+        val p = stage(part, table)
+        val mm = spark.read.parquet(p)
+          .agg(fmin(fcol(clusterCol).cast("long")), fmax(fcol(clusterCol).cast("long"))).head()
+        Some(p -> SegStats(clusterCol, mm.getLong(0), mm.getLong(1)))
+      }
+    }
+    commit(table, "optimize", staged.map(_._1), live, rv, staged.toMap)
+  }
+
   /** Garbage-collect segment dirs referenced by NO version ≥
     * `keepVersionsFrom` — removes both crash-orphaned staged data (never
     * committed) and segments only old snapshots could see. Time travel

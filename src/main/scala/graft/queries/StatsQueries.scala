@@ -126,6 +126,22 @@ object StatsQueries extends QueryPack {
       t
     })
 
+  /** Sixth TxLog table: modulus-split appends (unprunable layout) then
+    * ONE clustered compaction — the before/after the optimize query reads.
+    */
+  private def txOptimizeTable(s: SparkSession, d: String): String =
+    txTables.computeIfAbsent((s, "optimize:" + d), _ => {
+      val t = s"${graft.ops.Scratch.base}/txopt_${(d.hashCode & 0xffffff).toHexString}"
+      val base = Tables.orders(s, d)
+        .select(col("o_orderkey"), Cleaning.cents(col("o_totalprice")).as("cents"))
+      (0L to 3L).foreach { b =>
+        graft.ops.TxLog.appendWithStats(
+          base.filter(col("o_orderkey") % 4 === b), t, "o_orderkey")
+      }
+      graft.ops.TxLog.compactClustered(s, t, "o_orderkey", 4)
+      t
+    })
+
   val queries: Map[String, Q] = Map(
     // FULL OUTER join with unmatched rows on BOTH sides: low-nation
     // customers vs premium-order buyers. At scale this is a shuffle
@@ -692,6 +708,34 @@ object StatsQueries extends QueryPack {
       at(1).unionByName(at(2)).unionByName(at(3)).orderBy("version")
     }),
 
+    // CLUSTERED COMPACTION (OPTIMIZE): the table starts as 4
+    // modulus-split segments — every one spanning the full key range, so
+    // a range read must scan all 4 — and one compactClustered commit
+    // rewrites it into 4 range-disjoint segments with tight stats. The
+    // same range read now scans 1 of 4, from the manifest alone. The
+    // query runs both reads (pre-optimize via time travel to version 4)
+    // and emits both prune counts beside the aggregate, proving layout
+    // maintenance changed I/O and nothing else.
+    "lake_txlog_optimize" -> ((s, d) => {
+      val t = txOptimizeTable(s, d)
+      val q = Tables.orders(s, d).agg(max("o_orderkey")).head().getLong(0) / 4 + 1
+      // post-optimize: stats-pruned range read on the clustered head
+      val (df, scanAfter, totAfter) =
+        graft.ops.TxLog.snapshotPruned(s, t, "o_orderkey", q, 2 * q - 1)
+      // pre-optimize: same read against version 4's modulus layout
+      val beforeStats = graft.ops.TxLog.liveFilesWithStats(t, Some(4L))
+      val scanBefore = beforeStats.count {
+        case (_, Some(st)) => st.max >= q && st.min <= 2 * q - 1
+        case _ => true
+      }
+      df.filter(col("o_orderkey") >= q && col("o_orderkey") < 2 * q)
+        .agg(count(lit(1)).as("n_rows"), sum("cents").as("sum_cents"))
+        .select(lit(scanBefore.toLong).as("scan_before"),
+          lit(beforeStats.size.toLong).as("total_before"),
+          lit(scanAfter.toLong).as("scan_after"), lit(totAfter.toLong).as("total_after"),
+          col("n_rows"), col("sum_cents"))
+    }),
+
     // BLOOM-FILTER segment skipping — the point-lookup complement to
     // min/max stats: segments are split by key MODULUS, so every
     // segment's [min, max] spans the whole key space and range stats
@@ -1251,6 +1295,13 @@ object StatsQueries extends QueryPack {
         |  SELECT *, row_number() OVER (PARTITION BY l_returnflag
         |    ORDER BY n DESC, qty ASC) AS rnk FROM counts) t
         |WHERE rnk = 1 ORDER BY l_returnflag""".stripMargin,
+    "lake_txlog_optimize" ->
+      """WITH m AS (SELECT MAX(o_orderkey) // 4 + 1 AS q FROM orders)
+        |SELECT CAST(4 AS BIGINT) AS scan_before, CAST(4 AS BIGINT) AS total_before,
+        |  CAST(1 AS BIGINT) AS scan_after, CAST(4 AS BIGINT) AS total_after,
+        |  COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM orders, m WHERE o_orderkey >= q AND o_orderkey < 2 * q""".stripMargin,
     "lake_txlog_bloom_lookup" ->
       """WITH k AS (SELECT MAX(o_orderkey) AS key FROM orders)
         |SELECT CAST(1 AS BIGINT) AS n_scanned, CAST(4 AS BIGINT) AS n_total,

@@ -191,6 +191,23 @@ class TxLogSpec extends SparkSpec {
     assert((scanned2, total2) === (2, 3))
   }
 
+  test("clustered compaction makes an unprunable layout prunable, atomically") {
+    val t = freshTable()
+    // modulus layout: both segments span keys 1..6 — range stats prune nothing
+    TxLog.appendWithStats(rows(1L -> 10L, 3L -> 30L, 5L -> 50L), t, "k")
+    TxLog.appendWithStats(rows(2L -> 20L, 4L -> 40L, 6L -> 60L), t, "k")
+    val (_, s0, t0) = TxLog.snapshotPruned(spark, t, "k", 1L, 3L)
+    assert((s0, t0) === (2, 2), "interleaved ranges: nothing prunable")
+    val v = TxLog.compactClustered(spark, t, "k", 2)
+    assert(v === 3L)
+    // same read now prunes; content identical
+    val (df, s1, t1) = TxLog.snapshotPruned(spark, t, "k", 1L, 3L)
+    assert(t1 === 2 && s1 === 1, s"clustered layout must prune: scanned $s1/$t1")
+    assert(TxLog.snapshot(spark, t).as[(Long, Long)].collect().toMap
+      === Map(1L -> 10L, 2L -> 20L, 3L -> 30L, 4L -> 40L, 5L -> 50L, 6L -> 60L))
+    assert(df.filter(col("k") <= 3L).count() === 3L)
+  }
+
   test("CAS race: two manifests for the same version — exactly one wins") {
     val t = freshTable()
     TxLog.append(rows(1L -> 10L), t)
