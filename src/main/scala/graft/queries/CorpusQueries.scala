@@ -156,6 +156,30 @@ object CorpusQueries extends QueryPack {
         .orderBy("bucket", "pos")
     }),
 
+    // GRAM MATRIX Σ v·vᵀ over the embedding corpus — the covariance/PCA
+    // building block every embedding pipeline eventually computes. Upper
+    // triangle only (the matrix is symmetric): each vector fans out to
+    // its 2080 (i ≤ j) component pairs — pure map work, linear in corpus
+    // size with a constant dim² factor — and one hash aggregate on the
+    // 2080 (i, j) cells with map-side partial combine reduces the whole
+    // corpus to a dim×dim result. Components are milli-rounded before
+    // multiplying and products accumulate in DECIMAL(38,0)/HUGEINT, so
+    // the 64×64 output is bit-exact on both engines at any corpus size.
+    "linalg_gram_matrix" -> ((s, d) =>
+      Tables.embeddings(s, d).filter(col("vec_id") >= 8)
+        .select(col("embedding").as("v"), posexplode(col("embedding")).as(Seq("i", "xi")))
+        .select(col("i"),
+          expr("CAST(round(CAST(xi AS DOUBLE) * 1000) AS BIGINT)").as("a"),
+          explode(expr(
+            """transform(sequence(i, size(v) - 1),
+              |  j -> struct(j AS j, element_at(v, j + 1) AS xj))""".stripMargin)).as("p"))
+        .select(col("i").cast("long").as("i"), col("p.j").cast("long").as("j"),
+          (col("a").cast("decimal(38,0)") *
+            expr("CAST(round(CAST(p.xj AS DOUBLE) * 1000) AS BIGINT)")).as("prod"))
+        .groupBy("i", "j")
+        .agg(count(lit(1)).as("n"), sum("prod").cast("long").as("gram_milli2"))
+        .orderBy("i", "j")),
+
     // BOTTOM-K-BY-HASH uniform sample + quantile estimate — the
     // DataSketches-style mergeable sampling primitive: per group keep the
     // 64 rows with the smallest portable hashes (merge-order-DETERMINISTIC,
@@ -789,6 +813,16 @@ object CorpusQueries extends QueryPack {
     // 1's floor-divided integer-micro means. DuckDB's `//` TRUNCATES
     // toward zero (like Spark's `div`), so the same floor CASE appears
     // on both sides.
+    "linalg_gram_matrix" ->
+      """WITH e AS (SELECT embedding AS v FROM embeddings WHERE vec_id >= 8),
+        |ii AS (SELECT unnest(range(0, 64)) AS i),
+        |jj AS (SELECT unnest(range(0, 64)) AS j),
+        |t AS (SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+        |    CAST(round(v[CAST(i + 1 AS INT)] * 1000) AS BIGINT)::HUGEINT
+        |      * CAST(round(v[CAST(j + 1 AS INT)] * 1000) AS BIGINT) AS prod
+        |  FROM e CROSS JOIN ii CROSS JOIN jj WHERE j >= i)
+        |SELECT i, j, COUNT(*) AS n, CAST(SUM(prod) AS BIGINT) AS gram_milli2
+        |FROM t GROUP BY 1, 2 ORDER BY i, j""".stripMargin,
     "sample_bottomk_median" ->
       """WITH ev AS (SELECT event_type, event_id,
         |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
