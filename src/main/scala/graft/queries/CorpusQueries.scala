@@ -24,6 +24,26 @@ object CorpusQueries extends QueryPack {
   private def cached(kind: String, s: SparkSession, d: String)(build: => DataFrame): DataFrame =
     graft.ops.Scratch.materialize(kind, s, d)(build)
 
+  /** Upper-triangle Gram matrix Σ v·vᵀ, scratch-materialized once per
+    * (session, dir) — both linalg queries read the same 2080-cell
+    * artifact, so the corpus pass runs once.
+    */
+  private def gramUpper(s: SparkSession, d: String): DataFrame =
+    cached("gram_upper", s, d) {
+      Tables.embeddings(s, d).filter(col("vec_id") >= 8)
+        .select(col("embedding").as("v"), posexplode(col("embedding")).as(Seq("i", "xi")))
+        .select(col("i"),
+          expr("CAST(round(CAST(xi AS DOUBLE) * 1000) AS BIGINT)").as("a"),
+          explode(expr(
+            """transform(sequence(i, size(v) - 1),
+              |  j -> struct(j AS j, element_at(v, j + 1) AS xj))""".stripMargin)).as("p"))
+        .select(col("i").cast("long").as("i"), col("p.j").cast("long").as("j"),
+          (col("a").cast("decimal(38,0)") *
+            expr("CAST(round(CAST(p.xj AS DOUBLE) * 1000) AS BIGINT)")).as("prod"))
+        .groupBy("i", "j")
+        .agg(count(lit(1)).as("n"), sum("prod").cast("long").as("gram_milli2"))
+    }
+
   /** Rank-1 centroid assignment (broadcast constant-size centroid set) —
     * shared by the k-means queries and the trained-IVF index build.
     */
@@ -166,19 +186,40 @@ object CorpusQueries extends QueryPack {
     // multiplying and products accumulate in DECIMAL(38,0)/HUGEINT, so
     // the 64×64 output is bit-exact on both engines at any corpus size.
     "linalg_gram_matrix" -> ((s, d) =>
-      Tables.embeddings(s, d).filter(col("vec_id") >= 8)
-        .select(col("embedding").as("v"), posexplode(col("embedding")).as(Seq("i", "xi")))
-        .select(col("i"),
-          expr("CAST(round(CAST(xi AS DOUBLE) * 1000) AS BIGINT)").as("a"),
-          explode(expr(
-            """transform(sequence(i, size(v) - 1),
-              |  j -> struct(j AS j, element_at(v, j + 1) AS xj))""".stripMargin)).as("p"))
-        .select(col("i").cast("long").as("i"), col("p.j").cast("long").as("j"),
-          (col("a").cast("decimal(38,0)") *
-            expr("CAST(round(CAST(p.xj AS DOUBLE) * 1000) AS BIGINT)")).as("prod"))
-        .groupBy("i", "j")
-        .agg(count(lit(1)).as("n"), sum("prod").cast("long").as("gram_milli2"))
+      gramUpper(s, d)
+        .select(col("i"), col("j"), col("n"), col("gram_milli2"))
         .orderBy("i", "j")),
+
+    // POWER ITERATION for the top eigenvector of the Gram matrix — the
+    // actual PCA step on top of linalg_gram_matrix's artifact. The full
+    // symmetric G is the upper triangle ∪ its transpose; each of 6
+    // unrolled iterations is y = G·x (a join of the 4096-cell matrix with
+    // the broadcast 64-row vector + a per-row hash agg) followed by an
+    // integer rescale x' = y·1000 div max(y) — all exact integer
+    // arithmetic with DECIMAL(38,0) accumulation, so both engines iterate
+    // bit-identically and converge to the same milli-scaled direction.
+    // (G is PSD, so y stays nonnegative once x ≥ 0 — max(y) is the ∞-norm
+    // and the div is well-defined.) Everything after the corpus pass
+    // operates on dim-bounded relations: 6 iterations cost 6 tiny joins
+    // regardless of corpus size.
+    "linalg_power_iteration" -> ((s, d) => {
+      val up = gramUpper(s, d)
+      val full = up.select(col("i"), col("j"), col("gram_milli2"))
+        .unionAll(up.filter(col("i") =!= col("j"))
+          .select(col("j").as("i"), col("i").as("j"), col("gram_milli2")))
+      val x0 = s.range(0, 64).select(col("id").as("j"), lit(1000L).as("x"))
+      def iterate(x: DataFrame): DataFrame = {
+        val y = full.join(broadcast(x), "j")
+          .groupBy("i")
+          .agg(sum(col("gram_milli2").cast("decimal(38,0)") * col("x")).as("y"))
+        val mx = y.agg(max("y").as("mx"))
+        y.crossJoin(broadcast(mx))
+          .select(col("i").as("j"),
+            expr("CAST((y * 1000) div mx AS BIGINT)").as("x"))
+      }
+      val x6 = (1 to 6).foldLeft(x0)((x, _) => iterate(x))
+      x6.select(col("j").as("i"), col("x").as("eigvec_milli")).orderBy("i")
+    }),
 
     // BOTTOM-K-BY-HASH uniform sample + quantile estimate — the
     // DataSketches-style mergeable sampling primitive: per group keep the
@@ -823,6 +864,29 @@ object CorpusQueries extends QueryPack {
         |  FROM e CROSS JOIN ii CROSS JOIN jj WHERE j >= i)
         |SELECT i, j, COUNT(*) AS n, CAST(SUM(prod) AS BIGINT) AS gram_milli2
         |FROM t GROUP BY 1, 2 ORDER BY i, j""".stripMargin,
+    "linalg_power_iteration" -> {
+      def round(i: Int): String =
+        s"""y$i AS (SELECT f.i, SUM(gram_milli2::HUGEINT * x) AS y
+           |  FROM fullg f JOIN x${i - 1} xv ON f.j = xv.j GROUP BY 1),
+           |x$i AS (SELECT i AS j,
+           |    CAST((y * 1000) // (SELECT MAX(y) FROM y$i) AS BIGINT) AS x
+           |  FROM y$i)""".stripMargin
+      s"""WITH e AS (SELECT embedding AS v FROM embeddings WHERE vec_id >= 8),
+         |ii AS (SELECT unnest(range(0, 64)) AS i),
+         |jj AS (SELECT unnest(range(0, 64)) AS j),
+         |t AS (SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+         |    CAST(round(v[CAST(i + 1 AS INT)] * 1000) AS BIGINT)::HUGEINT
+         |      * CAST(round(v[CAST(j + 1 AS INT)] * 1000) AS BIGINT) AS prod
+         |  FROM e CROSS JOIN ii CROSS JOIN jj WHERE j >= i),
+         |up AS (SELECT i, j, CAST(SUM(prod) AS BIGINT) AS gram_milli2
+         |  FROM t GROUP BY 1, 2),
+         |fullg AS (SELECT i, j, gram_milli2 FROM up
+         |  UNION ALL SELECT j, i, gram_milli2 FROM up WHERE i <> j),
+         |x0 AS (SELECT CAST(unnest(range(0, 64)) AS BIGINT) AS j,
+         |    CAST(1000 AS BIGINT) AS x),
+         |${(1 to 6).map(round).mkString(",\n")}
+         |SELECT j AS i, x AS eigvec_milli FROM x6 ORDER BY i""".stripMargin
+    },
     "sample_bottomk_median" ->
       """WITH ev AS (SELECT event_type, event_id,
         |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
