@@ -44,6 +44,33 @@ object CorpusQueries extends QueryPack {
         .agg(count(lit(1)).as("n"), sum("prod").cast("long").as("gram_milli2"))
     }
 
+  /** Top eigenvector of the Gram matrix (6 integer power-iteration
+    * rounds), scratch-materialized — the iterate chain runs once per
+    * (session, dir) and both the power-iteration and PCA-projection
+    * queries read the 64-row artifact. The gram artifact materializes
+    * BEFORE the eigvec build (Scratch is nesting-safe since r9, but the
+    * hoist keeps the documented discipline).
+    */
+  private def eigvec(s: SparkSession, d: String): DataFrame = {
+    val up = gramUpper(s, d)
+    cached("eigvec", s, d) {
+      val full = up.select(col("i"), col("j"), col("gram_milli2"))
+        .unionAll(up.filter(col("i") =!= col("j"))
+          .select(col("j").as("i"), col("i").as("j"), col("gram_milli2")))
+      val x0 = s.range(0, 64).select(col("id").as("j"), lit(1000L).as("x"))
+      def iterate(x: DataFrame): DataFrame = {
+        val y = full.join(broadcast(x), "j")
+          .groupBy("i")
+          .agg(sum(col("gram_milli2").cast("decimal(38,0)") * col("x")).as("y"))
+        val mx = y.agg(max("y").as("mx"))
+        y.crossJoin(broadcast(mx))
+          .select(col("i").as("j"),
+            expr("CAST((y * 1000) div mx AS BIGINT)").as("x"))
+      }
+      (1 to 6).foldLeft(x0)((x, _) => iterate(x))
+    }
+  }
+
   /** Rank-1 centroid assignment (broadcast constant-size centroid set) —
     * shared by the k-means queries and the trained-IVF index build.
     */
@@ -202,23 +229,27 @@ object CorpusQueries extends QueryPack {
     // and the div is well-defined.) Everything after the corpus pass
     // operates on dim-bounded relations: 6 iterations cost 6 tiny joins
     // regardless of corpus size.
-    "linalg_power_iteration" -> ((s, d) => {
-      val up = gramUpper(s, d)
-      val full = up.select(col("i"), col("j"), col("gram_milli2"))
-        .unionAll(up.filter(col("i") =!= col("j"))
-          .select(col("j").as("i"), col("i").as("j"), col("gram_milli2")))
-      val x0 = s.range(0, 64).select(col("id").as("j"), lit(1000L).as("x"))
-      def iterate(x: DataFrame): DataFrame = {
-        val y = full.join(broadcast(x), "j")
-          .groupBy("i")
-          .agg(sum(col("gram_milli2").cast("decimal(38,0)") * col("x")).as("y"))
-        val mx = y.agg(max("y").as("mx"))
-        y.crossJoin(broadcast(mx))
-          .select(col("i").as("j"),
-            expr("CAST((y * 1000) div mx AS BIGINT)").as("x"))
-      }
-      val x6 = (1 to 6).foldLeft(x0)((x, _) => iterate(x))
-      x6.select(col("j").as("i"), col("x").as("eigvec_milli")).orderBy("i")
+    "linalg_power_iteration" -> ((s, d) =>
+      eigvec(s, d).select(col("j").as("i"), col("x").as("eigvec_milli")).orderBy("i")),
+
+    // PCA PROJECTION — the triad's last step: every corpus vector scored
+    // against the learned principal direction (Σ vᵢ·eᵢ in exact milli²),
+    // top-10 most-aligned vectors reported. The eigenvector is a
+    // scratch-materialized 64-row artifact broadcast onto the posexploded
+    // corpus — one linear pass + a TakeOrderedAndProject, the shape a
+    // dimensionality-reduction or outlier-scoring pipeline runs at 100 TB.
+    "linalg_pca_project" -> ((s, d) => {
+      val e = eigvec(s, d) // (j, x) = milli eigenvector
+      Tables.embeddings(s, d).filter(col("vec_id") >= 8)
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("j", "c")))
+        .select(col("vec_id"), col("j").cast("long").as("j"),
+          expr("CAST(round(CAST(c AS DOUBLE) * 1000) AS BIGINT)").as("c"))
+        .join(broadcast(e), "j")
+        .groupBy("vec_id")
+        .agg(sum(col("c").cast("decimal(38,0)") * col("x")).cast("long")
+          .as("score_milli2"))
+        .orderBy(col("score_milli2").desc, col("vec_id"))
+        .limit(10)
     }),
 
     // BOTTOM-K-BY-HASH uniform sample + quantile estimate — the
@@ -886,6 +917,34 @@ object CorpusQueries extends QueryPack {
          |    CAST(1000 AS BIGINT) AS x),
          |${(1 to 6).map(round).mkString(",\n")}
          |SELECT j AS i, x AS eigvec_milli FROM x6 ORDER BY i""".stripMargin
+    },
+    "linalg_pca_project" -> {
+      def round(i: Int): String =
+        s"""y$i AS (SELECT f.i, SUM(gram_milli2::HUGEINT * x) AS y
+           |  FROM fullg f JOIN x${i - 1} xv ON f.j = xv.j GROUP BY 1),
+           |x$i AS (SELECT i AS j,
+           |    CAST((y * 1000) // (SELECT MAX(y) FROM y$i) AS BIGINT) AS x
+           |  FROM y$i)""".stripMargin
+      s"""WITH e AS (SELECT vec_id, embedding AS v FROM embeddings WHERE vec_id >= 8),
+         |ii AS (SELECT unnest(range(0, 64)) AS i),
+         |jj AS (SELECT unnest(range(0, 64)) AS j),
+         |t AS (SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+         |    CAST(round(v[CAST(i + 1 AS INT)] * 1000) AS BIGINT)::HUGEINT
+         |      * CAST(round(v[CAST(j + 1 AS INT)] * 1000) AS BIGINT) AS prod
+         |  FROM e CROSS JOIN ii CROSS JOIN jj WHERE j >= i),
+         |up AS (SELECT i, j, CAST(SUM(prod) AS BIGINT) AS gram_milli2
+         |  FROM t GROUP BY 1, 2),
+         |fullg AS (SELECT i, j, gram_milli2 FROM up
+         |  UNION ALL SELECT j, i, gram_milli2 FROM up WHERE i <> j),
+         |x0 AS (SELECT CAST(unnest(range(0, 64)) AS BIGINT) AS j,
+         |    CAST(1000 AS BIGINT) AS x),
+         |${(1 to 6).map(round).mkString(",\n")},
+         |comp AS (SELECT vec_id, CAST(jc AS BIGINT) AS j,
+         |    CAST(round(v[CAST(jc + 1 AS INT)] * 1000) AS BIGINT) AS c
+         |  FROM e CROSS JOIN (SELECT unnest(range(0, 64)) AS jc))
+         |SELECT vec_id, CAST(SUM(c::HUGEINT * x) AS BIGINT) AS score_milli2
+         |FROM comp JOIN x6 USING (j)
+         |GROUP BY 1 ORDER BY score_milli2 DESC, vec_id LIMIT 10""".stripMargin
     },
     "sample_bottomk_median" ->
       """WITH ev AS (SELECT event_type, event_id,
