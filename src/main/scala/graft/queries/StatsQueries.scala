@@ -265,6 +265,44 @@ object StatsQueries extends QueryPack {
     // corr casts the SAME exact decimals to double on both engines, so the
     // float is reproducible (unlike corr() over raw doubles, whose
     // accumulation order varies with partitioning).
+    // FULL CORRELATION MATRIX over 4 lineitem measures in ONE pass — the
+    // multivariate profiling sweep (stats_corr's pairwise big sibling):
+    // a single aggregate carries all 4 sums, 4 squared sums, and 6 cross
+    // sums (DECIMAL(38,0) throughout), and the 6 upper-triangle
+    // correlations derive from those exact integers, floor-scaled to ppm
+    // so both engines round the same doubles the same way. One corpus
+    // scan for the whole matrix — not 6.
+    "stats_corr_matrix" -> ((s, d) => {
+      val vars = Seq("q", "p", "dc", "tx")
+      val b = Tables.lineitem(s, d).select(
+        col("l_quantity").cast("long").as("q"),
+        Cleaning.cents(col("l_extendedprice")).as("p"),
+        expr("CAST(round(l_discount * 1000) AS BIGINT)").as("dc"),
+        expr("CAST(round(l_tax * 1000) AS BIGINT)").as("tx"))
+      val sums = Seq(count(lit(1)).as("n")) ++
+        vars.map(v => sum(col(v)).as(s"s_$v")) ++
+        (for (i <- vars.indices; j <- i until vars.length) yield {
+          val (x, y) = (vars(i), vars(j))
+          sum(expr(s"CAST($x AS DECIMAL(38,0)) * $y")).as(s"s_${x}_$y")
+        })
+      val a = b.agg(sums.head, sums.tail: _*)
+      def pairRow(x: String, y: String) =
+        a.select(lit(x).as("var1"), lit(y).as("var2"), col("n"),
+          expr(
+            s"""CAST(floor(1000000.0 *
+               | CAST(CAST(n AS DECIMAL(38,0)) * s_${x}_$y
+               |   - CAST(s_$x AS DECIMAL(38,0)) * s_$y AS DOUBLE)
+               | / sqrt(CAST(CAST(n AS DECIMAL(38,0)) * s_${x}_$x
+               |     - CAST(s_$x AS DECIMAL(38,0)) * s_$x AS DOUBLE)
+               |   * CAST(CAST(n AS DECIMAL(38,0)) * s_${y}_$y
+               |     - CAST(s_$y AS DECIMAL(38,0)) * s_$y AS DOUBLE))) AS BIGINT)"""
+              .stripMargin.replaceAll("\n", " ")).as("corr_ppm"))
+      (for (i <- vars.indices; j <- i + 1 until vars.length)
+        yield pairRow(vars(i), vars(j)))
+        .reduce(_ unionAll _)
+        .orderBy("var1", "var2")
+    }),
+
     "stats_corr" -> ((s, d) =>
       Tables.lineitem(s, d)
         .select(col("l_returnflag"),
@@ -1440,6 +1478,30 @@ object StatsQueries extends QueryPack {
         |    - CAST(sum_cents AS HUGEINT) * CAST(sum_cents AS HUGEINT))
         |    // (CAST(n AS HUGEINT) * CAST(n - 1 AS HUGEINT)) AS BIGINT) AS var_cents2
         |FROM a ORDER BY l_returnflag""".stripMargin,
+    "stats_corr_matrix" -> {
+      val vars = Seq("q", "p", "dc", "tx")
+      val sumCols = (vars.map(v => s"CAST(SUM($v) AS HUGEINT) AS s_$v") ++
+        (for (i <- vars.indices; j <- i until vars.length) yield {
+          val (x, y) = (vars(i), vars(j))
+          s"SUM(CAST($x AS HUGEINT) * $y) AS s_${x}_$y"
+        })).mkString(", ")
+      def pairSel(x: String, y: String) =
+        s"""SELECT '$x' AS var1, '$y' AS var2, n,
+           |  CAST(floor(1000000.0 *
+           |    CAST(n::HUGEINT * s_${x}_$y - s_$x * s_$y AS DOUBLE)
+           |    / sqrt(CAST(n::HUGEINT * s_${x}_$x - s_$x * s_$x AS DOUBLE)
+           |      * CAST(n::HUGEINT * s_${y}_$y - s_$y * s_$y AS DOUBLE))) AS BIGINT)
+           |    AS corr_ppm FROM a""".stripMargin
+      val pairs = for (i <- vars.indices; j <- i + 1 until vars.length)
+        yield pairSel(vars(i), vars(j))
+      s"""WITH b AS (SELECT CAST(l_quantity AS BIGINT) AS q,
+         |    CAST(round(l_extendedprice * 100) AS BIGINT) AS p,
+         |    CAST(round(l_discount * 1000) AS BIGINT) AS dc,
+         |    CAST(round(l_tax * 1000) AS BIGINT) AS tx FROM lineitem),
+         |a AS (SELECT COUNT(*) AS n, $sumCols FROM b)
+         |${pairs.mkString("\nUNION ALL ")}
+         |ORDER BY var1, var2""".stripMargin
+    },
     "stats_corr" ->
       """WITH b AS (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q,
         |    CAST(round(l_extendedprice*100) AS BIGINT) AS c FROM lineitem),
