@@ -277,28 +277,54 @@ object AggWindowQueries extends QueryPack {
         .orderBy("l_returnflag")),
 
     // §2.5 RANGE frame (value-based window bounds — all qty peers within
-    // 5 units below the current row's value).
+    // 5 units below the current row's value). The frame only depends on
+    // (flag, qty) — a 3×50 domain — so the range window runs over the
+    // pre-aggregated VALUE-DOMAIN counts (bounded input, the
+    // weightedMedian contract) and broadcast-joins back, instead of
+    // dragging every raw row through a 3-value window partition.
     "win_range_frame" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
       val w = Window.partitionBy("l_returnflag").orderBy(col("l_quantity"))
         .rangeBetween(-5, Window.currentRow)
-      Tables.lineitem(s, d)
-        .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
-        .withColumn("n_in_range", count(lit(1)).over(w))
+      val byVal = li.groupBy("l_returnflag", "l_quantity")
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("n_in_range", sum("cnt").over(w))
+        .drop("cnt")
+      li.join(broadcast(byVal), Seq("l_returnflag", "l_quantity"))
+        .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("n_in_range"))
         .orderBy("l_returnflag", "l_quantity", "l_orderkey", "l_linenumber")
     }),
 
     // §2.5 distribution windows: ntile quartiles + percent_rank/cume_dist
-    // (exact integer-ratio doubles, engine-identical).
+    // (exact integer-ratio doubles, engine-identical). The order has a
+    // unique tiebreak, so all three are pure arithmetic over the per-group
+    // row number and group size: rank == rn, pct_rank = (rn-1)/(n-1),
+    // cume = rn/n, and ntile(4) is Spark's first-(n%4)-buckets-get-one-
+    // extra split written out as integer division. rn comes from
+    // StatsOps.groupedRowNumber, not a window — partitionBy on the
+    // 3-value flag would funnel the raw table through 3 tasks.
     "win_ntile_dist" -> ((s, d) => {
-      val w = Window.partitionBy("l_returnflag")
-        .orderBy(col("price_cents").desc, col("l_orderkey").asc, col("l_linenumber").asc)
-      Tables.lineitem(s, d)
+      val base = Tables.lineitem(s, d)
         .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
           graft.ops.Cleaning.cents(col("l_extendedprice")).as("price_cents"))
-        .withColumn("quartile", ntile(4).over(w).cast("long"))
-        .withColumn("pct_rank", percent_rank().over(w))
-        .withColumn("cume", cume_dist().over(w))
+        .withColumn("neg_price", -col("price_cents"))
+      val rn = graft.ops.StatsOps.groupedRowNumber(base, "l_returnflag",
+        Seq("neg_price", "l_orderkey", "l_linenumber"), "rn")
+      val n = base.groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+      rn.join(broadcast(n), "l_returnflag")
+        .withColumn("quartile", expr(
+          """CASE WHEN rn <= (n % 4) * (n div 4 + 1)
+            |  THEN (rn - 1) div (n div 4 + 1) + 1
+            |  ELSE (n % 4) + (rn - 1 - (n % 4) * (n div 4 + 1)) div (n div 4) + 1
+            |END""".stripMargin.replaceAll("\n", " ")))
+        .withColumn("pct_rank", expr(
+          "CASE WHEN n = 1 THEN 0.0 ELSE CAST(rn - 1 AS DOUBLE) / CAST(n - 1 AS DOUBLE) END"))
+        .withColumn("cume", expr("CAST(rn AS DOUBLE) / CAST(n AS DOUBLE)"))
         .filter(col("l_orderkey") % 100 === 0)
+        .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+          col("price_cents"), col("quartile"), col("pct_rank"), col("cume"))
         .orderBy("l_returnflag", "price_cents", "l_orderkey", "l_linenumber")
     }),
 
@@ -429,21 +455,24 @@ object AggWindowQueries extends QueryPack {
         .orderBy("o_orderstatus")),
 
     // §2.5 DISTINCT count over a window — Spark (like most engines)
-    // forbids COUNT(DISTINCT) in window frames; the dense_rank-max trick
-    // delivers per-partition distinct counts on every row without a
-    // groupBy + join-back: dense_rank along the value order, then max
-    // over the whole partition. Both windows share one shuffle on the
-    // partition key.
+    // forbids COUNT(DISTINCT) in window frames. The classic workaround
+    // (dense_rank along the value order + max over the whole partition)
+    // is only scale-safe when the partition key is high-cardinality; on
+    // this 3-value key it funnels the raw table through 3 tasks (the
+    // stats_spearman ceiling, VERDICT r9). The scalable plan for a
+    // whole-partition frame is the aggregate itself: countDistinct per
+    // flag (partial-combined, cluster-wide parallel) broadcast-joined
+    // back onto the filtered rows — identical output, no window.
     "win_count_distinct" -> ((s, d) => {
-      val byVal = Window.partitionBy("l_returnflag").orderBy("l_partkey")
-      val whole = Window.partitionBy("l_returnflag")
-      Tables.lineitem(s, d)
+      val li = Tables.lineitem(s, d)
         .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
           col("l_partkey"))
-        .withColumn("dr", dense_rank().over(byVal))
-        .withColumn("n_distinct_parts", max("dr").over(whole).cast("long"))
-        .drop("dr")
-        .filter(col("l_orderkey") % 500 === 0)
+      val nd = li.groupBy("l_returnflag")
+        .agg(countDistinct(col("l_partkey")).as("n_distinct_parts"))
+      li.filter(col("l_orderkey") % 500 === 0)
+        .join(broadcast(nd), "l_returnflag")
+        .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("n_distinct_parts"))
         .orderBy("l_returnflag", "l_orderkey", "l_linenumber", "l_partkey")
     }),
 

@@ -261,8 +261,11 @@ object CorpusQueries extends QueryPack {
     // the exact lower median computed beside it; err_cents pins the
     // estimator's actual error. The sample path is a WindowGroupLimit-
     // prunable rank-64 per group — each map task forwards ≤ 64 rows per
-    // group into the exchange regardless of corpus size; only the ground-
-    // truth rank (gate-only) walks all rows.
+    // group into the exchange regardless of corpus size; the ground
+    // truth is the weighted median over per-(type, value) counts
+    // (value-domain-bounded window input — a raw-row rank per type would
+    // walk all rows through |types| tasks, VERDICT r9's ceiling class;
+    // 2·cumw ≥ n picks exactly the lower-median rank (n+1) div 2).
     "sample_bottomk_median" -> ((s, d) => {
       val ev = Tables.events(s, d)
         .select(col("event_type"), col("event_id"),
@@ -278,12 +281,11 @@ object CorpusQueries extends QueryPack {
         .filter(col("sr") === expr("(sz + 1) div 2"))
         .select(col("event_type"), col("sz").cast("long").as("sample_n"),
           col("cents").as("est_median_cents"))
-      val wv = Window.partitionBy("event_type").orderBy(col("cents"), col("event_id"))
-      val exact = ev
-        .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
-        .withColumn("r", row_number().over(wv))
-        .filter(col("r") === expr("(n + 1) div 2"))
-        .select(col("event_type"), col("n"), col("cents").as("true_median_cents"))
+      val exact = graft.ops.StatsOps.weightedMedian(
+          ev.groupBy("event_type", "cents").agg(count(lit(1)).as("cnt")),
+          "event_type", "cents", "cnt")
+        .select(col("event_type"), col("total_weight").as("n"),
+          col("wmedian").as("true_median_cents"))
       est.join(exact, "event_type")
         .select(col("event_type"), col("n"), col("sample_n"),
           col("est_median_cents"), col("true_median_cents"),
@@ -385,15 +387,23 @@ object CorpusQueries extends QueryPack {
     // EQUI-DEPTH length histogram — the quantile-bucket twin of
     // doc_len_histogram's fixed-width buckets (skewed length
     // distributions put 90% of docs in one fixed bucket; deciles always
-    // balance). ntile over (n_chars, doc_id) is deterministic (unique
-    // tiebreak), partitioned by lang so no global sort; at corpus scale
-    // the per-stratum sort is the same exchange every per-lang window
-    // here rides.
+    // balance). Decile assignment is deterministic (unique (n_chars,
+    // doc_id) tiebreak) and computed as ntile arithmetic over
+    // StatsOps.groupedRowNumber — a per-lang WINDOW would run the whole
+    // corpus through |langs| tasks (the stats_spearman ceiling,
+    // VERDICT r9); the range-partitioned rank scales with the cluster.
     "histogram_equi_depth" -> ((s, d) => {
-      val w = Window.partitionBy("lang").orderBy(col("n_chars"), col("doc_id"))
-      Tables.documents(s, d)
+      val base = Tables.documents(s, d)
         .select(col("lang"), col("n_chars"), col("doc_id"))
-        .withColumn("decile", ntile(10).over(w).cast("long"))
+      val rn = graft.ops.StatsOps.groupedRowNumber(base, "lang",
+        Seq("n_chars", "doc_id"), "rn")
+      val n = base.groupBy("lang").agg(count(lit(1)).as("n"))
+      rn.join(broadcast(n), "lang")
+        .withColumn("decile", expr(
+          """CASE WHEN rn <= (n % 10) * (n div 10 + 1)
+            |  THEN (rn - 1) div (n div 10 + 1) + 1
+            |  ELSE (n % 10) + (rn - 1 - (n % 10) * (n div 10 + 1)) div (n div 10) + 1
+            |END""".stripMargin.replaceAll("\n", " ")))
         .groupBy("lang", "decile")
         .agg(count(lit(1)).as("n_docs"),
           min("n_chars").as("lo_chars"), max("n_chars").as("hi_chars"))
@@ -442,16 +452,19 @@ object CorpusQueries extends QueryPack {
 
     // Token-budget bin packing (sequence packing for training): within
     // each lang stream, docs are assigned to 1024-token bins by running
-    // token count — one window cumsum per stratum, no driver loop. A doc
-    // straddling a boundary opens the next bin (budget binning, the
-    // distributed approximation of greedy packing).
+    // token count — no driver loop. The per-lang cumsum comes from
+    // StatsOps.groupedRunningSum (range-partitioned prefix sums with
+    // driver-side offsets): a window partitioned by the handful of langs
+    // would run the corpus through |langs| tasks (VERDICT r9's
+    // stats_spearman ceiling). A doc straddling a boundary opens the
+    // next bin (budget binning, the distributed approximation of greedy
+    // packing).
     "pack_token_bins" -> ((s, d) => {
-      val w = Window.partitionBy("lang").orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      Tables.documents(s, d)
+      val base = Tables.documents(s, d)
         .select(col("doc_id"), col("lang"),
           size(TextOps.tokens(col("text"))).cast("long").as("n_tok"))
-        .withColumn("cum", sum("n_tok").over(w))
+      graft.ops.StatsOps.groupedRunningSum(base, "lang", Seq("doc_id"),
+          "n_tok", "cum")
         .select(col("doc_id"), col("lang"), col("n_tok"),
           expr("(cum - n_tok) div 1024").as("bin"))
         .orderBy("doc_id")
@@ -692,12 +705,13 @@ object CorpusQueries extends QueryPack {
     // runs once (scratch vocab artifacts shared with bpe_encode); this
     // query adds only the doc-dimension window.
     "pack_token_bins_bpe" -> ((s, d) => {
-      val w = Window.partitionBy("lang").orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      bpeDocTokens(s, d)
+      val base = bpeDocTokens(s, d)
         .join(Tables.documents(s, d).select("doc_id", "lang"), "doc_id")
         .select(col("doc_id"), col("lang"), col("n_bpe_tokens").as("n_tok"))
-        .withColumn("cum", sum("n_tok").over(w))
+      // per-lang cumsum via groupedRunningSum, same rationale as
+      // pack_token_bins (no constant-cardinality window partitions)
+      graft.ops.StatsOps.groupedRunningSum(base, "lang", Seq("doc_id"),
+          "n_tok", "cum")
         .select(col("doc_id"), col("lang"), col("n_tok"),
           expr("(cum - n_tok) div 1024").as("bin"))
         .orderBy("doc_id")
@@ -805,11 +819,14 @@ object CorpusQueries extends QueryPack {
     // members would still fail the gate.
     "sample_class_balance" -> ((s, d) => {
       val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"))
+        .withColumn("h", TextOps.hash60(col("doc_id").cast("string")))
       val minCnt = docs.groupBy("lang").agg(count(lit(1)).as("cnt"))
         .agg(min("cnt").as("min_cnt"))
-      val w = Window.partitionBy("lang")
-        .orderBy(TextOps.hash60(col("doc_id").cast("string")).asc, col("doc_id").asc)
-      docs.withColumn("rn", row_number().over(w).cast("long"))
+      // data-dependent quota → the rank filter can't constant-prune
+      // map-side, so a per-lang WINDOW would walk the whole corpus in
+      // |langs| tasks; groupedRowNumber keeps rank assignment
+      // cluster-parallel (VERDICT r9)
+      graft.ops.StatsOps.groupedRowNumber(docs, "lang", Seq("h", "doc_id"), "rn")
         .crossJoin(broadcast(minCnt))
         .filter(col("rn") <= col("min_cnt"))
         .groupBy("lang")

@@ -427,10 +427,14 @@ object ScaleQueries extends QueryPack {
         .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
           col("l_shipdate"),
           expr("datediff(l_shipdate, to_date('1970-01-01'))").as("day"))
+      // No dedup pass: each point keys by its OWN single day, so a
+      // (window, point) pair can meet in exactly one bucket — the join
+      // output already matches the oracle's plain range join row-for-row.
+      // (r9 had a post-join .distinct() here; it was a no-op on the data
+      // but full-shuffled the largest intermediate — VERDICT r9.)
       winB.join(pts, "day")
         .filter(col("l_shipdate") >= col("w_start") && col("l_shipdate") <= col("w_end"))
         .select(col("w_id"), col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
-        .distinct() // a point on a day boundary meets the window in 2 buckets
         .groupBy("w_id")
         .agg(count(lit(1)).as("n_hits"),
           sum(col("l_quantity").cast("long")).as("sum_qty"))

@@ -359,30 +359,33 @@ object StatsQueries extends QueryPack {
     // permutation of 1..n with a DETERMINISTIC tie order both engines
     // reproduce (the classic tie-averaged variant needs float half-ranks;
     // this tiebroken variant stays integer-exact). With distinct ranks the
-    // closed form applies: rho = 1 - 6*sum(d^2) / (n*(n^2-1)); sum(d^2)
-    // <= n^3 fits a long through ~2M rows/group, and the one double is
-    // derived from the same exact integers on both engines. Two ranking
-    // windows share one exchange on l_returnflag.
+    // closed form applies: rho = 1 - 6*sum(d^2) / (n*(n^2-1)). Ranks are
+    // assigned by StatsOps.groupedRowNumber — range-partitioned sort +
+    // driver-side offsets — NOT a window partitioned by l_returnflag: that
+    // window runs as at most 3 tasks (the key has 3 values) with a full
+    // per-group sort, a parallelism ceiling no cluster size can lift
+    // (VERDICT r9). sum(d^2) accumulates in DECIMAL(38,0) (can reach n^3);
+    // the emitted sd2 stays BIGINT like the oracle's cast.
     "stats_spearman" -> ((s, d) => {
       // (l_orderkey, l_linenumber) is NOT unique in this generator's
       // lineitem, but (l_orderkey, l_linenumber, q, c) is — so each rank
       // order ends in the OTHER measure to stay total (else identical-key
       // rows pair ranks engine-arbitrarily and sd2 drifts).
-      val wq = Window.partitionBy("l_returnflag")
-        .orderBy(col("q"), col("l_orderkey"), col("l_linenumber"), col("c"))
-      val wc = Window.partitionBy("l_returnflag")
-        .orderBy(col("c"), col("l_orderkey"), col("l_linenumber"), col("q"))
-      Tables.lineitem(s, d)
+      val base = Tables.lineitem(s, d)
         .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
           col("l_quantity").cast("long").as("q"),
           Cleaning.cents(col("l_extendedprice")).as("c"))
-        .withColumn("rq", row_number().over(wq).cast("long"))
-        .withColumn("rc", row_number().over(wc).cast("long"))
-        .groupBy("l_returnflag")
+      val rq = graft.ops.StatsOps.groupedRowNumber(base, "l_returnflag",
+        Seq("q", "l_orderkey", "l_linenumber", "c"), "rq")
+      val rc = graft.ops.StatsOps.groupedRowNumber(rq, "l_returnflag",
+        Seq("c", "l_orderkey", "l_linenumber", "q"), "rc")
+      rc.groupBy("l_returnflag")
         .agg(count(lit(1)).as("n"),
-          sum(expr("(rq - rc) * (rq - rc)")).as("sd2"))
-        .select(col("l_returnflag"), col("n"), col("sd2"),
-          expr("""1.0 - 6.0 * CAST(sd2 AS DOUBLE)
+          sum(expr("CAST(rq - rc AS DECIMAL(38,0)) * CAST(rq - rc AS DECIMAL(38,0))"))
+            .as("sd2d"))
+        .select(col("l_returnflag"), col("n"),
+          col("sd2d").cast("long").as("sd2"),
+          expr("""1.0 - 6.0 * CAST(sd2d AS DOUBLE)
                  | / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - 1.0))"""
             .stripMargin.replaceAll("\n", " ")).as("spearman_rho"))
         .orderBy("l_returnflag")

