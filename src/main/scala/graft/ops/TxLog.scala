@@ -77,16 +77,28 @@ object TxLog {
   def currentVersion(table: String): Long =
     listVersions(table).lastOption.getOrElse(0L)
 
-  // manifests are written by us, so the hand-rolled JSON below never needs
-  // escaping (uuid paths + fixed op names); parsing goes through Jackson
-  // (bundled with Spark) so a torn/garbage file fails loudly, not quietly
+  // Every string is JSON-escaped on the way out (a table path containing a
+  // quote or backslash must not produce an unparseable manifest — ADVICE
+  // r9); parsing goes through Jackson (bundled with Spark) so a
+  // torn/garbage file fails loudly, not quietly.
+  private def jstr(s: String): String = {
+    val b = new StringBuilder("\"")
+    s.foreach {
+      case '"' => b.append("\\\"")
+      case '\\' => b.append("\\\\")
+      case c if c < 0x20 => b.append(f"\\u${c.toInt}%04x")
+      case c => b.append(c)
+    }
+    b.append('"').toString
+  }
+
   private def manifestJson(m: Manifest): String = {
-    def arr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
+    def arr(xs: Seq[String]) = xs.map(jstr).mkString("[", ",", "]")
     val stats = m.stats.map { case (p, s) =>
-      val bloom = s.bloomHex.map(h => s""","bloom":"$h"""").getOrElse("")
-      s""""$p":{"col":"${s.col}","min":${s.min},"max":${s.max}$bloom}"""
+      val bloom = s.bloomHex.map(h => s""","bloom":${jstr(h)}""").getOrElse("")
+      s"""${jstr(p)}:{"col":${jstr(s.col)},"min":${s.min},"max":${s.max}$bloom}"""
     }.mkString("{", ",", "}")
-    s"""{"version":${m.version},"op":"${m.op}","adds":${arr(m.adds)},""" +
+    s"""{"version":${m.version},"op":${jstr(m.op)},"adds":${arr(m.adds)},""" +
       s""""removes":${arr(m.removes)},"readVersion":${m.readVersion},""" +
       s""""stats":$stats}"""
   }
@@ -148,12 +160,29 @@ object TxLog {
 
   def commit(table: String, op: String, adds: Seq[String],
              removes: Seq[String], readVersion: Long,
-             stats: Map[String, SegStats]): Long = {
+             stats: Map[String, SegStats]): Long =
+    commit(table, op, adds, removes, readVersion, stats, () => false)
+
+  /** Core CAS loop. `skipIf` is re-evaluated INSIDE every attempt (after
+    * reading the head, before the no-overwrite move): when it turns true
+    * the commit returns -1 without publishing. This is the
+    * exactly-once hook [[streamingAppend]] needs — a check-then-act
+    * outside the loop lets two zombie drivers replaying the same batch
+    * both pass the check and both blind-append (ADVICE r9). Ordering
+    * argument: versions are sequential, so if a competing commit lands
+    * after `skipIf` passed, it takes `cur + 1` and this writer's move to
+    * the same name fails — the retry re-runs `skipIf` against the new log.
+    */
+  private def commit(table: String, op: String, adds: Seq[String],
+                     removes: Seq[String], readVersion: Long,
+                     stats: Map[String, SegStats],
+                     skipIf: () => Boolean): Long = {
     init(table)
     var attempts = 0
     while (attempts < 100) {
       attempts += 1
       val cur = currentVersion(table)
+      if (skipIf()) return -1L
       if (removes.nonEmpty && cur != readVersion)
         throw new ConcurrentModificationException(
           s"$table: commit '$op' read version $readVersion but head is $cur — " +
@@ -215,13 +244,20 @@ object TxLog {
   // Bloom parameters: 2^20 bits / 3 probes — <0.2% false-positive odds at
   // ~40k keys per segment; a false positive only costs one extra segment
   // scan, never a wrong row. Probe positions use xxhash64 seeded 0..2 so
-  // writer (distributed) and reader (one-row eval) agree by construction.
+  // writer (distributed) and reader (one-row eval) agree by construction —
+  // AND both sides hash the key cast to LONG: Spark's xxhash64 is
+  // type-dependent (an IntegerType column hashes differently from the
+  // LongType literal the point lookup evals), so hashing the raw column
+  // would silently prune segments that DO contain the key for any
+  // non-long key column (bloom false NEGATIVES — ADVICE r9). The cast
+  // also matches the min/max path, which already tracks keys as long.
   private val BloomBits = 1 << 20
   private val BloomWords = BloomBits / 64
 
   private def bloomPositions(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions.{array, lit, pmod, xxhash64}
-    array((0 until 3).map(s => pmod(xxhash64(c, lit(s)), lit(BloomBits.toLong))): _*)
+    array((0 until 3).map(s =>
+      pmod(xxhash64(c.cast("long"), lit(s)), lit(BloomBits.toLong))): _*)
   }
 
   /** Append carrying BOTH min/max and a Bloom filter on `keyCol`. The
@@ -319,6 +355,17 @@ object TxLog {
   def merge(spark: SparkSession, updates: DataFrame, table: String,
             key: String): Long = {
     init(table)
+    // Delta raises on multiple matches for one target row; silently
+    // unioning a duplicate-keyed updates frame would duplicate the key in
+    // the table (ADVICE r9) — reject it before any rewrite work.
+    val (nUpd, nKeys) = {
+      import org.apache.spark.sql.functions.{count, countDistinct, col => fcol, lit}
+      val r = updates.agg(count(lit(1)), countDistinct(fcol(key))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    require(nUpd == nKeys,
+      s"merge updates carry duplicate '$key' values ($nUpd rows, $nKeys keys) — " +
+        "a key may match at most one update row")
     val rv = currentVersion(table)
     val live = liveFiles(table, Some(rv))
     require(live.nonEmpty, s"merge into empty table $table")
@@ -359,6 +406,14 @@ object TxLog {
     * the replay finds its id already committed and SKIPS, so the
     * file-sink output is transactional without any sink-side dedup
     * column. Returns the committed version, or -1 for a skipped replay.
+    *
+    * The already-committed check runs INSIDE the commit CAS loop, not
+    * just up front: two zombie drivers replaying the same batch can both
+    * pass a front check, and blind appends never conflict — the batch
+    * would land twice (ADVICE r9). With the in-loop check, the loser of
+    * the version race re-reads the log, finds the winner's
+    * `stream_append_b<id>` manifest, and returns -1; its orphaned staged
+    * segment is invisible to readers and collected by [[vacuum]].
     */
   def streamingAppend(df: DataFrame, table: String, batchId: Long): Long = {
     init(table)
@@ -366,7 +421,8 @@ object TxLog {
     else {
       val p = stage(df, table)
       commit(table, s"stream_append_b$batchId", Seq(p), Seq.empty,
-        currentVersion(table))
+        currentVersion(table), Map.empty,
+        skipIf = () => maxCommittedBatch(table) >= batchId)
     }
   }
 
@@ -380,12 +436,18 @@ object TxLog {
     */
   def compactClustered(spark: SparkSession, table: String, clusterCol: String,
                        buckets: Int): Long = {
-    import org.apache.spark.sql.functions.{col => fcol, expr, max => fmax, min => fmin}
+    import org.apache.spark.sql.functions.{col => fcol, count => fcount, expr, lit,
+      max => fmax, min => fmin}
     val rv = currentVersion(table)
     val live = liveFiles(table, Some(rv))
     require(live.nonEmpty, s"optimize of empty table $table")
     val base = spark.read.parquet(live: _*)
-    val mx = base.agg(fmax(fcol(clusterCol).cast("long"))).head().getLong(0)
+    val baseRow = base.agg(fcount(lit(1)),
+      fmax(fcol(clusterCol).cast("long"))).head()
+    val baseCount = baseRow.getLong(0)
+    // all-null cluster column → mx is null; every row then falls to the
+    // residual segment below (the buckets stage nothing)
+    val mx = if (baseRow.isNullAt(1)) 0L else baseRow.getLong(1)
     val q = mx / buckets + 1
     val staged = (0 until buckets).flatMap { b =>
       val part = base.filter(expr(s"$clusterCol div $q") === b)
@@ -397,21 +459,50 @@ object TxLog {
         Some(p -> SegStats(clusterCol, mm.getLong(0), mm.getLong(1)))
       }
     }
-    commit(table, "optimize", staged.map(_._1), live, rv, staged.toMap)
+    // Residual segment: rows the bucket predicate can never select — null
+    // or negative cluster keys (`x div q === b` is null/never-true for
+    // them, and buckets only cover 0..buckets-1). Without it a maintenance
+    // op documented as content-preserving silently DROPS those rows
+    // (ADVICE r9). Committed stat-less: a null-keyed segment must never
+    // be pruned.
+    val residualPart = base.filter(fcol(clusterCol).isNull || fcol(clusterCol) < 0)
+    val residual =
+      if (residualPart.isEmpty) Seq.empty[String]
+      else Seq(stage(residualPart, table))
+    val adds = staged.map(_._1) ++ residual
+    val stagedCount =
+      if (adds.isEmpty) 0L
+      else spark.read.parquet(adds: _*).count()
+    require(stagedCount == baseCount,
+      s"optimize of $table would change the row count ($baseCount -> $stagedCount); " +
+        "aborting before the swap — staged segments are unreferenced and vacuumable")
+    commit(table, "optimize", adds, live, rv, staged.toMap)
   }
 
   /** Garbage-collect segment dirs referenced by NO version ≥
     * `keepVersionsFrom` — removes both crash-orphaned staged data (never
     * committed) and segments only old snapshots could see. Time travel
     * below the horizon stops working, by design.
+    *
+    * `minAgeMillis` is the Delta/Iceberg-style retention window: a dir is
+    * only deleted when its mtime is older than now − minAgeMillis. An
+    * unreferenced dir is NOT necessarily garbage — a live writer has
+    * staged-but-not-yet-committed segments, and deleting those corrupts
+    * the table the moment its manifest publishes (ADVICE r9). Pass a
+    * window ≥ the longest stage-to-commit latency any writer can have;
+    * 0 is only safe when no writer is concurrently staging.
     */
-  def vacuum(table: String, keepVersionsFrom: Long): Seq[String] = {
+  def vacuum(table: String, keepVersionsFrom: Long,
+             minAgeMillis: Long = 10 * 60 * 1000L): Seq[String] = {
     val keep = listVersions(table).filter(_ >= keepVersionsFrom)
       .flatMap(v => liveFiles(table, Some(v))).toSet
     val dataDir = Paths.get(table, "data")
     if (!Files.isDirectory(dataDir)) return Seq.empty
+    val cutoff = System.currentTimeMillis() - minAgeMillis
     val doomed = Files.list(dataDir).iterator().asScala
-      .filterNot(p => keep.contains(p.toString)).toSeq
+      .filterNot(p => keep.contains(p.toString))
+      .filter(p => Files.getLastModifiedTime(p).toMillis <= cutoff)
+      .toSeq
     doomed.foreach { p =>
       Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
     }

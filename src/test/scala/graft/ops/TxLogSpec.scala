@@ -33,7 +33,7 @@ class TxLogSpec extends SparkSpec {
     val after = TxLog.snapshot(spark, t).as[(Long, Long)].collect().sortBy(_._1)
     assert(after.toSeq === before.toSeq)
     // vacuum collects the orphan without touching committed data
-    val collected = TxLog.vacuum(t, keepVersionsFrom = 1L)
+    val collected = TxLog.vacuum(t, keepVersionsFrom = 1L, minAgeMillis = 0L)
     assert(collected.contains(orphan) && !Files.exists(Paths.get(orphan)))
     assert(TxLog.snapshot(spark, t).count() === 2L)
   }
@@ -93,7 +93,7 @@ class TxLogSpec extends SparkSpec {
     assert(TxLog.snapshot(spark, t, Some(3L)).as[(Long, Long)].collect().toMap
       === Map(1L -> 11L, 2L -> 21L))
     // vacuum to the head: v1/v2-only segments are collected, head intact
-    TxLog.vacuum(t, keepVersionsFrom = 3L)
+    TxLog.vacuum(t, keepVersionsFrom = 3L, minAgeMillis = 0L)
     assert(TxLog.snapshot(spark, t).as[(Long, Long)].collect().toMap
       === Map(1L -> 11L, 2L -> 21L))
     intercept[Exception] { TxLog.snapshot(spark, t, Some(2L)).collect() }
@@ -206,6 +206,99 @@ class TxLogSpec extends SparkSpec {
     assert(TxLog.snapshot(spark, t).as[(Long, Long)].collect().toMap
       === Map(1L -> 10L, 2L -> 20L, 3L -> 30L, 4L -> 40L, 5L -> 50L, 6L -> 60L))
     assert(df.filter(col("k") <= 3L).count() === 3L)
+  }
+
+  test("bloom lookups are type-canonical: an INT key column still finds its rows") {
+    // ADVICE r9: xxhash64 is type-dependent — writer hashing a raw
+    // IntegerType column vs reader hashing a LongType literal produced
+    // bloom false NEGATIVES (rows silently missing). Both sides now hash
+    // cast("long"); an int-keyed table must keep its segments findable.
+    val t = freshTable()
+    val intRows = Seq((1, 10L), (3, 30L)).toDF("k", "v") // k is IntegerType
+    TxLog.appendWithBloom(intRows, t, "k")
+    TxLog.appendWithBloom(Seq((2, 20L), (4, 40L)).toDF("k", "v"), t, "k")
+    val (df, scanned, total) = TxLog.snapshotPointLookup(spark, t, "k", 3L)
+    assert(total === 2 && scanned === 1, "even segment bloom-pruned, odd kept")
+    assert(df.filter(col("k") === 3).count() === 1L,
+      "the segment containing the key must NOT be bloom-pruned")
+  }
+
+  test("clustered compaction keeps null and negative cluster keys (residual segment)") {
+    val t = freshTable()
+    // null, negative, and bucketable keys in one table
+    val mixed = Seq[(java.lang.Long, Long)]((null, 1L), (-5L, 2L), (1L, 10L),
+      (6L, 60L)).toDF("k", "v")
+    TxLog.append(mixed, t)
+    val v = TxLog.compactClustered(spark, t, "k", 2)
+    assert(v === 2L)
+    val out = TxLog.snapshot(spark, t)
+    assert(out.count() === 4L, "optimize must never drop rows")
+    assert(out.filter(col("k").isNull).count() === 1L)
+    assert(out.filter(col("k") === -5L).count() === 1L)
+    // all-null cluster column: no NPE, content intact
+    val t2 = freshTable()
+    TxLog.append(Seq[(java.lang.Long, Long)]((null, 1L), (null, 2L)).toDF("k", "v"), t2)
+    TxLog.compactClustered(spark, t2, "k", 2)
+    assert(TxLog.snapshot(spark, t2).count() === 2L)
+  }
+
+  test("zombie drivers replaying one batch commit it exactly once") {
+    // ADVICE r9: a check-then-act guard lets two writers both pass the
+    // already-committed check and blind-append the same batch twice. The
+    // check now re-runs inside the commit CAS loop; hammer it with
+    // concurrent replays of the SAME batch id.
+    val t = freshTable()
+    TxLog.streamingAppend(rows(0L -> 0L), t, batchId = 0L)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      val results = (1 to 8).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Long] {
+          def call(): Long = TxLog.streamingAppend(rows(1L -> i.toLong), t, batchId = 1L)
+        })
+      }.map(_.get())
+      assert(results.count(_ > 0) === 1,
+        s"batch 1 must commit exactly once, got $results")
+    } finally pool.shutdown()
+    assert(TxLog.snapshot(spark, t).filter(col("k") === 1L).count() === 1L,
+      "the replayed batch's rows appear exactly once")
+    assert(TxLog.maxCommittedBatch(t) === 1L)
+  }
+
+  test("vacuum retention: young unreferenced dirs survive (a staging writer is not garbage)") {
+    val t = freshTable()
+    TxLog.append(rows(1L -> 10L), t)
+    // a live writer mid-commit: staged, manifest not yet published
+    val staging = TxLog.stage(rows(2L -> 20L), t)
+    // default retention window: the seconds-old dir is NOT collected
+    val collected = TxLog.vacuum(t, keepVersionsFrom = 1L)
+    assert(!collected.contains(staging) && Files.exists(Paths.get(staging)),
+      "a freshly staged segment inside the retention window must survive vacuum")
+    // the writer can still publish correctly afterwards
+    TxLog.commit(t, "append", Seq(staging), Seq.empty, TxLog.currentVersion(t))
+    assert(TxLog.snapshot(spark, t).count() === 2L)
+  }
+
+  test("merge rejects duplicate-keyed updates instead of duplicating the key") {
+    val t = freshTable()
+    TxLog.append(rows(1L -> 10L), t)
+    intercept[IllegalArgumentException] {
+      TxLog.merge(spark, rows(1L -> 11L, 1L -> 12L), t, "k")
+    }
+    assert(TxLog.snapshot(spark, t).as[(Long, Long)].collect().toMap
+      === Map(1L -> 10L), "rejected merge must not touch the table")
+  }
+
+  test("manifests survive table paths needing JSON escaping") {
+    // a quote in the path must round-trip through the manifest JSON
+    // (backslash paths additionally break Hadoop's glob layer — that is a
+    // filesystem-API limitation, not a manifest one, so not tested here)
+    val base = Files.createTempDirectory("txlog-esc-")
+    val t = base.resolve("we\"ird path").toString
+    TxLog.append(rows(1L -> 10L), t)
+    TxLog.append(rows(2L -> 20L), t)
+    TxLog.overwrite(rows(3L -> 30L), t) // removes carry the quoted paths
+    assert(TxLog.snapshot(spark, t).as[(Long, Long)].collect().toMap
+      === Map(3L -> 30L))
   }
 
   test("CAS race: two manifests for the same version — exactly one wins") {
