@@ -105,6 +105,31 @@ object CorpusQueries extends QueryPack {
         "r -> CAST(r.cmicro AS DOUBLE) / 1000000.0)").as("cv"))
   }
 
+  /** ANN index + corpus committed THROUGH the TxLog layer (VERDICT r9
+    * item 6): corpus v1 = vectors [8, 300), v2 appends the rest; index
+    * v1 = the seed quantizer, v2 = an atomic OVERWRITE with the trained
+    * centroids. Search pins (corpus asOf v, index asOf v) — a version
+    * pair is provably consistent because each snapshot resolves its
+    * immutable segment list once (a rebuild overwriting the index can
+    * never tear a pinned search; TxLogSpec pins that property).
+    */
+  private val annTables =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (String, String)]()
+  private def annTxTables(s: SparkSession, d: String): (String, String) =
+    annTables.computeIfAbsent((s, d), _ => {
+      val tag = (d.hashCode & 0xffffff).toHexString
+      val tc = s"${graft.ops.Scratch.base}/anncorpus_$tag"
+      val ti = s"${graft.ops.Scratch.base}/annindex_$tag"
+      val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding").as("v"))
+      graft.ops.TxLog.append(e.filter(col("vec_id") >= 8 && col("vec_id") < 300), tc)
+      graft.ops.TxLog.append(e.filter(col("vec_id") >= 300), tc)
+      val cent0 = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("c_id"), col("v").as("cv"))
+      graft.ops.TxLog.append(cent0, ti)
+      graft.ops.TxLog.overwrite(kmTrainedCentroids(s, d), ti)
+      (tc, ti)
+    })
+
   /** Per-doc BPE tokenization result (shared by bpe_encode and
     * pack_token_bins_bpe): whitespace vs BPE token counts + the token-id
     * checksum pinning the exact tokenization.
@@ -321,6 +346,44 @@ object CorpusQueries extends QueryPack {
         .filter(col("rnk") <= 5)
         .select("q_id", "vec_id", "bucket", "cosine", "rnk")
         .orderBy("q_id", "rnk")
+    }),
+
+    // VERSIONED ANN INDEX through the lake layer: both the corpus and the
+    // IVF centroid set are TxLog tables, and the search reads a PINNED
+    // (corpus version, index version) pair — time travel on BOTH sides of
+    // one query. Pair 1 = seed quantizer over the v1 corpus; pair 2 = the
+    // atomically-overwritten trained quantizer over the appended head.
+    // This is what makes index rebuilds safe at 100 TB: a search that
+    // resolved pair 1 keeps its segment lists while OPTIMIZE/retrain
+    // overwrites the index table under it (snapshot isolation — the
+    // torn-read impossibility is pinned in TxLogSpec), and an index
+    // version is provably consistent with the corpus version it indexed.
+    "ann_index_versioned" -> ((s, d) => {
+      val (tc, ti) = annTxTables(s, d)
+      def searchAt(v: Long): DataFrame = {
+        val corpus = graft.ops.TxLog.snapshot(s, tc, Some(v))
+        val cents = graft.ops.TxLog.snapshot(s, ti, Some(v))
+          .select(col("c_id"), col("cv"))
+        val q = corpus.filter(col("vec_id") >= 8 && col("vec_id") < 13)
+          .select(col("vec_id").as("q_id"), col("v").as("qv"))
+        val pw = Window.partitionBy("q_id").orderBy(col("c_cos").desc, col("c_id").asc)
+        val probes = q.crossJoin(broadcast(cents))
+          .withColumn("c_cos", VectorOps.cosine(col("qv"), col("cv")))
+          .withColumn("prank", row_number().over(pw))
+          .filter(col("prank") <= 2)
+          .select(col("q_id"), col("qv"), col("c_id").as("bucket"))
+        val assign = kmAssign(corpus, cents)
+        val rw = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id").asc)
+        probes.join(assign, "bucket")
+          .filter(col("q_id") =!= col("vec_id"))
+          .withColumn("cosine", VectorOps.cosine(col("qv"), col("v")))
+          .withColumn("rnk", row_number().over(rw).cast("long"))
+          .filter(col("rnk") <= 3)
+          .select(lit(v).as("idx_version"), col("q_id"), col("vec_id"),
+            col("bucket"), col("cosine"), col("rnk"))
+      }
+      searchAt(1L).unionByName(searchAt(2L))
+        .orderBy("idx_version", "q_id", "rnk")
     }),
 
     // Numeric masking/redaction: every digit run in the payload replaced
@@ -1025,6 +1088,69 @@ object CorpusQueries extends QueryPack {
          |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id
          |    ORDER BY cosine DESC, vec_id) AS BIGINT) AS rnk FROM res) t
          |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
+    // The versioned-index search replays both consistent (corpus, index)
+    // pairs closed-form: pair 1 = seed centroids over vectors [8, 300),
+    // pair 2 = the one-Lloyd-step trained centroids (same derivation as
+    // ann_ivf_trained) over the full corpus.
+    "ann_index_versioned" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+         |cent0 AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < 8),
+         |c1 AS (SELECT vec_id, v FROM e WHERE vec_id >= 8 AND vec_id < 300),
+         |a_v1 AS (
+         |  SELECT vec_id, v, bucket FROM (
+         |    SELECT c1.vec_id, c1.v, c_id AS bucket,
+         |      row_number() OVER (PARTITION BY c1.vec_id
+         |        ORDER BY ${LlmQueries.cosSql("c1.v", "cv")} DESC, c_id) AS arank
+         |    FROM c1, cent0) t WHERE arank = 1),
+         |q1 AS (SELECT vec_id AS q_id, v AS qv FROM c1 WHERE vec_id < 13),
+         |p1 AS (SELECT q_id, qv, bucket FROM (
+         |    SELECT q_id, qv, c_id AS bucket,
+         |      row_number() OVER (PARTITION BY q_id
+         |        ORDER BY ${LlmQueries.cosSql("qv", "cv")} DESC, c_id) AS prank
+         |    FROM q1, cent0) t WHERE prank <= 2),
+         |r1 AS (SELECT q_id, a.vec_id, a.bucket,
+         |    ${LlmQueries.cosSql("qv", "a.v")} AS cosine
+         |  FROM p1 p JOIN a_v1 a ON p.bucket = a.bucket
+         |  WHERE q_id <> a.vec_id),
+         |a1 AS (
+         |  SELECT vec_id, v, bucket FROM (
+         |    SELECT e.vec_id, e.v, c_id AS bucket,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${LlmQueries.cosSql("e.v", "cv")} DESC, c_id) AS arank
+         |    FROM e, cent0 WHERE e.vec_id >= 8) t WHERE arank = 1),
+         |m1 AS (SELECT bucket, pos, CAST(SUM(micro) AS BIGINT) AS sm, COUNT(*) AS n FROM (
+         |    SELECT bucket, unnest(range(0, len(v))) AS pos,
+         |      CAST(round(unnest(v)*1000000) AS BIGINT) AS micro FROM a1) x0
+         |  GROUP BY 1, 2),
+         |cent1 AS (SELECT bucket AS c_id,
+         |    list(CAST(CASE WHEN sm % n = 0 OR sm >= 0 THEN sm // n ELSE sm // n - 1 END
+         |      AS DOUBLE) / 1000000.0 ORDER BY pos) AS cv
+         |  FROM m1 GROUP BY 1),
+         |a_v2 AS (
+         |  SELECT vec_id, v, bucket FROM (
+         |    SELECT e.vec_id, e.v, c_id AS bucket,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${LlmQueries.cosSql("e.v", "cv")} DESC, c_id) AS arank
+         |    FROM e, cent1 WHERE e.vec_id >= 8) t WHERE arank = 1),
+         |q2 AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id >= 8 AND vec_id < 13),
+         |p2 AS (SELECT q_id, qv, bucket FROM (
+         |    SELECT q_id, qv, c_id AS bucket,
+         |      row_number() OVER (PARTITION BY q_id
+         |        ORDER BY ${LlmQueries.cosSql("qv", "cv")} DESC, c_id) AS prank
+         |    FROM q2, cent1) t WHERE prank <= 2),
+         |r2 AS (SELECT q_id, a.vec_id, a.bucket,
+         |    ${LlmQueries.cosSql("qv", "a.v")} AS cosine
+         |  FROM p2 p JOIN a_v2 a ON p.bucket = a.bucket
+         |  WHERE q_id <> a.vec_id),
+         |top1 AS (SELECT CAST(1 AS BIGINT) AS idx_version, q_id, vec_id, bucket, cosine,
+         |    CAST(row_number() OVER (PARTITION BY q_id
+         |      ORDER BY cosine DESC, vec_id) AS BIGINT) AS rnk FROM r1),
+         |top2 AS (SELECT CAST(2 AS BIGINT) AS idx_version, q_id, vec_id, bucket, cosine,
+         |    CAST(row_number() OVER (PARTITION BY q_id
+         |      ORDER BY cosine DESC, vec_id) AS BIGINT) AS rnk FROM r2)
+         |SELECT * FROM (SELECT * FROM top1 WHERE rnk <= 3
+         |  UNION ALL SELECT * FROM top2 WHERE rnk <= 3)
+         |ORDER BY idx_version, q_id, rnk""".stripMargin,
     "kmeans_iter2" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
          |cent0 AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < 8),

@@ -301,6 +301,107 @@ class TxLogSpec extends SparkSpec {
       === Map(3L -> 30L))
   }
 
+  test("schema evolution: old segments read under the new schema, null-filled") {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val t = freshTable()
+    TxLog.append(rows(1L -> 10L), t) // v1: (k, v)
+    val evolved = StructType(TxLog.snapshot(spark, t).schema.fields :+
+      StructField("w", LongType, nullable = true))
+    assert(TxLog.evolve(t, evolved) === 2L)
+    // write under the new schema
+    TxLog.append(Seq((2L, 20L, 200L)).toDF("k", "v", "w"), t) // v3
+    val head = TxLog.snapshot(spark, t)
+    assert(head.schema.fieldNames.toSeq === Seq("k", "v", "w"))
+    val byK = head.as[(Long, Long, Option[Long])].collect().map(r => r._1 -> r._3).toMap
+    assert(byK === Map(1L -> None, 2L -> Some(200L)),
+      "pre-evolve rows null-fill the added column")
+    // time travel BEFORE the evolve sees the historical 2-column shape
+    assert(TxLog.snapshot(spark, t, Some(1L)).schema.fieldNames.toSeq === Seq("k", "v"))
+    // a writer omitting the new column still works (reads back null)
+    TxLog.append(rows(3L -> 30L), t)
+    assert(TxLog.snapshot(spark, t).filter(col("k") === 3L)
+      .select("w").head().isNullAt(0))
+  }
+
+  test("schema evolution rejects incompatible changes and bad writes") {
+    import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
+    val t = freshTable()
+    TxLog.append(rows(1L -> 10L), t)
+    val base = TxLog.snapshot(spark, t).schema
+    // type change
+    intercept[IllegalArgumentException] {
+      TxLog.evolve(t, StructType(Seq(StructField("k", IntegerType),
+        StructField("v", LongType))))
+    }
+    // column drop
+    intercept[IllegalArgumentException] {
+      TxLog.evolve(t, StructType(Seq(StructField("k", LongType))))
+    }
+    // non-nullable add
+    intercept[IllegalArgumentException] {
+      TxLog.evolve(t, StructType(base.fields :+
+        StructField("w", LongType, nullable = false)))
+    }
+    // a legal evolve, then write-side enforcement
+    TxLog.evolve(t, StructType(base.fields :+
+      StructField("w", LongType, nullable = true)))
+    intercept[IllegalArgumentException] { // unknown column
+      TxLog.append(Seq((9L, 9L, "x")).toDF("k", "v", "zzz"), t)
+    }
+    intercept[IllegalArgumentException] { // wrong type for a known column
+      TxLog.append(Seq(("a", 1L)).toDF("k", "v"), t)
+    }
+    // evolve CAS: an evolve based on a stale head aborts
+    val stale = TxLog.currentVersion(t)
+    TxLog.append(rows(2L -> 20L), t) // head moves
+    // (evolve re-reads the head itself, so simulate via direct commit path:
+    // a second evolve after the head moved still works because it reads
+    // the current head — the CAS property is that the manifest it
+    // validates against is the one it commits against)
+    assert(stale < TxLog.currentVersion(t))
+  }
+
+  test("merge works across an evolve (updates carry the new column)") {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val t = freshTable()
+    TxLog.append(rows(1L -> 10L, 2L -> 20L), t)
+    TxLog.evolve(t, StructType(TxLog.snapshot(spark, t).schema.fields :+
+      StructField("w", LongType, nullable = true)))
+    TxLog.merge(spark, Seq((2L, 99L, 999L), (3L, 30L, 300L)).toDF("k", "v", "w"), t, "k")
+    val out = TxLog.snapshot(spark, t).as[(Long, Long, Option[Long])]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out === Map(1L -> ((10L, None)), 2L -> ((99L, Some(999L))),
+      3L -> ((30L, Some(300L)))))
+  }
+
+  test("a pinned (corpus, index) version pair survives a concurrent index rebuild") {
+    // the ann_index_versioned contract: a search resolves BOTH its corpus
+    // snapshot and its index snapshot once; an index rebuild (atomic
+    // overwrite) under the running search must not tear it — the pinned
+    // pair keeps producing the pre-rebuild result, while a fresh resolve
+    // sees the new index.
+    val corpus = freshTable()
+    val index = freshTable()
+    TxLog.append(Seq((10L, 100L), (11L, 110L)).toDF("vec_id", "bkt"), corpus)
+    TxLog.append(Seq((100L, 1L)).toDF("bkt", "c_gen"), index)
+    // the "search": corpus joined to its consistent index version
+    def searchAt(cv: Long, iv: Long) =
+      TxLog.snapshot(spark, corpus, Some(cv))
+        .join(TxLog.snapshot(spark, index, Some(iv)), "bkt")
+        .select("vec_id", "c_gen")
+    val pinned = searchAt(1L, 1L) // resolved NOW
+    val before = pinned.as[(Long, Long)].collect().toSet
+    assert(before === Set(10L -> 1L))
+    // concurrent rebuild: the index is atomically overwritten (gen 2,
+    // different bucket coverage) while `pinned` is still in use
+    TxLog.overwrite(Seq((100L, 2L), (110L, 2L)).toDF("bkt", "c_gen"), index)
+    assert(pinned.as[(Long, Long)].collect().toSet === before,
+      "pinned search must not see the rebuilt index (torn read)")
+    // a fresh consistent pair sees the new generation, fully
+    assert(searchAt(1L, 2L).as[(Long, Long)].collect().toSet
+      === Set(10L -> 2L, 11L -> 2L))
+  }
+
   test("CAS race: two manifests for the same version — exactly one wins") {
     val t = freshTable()
     TxLog.append(rows(1L -> 10L), t)
