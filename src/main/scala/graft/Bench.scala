@@ -1,5 +1,41 @@
 package graft
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
+
+import java.util.concurrent.atomic.AtomicLong
+
+/** Task-metric accumulator for the instrumented bench mode
+  * (SPARK_GRAFT_BENCH_METRICS): per-query shuffle read/write and spill
+  * bytes, the signals that separate "the plan shuffles too much" from
+  * "the sandbox sort spilled" when a query scales badly (VERDICT r9's
+  * sf1-tail triage ask). Listener events drain asynchronously, so
+  * snapshots happen after a short settle — totals are diagnostic
+  * (summed over warm-up + all reps), not part of the timing contract.
+  */
+private class TaskMetricsAcc extends SparkListener {
+  val shuffleRead = new AtomicLong
+  val shuffleWrite = new AtomicLong
+  val memSpill = new AtomicLong
+  val diskSpill = new AtomicLong
+  override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+    val m = te.taskMetrics
+    if (m != null) {
+      shuffleRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+      shuffleWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      memSpill.addAndGet(m.memoryBytesSpilled)
+      diskSpill.addAndGet(m.diskBytesSpilled)
+    }
+  }
+  def reset(): Unit = {
+    Thread.sleep(300) // let the listener bus drain the previous query
+    shuffleRead.set(0); shuffleWrite.set(0); memSpill.set(0); diskSpill.set(0)
+  }
+  def json: String = {
+    Thread.sleep(300)
+    s"""{"shuffle_read":${shuffleRead.get},"shuffle_write":${shuffleWrite.get},""" +
+      s""""mem_spill":${memSpill.get},"disk_spill":${diskSpill.get}}"""
+  }
+}
 
 /** Per-round benchmark: runs every declared query on SPARK_GRAFT_SF_DIR.
   * Each query runs one untimed warm-up rep then `SPARK_GRAFT_BENCH_REPS`×
@@ -47,7 +83,14 @@ object Bench {
     // rep 3, so even the median of 3 was 2.6× the steady state (VERDICT r8
     // driver-context outliers). The warm-up rep never enters the median.
     val warmup = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUP", "1").toInt
+    val metricsAcc = if (sys.env.contains("SPARK_GRAFT_BENCH_METRICS")) {
+      val a = new TaskMetricsAcc
+      spark.sparkContext.addSparkListener(a)
+      Some(a)
+    } else None
+    val taskMetrics = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = selected.map { case (name, fn) =>
+      metricsAcc.foreach(_.reset())
       var failed = false
       (1 to warmup).foreach { _ =>
         try { fn(spark, sfDir).queryExecution.toRdd.count() }
@@ -64,6 +107,11 @@ object Bench {
       if (verbose)
         System.err.println(s"[bench] $name reps: " +
           raw.map(t => f"$t%.3f").mkString(" "))
+      metricsAcc.foreach { a =>
+        val j = a.json
+        taskMetrics(name) = j
+        if (verbose) System.err.println(s"[bench] $name metrics: $j")
+      }
       // MIN of the timed reps, not median: timing noise is strictly upward
       // (GC pause, late C2 compile, scheduler contention — nothing ever makes
       // a query run FASTER than its steady state), and r8 showed the JIT
@@ -85,8 +133,13 @@ object Bench {
     val cachedRdds = storage.length
     val cachedMem = storage.map(_.memSize).sum
     val cachedDisk = storage.map(_.diskSize).sum
+    // task_metrics only appears in instrumented runs — the driver's
+    // bench_queries.json shape stays exactly as before
+    val tmJson = if (taskMetrics.isEmpty) ""
+      else s""","task_metrics":${taskMetrics.map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}")}"""
     val detail =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.length},"n_failed":${failed.length},"queries":$qs,"failed":$failedJson,"cached_rdds":$cachedRdds,"cached_mem_bytes":$cachedMem,"cached_disk_bytes":$cachedDisk,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.length},"n_failed":${failed.length},"queries":$qs,"failed":$failedJson,"cached_rdds":$cachedRdds,"cached_mem_bytes":$cachedMem,"cached_disk_bytes":$cachedDisk,"sf":"$sfDir"$tmJson}"""
     // Recorder contract (ADVICE r7): a run with ANY failed query must never
     // replace the last known-good snapshot — round 7 overwrote a clean
     // 264-query baseline with a 38-failure run and the harness's rc:0 let

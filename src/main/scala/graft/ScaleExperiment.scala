@@ -104,7 +104,7 @@ object ScaleExperiment {
 
     val times = Seq("dedup_minhash_capped", "dedup_sorted_neighborhood",
       "dedup_incremental_pairs", "dedup_minhash_pairs", "dedup_line_segments",
-      "dedup_edit_prefilter").map { q =>
+      "dedup_edit_prefilter", "dedup_fuzzy_verify").map { q =>
       val t0 = System.nanoTime()
       val n = SparkEntry.queries(q)(spark, dir).queryExecution.toRdd.count()
       if (q == "dedup_sorted_neighborhood")
@@ -120,6 +120,13 @@ object ScaleExperiment {
         // 156× on this exact duplicate-heavy replica
         require(n <= 28L * nDocs,
           s"[$tag] capped edit-prefilter emitted $n > 28*n_docs=${28L * nDocs}")
+      if (q == "dedup_fuzzy_verify")
+        // r10 (VERDICT r9 item 7): the verify twin inherited the same
+        // threshold-8 hot-band cap after the uncapped candidate stage
+        // measured 16× at 10× on this replica — emitted pairs (one row
+        // per candidate, no post-filter) must stay ≤ 28·n_docs
+        require(n <= 28L * nDocs,
+          s"[$tag] capped fuzzy-verify emitted $n > 28*n_docs=${28L * nDocs}")
       f""""$q":{"sec":${(System.nanoTime() - t0) / 1e9}%.2f,"rows":$n}"""
     }.mkString(",")
 

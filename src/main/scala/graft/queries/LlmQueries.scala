@@ -432,8 +432,17 @@ object LlmQueries extends QueryPack {
     // per pair — affordable precisely BECAUSE banding already cut 125k
     // potential pairs to ~35.
     "dedup_fuzzy_verify" -> ((s, d) => {
+      // hot-band cap (threshold 8) BEFORE the self-join, exactly as in
+      // dedup_edit_prefilter: the per-pair levenshtein is the expensive
+      // kernel, and uncapped band pairs grow quadratically on a
+      // duplicate-heavy corpus (r9 sf1 measured 16× at 10× data; the
+      // ScaleExperiment pins the capped pair count ≤ 28·n_docs — linear).
       val b = minhashBands(s, d)
-      val pairs = b.as("x").join(b.as("y"),
+      val hot = b.groupBy("band", "band_key")
+        .agg(count(lit(1)).as("n")).filter(col("n") > 8)
+        .select("band", "band_key")
+      val cold = b.join(broadcast(hot), Seq("band", "band_key"), "left_anti")
+      val pairs = cold.as("x").join(cold.as("y"),
           col("x.band") === col("y.band") && col("x.band_key") === col("y.band_key") &&
             col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
@@ -454,8 +463,15 @@ object LlmQueries extends QueryPack {
     // MinHash estimates, computed exactly on the pruned pair set):
     // J = |shingles₁ ∩ shingles₂| / |shingles₁ ∪ shingles₂|.
     "dedup_jaccard_verify" -> ((s, d) => {
+      // same hot-band cap as dedup_fuzzy_verify — the exact-Jaccard
+      // kernel (array_intersect over shingle sets) is just as per-pair
+      // expensive as levenshtein, so the twin inherits the linear bound
       val b = minhashBands(s, d)
-      val pairs = b.as("x").join(b.as("y"),
+      val hot = b.groupBy("band", "band_key")
+        .agg(count(lit(1)).as("n")).filter(col("n") > 8)
+        .select("band", "band_key")
+      val cold = b.join(broadcast(hot), Seq("band", "band_key"), "left_anti")
+      val pairs = cold.as("x").join(cold.as("y"),
           col("x.band") === col("y.band") && col("x.band_key") === col("y.band_key") &&
             col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
@@ -1193,8 +1209,12 @@ object LlmQueries extends QueryPack {
          |ORDER BY d1, d2""".stripMargin,
     "dedup_fuzzy_verify" ->
       s"""WITH $mhSigSql,
+         |hot AS (SELECT band, band_key FROM bandtab
+         |  GROUP BY 1, 2 HAVING COUNT(*) > 8),
+         |cold AS (SELECT * FROM bandtab WHERE (band, band_key) NOT IN
+         |  (SELECT (band, band_key) FROM hot)),
          |pairs AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-         |  FROM bandtab a JOIN bandtab b
+         |  FROM cold a JOIN cold b
          |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id)
          |SELECT d1, d2,
          |  CAST(levenshtein(x.text, y.text) AS BIGINT) AS edit_dist,
@@ -1225,8 +1245,12 @@ object LlmQueries extends QueryPack {
          |FROM scored CROSS JOIN ts GROUP BY 1 ORDER BY 1""".stripMargin,
     "dedup_jaccard_verify" ->
       s"""WITH $mhSigSql,
+         |hot AS (SELECT band, band_key FROM bandtab
+         |  GROUP BY 1, 2 HAVING COUNT(*) > 8),
+         |cold AS (SELECT * FROM bandtab WHERE (band, band_key) NOT IN
+         |  (SELECT (band, band_key) FROM hot)),
          |pairs AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-         |  FROM bandtab a JOIN bandtab b
+         |  FROM cold a JOIN cold b
          |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
          |shs AS (SELECT doc_id, list_distinct(
          |    list_transform(range(1, len(string_split(text,' '))-1),
