@@ -127,15 +127,12 @@ object TxLog {
   }
 
   /** Live segment paths at `asOf` (default: latest). Resolved once —
-    * this list IS the reader's isolation boundary.
+    * this list IS the reader's isolation boundary. Resolution goes
+    * through the nearest checkpoint when one exists (see [[checkpoint]]);
+    * `TxLogSpec` pins the equivalence with the full fold.
     */
-  def liveFiles(table: String, asOf: Option[Long] = None): Seq[String] = {
-    val vs = listVersions(table).filter(v => asOf.forall(v <= _))
-    vs.foldLeft(Vector.empty[String]) { (live, v) =>
-      val m = readManifest(table, v)
-      live.filterNot(m.removes.contains) ++ m.adds
-    }
-  }
+  def liveFiles(table: String, asOf: Option[Long] = None): Seq[String] =
+    liveFilesViaCheckpoint(table, asOf).map(_._1)
 
   /** Table schema recorded by the latest `evolve` commit at or before
     * `asOf`; None for tables that never evolved (their schema is whatever
@@ -407,7 +404,7 @@ object TxLog {
     import org.apache.spark.sql.functions.lit
     val pos = spark.range(1).select(bloomPositions(lit(key)).as("p"))
       .head().getSeq[Long](0)
-    val all = liveFilesWithStats(table)
+    val all = liveFilesViaCheckpoint(table)
     val keep = all.collect {
       case (p, None) => p
       case (p, Some(s)) if s.col != keyCol => p
@@ -443,7 +440,7 @@ object TxLog {
     */
   def snapshotPruned(spark: SparkSession, table: String, statsCol: String,
                      lo: Long, hi: Long): (DataFrame, Int, Int) = {
-    val all = liveFilesWithStats(table)
+    val all = liveFilesViaCheckpoint(table)
     val keep = all.collect {
       case (p, None) => p
       case (p, Some(s)) if s.col != statsCol || (s.max >= lo && s.min <= hi) => p
@@ -597,6 +594,83 @@ object TxLog {
       s"optimize of $table would change the row count ($baseCount -> $stagedCount); " +
         "aborting before the swap — staged segments are unreferenced and vacuumable")
     commit(table, "optimize", adds, live, rv, staged.toMap)
+  }
+
+  /** CHECKPOINT the manifest log (Delta's _last_checkpoint / Iceberg's
+    * snapshot metadata): collapse the fold of manifests 1..V into one
+    * `<V>.checkpoint.json` carrying the live segment list, accumulated
+    * stats, and the recorded schema AT V. Readers then resolve a snapshot
+    * from the nearest checkpoint ≤ asOf plus only the manifests after it —
+    * O(commits since last checkpoint) instead of O(all commits), which is
+    * what keeps a table with millions of commits readable. Writing a
+    * checkpoint is pure metadata: no CAS needed (its content is a
+    * deterministic function of the immutable log prefix — two racers
+    * write identical bytes), published with the same atomic link.
+    */
+  def checkpoint(table: String): Long = {
+    val v = currentVersion(table)
+    require(v > 0, s"checkpoint of empty log $table")
+    val live = liveFilesWithStats(table, Some(v))
+    val schema = recordedSchema(table, Some(v))
+    val stats = live.collect { case (p, Some(s)) => p -> s }.toMap
+    val m = Manifest(v, "checkpoint", live.map(_._1), Seq.empty, v, stats,
+      schema.map(_.json))
+    val tmp = Files.createTempFile(logDir(table), s".ckpt$v-", ".tmp")
+    Files.writeString(tmp, manifestJson(m))
+    try Files.createLink(logDir(table).resolve(f"$v%020d.checkpoint.json"), tmp)
+    catch { case _: FileAlreadyExistsException => () } // identical content
+    Files.deleteIfExists(tmp)
+    v
+  }
+
+  /** Checkpoint versions present in the log, ascending. */
+  def checkpointVersions(table: String): Seq[Long] = {
+    val dir = logDir(table)
+    if (!Files.isDirectory(dir)) Seq.empty
+    else Files.list(dir).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(_.matches("\\d{20}\\.checkpoint\\.json"))
+      .map(_.stripSuffix(".checkpoint.json").toLong)
+      .toSeq.sorted
+  }
+
+  private def readCheckpoint(table: String, v: Long): Manifest = {
+    val node = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(Files.readString(logDir(table).resolve(f"$v%020d.checkpoint.json")))
+    def arr(field: String): Seq[String] =
+      node.get(field).elements().asScala.map(_.asText()).toSeq
+    val stats = Option(node.get("stats")).map { sn =>
+      sn.properties().asScala.map { e =>
+        e.getKey -> SegStats(e.getValue.get("col").asText(),
+          e.getValue.get("min").asLong(), e.getValue.get("max").asLong(),
+          Option(e.getValue.get("bloom")).map(_.asText()))
+      }.toMap
+    }.getOrElse(Map.empty[String, SegStats])
+    Manifest(node.get("version").asLong(), node.get("op").asText(),
+      arr("adds"), arr("removes"), node.get("readVersion").asLong(), stats,
+      Option(node.get("schema")).map(_.toString))
+  }
+
+  /** Snapshot resolution through the nearest checkpoint: the fold starts
+    * from the checkpoint's live set and only replays manifests after it.
+    * Returns the same (segments, stats) a full fold produces — `TxLogSpec`
+    * pins the equivalence — while reading O(delta) manifests.
+    */
+  def liveFilesViaCheckpoint(table: String,
+                             asOf: Option[Long] = None): Seq[(String, Option[SegStats])] = {
+    val ckpt = checkpointVersions(table).filter(v => asOf.forall(v <= _)).lastOption
+    ckpt match {
+      case None => liveFilesWithStats(table, asOf)
+      case Some(cv) =>
+        val base = readCheckpoint(table, cv)
+        val vs = listVersions(table).filter(v => v > cv && asOf.forall(v <= _))
+        val (live, stats) = vs.foldLeft((base.adds.toVector, base.stats)) {
+          case ((liveAcc, statAcc), v) =>
+            val m = readManifest(table, v)
+            (liveAcc.filterNot(m.removes.contains) ++ m.adds, statAcc ++ m.stats)
+        }
+        live.map(p => p -> stats.get(p))
+    }
   }
 
   /** Garbage-collect segment dirs referenced by NO version ≥

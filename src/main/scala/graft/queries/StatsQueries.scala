@@ -81,6 +81,25 @@ object StatsQueries extends QueryPack {
       t
     })
 
+  /** Checkpointed TxLog table: the txTable transaction sequence with a
+    * manifest-log CHECKPOINT written mid-history (after v2), so head
+    * resolution replays checkpoint + 1 manifest instead of 3.
+    */
+  private def txCheckpointTable(s: SparkSession, d: String): String =
+    txTables.computeIfAbsent((s, "ckpt:" + d), _ => {
+      val t = s"${graft.ops.Scratch.base}/txckpt_${(d.hashCode & 0xffffff).toHexString}"
+      val base = Tables.orders(s, d)
+        .select(col("o_orderkey"), Cleaning.cents(col("o_totalprice")).as("cents"))
+      graft.ops.TxLog.append(base.filter(col("o_orderkey") % 2 === 1), t)
+      graft.ops.TxLog.append(base.filter(col("o_orderkey") % 2 === 0), t)
+      graft.ops.TxLog.checkpoint(t)
+      val merged = graft.ops.TxLog.snapshot(s, t)
+        .withColumn("cents",
+          when(col("o_orderkey") % 5 === 0, col("cents") + 500L).otherwise(col("cents")))
+      graft.ops.TxLog.overwrite(merged, t)
+      t
+    })
+
   /** Second TxLog table: base appended, then `merge_upsert`'s exact update
     * set applied THROUGH `TxLog.merge` — one atomic copy-on-write commit
     * (concurrent-writer conflicts abort; TxLogSpec). Built once per
@@ -865,6 +884,26 @@ object StatsQueries extends QueryPack {
           col("n_rows"), col("sum_cents"))
     }),
 
+    // MANIFEST-LOG CHECKPOINT (Delta's _last_checkpoint / Iceberg snapshot
+    // metadata): without one, resolving a snapshot folds EVERY manifest
+    // since table creation — O(commits), unreadable at millions of
+    // commits. The checkpoint collapses the prefix into one file; head
+    // resolution replays checkpoint + manifests-after only (equivalence
+    // with the full fold is spec-pinned, and every TxLog read path goes
+    // through it). The query reads the head across a mid-history
+    // checkpoint and emits the log geometry beside the aggregate.
+    "lake_txlog_checkpoint" -> ((s, d) => {
+      val t = txCheckpointTable(s, d)
+      val ckpts = graft.ops.TxLog.checkpointVersions(t)
+      val head = graft.ops.TxLog.currentVersion(t)
+      graft.ops.TxLog.snapshot(s, t)
+        .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+        .select(lit(ckpts.size.toLong).as("n_checkpoints"),
+          lit(ckpts.head).as("ckpt_version"),
+          lit(head - ckpts.head).as("manifests_replayed"),
+          col("n"), col("sum_cents"))
+    }),
+
     // SCHEMA EVOLUTION through the commit log (the add-column path Delta/
     // Iceberg treat as table stakes; VERDICT r9 named its absence the
     // largest engine-category gap): v1 appends odd keys under the
@@ -1461,6 +1500,12 @@ object StatsQueries extends QueryPack {
       """SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT)
         |  + CASE WHEN o_orderkey % 5 = 0 THEN 500 ELSE 0 END AS cents
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "lake_txlog_checkpoint" ->
+      """SELECT CAST(1 AS BIGINT) AS n_checkpoints, CAST(2 AS BIGINT) AS ckpt_version,
+        |  CAST(1 AS BIGINT) AS manifests_replayed, COUNT(*) AS n,
+        |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)
+        |    + CASE WHEN o_orderkey % 5 = 0 THEN 500 ELSE 0 END) AS BIGINT) AS sum_cents
+        |FROM orders""".stripMargin,
     "lake_txlog_evolution" ->
       """SELECT CAST(2 AS BIGINT) AS n_cols_v1, CAST(3 AS BIGINT) AS n_cols_head,
         |  CASE WHEN o_orderkey % 2 = 1 THEN '(pre-evolve)'

@@ -402,6 +402,32 @@ class TxLogSpec extends SparkSpec {
       === Set(10L -> 2L, 11L -> 2L))
   }
 
+  test("checkpointed snapshot resolution equals the full log fold") {
+    val t = freshTable()
+    TxLog.appendWithStats(rows(1L -> 10L), t, "k")            // v1
+    TxLog.appendWithStats(rows(2L -> 20L), t, "k")            // v2
+    TxLog.overwrite(rows(1L -> 11L, 2L -> 21L), t)            // v3
+    assert(TxLog.checkpoint(t) === 3L)
+    TxLog.appendWithStats(rows(3L -> 30L), t, "k")            // v4 (post-ckpt)
+    // head, at-checkpoint, and pre-checkpoint resolutions all equal the
+    // full fold (pre-checkpoint falls back to it)
+    for (asOf <- Seq(None, Some(4L), Some(3L), Some(2L), Some(1L)))
+      assert(TxLog.liveFilesViaCheckpoint(t, asOf)
+        === TxLog.liveFilesWithStats(t, asOf), s"asOf=$asOf")
+    // reads keep working through the checkpoint path (snapshot uses it)
+    assert(TxLog.snapshot(spark, t).as[(Long, Long)].collect().toMap
+      === Map(1L -> 11L, 2L -> 21L, 3L -> 30L))
+    // stats survive the checkpoint: the post-checkpoint segment's
+    // min/max (k in [3,3]) prunes it from a [1,1] read; the stat-less
+    // overwrite segment is conservatively kept
+    val (_, scanned, total) = TxLog.snapshotPruned(spark, t, "k", 1L, 1L)
+    assert(total === 2 && scanned === 1,
+      "v4 segment must prune from a [1,1] read via the checkpoint path")
+    // a second checkpoint at the same head is a no-op (identical content)
+    assert(TxLog.checkpoint(t) === 4L)
+    assert(TxLog.checkpointVersions(t) === Seq(3L, 4L))
+  }
+
   test("CAS race: two manifests for the same version — exactly one wins") {
     val t = freshTable()
     TxLog.append(rows(1L -> 10L), t)
