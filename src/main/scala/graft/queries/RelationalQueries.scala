@@ -133,6 +133,27 @@ object RelationalQueries extends QueryPack {
         .orderBy("l_returnflag")
     }),
 
+    // §2.1 OBJECT-STORE round-trip: the reference's actual deployment
+    // writes to S3 via the s3:// → s3a:// rewrite (pyspark.py:482-485,
+    // README.md:6). The sandbox has no egress, so `fs.s3a.impl` points at
+    // ObjectStoreFs — local bytes under object-store URIs with S3's
+    // copy+delete rename semantics — and THIS write runs the real
+    // DataFrameWriter commit protocol (staged task dirs renamed into
+    // place = full data copies here, as on S3), then partition discovery
+    // + read-back through s3a:// URIs end-to-end.
+    "sink_object_store" -> ((s, d) => {
+      graft.sources.ObjectStoreFs.install(s)
+      val out = graft.sources.ObjectStoreFs.uri(scratch("orders_s3"))
+      Sinks.writePartitionedParquet(
+        Tables.orders(s, d).select(col("o_orderkey"), col("o_orderstatus"),
+          Cleaning.cents(col("o_totalprice")).as("cents")),
+        out, Seq("o_orderstatus"))
+      s.read.parquet(Sinks.readScheme(out.replaceFirst("s3a://", "s3://")))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+        .orderBy("o_orderstatus")
+    }),
+
     // §2.2 plain projection to schema order (pyspark.py:67,71,182,…).
     "project_select" -> ((s, d) =>
       Tables.customer(s, d).select("c_custkey", "c_name", "c_mktsegment")
@@ -737,6 +758,10 @@ object RelationalQueries extends QueryPack {
     "sink_partitioned_parquet" ->
       """SELECT l_returnflag, COUNT(*) AS n, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "sink_object_store" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "project_select" ->
       "SELECT c_custkey, c_name, c_mktsegment FROM customer ORDER BY c_custkey",
     "project_selectexpr" ->

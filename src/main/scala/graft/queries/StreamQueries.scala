@@ -13,7 +13,45 @@ import org.apache.spark.sql.functions._
   */
 object StreamQueries extends QueryPack {
 
+  /** TxLog fixture for the `txlog-stream` source gate: orders split into
+    * two append commits (v1 = odd keys, v2 = even), built once per
+    * (session, sfDir) — the stream replays exactly these two commits.
+    */
+  private val txStreamTables =
+    new java.util.concurrent.ConcurrentHashMap[(org.apache.spark.sql.SparkSession, String), String]
+  private val sinkSeq = new java.util.concurrent.atomic.AtomicInteger
+
+  private def txStreamTable(s: org.apache.spark.sql.SparkSession, d: String): String =
+    txStreamTables.computeIfAbsent((s, d), _ => {
+      val t = s"${graft.ops.Scratch.base}/txstream_${(d.hashCode & 0xffffff).toHexString}"
+      val base = Tables.orders(s, d).select(col("o_orderkey"),
+        graft.ops.Cleaning.cents(col("o_totalprice")).as("cents"))
+      graft.ops.TxLog.append(base.filter(col("o_orderkey") % 2 === 1), t)
+      graft.ops.TxLog.append(base.filter(col("o_orderkey") % 2 === 0), t)
+      t
+    })
+
   val queries: Map[String, Q] = Map(
+    // The lake's read-side streaming quadrant: `txlog-stream` replays a
+    // TxLog table's COMMITS as micro-batches (offsets = log versions,
+    // exactly-once per commit — TxLogStreamSpec pins restarts/rewrites).
+    // The gate runs the REAL streaming query (AvailableNow → memory sink)
+    // and checks per-commit attribution: the in-stream aggregation holds
+    // one row per commit, so the driver-held sink is log-sized, never
+    // data-sized. The oracle recomputes each commit's rows from orders.
+    "stream_txlog_source_batcheq" -> ((s, d) => {
+      val t = txStreamTable(s, d)
+      val qn = s"txlog_gate_${sinkSeq.incrementAndGet()}"
+      val q = s.readStream.format("txlog-stream")
+        .option("withCommitVersion", true).load(t)
+        .groupBy(col("_commit_version").as("commit_version"))
+        .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+        .writeStream.outputMode("complete").format("memory").queryName(qn)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally q.stop()
+      s.table(qn).orderBy("commit_version")
+    }),
+
     // Tumbling 10-minute windows × event type. Epoch-aligned starts match
     // DuckDB's time_bucket. One shuffle on (window, event_type).
     "stream_tumbling_window_batcheq" -> ((s, d) =>
@@ -162,6 +200,15 @@ object StreamQueries extends QueryPack {
   )
 
   val oracle: Map[String, String] = Map(
+    "stream_txlog_source_batcheq" ->
+      """SELECT CAST(1 AS BIGINT) AS commit_version, COUNT(*) AS n,
+        |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM orders WHERE o_orderkey % 2 = 1
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), COUNT(*),
+        |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |FROM orders WHERE o_orderkey % 2 = 0
+        |ORDER BY commit_version""".stripMargin,
     "stream_dedup_batcheq" ->
       """WITH delivered AS (
         |  SELECT event_id, ts, user_id, event_type FROM events

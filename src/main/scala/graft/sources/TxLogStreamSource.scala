@@ -1,0 +1,159 @@
+package graft.sources
+
+import graft.ops.TxLog
+import org.apache.spark.sql.execution.streaming.{Offset => V1Offset, Source}
+import org.apache.spark.sql.functions.lit
+import org.apache.spark.sql.graft.StreamBridge
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
+
+/** Stream a TxLog table's COMMITS — the Delta-style "table as a stream"
+  * read (DeltaSource / Iceberg's incremental scan):
+  * {{{
+  *   spark.readStream.format("txlog-stream")
+  *     .option("withCommitVersion", true).load(tablePath)
+  * }}}
+  * Offsets are LOG VERSIONS: micro-batch (start, end] replays exactly the
+  * manifests in that version range, so the offset a checkpoint records is
+  * meaningful across restarts (exactly-once per commit, proven in
+  * `TxLogStreamSpec`), and `latestOffset` is one `currentVersion` call —
+  * no file listing, no data read. This is the missing read-side of the
+  * lake layer: [[TxLog.streamingAppend]] already gives exactly-once
+  * stream INTO a table; this source gives exactly-once stream OUT, which
+  * is how downstream pipelines (index refresh, CDC fan-out, feature
+  * materialization) chain off a 100-TB table without rescanning it.
+  *
+  * Commit classification mirrors Delta's `dataChange` flag:
+  *  - `append` / `stream_append_b<id>` — new data; streamed.
+  *  - `compact` / `optimize` — layout maintenance, content identical;
+  *    SKIPPED (re-emitting rewritten segments would duplicate every row
+  *    each time OPTIMIZE runs).
+  *  - `evolve` — metadata only; skipped (the source schema stays pinned
+  *    at stream start: mid-stream schema drift breaks sinks, so a stream
+  *    wanting the new column restarts, exactly like Delta).
+  *  - `overwrite` / `merge` — REWRITE history: the stream cannot know
+  *    which rows changed, so it fails loudly unless `ignoreChanges=true`,
+  *    in which case the commit's added segments are re-emitted
+  *    (at-least-once for rewritten rows — Delta's documented
+  *    ignoreChanges contract, consumers dedup by key downstream).
+  *
+  * `withCommitVersion=true` appends a `_commit_version BIGINT` column
+  * (Delta CDF's `_commit_version`) so consumers can attribute rows to
+  * commits — per-version batches are unioned, each tagged with its own
+  * literal, which costs nothing at plan time.
+  *
+  * Scale notes: a micro-batch reads only the version range's segment
+  * files through the ordinary distributed parquet scan — parallelism is
+  * per file split, state is one Long offset, and nothing is ever
+  * collected to the driver.
+  */
+final class TxLogStreamSource extends StreamSourceProvider with DataSourceRegister {
+  override def shortName(): String = "txlog-stream"
+
+  override def sourceSchema(ctx: SQLContext, schema: Option[StructType],
+                            providerName: String,
+                            parameters: Map[String, String]): (String, StructType) = {
+    val table = TxLogStreamSource.tablePath(parameters)
+    (s"txlog-stream:$table",
+      TxLogStreamSource.fullSchema(ctx.sparkSession, table, parameters))
+  }
+
+  override def createSource(ctx: SQLContext, metadataPath: String,
+                            schema: Option[StructType], providerName: String,
+                            parameters: Map[String, String]): Source = {
+    val table = TxLogStreamSource.tablePath(parameters)
+    new TxLogSource(ctx.sparkSession, table,
+      dataSchema = TxLogStreamSource.dataSchema(ctx.sparkSession, table),
+      withVersion = TxLogStreamSource.boolOpt(parameters, "withCommitVersion"),
+      ignoreChanges = TxLogStreamSource.boolOpt(parameters, "ignoreChanges"),
+      startingVersion = parameters.get("startingVersion").map(_.toLong).getOrElse(0L))
+  }
+}
+
+object TxLogStreamSource {
+  val CommitVersionCol = "_commit_version"
+
+  private def tablePath(parameters: Map[String, String]): String = {
+    val p = parameters.getOrElse("path",
+      throw new IllegalArgumentException("txlog-stream requires a load(tablePath)"))
+    require(TxLog.currentVersion(p) > 0,
+      s"txlog-stream: $p has no committed versions (empty or not a TxLog table)")
+    p
+  }
+
+  private def boolOpt(parameters: Map[String, String], key: String): Boolean =
+    parameters.get(key).exists(_.trim.equalsIgnoreCase("true"))
+
+  /** The table's data schema, resolved ONCE at stream start and pinned:
+    * the recorded (evolved) schema when the log carries one, else the
+    * footers of the live segments — same resolution as [[TxLog.snapshot]].
+    */
+  private[sources] def dataSchema(spark: SparkSession, table: String): StructType =
+    TxLog.recordedSchema(table).getOrElse {
+      val files = TxLog.liveFiles(table)
+      require(files.nonEmpty, s"txlog-stream: no live segments in $table to infer a schema")
+      spark.read.parquet(files: _*).schema
+    }
+
+  private def fullSchema(spark: SparkSession, table: String,
+                         parameters: Map[String, String]): StructType = {
+    val base = dataSchema(spark, table)
+    if (boolOpt(parameters, "withCommitVersion"))
+      StructType(base.fields :+ StructField(CommitVersionCol, LongType, nullable = false))
+    else base
+  }
+}
+
+/** Version-number offset; serialized as the bare number. */
+private final case class TxLogVersionOffset(version: Long) extends V1Offset {
+  override def json(): String = version.toString
+}
+
+private final class TxLogSource(spark: SparkSession, table: String,
+                                dataSchema: StructType, withVersion: Boolean,
+                                ignoreChanges: Boolean, startingVersion: Long)
+    extends Source {
+
+  override def schema: StructType =
+    if (withVersion)
+      StructType(dataSchema.fields :+
+        StructField(TxLogStreamSource.CommitVersionCol, LongType, nullable = false))
+    else dataSchema
+
+  /** Head of the log right now — one directory listing, no data touched. */
+  override def getOffset: Option[V1Offset] = {
+    val v = TxLog.currentVersion(table)
+    if (v <= startingVersion) None else Some(TxLogVersionOffset(v))
+  }
+
+  override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
+    val s = start.map(_.json().toLong).getOrElse(startingVersion)
+    val e = end.json().toLong
+    val emitted = ((s + 1) to e).flatMap { v =>
+      val m = TxLog.readManifest(table, v)
+      m.op match {
+        case "append" => Some(v -> m.adds)
+        case op if op.startsWith("stream_append_b") => Some(v -> m.adds)
+        case "compact" | "optimize" | "evolve" => None // content-neutral
+        case op => // overwrite / merge / anything rewrite-shaped
+          if (!ignoreChanges) throw new IllegalStateException(
+            s"txlog-stream: version $v of $table is a '$op' commit, which rewrites " +
+              "history; restart from a fresh checkpoint or set ignoreChanges=true " +
+              "(re-emits rewritten segments — at-least-once for changed rows)")
+          if (m.adds.nonEmpty) Some(v -> m.adds) else None
+      }
+    }.filter(_._2.nonEmpty)
+    if (emitted.isEmpty) StreamBridge.emptyStreamingBatch(spark, schema)
+    else if (withVersion)
+      emitted.map { case (v, files) =>
+        StreamBridge.streamingParquetBatch(spark, dataSchema, files)
+          .withColumn(TxLogStreamSource.CommitVersionCol, lit(v))
+      }.reduce(_.union(_))
+    else // one relation over the whole range: a single distributed scan
+      StreamBridge.streamingParquetBatch(spark, dataSchema, emitted.flatMap(_._2))
+  }
+
+  override def commit(end: V1Offset): Unit = ()
+  override def stop(): Unit = ()
+}

@@ -1,0 +1,121 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.ops.TxLog
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.{StreamingQueryException, Trigger}
+
+import java.nio.file.Files
+import java.util.concurrent.atomic.AtomicInteger
+
+/** The `txlog-stream` source contract: commits stream exactly once in
+  * version order, offsets survive restarts (a resumed query continues at
+  * the committed version), maintenance commits (compact/optimize/evolve)
+  * never re-emit content, and history rewrites fail loudly unless
+  * `ignoreChanges` opts into re-emission.
+  */
+class TxLogStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val nameSeq = new AtomicInteger
+
+  private def freshTable(): String =
+    Files.createTempDirectory("txlog-stream-spec-").resolve("t").toString
+
+  private def rows(xs: (Long, Long)*) = xs.toSeq.toDF("k", "v")
+
+  /** Drain the table's pending commits via foreachBatch (the memory sink
+    * refuses checkpoint recovery); returns the drained rows. Same
+    * checkpoint dir across calls = a RESTART.
+    */
+  private def drain(table: String, checkpoint: String,
+                    options: Map[String, String] = Map.empty): Seq[(Long, Long, Long)] = {
+    val buf = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Long)]
+    val reader = spark.readStream.format("txlog-stream")
+      .option("withCommitVersion", true)
+    options.foreach { case (k, v) => reader.option(k, v) }
+    val q = reader.load(table)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        df.as[(Long, Long, Long)].collect().foreach(buf.add)
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination() finally q.stop()
+    buf.toArray(Array.empty[(Long, Long, Long)]).toSeq
+  }
+
+  test("each append commit streams exactly once, tagged with its version") {
+    val t = freshTable()
+    TxLog.append(rows(1L -> 10L, 2L -> 20L), t) // v1
+    TxLog.append(rows(3L -> 30L), t)            // v2
+    val got = drain(t, Files.createTempDirectory("ckpt-").toString)
+    assert(got.sorted.toSeq === Seq((1L, 10L, 1L), (2L, 20L, 1L), (3L, 30L, 2L)))
+  }
+
+  test("restart from checkpoint resumes at the committed version") {
+    val t = freshTable()
+    val ckpt = Files.createTempDirectory("ckpt-").toString
+    TxLog.append(rows(1L -> 10L), t) // v1
+    TxLog.append(rows(2L -> 20L), t) // v2
+    assert(drain(t, ckpt).map(_._1).sorted.toSeq === Seq(1L, 2L))
+    // commits landing between runs are the ONLY thing the restart emits
+    TxLog.append(rows(3L -> 30L), t) // v3
+    TxLog.append(rows(4L -> 40L), t) // v4
+    assert(drain(t, ckpt).sorted.toSeq === Seq((3L, 30L, 3L), (4L, 40L, 4L)))
+    // nothing pending → empty batch, not a re-emission
+    assert(drain(t, ckpt).isEmpty)
+  }
+
+  test("compact is skipped; a fresh stream over a compacted log emits rows once") {
+    val t = freshTable()
+    TxLog.append(rows(1L -> 10L), t)  // v1
+    TxLog.append(rows(2L -> 20L), t)  // v2
+    TxLog.compact(spark, t)           // v3: rewrites v1+v2 segments, content same
+    val got = drain(t, Files.createTempDirectory("ckpt-").toString)
+    // v1 and v2 segments stream (still on disk — vacuum hasn't run); the
+    // compact commit contributes NOTHING, so no row appears twice
+    assert(got.map(r => (r._1, r._2)).sorted.toSeq === Seq((1L, 10L), (2L, 20L)))
+    assert(got.map(_._3).max === 2L, "no row may carry the compact version")
+  }
+
+  test("overwrite fails the stream; ignoreChanges re-emits the rewrite") {
+    val t = freshTable()
+    val ckpt = Files.createTempDirectory("ckpt-").toString
+    TxLog.append(rows(1L -> 10L), t)          // v1
+    assert(drain(t, ckpt).length === 1)
+    TxLog.overwrite(rows(1L -> 11L, 2L -> 22L), t) // v2: history rewrite
+    val ex = intercept[StreamingQueryException] { drain(t, ckpt) }
+    val msgs = Iterator.iterate[Throwable](ex)(_.getCause).takeWhile(_ != null)
+      .map(_.getMessage).mkString(" | ")
+    assert(msgs.contains("ignoreChanges"),
+      s"expected the rewrite guidance in the cause chain, got: $msgs")
+    // opting in re-emits the overwrite's segments (at-least-once contract)
+    val got = drain(t, ckpt, Map("ignoreChanges" -> "true"))
+    assert(got.sorted.toSeq === Seq((1L, 11L, 2L), (2L, 22L, 2L)))
+  }
+
+  test("schema stays pinned across an evolve; restart picks the new column up") {
+    val t = freshTable()
+    val ckpt = Files.createTempDirectory("ckpt-").toString
+    TxLog.append(rows(1L -> 10L), t) // v1
+    assert(drain(t, ckpt).length === 1)
+    val evolved = org.apache.spark.sql.types.StructType(
+      rows(1L -> 10L).schema.fields :+
+        org.apache.spark.sql.types.StructField("tag",
+          org.apache.spark.sql.types.StringType, nullable = true))
+    TxLog.evolve(t, evolved)                                  // v2: metadata only
+    TxLog.append(Seq((2L, 20L, "b")).toDF("k", "v", "tag"), t) // v3
+    // a NEW stream (fresh checkpoint) resolves the evolved schema: the
+    // pre-evolve segment null-fills `tag`, the post-evolve one carries it
+    val qn = s"txlog_evolved_${nameSeq.incrementAndGet()}"
+    val q = spark.readStream.format("txlog-stream").load(t)
+      .writeStream.format("memory").queryName(qn)
+      .option("checkpointLocation", Files.createTempDirectory("ckpt-").toString)
+      .trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination() finally q.stop()
+    val got = spark.table(qn).as[(Long, Long, Option[String])].collect()
+    assert(got.sorted.toSeq === Seq((1L, 10L, None), (2L, 20L, Some("b"))))
+  }
+}
