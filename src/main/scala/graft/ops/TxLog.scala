@@ -48,7 +48,16 @@ object TxLog {
                             adds: Seq[String], removes: Seq[String],
                             readVersion: Long,
                             stats: Map[String, SegStats] = Map.empty,
-                            schemaJson: Option[String] = None)
+                            schemaJson: Option[String] = None,
+                            dv: Option[String] = None)
+
+  /** A resolved snapshot: the live segments (with accumulated stats) plus
+    * the cumulative DELETION VECTOR in force — a parquet segment of
+    * (file_path, row_index) marks that readers anti-join away. `None`
+    * when nothing is soft-deleted.
+    */
+  final case class TableState(segments: Seq[(String, Option[SegStats])],
+                              dv: Option[String])
 
   /** Per-segment min/max of one tracked column — the Iceberg/Delta-style
     * file-skipping statistic a reader prunes on without opening footers —
@@ -103,9 +112,10 @@ object TxLog {
     }.mkString("{", ",", "}")
     // schemaJson is already JSON (StructType.json) — embedded verbatim
     val schema = m.schemaJson.map(j => s""","schema":$j""").getOrElse("")
+    val dv = m.dv.map(d => s""","dv":${jstr(d)}""").getOrElse("")
     s"""{"version":${m.version},"op":${jstr(m.op)},"adds":${arr(m.adds)},""" +
       s""""removes":${arr(m.removes)},"readVersion":${m.readVersion},""" +
-      s""""stats":$stats$schema}"""
+      s""""stats":$stats$schema$dv}"""
   }
 
   def readManifest(table: String, v: Long): Manifest = {
@@ -123,7 +133,7 @@ object TxLog {
     val schemaJson = Option(node.get("schema")).map(_.toString)
     Manifest(node.get("version").asLong(), node.get("op").asText(),
       arr("adds"), arr("removes"), node.get("readVersion").asLong(), stats,
-      schemaJson)
+      schemaJson, Option(node.get("dv")).map(_.asText()))
   }
 
   /** Live segment paths at `asOf` (default: latest). Resolved once —
@@ -195,15 +205,88 @@ object TxLog {
     * footer, which is exactly the read-old-under-new merge semantics.
     * Time travel before an evolve resolves the schema recorded at that
     * version (or the footers), so historical reads see historical shape.
+    * A deletion vector in force (≤ asOf) is anti-joined away.
     */
   def snapshot(spark: SparkSession, table: String,
                asOf: Option[Long] = None): DataFrame = {
-    val files = liveFiles(table, asOf)
+    val st = tableStateViaCheckpoint(table, asOf)
+    val files = st.segments.map(_._1)
     require(files.nonEmpty, s"no committed segments in $table at $asOf")
-    recordedSchema(table, asOf) match {
+    applyDv(spark, readFiles(spark, files, recordedSchema(table, asOf)), st.dv)
+  }
+
+  private def readFiles(spark: SparkSession, files: Seq[String],
+                        schemaOpt: Option[org.apache.spark.sql.types.StructType]): DataFrame =
+    schemaOpt match {
       case Some(s) => spark.read.schema(s).parquet(files: _*)
       case None => spark.read.parquet(files: _*)
     }
+
+  /** Subtract a deletion vector from a file relation: every row is
+    * addressed by its (file_path, row_index) — parquet's free, stable row
+    * coordinates via the `_metadata` struct — and the marks are removed
+    * by a LEFT ANTI equi-join. Deletes are usually a sliver of the table,
+    * so AQE broadcasts the mark side at runtime; a pathological DV
+    * degrades to a shuffled anti-join, still one linear pass and never a
+    * segment rewrite.
+    */
+  private def applyDv(spark: SparkSession, base: DataFrame,
+                      dv: Option[String]): DataFrame = dv match {
+    case None => base
+    case Some(d) =>
+      import org.apache.spark.sql.functions.{col => fcol}
+      val marks = spark.read.parquet(d)
+        .select(fcol("file_path").as("__dv_fp"), fcol("row_index").as("__dv_ri"))
+      base.select(fcol("*"), fcol("_metadata.file_path").as("__fp"),
+          fcol("_metadata.row_index").as("__ri"))
+        .join(marks, fcol("__fp") === fcol("__dv_fp") &&
+          fcol("__ri") === fcol("__dv_ri"), "left_anti")
+        .drop("__fp", "__ri")
+  }
+
+  /** Row-level DELETE without touching a single data segment — the
+    * deletion-vector path (Delta DVs / Iceberg positional deletes), which
+    * is what makes small deletes affordable on a 100-TB table: a
+    * copy-on-write delete rewrites every segment containing one matching
+    * row; this writes only the (file_path, row_index) marks of the
+    * matched rows and installs them as the table's cumulative deletion
+    * vector in one commit. Readers anti-join the marks away; rewriting
+    * commits (compact/merge/overwrite) MATERIALIZE the deletes — they
+    * read the DV-applied snapshot and clear the vector. The commit
+    * conflicts with any concurrent commit (its marks are only valid
+    * against the exact snapshot it read). Time travel before the delete
+    * still sees the rows: marks live in their own segment, data bytes are
+    * untouched.
+    */
+  def deleteWhere(spark: SparkSession, table: String,
+                  predicate: org.apache.spark.sql.Column): Long = {
+    import org.apache.spark.sql.functions.{col => fcol}
+    val rv = currentVersion(table)
+    val st = tableStateViaCheckpoint(table, Some(rv))
+    val files = st.segments.map(_._1)
+    require(files.nonEmpty, s"delete from empty table $table")
+    val withMeta = readFiles(spark, files, recordedSchema(table, Some(rv)))
+      .select(fcol("*"), fcol("_metadata.file_path").as("__fp"),
+        fcol("_metadata.row_index").as("__ri"))
+    val visible = st.dv match {
+      case None => withMeta
+      case Some(d) =>
+        val marks = spark.read.parquet(d)
+          .select(fcol("file_path").as("__dv_fp"), fcol("row_index").as("__dv_ri"))
+        withMeta.join(marks, fcol("__fp") === fcol("__dv_fp") &&
+          fcol("__ri") === fcol("__dv_ri"), "left_anti")
+    }
+    val newMarks = visible.filter(predicate)
+      .select(fcol("__fp").as("file_path"), fcol("__ri").as("row_index"))
+    // the staged vector is CUMULATIVE (old marks union new), so resolution
+    // never chains vectors — the newest dv is the whole truth
+    val allMarks = st.dv match {
+      case None => newMarks
+      case Some(d) => newMarks.union(spark.read.parquet(d))
+    }
+    val p = stage(allMarks, table)
+    commit(table, "delete", Seq.empty, Seq.empty, rv, Map.empty,
+      () => false, None, dv = Some(p))
   }
 
   /** Write-side schema enforcement once a table has evolved: every column
@@ -263,21 +346,23 @@ object TxLog {
                      removes: Seq[String], readVersion: Long,
                      stats: Map[String, SegStats],
                      skipIf: () => Boolean,
-                     schemaJson: Option[String]): Long = {
+                     schemaJson: Option[String],
+                     dv: Option[String] = None): Long = {
     init(table)
     var attempts = 0
     while (attempts < 100) {
       attempts += 1
       val cur = currentVersion(table)
       if (skipIf()) return -1L
-      // a commit that removes segments OR changes table metadata (schema)
-      // is only valid against the exact head it read
-      if ((removes.nonEmpty || schemaJson.nonEmpty) && cur != readVersion)
+      // a commit that removes segments, changes table metadata (schema),
+      // or installs a deletion vector is only valid against the exact
+      // head it read
+      if ((removes.nonEmpty || schemaJson.nonEmpty || dv.nonEmpty) && cur != readVersion)
         throw new ConcurrentModificationException(
           s"$table: commit '$op' read version $readVersion but head is $cur — " +
             "a concurrent commit landed; rebase on the new snapshot and retry")
       val target = cur + 1
-      val m = Manifest(target, op, adds, removes, readVersion, stats, schemaJson)
+      val m = Manifest(target, op, adds, removes, readVersion, stats, schemaJson, dv)
       val tmp = Files.createTempFile(logDir(table), s".$target-", ".tmp")
       Files.writeString(tmp, manifestJson(m))
       try {
@@ -404,7 +489,8 @@ object TxLog {
     import org.apache.spark.sql.functions.lit
     val pos = spark.range(1).select(bloomPositions(lit(key)).as("p"))
       .head().getSeq[Long](0)
-    val all = liveFilesViaCheckpoint(table)
+    val st = tableStateViaCheckpoint(table)
+    val all = st.segments
     val keep = all.collect {
       case (p, None) => p
       case (p, Some(s)) if s.col != keyCol => p
@@ -412,10 +498,7 @@ object TxLog {
         s.bloomHex.forall(bloomMightContain(_, pos)) => p
     }
     require(keep.nonEmpty, s"key $key pruned from every segment of $table")
-    val rel = recordedSchema(table) match {
-      case Some(sc) => spark.read.schema(sc).parquet(keep: _*)
-      case None => spark.read.parquet(keep: _*)
-    }
+    val rel = applyDv(spark, readFiles(spark, keep, recordedSchema(table)), st.dv)
     (rel, keep.size, all.size)
   }
 
@@ -423,14 +506,28 @@ object TxLog {
     * committed without stats — those can never be pruned).
     */
   def liveFilesWithStats(table: String,
-                         asOf: Option[Long] = None): Seq[(String, Option[SegStats])] = {
+                         asOf: Option[Long] = None): Seq[(String, Option[SegStats])] =
+    tableState(table, asOf).segments
+
+  /** Full-fold snapshot resolution, deletion vector included. DV fold
+    * rule: a commit carrying a dv INSTALLS it (each delete writes the
+    * cumulative vector, so the newest wins outright); a commit that
+    * removes segments (overwrite/merge/compact/optimize) CLEARS it —
+    * those rewrites read the DV-applied snapshot, so their output has the
+    * deletes materialized; anything else leaves it in force.
+    */
+  def tableState(table: String, asOf: Option[Long] = None): TableState = {
     val vs = listVersions(table).filter(v => asOf.forall(v <= _))
-    val (live, stats) = vs.foldLeft((Vector.empty[String], Map.empty[String, SegStats])) {
-      case ((liveAcc, statAcc), v) =>
+    val (live, stats, dv) = vs.foldLeft(
+      (Vector.empty[String], Map.empty[String, SegStats], Option.empty[String])) {
+      case ((liveAcc, statAcc, dvAcc), v) =>
         val m = readManifest(table, v)
-        (liveAcc.filterNot(m.removes.contains) ++ m.adds, statAcc ++ m.stats)
+        val dv2 = if (m.dv.nonEmpty) m.dv
+                  else if (m.removes.nonEmpty) None
+                  else dvAcc
+        (liveAcc.filterNot(m.removes.contains) ++ m.adds, statAcc ++ m.stats, dv2)
     }
-    live.map(p => p -> stats.get(p))
+    TableState(live.map(p => p -> stats.get(p)), dv)
   }
 
   /** Stats-pruned snapshot: only segments whose [min, max] on `statsCol`
@@ -440,16 +537,14 @@ object TxLog {
     */
   def snapshotPruned(spark: SparkSession, table: String, statsCol: String,
                      lo: Long, hi: Long): (DataFrame, Int, Int) = {
-    val all = liveFilesViaCheckpoint(table)
+    val st = tableStateViaCheckpoint(table)
+    val all = st.segments
     val keep = all.collect {
       case (p, None) => p
       case (p, Some(s)) if s.col != statsCol || (s.max >= lo && s.min <= hi) => p
     }
     require(keep.nonEmpty, s"predicate [$lo,$hi] prunes every segment of $table")
-    val rel = recordedSchema(table) match {
-      case Some(sc) => spark.read.schema(sc).parquet(keep: _*)
-      case None => spark.read.parquet(keep: _*)
-    }
+    val rel = applyDv(spark, readFiles(spark, keep, recordedSchema(table)), st.dv)
     (rel, keep.size, all.size)
   }
 
@@ -485,8 +580,11 @@ object TxLog {
       case Some(sc) => spark.read.schema(sc).parquet(live: _*)
       case None => spark.read.parquet(live: _*)
     }
+    // a deletion vector in force is applied here, so the rewrite
+    // MATERIALIZES the deletes (and the commit's removes clear the dv)
     val merged = updates.unionByName(
-      base.join(updates.select(key), Seq(key), "left_anti"),
+      applyDv(spark, base, tableStateViaCheckpoint(table, Some(rv)).dv)
+        .join(updates.select(key), Seq(key), "left_anti"),
       allowMissingColumns = true)
     val p = stage(merged, table)
     commit(table, "merge", Seq(p), live, rv)
@@ -504,7 +602,9 @@ object TxLog {
     val rv = currentVersion(table)
     val live = liveFiles(table, Some(rv))
     require(live.nonEmpty, s"compact of empty table $table")
-    val p = stage(spark.read.parquet(live: _*), table)
+    // snapshot() applies any deletion vector: compaction is the moment
+    // soft deletes become physical (dv cleared by the removes)
+    val p = stage(snapshot(spark, table, Some(rv)), table)
     commit(table, "compact", Seq(p), live, rv)
   }
 
@@ -558,7 +658,8 @@ object TxLog {
     val rv = currentVersion(table)
     val live = liveFiles(table, Some(rv))
     require(live.nonEmpty, s"optimize of empty table $table")
-    val base = spark.read.parquet(live: _*)
+    // DV-applied base: the clustered rewrite materializes soft deletes
+    val base = snapshot(spark, table, Some(rv))
     val baseRow = base.agg(fcount(lit(1)),
       fmax(fcol(clusterCol).cast("long"))).head()
     val baseCount = baseRow.getLong(0)
@@ -610,11 +711,11 @@ object TxLog {
   def checkpoint(table: String): Long = {
     val v = currentVersion(table)
     require(v > 0, s"checkpoint of empty log $table")
-    val live = liveFilesWithStats(table, Some(v))
+    val st = tableState(table, Some(v))
     val schema = recordedSchema(table, Some(v))
-    val stats = live.collect { case (p, Some(s)) => p -> s }.toMap
-    val m = Manifest(v, "checkpoint", live.map(_._1), Seq.empty, v, stats,
-      schema.map(_.json))
+    val stats = st.segments.collect { case (p, Some(s)) => p -> s }.toMap
+    val m = Manifest(v, "checkpoint", st.segments.map(_._1), Seq.empty, v, stats,
+      schema.map(_.json), st.dv)
     val tmp = Files.createTempFile(logDir(table), s".ckpt$v-", ".tmp")
     Files.writeString(tmp, manifestJson(m))
     try Files.createLink(logDir(table).resolve(f"$v%020d.checkpoint.json"), tmp)
@@ -648,7 +749,8 @@ object TxLog {
     }.getOrElse(Map.empty[String, SegStats])
     Manifest(node.get("version").asLong(), node.get("op").asText(),
       arr("adds"), arr("removes"), node.get("readVersion").asLong(), stats,
-      Option(node.get("schema")).map(_.toString))
+      Option(node.get("schema")).map(_.toString),
+      Option(node.get("dv")).map(_.asText()))
   }
 
   /** Snapshot resolution through the nearest checkpoint: the fold starts
@@ -657,19 +759,30 @@ object TxLog {
     * pins the equivalence — while reading O(delta) manifests.
     */
   def liveFilesViaCheckpoint(table: String,
-                             asOf: Option[Long] = None): Seq[(String, Option[SegStats])] = {
+                             asOf: Option[Long] = None): Seq[(String, Option[SegStats])] =
+    tableStateViaCheckpoint(table, asOf).segments
+
+  /** [[tableState]] resolved through the nearest checkpoint (same fold
+    * rules, O(delta) manifests; the checkpoint carries the dv in force at
+    * its version as the fold's starting value).
+    */
+  def tableStateViaCheckpoint(table: String,
+                              asOf: Option[Long] = None): TableState = {
     val ckpt = checkpointVersions(table).filter(v => asOf.forall(v <= _)).lastOption
     ckpt match {
-      case None => liveFilesWithStats(table, asOf)
+      case None => tableState(table, asOf)
       case Some(cv) =>
         val base = readCheckpoint(table, cv)
         val vs = listVersions(table).filter(v => v > cv && asOf.forall(v <= _))
-        val (live, stats) = vs.foldLeft((base.adds.toVector, base.stats)) {
-          case ((liveAcc, statAcc), v) =>
+        val (live, stats, dv) = vs.foldLeft((base.adds.toVector, base.stats, base.dv)) {
+          case ((liveAcc, statAcc, dvAcc), v) =>
             val m = readManifest(table, v)
-            (liveAcc.filterNot(m.removes.contains) ++ m.adds, statAcc ++ m.stats)
+            val dv2 = if (m.dv.nonEmpty) m.dv
+                      else if (m.removes.nonEmpty) None
+                      else dvAcc
+            (liveAcc.filterNot(m.removes.contains) ++ m.adds, statAcc ++ m.stats, dv2)
         }
-        live.map(p => p -> stats.get(p))
+        TableState(live.map(p => p -> stats.get(p)), dv)
     }
   }
 
@@ -688,8 +801,13 @@ object TxLog {
     */
   def vacuum(table: String, keepVersionsFrom: Long,
              minAgeMillis: Long = 10 * 60 * 1000L): Seq[String] = {
+    // deletion-vector segments are references too: collecting a dv a
+    // retained version still resolves would un-delete its rows
     val keep = listVersions(table).filter(_ >= keepVersionsFrom)
-      .flatMap(v => liveFiles(table, Some(v))).toSet
+      .flatMap { v =>
+        val st = tableState(table, Some(v))
+        st.segments.map(_._1) ++ st.dv
+      }.toSet
     val dataDir = Paths.get(table, "data")
     if (!Files.isDirectory(dataDir)) return Seq.empty
     val cutoff = System.currentTimeMillis() - minAgeMillis
