@@ -147,14 +147,28 @@ object TxLog {
   /** Table schema recorded by the latest `evolve` commit at or before
     * `asOf`; None for tables that never evolved (their schema is whatever
     * the parquet footers carry — the pre-evolution contract).
+    *
+    * Resolution is O(delta), not O(all commits) (ADVICE r10 — this is on
+    * the path of EVERY snapshot/merge/append): manifests after the
+    * nearest checkpoint are scanned newest-first and the walk STOPS at
+    * the first one carrying a schema; failing that, the checkpoint's own
+    * recorded schema answers (checkpoints persist it at write time). A
+    * never-checkpointed, never-evolved table still walks its whole log —
+    * same cost as before; [[checkpoint]] is the documented fix for logs
+    * long enough to care.
     */
   def recordedSchema(table: String,
-                     asOf: Option[Long] = None): Option[org.apache.spark.sql.types.StructType] =
-    listVersions(table).filter(v => asOf.forall(v <= _))
-      .flatMap(v => readManifest(table, v).schemaJson)
-      .lastOption
+                     asOf: Option[Long] = None): Option[org.apache.spark.sql.types.StructType] = {
+    val vs = listVersions(table).filter(v => asOf.forall(v <= _))
+    val ckpt = checkpointVersions(table).filter(v => asOf.forall(v <= _)).lastOption
+    val after = ckpt.fold(vs)(cv => vs.filter(_ > cv))
+    after.reverseIterator
+      .map(v => readManifest(table, v).schemaJson)
+      .collectFirst { case Some(j) => j }
+      .orElse(ckpt.flatMap(cv => readCheckpoint(table, cv).schemaJson))
       .map(j => org.apache.spark.sql.types.DataType.fromJson(j)
         .asInstanceOf[org.apache.spark.sql.types.StructType])
+  }
 
   /** SCHEMA EVOLUTION as a metadata commit: record `newSchema` in the
     * manifest so every subsequent read resolves old segments under it —
@@ -222,6 +236,18 @@ object TxLog {
       case None => spark.read.parquet(files: _*)
     }
 
+  /** Helper-column name guaranteed absent from `taken`: the preferred
+    * name, suffixed with '_' until free. Deterministic, and collision-
+    * proof against tables whose DATA legitimately carries a column named
+    * `__fp`/`__ri` — injecting a fixed name made the DV join ambiguous or
+    * silently dropped the user's column (ADVICE r10).
+    */
+  private def freshName(taken: Set[String], preferred: String): String = {
+    var n = preferred
+    while (taken(n)) n += "_"
+    n
+  }
+
   /** Subtract a deletion vector from a file relation: every row is
     * addressed by its (file_path, row_index) — parquet's free, stable row
     * coordinates via the `_metadata` struct — and the marks are removed
@@ -235,13 +261,18 @@ object TxLog {
     case None => base
     case Some(d) =>
       import org.apache.spark.sql.functions.{col => fcol}
+      val taken = base.columns.toSet
+      val fp = freshName(taken, "__fp")
+      val ri = freshName(taken + fp, "__ri")
+      val dfp = freshName(taken + fp + ri, "__dv_fp")
+      val dri = freshName(taken + fp + ri + dfp, "__dv_ri")
       val marks = spark.read.parquet(d)
-        .select(fcol("file_path").as("__dv_fp"), fcol("row_index").as("__dv_ri"))
-      base.select(fcol("*"), fcol("_metadata.file_path").as("__fp"),
-          fcol("_metadata.row_index").as("__ri"))
-        .join(marks, fcol("__fp") === fcol("__dv_fp") &&
-          fcol("__ri") === fcol("__dv_ri"), "left_anti")
-        .drop("__fp", "__ri")
+        .select(fcol("file_path").as(dfp), fcol("row_index").as(dri))
+      base.select(fcol("*"), fcol("_metadata.file_path").as(fp),
+          fcol("_metadata.row_index").as(ri))
+        .join(marks, fcol(fp) === fcol(dfp) &&
+          fcol(ri) === fcol(dri), "left_anti")
+        .drop(fp, ri)
   }
 
   /** Row-level DELETE without touching a single data segment — the
@@ -265,19 +296,24 @@ object TxLog {
     val st = tableStateViaCheckpoint(table, Some(rv))
     val files = st.segments.map(_._1)
     require(files.nonEmpty, s"delete from empty table $table")
-    val withMeta = readFiles(spark, files, recordedSchema(table, Some(rv)))
-      .select(fcol("*"), fcol("_metadata.file_path").as("__fp"),
-        fcol("_metadata.row_index").as("__ri"))
+    val rel = readFiles(spark, files, recordedSchema(table, Some(rv)))
+    val taken = rel.columns.toSet
+    val fp = freshName(taken, "__fp")
+    val ri = freshName(taken + fp, "__ri")
+    val dfp = freshName(taken + fp + ri, "__dv_fp")
+    val dri = freshName(taken + fp + ri + dfp, "__dv_ri")
+    val withMeta = rel.select(fcol("*"), fcol("_metadata.file_path").as(fp),
+      fcol("_metadata.row_index").as(ri))
     val visible = st.dv match {
       case None => withMeta
       case Some(d) =>
         val marks = spark.read.parquet(d)
-          .select(fcol("file_path").as("__dv_fp"), fcol("row_index").as("__dv_ri"))
-        withMeta.join(marks, fcol("__fp") === fcol("__dv_fp") &&
-          fcol("__ri") === fcol("__dv_ri"), "left_anti")
+          .select(fcol("file_path").as(dfp), fcol("row_index").as(dri))
+        withMeta.join(marks, fcol(fp) === fcol(dfp) &&
+          fcol(ri) === fcol(dri), "left_anti")
     }
     val newMarks = visible.filter(predicate)
-      .select(fcol("__fp").as("file_path"), fcol("__ri").as("row_index"))
+      .select(fcol(fp).as("file_path"), fcol(ri).as("row_index"))
     // the staged vector is CUMULATIVE (old marks union new), so resolution
     // never chains vectors — the newest dv is the whole truth
     val allMarks = st.dv match {
@@ -559,17 +595,7 @@ object TxLog {
   def merge(spark: SparkSession, updates: DataFrame, table: String,
             key: String): Long = {
     init(table)
-    // Delta raises on multiple matches for one target row; silently
-    // unioning a duplicate-keyed updates frame would duplicate the key in
-    // the table (ADVICE r9) — reject it before any rewrite work.
-    val (nUpd, nKeys) = {
-      import org.apache.spark.sql.functions.{count, countDistinct, col => fcol, lit}
-      val r = updates.agg(count(lit(1)), countDistinct(fcol(key))).head()
-      (r.getLong(0), r.getLong(1))
-    }
-    require(nUpd == nKeys,
-      s"merge updates carry duplicate '$key' values ($nUpd rows, $nKeys keys) — " +
-        "a key may match at most one update row")
+    validateUpdates(updates, key)
     validateWrite(updates, table)
     val rv = currentVersion(table)
     val live = liveFiles(table, Some(rv))
@@ -590,6 +616,85 @@ object TxLog {
     commit(table, "merge", Seq(p), live, rv)
   }
 
+  /** MERGE-ON-READ upsert — the deletion-vector MERGE path (Delta DVs /
+    * Iceberg positional deletes applied to MERGE, VERDICT r10's top lake
+    * gap): where [[merge]] rewrites EVERY live segment to change one row
+    * (copy-on-write — a 1-row update on a 100-TB table is a 100-TB
+    * write), this writes exactly TWO small segments and touches no
+    * existing data:
+    *
+    *  1. the coordinates (file_path, row_index) of the matched target
+    *     rows, unioned into the cumulative deletion vector (matched base
+    *     rows become invisible);
+    *  2. one new data segment holding the updates frame verbatim
+    *     (matched keys' new values + brand-new keys' inserts).
+    *
+    * One commit installs both; readers see updates ∪ (base ∖ matched) —
+    * byte-identical rows to the copy-on-write result (TxLogSpec pins the
+    * equivalence and that zero pre-existing segments are rewritten).
+    * Write amplification is O(changed rows), read cost is one anti-join
+    * (AQE broadcasts the sliver-sized mark side); [[compact]] /
+    * [[compactClustered]] materialize the DV away when it accretes.
+    * Time travel before the merge still sees the old rows — data bytes
+    * are untouched by construction.
+    *
+    * Contract difference vs copy-on-write merge: the updates frame's
+    * columns must be a SUBSET of the table's columns (missing ones
+    * null-fill). COW merge can widen the schema implicitly through its
+    * full rewrite; a DV merge never rewrites old segments, so widening
+    * must go through [[evolve]] first.
+    */
+  def mergeDv(spark: SparkSession, updates: DataFrame, table: String,
+              key: String): Long = {
+    import org.apache.spark.sql.functions.{col => fcol, lit}
+    init(table)
+    validateUpdates(updates, key)
+    validateWrite(updates, table)
+    val rv = currentVersion(table)
+    val st = tableStateViaCheckpoint(table, Some(rv))
+    val files = st.segments.map(_._1)
+    require(files.nonEmpty, s"merge into empty table $table")
+    val rel = readFiles(spark, files, recordedSchema(table, Some(rv)))
+    val extra = updates.columns.filterNot(rel.columns.contains)
+    require(extra.isEmpty,
+      s"mergeDv into $table: updates carry column(s) ${extra.mkString(", ")} not in " +
+        "the table schema — a DV merge never rewrites old segments, so widen via evolve first")
+    val taken = rel.columns.toSet
+    val fp = freshName(taken, "__fp")
+    val ri = freshName(taken + fp, "__ri")
+    val dfp = freshName(taken + fp + ri, "__dv_fp")
+    val dri = freshName(taken + fp + ri + dfp, "__dv_ri")
+    val withMeta = rel.select(fcol("*"), fcol("_metadata.file_path").as(fp),
+      fcol("_metadata.row_index").as(ri))
+    val visible = st.dv match {
+      case None => withMeta
+      case Some(d) =>
+        val marks = spark.read.parquet(d)
+          .select(fcol("file_path").as(dfp), fcol("row_index").as(dri))
+        withMeta.join(marks, fcol(fp) === fcol(dfp) &&
+          fcol(ri) === fcol(dri), "left_anti")
+    }
+    // matched target rows' coordinates become the new deletion marks;
+    // the semi-join shuffles on the key like any MERGE match phase
+    val matchedMarks = visible
+      .join(updates.select(key), Seq(key), "left_semi")
+      .select(fcol(fp).as("file_path"), fcol(ri).as("row_index"))
+    val allMarks = st.dv match {
+      case None => matchedMarks
+      case Some(d) => matchedMarks.union(spark.read.parquet(d))
+    }
+    // conform updates to the table's column set/order so the new segment
+    // reads uniformly beside old ones (missing columns null-fill)
+    val conformed = updates.select(rel.schema.fields.map { f =>
+      if (updates.columns.contains(f.name)) fcol(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }.toIndexedSeq: _*)
+    val dvSeg = stage(allMarks, table)
+    val newSeg = stage(conformed, table)
+    commit(table, "merge_dv", Seq(newSeg), Seq.empty, rv, Map.empty,
+      () => false, None, dv = Some(dvSeg))
+  }
+
   /** Small-file compaction as a commit: rewrite the current live segment
     * set into one segment and atomically swap. Logically a no-op (same
     * rows), physically the maintenance operation that keeps scan-side
@@ -608,13 +713,43 @@ object TxLog {
     commit(table, "compact", Seq(p), live, rv)
   }
 
+  /** Merge-updates preconditions, shared by the copy-on-write and DV
+    * paths. Delta raises on multiple matches for one target row; silently
+    * unioning a duplicate-keyed updates frame would duplicate the key in
+    * the table (ADVICE r9) — reject it before any rewrite work. Null keys
+    * are checked SEPARATELY (ADVICE r10): countDistinct ignores nulls, so
+    * folding them into the duplicate check fired a misleading
+    * "duplicate key" error — and a null key can never match via the
+    * equi-join anyway, so the row would silently become an insert.
+    */
+  private def validateUpdates(updates: DataFrame, key: String): Unit = {
+    import org.apache.spark.sql.functions.{count, countDistinct, col => fcol, lit}
+    val r = updates.agg(count(lit(1)), count(fcol(key)), countDistinct(fcol(key))).head()
+    val (nUpd, nNonNull, nKeys) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    require(nUpd == nNonNull,
+      s"merge updates carry ${nUpd - nNonNull} NULL '$key' row(s) — a null key " +
+        "can never match a target row; filter or key them before merging")
+    require(nNonNull == nKeys,
+      s"merge updates carry duplicate '$key' values ($nNonNull rows, $nKeys keys) — " +
+        "a key may match at most one update row")
+  }
+
   private val StreamOp = "stream_append_b(\\d+)".r
 
-  /** Highest micro-batch id ever committed by [[streamingAppend]], or -1. */
+  /** Highest micro-batch id ever committed by [[streamingAppend]], or -1.
+    * O(distance to the last stream commit), not O(log): committed stream
+    * batch ids are strictly increasing in version order (streamingAppend
+    * only publishes batchId > maxCommittedBatch, re-checked inside the
+    * CAS), so the NEWEST `stream_append_b` manifest carries the max — the
+    * walk runs newest-first and stops there (ADVICE r10: the old
+    * full-scan ran inside every CAS attempt, quadratic-ish on long
+    * streaming logs).
+    */
   def maxCommittedBatch(table: String): Long =
-    listVersions(table).map(readManifest(table, _).op)
-      .collect { case StreamOp(b) => b.toLong }
-      .maxOption.getOrElse(-1L)
+    listVersions(table).reverseIterator
+      .map(v => readManifest(table, v).op)
+      .collectFirst { case StreamOp(b) => b.toLong }
+      .getOrElse(-1L)
 
   /** Exactly-once streaming sink step (the foreachBatch body): append a
     * micro-batch as one atomic commit carrying its batch id in the

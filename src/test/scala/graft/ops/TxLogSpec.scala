@@ -428,6 +428,127 @@ class TxLogSpec extends SparkSpec {
     assert(TxLog.checkpointVersions(t) === Seq(3L, 4L))
   }
 
+  test("deleteWhere is a pure metadata+marks commit: rows vanish, bytes stay") {
+    val t = freshTable()
+    TxLog.append(rows(1L -> 10L, 2L -> 20L, 3L -> 30L), t) // v1
+    val segsBefore = TxLog.liveFiles(t).toSet
+    TxLog.deleteWhere(spark, t, col("k") === 2L)            // v2: DV only
+    // no data segment added to or removed from the live set
+    assert(TxLog.liveFiles(t).toSet === segsBefore,
+      "a DV delete must not touch the live segment list")
+    val m = TxLog.readManifest(t, 2L)
+    assert(m.adds.isEmpty && m.removes.isEmpty && m.dv.nonEmpty)
+    assert(TxLog.snapshot(spark, t).as[(Long, Long)].collect().toMap
+      === Map(1L -> 10L, 3L -> 30L))
+    // time travel before the delete still sees the row (bytes untouched)
+    assert(TxLog.snapshot(spark, t, Some(1L)).count() === 3L)
+    // a second delete accumulates (cumulative vector, no chaining)
+    TxLog.deleteWhere(spark, t, col("k") === 3L)            // v3
+    assert(TxLog.snapshot(spark, t).as[(Long, Long)].collect().toMap
+      === Map(1L -> 10L))
+    // compaction materializes the deletes and clears the vector
+    TxLog.compact(spark, t)                                 // v4
+    assert(TxLog.tableState(t).dv.isEmpty, "compaction must clear the dv")
+    assert(TxLog.snapshot(spark, t).as[(Long, Long)].collect().toMap
+      === Map(1L -> 10L))
+  }
+
+  test("mergeDv equals copy-on-write merge and rewrites zero existing segments") {
+    val base = rows(1L -> 10L, 2L -> 20L, 3L -> 30L, 4L -> 40L)
+    val updates = rows(2L -> 200L, 5L -> 500L) // one update, one insert
+    val tCow = freshTable()
+    TxLog.append(base, tCow)
+    TxLog.merge(spark, updates, tCow, "k")
+    val tDv = freshTable()
+    TxLog.append(base, tDv)
+    val segsBefore = TxLog.liveFiles(tDv).toSet
+    TxLog.mergeDv(spark, updates, tDv, "k")
+    // row-identical results through both paths
+    val cow = TxLog.snapshot(spark, tCow).as[(Long, Long)].collect().toMap
+    val dv = TxLog.snapshot(spark, tDv).as[(Long, Long)].collect().toMap
+    assert(dv === cow)
+    assert(dv === Map(1L -> 10L, 2L -> 200L, 3L -> 30L, 4L -> 40L, 5L -> 500L))
+    // geometry: every pre-existing segment is still live and untouched;
+    // exactly one new data segment was added, nothing removed
+    val m = TxLog.readManifest(tDv, 2L)
+    assert(m.op === "merge_dv" && m.removes.isEmpty && m.adds.size === 1
+      && m.dv.nonEmpty)
+    assert(segsBefore.subsetOf(TxLog.liveFiles(tDv).toSet),
+      "a DV merge must not rewrite or drop any existing segment")
+    // time travel before the merge sees the pre-merge rows
+    assert(TxLog.snapshot(spark, tDv, Some(1L)).as[(Long, Long)].collect().toMap
+      === Map(1L -> 10L, 2L -> 20L, 3L -> 30L, 4L -> 40L))
+    // a later mergeDv accumulates marks on top of the standing vector
+    TxLog.mergeDv(spark, rows(1L -> 100L), tDv, "k")
+    assert(TxLog.snapshot(spark, tDv).as[(Long, Long)].collect().toMap
+      === Map(1L -> 100L, 2L -> 200L, 3L -> 30L, 4L -> 40L, 5L -> 500L))
+  }
+
+  test("DV helper columns never collide with user columns named __fp/__ri") {
+    // a table whose DATA carries the old hard-coded helper names — the
+    // fixed-name injection made the anti-join ambiguous (ADVICE r10)
+    val t = freshTable()
+    val df = Seq((1L, "a1", "b1"), (2L, "a2", "b2"), (3L, "a3", "b3"))
+      .toDF("k", "__fp", "__ri")
+    TxLog.append(df, t)
+    TxLog.deleteWhere(spark, t, col("k") === 2L)
+    val got = TxLog.snapshot(spark, t).orderBy("k")
+      .as[(Long, String, String)].collect().toSeq
+    assert(got === Seq((1L, "a1", "b1"), (3L, "a3", "b3")),
+      "user __fp/__ri columns must survive a DV delete untouched")
+    // the DV merge path shares the helper plumbing
+    TxLog.mergeDv(spark, Seq((3L, "A3", "B3")).toDF("k", "__fp", "__ri"), t, "k")
+    assert(TxLog.snapshot(spark, t).orderBy("k")
+      .as[(Long, String, String)].collect().toSeq
+      === Seq((1L, "a1", "b1"), (3L, "A3", "B3")))
+  }
+
+  test("merge rejects null-keyed updates with a dedicated error") {
+    val t = freshTable()
+    TxLog.append(rows(1L -> 10L), t)
+    val nullKeyed = Seq((Some(2L), 20L), (None, 99L))
+      .toDF("k", "v")
+    val e = intercept[IllegalArgumentException] {
+      TxLog.merge(spark, nullKeyed, t, "k")
+    }
+    assert(e.getMessage.contains("NULL"), s"want a null-key message, got: ${e.getMessage}")
+    val e2 = intercept[IllegalArgumentException] {
+      TxLog.mergeDv(spark, nullKeyed, t, "k")
+    }
+    assert(e2.getMessage.contains("NULL"))
+    // duplicate detection still fires on its own message
+    val dup = rows(2L -> 20L, 2L -> 21L)
+    assert(intercept[IllegalArgumentException] {
+      TxLog.merge(spark, dup, t, "k")
+    }.getMessage.contains("duplicate"))
+  }
+
+  test("recordedSchema resolves through the nearest checkpoint") {
+    val t = freshTable()
+    TxLog.append(rows(1L -> 10L), t)                          // v1
+    val evolved = org.apache.spark.sql.types.StructType(
+      TxLog.snapshot(spark, t).schema.fields :+
+        org.apache.spark.sql.types.StructField("tag",
+          org.apache.spark.sql.types.StringType, nullable = true))
+    TxLog.evolve(t, evolved)                                  // v2
+    TxLog.checkpoint(t)                                       // ckpt@2
+    TxLog.append(rows(2L -> 20L), t)                          // v3 (no schema)
+    // post-checkpoint manifests carry no schema → the checkpoint answers
+    assert(TxLog.recordedSchema(t).map(_.fieldNames.toSeq)
+      === Some(Seq("k", "v", "tag")))
+    // asOf before the evolve still resolves the pre-evolve shape (none)
+    assert(TxLog.recordedSchema(t, Some(1L)).isEmpty)
+    // a fresh evolve after the checkpoint wins over the checkpointed one
+    val evolved2 = org.apache.spark.sql.types.StructType(evolved.fields :+
+      org.apache.spark.sql.types.StructField("tag2",
+        org.apache.spark.sql.types.StringType, nullable = true))
+    TxLog.evolve(t, evolved2)                                 // v4
+    assert(TxLog.recordedSchema(t).map(_.fieldNames.toSeq)
+      === Some(Seq("k", "v", "tag", "tag2")))
+    assert(TxLog.recordedSchema(t, Some(3L)).map(_.fieldNames.toSeq)
+      === Some(Seq("k", "v", "tag")))
+  }
+
   test("CAS race: two manifests for the same version — exactly one wins") {
     val t = freshTable()
     TxLog.append(rows(1L -> 10L), t)
