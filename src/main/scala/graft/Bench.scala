@@ -8,11 +8,15 @@ import java.util.concurrent.atomic.AtomicLong
   * (SPARK_GRAFT_BENCH_METRICS): per-query shuffle read/write and spill
   * bytes, the signals that separate "the plan shuffles too much" from
   * "the sandbox sort spilled" when a query scales badly (VERDICT r9's
-  * sf1-tail triage ask). Listener events drain asynchronously, so
-  * snapshots happen after a short settle — totals are diagnostic
-  * (summed over warm-up + all reps), not part of the timing contract.
+  * sf1-tail triage ask). Attribution is deterministic: before every
+  * reset/snapshot the listener bus is DRAINED (waitUntilEmpty via the
+  * graftbench bridge), so no TaskEnd event from the previous query can
+  * bleed into the next query's numbers — the 300 ms settle-sleep this
+  * replaces silently mis-attributed under a loaded bus (ADVICE r10).
+  * Totals are diagnostic (summed over warm-up + all reps of ONE query in
+  * a sequential bench), not part of the timing contract.
   */
-private class TaskMetricsAcc extends SparkListener {
+private class TaskMetricsAcc(sc: org.apache.spark.SparkContext) extends SparkListener {
   val shuffleRead = new AtomicLong
   val shuffleWrite = new AtomicLong
   val memSpill = new AtomicLong
@@ -27,11 +31,11 @@ private class TaskMetricsAcc extends SparkListener {
     }
   }
   def reset(): Unit = {
-    Thread.sleep(300) // let the listener bus drain the previous query
+    org.apache.spark.graftbench.ListenerDrain.drain(sc)
     shuffleRead.set(0); shuffleWrite.set(0); memSpill.set(0); diskSpill.set(0)
   }
   def json: String = {
-    Thread.sleep(300)
+    org.apache.spark.graftbench.ListenerDrain.drain(sc)
     s"""{"shuffle_read":${shuffleRead.get},"shuffle_write":${shuffleWrite.get},""" +
       s""""mem_spill":${memSpill.get},"disk_spill":${diskSpill.get}}"""
   }
@@ -84,7 +88,7 @@ object Bench {
     // driver-context outliers). The warm-up rep never enters the median.
     val warmup = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUP", "1").toInt
     val metricsAcc = if (sys.env.contains("SPARK_GRAFT_BENCH_METRICS")) {
-      val a = new TaskMetricsAcc
+      val a = new TaskMetricsAcc(spark.sparkContext)
       spark.sparkContext.addSparkListener(a)
       Some(a)
     } else None
