@@ -139,14 +139,18 @@ object AggWindowQueries extends QueryPack {
         .withColumn("g_status", col("g_status").cast("long"))
     }),
 
-    // Exact interpolated percentiles per group (both engines use the
-    // same linear-interpolation definition, so doubles compare exactly).
+    // Exact interpolated percentiles per group (both engines share the
+    // linear-interpolation definition, so doubles compare exactly) —
+    // computed by the rank-based two-pass engine, NOT the built-in
+    // `percentile`, whose aggregation buffer holds every value of the
+    // group (~600M values per group at 100 TB → executor OOM; VERDICT
+    // r10). StatsOps.groupedExactPercentiles replicates the built-in's
+    // interpolation arithmetic bit-for-bit in bounded memory.
     "agg_percentile" -> ((s, d) =>
-      Tables.lineitem(s, d)
-        .groupBy("l_returnflag")
-        .agg(expr("percentile(l_quantity, 0.5)").as("p50"),
-          expr("percentile(l_quantity, 0.9)").as("p90"),
-          expr("percentile(l_quantity, 0.99)").as("p99"))
+      graft.ops.StatsOps.groupedExactPercentiles(
+        Tables.lineitem(s, d).select(col("l_returnflag"), col("l_quantity")),
+        "l_returnflag", "l_quantity",
+        Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99))
         .orderBy("l_returnflag")),
 
     // §2.4 CUBE.
@@ -361,16 +365,20 @@ object AggWindowQueries extends QueryPack {
     // discipline as agg_approx_distinct: the GK-sketch estimate itself is
     // partitioning-dependent, so the query emits the exact p50 plus a
     // boolean asserting the approx value's true rank sits within ±5% of
-    // the median rank — DuckDB reproduces exact + literal TRUE.
+    // the median rank — DuckDB reproduces exact + literal TRUE. The
+    // exact reference comes from the bounded-memory rank engine, not the
+    // group-buffering `percentile` built-in (VERDICT r10).
     "agg_approx_percentile" -> ((s, d) => {
       val li = Tables.lineitem(s, d).select("l_returnflag", "l_quantity")
       val ap = li.groupBy("l_returnflag")
         .agg(expr("approx_percentile(l_quantity, 0.5, 100)").as("ap"))
+      val exact = graft.ops.StatsOps.groupedExactPercentiles(li,
+        "l_returnflag", "l_quantity", Seq("p50_exact" -> 0.5))
       li.join(broadcast(ap), "l_returnflag")
         .groupBy("l_returnflag")
-        .agg(expr("percentile(l_quantity, 0.5)").as("p50_exact"),
-          expr("(sum(CASE WHEN l_quantity <= ap THEN 1 ELSE 0 END) * 1000) div count(1)")
-            .as("rank_milli"))
+        .agg(expr("(sum(CASE WHEN l_quantity <= ap THEN 1 ELSE 0 END) * 1000) div count(1)")
+          .as("rank_milli"))
+        .join(broadcast(exact), "l_returnflag")
         .select(col("l_returnflag"), col("p50_exact"),
           col("rank_milli").between(450, 550).as("within_5pct_rank"))
         .orderBy("l_returnflag")

@@ -526,18 +526,21 @@ object StatsQueries extends QueryPack {
     }),
 
     // Winsorization: clamp each group's price tail at its exact p05/p95
-    // (percentile ↔ quantile_cont share the linear-interpolation
-    // definition, so the bounds compare exactly — same parity as
-    // agg_percentile). Each clamped value rounds to cents BEFORE the sum,
-    // keeping the aggregate partition-order-independent. The bounds frame
-    // is 3 rows, broadcast back; the single-pass 100-TB variant swaps in
+    // (the rank-based exact engine ↔ quantile_cont share the linear-
+    // interpolation definition, so the bounds compare exactly — same
+    // parity as agg_percentile). Bounds come from
+    // StatsOps.groupedExactPercentiles, NOT the built-in `percentile`
+    // whose buffer holds the whole group (the VERDICT r10 scale-killer).
+    // Each clamped value rounds to cents BEFORE the sum, keeping the
+    // aggregate partition-order-independent. The bounds frame is 3 rows,
+    // broadcast back; the single-pass 100-TB variant swaps in
     // approx_percentile (agg_approx_percentile demonstrates the parity
     // discipline that requires).
     "stats_winsorize" -> ((s, d) => {
       val li = Tables.lineitem(s, d).select(col("l_returnflag"), col("l_extendedprice"))
-      val bounds = li.groupBy(col("l_returnflag").as("g"))
-        .agg(expr("percentile(l_extendedprice, 0.05)").as("lo"),
-          expr("percentile(l_extendedprice, 0.95)").as("hi"))
+      val bounds = graft.ops.StatsOps.groupedExactPercentiles(li,
+          "l_returnflag", "l_extendedprice", Seq("lo" -> 0.05, "hi" -> 0.95))
+        .withColumnRenamed("l_returnflag", "g")
       li.join(broadcast(bounds), col("l_returnflag") === col("g"))
         .withColumn("w", least(greatest(col("l_extendedprice"), col("lo")), col("hi")))
         .groupBy("l_returnflag")

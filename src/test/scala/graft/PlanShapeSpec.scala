@@ -385,6 +385,28 @@ class PlanShapeSpec extends SparkSpec {
       s"constant-cardinality window partitions over raw inputs:\n${offenders.mkString("\n")}")
   }
 
+  test("no plan buffers a whole group in an exact-percentile aggregate") {
+    // VERDICT r10: Spark's `percentile`/`median` is a
+    // TypedImperativeAggregate whose buffer holds EVERY value of the
+    // group — at 100 TB a single 3-way-split group is ~600M values in
+    // one executor buffer. Sweep every declared query's plan: the exact
+    // path must go through StatsOps.groupedExactPercentiles (rank-based,
+    // bounded memory); only the constant-size sketch
+    // (ApproximatePercentile) may aggregate.
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{Median, Percentile}
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      fn(spark, sf).queryExecution.sparkPlan.collect {
+        case a: BaseAggregateExec if a.aggregateExpressions.exists(ae =>
+            ae.aggregateFunction.isInstanceOf[Percentile] ||
+              ae.aggregateFunction.isInstanceOf[Median]) =>
+          name
+      }
+    }.distinct
+    assert(offenders.isEmpty,
+      s"group-buffering percentile aggregates remain in: ${offenders.mkString(", ")}")
+  }
+
   test("interval join runs as a bucket equi-join, never a nested loop") {
     val p = plan("join_interval_bucketed")
     // a raw BETWEEN join would plan as BroadcastNestedLoopJoin — the

@@ -128,6 +128,47 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("property: rank-engine exact percentiles are bit-identical to the built-in") {
+    // heavy ties on purpose (15 values over 60 rows): the rank engine's
+    // tie assignment is arbitrary, but the value AT a rank is not — the
+    // law is exact double equality with Spark's buffering `percentile`,
+    // whose interpolation arithmetic the engine replicates
+    val rowGen = Gen.listOfN(60,
+      Gen.zip(Gen.oneOf("a", "b", "c"), Gen.choose(1L, 15L)))
+    for (rs <- samples(rowGen, 4) if rs.nonEmpty) {
+      val df = rs.toDF("g", "v")
+      val got = StatsOps.groupedExactPercentiles(df, "g", "v",
+          Seq("p25" -> 0.25, "p50" -> 0.5, "p99" -> 0.99))
+        .as[(String, Double, Double, Double)].collect()
+        .map(t => t._1 -> (t._2, t._3, t._4)).toMap
+      val want = df.groupBy("g")
+        .agg(expr("percentile(v, 0.25)"), expr("percentile(v, 0.5)"),
+          expr("percentile(v, 0.99)"))
+        .as[(String, Double, Double, Double)].collect()
+        .map(t => t._1 -> (t._2, t._3, t._4)).toMap
+      assert(got == want, s"engine disagrees with built-in on $rs")
+    }
+    // single-row groups hit the higher==lower early return
+    val one = Seq(("solo", 7L)).toDF("g", "v")
+    assert(StatsOps.groupedExactPercentiles(one, "g", "v", Seq("p50" -> 0.5))
+      .as[(String, Double)].head() === ("solo", 7.0))
+  }
+
+  test("groupedScan rejects high-cardinality group keys loudly") {
+    // the engine's driver offset table is partitions × |groups|; a key
+    // with > MaxScanGroups distinct values must fail with the contract
+    // message, not OOM the driver (VERDICT r10)
+    val wide = spark.range(StatsOps.MaxScanGroups * 2L)
+      .selectExpr("id AS g", "id AS v")
+    val e = intercept[Exception] {
+      StatsOps.groupedRowNumber(wide, "g", Seq("v"), "rn").count()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: messages(x.getCause))
+    assert(messages(e).exists(m => m != null && m.contains("distinct")),
+      s"want the cardinality-contract message, got: ${e.getMessage}")
+  }
+
   test("property: z-order key is a bijection that preserves per-dimension order") {
     val dimGen = Gen.choose(0L, 65535L)
     val pts = samples(Gen.zip(dimGen, dimGen), 60).distinct
