@@ -83,14 +83,12 @@ object CorpusQueries extends QueryPack {
       .select(col("vec_id"), col("v"), col("c_id").as("bucket"))
   }
 
-  /** One Lloyd update from the fixed seed centroids (vec_id < 8):
-    * integer-micro FLOOR-divided component means, exactly kmeans_iter2's
-    * model step — the TRAINED coarse quantizer `ann_ivf_trained` probes.
+  /** One Lloyd update of `cent0` over `data`: integer-micro FLOOR-divided
+    * component means — kmeans_iter2's model step, shared by the trained
+    * quantizer and the incremental-index fixture (which trains on the
+    * BASE corpus only).
     */
-  private def kmTrainedCentroids(s: SparkSession, d: String): DataFrame = {
-    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding").as("v"))
-    val cent0 = e.filter(col("vec_id") < 8).select(col("vec_id").as("c_id"), col("v").as("cv"))
-    val data = e.filter(col("vec_id") >= 8)
+  private def lloydStep(data: DataFrame, cent0: DataFrame): DataFrame = {
     val moments1 = kmAssign(data, cent0)
       .select(col("bucket"), posexplode(col("v")))
       .select(col("bucket"), col("pos"),
@@ -103,6 +101,16 @@ object CorpusQueries extends QueryPack {
     moments1.groupBy(col("bucket").as("c_id"))
       .agg(expr("transform(array_sort(collect_list(struct(pos, cmicro))), " +
         "r -> CAST(r.cmicro AS DOUBLE) / 1000000.0)").as("cv"))
+  }
+
+  /** The trained coarse quantizer `ann_ivf_trained` probes: one Lloyd
+    * update from the fixed seed centroids (vec_id < 8) over the full
+    * vector set.
+    */
+  private def kmTrainedCentroids(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding").as("v"))
+    val cent0 = e.filter(col("vec_id") < 8).select(col("vec_id").as("c_id"), col("v").as("cv"))
+    lloydStep(e.filter(col("vec_id") >= 8), cent0)
   }
 
   /** ANN index + corpus committed THROUGH the TxLog layer (VERDICT r9
@@ -128,6 +136,43 @@ object CorpusQueries extends QueryPack {
       graft.ops.TxLog.append(cent0, ti)
       graft.ops.TxLog.overwrite(kmTrainedCentroids(s, d), ti)
       (tc, ti)
+    })
+
+  /** INCREMENTAL ANN index maintenance fixture (VERDICT r10 item 4):
+    * three TxLog tables — corpus, index (centroids), CODES. The index is
+    * trained ONCE on the base corpus and never rebuilt; the micro-batch
+    * append assigns its vectors against the COMMITTED centroids
+    * (snapshot-read from the index table, not recomputed) and appends
+    * only the new codes — corpus and codes logs grow by one append each,
+    * zero rewrites (manifest geometry pinned in RetrievalSpec). Because
+    * assignment is a pure per-vector function of the committed centroids,
+    * union-of-code-appends ≡ full reassignment of the union corpus — the
+    * oracle computes that full rebuild closed-form.
+    */
+  private val annIncr = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (String, String, String)]()
+  private def annIncrTables(s: SparkSession, d: String): (String, String, String) =
+    annIncr.computeIfAbsent((s, d), _ => {
+      val tag = (d.hashCode & 0xffffff).toHexString
+      val tc = s"${graft.ops.Scratch.base}/annicorpus_$tag"
+      val ti = s"${graft.ops.Scratch.base}/anniindex_$tag"
+      val tk = s"${graft.ops.Scratch.base}/annicodes_$tag"
+      val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding").as("v"))
+      val base = e.filter(col("vec_id") >= 8 && col("vec_id") < 300)
+      val batch = e.filter(col("vec_id") >= 300)
+      val cent0 = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("c_id"), col("v").as("cv"))
+      graft.ops.TxLog.append(base, tc)                 // corpus v1
+      graft.ops.TxLog.append(lloydStep(base, cent0), ti) // index v1 (trained on base)
+      val committed = graft.ops.TxLog.snapshot(s, ti)  // the COMMITTED quantizer
+        .select(col("c_id"), col("cv"))
+      graft.ops.TxLog.append(
+        kmAssign(base, committed).select(col("vec_id"), col("bucket")), tk) // codes v1
+      // the incremental micro-batch: corpus append + codes append only
+      graft.ops.TxLog.append(batch, tc)                // corpus v2
+      graft.ops.TxLog.append(
+        kmAssign(batch, committed).select(col("vec_id"), col("bucket")), tk) // codes v2
+      (tc, ti, tk)
     })
 
   /** Per-doc BPE tokenization result (shared by bpe_encode and
@@ -384,6 +429,42 @@ object CorpusQueries extends QueryPack {
       }
       searchAt(1L).unionByName(searchAt(2L))
         .orderBy("idx_version", "q_id", "rnk")
+    }),
+
+    // INCREMENTAL ANN index maintenance — the real pipeline shape at
+    // 100 TB, where vectors arrive in micro-batches and a full index
+    // rebuild per batch is unaffordable: the batch is assigned against
+    // the COMMITTED centroids (snapshot-read, never retrained) and ONLY
+    // its codes are appended to the codes log (one append; zero existing
+    // code segments rewritten — geometry pinned in RetrievalSpec). The
+    // search probes the index head + the union codes, fetching vectors
+    // by a vec_id equi-join for exact rerank (an IVF index stores ids,
+    // not vectors). Assignment is a pure per-vector function of the
+    // committed quantizer, so union-of-appends ≡ full reassignment of
+    // the union corpus — exactly what the oracle computes closed-form.
+    "ann_index_incremental" -> ((s, d) => {
+      val (tc, ti, tk) = annIncrTables(s, d)
+      val corpus = graft.ops.TxLog.snapshot(s, tc)       // base ∪ batch
+      val cents = graft.ops.TxLog.snapshot(s, ti)
+        .select(col("c_id"), col("cv"))
+      val codes = graft.ops.TxLog.snapshot(s, tk)        // codes v1 ∪ v2
+      val q = corpus.filter(col("vec_id") >= 8 && col("vec_id") < 13)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      val pw = Window.partitionBy("q_id").orderBy(col("c_cos").desc, col("c_id").asc)
+      val probes = q.crossJoin(broadcast(cents))
+        .withColumn("c_cos", VectorOps.cosine(col("qv"), col("cv")))
+        .withColumn("prank", row_number().over(pw))
+        .filter(col("prank") <= 2)
+        .select(col("q_id"), col("qv"), col("c_id").as("bucket"))
+      val rw = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id").asc)
+      probes.join(codes, "bucket")
+        .filter(col("q_id") =!= col("vec_id"))
+        .join(corpus.select(col("vec_id"), col("v")), "vec_id")
+        .withColumn("cosine", VectorOps.cosine(col("qv"), col("v")))
+        .withColumn("rnk", row_number().over(rw).cast("long"))
+        .filter(col("rnk") <= 3)
+        .select(col("q_id"), col("vec_id"), col("bucket"), col("cosine"), col("rnk"))
+        .orderBy("q_id", "rnk")
     }),
 
     // Numeric masking/redaction: every digit run in the payload replaced
@@ -1151,6 +1232,49 @@ object CorpusQueries extends QueryPack {
          |SELECT * FROM (SELECT * FROM top1 WHERE rnk <= 3
          |  UNION ALL SELECT * FROM top2 WHERE rnk <= 3)
          |ORDER BY idx_version, q_id, rnk""".stripMargin,
+    // Full-rebuild reference for the incremental index: centroids = one
+    // Lloyd step over the BASE corpus [8, 300) only (the committed,
+    // never-retrained quantizer), assignment over the UNION corpus,
+    // 2-probe + exact-rerank top-3 — which the incremental append path
+    // must equal because per-vector assignment is pure in the centroids.
+    "ann_index_incremental" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+         |cent0 AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < 8),
+         |base AS (SELECT vec_id, v FROM e WHERE vec_id >= 8 AND vec_id < 300),
+         |ab AS (
+         |  SELECT vec_id, v, bucket FROM (
+         |    SELECT base.vec_id, base.v, c_id AS bucket,
+         |      row_number() OVER (PARTITION BY base.vec_id
+         |        ORDER BY ${LlmQueries.cosSql("base.v", "cv")} DESC, c_id) AS arank
+         |    FROM base, cent0) t WHERE arank = 1),
+         |mb AS (SELECT bucket, pos, CAST(SUM(micro) AS BIGINT) AS sm, COUNT(*) AS n FROM (
+         |    SELECT bucket, unnest(range(0, len(v))) AS pos,
+         |      CAST(round(unnest(v)*1000000) AS BIGINT) AS micro FROM ab) x0
+         |  GROUP BY 1, 2),
+         |cent1 AS (SELECT bucket AS c_id,
+         |    list(CAST(CASE WHEN sm % n = 0 OR sm >= 0 THEN sm // n ELSE sm // n - 1 END
+         |      AS DOUBLE) / 1000000.0 ORDER BY pos) AS cv
+         |  FROM mb GROUP BY 1),
+         |au AS (
+         |  SELECT vec_id, v, bucket FROM (
+         |    SELECT e.vec_id, e.v, c_id AS bucket,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${LlmQueries.cosSql("e.v", "cv")} DESC, c_id) AS arank
+         |    FROM e, cent1 WHERE e.vec_id >= 8) t WHERE arank = 1),
+         |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id >= 8 AND vec_id < 13),
+         |p AS (SELECT q_id, qv, bucket FROM (
+         |    SELECT q_id, qv, c_id AS bucket,
+         |      row_number() OVER (PARTITION BY q_id
+         |        ORDER BY ${LlmQueries.cosSql("qv", "cv")} DESC, c_id) AS prank
+         |    FROM q, cent1) t WHERE prank <= 2),
+         |res AS (SELECT q_id, a.vec_id, a.bucket,
+         |    ${LlmQueries.cosSql("qv", "a.v")} AS cosine
+         |  FROM p JOIN au a ON p.bucket = a.bucket
+         |  WHERE q_id <> a.vec_id)
+         |SELECT q_id, vec_id, bucket, cosine, rnk FROM (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+         |    ORDER BY cosine DESC, vec_id) AS BIGINT) AS rnk FROM res) t
+         |WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin,
     "kmeans_iter2" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
          |cent0 AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < 8),

@@ -49,4 +49,36 @@ class RetrievalSpec extends SparkSpec {
         s"vec $id: query=${got(id)} bruteforce=${(expCodes, expErr)}")
     }
   }
+
+  test("incremental ANN code appends: pinned reads are byte-stable, log is append-only") {
+    // the ann_index_incremental maintenance contract in isolation, on a
+    // fresh codes-shaped TxLog table: a reader pinned at codes v1 must
+    // read identical bytes while the micro-batch append lands, the
+    // append must touch zero existing segments, and the head must be
+    // exactly v1 ∪ batch
+    import graft.ops.TxLog
+    import spark.implicits._
+    val t = java.nio.file.Files.createTempDirectory("ann-codes-").resolve("codes").toString
+    val v1 = Seq((8L, 0L), (9L, 1L), (10L, 0L)).toDF("vec_id", "bucket")
+    TxLog.append(v1, t)
+    val pinnedVersion = TxLog.currentVersion(t)
+    val segsBefore = TxLog.liveFiles(t).toSet
+    val before = TxLog.snapshot(spark, t, Some(pinnedVersion))
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    // concurrent micro-batch append (codes for new vectors only)
+    val batch = Seq((300L, 1L), (301L, 0L)).toDF("vec_id", "bucket")
+    TxLog.append(batch, t)
+    // pinned read: identical bytes after the append
+    val after = TxLog.snapshot(spark, t, Some(pinnedVersion))
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(after === before, "a pinned codes read must not see the append")
+    // append-only geometry: one new segment, nothing removed or rewritten
+    val m = TxLog.readManifest(t, pinnedVersion + 1)
+    assert(m.adds.size === 1 && m.removes.isEmpty)
+    assert(segsBefore.subsetOf(TxLog.liveFiles(t).toSet),
+      "existing code segments must survive the incremental append untouched")
+    // head = union of code appends
+    assert(TxLog.snapshot(spark, t).as[(Long, Long)].collect().sorted.toSeq
+      === (Seq((8L, 0L), (9L, 1L), (10L, 0L), (300L, 1L), (301L, 0L)).sorted))
+  }
 }
