@@ -37,6 +37,28 @@ object Sinks {
   def readScheme(path: String): String =
     if (path.startsWith("s3://")) "s3a://" + path.stripPrefix("s3://") else path
 
+  /** Zero-rename parquet write for object stores: swap in
+    * [[graft.sources.DirectObjectStoreCommitter]] for the duration of
+    * this one write (the magic-committer shape — tasks write final keys,
+    * job commit is just the `_SUCCESS` marker). On a copy-rename store
+    * the default v1 committer copies every byte TWICE (task + job
+    * rename); this path copies zero (ObjectStoreSpec measures both).
+    * Not for dynamic partition overwrite or speculative execution — see
+    * the committer's scaladoc.
+    */
+  def writeDirectObjectStore(df: DataFrame, path: String,
+                             partitionCols: Seq[String] = Seq.empty): Unit = {
+    val spark = df.sparkSession
+    val key = "spark.sql.parquet.output.committer.class"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key, classOf[graft.sources.DirectObjectStoreCommitter].getName)
+    try writePartitionedParquet(df, path, partitionCols)
+    finally saved match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   /** Round-trip through ORC (Spark's other native columnar format). */
   def orcRoundTrip(spark: SparkSession, df: DataFrame, scratch: String): DataFrame = {
     df.write.mode(SaveMode.Overwrite).orc(scratch)

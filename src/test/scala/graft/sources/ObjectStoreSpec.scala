@@ -46,6 +46,46 @@ class ObjectStoreSpec extends SparkSpec {
     assert(pruned.count() === 2)
   }
 
+  test("rename amplification measured: v1 committer copies ~2x data bytes, direct commit copies zero") {
+    // the reference's own bottleneck note (README.md:6-8, notebook S3
+    // writes) finally measured: on a copy-rename store the default
+    // FileOutputCommitter v1 pays task-commit + job-commit renames —
+    // every data byte copied TWICE — while the magic-committer-shape
+    // direct path renames nothing
+    ObjectStoreFs.install(spark)
+    val df = spark.range(20000).selectExpr("id AS k", "CAST(id % 3 AS STRING) AS part",
+      "id * 7 AS v")
+
+    val outV1 = freshPrefix("amp_v1")
+    val (r0, b0) = (ObjectStoreFs.renames.get, ObjectStoreFs.copiedBytes.get)
+    Sinks.writePartitionedParquet(df, outV1, Seq("part"))
+    val v1Renames = ObjectStoreFs.renames.get - r0
+    val v1Copied = ObjectStoreFs.copiedBytes.get - b0
+    val fs = new Path(outV1).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dataBytes = fs.getContentSummary(new Path(outV1)).getLength
+    assert(v1Copied >= 2 * dataBytes - 1024,
+      s"v1 committer must copy each data byte ~twice: copied=$v1Copied data=$dataBytes")
+    info(s"v1 committer: $v1Renames renames, $v1Copied bytes copied for $dataBytes data bytes " +
+      f"(amplification ${v1Copied.toDouble / dataBytes}%.2fx)")
+
+    val outDirect = freshPrefix("amp_direct")
+    val (r1, b1) = (ObjectStoreFs.renames.get, ObjectStoreFs.copiedBytes.get)
+    Sinks.writeDirectObjectStore(df, outDirect, Seq("part"))
+    val dRenames = ObjectStoreFs.renames.get - r1
+    val dCopied = ObjectStoreFs.copiedBytes.get - b1
+    assert(dCopied === 0L && dRenames === 0L,
+      s"direct commit must rename nothing: renames=$dRenames copied=$dCopied")
+    // same rows, same partition layout, _SUCCESS published
+    assert(fs.exists(new Path(outDirect, "_SUCCESS")))
+    val a = spark.read.parquet(outV1).select("k", "part", "v")
+      .as[(Long, String, Long)].collect().sorted.toSeq
+    val b = spark.read.parquet(outDirect).select("k", "part", "v")
+      .as[(Long, String, Long)].collect().sorted.toSeq
+    assert(a === b, "direct-commit output must equal the v1-committed output")
+    val pruned = spark.read.parquet(outDirect).filter($"part" === "1")
+    assert(pruned.count() === df.filter($"part" === "1").count())
+  }
+
   test("rename refuses to clobber and moves directories by copy+delete") {
     ObjectStoreFs.install(spark)
     val base = new Path(freshPrefix("t2"))
