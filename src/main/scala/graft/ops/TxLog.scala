@@ -63,10 +63,16 @@ object TxLog {
     * file-skipping statistic a reader prunes on without opening footers —
     * plus an optional Bloom filter over the column's values for POINT
     * lookups (min/max is useless when segment key ranges interleave; the
-    * bloom still prunes definitively-absent keys).
+    * bloom still prunes definitively-absent keys), plus optional ANALYZE
+    * stats: the segment's row count and the tracked column's exact NDV,
+    * recorded at write time so planners can size joins from the manifest
+    * alone ([[tableRowCount]] / [[ndvBounds]] — the Delta/Iceberg
+    * table-stats surface CBO reads).
     */
   final case class SegStats(col: String, min: Long, max: Long,
-                            bloomHex: Option[String] = None)
+                            bloomHex: Option[String] = None,
+                            rows: Option[Long] = None,
+                            ndv: Option[Long] = None)
 
   private def logDir(table: String): Path = Paths.get(table, "_txlog")
   private def fmt(v: Long): String = f"$v%020d.json"
@@ -108,7 +114,9 @@ object TxLog {
     def arr(xs: Seq[String]) = xs.map(jstr).mkString("[", ",", "]")
     val stats = m.stats.map { case (p, s) =>
       val bloom = s.bloomHex.map(h => s""","bloom":${jstr(h)}""").getOrElse("")
-      s"""${jstr(p)}:{"col":${jstr(s.col)},"min":${s.min},"max":${s.max}$bloom}"""
+      val rows = s.rows.map(r => s""","rows":$r""").getOrElse("")
+      val ndv = s.ndv.map(n => s""","ndv":$n""").getOrElse("")
+      s"""${jstr(p)}:{"col":${jstr(s.col)},"min":${s.min},"max":${s.max}$bloom$rows$ndv}"""
     }.mkString("{", ",", "}")
     // schemaJson is already JSON (StructType.json) — embedded verbatim
     val schema = m.schemaJson.map(j => s""","schema":$j""").getOrElse("")
@@ -127,7 +135,9 @@ object TxLog {
       sn.properties().asScala.map { e =>
         e.getKey -> SegStats(e.getValue.get("col").asText(),
           e.getValue.get("min").asLong(), e.getValue.get("max").asLong(),
-          Option(e.getValue.get("bloom")).map(_.asText()))
+          Option(e.getValue.get("bloom")).map(_.asText()),
+          Option(e.getValue.get("rows")).map(_.asLong()),
+          Option(e.getValue.get("ndv")).map(_.asLong()))
       }.toMap
     }.getOrElse(Map.empty[String, SegStats]) // pre-stats manifests stay readable
     val schemaJson = Option(node.get("schema")).map(_.toString)
@@ -451,15 +461,48 @@ object TxLog {
     * metadata; the skipped segments are the I/O saved).
     */
   def appendWithStats(df: DataFrame, table: String, statsCol: String): Long = {
-    import org.apache.spark.sql.functions.{max => fmax, min => fmin, col => fcol}
+    import org.apache.spark.sql.functions.{count, countDistinct, lit,
+      max => fmax, min => fmin, col => fcol}
     validateWrite(df, table)
     val p = stage(df, table)
+    // one agg pass also records ANALYZE stats (rows + exact NDV of the
+    // tracked column) — write-time bookkeeping that lets every future
+    // planner size this segment from the manifest without a scan
     val r = df.sparkSession.read.parquet(p)
-      .agg(fmin(fcol(statsCol).cast("long")), fmax(fcol(statsCol).cast("long"))).head()
+      .agg(fmin(fcol(statsCol).cast("long")), fmax(fcol(statsCol).cast("long")),
+        count(lit(1)), countDistinct(fcol(statsCol))).head()
     val stats =
       if (r.isNullAt(0)) Map.empty[String, SegStats]
-      else Map(p -> SegStats(statsCol, r.getLong(0), r.getLong(1)))
+      else Map(p -> SegStats(statsCol, r.getLong(0), r.getLong(1), None,
+        Some(r.getLong(2)), Some(r.getLong(3))))
     commit(table, "append", Seq(p), Seq.empty, currentVersion(table), stats)
+  }
+
+  /** Table row count from manifest metadata alone — no segment scanned.
+    * None when any live segment was committed without row stats (an
+    * honest planner must not guess). The CBO primitive: a join side
+    * whose manifest row count is broadcast-sized gets broadcast without
+    * reading a byte of data.
+    */
+  def tableRowCount(table: String, asOf: Option[Long] = None): Option[Long] = {
+    val segs = tableStateViaCheckpoint(table, asOf).segments
+    val rows = segs.map(_._2.flatMap(_.rows))
+    if (rows.exists(_.isEmpty)) None else Some(rows.flatten.sum)
+  }
+
+  /** NDV bounds for the tracked column from manifest metadata: segments'
+    * exact per-segment NDVs give [max(ndv_i), Σ ndv_i] — the true table
+    * NDV lies within (equality on the left when one segment dominates,
+    * on the right when segments are key-disjoint, e.g. after
+    * [[compactClustered]]). None when any live segment lacks NDV stats
+    * or tracks a different column.
+    */
+  def ndvBounds(table: String, col: String,
+                asOf: Option[Long] = None): Option[(Long, Long)] = {
+    val segs = tableStateViaCheckpoint(table, asOf).segments
+    val ndvs = segs.map(_._2.filter(_.col == col).flatMap(_.ndv))
+    if (ndvs.isEmpty || ndvs.exists(_.isEmpty)) None
+    else Some((ndvs.flatten.max, ndvs.flatten.sum))
   }
 
   // Bloom parameters: 2^20 bits / 3 probes — <0.2% false-positive odds at
@@ -879,7 +922,9 @@ object TxLog {
       sn.properties().asScala.map { e =>
         e.getKey -> SegStats(e.getValue.get("col").asText(),
           e.getValue.get("min").asLong(), e.getValue.get("max").asLong(),
-          Option(e.getValue.get("bloom")).map(_.asText()))
+          Option(e.getValue.get("bloom")).map(_.asText()),
+          Option(e.getValue.get("rows")).map(_.asLong()),
+          Option(e.getValue.get("ndv")).map(_.asLong()))
       }.toMap
     }.getOrElse(Map.empty[String, SegStats])
     Manifest(node.get("version").asLong(), node.get("op").asText(),

@@ -385,6 +385,24 @@ class PlanShapeSpec extends SparkSpec {
       s"constant-cardinality window partitions over raw inputs:\n${offenders.mkString("\n")}")
   }
 
+  test("manifest-stats join broadcasts on metadata alone (CBO shape)") {
+    // with auto-broadcast disabled, only the query's explicit
+    // metadata-driven broadcast() can make this a broadcast join — the
+    // decision came from TxLog.tableRowCount, not from a scan or a
+    // size estimate
+    val c = spark.conf
+    val saved = c.getOption("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      c.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p = plan("lake_txlog_stats_join")
+      assert(p.contains("BroadcastHashJoin"),
+        s"manifest row count must drive a broadcast join:\n${p.take(800)}")
+    } finally saved match {
+      case Some(v) => c.set("spark.sql.autoBroadcastJoinThreshold", v)
+      case None => c.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("no plan buffers a whole group in an exact-percentile aggregate") {
     // VERDICT r10: Spark's `percentile`/`median` is a
     // TypedImperativeAggregate whose buffer holds EVERY value of the

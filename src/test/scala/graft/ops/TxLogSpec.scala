@@ -549,6 +549,26 @@ class TxLogSpec extends SparkSpec {
       === Some(Seq("k", "v", "tag")))
   }
 
+  test("manifest ANALYZE stats: row count and NDV bounds answer without a scan") {
+    val t = freshTable()
+    TxLog.appendWithStats(rows(1L -> 10L, 2L -> 20L, 2L -> 21L), t, "k") // 3 rows, ndv 2
+    TxLog.appendWithStats(rows(3L -> 30L, 4L -> 40L), t, "k")            // 2 rows, ndv 2
+    assert(TxLog.tableRowCount(t) === Some(5L))
+    // disjoint segments: [max, sum] brackets (and here the sum is exact)
+    assert(TxLog.ndvBounds(t, "k") === Some((2L, 4L)))
+    // a different column has no recorded NDV
+    assert(TxLog.ndvBounds(t, "v").isEmpty)
+    // a stat-less append poisons the metadata answer — an honest planner
+    // must not guess from partial stats
+    TxLog.append(rows(9L -> 90L), t)
+    assert(TxLog.tableRowCount(t).isEmpty && TxLog.ndvBounds(t, "k").isEmpty)
+    // time travel to the fully-statted version still answers
+    assert(TxLog.tableRowCount(t, Some(2L)) === Some(5L))
+    // old manifests without rows/ndv fields stay readable (fields are
+    // optional in the JSON) — covered implicitly by every other test's
+    // stats-free appends parsing fine
+  }
+
   test("CAS race: two manifests for the same version — exactly one wins") {
     val t = freshTable()
     TxLog.append(rows(1L -> 10L), t)
