@@ -370,7 +370,13 @@ object StatsQueries extends QueryPack {
           val (x, y) = (vars(i), vars(j))
           sum(expr(s"CAST($x AS DECIMAL(38,0)) * $y")).as(s"s_${x}_$y")
         })
-      val a = b.agg(sums.head, sums.tail: _*)
+      // ONE fact pass: the 1-row moment vector is scratch-materialized —
+      // referencing the agg frame from all 6 pair selects re-executed the
+      // full scan+aggregate per pair (6 fact scans; the r11 sf1 run
+      // measured it 25x at 10x rows before this fix)
+      val a = graft.ops.Scratch.materialize("corr_matrix_moments", s, d) {
+        b.agg(sums.head, sums.tail: _*)
+      }
       def pairRow(x: String, y: String) =
         a.select(lit(x).as("var1"), lit(y).as("var2"), col("n"),
           expr(
