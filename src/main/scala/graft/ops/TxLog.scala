@@ -688,7 +688,11 @@ object TxLog {
     * must go through [[evolve]] first.
     */
   def mergeDv(spark: SparkSession, updates: DataFrame, table: String,
-              key: String): Long = {
+              key: String): Long =
+    mergeDvImpl(spark, updates, table, key, "merge_dv", () => false)
+
+  private def mergeDvImpl(spark: SparkSession, updates: DataFrame, table: String,
+                          key: String, op: String, skipIf: () => Boolean): Long = {
     import org.apache.spark.sql.functions.{col => fcol, lit}
     init(table)
     validateUpdates(updates, key)
@@ -734,9 +738,41 @@ object TxLog {
     }.toIndexedSeq: _*)
     val dvSeg = stage(allMarks, table)
     val newSeg = stage(conformed, table)
-    commit(table, "merge_dv", Seq(newSeg), Seq.empty, rv, Map.empty,
-      () => false, None, dv = Some(dvSeg))
+    commit(table, op, Seq(newSeg), Seq.empty, rv, Map.empty,
+      skipIf, None, dv = Some(dvSeg))
   }
+
+  private val StreamMergeOp = "stream_merge_b(\\d+)".r
+
+  /** Highest micro-batch id ever committed by [[streamingMergeDv]], or -1
+    * (same newest-first early-stop argument as [[maxCommittedBatch]]).
+    */
+  def maxCommittedMergeBatch(table: String): Long =
+    listVersions(table).reverseIterator
+      .map(v => readManifest(table, v).op)
+      .collectFirst { case StreamMergeOp(b) => b.toLong }
+      .getOrElse(-1L)
+
+  /** Exactly-once STREAMING CDC UPSERT — the foreachBatch body that
+    * applies each micro-batch of change rows as one merge-on-read commit
+    * (the Delta `foreachBatch + MERGE` pattern, here through the DV
+    * path so a small CDC batch never rewrites the table). The batch id
+    * rides in the manifest op; a replayed batch after a sink-side crash
+    * finds its id committed and SKIPS — checked up front AND inside the
+    * commit CAS (a zombie driver that loses the version race re-reads
+    * the log and returns -1, its staged segments vacuumable), the same
+    * double-check [[streamingAppend]] uses. A concurrent NON-replay
+    * commit aborts with ConcurrentModificationException — a DV merge is
+    * only valid against the exact snapshot it read; Spark's foreachBatch
+    * retries the batch and the retry rebases.
+    *
+    * Returns the committed version, or -1 for a skipped replay.
+    */
+  def streamingMergeDv(spark: SparkSession, updates: DataFrame, table: String,
+                       key: String, batchId: Long): Long =
+    if (batchId <= maxCommittedMergeBatch(table)) -1L
+    else mergeDvImpl(spark, updates, table, key, s"stream_merge_b$batchId",
+      skipIf = () => maxCommittedMergeBatch(table) >= batchId)
 
   /** Small-file compaction as a commit: rewrite the current live segment
     * set into one segment and atomically swap. Logically a no-op (same

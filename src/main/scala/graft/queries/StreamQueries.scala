@@ -31,7 +31,55 @@ object StreamQueries extends QueryPack {
       t
     })
 
+  /** Streaming-CDC-upsert fixture: base appended, then three CDC
+    * micro-batches applied through `TxLog.streamingMergeDv` — each one
+    * merge-on-read commit (marks + one segment, zero rewrites) carrying
+    * its batch id — INCLUDING a deliberate replay of batch 1 that must
+    * skip (returns -1), proving the sink is exactly-once. Batches are
+    * derived from the base, so the head is latest-wins closed-form.
+    */
+  private def txUpsertTable(s: org.apache.spark.sql.SparkSession, d: String): String =
+    txStreamTables.computeIfAbsent((s, "upsert:" + d), _ => {
+      val t = s"${graft.ops.Scratch.base}/txupsert_${(d.hashCode & 0xffffff).toHexString}"
+      val base = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      graft.ops.TxLog.append(base, t)
+      val b0 = base.filter(col("o_orderkey") % 3 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+        .withColumn("o_orderstatus", lit("U0"))
+      val b1 = base.filter(col("o_orderkey") % 5 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 2000.0)
+        .withColumn("o_orderstatus", lit("U1"))
+        .unionByName(base.filter(col("o_orderkey") % 101 === 0)
+          .select((col("o_orderkey") + 20000000L).as("o_orderkey"),
+            col("o_totalprice"), lit("N").as("o_orderstatus")))
+      val b2 = base.filter(col("o_orderkey") % 7 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 3000.0)
+        .withColumn("o_orderstatus", lit("U2"))
+      require(graft.ops.TxLog.streamingMergeDv(s, b0, t, "o_orderkey", 0L) > 0)
+      require(graft.ops.TxLog.streamingMergeDv(s, b1, t, "o_orderkey", 1L) > 0)
+      require(graft.ops.TxLog.streamingMergeDv(s, b1, t, "o_orderkey", 1L) == -1L,
+        "replayed batch must skip")
+      require(graft.ops.TxLog.streamingMergeDv(s, b2, t, "o_orderkey", 2L) > 0)
+      t
+    })
+
   val queries: Map[String, Q] = Map(
+    // STREAMING CDC UPSERT through the lake (the Delta foreachBatch+MERGE
+    // pattern, write-side twin of stream_txlog_source_batcheq): three CDC
+    // micro-batches applied by TxLog.streamingMergeDv — each an
+    // exactly-once MERGE-ON-READ commit (deletion-vector marks + one new
+    // segment, zero existing segments rewritten; batch id in the
+    // manifest, replay of batch 1 skips — asserted in the fixture and
+    // exercised through a real MemoryStream foreachBatch in
+    // StreamingSpec). The head snapshot must equal the latest-wins
+    // composition of the batches, which the oracle computes closed-form.
+    "stream_txlog_upsert_batcheq" -> ((s, d) =>
+      graft.ops.TxLog.snapshot(s, txUpsertTable(s, d))
+        .select(col("o_orderkey"),
+          graft.ops.Cleaning.cents(col("o_totalprice")).as("price_cents"),
+          col("o_orderstatus"))
+        .orderBy("o_orderkey")),
     // The lake's read-side streaming quadrant: `txlog-stream` replays a
     // TxLog table's COMMITS as micro-batches (offsets = log versions,
     // exactly-once per commit — TxLogStreamSpec pins restarts/rewrites).
@@ -200,6 +248,19 @@ object StreamQueries extends QueryPack {
   )
 
   val oracle: Map[String, String] = Map(
+    "stream_txlog_upsert_batcheq" ->
+      """SELECT o_orderkey,
+        |  CAST(round((o_totalprice + CASE WHEN o_orderkey % 7 = 0 THEN 3000.0
+        |    WHEN o_orderkey % 5 = 0 THEN 2000.0
+        |    WHEN o_orderkey % 3 = 0 THEN 1000.0 ELSE 0.0 END) * 100) AS BIGINT)
+        |    AS price_cents,
+        |  CASE WHEN o_orderkey % 7 = 0 THEN 'U2' WHEN o_orderkey % 5 = 0 THEN 'U1'
+        |       WHEN o_orderkey % 3 = 0 THEN 'U0' ELSE o_orderstatus END AS o_orderstatus
+        |FROM orders
+        |UNION ALL
+        |SELECT o_orderkey + 20000000, CAST(round(o_totalprice * 100) AS BIGINT), 'N'
+        |FROM orders WHERE o_orderkey % 101 = 0
+        |ORDER BY o_orderkey""".stripMargin,
     "stream_txlog_source_batcheq" ->
       """SELECT CAST(1 AS BIGINT) AS commit_version, COUNT(*) AS n,
         |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents

@@ -527,6 +527,36 @@ class StreamingSpec extends SparkSpec {
     assert(replay === -1L && graft.ops.TxLog.snapshot(spark, t).count() === 2L)
   }
 
+  test("foreachBatch CDC upsert sink: exactly-once merge-on-read per micro-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val t = java.nio.file.Files.createTempDirectory("txcdc-").resolve("t").toString
+    graft.ops.TxLog.append(
+      Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("k", "v"), t)
+    val segsBefore = graft.ops.TxLog.liveFiles(t).toSet
+    val mem = MemoryStream[(Long, Long)]
+    mem.addData((2L, 200L), (4L, 400L))
+    val q = mem.toDF().toDF("k", "v")
+      .writeStream.outputMode("append")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        graft.ops.TxLog.streamingMergeDv(df.sparkSession, df, t, "k", id); ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    try q.processAllAvailable() finally q.stop()
+    assert(graft.ops.TxLog.snapshot(spark, t).as[(Long, Long)].collect().toMap
+      === Map(1L -> 10L, 2L -> 200L, 3L -> 30L, 4L -> 400L))
+    // merge-on-read: the base segment was never rewritten
+    assert(segsBefore.subsetOf(graft.ops.TxLog.liveFiles(t).toSet))
+    // post-restart replay of the committed batch: skipped, no double-apply
+    val last = graft.ops.TxLog.maxCommittedMergeBatch(t)
+    assert(last >= 0L)
+    val replay = graft.ops.TxLog.streamingMergeDv(spark,
+      Seq((2L, 999L)).toDF("k", "v"), t, "k", last)
+    assert(replay === -1L)
+    assert(graft.ops.TxLog.snapshot(spark, t).as[(Long, Long)].collect().toMap
+      .apply(2L) === 200L, "replayed batch must not re-apply")
+  }
+
   test("foreachBatch merge sink upserts micro-batches into a parquet target") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
