@@ -911,6 +911,94 @@ object TxLog {
     commit(table, "optimize", adds, live, rv, staged.toMap)
   }
 
+  /** Z-ORDER clustered compaction — `OPTIMIZE ZORDER BY (x, y)`: rewrite
+    * the live set into segments that each own a CONTIGUOUS stretch of
+    * the Morton curve over (xCol, yCol), committed with tight min/max
+    * stats on the z-key, in one atomic swap. A one-dimensional layout
+    * ([[compactClustered]]) prunes range reads on that one column only;
+    * after this rewrite a TWO-dimensional box read prunes from the
+    * manifest alone ([[snapshotZOrderBox]]) because an aligned box is a
+    * contiguous z-range. Dimensions use the low 16 bits (`& 65535`) —
+    * the [[graft.ops.ZOrder]] contract. Content-preserving (row-count
+    * asserted before the swap); soft deletes materialize like every
+    * rewriting commit; null/negative dimension rows land in a stat-less
+    * residual segment that box reads conservatively keep.
+    */
+  def compactZOrder(spark: SparkSession, table: String, xCol: String,
+                    yCol: String, buckets: Int): Long = {
+    import org.apache.spark.sql.functions.{col => fcol, count => fcount, expr, lit,
+      max => fmax, min => fmin}
+    val rv = currentVersion(table)
+    val live = liveFiles(table, Some(rv))
+    require(live.nonEmpty, s"z-order optimize of empty table $table")
+    val base = snapshot(spark, table, Some(rv))
+    val z = freshName(base.columns.toSet, "__z")
+    val dims = fcol(xCol).cast("long").bitwiseAND(lit(65535L)) ->
+      fcol(yCol).cast("long").bitwiseAND(lit(65535L))
+    val withZ = base.withColumn(z,
+      org.apache.spark.sql.functions.when(
+        fcol(xCol).isNull || fcol(yCol).isNull || fcol(xCol) < 0 || fcol(yCol) < 0,
+        lit(null).cast("long"))
+        .otherwise(ZOrder.zkey(dims._1, dims._2)))
+    val statCol = s"zorder($xCol,$yCol)"
+    val baseRow = withZ.agg(fcount(lit(1)), fmax(fcol(z))).head()
+    val baseCount = baseRow.getLong(0)
+    val mx = if (baseRow.isNullAt(1)) 0L else baseRow.getLong(1)
+    val q = mx / buckets + 1
+    val staged = (0 until buckets).flatMap { b =>
+      val part = withZ.filter(expr(s"$z div $q") === b)
+      if (part.isEmpty) None
+      else {
+        val mm = part.agg(fmin(fcol(z)), fmax(fcol(z))).head()
+        val p = stage(part.drop(z), table)
+        Some(p -> SegStats(statCol, mm.getLong(0), mm.getLong(1)))
+      }
+    }
+    val residualPart = withZ.filter(fcol(z).isNull).drop(z)
+    val residual =
+      if (residualPart.isEmpty) Seq.empty[String]
+      else Seq(stage(residualPart, table))
+    val adds = staged.map(_._1) ++ residual
+    val stagedCount =
+      if (adds.isEmpty) 0L else spark.read.parquet(adds: _*).count()
+    require(stagedCount == baseCount,
+      s"z-order optimize of $table would change the row count ($baseCount -> " +
+        s"$stagedCount); aborting before the swap")
+    commit(table, "optimize_zorder", adds, live, rv, staged.toMap)
+  }
+
+  /** Manifest-pruned TWO-DIMENSIONAL box read over a z-ordered table:
+    * the box `[x0, x1) × [y0, y1)` must be an ALIGNED power-of-two
+    * square (side a power of 2, corners multiples of the side) — exactly
+    * then its z-curve image is the contiguous range
+    * `[z(x0,y0), z(x1-1,y1-1)]`, and segments whose z min/max stats miss
+    * that range are skipped without opening a footer. Stat-less segments
+    * (incl. the null residual) are conservatively read. The caller still
+    * applies the box predicate reader-side — stats pruning is an
+    * optimization, never the filter. Returns (relation, scanned, total).
+    */
+  def snapshotZOrderBox(spark: SparkSession, table: String, xCol: String,
+                        yCol: String, x0: Long, x1: Long,
+                        y0: Long, y1: Long): (DataFrame, Int, Int) = {
+    val side = x1 - x0
+    require(side > 0 && side == (y1 - y0) && (side & (side - 1)) == 0 &&
+      x0 % side == 0 && y0 % side == 0,
+      s"box [$x0,$x1)x[$y0,$y1) must be an aligned power-of-two square — " +
+        "only then is its z-curve image one contiguous range")
+    val statCol = s"zorder($xCol,$yCol)"
+    val zlo = ZOrder.zkeyScalar(x0, y0)
+    val zhi = ZOrder.zkeyScalar(x1 - 1, y1 - 1)
+    val st = tableStateViaCheckpoint(table)
+    val all = st.segments
+    val keep = all.collect {
+      case (p, None) => p
+      case (p, Some(s)) if s.col != statCol || (s.max >= zlo && s.min <= zhi) => p
+    }
+    require(keep.nonEmpty, s"box pruned every segment of $table")
+    val rel = applyDv(spark, readFiles(spark, keep, recordedSchema(table)), st.dv)
+    (rel, keep.size, all.size)
+  }
+
   /** CHECKPOINT the manifest log (Delta's _last_checkpoint / Iceberg's
     * snapshot metadata): collapse the fold of manifests 1..V into one
     * `<V>.checkpoint.json` carrying the live segment list, accumulated

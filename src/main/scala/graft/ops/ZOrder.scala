@@ -49,6 +49,21 @@ object ZOrder {
   def zkeySql(x: String, y: String): String =
     s"(${spread16Sql(x)} | (${spread16Sql(y)} << 1))"
 
+  /** Driver-side scalar twin of [[zkey]] (same mask sequence) — used by
+    * the TxLog z-order box read to turn an aligned (x, y) box into its
+    * contiguous Morton range without a Spark job.
+    */
+  def zkeyScalar(x: Long, y: Long): Long = {
+    def spread(v: Long): Long = {
+      var s = v & 0xFFFFL
+      s = (s | (s << 8)) & 0x00FF00FFL
+      s = (s | (s << 4)) & 0x0F0F0F0FL
+      s = (s | (s << 2)) & 0x33333333L
+      (s | (s << 1)) & 0x55555555L
+    }
+    spread(x) | (spread(y) << 1)
+  }
+
   /** Cluster a frame for two-dimensional file skipping: range-partition
     * by the Morton key (so each output file owns a contiguous z-curve
     * segment = a small rectangle in (x, y) space) and sort within

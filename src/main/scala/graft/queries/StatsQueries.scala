@@ -151,6 +151,28 @@ object StatsQueries extends QueryPack {
       t
     })
 
+  /** Z-order TxLog table: orders carrying two derived 4-bit dimensions
+    * (px = key%16, py = (key div 16)%16 — both fully populated for any
+    * table with ≥256 orders, so the geometry is SF-independent), first
+    * laid out as 4 modulus-split segments (every one spans the whole
+    * z-space), then ONE `compactZOrder` rewrite into 16 z-contiguous
+    * segments — each exactly one aligned 4×4 box of the (px, py) plane.
+    */
+  private def txZOrderTable(s: SparkSession, d: String): String =
+    txTables.computeIfAbsent((s, "zorder:" + d), _ => {
+      val t = s"${graft.ops.Scratch.base}/txzorder_${(d.hashCode & 0xffffff).toHexString}"
+      val base = Tables.orders(s, d).select(col("o_orderkey"),
+        (col("o_orderkey") % 16).as("px"),
+        expr("(o_orderkey div 16) % 16").as("py"),
+        Cleaning.cents(col("o_totalprice")).as("cents"))
+      (0L to 3L).foreach { b =>
+        graft.ops.TxLog.appendWithStats(
+          base.filter(col("o_orderkey") % 4 === b), t, "o_orderkey")
+      }
+      graft.ops.TxLog.compactZOrder(s, t, "px", "py", 16)
+      t
+    })
+
   /** ANALYZE-stats TxLog dim table: nation split into two appends, each
     * committed with row-count + exact-NDV manifest stats — the metadata
     * the CBO-shape query plans its join from without scanning a byte.
@@ -1041,6 +1063,34 @@ object StatsQueries extends QueryPack {
           col("o_orderstatus"))
         .orderBy("o_orderkey")),
 
+    // OPTIMIZE ZORDER through the commit log (Delta's 2-D clustering
+    // maintenance op): the table starts as 4 modulus-split segments —
+    // every one spans the whole (px, py) plane, so a box read must scan
+    // all 4 — and one compactZOrder commit rewrites it into 16 segments
+    // each owning a contiguous z-curve stretch (= one aligned 4×4 box)
+    // with tight z-key min/max stats. The SAME aligned box read
+    // [0,4)×[0,4) now scans exactly 1 of 16 segments, decided from the
+    // manifest alone (an aligned power-of-2 box is one contiguous
+    // z-range — snapshotZOrderBox). The box predicate is still applied
+    // reader-side as the residual. 1-D clustering cannot do this: a
+    // px-sorted layout prunes px ranges only; the z-curve prunes BOTH
+    // dimensions at once.
+    "lake_txlog_zorder" -> ((s, d) => {
+      val t = txZOrderTable(s, d)
+      val beforeSegs = graft.ops.TxLog.liveFilesWithStats(t, Some(4L))
+      // the pre-optimize modulus layout: o_orderkey stats can never
+      // prune a 2-D box → all segments scanned
+      val scanBefore = beforeSegs.size.toLong
+      val (df, scanAfter, totAfter) =
+        graft.ops.TxLog.snapshotZOrderBox(s, t, "px", "py", 0L, 4L, 0L, 4L)
+      df.filter(col("px") < 4 && col("py") < 4)
+        .agg(count(lit(1)).as("n_rows"), sum("cents").as("sum_cents"))
+        .select(lit(scanBefore).as("scan_before"),
+          lit(beforeSegs.size.toLong).as("total_before"),
+          lit(scanAfter.toLong).as("scan_after"), lit(totAfter.toLong).as("total_after"),
+          col("n_rows"), col("sum_cents"))
+    }),
+
     // MANIFEST-STATS-DRIVEN JOIN PLANNING (the ANALYZE/CBO shape —
     // VERDICT r10 "missing" item 5): appendWithStats records each
     // segment's row count and the key's exact NDV in the manifest;
@@ -1594,6 +1644,13 @@ object StatsQueries extends QueryPack {
         |SELECT o_orderkey, o_custkey,
         |  CAST(round(o_totalprice*100) AS BIGINT) AS price_cents, o_orderstatus
         |FROM m WHERE o_orderkey % 13 <> 0 ORDER BY o_orderkey""".stripMargin,
+    "lake_txlog_zorder" ->
+      """SELECT CAST(4 AS BIGINT) AS scan_before, CAST(4 AS BIGINT) AS total_before,
+        |  CAST(1 AS BIGINT) AS scan_after, CAST(16 AS BIGINT) AS total_after,
+        |  COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM orders
+        |WHERE o_orderkey % 16 < 4 AND (o_orderkey // 16) % 16 < 4""".stripMargin,
     "lake_txlog_stats_join" ->
       """WITH meta AS (SELECT COUNT(*) AS dim_rows,
         |    GREATEST(COUNT(*) FILTER (n_nationkey < 12),

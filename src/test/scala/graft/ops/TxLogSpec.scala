@@ -549,6 +549,43 @@ class TxLogSpec extends SparkSpec {
       === Some(Seq("k", "v", "tag")))
   }
 
+  test("z-order optimize: aligned box reads prune, misaligned boxes reject, nulls survive") {
+    import org.apache.spark.sql.functions.{col => fcol, expr}
+    val t = freshTable()
+    // 8×8 grid, one row per (x, y), plus one null-dim row
+    val grid = spark.range(64).selectExpr("id AS k", "id % 8 AS x", "id div 8 AS y")
+      .union(spark.range(1).selectExpr("999 AS k", "CAST(NULL AS LONG) AS x", "0 AS y"))
+    TxLog.append(grid, t)
+    TxLog.compactZOrder(spark, t, "x", "y", 4)
+    // content preserved, including the null-dim row (residual segment)
+    assert(TxLog.snapshot(spark, t).count() === 65L)
+    // aligned 4×4 box = one contiguous z-range → prunes; the stat-less
+    // residual is conservatively kept, so scanned < total but > 1
+    val (rel, scanned, total) = TxLog.snapshotZOrderBox(spark, t, "x", "y", 0L, 4L, 0L, 4L)
+    assert(scanned < total, s"box read must prune ($scanned/$total)")
+    assert(rel.filter(fcol("x") < 4 && fcol("y") < 4).count() === 16L)
+    // full-plane box keeps everything
+    val (_, s2, t2) = TxLog.snapshotZOrderBox(spark, t, "x", "y", 0L, 8L, 0L, 8L)
+    assert(s2 === t2)
+    // misaligned / non-square / non-power-of-2 boxes reject loudly — the
+    // contiguity argument only holds for aligned power-of-2 squares
+    intercept[IllegalArgumentException] {
+      TxLog.snapshotZOrderBox(spark, t, "x", "y", 1L, 5L, 0L, 4L)
+    }
+    intercept[IllegalArgumentException] {
+      TxLog.snapshotZOrderBox(spark, t, "x", "y", 0L, 3L, 0L, 3L)
+    }
+    intercept[IllegalArgumentException] {
+      TxLog.snapshotZOrderBox(spark, t, "x", "y", 0L, 4L, 0L, 8L)
+    }
+    // scalar and Column z-keys agree (the pruning range is driver-computed)
+    val colZ = spark.range(64).select(
+      ZOrder.zkey(expr("id % 8"), expr("id div 8")).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    val scalarZ = (0L until 64L).map(i => ZOrder.zkeyScalar(i % 8, i / 8))
+    assert(colZ === scalarZ)
+  }
+
   test("manifest ANALYZE stats: row count and NDV bounds answer without a scan") {
     val t = freshTable()
     TxLog.appendWithStats(rows(1L -> 10L, 2L -> 20L, 2L -> 21L), t, "k") // 3 rows, ndv 2
