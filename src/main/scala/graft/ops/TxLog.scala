@@ -49,7 +49,8 @@ object TxLog {
                             readVersion: Long,
                             stats: Map[String, SegStats] = Map.empty,
                             schemaJson: Option[String] = None,
-                            dv: Option[String] = None)
+                            dv: Option[String] = None,
+                            checks: Seq[(String, String)] = Seq.empty)
 
   /** A resolved snapshot: the live segments (with accumulated stats) plus
     * the cumulative DELETION VECTOR in force — a parquet segment of
@@ -121,9 +122,14 @@ object TxLog {
     // schemaJson is already JSON (StructType.json) — embedded verbatim
     val schema = m.schemaJson.map(j => s""","schema":$j""").getOrElse("")
     val dv = m.dv.map(d => s""","dv":${jstr(d)}""").getOrElse("")
+    val check =
+      if (m.checks.isEmpty) ""
+      else m.checks.map { case (n, e) =>
+        s"""{"name":${jstr(n)},"expr":${jstr(e)}}"""
+      }.mkString(""","checks":[""", ",", "]")
     s"""{"version":${m.version},"op":${jstr(m.op)},"adds":${arr(m.adds)},""" +
       s""""removes":${arr(m.removes)},"readVersion":${m.readVersion},""" +
-      s""""stats":$stats$schema$dv}"""
+      s""""stats":$stats$schema$dv$check}"""
   }
 
   def readManifest(table: String, v: Long): Manifest = {
@@ -143,7 +149,9 @@ object TxLog {
     val schemaJson = Option(node.get("schema")).map(_.toString)
     Manifest(node.get("version").asLong(), node.get("op").asText(),
       arr("adds"), arr("removes"), node.get("readVersion").asLong(), stats,
-      schemaJson, Option(node.get("dv")).map(_.asText()))
+      schemaJson, Option(node.get("dv")).map(_.asText()),
+      Option(node.get("checks")).map(_.elements().asScala.map(c =>
+        (c.get("name").asText(), c.get("expr").asText())).toSeq).getOrElse(Seq.empty))
   }
 
   /** Live segment paths at `asOf` (default: latest). Resolved once —
@@ -340,7 +348,7 @@ object TxLog {
     * exact same type (columns may be omitted — they read back as null).
     * Tables that never evolved accept any shape, as before.
     */
-  private def validateWrite(df: DataFrame, table: String): Unit =
+  private def validateWrite(df: DataFrame, table: String): Unit = {
     recordedSchema(table).foreach { ts =>
       df.schema.fields.foreach { f =>
         ts.fields.find(_.name == f.name) match {
@@ -355,6 +363,56 @@ object TxLog {
         }
       }
     }
+    // CHECK enforcement at the write boundary (Delta ADD CONSTRAINT
+    // semantics): a row violates only when the predicate is FALSE — NULL
+    // passes, per SQL CHECK. One filter job per constraint per write;
+    // Delta pays the same scan, and the written data is in cache-warm
+    // lineage anyway.
+    activeConstraints(table).foreach { case (name, pred) =>
+      val violated = df.filter(
+        org.apache.spark.sql.functions.not(org.apache.spark.sql.functions.expr(pred)))
+      if (!violated.isEmpty)
+        throw new IllegalArgumentException(
+          s"write to $table violates CHECK constraint '$name' ($pred)")
+    }
+  }
+
+  /** ADD CONSTRAINT as a metadata commit (Delta's `ALTER TABLE … ADD
+    * CONSTRAINT … CHECK`): the predicate is validated against the
+    * CURRENT snapshot first (existing rows must satisfy it), then
+    * recorded in the manifest; every subsequent write is rejected if any
+    * incoming row makes the predicate FALSE (NULL passes — SQL CHECK
+    * semantics). CAS-conflicts with any concurrent commit, like evolve:
+    * the full-table validation is only meaningful against the head it
+    * scanned.
+    */
+  def addConstraint(spark: SparkSession, table: String, name: String,
+                    predicate: String): Long = {
+    val rv = currentVersion(table)
+    require(rv > 0, s"constraint on uninitialized table $table")
+    require(activeConstraints(table).forall(_._1 != name),
+      s"$table already has a constraint named '$name'")
+    val bad = snapshot(spark, table, Some(rv)).filter(
+      org.apache.spark.sql.functions.not(org.apache.spark.sql.functions.expr(predicate)))
+    if (!bad.isEmpty)
+      throw new IllegalArgumentException(
+        s"cannot add CHECK constraint '$name' ($predicate) to $table: existing rows violate it")
+    commit(table, "constraint", Seq.empty, Seq.empty, rv, Map.empty,
+      () => false, None, None, checks = Seq((name, predicate)))
+  }
+
+  /** Constraints in force at `asOf` — resolved through the nearest
+    * checkpoint (which carries the cumulative list) plus only the
+    * manifests after it: O(delta), same discipline as [[recordedSchema]].
+    */
+  def activeConstraints(table: String,
+                        asOf: Option[Long] = None): Seq[(String, String)] = {
+    val vs = listVersions(table).filter(v => asOf.forall(v <= _))
+    val ckpt = checkpointVersions(table).filter(v => asOf.forall(v <= _)).lastOption
+    val after = ckpt.fold(vs)(cv => vs.filter(_ > cv))
+    ckpt.map(cv => readCheckpoint(table, cv).checks).getOrElse(Seq.empty) ++
+      after.flatMap(v => readManifest(table, v).checks)
+  }
 
   /** Stage a dataframe as a new immutable segment directory — NOT yet
     * visible to any reader (no manifest references it until commit).
@@ -393,22 +451,25 @@ object TxLog {
                      stats: Map[String, SegStats],
                      skipIf: () => Boolean,
                      schemaJson: Option[String],
-                     dv: Option[String] = None): Long = {
+                     dv: Option[String] = None,
+                     checks: Seq[(String, String)] = Seq.empty): Long = {
     init(table)
     var attempts = 0
     while (attempts < 100) {
       attempts += 1
       val cur = currentVersion(table)
       if (skipIf()) return -1L
-      // a commit that removes segments, changes table metadata (schema),
-      // or installs a deletion vector is only valid against the exact
-      // head it read
-      if ((removes.nonEmpty || schemaJson.nonEmpty || dv.nonEmpty) && cur != readVersion)
+      // a commit that removes segments, changes table metadata (schema or
+      // constraints), or installs a deletion vector is only valid against
+      // the exact head it read
+      if ((removes.nonEmpty || schemaJson.nonEmpty || dv.nonEmpty || checks.nonEmpty)
+          && cur != readVersion)
         throw new ConcurrentModificationException(
           s"$table: commit '$op' read version $readVersion but head is $cur — " +
             "a concurrent commit landed; rebase on the new snapshot and retry")
       val target = cur + 1
-      val m = Manifest(target, op, adds, removes, readVersion, stats, schemaJson, dv)
+      val m = Manifest(target, op, adds, removes, readVersion, stats, schemaJson,
+        dv, checks)
       val tmp = Files.createTempFile(logDir(table), s".$target-", ".tmp")
       Files.writeString(tmp, manifestJson(m))
       try {
@@ -1017,7 +1078,7 @@ object TxLog {
     val schema = recordedSchema(table, Some(v))
     val stats = st.segments.collect { case (p, Some(s)) => p -> s }.toMap
     val m = Manifest(v, "checkpoint", st.segments.map(_._1), Seq.empty, v, stats,
-      schema.map(_.json), st.dv)
+      schema.map(_.json), st.dv, activeConstraints(table, Some(v)))
     val tmp = Files.createTempFile(logDir(table), s".ckpt$v-", ".tmp")
     Files.writeString(tmp, manifestJson(m))
     try Files.createLink(logDir(table).resolve(f"$v%020d.checkpoint.json"), tmp)
@@ -1054,7 +1115,9 @@ object TxLog {
     Manifest(node.get("version").asLong(), node.get("op").asText(),
       arr("adds"), arr("removes"), node.get("readVersion").asLong(), stats,
       Option(node.get("schema")).map(_.toString),
-      Option(node.get("dv")).map(_.asText()))
+      Option(node.get("dv")).map(_.asText()),
+      Option(node.get("checks")).map(_.elements().asScala.map(c =>
+        (c.get("name").asText(), c.get("expr").asText())).toSeq).getOrElse(Seq.empty))
   }
 
   /** Snapshot resolution through the nearest checkpoint: the fold starts

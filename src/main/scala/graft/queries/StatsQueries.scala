@@ -173,6 +173,22 @@ object StatsQueries extends QueryPack {
       t
     })
 
+  /** CHECK-constraint TxLog table: odd keys appended, a `cents >= 0`
+    * constraint added (validated against existing rows), then the even
+    * keys appended UNDER enforcement — write-time rejection of violating
+    * frames is pinned in TxLogSpec.
+    */
+  private def txConstraintTable(s: SparkSession, d: String): String =
+    txTables.computeIfAbsent((s, "check:" + d), _ => {
+      val t = s"${graft.ops.Scratch.base}/txcheck_${(d.hashCode & 0xffffff).toHexString}"
+      val base = Tables.orders(s, d)
+        .select(col("o_orderkey"), Cleaning.cents(col("o_totalprice")).as("cents"))
+      graft.ops.TxLog.append(base.filter(col("o_orderkey") % 2 === 1), t)
+      graft.ops.TxLog.addConstraint(s, t, "cents_non_negative", "cents >= 0")
+      graft.ops.TxLog.append(base.filter(col("o_orderkey") % 2 === 0), t)
+      t
+    })
+
   /** ANALYZE-stats TxLog dim table: nation split into two appends, each
     * committed with row-count + exact-NDV manifest stats — the metadata
     * the CBO-shape query plans its join from without scanning a byte.
@@ -1063,6 +1079,24 @@ object StatsQueries extends QueryPack {
           col("o_orderstatus"))
         .orderBy("o_orderkey")),
 
+    // CHECK CONSTRAINT through the commit log (Delta's ALTER TABLE ADD
+    // CONSTRAINT): `addConstraint` validates existing rows, records the
+    // predicate in the manifest (checkpoints carry the cumulative list —
+    // O(delta) resolution like the schema), and every subsequent write
+    // rejects frames containing a row that makes the predicate FALSE
+    // (NULL passes, SQL CHECK semantics; rejection + pre-validation +
+    // time-travel scoping pinned in TxLogSpec). The head read proves the
+    // guarded appends landed and the data satisfies the constraint.
+    "lake_txlog_constraint" -> ((s, d) => {
+      val t = txConstraintTable(s, d)
+      val cs = graft.ops.TxLog.activeConstraints(t)
+      graft.ops.TxLog.snapshot(s, t)
+        .agg(count(lit(1)).as("n"), min("cents").as("min_cents"))
+        .select(lit(cs.head._1).as("constraint_name"),
+          lit(cs.head._2).as("constraint_expr"),
+          lit(cs.size.toLong).as("n_constraints"), col("n"), col("min_cents"))
+    }),
+
     // OPTIMIZE ZORDER through the commit log (Delta's 2-D clustering
     // maintenance op): the table starts as 4 modulus-split segments —
     // every one spans the whole (px, py) plane, so a box read must scan
@@ -1651,6 +1685,12 @@ object StatsQueries extends QueryPack {
         |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
         |FROM orders
         |WHERE o_orderkey % 16 < 4 AND (o_orderkey // 16) % 16 < 4""".stripMargin,
+    "lake_txlog_constraint" ->
+      """SELECT 'cents_non_negative' AS constraint_name,
+        |  'cents >= 0' AS constraint_expr, CAST(1 AS BIGINT) AS n_constraints,
+        |  COUNT(*) AS n,
+        |  CAST(MIN(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS min_cents
+        |FROM orders""".stripMargin,
     "lake_txlog_stats_join" ->
       """WITH meta AS (SELECT COUNT(*) AS dim_rows,
         |    GREATEST(COUNT(*) FILTER (n_nationkey < 12),

@@ -586,6 +586,42 @@ class TxLogSpec extends SparkSpec {
     assert(colZ === scalarZ)
   }
 
+  test("CHECK constraints: write-time rejection, pre-validation, checkpoint carry, time travel") {
+    val t = freshTable()
+    TxLog.append(rows(1L -> 10L, 2L -> 20L), t)                 // v1
+    // adding a constraint the existing data violates is rejected
+    intercept[IllegalArgumentException] {
+      TxLog.addConstraint(spark, t, "v_huge", "v > 1000")
+    }
+    assert(TxLog.addConstraint(spark, t, "v_pos", "v >= 0") === 2L)
+    // duplicate names reject
+    intercept[IllegalArgumentException] {
+      TxLog.addConstraint(spark, t, "v_pos", "v >= 1")
+    }
+    // a violating write is rejected with the constraint name; the log
+    // and data are untouched
+    val e = intercept[IllegalArgumentException] {
+      TxLog.append(rows(3L -> -5L), t)
+    }
+    assert(e.getMessage.contains("v_pos"))
+    assert(TxLog.currentVersion(t) === 2L && TxLog.snapshot(spark, t).count() === 2L)
+    // a satisfying write passes; NULL passes too (SQL CHECK semantics)
+    TxLog.append(rows(3L -> 30L), t)                            // v3
+    TxLog.append(Seq((Some(4L), Option.empty[Long])).toDF("k", "v"), t) // v4
+    assert(TxLog.snapshot(spark, t).count() === 4L)
+    // constraints resolve THROUGH a checkpoint (cumulative list carried)
+    TxLog.checkpoint(t)
+    TxLog.append(rows(5L -> 50L), t)                            // v5
+    assert(TxLog.activeConstraints(t) === Seq("v_pos" -> "v >= 0"))
+    intercept[IllegalArgumentException] { TxLog.append(rows(6L -> -1L), t) }
+    // time travel: before the constraint commit there were none
+    assert(TxLog.activeConstraints(t, Some(1L)).isEmpty)
+    // merge paths enforce too
+    intercept[IllegalArgumentException] {
+      TxLog.mergeDv(spark, rows(1L -> -7L), t, "k")
+    }
+  }
+
   test("manifest ANALYZE stats: row count and NDV bounds answer without a scan") {
     val t = freshTable()
     TxLog.appendWithStats(rows(1L -> 10L, 2L -> 20L, 2L -> 21L), t, "k") // 3 rows, ndv 2
