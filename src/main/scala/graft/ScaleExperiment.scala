@@ -3,6 +3,8 @@ package graft
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
+import scala.jdk.CollectionConverters._
+
 /** The measured scale-up evidence behind SURVEY §6's dedup claims: runs
   * the LSH dedup family at 1× and K× (default 10×) corpus size and
   * records CANDIDATE-PAIR counts against their analytic bounds, plus
@@ -65,6 +67,42 @@ object ScaleExperiment {
         s"$q is not scale-invariant under replication:\n 1x=$one\n ${k}x=$kx")
       println(s"""{"invariant":"$q","cols":"${cols.mkString(",")}","scales":["1x","${k}x"],"identical":true}""")
     }
+
+    // MERGE-ON-READ write amplification (r11): a 1-row upsert through
+    // TxLog.mergeDv must write O(changed rows) — two KB-scale segments
+    // (the deletion marks + the new row) — regardless of table size,
+    // where the copy-on-write merge rewrites the whole table. Asserted
+    // at both scales: added bytes are a sliver of the table AND do not
+    // grow with K (the constant that makes small updates affordable at
+    // 100 TB).
+    def dirBytes(p: java.nio.file.Path): Long =
+      if (!java.nio.file.Files.isDirectory(p)) 0L
+      else java.nio.file.Files.walk(p).iterator().asInstanceOf[java.util.Iterator[java.nio.file.Path]]
+        .asScala.filter(java.nio.file.Files.isRegularFile(_))
+        .map(java.nio.file.Files.size).sum
+    val dvAdded = Seq(("1x", sfDir), (s"${k}x", rep)).map { case (tag, dir) =>
+      val t = s"${sys.props("java.io.tmpdir")}/graft-dvamp-$tag"
+      val root = java.nio.file.Paths.get(t)
+      if (java.nio.file.Files.isDirectory(root))
+        java.nio.file.Files.walk(root).iterator()
+          .asInstanceOf[java.util.Iterator[java.nio.file.Path]]
+          .asScala.toSeq.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+      val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+      graft.ops.TxLog.append(docs, t)
+      val before = dirBytes(java.nio.file.Paths.get(t, "data"))
+      val upd = docs.filter(col("doc_id") === 0L)
+        .withColumn("text", lit("[redacted]"))
+      graft.ops.TxLog.mergeDv(spark, upd, t, "doc_id")
+      val added = dirBytes(java.nio.file.Paths.get(t, "data")) - before
+      require(added * 20 < before,
+        s"[$tag] 1-row DV merge wrote $added bytes against a $before-byte table — " +
+          "not O(changed rows)")
+      println(s"""{"dv_write_amp":"$tag","table_bytes":$before,"added_bytes":$added}""")
+      added
+    }
+    require(dvAdded(1) < dvAdded(0) * 4,
+      s"1-row DV merge cost must not grow with table size: ${dvAdded.mkString(" vs ")}")
+
     spark.stop()
   }
 
