@@ -1060,6 +1060,47 @@ object TxLog {
     (rel, keep.size, all.size)
   }
 
+  /** RESTORE TABLE to `toVersion` as a NEW commit (Delta RESTORE): the
+    * head becomes the old snapshot — adds back its segments (the bytes
+    * are still on disk until vacuum, so this is pure metadata), removes
+    * everything live since, and REINSTALLS the deletion vector in force
+    * at that version. History is preserved: time travel to the interim
+    * versions still works, and the restore itself is a version that can
+    * be restored away from. Conflicts with any concurrent commit (the
+    * computed segment diff is only valid against the head it read).
+    *
+    * DV edge the fold rules force: when the target version had NO
+    * deletion vector but the current head does (a delete-only history),
+    * the restore must install an EMPTY vector — a commit with no removes
+    * cannot "clear" implicitly, so clearing is expressed as installing
+    * zero marks.
+    */
+  def restore(spark: SparkSession, table: String, toVersion: Long): Long = {
+    val rv = currentVersion(table)
+    require(toVersion >= 1 && toVersion < rv,
+      s"restore of $table to $toVersion: need 1 <= v < head ($rv)")
+    val target = tableStateViaCheckpoint(table, Some(toVersion))
+    val live = liveFiles(table, Some(rv))
+    val targetSegs = target.segments.map(_._1)
+    val adds = targetSegs.filterNot(live.contains)
+    val removes = live.filterNot(targetSegs.contains)
+    val currentDv = tableStateViaCheckpoint(table, Some(rv)).dv
+    val dv = target.dv.orElse {
+      // no target dv: clearing happens via removes when there are any;
+      // otherwise install an empty vector to mask the current one
+      if (currentDv.nonEmpty && removes.isEmpty) {
+        import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+        val empty = spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(Seq(StructField("file_path", StringType),
+            StructField("row_index", LongType))))
+        Some(stage(empty, table))
+      } else None
+    }
+    commit(table, s"restore_v$toVersion", adds, removes, rv, Map.empty,
+      () => false, None, dv = dv)
+  }
+
   /** CHECKPOINT the manifest log (Delta's _last_checkpoint / Iceberg's
     * snapshot metadata): collapse the fold of manifests 1..V into one
     * `<V>.checkpoint.json` carrying the live segment list, accumulated

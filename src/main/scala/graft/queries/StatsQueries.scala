@@ -173,6 +173,23 @@ object StatsQueries extends QueryPack {
       t
     })
 
+  /** RESTORE TxLog table: odds (v1), evens (v2), a DV delete of keys %5
+    * (v3), then RESTORE to v2 (v4) — the delete-only history where
+    * clearing the vector requires installing an empty one (no removes to
+    * clear through; the fold-rule edge TxLogSpec pins).
+    */
+  private def txRestoreTable(s: SparkSession, d: String): String =
+    txTables.computeIfAbsent((s, "restore:" + d), _ => {
+      val t = s"${graft.ops.Scratch.base}/txrestore_${(d.hashCode & 0xffffff).toHexString}"
+      val base = Tables.orders(s, d)
+        .select(col("o_orderkey"), Cleaning.cents(col("o_totalprice")).as("cents"))
+      graft.ops.TxLog.append(base.filter(col("o_orderkey") % 2 === 1), t)
+      graft.ops.TxLog.append(base.filter(col("o_orderkey") % 2 === 0), t)
+      graft.ops.TxLog.deleteWhere(s, t, col("o_orderkey") % 5 === 0)
+      graft.ops.TxLog.restore(s, t, 2L)
+      t
+    })
+
   /** CHECK-constraint TxLog table: odd keys appended, a `cents >= 0`
     * constraint added (validated against existing rows), then the even
     * keys appended UNDER enforcement — write-time rejection of violating
@@ -1079,6 +1096,23 @@ object StatsQueries extends QueryPack {
           col("o_orderstatus"))
         .orderBy("o_orderkey")),
 
+    // RESTORE TABLE through the commit log (Delta RESTORE): after a DV
+    // delete of keys %5, one restore commit takes the head back to v2 —
+    // pure metadata (the old segments' bytes never moved) that must
+    // REINSTALL the pre-delete deletion-vector state; with a delete-only
+    // history there are no removes to clear through, so the restore
+    // installs an EMPTY vector (the fold-rule edge, spec-pinned). The
+    // query reads v2/v3/v4 through time travel: full → minus %5 → full
+    // again, proving both the restore and that interim history stays
+    // readable.
+    "lake_txlog_restore" -> ((s, d) => {
+      val t = txRestoreTable(s, d)
+      def at(v: Long) = graft.ops.TxLog.snapshot(s, t, Some(v))
+        .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+        .select(lit(v).as("version"), col("n"), col("sum_cents"))
+      at(2L).unionByName(at(3L)).unionByName(at(4L)).orderBy("version")
+    }),
+
     // CHECK CONSTRAINT through the commit log (Delta's ALTER TABLE ADD
     // CONSTRAINT): `addConstraint` validates existing rows, records the
     // predicate in the manifest (checkpoints carry the cumulative list —
@@ -1685,6 +1719,15 @@ object StatsQueries extends QueryPack {
         |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
         |FROM orders
         |WHERE o_orderkey % 16 < 4 AND (o_orderkey // 16) % 16 < 4""".stripMargin,
+    "lake_txlog_restore" ->
+      """WITH base AS (SELECT o_orderkey,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+        |v AS (
+        |  SELECT 2 AS version, COUNT(*) AS n, SUM(cents) AS s FROM base
+        |  UNION ALL SELECT 3, COUNT(*), SUM(cents) FROM base WHERE o_orderkey % 5 <> 0
+        |  UNION ALL SELECT 4, COUNT(*), SUM(cents) FROM base)
+        |SELECT CAST(version AS BIGINT) AS version, n, CAST(s AS BIGINT) AS sum_cents
+        |FROM v ORDER BY version""".stripMargin,
     "lake_txlog_constraint" ->
       """SELECT 'cents_non_negative' AS constraint_name,
         |  'cents >= 0' AS constraint_expr, CAST(1 AS BIGINT) AS n_constraints,

@@ -586,6 +586,43 @@ class TxLogSpec extends SparkSpec {
     assert(colZ === scalarZ)
   }
 
+  test("restore: metadata-only rollback, dv reinstated or masked, history preserved") {
+    // rewritten-history case: overwrite then restore re-adds the old
+    // segment and removes the rewrite
+    val t = freshTable()
+    TxLog.append(rows(1L -> 10L, 2L -> 20L), t)              // v1
+    TxLog.overwrite(rows(1L -> 11L, 2L -> 21L), t)           // v2
+    val v = TxLog.restore(spark, t, 1L)                      // v3
+    assert(v === 3L)
+    assert(TxLog.snapshot(spark, t).as[(Long, Long)].collect().toMap
+      === Map(1L -> 10L, 2L -> 20L))
+    // interim history still readable; restore is itself restorable-away
+    assert(TxLog.snapshot(spark, t, Some(2L)).as[(Long, Long)].collect().toMap
+      === Map(1L -> 11L, 2L -> 21L))
+    TxLog.restore(spark, t, 2L)                              // v4
+    assert(TxLog.snapshot(spark, t).as[(Long, Long)].collect().toMap
+      === Map(1L -> 11L, 2L -> 21L))
+    // delete-only case: no removes to clear through — the restore must
+    // install an EMPTY vector to mask the standing one
+    val t2 = freshTable()
+    TxLog.append(rows(1L -> 10L, 2L -> 20L, 3L -> 30L), t2)  // v1
+    TxLog.deleteWhere(spark, t2, col("k") === 2L)            // v2 (dv)
+    val r = TxLog.restore(spark, t2, 1L)                     // v3
+    val m = TxLog.readManifest(t2, r)
+    assert(m.removes.isEmpty && m.dv.nonEmpty,
+      "delete-only restore must install a masking (empty) vector")
+    assert(TxLog.snapshot(spark, t2).count() === 3L, "deleted row is back")
+    assert(TxLog.snapshot(spark, t2, Some(2L)).count() === 2L, "interim delete still visible")
+    // restoring TO a dv-carrying version reinstates its vector
+    TxLog.restore(spark, t2, 2L)                             // v4
+    assert(TxLog.snapshot(spark, t2).count() === 2L)
+    // bounds reject
+    intercept[IllegalArgumentException] { TxLog.restore(spark, t2, 0L) }
+    intercept[IllegalArgumentException] {
+      TxLog.restore(spark, t2, TxLog.currentVersion(t2))
+    }
+  }
+
   test("CHECK constraints: write-time rejection, pre-validation, checkpoint carry, time travel") {
     val t = freshTable()
     TxLog.append(rows(1L -> 10L, 2L -> 20L), t)                 // v1
