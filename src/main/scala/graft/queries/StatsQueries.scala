@@ -190,6 +190,25 @@ object StatsQueries extends QueryPack {
       t
     })
 
+  /** VACUUM TxLog table: base appended (v1), overwritten with +7 cents
+    * (v2), one crash-orphaned staged segment, then `vacuum` keeping only
+    * the head — must collect exactly the v1 segment and the orphan
+    * (2 dirs), leave the head's single segment, and retire time travel
+    * below the horizon.
+    */
+  private def txVacuumTable(s: SparkSession, d: String): String =
+    txTables.computeIfAbsent((s, "vacuum:" + d), _ => {
+      val t = s"${graft.ops.Scratch.base}/txvacuum_${(d.hashCode & 0xffffff).toHexString}"
+      val base = Tables.orders(s, d)
+        .select(col("o_orderkey"), Cleaning.cents(col("o_totalprice")).as("cents"))
+      graft.ops.TxLog.append(base, t)
+      graft.ops.TxLog.overwrite(base.withColumn("cents", col("cents") + 7L), t)
+      graft.ops.TxLog.stage(base.limit(3), t) // crash-orphaned staging
+      val collected = graft.ops.TxLog.vacuum(t, keepVersionsFrom = 2L, minAgeMillis = 0L)
+      require(collected.size == 2, s"vacuum must collect v1 segment + orphan, got $collected")
+      t
+    })
+
   /** CHECK-constraint TxLog table: odd keys appended, a `cents >= 0`
     * constraint added (validated against existing rows), then the even
     * keys appended UNDER enforcement — write-time rejection of violating
@@ -1096,6 +1115,29 @@ object StatsQueries extends QueryPack {
           col("o_orderstatus"))
         .orderBy("o_orderkey")),
 
+    // VACUUM through the commit log (Delta VACUUM): after an overwrite
+    // and a crash-orphaned staged segment, one vacuum keeping only the
+    // head collects exactly the unreferenced dirs (asserted = 2 in the
+    // fixture: the pre-overwrite segment + the orphan), leaves the
+    // head's single segment on disk, keeps the head byte-identical, and
+    // retires time travel below the horizon BY DESIGN — the query emits
+    // all three facts beside the aggregate. minAge=0 is safe here
+    // because no writer is concurrently staging (the retention-window
+    // contract the spec pins).
+    "lake_txlog_vacuum" -> ((s, d) => {
+      val t = txVacuumTable(s, d)
+      val nDirs = java.nio.file.Files.list(java.nio.file.Paths.get(t, "data"))
+        .count()
+      val preHorizonGone =
+        try { graft.ops.TxLog.snapshot(s, t, Some(1L)).queryExecution.toRdd.count(); false }
+        catch { case _: Throwable => true }
+      graft.ops.TxLog.snapshot(s, t)
+        .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+        .select(lit(nDirs).as("n_data_dirs"),
+          lit(preHorizonGone).as("pre_horizon_unreadable"),
+          col("n"), col("sum_cents"))
+    }),
+
     // RESTORE TABLE through the commit log (Delta RESTORE): after a DV
     // delete of keys %5, one restore commit takes the head back to v2 —
     // pure metadata (the old segments' bytes never moved) that must
@@ -1719,6 +1761,12 @@ object StatsQueries extends QueryPack {
         |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
         |FROM orders
         |WHERE o_orderkey % 16 < 4 AND (o_orderkey // 16) % 16 < 4""".stripMargin,
+    "lake_txlog_vacuum" ->
+      """SELECT CAST(1 AS BIGINT) AS n_data_dirs, true AS pre_horizon_unreadable,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT) + 7) AS BIGINT)
+        |    AS sum_cents
+        |FROM orders""".stripMargin,
     "lake_txlog_restore" ->
       """WITH base AS (SELECT o_orderkey,
         |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
