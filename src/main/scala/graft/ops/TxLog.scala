@@ -546,8 +546,12 @@ object TxLog {
     * reading a byte of data.
     */
   def tableRowCount(table: String, asOf: Option[Long] = None): Option[Long] = {
-    val segs = tableStateViaCheckpoint(table, asOf).segments
-    val rows = segs.map(_._2.flatMap(_.rows))
+    val st = tableStateViaCheckpoint(table, asOf)
+    // a standing deletion vector makes segment-level counts an
+    // overcount (soft-deleted rows are still in the files) — refuse to
+    // answer rather than lie; compaction materializes and restores stats
+    if (st.dv.nonEmpty) return None
+    val rows = st.segments.map(_._2.flatMap(_.rows))
     if (rows.exists(_.isEmpty)) None else Some(rows.flatten.sum)
   }
 
@@ -560,8 +564,9 @@ object TxLog {
     */
   def ndvBounds(table: String, col: String,
                 asOf: Option[Long] = None): Option[(Long, Long)] = {
-    val segs = tableStateViaCheckpoint(table, asOf).segments
-    val ndvs = segs.map(_._2.filter(_.col == col).flatMap(_.ndv))
+    val st = tableStateViaCheckpoint(table, asOf)
+    if (st.dv.nonEmpty) return None // soft deletes may have removed values
+    val ndvs = st.segments.map(_._2.filter(_.col == col).flatMap(_.ndv))
     if (ndvs.isEmpty || ndvs.exists(_.isEmpty)) None
     else Some((ndvs.flatten.max, ndvs.flatten.sum))
   }
@@ -767,6 +772,17 @@ object TxLog {
     require(extra.isEmpty,
       s"mergeDv into $table: updates carry column(s) ${extra.mkString(", ")} not in " +
         "the table schema — a DV merge never rewrites old segments, so widen via evolve first")
+    // exact-type agreement even for never-evolved tables (validateWrite
+    // only checks evolved ones): the staged segment is read BESIDE the
+    // old ones, and a mixed-type column across parquet files fails or
+    // miscasts at read time — reject at write time instead
+    updates.schema.fields.foreach { uf =>
+      rel.schema.fields.find(_.name == uf.name).foreach { bf =>
+        require(bf.dataType == uf.dataType,
+          s"mergeDv into $table: column '${uf.name}' is ${uf.dataType.sql} in the " +
+            s"updates but ${bf.dataType.sql} in the table")
+      }
+    }
     val taken = rel.columns.toSet
     val fp = freshName(taken, "__fp")
     val ri = freshName(taken + fp, "__ri")
@@ -1046,6 +1062,9 @@ object TxLog {
       x0 % side == 0 && y0 % side == 0,
       s"box [$x0,$x1)x[$y0,$y1) must be an aligned power-of-two square — " +
         "only then is its z-curve image one contiguous range")
+    require(x0 >= 0 && y0 >= 0 && x1 <= 65536 && y1 <= 65536,
+      s"box [$x0,$x1)x[$y0,$y1) exceeds the 16-bit dimension domain — " +
+        "coordinates past 65535 would alias under the & 65535 mask")
     val statCol = s"zorder($xCol,$yCol)"
     val zlo = ZOrder.zkeyScalar(x0, y0)
     val zhi = ZOrder.zkeyScalar(x1 - 1, y1 - 1)
@@ -1082,6 +1101,13 @@ object TxLog {
     val target = tableStateViaCheckpoint(table, Some(toVersion))
     val live = liveFiles(table, Some(rv))
     val targetSegs = target.segments.map(_._1)
+    // a vacuum below toVersion may have collected the target's bytes —
+    // restoring then would publish a manifest referencing missing data
+    // (Delta refuses RESTORE past the vacuum horizon for the same reason)
+    val gone = (targetSegs ++ target.dv).filterNot(p => Files.exists(Paths.get(p)))
+    require(gone.isEmpty,
+      s"restore of $table to $toVersion: segment(s) ${gone.mkString(", ")} were " +
+        "vacuumed — that version is below the retention horizon")
     val adds = targetSegs.filterNot(live.contains)
     val removes = live.filterNot(targetSegs.contains)
     val currentDv = tableStateViaCheckpoint(table, Some(rv)).dv

@@ -578,6 +578,10 @@ class TxLogSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       TxLog.snapshotZOrderBox(spark, t, "x", "y", 0L, 4L, 0L, 8L)
     }
+    // coordinates past the 16-bit domain would alias under the mask
+    intercept[IllegalArgumentException] {
+      TxLog.snapshotZOrderBox(spark, t, "x", "y", 65536L, 65540L, 0L, 4L)
+    }
     // scalar and Column z-keys agree (the pruning range is driver-computed)
     val colZ = spark.range(64).select(
       ZOrder.zkey(expr("id % 8"), expr("id div 8")).as("z"))
@@ -621,6 +625,24 @@ class TxLogSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       TxLog.restore(spark, t2, TxLog.currentVersion(t2))
     }
+    // restore below the vacuum horizon rejects: the target's bytes are gone
+    val t3 = freshTable()
+    TxLog.append(rows(1L -> 10L), t3)                        // v1
+    TxLog.overwrite(rows(1L -> 11L), t3)                     // v2
+    TxLog.vacuum(t3, keepVersionsFrom = 2L, minAgeMillis = 0L)
+    val e3 = intercept[IllegalArgumentException] { TxLog.restore(spark, t3, 1L) }
+    assert(e3.getMessage.contains("vacuumed"))
+  }
+
+  test("mergeDv rejects type-mismatched updates on never-evolved tables") {
+    val t = freshTable()
+    TxLog.append(rows(1L -> 10L), t)
+    val wrongType = Seq((2L, "not-a-long")).toDF("k", "v")
+    val e = intercept[IllegalArgumentException] {
+      TxLog.mergeDv(spark, wrongType, t, "k")
+    }
+    assert(e.getMessage.contains("BIGINT") || e.getMessage.contains("STRING"),
+      s"want a type message, got: ${e.getMessage}")
   }
 
   test("CHECK constraints: write-time rejection, pre-validation, checkpoint carry, time travel") {
@@ -674,6 +696,14 @@ class TxLogSpec extends SparkSpec {
     assert(TxLog.tableRowCount(t).isEmpty && TxLog.ndvBounds(t, "k").isEmpty)
     // time travel to the fully-statted version still answers
     assert(TxLog.tableRowCount(t, Some(2L)) === Some(5L))
+    // a standing deletion vector makes segment counts an overcount —
+    // the metadata answer must refuse, not lie
+    val t3 = freshTable()
+    TxLog.appendWithStats(rows(1L -> 10L, 2L -> 20L), t3, "k")
+    assert(TxLog.tableRowCount(t3) === Some(2L))
+    TxLog.deleteWhere(spark, t3, col("k") === 1L)
+    assert(TxLog.tableRowCount(t3).isEmpty && TxLog.ndvBounds(t3, "k").isEmpty,
+      "stats must refuse under a standing DV")
     // old manifests without rows/ndv fields stay readable (fields are
     // optional in the JSON) — covered implicitly by every other test's
     // stats-free appends parsing fine
