@@ -26,17 +26,22 @@ import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
   *
   * Commit classification mirrors Delta's `dataChange` flag:
   *  - `append` / `stream_append_b<id>` — new data; streamed.
-  *  - `compact` / `optimize` — layout maintenance, content identical;
-  *    SKIPPED (re-emitting rewritten segments would duplicate every row
-  *    each time OPTIMIZE runs).
-  *  - `evolve` — metadata only; skipped (the source schema stays pinned
-  *    at stream start: mid-stream schema drift breaks sinks, so a stream
-  *    wanting the new column restarts, exactly like Delta).
-  *  - `overwrite` / `merge` — REWRITE history: the stream cannot know
-  *    which rows changed, so it fails loudly unless `ignoreChanges=true`,
-  *    in which case the commit's added segments are re-emitted
-  *    (at-least-once for rewritten rows — Delta's documented
-  *    ignoreChanges contract, consumers dedup by key downstream).
+  *  - `compact` / `optimize` / `optimize_zorder` — layout maintenance,
+  *    content identical; SKIPPED (re-emitting rewritten segments would
+  *    duplicate every row each time OPTIMIZE runs).
+  *  - `evolve` / `constraint` — metadata only; skipped (the source
+  *    schema stays pinned at stream start: mid-stream schema drift
+  *    breaks sinks, so a stream wanting the new column restarts,
+  *    exactly like Delta).
+  *  - `delete` — an append-only stream cannot retract rows: fails
+  *    loudly unless `ignoreDeletes=true` (Delta's option), which skips
+  *    the commit — rows already emitted stay emitted.
+  *  - `overwrite` / `merge` / `merge_dv` / `stream_merge_b<id>` /
+  *    `restore` — REWRITE history: the stream cannot know which rows
+  *    changed, so it fails loudly unless `ignoreChanges=true`, in which
+  *    case the commit's added segments are re-emitted (at-least-once
+  *    for rewritten rows — Delta's documented ignoreChanges contract,
+  *    consumers dedup by key downstream).
   *
   * `withCommitVersion=true` appends a `_commit_version BIGINT` column
   * (Delta CDF's `_commit_version`) so consumers can attribute rows to
@@ -67,6 +72,7 @@ final class TxLogStreamSource extends StreamSourceProvider with DataSourceRegist
       dataSchema = TxLogStreamSource.dataSchema(ctx.sparkSession, table),
       withVersion = TxLogStreamSource.boolOpt(parameters, "withCommitVersion"),
       ignoreChanges = TxLogStreamSource.boolOpt(parameters, "ignoreChanges"),
+      ignoreDeletes = TxLogStreamSource.boolOpt(parameters, "ignoreDeletes"),
       startingVersion = parameters.get("startingVersion").map(_.toLong).getOrElse(0L))
   }
 }
@@ -112,7 +118,8 @@ private final case class TxLogVersionOffset(version: Long) extends V1Offset {
 
 private final class TxLogSource(spark: SparkSession, table: String,
                                 dataSchema: StructType, withVersion: Boolean,
-                                ignoreChanges: Boolean, startingVersion: Long)
+                                ignoreChanges: Boolean, ignoreDeletes: Boolean,
+                                startingVersion: Long)
     extends Source {
 
   override def schema: StructType =
@@ -135,8 +142,21 @@ private final class TxLogSource(spark: SparkSession, table: String,
       m.op match {
         case "append" => Some(v -> m.adds)
         case op if op.startsWith("stream_append_b") => Some(v -> m.adds)
-        case "compact" | "optimize" | "evolve" => None // content-neutral
-        case op => // overwrite / merge / anything rewrite-shaped
+        // content-neutral commits: layout maintenance (1-D and z-order
+        // clustering) and pure metadata (schema, constraints)
+        case "compact" | "optimize" | "optimize_zorder" | "evolve"
+             | "constraint" => None
+        // a pure delete emits nothing appendable — an append-only stream
+        // cannot retract rows. Delta's source contract exactly:
+        // ignoreDeletes=true opts into skipping them (consumers accept
+        // that deleted rows were already emitted and will not be recalled)
+        case "delete" =>
+          if (!ignoreDeletes) throw new IllegalStateException(
+            s"txlog-stream: version $v of $table is a 'delete' commit; an " +
+              "append-only stream cannot retract rows — set ignoreDeletes=true " +
+              "to skip deletes (already-emitted rows stay emitted)")
+          None
+        case op => // overwrite / merge / merge_dv / restore — rewrite-shaped
           if (!ignoreChanges) throw new IllegalStateException(
             s"txlog-stream: version $v of $table is a '$op' commit, which rewrites " +
               "history; restart from a fresh checkpoint or set ignoreChanges=true " +

@@ -96,6 +96,54 @@ class TxLogStreamSpec extends SparkSpec {
     assert(got.sorted.toSeq === Seq((1L, 11L, 2L), (2L, 22L, 2L)))
   }
 
+  test("r11 commit types classify correctly: zorder/constraint skip, delete gates, merge_dv gates") {
+    // z-order optimize + constraint are content-neutral: skipped, rows once
+    val t = freshTable()
+    TxLog.append(spark.range(16).selectExpr("id AS k", "id AS v"), t) // v1
+    TxLog.addConstraint(spark, t, "v_pos", "v >= 0")                  // v2
+    TxLog.compactZOrder(spark, t, "k", "v", 4)                        // v3
+    val got = drain(t, Files.createTempDirectory("ckpt-").toString)
+    assert(got.map(_._1).sorted.toSeq === (0L until 16L).toSeq,
+      "content-neutral commits must not duplicate or drop rows")
+    assert(got.map(_._3).max === 1L, "no row may carry a maintenance version")
+
+    // a pure delete cannot be represented in an append-only stream:
+    // fresh checkpoints per phase (the AvailableNow fallback trigger does
+    // not reliably commit a recovered EMPTY batch before terminating, so
+    // a failure-then-skip continuation on one checkpoint re-plans the
+    // same range — a trigger artifact, not source semantics)
+    val t2 = freshTable()
+    TxLog.append(rows(1L -> 10L, 2L -> 20L), t2)         // v1
+    TxLog.deleteWhere(spark, t2, $"k" === 1L)            // v2 (dv only)
+    val ex = intercept[StreamingQueryException] {
+      drain(t2, Files.createTempDirectory("ckpt-").toString)
+    }
+    val msgs = Iterator.iterate[Throwable](ex)(_.getCause).takeWhile(_ != null)
+      .map(_.getMessage).mkString(" | ")
+    assert(msgs.contains("ignoreDeletes"), s"want the delete guidance, got: $msgs")
+    // opting in skips the delete commit: only v1's rows stream, once
+    val gotDel = drain(t2, Files.createTempDirectory("ckpt-").toString,
+      Map("ignoreDeletes" -> "true"))
+    assert(gotDel.sorted.toSeq === Seq((1L, 10L, 1L), (2L, 20L, 1L)),
+      "ignoreDeletes skips the delete; already-emitted rows stay emitted")
+
+    // a DV merge is rewrite-shaped: still gated by ignoreChanges even
+    // with deletes ignored; opting in emits only the merge's NEW
+    // segment (the updates), never the base
+    TxLog.mergeDv(spark, rows(2L -> 200L, 3L -> 300L), t2, "k") // v3
+    val ex2 = intercept[StreamingQueryException] {
+      drain(t2, Files.createTempDirectory("ckpt-").toString,
+        Map("ignoreDeletes" -> "true"))
+    }
+    val msgs2 = Iterator.iterate[Throwable](ex2)(_.getCause).takeWhile(_ != null)
+      .map(_.getMessage).mkString(" | ")
+    assert(msgs2.contains("ignoreChanges"))
+    val got2 = drain(t2, Files.createTempDirectory("ckpt-").toString,
+      Map("ignoreChanges" -> "true", "ignoreDeletes" -> "true"))
+    assert(got2.sorted.toSeq === Seq((1L, 10L, 1L), (2L, 20L, 1L),
+      (2L, 200L, 3L), (3L, 300L, 3L)))
+  }
+
   test("schema stays pinned across an evolve; restart picks the new column up") {
     val t = freshTable()
     val ckpt = Files.createTempDirectory("ckpt-").toString
