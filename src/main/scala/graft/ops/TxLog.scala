@@ -176,7 +176,15 @@ object TxLog {
     * long enough to care.
     */
   def recordedSchema(table: String,
-                     asOf: Option[Long] = None): Option[org.apache.spark.sql.types.StructType] = {
+                     asOf: Option[Long] = None): Option[org.apache.spark.sql.types.StructType] =
+    (asOf match {
+      case Some(_) => recordedSchemaJsonAt(table, asOf)
+      case None => headMeta(table)._1 // memoized O(delta) head path
+    }).map(j => org.apache.spark.sql.types.DataType.fromJson(j)
+      .asInstanceOf[org.apache.spark.sql.types.StructType])
+
+  private def recordedSchemaJsonAt(table: String,
+                                   asOf: Option[Long]): Option[String] = {
     val vs = listVersions(table).filter(v => asOf.forall(v <= _))
     val ckpt = checkpointVersions(table).filter(v => asOf.forall(v <= _)).lastOption
     val after = ckpt.fold(vs)(cv => vs.filter(_ > cv))
@@ -184,8 +192,46 @@ object TxLog {
       .map(v => readManifest(table, v).schemaJson)
       .collectFirst { case Some(j) => j }
       .orElse(ckpt.flatMap(cv => readCheckpoint(table, cv).schemaJson))
-      .map(j => org.apache.spark.sql.types.DataType.fromJson(j)
-        .asInstanceOf[org.apache.spark.sql.types.StructType])
+  }
+
+  /** In-process memo of the HEAD's table metadata (latest schema JSON +
+    * cumulative constraints) keyed by log version. Sound because the
+    * manifest log is an immutable prefix: versions only grow and a
+    * published manifest never changes, so a cached (version, meta) pair
+    * stays true forever and advancing it only reads the (cached, head]
+    * delta. Without it, EVERY write to a never-evolved, never-
+    * checkpointed table walked the whole log looking for a schema that
+    * is not there (the ADVICE-r10 class, reintroduced by constraints,
+    * which cannot early-stop because they accumulate). Two racing
+    * writers at worst both fold the same delta; last-put wins and the
+    * next read re-folds — correctness never depends on the cache.
+    */
+  private val headMetaCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Long, Option[String], Seq[(String, String)])]()
+
+  private def headMeta(table: String): (Option[String], Seq[(String, String)]) = {
+    val cur = currentVersion(table)
+    if (cur == 0L) return (None, Seq.empty)
+    Option(headMetaCache.get(table)) match {
+      case Some((v, sc, ck)) if v == cur => (sc, ck)
+      case Some((v, sc, ck)) if v < cur =>
+        var s = sc
+        val b = Seq.newBuilder[(String, String)]
+        b ++= ck
+        ((v + 1) to cur).foreach { vv =>
+          val m = readManifest(table, vv)
+          m.schemaJson.foreach(j => s = Some(j))
+          b ++= m.checks
+        }
+        val res = (s, b.result())
+        headMetaCache.put(table, (cur, res._1, res._2))
+        res
+      case _ => // first touch (or a foreign cache regression): full resolve
+        val res = (recordedSchemaJsonAt(table, Some(cur)),
+          activeConstraintsAt(table, Some(cur)))
+        headMetaCache.put(table, (cur, res._1, res._2))
+        res
+    }
   }
 
   /** SCHEMA EVOLUTION as a metadata commit: record `newSchema` in the
@@ -401,12 +447,20 @@ object TxLog {
       () => false, None, None, checks = Seq((name, predicate)))
   }
 
-  /** Constraints in force at `asOf` — resolved through the nearest
-    * checkpoint (which carries the cumulative list) plus only the
-    * manifests after it: O(delta), same discipline as [[recordedSchema]].
+  /** Constraints in force at `asOf` — the head path answers from the
+    * [[headMeta]] memo (O(delta) manifests since the last call); time
+    * travel resolves through the nearest checkpoint (which carries the
+    * cumulative list) plus only the manifests after it.
     */
   def activeConstraints(table: String,
-                        asOf: Option[Long] = None): Seq[(String, String)] = {
+                        asOf: Option[Long] = None): Seq[(String, String)] =
+    asOf match {
+      case Some(_) => activeConstraintsAt(table, asOf)
+      case None => headMeta(table)._2
+    }
+
+  private def activeConstraintsAt(table: String,
+                                  asOf: Option[Long]): Seq[(String, String)] = {
     val vs = listVersions(table).filter(v => asOf.forall(v <= _))
     val ckpt = checkpointVersions(table).filter(v => asOf.forall(v <= _)).lastOption
     val after = ckpt.fold(vs)(cv => vs.filter(_ > cv))
