@@ -385,6 +385,23 @@ class PlanShapeSpec extends SparkSpec {
       s"constant-cardinality window partitions over raw inputs:\n${offenders.mkString("\n")}")
   }
 
+  test("DV snapshot reads stay on hash anti-joins; incremental ANN search stays equi") {
+    // the deletion-vector subtraction must plan as a hash-keyed LeftAnti
+    // on (file_path, row_index) — never a nested loop over the fact
+    val pDv = plan("lake_txlog_dv")
+    assert(pDv.contains("LeftAnti"), s"DV must subtract via anti-join:\n${pDv.take(600)}")
+    assert(!pDv.contains("CartesianProduct") && !pDv.contains("BroadcastNestedLoopJoin"),
+      s"DV anti-join degenerated:\n${pDv.take(900)}")
+    // incremental ANN: probe->codes and codes->vectors are equi-joins;
+    // the only crossJoin is the broadcast constant-size centroid set
+    val pAnn = plan("ann_index_incremental")
+    assert(!pAnn.contains("CartesianProduct"),
+      s"ANN search must never cross-join the corpus:\n${pAnn.take(900)}")
+    // streaming upsert read-back: cumulative-DV anti-join, no nested loop
+    val pUp = plan("stream_txlog_upsert_batcheq")
+    assert(pUp.contains("LeftAnti") && !pUp.contains("CartesianProduct"))
+  }
+
   test("manifest-stats join broadcasts on metadata alone (CBO shape)") {
     // with auto-broadcast disabled, only the query's explicit
     // metadata-driven broadcast() can make this a broadcast join — the

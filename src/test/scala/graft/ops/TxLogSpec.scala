@@ -681,6 +681,45 @@ class TxLogSpec extends SparkSpec {
     }
   }
 
+  test("concurrent DV merges: winners land, losers abort, nothing is lost or doubled") {
+    // 4 threads upsert DISTINCT keys through mergeDv simultaneously. A
+    // DV merge's marks are only valid against the exact snapshot it read
+    // (dv commits CAS on readVersion), so racers serialize: some win,
+    // some abort with ConcurrentModificationException — but a loser must
+    // never corrupt the table (no lost base rows, no duplicate keys, no
+    // partially-applied update).
+    val t = freshTable()
+    TxLog.append(rows(1L -> 10L, 2L -> 20L, 3L -> 30L, 4L -> 40L), t)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    val outcomes = (1 to 4).map { i =>
+      pool.submit(new java.util.concurrent.Callable[Either[Throwable, Long]] {
+        def call(): Either[Throwable, Long] =
+          try Right(TxLog.mergeDv(spark, rows(i.toLong -> (100L + i)), t, "k"))
+          catch { case e: Throwable => Left(e) }
+      })
+    }.map(_.get())
+    pool.shutdown()
+    val won = outcomes.collect { case Right(v) => v }
+    val lost = outcomes.collect { case Left(e) => e }
+    assert(won.nonEmpty, "at least one DV merge must win")
+    assert(won.distinct.size == won.size, "each winner takes its own version")
+    lost.foreach { e =>
+      def causes(t: Throwable): Seq[Throwable] =
+        Option(t).toSeq.flatMap(x => x +: causes(x.getCause))
+      assert(causes(e).exists(_.isInstanceOf[ConcurrentModificationException]),
+        s"losers must abort with the CAS conflict, got: $e")
+    }
+    // serializable outcome: exactly the winners' updates are applied
+    val head = TxLog.snapshot(spark, t).as[(Long, Long)].collect().toMap
+    assert(head.size === 4, s"no row lost, no key doubled: $head")
+    (1 to 4).foreach { i =>
+      val k = i.toLong
+      assert(head(k) == 10L * k || head(k) == 100L + k,
+        s"key $k must hold either the base or a cleanly-applied update, got ${head(k)}")
+    }
+    assert(won.size + lost.size === 4)
+  }
+
   test("manifest ANALYZE stats: row count and NDV bounds answer without a scan") {
     val t = freshTable()
     TxLog.appendWithStats(rows(1L -> 10L, 2L -> 20L, 2L -> 21L), t, "k") // 3 rows, ndv 2
