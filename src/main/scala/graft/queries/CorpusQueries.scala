@@ -475,7 +475,7 @@ object CorpusQueries extends QueryPack {
       Tables.events(s, d)
         .select(col("event_id"),
           regexp_replace(col("props"), "[0-9]+", "#").as("masked"),
-          expr("CAST(size(regexp_extract_all(props, '[0-9]+', 0)) AS BIGINT)").as("n_masked"))
+          expr("CAST(regexp_count(props, '[0-9]+') AS BIGINT)").as("n_masked"))
         .orderBy("event_id")),
 
     // Repetition detection: per-document duplicate-token and top-token
@@ -878,9 +878,9 @@ object CorpusQueries extends QueryPack {
                 lpad((col("doc_id") % 100).cast("string"), 2, "0")))
             .otherwise(col("text")))
         .select(col("source"),
-          size(expr("regexp_extract_all(txt, '[a-z0-9_]+@[a-z0-9.]+[a-z]', 0)"))
+          expr("regexp_count(txt, '[a-z0-9_]+@[a-z0-9.]+[a-z]')")
             .cast("long").as("n_email"),
-          size(expr("regexp_extract_all(txt, '[0-9]{3}-[0-9]{4}', 0)"))
+          expr("regexp_count(txt, '[0-9]{3}-[0-9]{4}')")
             .cast("long").as("n_phone"))
         .groupBy("source")
         .agg(sum("n_email").as("n_email"), sum("n_phone").as("n_phone"),
