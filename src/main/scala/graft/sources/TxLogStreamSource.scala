@@ -1,6 +1,7 @@
 package graft.sources
 
 import graft.ops.TxLog
+import org.apache.spark.sql.connector.read.streaming.{ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow, Offset => V2Offset}
 import org.apache.spark.sql.execution.streaming.{Offset => V1Offset, Source}
 import org.apache.spark.sql.functions.lit
 import org.apache.spark.sql.graft.StreamBridge
@@ -73,7 +74,8 @@ final class TxLogStreamSource extends StreamSourceProvider with DataSourceRegist
       withVersion = TxLogStreamSource.boolOpt(parameters, "withCommitVersion"),
       ignoreChanges = TxLogStreamSource.boolOpt(parameters, "ignoreChanges"),
       ignoreDeletes = TxLogStreamSource.boolOpt(parameters, "ignoreDeletes"),
-      startingVersion = parameters.get("startingVersion").map(_.toLong).getOrElse(0L))
+      startingVersion = parameters.get("startingVersion").map(_.toLong).getOrElse(0L),
+      maxVersionsPerTrigger = parameters.get("maxVersionsPerTrigger").map(_.toLong))
   }
 }
 
@@ -119,8 +121,52 @@ private final case class TxLogVersionOffset(version: Long) extends V1Offset {
 private final class TxLogSource(spark: SparkSession, table: String,
                                 dataSchema: StructType, withVersion: Boolean,
                                 ignoreChanges: Boolean, ignoreDeletes: Boolean,
-                                startingVersion: Long)
-    extends Source {
+                                startingVersion: Long,
+                                maxVersionsPerTrigger: Option[Long])
+    extends Source with SupportsAdmissionControl with SupportsTriggerAvailableNow {
+
+  /** Version files are immutable once published (hard-link commit), so a
+    * per-source memo of parsed manifests is safe and bounds getBatch's
+    * fixed cost to one parse per version per STREAM, not per micro-batch
+    * retry/restart replay. Size is log-length-bounded (one small JSON
+    * node per commit), never data-sized.
+    */
+  private val manifestMemo =
+    new java.util.concurrent.ConcurrentHashMap[Long, TxLog.Manifest]
+  private def manifest(v: Long): TxLog.Manifest =
+    manifestMemo.computeIfAbsent(v, TxLog.readManifest(table, _))
+
+  /** Trigger.AvailableNow fence: the log head captured at stream start.
+    * The run drains micro-batches up to exactly this version and
+    * terminates — commits landing after the fence belong to the next run
+    * (Delta's availableNow contract; mirrors FileStreamSource's
+    * `allFilesForTriggerAvailableNow` snapshot).
+    */
+  @volatile private var availableNowFence: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowFence = Some(TxLog.currentVersion(table))
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  /** Admission control: head of the log right now (one directory listing,
+    * no data touched), clamped to the availableNow fence when one is set
+    * and rate-limited to `maxVersionsPerTrigger` commits per micro-batch.
+    * Never returns null — `startingVersion` is the "nothing yet" sentinel
+    * the same way FileStreamSource uses logOffset -1; getBatch over an
+    * empty (s, e] range produces an empty batch.
+    */
+  override def latestOffset(startOffset: V2Offset, limit: ReadLimit): V2Offset = {
+    val start = Option(startOffset).map(_.asInstanceOf[V1Offset].json().toLong)
+      .getOrElse(startingVersion)
+    val head = availableNowFence.fold(TxLog.currentVersion(table))(
+      f => math.min(f, TxLog.currentVersion(table)))
+    val capped = maxVersionsPerTrigger.fold(head)(m => math.min(head, start + m))
+    TxLogVersionOffset(math.max(start, capped))
+  }
+
+  override def reportLatestOffset(): V2Offset =
+    TxLogVersionOffset(TxLog.currentVersion(table))
 
   override def schema: StructType =
     if (withVersion)
@@ -128,7 +174,9 @@ private final class TxLogSource(spark: SparkSession, table: String,
         StructField(TxLogStreamSource.CommitVersionCol, LongType, nullable = false))
     else dataSchema
 
-  /** Head of the log right now — one directory listing, no data touched. */
+  /** Legacy poll path — the engine calls latestOffset(start, limit) on a
+    * SupportsAdmissionControl source; kept for direct V1 callers.
+    */
   override def getOffset: Option[V1Offset] = {
     val v = TxLog.currentVersion(table)
     if (v <= startingVersion) None else Some(TxLogVersionOffset(v))
@@ -138,7 +186,7 @@ private final class TxLogSource(spark: SparkSession, table: String,
     val s = start.map(_.json().toLong).getOrElse(startingVersion)
     val e = end.json().toLong
     val emitted = ((s + 1) to e).flatMap { v =>
-      val m = TxLog.readManifest(table, v)
+      val m = manifest(v)
       m.op match {
         case "append" => Some(v -> m.adds)
         case op if op.startsWith("stream_append_b") => Some(v -> m.adds)

@@ -144,6 +144,40 @@ class TxLogStreamSpec extends SparkSpec {
       (2L, 200L, 3L), (3L, 300L, 3L)))
   }
 
+  test("Trigger.AvailableNow engages multi-batch drain to the start fence, then terminates") {
+    val t = freshTable()
+    TxLog.append(rows(1L -> 10L), t) // v1
+    TxLog.append(rows(2L -> 20L), t) // v2
+    TxLog.append(rows(3L -> 30L), t) // v3
+    val ckpt = Files.createTempDirectory("ckpt-").toString
+    val qn = s"txlog_an_${nameSeq.incrementAndGet()}"
+    // maxVersionsPerTrigger=1 forces one commit per micro-batch: a drain
+    // to v3 therefore REQUIRES the multi-batch AvailableNow executor. The
+    // pre-r12 fallback ("does not support Trigger.AvailableNow… single
+    // batch execution") would run exactly one batch and, rate-limited,
+    // leave v2/v3 unprocessed — so the row assertion below is the proof
+    // the source now implements SupportsTriggerAvailableNow.
+    val q = spark.readStream.format("txlog-stream")
+      .option("withCommitVersion", true)
+      .option("maxVersionsPerTrigger", "1").load(t)
+      .writeStream.format("memory").queryName(qn)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination() finally q.stop()
+    val got = spark.table(qn).as[(Long, Long, Long)].collect().sorted.toSeq
+    assert(got === Seq((1L, 10L, 1L), (2L, 20L, 2L), (3L, 30L, 3L)),
+      "availableNow must drain every pre-start commit before terminating")
+    assert(q.recentProgress.count(_.numInputRows > 0) === 3,
+      "one commit per micro-batch under maxVersionsPerTrigger=1 — " +
+        "multi-batch execution, not the single-batch fallback")
+    // commits landing AFTER a run belong to the next run: restart from the
+    // same checkpoint emits exactly the new commit, nothing re-emitted
+    TxLog.append(rows(4L -> 40L), t) // v4
+    assert(drain(t, ckpt).sorted.toSeq === Seq((4L, 40L, 4L)))
+    // nothing pending → terminates with no data batch
+    assert(drain(t, ckpt).isEmpty)
+  }
+
   test("schema stays pinned across an evolve; restart picks the new column up") {
     val t = freshTable()
     val ckpt = Files.createTempDirectory("ckpt-").toString
