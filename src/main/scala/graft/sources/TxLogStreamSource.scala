@@ -191,9 +191,10 @@ private final class TxLogSource(spark: SparkSession, table: String,
         case "append" => Some(v -> m.adds)
         case op if op.startsWith("stream_append_b") => Some(v -> m.adds)
         // content-neutral commits: layout maintenance (1-D and z-order
-        // clustering) and pure metadata (schema, constraints)
-        case "compact" | "optimize" | "optimize_zorder" | "evolve"
-             | "constraint" => None
+        // clustering, DV-chain consolidation) and pure metadata (schema,
+        // constraints)
+        case "compact" | "optimize" | "optimize_zorder" | "compact_dv"
+             | "evolve" | "constraint" => None
         // a pure delete emits nothing appendable — an append-only stream
         // cannot retract rows. Delta's source contract exactly:
         // ignoreDeletes=true opts into skipping them (consumers accept

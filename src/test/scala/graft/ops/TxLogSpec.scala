@@ -442,7 +442,7 @@ class TxLogSpec extends SparkSpec {
       === Map(1L -> 10L, 3L -> 30L))
     // time travel before the delete still sees the row (bytes untouched)
     assert(TxLog.snapshot(spark, t, Some(1L)).count() === 3L)
-    // a second delete accumulates (cumulative vector, no chaining)
+    // a second delete appends its own chain entry
     TxLog.deleteWhere(spark, t, col("k") === 3L)            // v3
     assert(TxLog.snapshot(spark, t).as[(Long, Long)].collect().toMap
       === Map(1L -> 10L))
@@ -451,6 +451,64 @@ class TxLogSpec extends SparkSpec {
     assert(TxLog.tableState(t).dv.isEmpty, "compaction must clear the dv")
     assert(TxLog.snapshot(spark, t).as[(Long, Long)].collect().toMap
       === Map(1L -> 10L))
+  }
+
+  test("k small deletes write O(k) total marks, not O(k^2); compactDv consolidates") {
+    val t = freshTable()
+    val k = 8
+    TxLog.append(spark.range(100).selectExpr("id AS k", "id * 10 AS v"), t) // v1
+    (1 to k).foreach(i => TxLog.deleteWhere(spark, t, col("k") === i.toLong))
+    // write amplification: the i-th delete's manifest carries ONE chain
+    // entry holding exactly its own matched row — never the cumulative
+    // set (which wrote 1+2+...+k marks over this history before r12)
+    val perCommit = (2 to k + 1).map { v =>
+      val dv = TxLog.readManifest(t, v.toLong).dv
+      assert(dv.length === 1, s"delete v$v must append exactly one chain entry")
+      spark.read.parquet(dv.head).count()
+    }
+    assert(perCommit === (1 to k).map(_ => 1L),
+      "each 1-row delete stages exactly 1 mark: total bytes are O(k)")
+    // reader side: the chain in force unions to exactly the live marks
+    val st = TxLog.tableState(t)
+    assert(st.dv.length === k)
+    assert(spark.read.parquet(st.dv: _*).count() === k.toLong)
+    assert(TxLog.snapshot(spark, t).count() === (100 - k).toLong)
+    // consolidation: one segment, same visible rows, zero data segments
+    // touched; the stream source classifies it content-neutral
+    val segsBefore = TxLog.liveFiles(t).toSet
+    val cv = TxLog.compactDv(spark, t)
+    assert(TxLog.readManifest(t, cv).op === "compact_dv")
+    val st2 = TxLog.tableState(t)
+    assert(st2.dv.length === 1, "compactDv folds the chain into one segment")
+    assert(spark.read.parquet(st2.dv.head).count() === k.toLong)
+    assert(TxLog.liveFiles(t).toSet === segsBefore)
+    assert(TxLog.snapshot(spark, t).count() === (100 - k).toLong)
+    // idempotent: an already-short chain is a no-op, no new version
+    assert(TxLog.compactDv(spark, t) === cv)
+    // checkpoint carries the chain; post-checkpoint resolution matches
+    TxLog.checkpoint(t)
+    TxLog.deleteWhere(spark, t, col("k") === 50L)
+    assert(TxLog.tableStateViaCheckpoint(t).dv.length === 2)
+    assert(TxLog.snapshot(spark, t).count() === (100 - k - 1).toLong)
+  }
+
+  test("a data commit validated before a concurrent constraint/evolve conflicts, not publishes") {
+    val t = freshTable()
+    TxLog.append(rows(1L -> 10L), t)               // v1
+    val staleRv = TxLog.currentVersion(t)
+    TxLog.addConstraint(spark, t, "v_pos", "v >= 0") // v2: metadata landed
+    // a data commit built against v1 was validated against the OLD
+    // constraint set — publishing it would admit rows the just-certified
+    // CHECK never saw (ADVICE r11 medium): it must conflict
+    intercept[java.util.ConcurrentModificationException] {
+      TxLog.commit(t, "append", Seq(s"$t/data/phantom"), Seq.empty, staleRv)
+    }
+    // whereas a concurrent plain APPEND still auto-rebases data commits
+    val t2 = freshTable()
+    TxLog.append(rows(1L -> 10L), t2)              // v1
+    val rv2 = TxLog.currentVersion(t2)
+    TxLog.append(rows(2L -> 20L), t2)              // v2: data landed
+    assert(TxLog.commit(t2, "append", Seq(s"$t2/data/phantom"), Seq.empty, rv2) === 3L)
   }
 
   test("mergeDv equals copy-on-write merge and rewrites zero existing segments") {
@@ -606,15 +664,18 @@ class TxLogSpec extends SparkSpec {
     TxLog.restore(spark, t, 2L)                              // v4
     assert(TxLog.snapshot(spark, t).as[(Long, Long)].collect().toMap
       === Map(1L -> 11L, 2L -> 21L))
-    // delete-only case: no removes to clear through — the restore must
-    // install an EMPTY vector to mask the standing one
+    // delete-only case: a restore REPLACES the dv chain with the target
+    // version's (empty) chain — standing marks clear without staging a
+    // byte (pre-r12 this required installing an empty masking vector)
     val t2 = freshTable()
     TxLog.append(rows(1L -> 10L, 2L -> 20L, 3L -> 30L), t2)  // v1
     TxLog.deleteWhere(spark, t2, col("k") === 2L)            // v2 (dv)
     val r = TxLog.restore(spark, t2, 1L)                     // v3
     val m = TxLog.readManifest(t2, r)
-    assert(m.removes.isEmpty && m.dv.nonEmpty,
-      "delete-only restore must install a masking (empty) vector")
+    assert(m.removes.isEmpty && m.dv.isEmpty,
+      "delete-only restore clears by replacing the chain with nothing")
+    assert(TxLog.tableState(t2).dv.isEmpty,
+      "no deletion marks may remain in force after restoring past the delete")
     assert(TxLog.snapshot(spark, t2).count() === 3L, "deleted row is back")
     assert(TxLog.snapshot(spark, t2, Some(2L)).count() === 2L, "interim delete still visible")
     // restoring TO a dv-carrying version reinstates its vector
