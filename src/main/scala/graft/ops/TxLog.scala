@@ -605,9 +605,14 @@ object TxLog {
     * (an append conflicts with nothing).
     */
   def append(df: DataFrame, table: String): Long = {
+    // rv BEFORE validation: the commit's metadata-conflict rule scans
+    // (rv, head] for constraint/evolve commits, so everything this write
+    // was validated against must be ≤ rv — capturing rv after validation
+    // leaves a window where a just-landed CHECK is silently bypassed
+    val rv = currentVersion(table)
     validateWrite(df, table)
     val p = stage(df, table)
-    commit(table, "append", Seq(p), Seq.empty, currentVersion(table))
+    commit(table, "append", Seq(p), Seq.empty, rv)
   }
 
   /** Full-table overwrite (the copy-on-write MERGE/compaction shape):
@@ -616,8 +621,8 @@ object TxLog {
     */
   def overwrite(df: DataFrame, table: String): Long = {
     init(table)
+    val rv = currentVersion(table) // before validation — see append
     validateWrite(df, table)
-    val rv = currentVersion(table)
     val live = liveFiles(table, Some(rv))
     val p = stage(df, table)
     commit(table, "overwrite", Seq(p), live, rv)
@@ -632,6 +637,7 @@ object TxLog {
   def appendWithStats(df: DataFrame, table: String, statsCol: String): Long = {
     import org.apache.spark.sql.functions.{count, countDistinct, lit,
       max => fmax, min => fmin, col => fcol}
+    val rv = currentVersion(table) // before validation — see append
     validateWrite(df, table)
     val p = stage(df, table)
     // one agg pass also records ANALYZE stats (rows + exact NDV of the
@@ -644,7 +650,7 @@ object TxLog {
       if (r.isNullAt(0)) Map.empty[String, SegStats]
       else Map(p -> SegStats(statsCol, r.getLong(0), r.getLong(1), None,
         Some(r.getLong(2)), Some(r.getLong(3))))
-    commit(table, "append", Seq(p), Seq.empty, currentVersion(table), stats)
+    commit(table, "append", Seq(p), Seq.empty, rv, stats)
   }
 
   /** Table row count from manifest metadata alone — no segment scanned.
@@ -706,6 +712,7 @@ object TxLog {
     */
   def appendWithBloom(df: DataFrame, table: String, keyCol: String): Long = {
     import org.apache.spark.sql.functions.{col => fcol, explode, expr, max => fmax, min => fmin}
+    val rv = currentVersion(table) // before validation — see append
     validateWrite(df, table)
     val p = stage(df, table)
     val sdf = df.sparkSession.read.parquet(p)
@@ -721,7 +728,7 @@ object TxLog {
     val stats =
       if (mm.isNullAt(0)) Map.empty[String, SegStats]
       else Map(p -> SegStats(keyCol, mm.getLong(0), mm.getLong(1), Some(hex)))
-    commit(table, "append", Seq(p), Seq.empty, currentVersion(table), stats)
+    commit(table, "append", Seq(p), Seq.empty, rv, stats)
   }
 
   private def bloomMightContain(hex: String, positions: Seq[Long]): Boolean =
@@ -826,9 +833,9 @@ object TxLog {
   def merge(spark: SparkSession, updates: DataFrame, table: String,
             key: String): Long = {
     init(table)
+    val rv = currentVersion(table) // before validation — see append
     validateUpdates(updates, key)
     validateWrite(updates, table)
-    val rv = currentVersion(table)
     val live = liveFiles(table, Some(rv))
     require(live.nonEmpty, s"merge into empty table $table")
     // base resolves under the recorded schema so an evolved column exists
@@ -883,9 +890,9 @@ object TxLog {
                           key: String, op: String, skipIf: () => Boolean): Long = {
     import org.apache.spark.sql.functions.{col => fcol, lit}
     init(table)
+    val rv = currentVersion(table) // before validation — see append
     validateUpdates(updates, key)
     validateWrite(updates, table)
-    val rv = currentVersion(table)
     val st = tableStateViaCheckpoint(table, Some(rv))
     val files = st.segments.map(_._1)
     require(files.nonEmpty, s"merge into empty table $table")
@@ -1045,10 +1052,11 @@ object TxLog {
     init(table)
     if (batchId <= maxCommittedBatch(table)) -1L
     else {
+      val rv = currentVersion(table) // before validation — see append
       validateWrite(df, table)
       val p = stage(df, table)
       commit(table, s"stream_append_b$batchId", Seq(p), Seq.empty,
-        currentVersion(table), Map.empty,
+        rv, Map.empty,
         skipIf = () => maxCommittedBatch(table) >= batchId, schemaJson = None)
     }
   }
