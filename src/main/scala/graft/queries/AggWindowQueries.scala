@@ -153,6 +153,25 @@ object AggWindowQueries extends QueryPack {
         Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99))
         .orderBy("l_returnflag")),
 
+    // Exact percentiles over a HIGH-cardinality group key ("exact p95
+    // latency per user") — the router sends this past MaxScanGroups to
+    // the fully-distributed rank-window engine: per-group counts as a
+    // hash agg, row_number over (group, value) where the group key's own
+    // cardinality is the parallelism, boundary-rank rows filtered
+    // (≤ 2·|ps| per group) and interpolated in codegen'd expressions.
+    // Zero driver state — this is the form that survives millions of
+    // groups. Milli-unit integers absorb engine-specific interpolation
+    // ulp (the gate compares doubles bit-exactly).
+    "agg_percentile_highcard" -> ((s, d) =>
+      graft.ops.StatsOps.groupedExactPercentiles(
+        Tables.lineitem(s, d).select(col("l_orderkey"), col("l_quantity")),
+        "l_orderkey", "l_quantity",
+        Seq("p50" -> 0.5, "p95" -> 0.95))
+        .select(col("l_orderkey"),
+          round(col("p50") * 1000).cast("long").as("p50_milli"),
+          round(col("p95") * 1000).cast("long").as("p95_milli"))
+        .orderBy("l_orderkey")),
+
     // §2.4 CUBE.
     "agg_cube" -> ((s, d) =>
       Tables.orders(s, d)
@@ -565,6 +584,11 @@ object AggWindowQueries extends QueryPack {
     "agg_percentile" ->
       """SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS p50,
         | quantile_cont(l_quantity, 0.9) AS p90, quantile_cont(l_quantity, 0.99) AS p99
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "agg_percentile_highcard" ->
+      """SELECT l_orderkey,
+        | CAST(round(quantile_cont(l_quantity, 0.5) * 1000) AS BIGINT) AS p50_milli,
+        | CAST(round(quantile_cont(l_quantity, 0.95) * 1000) AS BIGINT) AS p95_milli
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "agg_cube" ->
       """SELECT grouping(o_orderstatus) AS g_status, grouping(o_orderpriority) AS g_prio,
