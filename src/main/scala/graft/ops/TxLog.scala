@@ -44,13 +44,24 @@ import scala.jdk.CollectionConverters._
   */
 object TxLog {
 
+  /** One column rename in force: segments in `segs` were live when the
+    * rename committed, so they PHYSICALLY store the column under
+    * `oldName` (or an even older name — renames chain through the walk in
+    * [[readFiles]]); segments written afterwards carry `newName`
+    * physically. This is id-free column mapping: the affected-segment
+    * set plays the role Delta/Iceberg field ids play, and old data is
+    * never rewritten.
+    */
+  final case class Rename(oldName: String, newName: String, segs: Set[String])
+
   final case class Manifest(version: Long, op: String,
                             adds: Seq[String], removes: Seq[String],
                             readVersion: Long,
                             stats: Map[String, SegStats] = Map.empty,
                             schemaJson: Option[String] = None,
                             dv: Seq[String] = Seq.empty,
-                            checks: Seq[(String, String)] = Seq.empty)
+                            checks: Seq[(String, String)] = Seq.empty,
+                            renames: Seq[Rename] = Seq.empty)
 
   /** A resolved snapshot: the live segments (with accumulated stats) plus
     * the DELETION-VECTOR CHAIN in force — parquet segments of
@@ -62,7 +73,8 @@ object TxLog {
     * a long small-delete history (VERDICT r11 item 3).
     */
   final case class TableState(segments: Seq[(String, Option[SegStats])],
-                              dv: Seq[String])
+                              dv: Seq[String],
+                              renames: Seq[Rename] = Seq.empty)
 
   /** Per-segment min/max of one tracked column — the Iceberg/Delta-style
     * file-skipping statistic a reader prunes on without opening footers —
@@ -128,6 +140,12 @@ object TxLog {
     val dv =
       if (m.dv.isEmpty) ""
       else s""","dv":${m.dv.map(jstr).mkString("[", ",", "]")}"""
+    val renames =
+      if (m.renames.isEmpty) ""
+      else m.renames.map { r =>
+        s"""{"old":${jstr(r.oldName)},"new":${jstr(r.newName)},""" +
+          s""""segs":${r.segs.toSeq.sorted.map(jstr).mkString("[", ",", "]")}}"""
+      }.mkString(""","renames":[""", ",", "]")
     val check =
       if (m.checks.isEmpty) ""
       else m.checks.map { case (n, e) =>
@@ -135,7 +153,7 @@ object TxLog {
       }.mkString(""","checks":[""", ",", "]")
     s"""{"version":${m.version},"op":${jstr(m.op)},"adds":${arr(m.adds)},""" +
       s""""removes":${arr(m.removes)},"readVersion":${m.readVersion},""" +
-      s""""stats":$stats$schema$dv$check}"""
+      s""""stats":$stats$schema$dv$check$renames}"""
   }
 
   def readManifest(table: String, v: Long): Manifest = {
@@ -157,7 +175,8 @@ object TxLog {
       arr("adds"), arr("removes"), node.get("readVersion").asLong(), stats,
       schemaJson, dvField(node),
       Option(node.get("checks")).map(_.elements().asScala.map(c =>
-        (c.get("name").asText(), c.get("expr").asText())).toSeq).getOrElse(Seq.empty))
+        (c.get("name").asText(), c.get("expr").asText())).toSeq).getOrElse(Seq.empty),
+      renamesField(node))
   }
 
   /** The manifest `dv` field: a path array since r12 (the chain entries
@@ -169,6 +188,14 @@ object TxLog {
     Option(node.get("dv")).fold(Seq.empty[String]) { d =>
       if (d.isArray) d.elements().asScala.map(_.asText()).toSeq
       else Seq(d.asText())
+    }
+
+  private def renamesField(node: com.fasterxml.jackson.databind.JsonNode): Seq[Rename] =
+    Option(node.get("renames")).fold(Seq.empty[Rename]) { rs =>
+      rs.elements().asScala.map { r =>
+        Rename(r.get("old").asText(), r.get("new").asText(),
+          r.get("segs").elements().asScala.map(_.asText()).toSet)
+      }.toSeq
     }
 
   /** Live segment paths at `asOf` (default: latest). Resolved once —
@@ -294,6 +321,40 @@ object TxLog {
       Map.empty, () => false, Some(newSchema.json))
   }
 
+  /** RENAME COLUMN without rewriting a byte — id-free column mapping
+    * (Delta/Iceberg rename via field ids, here via the affected-segment
+    * set): the commit records the new logical schema plus a [[Rename]]
+    * naming every segment live at this version (those physically store
+    * the old name; [[readFiles]] aliases them back under the new one,
+    * chaining across repeated renames). Time travel before the rename
+    * resolves the schema recorded at that version, so historical reads
+    * see historical names. Rejects a target name that already exists
+    * (collision) and a source that doesn't. CAS-conflicts with any
+    * concurrent commit — a schema decision is only valid against the
+    * head it inspected — and subsequent data commits validated against
+    * the old name conflict via the metadata-commit rule.
+    */
+  def renameColumn(spark: SparkSession, table: String,
+                   oldName: String, newName: String): Long = {
+    val rv = currentVersion(table)
+    require(rv > 0, s"rename on uninitialized table $table")
+    require(oldName != newName, s"rename of $table: '$oldName' to itself")
+    val current = recordedSchema(table, Some(rv)).getOrElse {
+      val files = liveFiles(table, Some(rv))
+      require(files.nonEmpty, s"rename on empty table $table needs a base schema")
+      spark.read.parquet(files: _*).schema
+    }
+    require(current.fieldNames.contains(oldName),
+      s"rename of $table: no column '$oldName' (have ${current.fieldNames.mkString(", ")})")
+    require(!current.fieldNames.contains(newName),
+      s"rename of $table: column '$newName' already exists — colliding rename rejected")
+    val newSchema = org.apache.spark.sql.types.StructType(
+      current.fields.map(f => if (f.name == oldName) f.copy(name = newName) else f))
+    commit(table, "rename", Seq.empty, Seq.empty, rv, Map.empty, () => false,
+      Some(newSchema.json),
+      renames = Seq(Rename(oldName, newName, liveFiles(table, Some(rv)).toSet)))
+  }
+
   /** Snapshot read: the live segments as one parquet relation. When the
     * log carries an evolved schema (≤ asOf), segments are read UNDER it:
     * Spark's parquet reader null-fills columns absent from a file's
@@ -307,15 +368,93 @@ object TxLog {
     val st = tableStateViaCheckpoint(table, asOf)
     val files = st.segments.map(_._1)
     require(files.nonEmpty, s"no committed segments in $table at $asOf")
-    applyDv(spark, readFiles(spark, files, recordedSchema(table, asOf)), st.dv)
+    readSegments(spark, files, recordedSchema(table, asOf), st)
   }
 
+  /** Segment scan, COLUMN-MAPPING aware, optionally exposing each row's
+    * (file_path, row_index) coordinates under caller-chosen helper names
+    * (`coords`) — resolved from parquet's `_metadata` AT THE SCAN, the
+    * only place it exists (a rename read projects/aliases, after which
+    * `_metadata` is gone).
+    *
+    * Rename reads: each segment physically stores a renamed column under
+    * the name in force when it was written. Walking the rename history
+    * newest→oldest translates every logical field to the segment's
+    * physical name (chained renames compose); segments sharing a
+    * translation read as ONE parquet relation under the physical schema
+    * and alias back — the plan is |epochs| scans unioned, never per-file
+    * work, and no byte is rewritten.
+    */
   private def readFiles(spark: SparkSession, files: Seq[String],
-                        schemaOpt: Option[org.apache.spark.sql.types.StructType]): DataFrame =
-    schemaOpt match {
-      case Some(s) => spark.read.schema(s).parquet(files: _*)
-      case None => spark.read.parquet(files: _*)
+                        schemaOpt: Option[org.apache.spark.sql.types.StructType],
+                        renames: Seq[Rename] = Seq.empty,
+                        coords: Option[(String, String)] = None): DataFrame = {
+    import org.apache.spark.sql.functions.{col => fcol}
+    def coordCols(fp: String, ri: String) = Seq(
+      fcol("_metadata.file_path").as(fp), fcol("_metadata.row_index").as(ri))
+    if (renames.isEmpty) {
+      val base = schemaOpt match {
+        case Some(s) => spark.read.schema(s).parquet(files: _*)
+        case None => spark.read.parquet(files: _*)
+      }
+      coords.fold(base) { case (fp, ri) =>
+        base.select(fcol("*") +: coordCols(fp, ri): _*)
+      }
+    } else {
+      val logical = schemaOpt.getOrElse(throw new IllegalStateException(
+        "rename-mapped read requires the recorded schema (rename commits always record one)"))
+      def physicalName(file: String, logicalName: String): String =
+        renames.reverseIterator.foldLeft(logicalName) { (n, r) =>
+          if (r.newName == n && r.segs.contains(file)) r.oldName else n
+        }
+      files.groupBy(f => logical.fieldNames.map(n => physicalName(f, n)).toSeq)
+        .toSeq.map { case (physNames, fs) =>
+          val physSchema = org.apache.spark.sql.types.StructType(
+            logical.fields.zip(physNames).map { case (f, pn) => f.copy(name = pn) })
+          val aliases = logical.fieldNames.zip(physNames).map { case (ln, pn) =>
+            fcol(pn).as(ln)
+          }.toIndexedSeq
+          spark.read.schema(physSchema).parquet(fs: _*)
+            .select(aliases ++ coords.map { case (fp, ri) => coordCols(fp, ri) }
+              .getOrElse(Seq.empty): _*)
+        }.reduce(_.unionByName(_))
     }
+  }
+
+  /** The full snapshot read primitive: rename-mapped scan with the
+    * deletion-vector chain anti-joined away. Coordinates are attached at
+    * the scan (collision-proof helper names) and dropped after the join.
+    */
+  private def readSegments(spark: SparkSession, files: Seq[String],
+                           schemaOpt: Option[org.apache.spark.sql.types.StructType],
+                           st: TableState): DataFrame =
+    if (st.dv.isEmpty) readFiles(spark, files, schemaOpt, st.renames)
+    else {
+      import org.apache.spark.sql.functions.{col => fcol}
+      val (rel, fp, ri) = readSegmentsWithCoords(spark, files, schemaOpt, st.renames)
+      val taken = rel.columns.toSet
+      val dfp = freshName(taken, "__dv_fp")
+      val dri = freshName(taken + dfp, "__dv_ri")
+      val marks = spark.read.parquet(st.dv: _*)
+        .select(fcol("file_path").as(dfp), fcol("row_index").as(dri))
+      rel.join(marks, fcol(fp) === fcol(dfp) && fcol(ri) === fcol(dri), "left_anti")
+        .drop(fp, ri)
+    }
+
+  /** Rename-mapped scan carrying each row's (file_path, row_index) under
+    * fresh helper names — the building block for the mark-producing
+    * paths (deleteWhere / DV merge), which need the coordinates AND the
+    * logical schema at once. Returns (relation, fpCol, riCol).
+    */
+  private def readSegmentsWithCoords(spark: SparkSession, files: Seq[String],
+                                     schemaOpt: Option[org.apache.spark.sql.types.StructType],
+                                     renames: Seq[Rename]): (DataFrame, String, String) = {
+    val logicalNames = schemaOpt.map(_.fieldNames.toSet).getOrElse(
+      spark.read.parquet(files: _*).columns.toSet)
+    val fp = freshName(logicalNames, "__fp")
+    val ri = freshName(logicalNames + fp, "__ri")
+    (readFiles(spark, files, schemaOpt, renames, Some((fp, ri))), fp, ri)
+  }
 
   /** Helper-column name guaranteed absent from `taken`: the preferred
     * name, suffixed with '_' until free. Deterministic, and collision-
@@ -328,35 +467,6 @@ object TxLog {
     while (taken(n)) n += "_"
     n
   }
-
-  /** Subtract a deletion-vector chain from a file relation: every row is
-    * addressed by its (file_path, row_index) — parquet's free, stable row
-    * coordinates via the `_metadata` struct — and the marks (one parquet
-    * relation over ALL chain segments; a single distributed scan, one
-    * anti-join however long the chain) are removed by a LEFT ANTI
-    * equi-join. Deletes are usually a sliver of the table, so AQE
-    * broadcasts the mark side at runtime; a pathological DV degrades to a
-    * shuffled anti-join, still one linear pass and never a segment
-    * rewrite.
-    */
-  private def applyDv(spark: SparkSession, base: DataFrame,
-                      dv: Seq[String]): DataFrame =
-    if (dv.isEmpty) base
-    else {
-      import org.apache.spark.sql.functions.{col => fcol}
-      val taken = base.columns.toSet
-      val fp = freshName(taken, "__fp")
-      val ri = freshName(taken + fp, "__ri")
-      val dfp = freshName(taken + fp + ri, "__dv_fp")
-      val dri = freshName(taken + fp + ri + dfp, "__dv_ri")
-      val marks = spark.read.parquet(dv: _*)
-        .select(fcol("file_path").as(dfp), fcol("row_index").as(dri))
-      base.select(fcol("*"), fcol("_metadata.file_path").as(fp),
-          fcol("_metadata.row_index").as(ri))
-        .join(marks, fcol(fp) === fcol(dfp) &&
-          fcol(ri) === fcol(dri), "left_anti")
-        .drop(fp, ri)
-    }
 
   /** Row-level DELETE without touching a single data segment — the
     * deletion-vector path (Delta DVs / Iceberg positional deletes), which
@@ -382,14 +492,11 @@ object TxLog {
     val st = tableStateViaCheckpoint(table, Some(rv))
     val files = st.segments.map(_._1)
     require(files.nonEmpty, s"delete from empty table $table")
-    val rel = readFiles(spark, files, recordedSchema(table, Some(rv)))
-    val taken = rel.columns.toSet
-    val fp = freshName(taken, "__fp")
-    val ri = freshName(taken + fp, "__ri")
-    val dfp = freshName(taken + fp + ri, "__dv_fp")
-    val dri = freshName(taken + fp + ri + dfp, "__dv_ri")
-    val withMeta = rel.select(fcol("*"), fcol("_metadata.file_path").as(fp),
-      fcol("_metadata.row_index").as(ri))
+    val (withMeta, fp, ri) = readSegmentsWithCoords(
+      spark, files, recordedSchema(table, Some(rv)), st.renames)
+    val taken = withMeta.columns.toSet
+    val dfp = freshName(taken, "__dv_fp")
+    val dri = freshName(taken + dfp, "__dv_ri")
     val visible =
       if (st.dv.isEmpty) withMeta
       else {
@@ -542,7 +649,8 @@ object TxLog {
                      schemaJson: Option[String],
                      dv: Seq[String] = Seq.empty,
                      checks: Seq[(String, String)] = Seq.empty,
-                     casAlways: Boolean = false): Long = {
+                     casAlways: Boolean = false,
+                     renames: Seq[Rename] = Seq.empty): Long = {
     init(table)
     var attempts = 0
     while (attempts < 100) {
@@ -554,7 +662,7 @@ object TxLog {
       // (restore — its adds-only diff shape used to slip through) is only
       // valid against the exact head it read
       if ((casAlways || removes.nonEmpty || schemaJson.nonEmpty ||
-           dv.nonEmpty || checks.nonEmpty) && cur != readVersion)
+           dv.nonEmpty || checks.nonEmpty || renames.nonEmpty) && cur != readVersion)
         throw new ConcurrentModificationException(
           s"$table: commit '$op' read version $readVersion but head is $cur — " +
             "a concurrent commit landed; rebase on the new snapshot and retry")
@@ -568,7 +676,7 @@ object TxLog {
       if (cur != readVersion &&
           ((readVersion + 1) to cur).exists { v =>
             val o = readManifest(table, v).op
-            o == "constraint" || o == "evolve"
+            o == "constraint" || o == "evolve" || o == "rename"
           })
         throw new ConcurrentModificationException(
           s"$table: commit '$op' read version $readVersion but a metadata " +
@@ -577,7 +685,7 @@ object TxLog {
             "and retry against the new snapshot")
       val target = cur + 1
       val m = Manifest(target, op, adds, removes, readVersion, stats, schemaJson,
-        dv, checks)
+        dv, checks, renames)
       val tmp = Files.createTempFile(logDir(table), s".$target-", ".tmp")
       Files.writeString(tmp, manifestJson(m))
       try {
@@ -758,7 +866,7 @@ object TxLog {
         s.bloomHex.forall(bloomMightContain(_, pos)) => p
     }
     require(keep.nonEmpty, s"key $key pruned from every segment of $table")
-    val rel = applyDv(spark, readFiles(spark, keep, recordedSchema(table)), st.dv)
+    val rel = readSegments(spark, keep, recordedSchema(table), st)
     (rel, keep.size, all.size)
   }
 
@@ -794,14 +902,15 @@ object TxLog {
     */
   def tableState(table: String, asOf: Option[Long] = None): TableState = {
     val vs = listVersions(table).filter(v => asOf.forall(v <= _))
-    val (live, stats, dv) = vs.foldLeft(
-      (Vector.empty[String], Map.empty[String, SegStats], Vector.empty[String])) {
-      case ((liveAcc, statAcc, dvAcc), v) =>
+    val (live, stats, dv, ren) = vs.foldLeft(
+      (Vector.empty[String], Map.empty[String, SegStats], Vector.empty[String],
+        Vector.empty[Rename])) {
+      case ((liveAcc, statAcc, dvAcc, renAcc), v) =>
         val m = readManifest(table, v)
         (liveAcc.filterNot(m.removes.contains) ++ m.adds, statAcc ++ m.stats,
-          foldDvChain(dvAcc, m))
+          foldDvChain(dvAcc, m), renAcc ++ m.renames)
     }
-    TableState(live.map(p => p -> stats.get(p)), dv)
+    TableState(live.map(p => p -> stats.get(p)), dv, ren)
   }
 
   /** Stats-pruned snapshot: only segments whose [min, max] on `statsCol`
@@ -818,7 +927,7 @@ object TxLog {
       case (p, Some(s)) if s.col != statsCol || (s.max >= lo && s.min <= hi) => p
     }
     require(keep.nonEmpty, s"predicate [$lo,$hi] prunes every segment of $table")
-    val rel = applyDv(spark, readFiles(spark, keep, recordedSchema(table)), st.dv)
+    val rel = readSegments(spark, keep, recordedSchema(table), st)
     (rel, keep.size, all.size)
   }
 
@@ -838,16 +947,13 @@ object TxLog {
     validateWrite(updates, table)
     val live = liveFiles(table, Some(rv))
     require(live.nonEmpty, s"merge into empty table $table")
-    // base resolves under the recorded schema so an evolved column exists
-    // on both union sides (null-filled for pre-evolve segments)
-    val base = recordedSchema(table, Some(rv)) match {
-      case Some(sc) => spark.read.schema(sc).parquet(live: _*)
-      case None => spark.read.parquet(live: _*)
-    }
-    // a deletion vector in force is applied here, so the rewrite
-    // MATERIALIZES the deletes (and the commit's removes clear the dv)
+    // base resolves under the recorded schema (rename-mapped, null-filled
+    // for pre-evolve segments) with any deletion vector applied, so the
+    // rewrite MATERIALIZES the deletes (and the commit's removes clear
+    // the dv) and writes segments under the CURRENT logical names
     val merged = updates.unionByName(
-      applyDv(spark, base, tableStateViaCheckpoint(table, Some(rv)).dv)
+      readSegments(spark, live, recordedSchema(table, Some(rv)),
+          tableStateViaCheckpoint(table, Some(rv)))
         .join(updates.select(key), Seq(key), "left_anti"),
       allowMissingColumns = true)
     val p = stage(merged, table)
@@ -896,7 +1002,9 @@ object TxLog {
     val st = tableStateViaCheckpoint(table, Some(rv))
     val files = st.segments.map(_._1)
     require(files.nonEmpty, s"merge into empty table $table")
-    val rel = readFiles(spark, files, recordedSchema(table, Some(rv)))
+    val (withMeta0, fp, ri) = readSegmentsWithCoords(
+      spark, files, recordedSchema(table, Some(rv)), st.renames)
+    val rel = withMeta0.drop(fp, ri) // logical shape for the checks below
     val extra = updates.columns.filterNot(rel.columns.contains)
     require(extra.isEmpty,
       s"mergeDv into $table: updates carry column(s) ${extra.mkString(", ")} not in " +
@@ -912,19 +1020,15 @@ object TxLog {
             s"updates but ${bf.dataType.sql} in the table")
       }
     }
-    val taken = rel.columns.toSet
-    val fp = freshName(taken, "__fp")
-    val ri = freshName(taken + fp, "__ri")
-    val dfp = freshName(taken + fp + ri, "__dv_fp")
-    val dri = freshName(taken + fp + ri + dfp, "__dv_ri")
-    val withMeta = rel.select(fcol("*"), fcol("_metadata.file_path").as(fp),
-      fcol("_metadata.row_index").as(ri))
+    val taken = withMeta0.columns.toSet
+    val dfp = freshName(taken, "__dv_fp")
+    val dri = freshName(taken + dfp, "__dv_ri")
     val visible =
-      if (st.dv.isEmpty) withMeta
+      if (st.dv.isEmpty) withMeta0
       else {
         val marks = spark.read.parquet(st.dv: _*)
           .select(fcol("file_path").as(dfp), fcol("row_index").as(dri))
-        withMeta.join(marks, fcol(fp) === fcol(dfp) &&
+        withMeta0.join(marks, fcol(fp) === fcol(dfp) &&
           fcol(ri) === fcol(dri), "left_anti")
       }
     // matched target rows' coordinates become the new deletion marks
@@ -1202,7 +1306,7 @@ object TxLog {
       case (p, Some(s)) if s.col != statCol || (s.max >= zlo && s.min <= zhi) => p
     }
     require(keep.nonEmpty, s"box pruned every segment of $table")
-    val rel = applyDv(spark, readFiles(spark, keep, recordedSchema(table)), st.dv)
+    val rel = readSegments(spark, keep, recordedSchema(table), st)
     (rel, keep.size, all.size)
   }
 
@@ -1264,7 +1368,7 @@ object TxLog {
     val schema = recordedSchema(table, Some(v))
     val stats = st.segments.collect { case (p, Some(s)) => p -> s }.toMap
     val m = Manifest(v, "checkpoint", st.segments.map(_._1), Seq.empty, v, stats,
-      schema.map(_.json), st.dv, activeConstraints(table, Some(v)))
+      schema.map(_.json), st.dv, activeConstraints(table, Some(v)), st.renames)
     val tmp = Files.createTempFile(logDir(table), s".ckpt$v-", ".tmp")
     Files.writeString(tmp, manifestJson(m))
     try Files.createLink(logDir(table).resolve(f"$v%020d.checkpoint.json"), tmp)
@@ -1303,7 +1407,8 @@ object TxLog {
       Option(node.get("schema")).map(_.toString),
       dvField(node),
       Option(node.get("checks")).map(_.elements().asScala.map(c =>
-        (c.get("name").asText(), c.get("expr").asText())).toSeq).getOrElse(Seq.empty))
+        (c.get("name").asText(), c.get("expr").asText())).toSeq).getOrElse(Seq.empty),
+      renamesField(node))
   }
 
   /** Snapshot resolution through the nearest checkpoint: the fold starts
@@ -1327,14 +1432,15 @@ object TxLog {
       case Some(cv) =>
         val base = readCheckpoint(table, cv)
         val vs = listVersions(table).filter(v => v > cv && asOf.forall(v <= _))
-        val (live, stats, dv) = vs.foldLeft(
-          (base.adds.toVector, base.stats, base.dv.toVector)) {
-          case ((liveAcc, statAcc, dvAcc), v) =>
+        val (live, stats, dv, ren) = vs.foldLeft(
+          (base.adds.toVector, base.stats, base.dv.toVector,
+            base.renames.toVector)) {
+          case ((liveAcc, statAcc, dvAcc, renAcc), v) =>
             val m = readManifest(table, v)
             (liveAcc.filterNot(m.removes.contains) ++ m.adds, statAcc ++ m.stats,
-              foldDvChain(dvAcc, m))
+              foldDvChain(dvAcc, m), renAcc ++ m.renames)
         }
-        TableState(live.map(p => p -> stats.get(p)), dv)
+        TableState(live.map(p => p -> stats.get(p)), dv, ren)
     }
   }
 

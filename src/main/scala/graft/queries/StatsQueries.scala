@@ -81,6 +81,25 @@ object StatsQueries extends QueryPack {
       t
     })
 
+  /** Column-mapping fixture: segments written under THREE physical names
+    * for the same logical column — "cents" (v1), renamed to "price_cents"
+    * (v2) before the second append (v3), then chain-renamed to
+    * "amount_cents" (v4). The head read must alias both physical epochs
+    * under the final logical name with zero data rewritten.
+    */
+  private def txRenameTable(s: SparkSession, d: String): String =
+    txTables.computeIfAbsent((s, "rename:" + d), _ => {
+      val t = s"${graft.ops.Scratch.base}/txrename_${(d.hashCode & 0xffffff).toHexString}"
+      val base = Tables.orders(s, d)
+        .select(col("o_orderkey"), Cleaning.cents(col("o_totalprice")).as("cents"))
+      graft.ops.TxLog.append(base.filter(col("o_orderkey") % 2 === 1), t) // v1
+      graft.ops.TxLog.renameColumn(s, t, "cents", "price_cents")         // v2
+      graft.ops.TxLog.append(base.filter(col("o_orderkey") % 2 === 0)
+        .withColumnRenamed("cents", "price_cents"), t)                   // v3
+      graft.ops.TxLog.renameColumn(s, t, "price_cents", "amount_cents")  // v4
+      t
+    })
+
   /** Checkpointed TxLog table: the txTable transaction sequence with a
     * manifest-log CHECKPOINT written mid-history (after v2), so head
     * resolution replays checkpoint + 1 manifest instead of 3.
@@ -1037,6 +1056,23 @@ object StatsQueries extends QueryPack {
     // (asserted via the n_cols constant folded from each snapshot's
     // schema, driver-side metadata only). Incompatible evolutions
     // (type change, drop, non-nullable add) reject — pinned in TxLogSpec.
+    // COLUMN RENAME via id-free column mapping (Delta/Iceberg rename
+    // without rewrite): two physical epochs ("cents" then "price_cents")
+    // plus a chained head rename to "amount_cents" resolve as ONE logical
+    // column — the plan is two epoch scans unioned, no segment rewritten.
+    // Time travel before the rename still sees the historical name.
+    "lake_txlog_rename" -> ((s, d) => {
+      val t = txRenameTable(s, d)
+      val headCols = graft.ops.TxLog.snapshot(s, t).columns.mkString(",")
+      val v1Cols = graft.ops.TxLog.snapshot(s, t, Some(1L)).columns.mkString(",")
+      graft.ops.TxLog.snapshot(s, t)
+        .groupBy((col("o_orderkey") % 2 === 1).as("pre_rename_epoch"))
+        .agg(count(lit(1)).as("n_rows"), sum("amount_cents").as("sum_cents"))
+        .select(lit(v1Cols).as("cols_v1"), lit(headCols).as("cols_head"),
+          col("pre_rename_epoch"), col("n_rows"), col("sum_cents"))
+        .orderBy("pre_rename_epoch")
+    }),
+
     "lake_txlog_evolution" -> ((s, d) => {
       val t = txEvolveTable(s, d)
       val nColsV1 = graft.ops.TxLog.snapshot(s, t, Some(1L)).schema.size.toLong
@@ -1831,6 +1867,13 @@ object StatsQueries extends QueryPack {
         |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)
         |    + CASE WHEN o_orderkey % 5 = 0 THEN 500 ELSE 0 END) AS BIGINT) AS sum_cents
         |FROM orders""".stripMargin,
+    "lake_txlog_rename" ->
+      """SELECT 'o_orderkey,cents' AS cols_v1,
+        |  'o_orderkey,amount_cents' AS cols_head,
+        |  (o_orderkey % 2 = 1) AS pre_rename_epoch,
+        |  COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM orders GROUP BY 3 ORDER BY 3""".stripMargin,
     "lake_txlog_evolution" ->
       """SELECT CAST(2 AS BIGINT) AS n_cols_v1, CAST(3 AS BIGINT) AS n_cols_head,
         |  CASE WHEN o_orderkey % 2 = 1 THEN '(pre-evolve)'

@@ -69,12 +69,25 @@ final class TxLogStreamSource extends StreamSourceProvider with DataSourceRegist
                             schema: Option[StructType], providerName: String,
                             parameters: Map[String, String]): Source = {
     val table = TxLogStreamSource.tablePath(parameters)
+    val startingVersion =
+      parameters.get("startingVersion").map(_.toLong).getOrElse(0L)
+    // segments committed before a rename physically store the OLD column
+    // name; replaying them under the pinned (post-rename) schema would
+    // silently null-fill the renamed column. Delta fails streaming reads
+    // across column-mapping changes for the same reason.
+    val renamed = ((startingVersion + 1) to TxLog.currentVersion(table))
+      .find(v => TxLog.readManifest(table, v).op == "rename")
+    require(renamed.isEmpty,
+      s"txlog-stream: $table has a column RENAME at version ${renamed.getOrElse(-1L)} " +
+        s"after startingVersion=$startingVersion — pre-rename segments cannot be " +
+        "replayed under the renamed schema; set startingVersion to the rename " +
+        "version or later")
     new TxLogSource(ctx.sparkSession, table,
       dataSchema = TxLogStreamSource.dataSchema(ctx.sparkSession, table),
       withVersion = TxLogStreamSource.boolOpt(parameters, "withCommitVersion"),
       ignoreChanges = TxLogStreamSource.boolOpt(parameters, "ignoreChanges"),
       ignoreDeletes = TxLogStreamSource.boolOpt(parameters, "ignoreDeletes"),
-      startingVersion = parameters.get("startingVersion").map(_.toLong).getOrElse(0L),
+      startingVersion = startingVersion,
       maxVersionsPerTrigger = parameters.get("maxVersionsPerTrigger").map(_.toLong))
   }
 }
@@ -195,6 +208,15 @@ private final class TxLogSource(spark: SparkSession, table: String,
         // constraints)
         case "compact" | "optimize" | "optimize_zorder" | "compact_dv"
              | "evolve" | "constraint" => None
+        // a rename changes the PHYSICAL column name of every later
+        // segment: the stream's pinned schema can resolve either the
+        // pre- or post-rename epoch, never both — fail loudly (Delta's
+        // contract: streaming reads fail across column mapping changes;
+        // restart with startingVersion past the rename)
+        case "rename" => throw new IllegalStateException(
+          s"txlog-stream: version $v of $table is a column RENAME; a stream's " +
+            "schema is pinned at start and cannot span rename epochs — restart " +
+            s"from a fresh checkpoint with startingVersion >= $v")
         // a pure delete emits nothing appendable — an append-only stream
         // cannot retract rows. Delta's source contract exactly:
         // ignoreDeletes=true opts into skipping them (consumers accept

@@ -695,6 +695,64 @@ class TxLogSpec extends SparkSpec {
     assert(e3.getMessage.contains("vacuumed"))
   }
 
+  test("column rename: mapped read-back, chained, across checkpoint, collisions rejected") {
+    val t = freshTable()
+    TxLog.append(rows(1L -> 10L, 2L -> 20L), t)        // v1: physical "v"
+    TxLog.renameColumn(spark, t, "v", "amount")        // v2
+    // head reads the old segment under the NEW logical name, no rewrite
+    val head = TxLog.snapshot(spark, t)
+    assert(head.columns.toSeq === Seq("k", "amount"))
+    assert(head.as[(Long, Long)].collect().toMap === Map(1L -> 10L, 2L -> 20L))
+    // time travel before the rename sees the historical name
+    assert(TxLog.snapshot(spark, t, Some(1L)).columns.toSeq === Seq("k", "v"))
+    // post-rename writes use the new name; epochs union transparently
+    TxLog.append(Seq((3L, 30L)).toDF("k", "amount"), t) // v3: physical "amount"
+    assert(TxLog.snapshot(spark, t).as[(Long, Long)].collect().toMap
+      === Map(1L -> 10L, 2L -> 20L, 3L -> 30L))
+    // writes under the RETIRED name are rejected by schema enforcement
+    intercept[IllegalArgumentException] {
+      TxLog.append(rows(9L -> 90L), t)
+    }
+    // chained rename: the oldest segment resolves through BOTH renames
+    TxLog.renameColumn(spark, t, "amount", "amt")      // v4
+    assert(TxLog.snapshot(spark, t).columns.toSeq === Seq("k", "amt"))
+    assert(TxLog.snapshot(spark, t).as[(Long, Long)].collect().toMap
+      === Map(1L -> 10L, 2L -> 20L, 3L -> 30L))
+    // a DV delete addresses renamed-epoch rows correctly
+    TxLog.deleteWhere(spark, t, col("amt") === 20L)    // v5
+    assert(TxLog.snapshot(spark, t).as[(Long, Long)].collect().toMap
+      === Map(1L -> 10L, 3L -> 30L))
+    // checkpoint carries the rename mapping: resolution through it is
+    // identical to the full fold
+    TxLog.checkpoint(t)
+    TxLog.append(Seq((4L, 40L)).toDF("k", "amt"), t)   // v6
+    assert(TxLog.tableStateViaCheckpoint(t).renames.map(r =>
+      (r.oldName, r.newName)) === Seq(("v", "amount"), ("amount", "amt")))
+    assert(TxLog.snapshot(spark, t).as[(Long, Long)].collect().toMap
+      === Map(1L -> 10L, 3L -> 30L, 4L -> 40L))
+    // collision + missing-source rejects
+    intercept[IllegalArgumentException] { TxLog.renameColumn(spark, t, "k", "amt") }
+    intercept[IllegalArgumentException] { TxLog.renameColumn(spark, t, "nope", "x") }
+    // compaction materializes the current names; the mapping afterwards
+    // is inert (affected segments dead) and reads stay correct
+    TxLog.compact(spark, t)
+    assert(TxLog.snapshot(spark, t).columns.toSeq === Seq("k", "amt"))
+    assert(TxLog.snapshot(spark, t).count() === 3L)
+    // streaming across a rename epoch fails loudly at source creation
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      val q = spark.readStream.format("txlog-stream").load(t)
+        .writeStream.format("memory").queryName("rename_reject")
+        .option("checkpointLocation",
+          Files.createTempDirectory("ckpt-").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally q.stop()
+    }
+    val msgs = Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null)
+      .map(_.getMessage).mkString(" | ")
+    assert(msgs.contains("RENAME"),
+      s"stream over a renamed table must fail with guidance, got: $msgs")
+  }
+
   test("mergeDv rejects type-mismatched updates on never-evolved tables") {
     val t = freshTable()
     TxLog.append(rows(1L -> 10L), t)
