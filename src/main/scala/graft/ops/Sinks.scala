@@ -48,15 +48,17 @@ object Sinks {
     */
   def writeDirectObjectStore(df: DataFrame, path: String,
                              partitionCols: Seq[String] = Seq.empty): Unit = {
-    val spark = df.sparkSession
-    val key = "spark.sql.parquet.output.committer.class"
-    val saved = spark.conf.getOption(key)
-    spark.conf.set(key, classOf[graft.sources.DirectObjectStoreCommitter].getName)
-    try writePartitionedParquet(df, path, partitionCols)
-    finally saved match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
-    }
+    // per-WRITE committer: DataFrameWriter options are merged into this
+    // relation's hadoopConf (newHadoopConfWithOptions), which is exactly
+    // where ParquetFileFormat.prepareWrite resolves the committer class —
+    // a concurrent parquet write on another thread of the same session
+    // keeps the default committer (ADVICE r11: the old session-conf swap
+    // leaked the zero-rename committer to unrelated writes, which is
+    // unsafe under speculative execution)
+    val w = df.write.mode(SaveMode.Overwrite)
+      .option("spark.sql.parquet.output.committer.class",
+        classOf[graft.sources.DirectObjectStoreCommitter].getName)
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(path)
   }
 
   /** Round-trip through ORC (Spark's other native columnar format). */

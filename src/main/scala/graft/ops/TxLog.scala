@@ -1091,13 +1091,44 @@ object TxLog {
     */
   def compact(spark: SparkSession, table: String): Long = {
     val rv = currentVersion(table)
-    val live = liveFiles(table, Some(rv))
+    val st = tableStateViaCheckpoint(table, Some(rv))
+    val live = st.segments.map(_._1)
     require(live.nonEmpty, s"compact of empty table $table")
     // snapshot() applies any deletion vector: compaction is the moment
     // soft deletes become physical (dv cleared by the removes)
     val p = stage(snapshot(spark, table, Some(rv)), table)
-    commit(table, "compact", Seq(p), live, rv)
+    commit(table, "compact", Seq(p), live, rv,
+      rewriteStats(spark, p, st, "compact"))
   }
+
+  /** ANALYZE stats for a maintenance-rewritten segment: re-record the row
+    * count (+ min/max/NDV of the tracked column when the pre-rewrite live
+    * set agrees on one that still exists) so [[tableRowCount]] /
+    * [[ndvBounds]] keep answering after OPTIMIZE instead of silently
+    * dying on the first stats-less rewrite (ADVICE r11). Rows-only
+    * entries use the sentinel col `""` — every pruning consumer keeps a
+    * segment whose stats col differs from the requested one, so a
+    * sentinel entry is never used to skip anything.
+    */
+  private def rewriteStats(spark: SparkSession, p: String, st: TableState,
+                           op: String): Map[String, SegStats] = {
+    import org.apache.spark.sql.functions.{count, countDistinct, lit,
+      max => fmax, min => fmin, col => fcol}
+    val tracked = st.segments.flatMap(_._2).map(_.col).filter(_.nonEmpty).distinct
+    val seg = spark.read.parquet(p)
+    tracked match {
+      case Seq(c) if seg.columns.contains(c) =>
+        val r = seg.agg(fmin(fcol(c).cast("long")), fmax(fcol(c).cast("long")),
+          count(lit(1)), countDistinct(fcol(c))).head()
+        if (r.isNullAt(0)) Map(p -> rowsOnlyStats(r.getLong(2)))
+        else Map(p -> SegStats(c, r.getLong(0), r.getLong(1), None,
+          Some(r.getLong(2)), Some(r.getLong(3))))
+      case _ => Map(p -> rowsOnlyStats(seg.count()))
+    }
+  }
+
+  private def rowsOnlyStats(rows: Long): SegStats =
+    SegStats("", 0L, 0L, None, Some(rows), None)
 
   /** Merge-updates preconditions, shared by the copy-on-write and DV
     * paths. Delta raises on multiple matches for one target row; silently
@@ -1194,17 +1225,23 @@ object TxLog {
       if (part.isEmpty) None
       else {
         val p = stage(part, table)
+        // rows + NDV recorded alongside min/max: OPTIMIZE must not kill
+        // the ANALYZE surface (ADVICE r11) — one agg pass per segment
         val mm = spark.read.parquet(p)
-          .agg(fmin(fcol(clusterCol).cast("long")), fmax(fcol(clusterCol).cast("long"))).head()
-        Some(p -> SegStats(clusterCol, mm.getLong(0), mm.getLong(1)))
+          .agg(fmin(fcol(clusterCol).cast("long")), fmax(fcol(clusterCol).cast("long")),
+            fcount(lit(1)),
+            org.apache.spark.sql.functions.countDistinct(fcol(clusterCol))).head()
+        Some(p -> SegStats(clusterCol, mm.getLong(0), mm.getLong(1), None,
+          Some(mm.getLong(2)), Some(mm.getLong(3))))
       }
     }
     // Residual segment: rows the bucket predicate can never select — null
     // or negative cluster keys (`x div q === b` is null/never-true for
     // them, and buckets only cover 0..buckets-1). Without it a maintenance
     // op documented as content-preserving silently DROPS those rows
-    // (ADVICE r9). Committed stat-less: a null-keyed segment must never
-    // be pruned.
+    // (ADVICE r9). Committed with ROWS-ONLY sentinel stats: the "" col
+    // matches no prune request, so a null-keyed segment is still never
+    // skipped, but tableRowCount keeps answering after OPTIMIZE.
     val residualPart = base.filter(fcol(clusterCol).isNull || fcol(clusterCol) < 0)
     val residual =
       if (residualPart.isEmpty) Seq.empty[String]
@@ -1216,7 +1253,10 @@ object TxLog {
     require(stagedCount == baseCount,
       s"optimize of $table would change the row count ($baseCount -> $stagedCount); " +
         "aborting before the swap — staged segments are unreferenced and vacuumable")
-    commit(table, "optimize", adds, live, rv, staged.toMap)
+    val residualStats = residual.map { p =>
+      p -> rowsOnlyStats(spark.read.parquet(p).count())
+    }
+    commit(table, "optimize", adds, live, rv, staged.toMap ++ residualStats)
   }
 
   /** Z-ORDER clustered compaction — `OPTIMIZE ZORDER BY (x, y)`: rewrite
@@ -1257,9 +1297,13 @@ object TxLog {
       val part = withZ.filter(expr(s"$z div $q") === b)
       if (part.isEmpty) None
       else {
-        val mm = part.agg(fmin(fcol(z)), fmax(fcol(z))).head()
+        // rows ride the same agg pass (ADVICE r11: maintenance rewrites
+        // must not kill tableRowCount); NDV of the synthetic z-key is
+        // meaningless to ndvBounds callers, so it is not recorded
+        val mm = part.agg(fmin(fcol(z)), fmax(fcol(z)), fcount(lit(1))).head()
         val p = stage(part.drop(z), table)
-        Some(p -> SegStats(statCol, mm.getLong(0), mm.getLong(1)))
+        Some(p -> SegStats(statCol, mm.getLong(0), mm.getLong(1), None,
+          Some(mm.getLong(2))))
       }
     }
     val residualPart = withZ.filter(fcol(z).isNull).drop(z)
@@ -1272,7 +1316,10 @@ object TxLog {
     require(stagedCount == baseCount,
       s"z-order optimize of $table would change the row count ($baseCount -> " +
         s"$stagedCount); aborting before the swap")
-    commit(table, "optimize_zorder", adds, live, rv, staged.toMap)
+    val residualStats = residual.map { p =>
+      p -> rowsOnlyStats(spark.read.parquet(p).count())
+    }
+    commit(table, "optimize_zorder", adds, live, rv, staged.toMap ++ residualStats)
   }
 
   /** Manifest-pruned TWO-DIMENSIONAL box read over a z-ordered table:

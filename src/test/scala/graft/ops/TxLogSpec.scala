@@ -867,6 +867,38 @@ class TxLogSpec extends SparkSpec {
     // stats-free appends parsing fine
   }
 
+  test("ANALYZE stats survive maintenance rewrites (compact/optimize/zorder)") {
+    val t = freshTable()
+    TxLog.appendWithStats(rows(1L -> 10L, 2L -> 20L, 2L -> 21L), t, "k")
+    TxLog.appendWithStats(rows(3L -> 30L, 4L -> 40L), t, "k")
+    TxLog.deleteWhere(spark, t, col("k") === 4L)
+    assert(TxLog.tableRowCount(t).isEmpty, "DV in force: counts refuse")
+    // compact materializes the DV AND re-records rows + min/max/NDV of
+    // the agreed tracked column — the CBO surface survives maintenance
+    // (ADVICE r11: it used to die permanently on the first rewrite)
+    TxLog.compact(spark, t)
+    assert(TxLog.tableRowCount(t) === Some(4L))
+    assert(TxLog.ndvBounds(t, "k") === Some((3L, 3L)))
+    // clustered OPTIMIZE: per-bucket rows+NDV, residual (null/negative
+    // keys) carries rows-only sentinel stats — counted, never pruned
+    val t2 = freshTable()
+    TxLog.appendWithStats(rows(1L -> 10L, 7L -> 70L, 13L -> 130L), t2, "k")
+    TxLog.append(Seq((Option.empty[java.lang.Long], 99L)).toDF("k", "v"), t2)
+    TxLog.compactClustered(spark, t2, "k", 2)
+    assert(TxLog.tableRowCount(t2) === Some(4L),
+      "rows survive clustered optimize incl. the null-key residual")
+    val (_, scanned, total) = TxLog.snapshotPruned(spark, t2, "k", 0L, 5L)
+    assert(total >= 2 && scanned < total,
+      "range prune still works post-optimize and keeps the residual conservatively")
+    // z-order OPTIMIZE: per-segment rows recorded on the synthetic z stats
+    val t3 = freshTable()
+    TxLog.appendWithStats(Seq((1L, 1L), (200L, 200L), (900L, 900L))
+      .toDF("k", "v"), t3, "k")
+    TxLog.compactZOrder(spark, t3, "k", "v", 2)
+    assert(TxLog.tableRowCount(t3) === Some(3L),
+      "rows survive z-order optimize")
+  }
+
   test("CAS race: two manifests for the same version — exactly one wins") {
     val t = freshTable()
     TxLog.append(rows(1L -> 10L), t)

@@ -84,6 +84,20 @@ class ObjectStoreSpec extends SparkSpec {
     assert(a === b, "direct-commit output must equal the v1-committed output")
     val pruned = spark.read.parquet(outDirect).filter($"part" === "1")
     assert(pruned.count() === df.filter($"part" === "1").count())
+
+    // the committer is scoped PER WRITE (DataFrameWriter option merged
+    // into this relation's hadoopConf), never installed session-wide: a
+    // subsequent plain parquet write on the same session must pay the
+    // default committer's renames again (ADVICE r11: the old session-conf
+    // swap leaked the zero-rename committer to concurrent writes)
+    assert(!spark.conf.getOption("spark.sql.parquet.output.committer.class")
+      .exists(_.contains("DirectObjectStoreCommitter")),
+      "session conf must not carry the direct committer")
+    val outAfter = freshPrefix("amp_after")
+    val r2 = ObjectStoreFs.renames.get
+    Sinks.writePartitionedParquet(df, outAfter, Seq("part"))
+    assert(ObjectStoreFs.renames.get - r2 > 0,
+      "a plain write after writeDirectObjectStore must use the default committer")
   }
 
   test("rename refuses to clobber and moves directories by copy+delete") {
