@@ -89,7 +89,8 @@ object TxLog {
   final case class SegStats(col: String, min: Long, max: Long,
                             bloomHex: Option[String] = None,
                             rows: Option[Long] = None,
-                            ndv: Option[Long] = None)
+                            ndv: Option[Long] = None,
+                            hist: Option[Seq[Long]] = None)
 
   private def logDir(table: String): Path = Paths.get(table, "_txlog")
   private def fmt(v: Long): String = f"$v%020d.json"
@@ -133,7 +134,9 @@ object TxLog {
       val bloom = s.bloomHex.map(h => s""","bloom":${jstr(h)}""").getOrElse("")
       val rows = s.rows.map(r => s""","rows":$r""").getOrElse("")
       val ndv = s.ndv.map(n => s""","ndv":$n""").getOrElse("")
-      s"""${jstr(p)}:{"col":${jstr(s.col)},"min":${s.min},"max":${s.max}$bloom$rows$ndv}"""
+      val hist = s.hist.map(h =>
+        s""","hist":${h.mkString("[", ",", "]")}""").getOrElse("")
+      s"""${jstr(p)}:{"col":${jstr(s.col)},"min":${s.min},"max":${s.max}$bloom$rows$ndv$hist}"""
     }.mkString("{", ",", "}")
     // schemaJson is already JSON (StructType.json) — embedded verbatim
     val schema = m.schemaJson.map(j => s""","schema":$j""").getOrElse("")
@@ -161,15 +164,7 @@ object TxLog {
       .readTree(Files.readString(logDir(table).resolve(fmt(v))))
     def arr(field: String): Seq[String] =
       node.get(field).elements().asScala.map(_.asText()).toSeq
-    val stats = Option(node.get("stats")).map { sn =>
-      sn.properties().asScala.map { e =>
-        e.getKey -> SegStats(e.getValue.get("col").asText(),
-          e.getValue.get("min").asLong(), e.getValue.get("max").asLong(),
-          Option(e.getValue.get("bloom")).map(_.asText()),
-          Option(e.getValue.get("rows")).map(_.asLong()),
-          Option(e.getValue.get("ndv")).map(_.asLong()))
-      }.toMap
-    }.getOrElse(Map.empty[String, SegStats]) // pre-stats manifests stay readable
+    val stats = statsField(node) // pre-stats manifests stay readable
     val schemaJson = Option(node.get("schema")).map(_.toString)
     Manifest(node.get("version").asLong(), node.get("op").asText(),
       arr("adds"), arr("removes"), node.get("readVersion").asLong(), stats,
@@ -189,6 +184,20 @@ object TxLog {
       if (d.isArray) d.elements().asScala.map(_.asText()).toSeq
       else Seq(d.asText())
     }
+
+  private def statsField(
+      node: com.fasterxml.jackson.databind.JsonNode): Map[String, SegStats] =
+    Option(node.get("stats")).map { sn =>
+      sn.properties().asScala.map { e =>
+        e.getKey -> SegStats(e.getValue.get("col").asText(),
+          e.getValue.get("min").asLong(), e.getValue.get("max").asLong(),
+          Option(e.getValue.get("bloom")).map(_.asText()),
+          Option(e.getValue.get("rows")).map(_.asLong()),
+          Option(e.getValue.get("ndv")).map(_.asLong()),
+          Option(e.getValue.get("hist")).map(
+            _.elements().asScala.map(_.asLong()).toSeq))
+      }.toMap
+    }.getOrElse(Map.empty[String, SegStats])
 
   private def renamesField(node: com.fasterxml.jackson.databind.JsonNode): Seq[Rename] =
     Option(node.get("renames")).fold(Seq.empty[Rename]) { rs =>
@@ -742,23 +751,78 @@ object TxLog {
     * single parquet footer (at 100 TB the manifest scan is driver-side
     * metadata; the skipped segments are the I/O saved).
     */
+  /** Equi-depth histogram resolution: boundary count is HistBuckets + 1.
+    * 32 buckets ≈ 3% selectivity granularity — Spark's own CBO default
+    * (`spark.sql.statistics.histogram.numBins` not far off at 254 for
+    * column-level ANALYZE; manifests are read per-query, so smaller).
+    */
+  val HistBuckets = 32
+
   def appendWithStats(df: DataFrame, table: String, statsCol: String): Long = {
     import org.apache.spark.sql.functions.{count, countDistinct, lit,
-      max => fmax, min => fmin, col => fcol}
+      max => fmax, min => fmin, col => fcol, percentile_approx, array}
     val rv = currentVersion(table) // before validation — see append
     validateWrite(df, table)
     val p = stage(df, table)
-    // one agg pass also records ANALYZE stats (rows + exact NDV of the
-    // tracked column) — write-time bookkeeping that lets every future
-    // planner size this segment from the manifest without a scan
+    // one agg pass also records ANALYZE stats (rows + exact NDV + a
+    // 32-bucket EQUI-DEPTH HISTOGRAM of the tracked column) — write-time
+    // bookkeeping that lets every future planner size this segment AND
+    // estimate range selectivity from the manifest without a scan
+    val probs = array((0 to HistBuckets).map(i =>
+      lit(i.toDouble / HistBuckets)): _*)
     val r = df.sparkSession.read.parquet(p)
       .agg(fmin(fcol(statsCol).cast("long")), fmax(fcol(statsCol).cast("long")),
-        count(lit(1)), countDistinct(fcol(statsCol))).head()
+        count(lit(1)), countDistinct(fcol(statsCol)),
+        percentile_approx(fcol(statsCol).cast("long"), probs, lit(10000))).head()
     val stats =
       if (r.isNullAt(0)) Map.empty[String, SegStats]
       else Map(p -> SegStats(statsCol, r.getLong(0), r.getLong(1), None,
-        Some(r.getLong(2)), Some(r.getLong(3))))
+        Some(r.getLong(2)), Some(r.getLong(3)),
+        Option(r.getSeq[Long](4)).map(_.toSeq)))
     commit(table, "append", Seq(p), Seq.empty, rv, stats)
+  }
+
+  /** Estimated rows matching `col BETWEEN lo AND hi` — from the manifest
+    * ALONE, no segment scanned: each segment's equi-depth histogram puts
+    * rows/32 in every [b_i, b_{i+1}] bucket; the estimate sums each
+    * bucket's overlap fraction with the range (continuous approximation,
+    * zero-width buckets count fully when inside the range). None when a
+    * DV is in force or any live segment lacks a histogram for `col` — an
+    * honest planner refuses partial answers, exactly like
+    * [[tableRowCount]]. The range-selectivity half of join planning:
+    * [[tableRowCount]] sizes the unfiltered side, this sizes a
+    * range-filtered side (broadcast the sliver, shuffle the half).
+    */
+  def estimatedRangeRows(table: String, col: String, lo: Long, hi: Long,
+                         asOf: Option[Long] = None): Option[Double] = {
+    val st = tableStateViaCheckpoint(table, asOf)
+    if (st.dv.nonEmpty || hi < lo) return None
+    val per = st.segments.map(_._2.filter(_.col == col).flatMap(s =>
+      (s.rows, s.hist) match {
+        case (Some(r), Some(h)) => Some(r * histSelectivity(h, lo, hi))
+        case _ => None
+      }))
+    if (per.exists(_.isEmpty)) None else Some(per.flatten.sum)
+  }
+
+  private def histSelectivity(bounds: Seq[Long], lo: Long, hi: Long): Double = {
+    val n = bounds.size - 1
+    if (n <= 0) return 1.0
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val (blo, bhi) = (bounds(i), bounds(i + 1))
+      acc +=
+        (if (bhi < blo) 0.0 // malformed bucket: contribute nothing
+         else if (bhi == blo) { if (lo <= blo && blo <= hi) 1.0 else 0.0 }
+         else {
+           val overlap = math.min(hi.toDouble, bhi.toDouble) -
+             math.max(lo.toDouble, blo.toDouble)
+           math.max(0.0, math.min(overlap / (bhi - blo).toDouble, 1.0))
+         })
+      i += 1
+    }
+    acc / n
   }
 
   /** Table row count from manifest metadata alone — no segment scanned.
@@ -1440,17 +1504,9 @@ object TxLog {
       .readTree(Files.readString(logDir(table).resolve(f"$v%020d.checkpoint.json")))
     def arr(field: String): Seq[String] =
       node.get(field).elements().asScala.map(_.asText()).toSeq
-    val stats = Option(node.get("stats")).map { sn =>
-      sn.properties().asScala.map { e =>
-        e.getKey -> SegStats(e.getValue.get("col").asText(),
-          e.getValue.get("min").asLong(), e.getValue.get("max").asLong(),
-          Option(e.getValue.get("bloom")).map(_.asText()),
-          Option(e.getValue.get("rows")).map(_.asLong()),
-          Option(e.getValue.get("ndv")).map(_.asLong()))
-      }.toMap
-    }.getOrElse(Map.empty[String, SegStats])
     Manifest(node.get("version").asLong(), node.get("op").asText(),
-      arr("adds"), arr("removes"), node.get("readVersion").asLong(), stats,
+      arr("adds"), arr("removes"), node.get("readVersion").asLong(),
+      statsField(node),
       Option(node.get("schema")).map(_.toString),
       dvField(node),
       Option(node.get("checks")).map(_.elements().asScala.map(c =>

@@ -257,6 +257,21 @@ object StatsQueries extends QueryPack {
       t
     })
 
+  /** Histogram-CBO fixture: orders keys interleaved (even/odd) across two
+    * `appendWithStats` segments — min/max can never prune, so any range
+    * answer must come from the per-segment EQUI-DEPTH HISTOGRAMS the
+    * commits recorded.
+    */
+  private def txHistTable(s: SparkSession, d: String): String =
+    txTables.computeIfAbsent((s, "hist:" + d), _ => {
+      val t = s"${graft.ops.Scratch.base}/txhist_${(d.hashCode & 0xffffff).toHexString}"
+      val base = Tables.orders(s, d)
+        .select(col("o_orderkey"), Cleaning.cents(col("o_totalprice")).as("cents"))
+      graft.ops.TxLog.appendWithStats(base.filter(col("o_orderkey") % 2 === 0), t, "o_orderkey")
+      graft.ops.TxLog.appendWithStats(base.filter(col("o_orderkey") % 2 === 1), t, "o_orderkey")
+      t
+    })
+
   /** Third TxLog table: two appends then `TxLog.compact` — the version
     * history the compaction query reads back.
     */
@@ -1267,6 +1282,43 @@ object StatsQueries extends QueryPack {
         .orderBy("n_name")
     }),
 
+    // RANGE SELECTIVITY from manifest EQUI-DEPTH HISTOGRAMS (VERDICT r11
+    // item 6 — the other half of join planning beside tableRowCount):
+    // appendWithStats records a 32-bucket equi-depth histogram per
+    // segment; estimatedRangeRows answers `key BETWEEN lo AND hi` from
+    // the manifest alone. A ~0.1%-selectivity predicate estimates
+    // broadcast-sized → the filtered dim side is broadcast; a
+    // ~50%-selectivity one estimates half the table → shuffle join
+    // (PlanShapeSpec pins both plans with auto-broadcast disabled).
+    // Segments interleave keys even/odd, so min/max could never answer
+    // this — only the histograms can.
+    "lake_txlog_stats_range" -> ((s, d) => {
+      val t = txHistTable(s, d)
+      val total = graft.ops.TxLog.tableRowCount(t)
+        .getOrElse(sys.error(s"$t committed without row stats")).toDouble
+      val segs = graft.ops.TxLog.liveFilesWithStats(t).flatMap(_._2)
+      val (kMin, kMax) = (segs.map(_.min).min, segs.map(_.max).max)
+      val (nLo, nHi) = (kMin, kMin + 59L)              // ~0.1% of the key span
+      val (wLo, wHi) = (kMin, (kMin + kMax) / 2L)      // ~50%
+      val cap = total * 0.05                           // broadcast under 5%
+      val estN = graft.ops.TxLog.estimatedRangeRows(t, "o_orderkey", nLo, nHi)
+        .getOrElse(sys.error(s"$t committed without histograms"))
+      val estW = graft.ops.TxLog.estimatedRangeRows(t, "o_orderkey", wLo, wHi)
+        .getOrElse(sys.error(s"$t committed without histograms"))
+      val narrowBcast = estN <= cap
+      val wideBcast = estW <= cap
+      val dim = graft.ops.TxLog.snapshot(s, t)
+        .filter(col("o_orderkey").between(nLo, nHi))
+      val dimSide = if (narrowBcast) broadcast(dim) else dim
+      Tables.lineitem(s, d)
+        .join(dimSide, col("l_orderkey") === col("o_orderkey"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast("long")).as("sum_qty"))
+        .select(lit(narrowBcast).as("narrow_bcast"),
+          lit(!wideBcast).as("wide_shuffle"),
+          col("n_items"), col("sum_qty"))
+    }),
+
     "lake_txlog_merge" -> ((s, d) =>
       graft.ops.TxLog.snapshot(s, txMergeTable(s, d))
         .select(col("o_orderkey"), col("o_custkey"),
@@ -1830,6 +1882,13 @@ object StatsQueries extends QueryPack {
         |  CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS sum_cents
         |FROM customer JOIN nation ON c_nationkey = n_nationkey, meta
         |GROUP BY 1, 2, 3, 4 ORDER BY n_name""".stripMargin,
+    "lake_txlog_stats_range" ->
+      """SELECT TRUE AS narrow_bcast, TRUE AS wide_shuffle,
+        |  COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderkey BETWEEN (SELECT MIN(o_orderkey) FROM orders)
+        |                     AND (SELECT MIN(o_orderkey) + 59 FROM orders)""".stripMargin,
     "lake_txlog_merge" ->
       """WITH base AS (SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus FROM orders),
         |upd AS (

@@ -414,6 +414,11 @@ class PlanShapeSpec extends SparkSpec {
       val p = plan("lake_txlog_stats_join")
       assert(p.contains("BroadcastHashJoin"),
         s"manifest row count must drive a broadcast join:\n${p.take(800)}")
+      // range half of the CBO surface: the equi-depth-histogram estimate
+      // (manifest-only) broadcasts the 0.1%-selectivity dim side
+      val pr = plan("lake_txlog_stats_range")
+      assert(pr.contains("BroadcastHashJoin"),
+        s"histogram range estimate must drive a broadcast join:\n${pr.take(800)}")
     } finally saved match {
       case Some(v) => c.set("spark.sql.autoBroadcastJoinThreshold", v)
       case None => c.unset("spark.sql.autoBroadcastJoinThreshold")

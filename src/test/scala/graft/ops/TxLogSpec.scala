@@ -867,6 +867,54 @@ class TxLogSpec extends SparkSpec {
     // stats-free appends parsing fine
   }
 
+  test("equi-depth histogram stats: manifest range selectivity drives the join strategy") {
+    val t = freshTable()
+    val df = spark.range(100000).selectExpr("id AS k", "id * 3 AS v")
+    // interleaved keys: min/max stats are useless, only histograms answer
+    TxLog.appendWithStats(df.filter(col("k") % 2 === 0), t, "k")
+    TxLog.appendWithStats(df.filter(col("k") % 2 === 1), t, "k")
+    // estimates from the manifest alone: true narrow = 100, true wide = 50k
+    val estN = TxLog.estimatedRangeRows(t, "k", 0L, 99L).get
+    assert(estN > 10 && estN < 1000, s"narrow estimate off: $estN (true 100)")
+    val estW = TxLog.estimatedRangeRows(t, "k", 0L, 49999L).get
+    assert(estW > 40000 && estW < 60000, s"wide estimate off: $estW (true 50000)")
+    // a column without histograms refuses — no partial answers
+    assert(TxLog.estimatedRangeRows(t, "v", 0L, 99L).isEmpty)
+    // checkpoints carry histograms: same answer through the fold
+    TxLog.checkpoint(t)
+    assert(TxLog.estimatedRangeRows(t, "k", 0L, 99L).get === estN)
+    // the verdict's contract: a ~0.1%-selectivity predicate IS broadcast,
+    // a 50% one is NOT — with auto-broadcast disabled, so only the
+    // metadata decision can produce the broadcast
+    val c = spark.conf
+    val saved = c.getOption("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      c.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val fact = spark.range(200000).selectExpr("id % 100000 AS fk", "id AS fv")
+      val cap = 100000 * 0.05
+      def joined(lo: Long, hi: Long) = {
+        val dim = TxLog.snapshot(spark, t).filter(col("k").between(lo, hi))
+        val side = if (TxLog.estimatedRangeRows(t, "k", lo, hi).get <= cap)
+          org.apache.spark.sql.functions.broadcast(dim) else dim
+        fact.join(side, col("fk") === col("k"))
+          .queryExecution.executedPlan.toString
+      }
+      val narrow = joined(0L, 99L)
+      assert(narrow.contains("BroadcastHashJoin"),
+        s"0.1%-selectivity dim must broadcast:\n${narrow.take(600)}")
+      val wide = joined(0L, 49999L)
+      assert(!wide.contains("BroadcastHashJoin"),
+        s"50%-selectivity dim must NOT broadcast:\n${wide.take(600)}")
+    } finally saved match {
+      case Some(v) => c.set("spark.sql.autoBroadcastJoinThreshold", v)
+      case None => c.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+    // a standing DV makes histogram counts overcounts — refuse, like
+    // tableRowCount
+    TxLog.deleteWhere(spark, t, col("k") === 2L)
+    assert(TxLog.estimatedRangeRows(t, "k", 0L, 99L).isEmpty)
+  }
+
   test("ANALYZE stats survive maintenance rewrites (compact/optimize/zorder)") {
     val t = freshTable()
     TxLog.appendWithStats(rows(1L -> 10L, 2L -> 20L, 2L -> 21L), t, "k")
