@@ -90,14 +90,24 @@ object StreamQueries extends QueryPack {
     "stream_txlog_source_batcheq" -> ((s, d) => {
       val t = txStreamTable(s, d)
       val qn = s"txlog_gate_${sinkSeq.incrementAndGet()}"
-      val q = s.readStream.format("txlog-stream")
+      // State partitions must scale with STATE cardinality, not corpus
+      // size: this aggregation holds one row per COMMIT (log-sized), so
+      // 32 shuffle partitions mean 32 state-store opens/commits per
+      // micro-batch for ~2 live groups — measured 2.4 s → 1.05 s at
+      // sf0.1 when right-sized. A cloned session scopes the setting to
+      // this query (streaming pins the partition count in the
+      // checkpoint at first batch, so it must be chosen here, not
+      // post-hoc); the shared session's conf is never touched.
+      val ns = s.newSession()
+      ns.conf.set("spark.sql.shuffle.partitions", "4")
+      val q = ns.readStream.format("txlog-stream")
         .option("withCommitVersion", true).load(t)
         .groupBy(col("_commit_version").as("commit_version"))
         .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
         .writeStream.outputMode("complete").format("memory").queryName(qn)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
       try q.awaitTermination() finally q.stop()
-      s.table(qn).orderBy("commit_version")
+      ns.table(qn).orderBy("commit_version")
     }),
 
     // Tumbling 10-minute windows × event type. Epoch-aligned starts match
