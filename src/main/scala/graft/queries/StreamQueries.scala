@@ -110,6 +110,43 @@ object StreamQueries extends QueryPack {
       ns.table(qn).orderBy("commit_version")
     }),
 
+    // Spark 4 `transformWithState` (StatefulProcessor + RocksDB state
+    // store) through the REAL multi-batch path: the txlog source is
+    // rate-limited to one commit per trigger, so per-bucket running
+    // totals accumulate across TWO micro-batches in RocksDB ValueState;
+    // update-mode emissions land in the memory sink and the last row per
+    // bucket must equal the batch closed-form (count, sum) over both
+    // commits. Buckets use modulus 101 (odd) so every bucket receives
+    // rows from BOTH parity-split commits — state genuinely carries
+    // across batches or n_orders comes up short. RocksDB is the 100-TB
+    // state story: off-heap state + changelog checkpointing instead of
+    // executor-heap HDFSBackedStateStore maps.
+    "stream_tws_totals_batcheq" -> ((s, d) => {
+      val t = txStreamTable(s, d)
+      val qn = s"tws_gate_${sinkSeq.incrementAndGet()}"
+      val ns = s.newSession()
+      ns.conf.set("spark.sql.shuffle.partitions", "4")
+      ns.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      import ns.implicits._
+      val out = ns.readStream.format("txlog-stream")
+        .option("maxVersionsPerTrigger", 1).load(t)
+        .select((col("o_orderkey") % 101).as("k"), col("cents"))
+        .as[(Long, Long)].groupByKey(_._1)
+        .transformWithState(new graft.streaming.RunningTotalsProcessor,
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          org.apache.spark.sql.streaming.OutputMode.Update())
+        .toDF("k", "n_orders", "total_cents")
+      val q = out.writeStream.outputMode("update").format("memory").queryName(qn)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally q.stop()
+      // update mode re-emits a key each batch it changes; totals are
+      // monotone (positive cents), so max = the final accumulated state
+      ns.table(qn).groupBy("k")
+        .agg(max("n_orders").as("n_orders"), max("total_cents").as("total_cents"))
+        .orderBy("k")
+    }),
+
     // Tumbling 10-minute windows × event type. Epoch-aligned starts match
     // DuckDB's time_bucket. One shuffle on (window, event_type).
     "stream_tumbling_window_batcheq" -> ((s, d) =>
@@ -280,6 +317,11 @@ object StreamQueries extends QueryPack {
         |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
         |FROM orders WHERE o_orderkey % 2 = 0
         |ORDER BY commit_version""".stripMargin,
+    "stream_tws_totals_batcheq" ->
+      """SELECT o_orderkey % 101 AS k, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS total_cents
+        |FROM orders GROUP BY 1 ORDER BY k""".stripMargin,
     "stream_dedup_batcheq" ->
       """WITH delivered AS (
         |  SELECT event_id, ts, user_id, event_type FROM events
