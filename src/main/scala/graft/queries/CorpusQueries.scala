@@ -251,6 +251,51 @@ object CorpusQueries extends QueryPack {
         .orderBy("bucket", "pos")
     }),
 
+    // Distributed QUALITY-CLASSIFIER training (the fastText-style filter
+    // every LLM corpus pipeline runs, reduced to its engine shape): 3
+    // full-batch gradient-descent iterations of logistic regression
+    // predicting whether a doc mentions 'spark' from two cheap text features
+    // (longer docs are likelier to contain any given token - a real,
+    // imperfect signal, which is exactly the logistic regime). Each iteration
+    // is ONE broadcast crossjoin (the model is a 1-row frame) + ONE hash
+    // agg of per-feature gradient means — nothing iterates on the driver
+    // beyond plan composition, no collect. The model is RE-QUANTIZED to
+    // integer MICRO-units after every step (kmeans_iter2's discipline):
+    // both engines then feed bit-identical doubles into the next sigmoid,
+    // so three chained float iterations stay oracle-exact. Scale: the
+    // gradient agg is a map-side-combined sum over the corpus — one
+    // shuffle of 1 row per partition per iteration; the feature scan
+    // re-reads the materialized (y, x1, x2) projection, never raw text.
+    "quality_logreg" -> ((s, d) => {
+      val f = graft.ops.Scratch.materialize("logregfeat", s, d) {
+        Tables.documents(s, d).select(
+          expr("CASE WHEN instr(text, 'spark') > 0 THEN 1.0 ELSE 0.0 END").as("y"),
+          expr("least(length(text), 2000) / 2000.0").as("x1"),
+          expr("(length(text) - length(translate(text, 'aeiou', ''))) " +
+            "/ CAST(greatest(length(text), 1) AS DOUBLE)").as("x2"))
+      }
+      val w0 = s.range(1).select(
+        expr("CAST(0 AS BIGINT) AS w0m"), expr("CAST(0 AS BIGINT) AS w1m"),
+        expr("CAST(0 AS BIGINT) AS w2m"))
+      def step(w: DataFrame): DataFrame =
+        f.crossJoin(broadcast(w))
+          .withColumn("p", expr(
+            "1.0 / (1.0 + exp(-((w0m + w1m * x1 + w2m * x2) / 1000000.0)))"))
+          .agg(
+            expr("CAST(min(w0m) - round(avg((p - y) * 1.0) * 1000000) AS BIGINT) AS w0m"),
+            expr("CAST(min(w1m) - round(avg((p - y) * x1) * 1000000) AS BIGINT) AS w1m"),
+            expr("CAST(min(w2m) - round(avg((p - y) * x2) * 1000000) AS BIGINT) AS w2m"))
+      val w3 = step(step(step(w0)))
+      f.crossJoin(broadcast(w3))
+        .withColumn("p", expr(
+          "1.0 / (1.0 + exp(-((w0m + w1m * x1 + w2m * x2) / 1000000.0)))"))
+        .agg(
+          expr("min(w0m) AS w0m"), expr("min(w1m) AS w1m"), expr("min(w2m) AS w2m"),
+          expr("count(1) AS n_train"),
+          expr("CAST(round(avg(-(y * ln(p) + (1.0 - y) * ln(1.0 - p))) * 1000) " +
+            "AS BIGINT) AS logloss_milli"))
+    }),
+
     // The full training-loop shape: TWO Lloyd iterations, where iteration
     // 2's centroids are RECOMPUTED from iteration 1's assignment and
     // broadcast back — the assign → update-model → reassign cycle every
@@ -635,6 +680,47 @@ object CorpusQueries extends QueryPack {
     // on the WORD keys, so those joins shuffle the vocabulary, never the
     // corpus. A min-count floor prunes the noise tail before ranking and
     // the top-50 is TakeOrderedAndProject, not a global sort.
+    // N-gram language-model quality filter (the CCNet/KenLM shape, here a
+    // bigram LM with stupid backoff, Brants et al. 2007): train counts on
+    // 90% of the corpus, score the held-out 10% — docs whose bigrams the
+    // LM finds surprising (high negative log-likelihood) are the
+    // low-quality/outlier candidates a real pipeline drops or buckets.
+    // S(w2|w1) = c(w1 w2)/c(w1) when the bigram was seen, else
+    // 0.4 * add-one-smoothed unigram — unseen-everything still scores.
+    // Scale: unigram/bigram counts are exploded-scan hash aggs (the
+    // vocabulary shuffles, never the corpus); scoring joins are
+    // token-keyed equi-joins of the test bigram stream; the (N, V)
+    // normalizer is a broadcast 1-row frame. Per-bigram nats are rounded
+    // to integer milli BEFORE the per-doc sum, so the result is
+    // partition-order independent (float sums are not).
+    "lm_stupid_backoff" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+      val train = docs.filter(col("doc_id") % 10 =!= 0)
+      val test = docs.filter(col("doc_id") % 10 === 0)
+      val uni = train.select(explode(col("t")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c1"))
+      val nv = uni.agg(sum("c1").as("n_tok"), count(lit(1)).as("v_sz"))
+      val bi = train.select(explode(TextOps.wordShingles(col("t"), 2)).as("g"))
+        .groupBy("g").agg(count(lit(1)).as("c12"))
+      test.select(col("doc_id"), explode(TextOps.wordShingles(col("t"), 2)).as("g"))
+        .withColumn("w1", expr("split(g, ' ')[0]"))
+        .withColumn("w2", expr("split(g, ' ')[1]"))
+        .join(bi, Seq("g"), "left")
+        .join(uni.select(col("w").as("w1"), col("c1").as("cw1")), Seq("w1"), "left")
+        .join(uni.select(col("w").as("w2"), col("c1").as("cw2")), Seq("w2"), "left")
+        .crossJoin(broadcast(nv))
+        .withColumn("nll_milli", expr(
+          """CAST(round(-ln(CASE WHEN c12 IS NOT NULL
+            |  THEN CAST(c12 AS DOUBLE) / cw1
+            |  ELSE 0.4 * (CAST(coalesce(cw2, 0) + 1 AS DOUBLE) / (n_tok + v_sz))
+            |END) * 1000) AS BIGINT)""".stripMargin))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"), sum("nll_milli").as("nll_total_milli"))
+        .withColumn("nll_avg_milli", expr("nll_total_milli div n_bigrams"))
+        .orderBy("doc_id")
+    }),
+
     "text_collocation_dice" -> ((s, d) => {
       val toks = Tables.documents(s, d).select(TextOps.tokens(col("text")).as("t"))
       val uni = toks.select(explode(col("t")).as("w"))
@@ -1379,6 +1465,73 @@ object CorpusQueries extends QueryPack {
         |  FROM toks)
         |SELECT gram, COUNT(*) AS n FROM grams GROUP BY 1
         |ORDER BY n DESC, gram ASC LIMIT 20""".stripMargin,
+    "quality_logreg" ->
+      """WITH feats AS (SELECT
+        |    CASE WHEN instr(text, 'spark') > 0 THEN 1.0 ELSE 0.0 END AS y,
+        |    least(length(text), 2000) / 2000.0 AS x1,
+        |    (length(text) - length(translate(text, 'aeiou', '')))
+        |      / CAST(greatest(length(text), 1) AS DOUBLE) AS x2
+        |  FROM documents),
+        |it0 AS (SELECT CAST(0 AS BIGINT) AS w0m, CAST(0 AS BIGINT) AS w1m,
+        |  CAST(0 AS BIGINT) AS w2m),
+        |s1 AS (SELECT y, x1, x2, w0m, w1m, w2m,
+        |    1.0 / (1.0 + exp(-((w0m + w1m * x1 + w2m * x2) / 1000000.0))) AS p
+        |  FROM feats, it0),
+        |it1 AS (SELECT
+        |    CAST(MIN(w0m) - round(AVG((p - y) * 1.0) * 1000000) AS BIGINT) AS w0m,
+        |    CAST(MIN(w1m) - round(AVG((p - y) * x1) * 1000000) AS BIGINT) AS w1m,
+        |    CAST(MIN(w2m) - round(AVG((p - y) * x2) * 1000000) AS BIGINT) AS w2m
+        |  FROM s1),
+        |s2 AS (SELECT y, x1, x2, w0m, w1m, w2m,
+        |    1.0 / (1.0 + exp(-((w0m + w1m * x1 + w2m * x2) / 1000000.0))) AS p
+        |  FROM feats, it1),
+        |it2 AS (SELECT
+        |    CAST(MIN(w0m) - round(AVG((p - y) * 1.0) * 1000000) AS BIGINT) AS w0m,
+        |    CAST(MIN(w1m) - round(AVG((p - y) * x1) * 1000000) AS BIGINT) AS w1m,
+        |    CAST(MIN(w2m) - round(AVG((p - y) * x2) * 1000000) AS BIGINT) AS w2m
+        |  FROM s2),
+        |s3 AS (SELECT y, x1, x2, w0m, w1m, w2m,
+        |    1.0 / (1.0 + exp(-((w0m + w1m * x1 + w2m * x2) / 1000000.0))) AS p
+        |  FROM feats, it2),
+        |it3 AS (SELECT
+        |    CAST(MIN(w0m) - round(AVG((p - y) * 1.0) * 1000000) AS BIGINT) AS w0m,
+        |    CAST(MIN(w1m) - round(AVG((p - y) * x1) * 1000000) AS BIGINT) AS w1m,
+        |    CAST(MIN(w2m) - round(AVG((p - y) * x2) * 1000000) AS BIGINT) AS w2m
+        |  FROM s3),
+        |s4 AS (SELECT y, x1, x2, w0m, w1m, w2m,
+        |    1.0 / (1.0 + exp(-((w0m + w1m * x1 + w2m * x2) / 1000000.0))) AS p
+        |  FROM feats, it3)
+        |SELECT MIN(w0m) AS w0m, MIN(w1m) AS w1m, MIN(w2m) AS w2m,
+        |  COUNT(*) AS n_train,
+        |  CAST(round(AVG(-(y * ln(p) + (1.0 - y) * ln(1.0 - p))) * 1000)
+        |    AS BIGINT) AS logloss_milli
+        |FROM s4""".stripMargin,
+    "lm_stupid_backoff" ->
+      """WITH docs AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |train AS (SELECT * FROM docs WHERE doc_id % 10 != 0),
+        |test AS (SELECT * FROM docs WHERE doc_id % 10 = 0),
+        |uni AS (SELECT w, COUNT(*) AS c1
+        |  FROM (SELECT unnest(t) AS w FROM train) GROUP BY 1),
+        |nv AS (SELECT SUM(c1) AS n_tok, COUNT(*) AS v_sz FROM uni),
+        |bi AS (SELECT g, COUNT(*) AS c12 FROM (
+        |    SELECT unnest(list_transform(range(1, len(t)),
+        |      i -> array_to_string(list_slice(t, i, i+1), ' '))) AS g FROM train)
+        |  GROUP BY 1),
+        |tb AS (SELECT doc_id,
+        |    unnest(list_transform(range(1, len(t)),
+        |      i -> array_to_string(list_slice(t, i, i+1), ' '))) AS g FROM test),
+        |scored AS (SELECT tb.doc_id,
+        |    CAST(round(-ln(CASE WHEN bi.c12 IS NOT NULL
+        |      THEN CAST(bi.c12 AS DOUBLE) / u1.c1
+        |      ELSE 0.4 * (CAST(COALESCE(u2.c1, 0) + 1 AS DOUBLE) / (nv.n_tok + nv.v_sz))
+        |    END) * 1000) AS BIGINT) AS nll_milli
+        |  FROM tb LEFT JOIN bi ON tb.g = bi.g
+        |    LEFT JOIN uni u1 ON string_split(tb.g, ' ')[1] = u1.w
+        |    LEFT JOIN uni u2 ON string_split(tb.g, ' ')[2] = u2.w, nv)
+        |SELECT doc_id, COUNT(*) AS n_bigrams,
+        |  CAST(SUM(nll_milli) AS BIGINT) AS nll_total_milli,
+        |  CAST(SUM(nll_milli) AS BIGINT) // COUNT(*) AS nll_avg_milli
+        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "text_collocation_dice" ->
       """WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
         |uc AS (SELECT w, COUNT(*) AS c FROM (SELECT unnest(t) AS w FROM toks)
