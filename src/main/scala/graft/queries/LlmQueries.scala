@@ -343,6 +343,39 @@ object LlmQueries extends QueryPack {
         .select("doc_id", "lang", "source")
         .orderBy("doc_id")),
 
+    // DSIR-style importance resampling (Xie et al. 2023, "Data Selection
+    // for Language Models via Importance Resampling"): rank a candidate
+    // pool by how target-like its HASHED-N-GRAM distribution is. Token
+    // features hash into 256 buckets (bounded model size at any corpus
+    // scale); per-bucket add-one-smoothed log ratios
+    // ln(p_target/p_pool) quantize to integer milli, so per-doc weights
+    // are integer sums (partition-order independent). Scale: the λ table
+    // is 256 rows (broadcast); bucket counts are exploded-scan hash
+    // aggs; scoring is one broadcast join + one doc-keyed hash agg —
+    // the corpus shuffles once, the model never.
+    "sample_dsir_weights" -> ((s, d) => {
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          explode(TextOps.tokens(col("text"))).as("w"))
+        .withColumn("b", TextOps.hash60(col("w")) % 256)
+      val tgt = tok.filter(col("source").isin("src0", "src1"))
+      val pool = tok.filter(!col("source").isin("src0", "src1"))
+      val lam = s.range(256).select(col("id").as("b"))
+        .join(tgt.groupBy("b").agg(count(lit(1)).as("ct")), Seq("b"), "left")
+        .join(pool.groupBy("b").agg(count(lit(1)).as("cp")), Seq("b"), "left")
+        .crossJoin(broadcast(tgt.agg(count(lit(1)).as("nt"))))
+        .crossJoin(broadcast(pool.agg(count(lit(1)).as("np"))))
+        .select(col("b"), expr(
+          """CAST(round(ln(((coalesce(ct, 0) + 1.0) / (nt + 256)) /
+            |((coalesce(cp, 0) + 1.0) / (np + 256))) * 1000) AS BIGINT)"""
+            .stripMargin).as("lam_milli"))
+      pool.join(broadcast(lam), Seq("b"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"), sum("lam_milli").as("weight_milli"))
+        .orderBy(col("weight_milli").desc, col("doc_id"))
+        .limit(50)
+    }),
+
     // ---- deduplication -------------------------------------------------
     // Exact dedup by content hash: hash-aggregate on sha256(text), keep
     // the lowest doc_id per group. One shuffle on the hash key; at 100 TB
@@ -1219,6 +1252,27 @@ object LlmQueries extends QueryPack {
       """SELECT doc_id, lang, source FROM documents
         |WHERE ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15))::BIGINT % 10 = 0
         |ORDER BY doc_id""".stripMargin,
+    "sample_dsir_weights" ->
+      """WITH tok AS (SELECT doc_id, source,
+        |    ('0x'||substr(md5(w),1,15))::BIGINT % 256 AS b
+        |  FROM (SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
+        |        FROM documents)),
+        |tgt AS (SELECT * FROM tok WHERE source IN ('src0','src1')),
+        |pool AS (SELECT * FROM tok WHERE source NOT IN ('src0','src1')),
+        |tc AS (SELECT b, COUNT(*) AS ct FROM tgt GROUP BY 1),
+        |pc AS (SELECT b, COUNT(*) AS cp FROM pool GROUP BY 1),
+        |nt AS (SELECT COUNT(*) AS nt FROM tgt),
+        |np AS (SELECT COUNT(*) AS np FROM pool),
+        |lam AS (SELECT r.b,
+        |    CAST(round(ln(((COALESCE(ct, 0) + 1.0) / (nt + 256)) /
+        |      ((COALESCE(cp, 0) + 1.0) / (np + 256))) * 1000) AS BIGINT)
+        |      AS lam_milli
+        |  FROM (SELECT unnest(range(0, 256)) AS b) r
+        |    LEFT JOIN tc ON r.b = tc.b LEFT JOIN pc ON r.b = pc.b, nt, np)
+        |SELECT doc_id, COUNT(*) AS n_tokens,
+        |  CAST(SUM(lam_milli) AS BIGINT) AS weight_milli
+        |FROM pool JOIN lam ON pool.b = lam.b
+        |GROUP BY 1 ORDER BY weight_milli DESC, doc_id LIMIT 50""".stripMargin,
     "dedup_exact_doc" ->
       """SELECT sha256(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
