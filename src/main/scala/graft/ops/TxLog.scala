@@ -995,6 +995,92 @@ object TxLog {
     (rel, keep.size, all.size)
   }
 
+  /** Hive-style PARTITIONED append: one distributed write fans the frame
+    * into `partCol=value` segment directories (the layout every lake
+    * partitions by), and ONE manifest publishes every partition
+    * atomically — readers never see half the partitions of a load. The
+    * partition value lives in the SEGMENT PATH, exactly as in
+    * Hive/Spark partition discovery, so the manifest format, the
+    * checkpoint fold, deletion vectors, time travel, and vacuum all
+    * compose untouched — partition metadata is path metadata.
+    *
+    * Contract: `partCol` must be a string column (values become path
+    * components; Spark's partitionBy escaping applies), and a table
+    * written partitioned should be read back through
+    * [[snapshotPartitionPruned]] — the physical segments do NOT store
+    * the partition column (partitionBy's layout), the reader re-derives
+    * it from the path. At 100 TB this is the first-order pruning
+    * primitive: an eq-predicate on the partition column reads only its
+    * directory, decided driver-side from the manifest alone.
+    */
+  def appendPartitioned(df: DataFrame, table: String, partCol: String): Long = {
+    init(table)
+    require(df.schema(partCol).dataType ==
+      org.apache.spark.sql.types.StringType,
+      s"partition column $partCol must be STRING (values become path components)")
+    val rv = currentVersion(table) // before validation — see append
+    validateWrite(df, table)
+    val base = s"$table/data/${java.util.UUID.randomUUID}"
+    df.write.mode(SaveMode.ErrorIfExists).partitionBy(partCol).parquet(base)
+    val subdirs = Files.list(Paths.get(base)).iterator().asScala
+      .filter(p => Files.isDirectory(p) &&
+        p.getFileName.toString.startsWith(partCol + "="))
+      .map(_.toString).toSeq.sorted
+    require(subdirs.nonEmpty, s"partitioned append to $table staged no partitions")
+    commit(table, "append", subdirs, Seq.empty, rv)
+  }
+
+  /** Partition-pruned snapshot: `value = Some(v)` reads ONLY the
+    * `partCol=v` segments (pruned driver-side from manifest paths — no
+    * listing, no footer, no data touched for skipped partitions);
+    * `None` reads every partition. Returns (relation, scanned, total)
+    * segment counts so callers can assert the skipping happened.
+    *
+    * The partition column is re-added from the path per value group
+    * (the physical files do not store it), so the relation is
+    * |values-read| parquet scans unioned — partition counts are
+    * metadata-scale, never data-scale. Honest-pruning contract: if ANY
+    * live segment lacks a `partCol=` path (e.g. a compaction rewrote
+    * the layout), the read REFUSES loudly rather than silently dropping
+    * the column — the same no-partial-answers rule as [[tableRowCount]].
+    * Deletion vectors in force anti-join away per group; time travel
+    * composes via `asOf`.
+    */
+  def snapshotPartitionPruned(spark: SparkSession, table: String,
+                              partCol: String, value: Option[String],
+                              asOf: Option[Long] = None): (DataFrame, Int, Int) = {
+    import org.apache.spark.sql.functions.{col => fcol, lit => flit}
+    val st = tableStateViaCheckpoint(table, asOf)
+    val tagged = st.segments.map { case (p, _) =>
+      val name = Paths.get(p).getFileName.toString
+      require(name.startsWith(partCol + "="),
+        s"$table segment $p carries no $partCol= partition path — a " +
+          "maintenance rewrite dropped the partitioned layout; read via snapshot()")
+      p -> name.substring(partCol.length + 1)
+    }
+    val keep = value.fold(tagged)(v => tagged.filter(_._2 == v))
+    require(keep.nonEmpty,
+      s"partition $partCol=${value.getOrElse("*")} prunes every segment of $table")
+    val schemaOpt = recordedSchema(table, asOf)
+    val rel = keep.groupBy(_._2).toSeq.sortBy(_._1).map { case (v, segs) =>
+      readSegments(spark, segs.map(_._1), schemaOpt, st)
+        .withColumn(partCol, flit(v))
+    }.reduce(_.unionByName(_))
+    (rel, keep.size, st.segments.size)
+  }
+
+  /** Distinct partition values of the live set — from manifest paths
+    * alone (the SHOW PARTITIONS primitive).
+    */
+  def partitionValues(table: String, partCol: String,
+                      asOf: Option[Long] = None): Seq[String] =
+    tableStateViaCheckpoint(table, asOf).segments.map { case (p, _) =>
+      val name = Paths.get(p).getFileName.toString
+      require(name.startsWith(partCol + "="),
+        s"$table segment $p carries no $partCol= partition path")
+      name.substring(partCol.length + 1)
+    }.distinct.sorted
+
   /** MERGE through the commit protocol — the copy-on-write upsert every
     * table format executes: matched keys take the update, unmatched keep
     * the base row, new keys insert, and the whole rewrite publishes as ONE
@@ -1572,8 +1658,11 @@ object TxLog {
     val dataDir = Paths.get(table, "data")
     if (!Files.isDirectory(dataDir)) return Seq.empty
     val cutoff = System.currentTimeMillis() - minAgeMillis
+    // a partitioned append references SUBDIRS (uuid/partCol=v) of a
+    // staging dir: the parent is live iff any kept path is at or under it
     val doomed = Files.list(dataDir).iterator().asScala
-      .filterNot(p => keep.contains(p.toString))
+      .filterNot(p => keep.exists(k =>
+        k == p.toString || k.startsWith(p.toString + "/")))
       .filter(p => Files.getLastModifiedTime(p).toMillis <= cutoff)
       .toSeq
     doomed.foreach { p =>

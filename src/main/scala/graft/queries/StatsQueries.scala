@@ -272,6 +272,21 @@ object StatsQueries extends QueryPack {
       t
     })
 
+  /** Hive-style partitioned TxLog fixture: documents partitioned by
+    * `lang`, loaded in two halves — 5 langs × 2 loads = 10 segments,
+    * each load ONE atomic manifest. Partition values live in segment
+    * paths, so pruning is a driver-side manifest decision.
+    */
+  private def txPartTable(s: SparkSession, d: String): String =
+    txTables.computeIfAbsent((s, "part:" + d), _ => {
+      val t = s"${graft.ops.Scratch.base}/txpart_${(d.hashCode & 0xffffff).toHexString}"
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      graft.ops.TxLog.appendPartitioned(base.filter(col("doc_id") % 2 === 0), t, "lang")
+      graft.ops.TxLog.appendPartitioned(base.filter(col("doc_id") % 2 === 1), t, "lang")
+      t
+    })
+
   /** Third TxLog table: two appends then `TxLog.compact` — the version
     * history the compaction query reads back.
     */
@@ -1319,6 +1334,22 @@ object StatsQueries extends QueryPack {
           col("n_items"), col("sum_qty"))
     }),
 
+    // PARTITION PRUNING from the manifest alone (the first-order 100-TB
+    // primitive): the lang='en' read opens 2 of 10 segments, decided
+    // driver-side from segment PATHS — no listing, no footers, no bytes
+    // of the other languages touched. The partition column is physically
+    // absent from the files (partitionBy layout) and re-derived from the
+    // path; `pruned` pins that skipping actually happened.
+    "lake_txlog_partitioned" -> ((s, d) => {
+      val t = txPartTable(s, d)
+      val (rel, scanned, total) = graft.ops.TxLog.snapshotPartitionPruned(
+        s, t, "lang", Some("en"))
+      rel.agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        .select(lit(scanned < total).as("pruned"),
+          lit(graft.ops.TxLog.partitionValues(t, "lang").size).as("n_partitions"),
+          col("n_docs"), col("sum_chars"))
+    }),
+
     "lake_txlog_merge" -> ((s, d) =>
       graft.ops.TxLog.snapshot(s, txMergeTable(s, d))
         .select(col("o_orderkey"), col("o_custkey"),
@@ -1889,6 +1920,13 @@ object StatsQueries extends QueryPack {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_orderkey BETWEEN (SELECT MIN(o_orderkey) FROM orders)
         |                     AND (SELECT MIN(o_orderkey) + 59 FROM orders)""".stripMargin,
+    "lake_txlog_partitioned" ->
+      """SELECT TRUE AS pruned,
+        |  CAST((SELECT COUNT(DISTINCT lang) FROM documents) AS INTEGER)
+        |    AS n_partitions,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE lang = 'en'""".stripMargin,
     "lake_txlog_merge" ->
       """WITH base AS (SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus FROM orders),
         |upd AS (

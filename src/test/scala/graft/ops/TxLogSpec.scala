@@ -947,6 +947,48 @@ class TxLogSpec extends SparkSpec {
       "rows survive z-order optimize")
   }
 
+  test("partitioned append: atomic multi-partition commit, manifest-path pruning, DV/vacuum compose") {
+    val t = freshTable()
+    val df = spark.range(1000).selectExpr("id AS k",
+      "CASE WHEN id % 3 = 0 THEN 'red' WHEN id % 3 = 1 THEN 'green' ELSE 'blue' END AS color")
+    // two loads → two segments per color; ONE manifest per load
+    TxLog.appendPartitioned(df.filter(col("k") < 500), t, "color")
+    TxLog.appendPartitioned(df.filter(col("k") >= 500), t, "color")
+    assert(TxLog.currentVersion(t) === 2L, "each load is one atomic commit")
+    assert(TxLog.partitionValues(t, "color") === Seq("blue", "green", "red"))
+    // pruned read: 2 of 6 segments, rows exactly the color's slice
+    val (rel, scanned, total) = TxLog.snapshotPartitionPruned(
+      spark, t, "color", Some("red"))
+    assert((scanned, total) === ((2, 6)), "prune to the color's two segments")
+    assert(rel.count() === df.filter(col("color") === "red").count())
+    assert(rel.columns.toSet === Set("k", "color"),
+      "partition column re-added from the path")
+    // full read: every partition, column reconstructed, same bag of rows
+    val (all, s2, t2) = TxLog.snapshotPartitionPruned(spark, t, "color", None)
+    assert((s2, t2) === ((6, 6)))
+    assert(all.count() === 1000L)
+    assert(all.groupBy("color").count().as[(String, Long)].collect().toMap
+      === Map("red" -> 334L, "green" -> 333L, "blue" -> 333L))
+    // deletion vector composes: soft-delete one red row, pruned read drops it
+    TxLog.deleteWhere(spark, t, col("k") === 0L)
+    val (rel2, _, _) = TxLog.snapshotPartitionPruned(spark, t, "color", Some("red"))
+    assert(rel2.count() === 333L, "DV anti-join applies inside the pruned read")
+    // time travel: version 1 sees only the first load's partitions
+    val (old, sOld, tOld) = TxLog.snapshotPartitionPruned(
+      spark, t, "color", Some("red"), asOf = Some(1L))
+    assert((sOld, tOld) === ((1, 3)) && old.count() === 167L)
+    // vacuum safety: live subdir-referenced staging parents are NOT garbage
+    val collected = TxLog.vacuum(t, keepVersionsFrom = 1L, minAgeMillis = 0L)
+    assert(collected.isEmpty, s"vacuum must keep subdir-referenced parents: $collected")
+    assert(TxLog.snapshotPartitionPruned(spark, t, "color", Some("blue"))
+      ._1.count() === 333L)
+    // honest-pruning refusal: a compaction drops the partitioned layout
+    TxLog.compact(spark, t)
+    val e = intercept[IllegalArgumentException](
+      TxLog.snapshotPartitionPruned(spark, t, "color", Some("red")))
+    assert(e.getMessage.contains("partition path"))
+  }
+
   test("CAS race: two manifests for the same version — exactly one wins") {
     val t = freshTable()
     TxLog.append(rows(1L -> 10L), t)
