@@ -1069,6 +1069,37 @@ object TxLog {
     (rel, keep.size, st.segments.size)
   }
 
+  /** Dynamic PARTITION OVERWRITE (Delta's `replaceWhere` / Spark's
+    * dynamic partition-overwrite mode, through the commit protocol):
+    * atomically replace exactly the `partCol=value` segments with the
+    * staged frame — every other partition's bytes and history are
+    * untouched, and a reader sees the old or the new partition, never a
+    * mix. The frame must carry ONLY the target partition (checked before
+    * staging — a silent cross-partition overwrite is how lakes lose
+    * data). Conflicts like overwrite: the removed set is resolved
+    * against `readVersion`, and any concurrent commit aborts the swap.
+    */
+  def overwritePartition(df: DataFrame, table: String, partCol: String,
+                         value: String): Long = {
+    import org.apache.spark.sql.functions.{col => fcol}
+    init(table)
+    val rv = currentVersion(table) // before validation — see append
+    validateWrite(df, table)
+    require(df.filter(fcol(partCol) =!= value).isEmpty,
+      s"overwritePartition($partCol=$value) got rows of other partitions")
+    val old = tableStateViaCheckpoint(table, Some(rv)).segments.map(_._1)
+      .filter(p => Paths.get(p).getFileName.toString == s"$partCol=$value")
+    val base = s"$table/data/${java.util.UUID.randomUUID}"
+    df.write.mode(SaveMode.ErrorIfExists).partitionBy(partCol).parquet(base)
+    val subdirs = Files.list(Paths.get(base)).iterator().asScala
+      .filter(p => Files.isDirectory(p) &&
+        p.getFileName.toString == s"$partCol=$value")
+      .map(_.toString).toSeq
+    require(subdirs.size == 1,
+      s"overwritePartition staged ${subdirs.size} dirs for $partCol=$value")
+    commit(table, "overwrite", subdirs, old, rv)
+  }
+
   /** Distinct partition values of the live set — from manifest paths
     * alone (the SHOW PARTITIONS primitive).
     */

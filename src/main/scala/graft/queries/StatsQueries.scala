@@ -287,6 +287,23 @@ object StatsQueries extends QueryPack {
       t
     })
 
+  /** Partition-overwrite fixture: the partitioned load, then lang='en'
+    * wholesale-replaced (every n_chars +1000) through ONE atomic
+    * `overwritePartition` commit — other languages' segments untouched.
+    */
+  private def txPartOvwTable(s: SparkSession, d: String): String =
+    txTables.computeIfAbsent((s, "partovw:" + d), _ => {
+      val t = s"${graft.ops.Scratch.base}/txpovw_${(d.hashCode & 0xffffff).toHexString}"
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      graft.ops.TxLog.appendPartitioned(base, t, "lang")
+      graft.ops.TxLog.overwritePartition(
+        base.filter(col("lang") === "en")
+          .withColumn("n_chars", col("n_chars") + 1000L),
+        t, "lang", "en")
+      t
+    })
+
   /** Third TxLog table: two appends then `TxLog.compact` — the version
     * history the compaction query reads back.
     */
@@ -1350,6 +1367,17 @@ object StatsQueries extends QueryPack {
           col("n_docs"), col("sum_chars"))
     }),
 
+    // Dynamic partition overwrite (replaceWhere): lang='en' replaced
+    // atomically, every other partition's segments byte-identical; the
+    // full partitioned read must show exactly the composed head.
+    "lake_txlog_part_overwrite" -> ((s, d) => {
+      val t = txPartOvwTable(s, d)
+      graft.ops.TxLog.snapshotPartitionPruned(s, t, "lang", None)._1
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy("lang")
+    }),
+
     "lake_txlog_merge" -> ((s, d) =>
       graft.ops.TxLog.snapshot(s, txMergeTable(s, d))
         .select(col("o_orderkey"), col("o_custkey"),
@@ -1927,6 +1955,11 @@ object StatsQueries extends QueryPack {
         |  COUNT(*) AS n_docs,
         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
         |FROM documents WHERE lang = 'en'""".stripMargin,
+    "lake_txlog_part_overwrite" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars + CASE WHEN lang = 'en' THEN 1000 ELSE 0 END)
+        |    AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "lake_txlog_merge" ->
       """WITH base AS (SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus FROM orders),
         |upd AS (

@@ -989,6 +989,38 @@ class TxLogSpec extends SparkSpec {
     assert(e.getMessage.contains("partition path"))
   }
 
+  test("dynamic partition overwrite replaces exactly one partition's segments") {
+    val t = freshTable()
+    val df = spark.range(300).selectExpr("id AS k",
+      "CASE WHEN id % 3 = 0 THEN 'red' WHEN id % 3 = 1 THEN 'green' ELSE 'blue' END AS color")
+    TxLog.appendPartitioned(df, t, "color")
+    val untouchedBefore = TxLog.tableStateViaCheckpoint(t).segments.map(_._1)
+      .filterNot(_.endsWith("color=green")).toSet
+    // replace green wholesale with a 10-row reload
+    val reload = spark.range(10)
+      .selectExpr("id + 1000 AS k", "'green' AS color")
+    TxLog.overwritePartition(reload, t, "color", "green")
+    val (greens, s1, t1) = TxLog.snapshotPartitionPruned(spark, t, "color", Some("green"))
+    assert((s1, t1) === ((1, 3)) && greens.count() === 10L)
+    assert(greens.agg(org.apache.spark.sql.functions.min("k"))
+      .head().getLong(0) === 1000L, "green is wholly the reload")
+    // other partitions: same physical segment paths — zero bytes touched
+    val untouchedAfter = TxLog.tableStateViaCheckpoint(t).segments.map(_._1)
+      .filterNot(_.endsWith("color=green")).toSet
+    assert(untouchedAfter === untouchedBefore)
+    assert(TxLog.snapshotPartitionPruned(spark, t, "color", Some("red"))
+      ._1.count() === 100L)
+    // cross-partition payload rejects BEFORE staging anything
+    val bad = spark.range(2).selectExpr("id AS k",
+      "CASE WHEN id = 0 THEN 'green' ELSE 'red' END AS color")
+    val e = intercept[IllegalArgumentException](
+      TxLog.overwritePartition(bad, t, "color", "green"))
+    assert(e.getMessage.contains("other partitions"))
+    // history: time travel still sees the original green rows
+    assert(TxLog.snapshotPartitionPruned(spark, t, "color", Some("green"),
+      asOf = Some(1L))._1.count() === 100L)
+  }
+
   test("CAS race: two manifests for the same version — exactly one wins") {
     val t = freshTable()
     TxLog.append(rows(1L -> 10L), t)
