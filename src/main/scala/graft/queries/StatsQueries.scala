@@ -1378,6 +1378,23 @@ object StatsQueries extends QueryPack {
         .orderBy("lang")
     }),
 
+    // The standard Spark spelling for the lake: spark.read.format("txlog")
+    // — a V1 PrunedFilteredScan where the optimizer's pushed range
+    // predicate drives manifest min/max segment skipping inside
+    // buildScan, and the filter still re-applies row-level (skipping is
+    // a superset guarantee, like parquet row-group pruning). The gate
+    // reads the two-segment stats table through the format seam.
+    "lake_txlog_format_scan" -> ((s, d) => {
+      val t = txHistTable(s, d)
+      val keyMax = graft.ops.TxLog.liveFilesWithStats(t)
+        .flatMap(_._2).map(_.max).max
+      val cut = keyMax / 2
+      s.read.format("txlog").load(t)
+        .filter(col("o_orderkey") <= cut)
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"),
+          max(col("o_orderkey")).as("max_key"))
+    }),
+
     "lake_txlog_merge" -> ((s, d) =>
       graft.ops.TxLog.snapshot(s, txMergeTable(s, d))
         .select(col("o_orderkey"), col("o_custkey"),
@@ -1955,6 +1972,13 @@ object StatsQueries extends QueryPack {
         |  COUNT(*) AS n_docs,
         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
         |FROM documents WHERE lang = 'en'""".stripMargin,
+    "lake_txlog_format_scan" ->
+      """WITH cut AS (SELECT MAX(o_orderkey) // 2 AS c FROM orders)
+        |SELECT COUNT(*) AS n,
+        |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents,
+        |  MAX(o_orderkey) AS max_key
+        |FROM orders, cut WHERE o_orderkey <= c""".stripMargin,
     "lake_txlog_part_overwrite" ->
       """SELECT lang, COUNT(*) AS n_docs,
         |  CAST(SUM(n_chars + CASE WHEN lang = 'en' THEN 1000 ELSE 0 END)

@@ -1021,6 +1021,29 @@ class TxLogSpec extends SparkSpec {
       asOf = Some(1L))._1.count() === 100L)
   }
 
+  test("format(\"txlog\") relation: pushdown-driven manifest pruning + time travel") {
+    val t = freshTable()
+    TxLog.appendWithStats(rows(1L -> 10L, 2L -> 20L), t, "k")
+    TxLog.appendWithStats(rows(100L -> 1000L, 200L -> 2000L), t, "k")
+    // optimizer pushes k <= 2 into buildScan → manifest skips segment 2
+    graft.sources.TxLogBatchSource.lastPrune = None
+    val out = spark.read.format("txlog").load(t)
+      .filter(col("k") <= 2L).as[(Long, Long)].collect().sortBy(_._1)
+    assert(out.toSeq === Seq((1L, 10L), (2L, 20L)))
+    assert(graft.sources.TxLogBatchSource.lastPrune === Some((1, 2)),
+      "range predicate must prune to one segment via the manifest")
+    // the filter still applies ROW-level inside the kept segment
+    val one = spark.read.format("txlog").load(t)
+      .filter(col("k") === 2L).as[(Long, Long)].collect()
+    assert(one.toSeq === Seq((2L, 20L)))
+    // projection narrows the inner scan; aggregates work through the seam
+    assert(spark.read.format("txlog").load(t)
+      .agg(org.apache.spark.sql.functions.sum("v")).head().getLong(0) === 3030L)
+    // time travel option: version 1 predates the second append
+    assert(spark.read.format("txlog").option("versionAsOf", 1)
+      .load(t).count() === 2L)
+  }
+
   test("CAS race: two manifests for the same version — exactly one wins") {
     val t = freshTable()
     TxLog.append(rows(1L -> 10L), t)
