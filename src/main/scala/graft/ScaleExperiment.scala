@@ -103,6 +103,29 @@ object ScaleExperiment {
     require(dvAdded(1) < dvAdded(0) * 4,
       s"1-row DV merge cost must not grow with table size: ${dvAdded.mkString(" vs ")}")
 
+    // PARTITION-PRUNE geometry (r12): the prune decision is manifest
+    // metadata — segments opened scale with partitions TOUCHED, never
+    // with corpus volume. One partitioned load of 5 langs → the
+    // lang='en' read opens exactly 1 of 5 segments at BOTH scales; only
+    // the rows inside the touched partition grow with K.
+    val partGeom = Seq(("1x", sfDir), (s"${k}x", rep)).map { case (tag, dir) =>
+      val t = s"${sys.props("java.io.tmpdir")}/graft-part-$tag"
+      val root = java.nio.file.Paths.get(t)
+      if (java.nio.file.Files.isDirectory(root))
+        java.nio.file.Files.walk(root).iterator()
+          .asInstanceOf[java.util.Iterator[java.nio.file.Path]]
+          .asScala.toSeq.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+      graft.ops.TxLog.appendPartitioned(
+        Tables.documents(spark, dir).select(col("doc_id"), col("lang")), t, "lang")
+      val (rel, scanned, total) = graft.ops.TxLog.snapshotPartitionPruned(
+        spark, t, "lang", Some("en"))
+      val n = rel.count()
+      println(s"""{"partition_prune":"$tag","scanned":$scanned,"total":$total,"rows":$n}""")
+      (scanned, total)
+    }
+    require(partGeom(0) == partGeom(1) && partGeom(0)._1 * 5 == partGeom(0)._2,
+      s"partition-prune geometry must be volume-independent: $partGeom")
+
     spark.stop()
   }
 
@@ -142,7 +165,11 @@ object ScaleExperiment {
 
     val times = Seq("dedup_minhash_capped", "dedup_sorted_neighborhood",
       "dedup_incremental_pairs", "dedup_minhash_pairs", "dedup_line_segments",
-      "dedup_edit_prefilter", "dedup_fuzzy_verify").map { q =>
+      "dedup_edit_prefilter", "dedup_fuzzy_verify",
+      // r12: LM scoring and DSIR weights are vocabulary/bucket-model
+      // shapes — the corpus shuffles once, the model never; timed here
+      // so the tail has measured evidence they stay linear
+      "lm_stupid_backoff", "sample_dsir_weights").map { q =>
       val t0 = System.nanoTime()
       val n = SparkEntry.queries(q)(spark, dir).queryExecution.toRdd.count()
       if (q == "dedup_sorted_neighborhood")
@@ -161,8 +188,9 @@ object ScaleExperiment {
       if (q == "dedup_fuzzy_verify")
         // r10 (VERDICT r9 item 7): the verify twin inherited the same
         // threshold-8 hot-band cap after the uncapped candidate stage
-        // measured 16× at 10× on this replica — emitted pairs (one row
-        // per candidate, no post-filter) must stay ≤ 28·n_docs
+        // measured 16× at 10× on this replica — candidates stay ≤
+        // 28·n_docs, and the r12 edit-budget post-filter only shrinks
+        // the emitted subset further
         require(n <= 28L * nDocs,
           s"[$tag] capped fuzzy-verify emitted $n > 28*n_docs=${28L * nDocs}")
       f""""$q":{"sec":${(System.nanoTime() - t0) / 1e9}%.2f,"rows":$n}"""
