@@ -147,6 +147,36 @@ object StreamQueries extends QueryPack {
         .orderBy("k")
     }),
 
+    // MapState through the same real multi-batch path: a per-bucket
+    // event-type histogram where each input row touches ONE map entry
+    // (a ValueState would re-serialize the whole histogram per row).
+    // The final emission per bucket must equal the batch closed-form
+    // (distinct types, total rows) over both commits.
+    "stream_tws_hist_batcheq" -> ((s, d) => {
+      val t = txStreamTable(s, d)
+      val qn = s"twsh_gate_${sinkSeq.incrementAndGet()}"
+      val ns = s.newSession()
+      ns.conf.set("spark.sql.shuffle.partitions", "4")
+      ns.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      import ns.implicits._
+      val out = ns.readStream.format("txlog-stream")
+        .option("maxVersionsPerTrigger", 1).load(t)
+        .select((col("o_orderkey") % 101).as("k"),
+          (col("o_orderkey") % 7).cast("string").as("typ"))
+        .as[(Long, String)].groupByKey(_._1)
+        .transformWithState(new graft.streaming.TypeHistogramProcessor,
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          org.apache.spark.sql.streaming.OutputMode.Update())
+        .toDF("k", "n_types", "n_orders")
+      val q = out.writeStream.outputMode("update").format("memory").queryName(qn)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally q.stop()
+      ns.table(qn).groupBy("k")
+        .agg(max("n_types").as("n_types"), max("n_orders").as("n_orders"))
+        .orderBy("k")
+    }),
+
     // Tumbling 10-minute windows × event type. Epoch-aligned starts match
     // DuckDB's time_bucket. One shuffle on (window, event_type).
     "stream_tumbling_window_batcheq" -> ((s, d) =>
@@ -317,6 +347,11 @@ object StreamQueries extends QueryPack {
         |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
         |FROM orders WHERE o_orderkey % 2 = 0
         |ORDER BY commit_version""".stripMargin,
+    "stream_tws_hist_batcheq" ->
+      """SELECT o_orderkey % 101 AS k,
+        |  COUNT(DISTINCT o_orderkey % 7) AS n_types,
+        |  COUNT(*) AS n_orders
+        |FROM orders GROUP BY 1 ORDER BY k""".stripMargin,
     "stream_tws_totals_batcheq" ->
       """SELECT o_orderkey % 101 AS k, COUNT(*) AS n_orders,
         |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
