@@ -54,6 +54,18 @@ object TxLog {
     */
   final case class Rename(oldName: String, newName: String, segs: Set[String])
 
+  /** One column DROP in force: `segs` were live when the drop committed,
+    * so they still physically carry `name`'s bytes (never rewritten —
+    * the logical schema simply stops projecting them). The record exists
+    * for ONE reason: resurrection safety. Re-adding a same-named column
+    * via [[evolve]] while any pre-drop segment is still live would read
+    * the OLD values back out of those footers instead of nulls (Delta
+    * prevents this with column-mapping field ids; id-free mapping
+    * prevents it by refusing until the pre-drop segments are rewritten
+    * away, e.g. by [[compact]]).
+    */
+  final case class Drop(name: String, segs: Set[String])
+
   final case class Manifest(version: Long, op: String,
                             adds: Seq[String], removes: Seq[String],
                             readVersion: Long,
@@ -61,7 +73,8 @@ object TxLog {
                             schemaJson: Option[String] = None,
                             dv: Seq[String] = Seq.empty,
                             checks: Seq[(String, String)] = Seq.empty,
-                            renames: Seq[Rename] = Seq.empty)
+                            renames: Seq[Rename] = Seq.empty,
+                            drops: Seq[Drop] = Seq.empty)
 
   /** A resolved snapshot: the live segments (with accumulated stats) plus
     * the DELETION-VECTOR CHAIN in force — parquet segments of
@@ -113,6 +126,33 @@ object TxLog {
   def currentVersion(table: String): Long =
     listVersions(table).lastOption.getOrElse(0L)
 
+  /** TIMESTAMP time travel (Delta's `timestampAsOf`): the greatest
+    * version whose commit time is ≤ `tsMillis`. Commit time is the
+    * manifest file's mtime — the publish (link(2)/conditional-PUT) stamps
+    * it, and publishes are sequential per table, so times ascend with
+    * versions. A coarse-granularity or skewed filesystem can still
+    * report ties or inversions; version order is authoritative, so times
+    * are adjusted to a running maximum before the cut (exactly Delta's
+    * commit-timestamp monotonicity rule). Errors when `tsMillis`
+    * predates the first commit — there is no table to read there.
+    */
+  def versionAtTimestamp(table: String, tsMillis: Long): Long = {
+    val vs = listVersions(table)
+    require(vs.nonEmpty, s"versionAtTimestamp on empty log $table")
+    val mono = vs.map(v =>
+        Files.getLastModifiedTime(logDir(table).resolve(fmt(v))).toMillis)
+      .scanLeft(Long.MinValue)(math.max).tail
+    val at = vs.zip(mono).takeWhile(_._2 <= tsMillis)
+    require(at.nonEmpty,
+      s"$table: no commit at or before $tsMillis (earliest is ${mono.head})")
+    at.last._1
+  }
+
+  /** [[snapshot]] at the version in force at wall-clock `tsMillis`. */
+  def snapshotAtTimestamp(spark: SparkSession, table: String,
+                          tsMillis: Long): DataFrame =
+    snapshot(spark, table, Some(versionAtTimestamp(table, tsMillis)))
+
   // Every string is JSON-escaped on the way out (a table path containing a
   // quote or backslash must not produce an unparseable manifest — ADVICE
   // r9); parsing goes through Jackson (bundled with Spark) so a
@@ -154,9 +194,15 @@ object TxLog {
       else m.checks.map { case (n, e) =>
         s"""{"name":${jstr(n)},"expr":${jstr(e)}}"""
       }.mkString(""","checks":[""", ",", "]")
+    val drops =
+      if (m.drops.isEmpty) ""
+      else m.drops.map { dr =>
+        s"""{"name":${jstr(dr.name)},""" +
+          s""""segs":${dr.segs.toSeq.sorted.map(jstr).mkString("[", ",", "]")}}"""
+      }.mkString(""","drops":[""", ",", "]")
     s"""{"version":${m.version},"op":${jstr(m.op)},"adds":${arr(m.adds)},""" +
       s""""removes":${arr(m.removes)},"readVersion":${m.readVersion},""" +
-      s""""stats":$stats$schema$dv$check$renames}"""
+      s""""stats":$stats$schema$dv$check$renames$drops}"""
   }
 
   def readManifest(table: String, v: Long): Manifest = {
@@ -171,7 +217,7 @@ object TxLog {
       schemaJson, dvField(node),
       Option(node.get("checks")).map(_.elements().asScala.map(c =>
         (c.get("name").asText(), c.get("expr").asText())).toSeq).getOrElse(Seq.empty),
-      renamesField(node))
+      renamesField(node), dropsField(node))
   }
 
   /** The manifest `dv` field: a path array since r12 (the chain entries
@@ -204,6 +250,14 @@ object TxLog {
       rs.elements().asScala.map { r =>
         Rename(r.get("old").asText(), r.get("new").asText(),
           r.get("segs").elements().asScala.map(_.asText()).toSet)
+      }.toSeq
+    }
+
+  private def dropsField(node: com.fasterxml.jackson.databind.JsonNode): Seq[Drop] =
+    Option(node.get("drops")).fold(Seq.empty[Drop]) { ds =>
+      ds.elements().asScala.map { d =>
+        Drop(d.get("name").asText(),
+          d.get("segs").elements().asScala.map(_.asText()).toSet)
       }.toSeq
     }
 
@@ -311,8 +365,8 @@ object TxLog {
     current.fields.foreach { f =>
       newSchema.fields.find(_.name == f.name) match {
         case None => throw new IllegalArgumentException(
-          s"evolve of $table drops column '${f.name}' — drops are not supported " +
-            "(readers of old segments could still produce it)")
+          s"evolve of $table drops column '${f.name}' — use dropColumn " +
+            "(a drop is a tracked metadata commit, not a schema diff)")
         case Some(nf) if nf.dataType != f.dataType =>
           throw new IllegalArgumentException(
             s"evolve of $table changes '${f.name}' from ${f.dataType.sql} to " +
@@ -325,6 +379,22 @@ object TxLog {
       throw new IllegalArgumentException(
         s"evolve of $table adds non-nullable '${nf.name}' — existing segments " +
           "have no values for it; added columns must be nullable")
+    }
+    // resurrection guard: re-adding a DROPPED name while any pre-drop
+    // segment is still live would read the old values back out of those
+    // footers instead of nulls (see dropColumn) — refuse until they are
+    // rewritten away (compact)
+    if (added.nonEmpty) {
+      val liveNow = liveFiles(table, Some(rv)).toSet
+      added.foreach { nf =>
+        dropHistory(table).find(dr =>
+            dr.name == nf.name && dr.segs.intersect(liveNow).nonEmpty).foreach { dr =>
+          throw new IllegalArgumentException(
+            s"evolve of $table re-adds dropped column '${nf.name}' while " +
+              s"${dr.segs.intersect(liveNow).size} pre-drop segment(s) are still " +
+              "live — their old values would resurrect; compact (rewrite) first")
+        }
+      }
     }
     commit(table, "evolve", Seq.empty, Seq.empty, rv,
       Map.empty, () => false, Some(newSchema.json))
@@ -363,6 +433,66 @@ object TxLog {
       Some(newSchema.json),
       renames = Seq(Rename(oldName, newName, liveFiles(table, Some(rv)).toSet)))
   }
+
+  /** DROP COLUMN without rewriting a byte — the complement of
+    * [[renameColumn]] under id-free column mapping: the commit records
+    * the logical schema WITHOUT the column plus a [[Drop]] naming every
+    * segment live at this version (those still physically carry the
+    * bytes; readers simply stop projecting them — `spark.read.schema`
+    * with a subset schema never touches the dropped pages, so at 100 TB
+    * the drop is a driver-side metadata commit). Time travel before the
+    * drop still sees the column. Safety rails:
+    *
+    *  - the LAST column cannot be dropped (an empty relation has no
+    *    schema to record);
+    *  - a column referenced by an active CHECK constraint cannot be
+    *    dropped (the constraint could never validate again — parsed,
+    *    not substring-matched);
+    *  - [[evolve]] REFUSES to re-add a dropped name while any pre-drop
+    *    segment is still live — without field ids, a same-named re-add
+    *    would resurrect the old values out of those footers instead of
+    *    reading nulls. Compaction rewrites the segments (under the
+    *    current logical schema, which no longer has the column), after
+    *    which the name is free again. The drop history walk reads raw
+    *    manifests (never deleted, even by vacuum), so the guard survives
+    *    checkpoints.
+    *
+    * CAS-conflicts with any concurrent commit, like every metadata
+    * decision.
+    */
+  def dropColumn(spark: SparkSession, table: String, name: String): Long = {
+    val rv = currentVersion(table)
+    require(rv > 0, s"drop on uninitialized table $table")
+    val current = recordedSchema(table, Some(rv)).getOrElse {
+      val files = liveFiles(table, Some(rv))
+      require(files.nonEmpty, s"drop on empty table $table needs a base schema")
+      spark.read.parquet(files: _*).schema
+    }
+    require(current.fieldNames.contains(name),
+      s"drop of $table: no column '$name' (have ${current.fieldNames.mkString(", ")})")
+    require(current.fields.length > 1,
+      s"drop of $table: '$name' is the last column — refusing to drop the whole schema")
+    val referencing = activeConstraints(table, Some(rv)).filter { case (_, e) =>
+      spark.sessionState.sqlParser.parseExpression(e).collect {
+        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+          a.nameParts.last
+      }.contains(name)
+    }
+    require(referencing.isEmpty,
+      s"drop of $table: column '$name' is referenced by CHECK constraint" +
+        s" ${referencing.map(_._1).mkString(", ")} — drop the constraint first")
+    val newSchema = org.apache.spark.sql.types.StructType(
+      current.fields.filterNot(_.name == name))
+    commit(table, "dropcolumn", Seq.empty, Seq.empty, rv, Map.empty, () => false,
+      Some(newSchema.json),
+      drops = Seq(Drop(name, liveFiles(table, Some(rv)).toSet)))
+  }
+
+  /** Every [[Drop]] ever committed (full raw-manifest walk — evolve-path
+    * only, and manifests are never deleted; see [[dropColumn]]).
+    */
+  private def dropHistory(table: String): Seq[Drop] =
+    listVersions(table).flatMap(v => readManifest(table, v).drops)
 
   /** Snapshot read: the live segments as one parquet relation. When the
     * log carries an evolved schema (≤ asOf), segments are read UNDER it:
@@ -659,7 +789,8 @@ object TxLog {
                      dv: Seq[String] = Seq.empty,
                      checks: Seq[(String, String)] = Seq.empty,
                      casAlways: Boolean = false,
-                     renames: Seq[Rename] = Seq.empty): Long = {
+                     renames: Seq[Rename] = Seq.empty,
+                     drops: Seq[Drop] = Seq.empty): Long = {
     init(table)
     var attempts = 0
     while (attempts < 100) {
@@ -671,7 +802,8 @@ object TxLog {
       // (restore — its adds-only diff shape used to slip through) is only
       // valid against the exact head it read
       if ((casAlways || removes.nonEmpty || schemaJson.nonEmpty ||
-           dv.nonEmpty || checks.nonEmpty || renames.nonEmpty) && cur != readVersion)
+           dv.nonEmpty || checks.nonEmpty || renames.nonEmpty ||
+           drops.nonEmpty) && cur != readVersion)
         throw new ConcurrentModificationException(
           s"$table: commit '$op' read version $readVersion but head is $cur — " +
             "a concurrent commit landed; rebase on the new snapshot and retry")
@@ -685,7 +817,8 @@ object TxLog {
       if (cur != readVersion &&
           ((readVersion + 1) to cur).exists { v =>
             val o = readManifest(table, v).op
-            o == "constraint" || o == "evolve" || o == "rename"
+            o == "constraint" || o == "evolve" || o == "rename" ||
+              o == "dropcolumn"
           })
         throw new ConcurrentModificationException(
           s"$table: commit '$op' read version $readVersion but a metadata " +
@@ -694,7 +827,7 @@ object TxLog {
             "and retry against the new snapshot")
       val target = cur + 1
       val m = Manifest(target, op, adds, removes, readVersion, stats, schemaJson,
-        dv, checks, renames)
+        dv, checks, renames, drops)
       val tmp = Files.createTempFile(logDir(table), s".$target-", ".tmp")
       Files.writeString(tmp, manifestJson(m))
       try {

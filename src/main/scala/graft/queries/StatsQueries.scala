@@ -100,6 +100,46 @@ object StatsQueries extends QueryPack {
       t
     })
 
+  /** Drop-column fixture: v1 appends 3 columns for the odd keys, v2
+    * DROPS `o_orderpriority` (metadata-only — the v1 segments keep the
+    * bytes, TxLogSpec pins zero rewrite), v3 appends the even keys
+    * without it. Head reads 2 columns across both physical epochs; time
+    * travel to v1 still sees 3.
+    */
+  private def txDropTable(s: SparkSession, d: String): String =
+    txTables.computeIfAbsent((s, "dropcol:" + d), _ => {
+      val t = s"${graft.ops.Scratch.base}/txdrop_${(d.hashCode & 0xffffff).toHexString}"
+      val base = Tables.orders(s, d)
+        .select(col("o_orderkey"), Cleaning.cents(col("o_totalprice")).as("cents"),
+          col("o_orderpriority"))
+      graft.ops.TxLog.append(base.filter(col("o_orderkey") % 2 === 1), t) // v1
+      graft.ops.TxLog.dropColumn(s, t, "o_orderpriority")                 // v2
+      graft.ops.TxLog.append(
+        base.filter(col("o_orderkey") % 2 === 0).drop("o_orderpriority"), t) // v3
+      t
+    })
+
+  /** Timestamp-travel fixture: two appends whose manifest mtimes are
+    * pinned to known epochs (v1 → t=1,000s, v2 → t=2,000s) so
+    * `versionAtTimestamp` cuts are deterministic. Pinning mtimes is the
+    * test seam only — production commit times are whatever the publish
+    * stamps (see TxLog.versionAtTimestamp's monotonicity rule).
+    */
+  private def txTsTable(s: SparkSession, d: String): String =
+    txTables.computeIfAbsent((s, "tstravel:" + d), _ => {
+      val t = s"${graft.ops.Scratch.base}/txts_${(d.hashCode & 0xffffff).toHexString}"
+      val base = Tables.orders(s, d)
+        .select(col("o_orderkey"), Cleaning.cents(col("o_totalprice")).as("cents"))
+      val v1 = graft.ops.TxLog.append(base.filter(col("o_orderkey") % 2 === 1), t)
+      val v2 = graft.ops.TxLog.append(base.filter(col("o_orderkey") % 2 === 0), t)
+      Seq(v1 -> 1000000L, v2 -> 2000000L).foreach { case (v, ts) =>
+        java.nio.file.Files.setLastModifiedTime(
+          java.nio.file.Paths.get(t, "_txlog", f"$v%020d.json"),
+          java.nio.file.attribute.FileTime.fromMillis(ts))
+      }
+      t
+    })
+
   /** Checkpointed TxLog table: the txTable transaction sequence with a
     * manifest-log CHECKPOINT written mid-history (after v2), so head
     * resolution replays checkpoint + 1 manifest instead of 3.
@@ -1120,6 +1160,37 @@ object StatsQueries extends QueryPack {
         .orderBy("pre_rename_epoch")
     }),
 
+    // COLUMN DROP via id-free column mapping (the complement of the
+    // rename): v2 drops o_orderpriority metadata-only — v1 segments keep
+    // the bytes but the head read stops projecting them (the subset
+    // schema never touches the dropped pages), while time travel to v1
+    // still reads the 3-column shape. Resurrection via evolve re-add is
+    // rejected while pre-drop segments live — pinned in TxLogSpec.
+    "lake_txlog_drop" -> ((s, d) => {
+      val t = txDropTable(s, d)
+      val headCols = graft.ops.TxLog.snapshot(s, t).columns.mkString(",")
+      val v1Cols = graft.ops.TxLog.snapshot(s, t, Some(1L)).columns.mkString(",")
+      graft.ops.TxLog.snapshot(s, t)
+        .groupBy((col("o_orderkey") % 2 === 1).as("pre_drop_epoch"))
+        .agg(count(lit(1)).as("n_rows"), sum("cents").as("sum_cents"))
+        .select(lit(v1Cols).as("cols_v1"), lit(headCols).as("cols_head"),
+          col("pre_drop_epoch"), col("n_rows"), col("sum_cents"))
+        .orderBy("pre_drop_epoch")
+    }),
+
+    // TIMESTAMP time travel (Delta's timestampAsOf): two probes cut the
+    // pinned commit timeline — t=1,500s resolves v1 (odd keys only),
+    // t=3,000s resolves the head. Version selection is driver-side
+    // manifest-mtime metadata; the data reads are ordinary snapshots.
+    "lake_txlog_time_travel_ts" -> ((s, d) => {
+      val t = txTsTable(s, d)
+      def probe(n: Long, ts: Long) =
+        graft.ops.TxLog.snapshotAtTimestamp(s, t, ts)
+          .agg(count(lit(1)).as("n_rows"), sum("cents").as("sum_cents"))
+          .select(lit(n).as("probe"), col("n_rows"), col("sum_cents"))
+      probe(1L, 1500000L).unionByName(probe(2L, 3000000L)).orderBy("probe")
+    }),
+
     "lake_txlog_evolution" -> ((s, d) => {
       val t = txEvolveTable(s, d)
       val nColsV1 = graft.ops.TxLog.snapshot(s, t, Some(1L)).schema.size.toLong
@@ -2028,6 +2099,23 @@ object StatsQueries extends QueryPack {
         |  COUNT(*) AS n_rows,
         |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
         |FROM orders GROUP BY 3 ORDER BY 3""".stripMargin,
+    "lake_txlog_drop" ->
+      """SELECT 'o_orderkey,cents,o_orderpriority' AS cols_v1,
+        |  'o_orderkey,cents' AS cols_head,
+        |  (o_orderkey % 2 = 1) AS pre_drop_epoch,
+        |  COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM orders GROUP BY 3 ORDER BY 3""".stripMargin,
+    "lake_txlog_time_travel_ts" ->
+      """WITH base AS (SELECT o_orderkey,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+        |v AS (
+        |  SELECT 1 AS probe, COUNT(*) AS n_rows, SUM(cents) AS sum_cents
+        |  FROM base WHERE o_orderkey % 2 = 1
+        |  UNION ALL SELECT 2, COUNT(*), SUM(cents) FROM base)
+        |SELECT CAST(probe AS BIGINT) AS probe, n_rows,
+        |  CAST(sum_cents AS BIGINT) AS sum_cents
+        |FROM v ORDER BY probe""".stripMargin,
     "lake_txlog_evolution" ->
       """SELECT CAST(2 AS BIGINT) AS n_cols_v1, CAST(3 AS BIGINT) AS n_cols_head,
         |  CASE WHEN o_orderkey % 2 = 1 THEN '(pre-evolve)'

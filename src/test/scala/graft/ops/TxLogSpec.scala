@@ -753,6 +753,73 @@ class TxLogSpec extends SparkSpec {
       s"stream over a renamed table must fail with guidance, got: $msgs")
   }
 
+  test("column drop: projected read-back, zero rewrite, time travel, resurrection guard") {
+    val t = freshTable()
+    TxLog.append(Seq((1L, 10L, "a"), (2L, 20L, "b")).toDF("k", "v", "p"), t) // v1
+    def dataFiles() = {
+      val s = Files.walk(Paths.get(t, "data"))
+      try s.filter(_.toString.endsWith(".parquet")).count()
+      finally s.close()
+    }
+    val filesBefore = dataFiles()
+    TxLog.dropColumn(spark, t, "p")                                          // v2
+    // metadata-only: not a byte rewritten, head stops projecting the column
+    assert(dataFiles() === filesBefore, "drop must not rewrite data")
+    val head = TxLog.snapshot(spark, t)
+    assert(head.columns.toSeq === Seq("k", "v"))
+    assert(head.as[(Long, Long)].collect().toMap === Map(1L -> 10L, 2L -> 20L))
+    // time travel before the drop still sees the historical shape
+    assert(TxLog.snapshot(spark, t, Some(1L)).columns.toSeq === Seq("k", "v", "p"))
+    // post-drop writes: without the column fine, with it rejected
+    TxLog.append(rows(3L -> 30L), t)                                         // v3
+    assert(TxLog.snapshot(spark, t).count() === 3L)
+    intercept[IllegalArgumentException] {
+      TxLog.append(Seq((9L, 90L, "z")).toDF("k", "v", "p"), t)
+    }
+    // resurrection guard: re-adding "p" while the v1 segment is live would
+    // read the old "a"/"b" back out of its footer — refused until rewritten
+    val withP = org.apache.spark.sql.types.StructType(
+      TxLog.snapshot(spark, t).schema.fields :+
+        org.apache.spark.sql.types.StructField("p",
+          org.apache.spark.sql.types.StringType, nullable = true))
+    val err = intercept[IllegalArgumentException] { TxLog.evolve(t, withP) }
+    assert(err.getMessage.contains("resurrect"))
+    TxLog.compact(spark, t)
+    // pre-drop segments rewritten away (under the 2-column logical schema):
+    // the name is free again and reads null-fill, never the dropped values
+    TxLog.evolve(t, withP)
+    val revived = TxLog.snapshot(spark, t)
+    assert(revived.columns.toSeq === Seq("k", "v", "p"))
+    assert(revived.filter(col("p").isNotNull).count() === 0L)
+    // guard rails: unknown column, last column, constraint-referenced column
+    intercept[IllegalArgumentException] { TxLog.dropColumn(spark, t, "nope") }
+    TxLog.addConstraint(spark, t, "v_pos", "v >= 0")
+    val cerr = intercept[IllegalArgumentException] { TxLog.dropColumn(spark, t, "v") }
+    assert(cerr.getMessage.contains("v_pos"))
+    val t2 = freshTable()
+    TxLog.append(Seq(Tuple1(1L)).toDF("only"), t2)
+    intercept[IllegalArgumentException] { TxLog.dropColumn(spark, t2, "only") }
+  }
+
+  test("timestamp travel: monotonic commit-time cut, inversion-safe") {
+    val t = freshTable()
+    TxLog.append(rows(1L -> 10L), t)                    // v1
+    TxLog.append(rows(2L -> 20L), t)                    // v2
+    TxLog.append(rows(3L -> 30L), t)                    // v3
+    def pin(v: Long, ts: Long): Unit = Files.setLastModifiedTime(
+      Paths.get(t, "_txlog", f"$v%020d.json"),
+      java.nio.file.attribute.FileTime.fromMillis(ts))
+    // v3's reported mtime INVERTS (coarse clock / skew) — version order is
+    // authoritative, so its effective time clamps up to v2's
+    pin(1L, 1000L); pin(2L, 2000L); pin(3L, 1500L)
+    intercept[IllegalArgumentException] { TxLog.versionAtTimestamp(t, 999L) }
+    assert(TxLog.versionAtTimestamp(t, 1000L) === 1L)
+    assert(TxLog.versionAtTimestamp(t, 1999L) === 1L)
+    assert(TxLog.versionAtTimestamp(t, 2000L) === 3L) // v2 AND clamped v3 ≤ cut
+    assert(TxLog.versionAtTimestamp(t, System.currentTimeMillis()) === 3L)
+    assert(TxLog.snapshotAtTimestamp(spark, t, 1000L).count() === 1L)
+  }
+
   test("mergeDv rejects type-mismatched updates on never-evolved tables") {
     val t = freshTable()
     TxLog.append(rows(1L -> 10L), t)
