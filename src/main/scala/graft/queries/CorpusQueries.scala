@@ -1112,7 +1112,119 @@ object CorpusQueries extends QueryPack {
         .groupBy("canon")
         .agg(count(lit(1)).as("n_docs"), min("doc_id").as("first_doc"))
         .orderBy("canon")),
+
+    // PREFERENCE AGGREGATION — Bradley–Terry strength per source
+    // (Zermelo's fixed point, the model under reward-data curation and
+    // arena-style rankings): the shared game log pairs docs and scores
+    // a quality "annotator" (stopword-density milli, the text_quality
+    // signal); wins aggregate to a ≤|sources|² count matrix, and THREE
+    // fixed-point rounds p'_i = W_i / Σ_j N_ij/(p_i+p_j) run entirely on
+    // that matrix — the corpus shuffles once into the game log, the
+    // model iterations are metadata-sized joins. Integer milli/micro
+    // quantization after every division keeps the chain oracle-exact at
+    // any parallelism.
+    "pref_bradley_terry" -> ((s, d) => {
+      val cnt = prefGames(s, d)
+        .select(when(col("lo_wins_q"), col("src_lo")).otherwise(col("src_hi")).as("win"),
+          when(col("lo_wins_q"), col("src_hi")).otherwise(col("src_lo")).as("lose"))
+        .groupBy("win", "lose").agg(count(lit(1)).as("n"))
+      val np = cnt.select(col("win").as("i"), col("lose").as("j"), col("n"))
+        .unionByName(cnt.select(col("lose").as("i"), col("win").as("j"), col("n")))
+        .groupBy("i", "j").agg(sum("n").as("n"))
+      val wins = cnt.groupBy("win").agg(sum("n").as("w")).withColumnRenamed("win", "i")
+      val items = np.select("i").distinct()
+      var p = items.withColumn("p", lit(1000L))
+      for (_ <- 1 to 3) {
+        val pI = p.select(col("i"), col("p").as("p_i"))
+        val pJ = p.select(col("i").as("j"), col("p").as("p_j"))
+        val den = np.join(pI, "i").join(pJ, "j")
+          .select(col("i"), expr("(n * 1000000) div greatest(p_i + p_j, 1)").as("term"))
+          .groupBy("i").agg(sum("term").as("den"))
+        p = items.join(wins, Seq("i"), "left").join(den, Seq("i"), "left")
+          .select(col("i"),
+            expr("(coalesce(w, 0) * 1000000) div greatest(den, 1)").as("p"))
+      }
+      p.select(col("i").as("source"), col("p").as("bt_milli")).orderBy("source")
+    }),
+
+    // ANNOTATOR AGREEMENT — Cohen's kappa between the quality annotator
+    // and a length annotator over the same preference pairs (the QA gate
+    // run before trusting a labeling source). One pass over the shared
+    // game log reduces to four counts; po/pe/kappa are closed-form
+    // integer milli (the negative-kappa branch divides magnitudes so
+    // Spark's truncating `div` and DuckDB's flooring `//` agree).
+    "pref_annotator_kappa" -> ((s, d) =>
+      prefGames(s, d)
+        .agg(count(lit(1)).as("n_games"),
+          sum(when(col("lo_wins_q") === col("lo_wins_len"), 1L).otherwise(0L)).as("agree_n"),
+          sum(when(col("lo_wins_q"), 1L).otherwise(0L)).as("a_lo"),
+          sum(when(col("lo_wins_len"), 1L).otherwise(0L)).as("b_lo"))
+        .withColumn("po_milli", expr("(agree_n * 1000) div n_games"))
+        .withColumn("pe_milli",
+          expr("((a_lo * b_lo + (n_games - a_lo) * (n_games - b_lo)) * 1000)" +
+            " div (n_games * n_games)"))
+        .select(col("n_games"), col("agree_n"), col("po_milli"), col("pe_milli"),
+          expr("""CASE WHEN po_milli >= pe_milli
+                 |  THEN ((po_milli - pe_milli) * 1000) div greatest(1000 - pe_milli, 1)
+                 |  ELSE -(((pe_milli - po_milli) * 1000) div greatest(1000 - pe_milli, 1))
+                 |END""".stripMargin).as("kappa_milli"))),
   )
+
+  /** Shared PREFERENCE game log, scratch-materialized (one corpus pass
+    * feeds both pref queries): docs pair by `doc_id div 2` — a single
+    * hash aggregation, never a self-join — keeping only complete
+    * cross-source buckets. Each game carries two deterministic
+    * "annotator" verdicts for the LOWER doc: quality (stopword-density
+    * milli ≥, ties to the lower id) and length. At 100 TB the log is
+    * corpus/2 rows of four tiny columns; everything downstream
+    * aggregates it to per-source or scalar counts.
+    */
+  private def prefGames(s: SparkSession, d: String): DataFrame =
+    cached("pref_games", s, d) {
+      val scored = Tables.documents(s, d)
+        .withColumn("toks", TextOps.tokens(col("text")))
+        .select(col("doc_id"), col("source"), expr("doc_id div 2").as("pid"),
+          length(col("text")).cast("long").as("len"),
+          size(filter(col("toks"), t => t.isin("the", "a", "of")))
+            .cast("long").as("hits"),
+          size(col("toks")).cast("long").as("ntok"))
+        .withColumn("sc", expr("(hits * 1000) div ntok"))
+      scored.groupBy("pid")
+        .agg(count(lit(1)).as("c"),
+          expr("min_by(source, doc_id)").as("src_lo"),
+          expr("max_by(source, doc_id)").as("src_hi"),
+          expr("min_by(sc, doc_id)").as("sc_lo"),
+          expr("max_by(sc, doc_id)").as("sc_hi"),
+          expr("min_by(len, doc_id)").as("len_lo"),
+          expr("max_by(len, doc_id)").as("len_hi"))
+        .filter(col("c") === 2 && col("src_lo") =!= col("src_hi"))
+        .select(col("src_lo"), col("src_hi"),
+          (col("sc_lo") >= col("sc_hi")).as("lo_wins_q"),
+          (col("len_lo") >= col("len_hi")).as("lo_wins_len"))
+    }
+
+
+  /** Oracle twin of [[prefGames]]: the game-log CTE both pref oracles
+    * share (scoring identical to text_quality's oracle).
+    */
+  private val prefGamesSql: String =
+    """t AS (SELECT doc_id, source, doc_id // 2 AS pid,
+      |    CAST(length(text) AS BIGINT) AS len,
+      |    CAST(len(list_filter(string_split(text, ' '),
+      |      x -> x IN ('the', 'a', 'of'))) AS BIGINT) AS hits,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok
+      |  FROM documents),
+      |sc AS (SELECT doc_id, source, pid, len, (hits * 1000) // ntok AS sc FROM t),
+      |pr AS (SELECT pid, COUNT(*) AS c,
+      |    arg_min(source, doc_id) AS src_lo, arg_max(source, doc_id) AS src_hi,
+      |    arg_min(sc, doc_id) AS sc_lo, arg_max(sc, doc_id) AS sc_hi,
+      |    arg_min(len, doc_id) AS len_lo, arg_max(len, doc_id) AS len_hi
+      |  FROM sc GROUP BY 1),
+      |games AS (SELECT
+      |    CASE WHEN sc_lo >= sc_hi THEN src_lo ELSE src_hi END AS win,
+      |    CASE WHEN sc_lo >= sc_hi THEN src_hi ELSE src_lo END AS lose,
+      |    (sc_lo >= sc_hi) AS lo_wins_q, (len_lo >= len_hi) AS lo_wins_len
+      |  FROM pr WHERE c = 2 AND src_lo <> src_hi)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "kmeans_iter" ->
@@ -1784,5 +1896,47 @@ object CorpusQueries extends QueryPack {
         |  FROM n)
         |SELECT canon, COUNT(*) AS n_docs, MIN(doc_id) AS first_doc
         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+    "pref_bradley_terry" ->
+      s"""WITH $prefGamesSql,
+         |cnt AS (SELECT win, lose, COUNT(*) AS n FROM games GROUP BY 1, 2),
+         |np AS (SELECT i, j, SUM(n) AS n FROM (
+         |    SELECT win AS i, lose AS j, n FROM cnt
+         |    UNION ALL SELECT lose, win, n FROM cnt) GROUP BY 1, 2),
+         |wins AS (SELECT win AS i, SUM(n) AS w FROM cnt GROUP BY 1),
+         |items AS (SELECT DISTINCT i FROM np),
+         |p0 AS (SELECT i, CAST(1000 AS BIGINT) AS p FROM items),
+         |d1 AS (SELECT np.i, SUM((np.n * 1000000) // GREATEST(pi.p + pj.p, 1)) AS den
+         |  FROM np JOIN p0 pi ON pi.i = np.i JOIN p0 pj ON pj.i = np.j GROUP BY 1),
+         |p1 AS (SELECT it.i, (COALESCE(w.w, 0) * 1000000) // GREATEST(d1.den, 1) AS p
+         |  FROM items it LEFT JOIN wins w ON w.i = it.i LEFT JOIN d1 ON d1.i = it.i),
+         |d2 AS (SELECT np.i, SUM((np.n * 1000000) // GREATEST(pi.p + pj.p, 1)) AS den
+         |  FROM np JOIN p1 pi ON pi.i = np.i JOIN p1 pj ON pj.i = np.j GROUP BY 1),
+         |p2 AS (SELECT it.i, (COALESCE(w.w, 0) * 1000000) // GREATEST(d2.den, 1) AS p
+         |  FROM items it LEFT JOIN wins w ON w.i = it.i LEFT JOIN d2 ON d2.i = it.i),
+         |d3 AS (SELECT np.i, SUM((np.n * 1000000) // GREATEST(pi.p + pj.p, 1)) AS den
+         |  FROM np JOIN p2 pi ON pi.i = np.i JOIN p2 pj ON pj.i = np.j GROUP BY 1),
+         |p3 AS (SELECT it.i, (COALESCE(w.w, 0) * 1000000) // GREATEST(d3.den, 1) AS p
+         |  FROM items it LEFT JOIN wins w ON w.i = it.i LEFT JOIN d3 ON d3.i = it.i)
+         |SELECT i AS source, CAST(p AS BIGINT) AS bt_milli FROM p3 ORDER BY 1""".stripMargin,
+    "pref_annotator_kappa" ->
+      s"""WITH $prefGamesSql,
+         |c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_games,
+         |    CAST(SUM(CASE WHEN lo_wins_q = lo_wins_len THEN 1 ELSE 0 END) AS BIGINT) AS agree_n,
+         |    CAST(SUM(CASE WHEN lo_wins_q THEN 1 ELSE 0 END) AS BIGINT) AS a_lo,
+         |    CAST(SUM(CASE WHEN lo_wins_len THEN 1 ELSE 0 END) AS BIGINT) AS b_lo
+         |  FROM games),
+         |m AS (SELECT n_games, agree_n,
+         |    (agree_n * 1000) // n_games AS po_milli,
+         |    ((a_lo * b_lo + (n_games - a_lo) * (n_games - b_lo)) * 1000)
+         |      // (n_games * n_games) AS pe_milli
+         |  FROM c)
+         |SELECT n_games, agree_n,
+         |  CAST(po_milli AS BIGINT) AS po_milli, CAST(pe_milli AS BIGINT) AS pe_milli,
+         |  CAST(CASE WHEN po_milli >= pe_milli
+         |    THEN ((po_milli - pe_milli) * 1000) // GREATEST(1000 - pe_milli, 1)
+         |    ELSE -(((pe_milli - po_milli) * 1000) // GREATEST(1000 - pe_milli, 1))
+         |  END AS BIGINT) AS kappa_milli
+         |FROM m""".stripMargin,
   )
+
 }
