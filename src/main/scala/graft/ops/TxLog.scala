@@ -1510,6 +1510,50 @@ object TxLog {
     }
   }
 
+  /** Latest transaction version committed by `appId` (−1 when none):
+    * the read half of the Delta `txn` action. Newest-first with early
+    * stop — an app's versions ascend, so its first (most recent) match
+    * is its maximum.
+    */
+  def lastTxnVersion(table: String, appId: String): Long =
+    listVersions(table).reverseIterator
+      .map(v => readManifest(table, v).op)
+      .collectFirst {
+        case op if op.startsWith(s"txn:$appId:v") =>
+          op.stripPrefix(s"txn:$appId:v").toLong
+      }
+      .getOrElse(-1L)
+
+  /** IDEMPOTENT WRITER TRANSACTIONS — Delta's `txn` (appId, version)
+    * action generalized from the streaming sink: any batch writer
+    * (Airflow retry, speculative job re-run, at-least-once queue
+    * consumer) tags its append with its own monotonically increasing
+    * version, and a replay of an already-committed (appId, version)
+    * SKIPS instead of double-appending. Apps are independent: each
+    * appId has its own version line. Same zombie-safety shape as
+    * [[streamingAppend]]: the already-committed check re-runs INSIDE
+    * the commit CAS loop, so two replaying drivers racing for the same
+    * (appId, version) cannot both land — the loser re-reads the log,
+    * finds the winner's `txn:` manifest, and returns −1 (its orphaned
+    * staged segment is invisible and vacuum-collectable).
+    */
+  def idempotentAppend(df: DataFrame, table: String, appId: String,
+                       txnVersion: Long): Long = {
+    require(!appId.contains(":"),
+      s"appId '$appId' must not contain ':' (reserved by the txn op encoding)")
+    init(table)
+    if (txnVersion <= lastTxnVersion(table, appId)) -1L
+    else {
+      val rv = currentVersion(table) // before validation — see append
+      validateWrite(df, table)
+      val p = stage(df, table)
+      commit(table, s"txn:$appId:v$txnVersion", Seq(p), Seq.empty,
+        rv, Map.empty,
+        skipIf = () => lastTxnVersion(table, appId) >= txnVersion,
+        schemaJson = None)
+    }
+  }
+
   /** Clustered compaction — the OPTIMIZE/ZORDER maintenance op: rewrite
     * the live set into `buckets` RANGE-DISJOINT segments on `clusterCol`
     * (bucket b = keys in [b·q, (b+1)·q)), each committed with tight

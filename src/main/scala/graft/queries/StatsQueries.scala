@@ -140,6 +140,25 @@ object StatsQueries extends QueryPack {
       t
     })
 
+  /** Idempotent-txn fixture: a "loader" app writes the odd keys as its
+    * txn v1 and the even keys as v2, with each write REPLAYED once (an
+    * at-least-once scheduler retry) — the replays must skip, leaving
+    * every row exactly once.
+    */
+  private def txIdemTable(s: SparkSession, d: String): String =
+    txTables.computeIfAbsent((s, "idem:" + d), _ => {
+      val t = s"${graft.ops.Scratch.base}/txidem_${(d.hashCode & 0xffffff).toHexString}"
+      val base = Tables.orders(s, d)
+        .select(col("o_orderkey"), Cleaning.cents(col("o_totalprice")).as("cents"))
+      val odd = base.filter(col("o_orderkey") % 2 === 1)
+      val even = base.filter(col("o_orderkey") % 2 === 0)
+      require(graft.ops.TxLog.idempotentAppend(odd, t, "loader", 1L) > 0)
+      require(graft.ops.TxLog.idempotentAppend(odd, t, "loader", 1L) == -1L)
+      require(graft.ops.TxLog.idempotentAppend(even, t, "loader", 2L) > 0)
+      require(graft.ops.TxLog.idempotentAppend(even, t, "loader", 2L) == -1L)
+      t
+    })
+
   /** Checkpointed TxLog table: the txTable transaction sequence with a
     * manifest-log CHECKPOINT written mid-history (after v2), so head
     * resolution replays checkpoint + 1 manifest instead of 3.
@@ -1178,6 +1197,19 @@ object StatsQueries extends QueryPack {
         .orderBy("pre_drop_epoch")
     }),
 
+    // IDEMPOTENT WRITER TRANSACTIONS (Delta's txn action): the fixture
+    // replays both of a loader app's tagged appends — the replays skip
+    // inside the commit CAS (zombie-safe, TxLogSpec storms it), so the
+    // table holds every row exactly once and the app's version line
+    // reads back 2. At-least-once schedulers get exactly-once tables.
+    "lake_txlog_idempotent" -> ((s, d) => {
+      val t = txIdemTable(s, d)
+      val lastTxn = graft.ops.TxLog.lastTxnVersion(t, "loader")
+      graft.ops.TxLog.snapshot(s, t)
+        .agg(count(lit(1)).as("n_rows"), sum("cents").as("sum_cents"))
+        .select(lit(lastTxn).as("loader_txn"), col("n_rows"), col("sum_cents"))
+    }),
+
     // TIMESTAMP time travel (Delta's timestampAsOf): two probes cut the
     // pinned commit timeline — t=1,500s resolves v1 (odd keys only),
     // t=3,000s resolves the head. Version selection is driver-side
@@ -2106,6 +2138,10 @@ object StatsQueries extends QueryPack {
         |  COUNT(*) AS n_rows,
         |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
         |FROM orders GROUP BY 3 ORDER BY 3""".stripMargin,
+    "lake_txlog_idempotent" ->
+      """SELECT CAST(2 AS BIGINT) AS loader_txn, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM orders""".stripMargin,
     "lake_txlog_time_travel_ts" ->
       """WITH base AS (SELECT o_orderkey,
         |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),

@@ -264,6 +264,33 @@ class TxLogSpec extends SparkSpec {
     assert(TxLog.maxCommittedBatch(t) === 1L)
   }
 
+  test("idempotent txn: replays skip, apps are independent, zombie race lands once") {
+    val t = freshTable()
+    assert(TxLog.idempotentAppend(rows(1L -> 10L), t, "etl", 1L) > 0)
+    // a replay of the SAME (appId, version) skips; stale versions skip too
+    assert(TxLog.idempotentAppend(rows(1L -> 99L), t, "etl", 1L) === -1L)
+    assert(TxLog.idempotentAppend(rows(1L -> 99L), t, "etl", 0L) === -1L)
+    // a different app has its own version line
+    assert(TxLog.idempotentAppend(rows(2L -> 20L), t, "backfill", 1L) > 0)
+    assert(TxLog.lastTxnVersion(t, "etl") === 1L)
+    assert(TxLog.lastTxnVersion(t, "backfill") === 1L)
+    assert(TxLog.lastTxnVersion(t, "nobody") === -1L)
+    // zombie storm: 8 drivers replaying etl v2 — exactly one commits
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      val results = (1 to 8).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Long] {
+          def call(): Long = TxLog.idempotentAppend(rows(3L -> i.toLong), t, "etl", 2L)
+        })
+      }.map(_.get())
+      assert(results.count(_ > 0) === 1, s"txn v2 must commit exactly once, got $results")
+    } finally pool.shutdown()
+    assert(TxLog.snapshot(spark, t).filter(col("k") === 3L).count() === 1L)
+    intercept[IllegalArgumentException] {
+      TxLog.idempotentAppend(rows(9L -> 9L), t, "bad:app", 1L)
+    }
+  }
+
   test("vacuum retention: young unreferenced dirs survive (a staging writer is not garbage)") {
     val t = freshTable()
     TxLog.append(rows(1L -> 10L), t)
