@@ -177,6 +177,38 @@ object StreamQueries extends QueryPack {
         .orderBy("k")
     }),
 
+    // ListState through the same real multi-batch path — the third
+    // Spark-4 stateful primitive, completing the triad (ValueState
+    // totals, MapState histogram, ListState ring buffer): per bucket the
+    // top-3 order keys survive both commits in a bounded list, composed
+    // with a ValueState row counter whose strict growth makes the
+    // update-mode emissions reducible (max_by picks each bucket's final
+    // emission; the batch closed-form is the all-data top-3).
+    "stream_tws_recent_batcheq" -> ((s, d) => {
+      val t = txStreamTable(s, d)
+      val qn = s"twsr_gate_${sinkSeq.incrementAndGet()}"
+      val ns = s.newSession()
+      ns.conf.set("spark.sql.shuffle.partitions", "4")
+      ns.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      import ns.implicits._
+      val out = ns.readStream.format("txlog-stream")
+        .option("maxVersionsPerTrigger", 1).load(t)
+        .select((col("o_orderkey") % 101).as("k"), col("o_orderkey").as("v"))
+        .as[(Long, Long)].groupByKey(_._1)
+        .transformWithState(new graft.streaming.RecentOrdersGateProcessor(3),
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          org.apache.spark.sql.streaming.OutputMode.Update())
+        .toDF("k", "n_seen", "top_ids")
+      val q = out.writeStream.outputMode("update").format("memory").queryName(qn)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally q.stop()
+      ns.table(qn).groupBy("k")
+        .agg(max("n_seen").as("n_seen"),
+          expr("max_by(top_ids, n_seen)").as("top_ids"))
+        .orderBy("k")
+    }),
+
     // Tumbling 10-minute windows × event type. Epoch-aligned starts match
     // DuckDB's time_bucket. One shuffle on (window, event_type).
     "stream_tumbling_window_batcheq" -> ((s, d) =>
@@ -352,6 +384,18 @@ object StreamQueries extends QueryPack {
         |  COUNT(DISTINCT o_orderkey % 7) AS n_types,
         |  COUNT(*) AS n_orders
         |FROM orders GROUP BY 1 ORDER BY k""".stripMargin,
+    "stream_tws_recent_batcheq" ->
+      """WITH r AS (SELECT o_orderkey % 101 AS k, o_orderkey AS v,
+        |    row_number() OVER (PARTITION BY o_orderkey % 101
+        |                       ORDER BY o_orderkey DESC) AS rn
+        |  FROM orders),
+        |top AS (SELECT k, string_agg(CAST(v AS VARCHAR), ',' ORDER BY v DESC)
+        |    AS top_ids
+        |  FROM r WHERE rn <= 3 GROUP BY k),
+        |n AS (SELECT o_orderkey % 101 AS k, COUNT(*) AS n_seen
+        |  FROM orders GROUP BY 1)
+        |SELECT n.k, n.n_seen, top.top_ids
+        |FROM n JOIN top USING (k) ORDER BY k""".stripMargin,
     "stream_tws_totals_batcheq" ->
       """SELECT o_orderkey % 101 AS k, COUNT(*) AS n_orders,
         |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)

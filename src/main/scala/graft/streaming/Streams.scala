@@ -569,6 +569,46 @@ class RecentEventsProcessor(keep: Int)
   }
 }
 
+/** ListState + ValueState COMPOSED for the txlog oracle gate
+  * (`stream_tws_recent_batcheq`): per bucket, the top-`keep` order keys
+  * survive across micro-batches in ListState (merge → sort desc → trim
+  * → rewrite, the bounded ring-buffer shape) while a ValueState counter
+  * tracks total rows ever seen. The counter is what makes the gate's
+  * update-mode emissions reducible: it strictly increases on every
+  * batch that touches the bucket, so `max_by(top_ids, n_seen)` picks
+  * each bucket's FINAL emission deterministically — a CSV list has no
+  * monotone order of its own to reduce on. Top-k-by-VALUE keeps the
+  * retained set independent of batch arrival order.
+  */
+class RecentOrdersGateProcessor(keep: Int)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, Long), (Long, Long, String)] {
+  import org.apache.spark.sql.streaming.{ListState, OutputMode, TimeMode,
+    TimerValues, TTLConfig, ValueState}
+
+  @transient private var recent: ListState[Long] = _
+  @transient private var seen: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    recent = getHandle.getListState[Long]("recent",
+      org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    seen = getHandle.getValueState[Long]("seen",
+      org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+  }
+
+  override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
+                               timerValues: TimerValues):
+      Iterator[(Long, Long, String)] = {
+    val incoming = rows.map(_._2).toArray
+    val merged = ((if (recent.exists()) recent.get().toArray else Array.empty[Long])
+      ++ incoming).sorted(Ordering[Long].reverse).take(keep)
+    recent.put(merged)
+    val n = (if (seen.exists()) seen.get() else 0L) + incoming.length
+    seen.update(n)
+    Iterator.single((key, n, merged.mkString(",")))
+  }
+}
+
 /** Event-type → count MapState histogram for
   * [[Streams.typeHistogramStream]]: one map entry touched per input row.
   */
