@@ -173,20 +173,24 @@ object StatsOps {
     */
   def groupedExactPercentiles(df: DataFrame, group: String, value: String,
                               ps: Seq[(String, Double)],
-                              numPartitions: Int = 32): DataFrame = {
+                              numPartitions: Int = 32,
+                              expectedGroups: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
     require(ps.nonEmpty && ps.forall { case (_, p) => p >= 0 && p <= 1 })
     val spark = df.sparkSession
     val nn = df.filter(col(value).isNotNull)
       .select(col(group), col(value).cast("double").as("__pct_v"))
-    // ROUTE, don't reject (VERDICT r11): one cheap HLL pass estimates the
-    // group cardinality; past the scan engine's driver-table bound the
-    // fully-distributed rank-window form takes over ("exact p95 latency
-    // per user" — millions of groups — previously had no engine path).
-    // The executor-side require below stays as the loud backstop for an
-    // HLL underestimate.
-    val estGroups =
-      nn.select(approx_count_distinct(group)).head.getLong(0)
+    // ROUTE, don't reject (VERDICT r11): the group cardinality decides
+    // between the scan engine (constant-cardinality regime) and the
+    // fully-distributed rank-window form ("exact p95 latency per user" —
+    // millions of groups — previously had no engine path). A caller that
+    // KNOWS its key's cardinality passes `expectedGroups` and skips the
+    // probe — the HLL probe re-executes the whole upstream plan, a full
+    // extra pass that the low-cardinality callers (the common case)
+    // shouldn't pay. Unhinted calls probe. A wrong hint is never silent:
+    // the executor-side require below stays as the loud backstop.
+    val estGroups = expectedGroups.getOrElse(
+      nn.select(approx_count_distinct(group)).head.getLong(0))
     if (estGroups > MaxScanGroups * 8 / 10)
       return groupedExactPercentilesHighCard(df, group, value, ps)
     val keys = Seq(col(group), col("__pct_v"))

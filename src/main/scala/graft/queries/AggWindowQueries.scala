@@ -150,7 +150,8 @@ object AggWindowQueries extends QueryPack {
       graft.ops.StatsOps.groupedExactPercentiles(
         Tables.lineitem(s, d).select(col("l_returnflag"), col("l_quantity")),
         "l_returnflag", "l_quantity",
-        Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99))
+        Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99),
+        expectedGroups = Some(3L)) // l_returnflag: known 3-valued
         .orderBy("l_returnflag")),
 
     // Exact percentiles over a HIGH-cardinality group key ("exact p95
@@ -392,7 +393,8 @@ object AggWindowQueries extends QueryPack {
       val ap = li.groupBy("l_returnflag")
         .agg(expr("approx_percentile(l_quantity, 0.5, 100)").as("ap"))
       val exact = graft.ops.StatsOps.groupedExactPercentiles(li,
-        "l_returnflag", "l_quantity", Seq("p50_exact" -> 0.5))
+        "l_returnflag", "l_quantity", Seq("p50_exact" -> 0.5),
+        expectedGroups = Some(3L))
       li.join(broadcast(ap), "l_returnflag")
         .groupBy("l_returnflag")
         .agg(expr("(sum(CASE WHEN l_quantity <= ap THEN 1 ELSE 0 END) * 1000) div count(1)")

@@ -757,7 +757,8 @@ object StatsQueries extends QueryPack {
     "stats_winsorize" -> ((s, d) => {
       val li = Tables.lineitem(s, d).select(col("l_returnflag"), col("l_extendedprice"))
       val bounds = graft.ops.StatsOps.groupedExactPercentiles(li,
-          "l_returnflag", "l_extendedprice", Seq("lo" -> 0.05, "hi" -> 0.95))
+          "l_returnflag", "l_extendedprice", Seq("lo" -> 0.05, "hi" -> 0.95),
+          expectedGroups = Some(3L))
         .withColumnRenamed("l_returnflag", "g")
       li.join(broadcast(bounds), col("l_returnflag") === col("g"))
         .withColumn("w", least(greatest(col("l_extendedprice"), col("lo")), col("hi")))
