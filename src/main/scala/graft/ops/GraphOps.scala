@@ -30,9 +30,18 @@ object GraphOps {
     // both directions, so a label can flow either way across an edge
     val both = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = both.select(col("src").as("id")).distinct()
+    // every round's localCheckpoint persists an RDD; they are OURS to
+    // release. Left to the ContextCleaner they linger until a GC cycle —
+    // block-manager hygiene (cached_rdds == 0 after every query) must
+    // not be a GC race.
+    val ckpts = scala.collection.mutable.ListBuffer.empty[org.apache.spark.rdd.RDD[_]]
+    def track(ds: DataFrame): DataFrame = {
+      org.apache.spark.sql.GraftSqlBridge.checkpointRdd(ds).foreach(ckpts += _)
+      ds
+    }
+    var labels = track(both.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))
-      .localCheckpoint()
+      .localCheckpoint())
     var iters = 0
     var converged = false
     while (!converged && iters < maxIters) {
@@ -46,10 +55,10 @@ object GraphOps {
         .union(prop.select(col("id"), col("comp"),
           lit(null).cast("long").as("prev"))) // min ignores nulls ⇒ prev = own old label
         .groupBy("id").agg(min("comp").as("comp"), min("prev").as("prev"))
-      val next = propagated.select(col("id"), col("comp").as("mid"), col("prev"))
+      val next = track(propagated.select(col("id"), col("comp").as("mid"), col("prev"))
         .join(propagated.select(col("id").as("mid"), col("comp")), "mid")
         .select(col("id"), col("comp"), col("prev"))
-        .localCheckpoint() // eager: executes the round AND truncates lineage
+        .localCheckpoint()) // eager: executes the round AND truncates lineage
       val changed = next.filter(col("comp") =!= col("prev"))
         .limit(1).count() // existence probe on materialized rows, no shuffle
       labels = next.select("id", "comp")
@@ -58,6 +67,14 @@ object GraphOps {
     }
     both.unpersist()
     require(converged, s"connectedComponents did not converge in $maxIters iterations")
-    labels
+    // the result must outlive the checkpoints we are about to release:
+    // spill the (small) label table to scratch parquet and hand back the
+    // file-backed frame, then unpersist every round's checkpoint RDD —
+    // deterministically, not whenever the next GC lets the cleaner run
+    val spark = edges.sparkSession
+    val out = s"${Scratch.base}/cc_${java.util.UUID.randomUUID.toString.take(8)}"
+    labels.write.mode("overwrite").parquet(out)
+    ckpts.foreach(_.unpersist(blocking = false))
+    spark.read.parquet(out)
   }
 }

@@ -22,12 +22,25 @@ object GraftSqlBridge {
   def ofRows(spark: SparkSession, plan: catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 
+  /** The persisted RDD behind a `localCheckpoint`ed Dataset (None when
+    * the plan carries no LogicalRDD). Iterative operators (GraphOps)
+    * track these so they can unpersist THEIR OWN checkpoints
+    * deterministically once the result is materialized — leaving them to
+    * the ContextCleaner makes block-manager hygiene a GC race, and
+    * force-unpersisting by diffing `getPersistentRDDs` could hit a
+    * concurrent caller's live checkpoint.
+    */
+  def checkpointRdd(ds: Dataset[_]): Option[org.apache.spark.rdd.RDD[_]] =
+    ds.queryExecution.analyzed.collectFirst {
+      case lr: execution.LogicalRDD => lr.rdd
+    }
+
   /** Register graft_cosine / graft_dot as temp SQL functions. */
   def registerFunctions(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
     registry.createOrReplaceTempFunction("graft_cosine",
-      exprs => graft.functions.CosineSimilarity(exprs(0), exprs(1)), "built-in")
+      exprs => _root_.graft.functions.CosineSimilarity(exprs(0), exprs(1)), "built-in")
     registry.createOrReplaceTempFunction("graft_dot",
-      exprs => graft.functions.DotProduct(exprs(0), exprs(1)), "built-in")
+      exprs => _root_.graft.functions.DotProduct(exprs(0), exprs(1)), "built-in")
   }
 }
