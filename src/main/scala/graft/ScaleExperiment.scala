@@ -31,6 +31,17 @@ object ScaleExperiment {
   private val Cap = 2    // dedup_minhash_capped keeps buckets with ≤ 2 members
   private val NBands = 8 // MinHashSignature emits 8 bands
 
+  /** Drain the walk to a list and CLOSE the stream before deleting — the
+    * open-iterator reverse leaked a directory fd per run (ADVICE r12).
+    */
+  private def deleteRecursively(root: java.nio.file.Path): Unit = {
+    val st = java.nio.file.Files.walk(root)
+    val paths =
+      try st.iterator().asScala.toList
+      finally st.close()
+    paths.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val k = sys.env.getOrElse("SPARK_GRAFT_SCALE_K", "10").toInt
@@ -84,9 +95,7 @@ object ScaleExperiment {
       val t = s"${sys.props("java.io.tmpdir")}/graft-dvamp-$tag"
       val root = java.nio.file.Paths.get(t)
       if (java.nio.file.Files.isDirectory(root))
-        java.nio.file.Files.walk(root).iterator()
-          .asInstanceOf[java.util.Iterator[java.nio.file.Path]]
-          .asScala.toSeq.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+        deleteRecursively(root)
       val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
       graft.ops.TxLog.append(docs, t)
       val before = dirBytes(java.nio.file.Paths.get(t, "data"))
@@ -112,9 +121,7 @@ object ScaleExperiment {
       val t = s"${sys.props("java.io.tmpdir")}/graft-part-$tag"
       val root = java.nio.file.Paths.get(t)
       if (java.nio.file.Files.isDirectory(root))
-        java.nio.file.Files.walk(root).iterator()
-          .asInstanceOf[java.util.Iterator[java.nio.file.Path]]
-          .asScala.toSeq.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+        deleteRecursively(root)
       graft.ops.TxLog.appendPartitioned(
         Tables.documents(spark, dir).select(col("doc_id"), col("lang")), t, "lang")
       val (rel, scanned, total) = graft.ops.TxLog.snapshotPartitionPruned(

@@ -74,7 +74,8 @@ object TxLog {
                             dv: Seq[String] = Seq.empty,
                             checks: Seq[(String, String)] = Seq.empty,
                             renames: Seq[Rename] = Seq.empty,
-                            drops: Seq[Drop] = Seq.empty)
+                            drops: Seq[Drop] = Seq.empty,
+                            ts: Option[Long] = None)
 
   /** A resolved snapshot: the live segments (with accumulated stats) plus
     * the DELETION-VECTOR CHAIN in force — parquet segments of
@@ -98,15 +99,37 @@ object TxLog {
     * recorded at write time so planners can size joins from the manifest
     * alone ([[tableRowCount]] / [[ndvBounds]] — the Delta/Iceberg
     * table-stats surface CBO reads).
+    *
+    * `extra` carries the SAME shape for further tracked columns (Delta and
+    * Iceberg record per-file stats for N declared columns; real tables
+    * prune on several keys, not one). Extras never nest and never carry a
+    * bloom; [[statsFor]] is the one lookup every pruning consumer uses.
     */
   final case class SegStats(col: String, min: Long, max: Long,
                             bloomHex: Option[String] = None,
                             rows: Option[Long] = None,
                             ndv: Option[Long] = None,
-                            hist: Option[Seq[Long]] = None)
+                            hist: Option[Seq[Long]] = None,
+                            extra: Seq[SegStats] = Seq.empty) {
+    /** Stats recorded for column `c`, primary or extra; None means this
+      * segment can never be pruned on `c` (conservatively scanned).
+      */
+    def statsFor(c: String): Option[SegStats] =
+      if (col == c && c.nonEmpty) Some(this) else extra.find(_.col == c)
+
+    /** Every column this segment tracks (sentinel rows-only "" excluded). */
+    def trackedCols: Seq[String] = (col +: extra.map(_.col)).filter(_.nonEmpty)
+  }
 
   private def logDir(table: String): Path = Paths.get(table, "_txlog")
   private def fmt(v: Long): String = f"$v%020d.json"
+
+  /** Drain a `Files.list`/`Files.walk` stream to a List and CLOSE it —
+    * the NIO streams hold a directory fd until closed, and the bare
+    * `.iterator().asScala` idiom leaked one per call (ADVICE r12).
+    */
+  private def listClosed(s: java.util.stream.Stream[Path]): List[Path] =
+    try s.iterator().asScala.toList finally s.close()
 
   def init(table: String): Unit = {
     Files.createDirectories(logDir(table))
@@ -116,31 +139,34 @@ object TxLog {
   private def listVersions(table: String): Seq[Long] = {
     val dir = logDir(table)
     if (!Files.isDirectory(dir)) Seq.empty
-    else Files.list(dir).iterator().asScala
+    else listClosed(Files.list(dir))
       .map(_.getFileName.toString)
       .filter(_.matches("\\d{20}\\.json"))
       .map(_.stripSuffix(".json").toLong)
-      .toSeq.sorted
+      .sorted
   }
 
   def currentVersion(table: String): Long =
     listVersions(table).lastOption.getOrElse(0L)
 
   /** TIMESTAMP time travel (Delta's `timestampAsOf`): the greatest
-    * version whose commit time is ≤ `tsMillis`. Commit time is the
-    * manifest file's mtime — the publish (link(2)/conditional-PUT) stamps
-    * it, and publishes are sequential per table, so times ascend with
-    * versions. A coarse-granularity or skewed filesystem can still
-    * report ties or inversions; version order is authoritative, so times
-    * are adjusted to a running maximum before the cut (exactly Delta's
-    * commit-timestamp monotonicity rule). Errors when `tsMillis`
-    * predates the first commit — there is no table to read there.
+    * version whose commit time is ≤ `tsMillis`. Commit time is the `ts`
+    * the writer stamped INSIDE the manifest at publish (Delta persists
+    * in-commit timestamps precisely so a copy/rsync/backup-restore of
+    * the log — which rewrites every mtime — cannot shift time-travel
+    * cuts); pre-r13 manifests carry no `ts` and fall back to the file's
+    * mtime. Publishes are sequential per table, so times ascend with
+    * versions; a skewed clock can still report ties or inversions, and
+    * version order is authoritative, so times are adjusted to a running
+    * maximum before the cut (exactly Delta's commit-timestamp
+    * monotonicity rule). Errors when `tsMillis` predates the first
+    * commit — there is no table to read there.
     */
   def versionAtTimestamp(table: String, tsMillis: Long): Long = {
     val vs = listVersions(table)
     require(vs.nonEmpty, s"versionAtTimestamp on empty log $table")
-    val mono = vs.map(v =>
-        Files.getLastModifiedTime(logDir(table).resolve(fmt(v))).toMillis)
+    val mono = vs.map(v => readManifest(table, v).ts.getOrElse(
+        Files.getLastModifiedTime(logDir(table).resolve(fmt(v))).toMillis))
       .scanLeft(Long.MinValue)(math.max).tail
     val at = vs.zip(mono).takeWhile(_._2 <= tsMillis)
     require(at.nonEmpty,
@@ -170,13 +196,19 @@ object TxLog {
 
   private def manifestJson(m: Manifest): String = {
     def arr(xs: Seq[String]) = xs.map(jstr).mkString("[", ",", "]")
-    val stats = m.stats.map { case (p, s) =>
+    def statJson(s: SegStats): String = {
       val bloom = s.bloomHex.map(h => s""","bloom":${jstr(h)}""").getOrElse("")
       val rows = s.rows.map(r => s""","rows":$r""").getOrElse("")
       val ndv = s.ndv.map(n => s""","ndv":$n""").getOrElse("")
       val hist = s.hist.map(h =>
         s""","hist":${h.mkString("[", ",", "]")}""").getOrElse("")
-      s"""${jstr(p)}:{"col":${jstr(s.col)},"min":${s.min},"max":${s.max}$bloom$rows$ndv$hist}"""
+      val cols =
+        if (s.extra.isEmpty) ""
+        else s.extra.map(statJson).mkString(""","cols":[""", ",", "]")
+      s"""{"col":${jstr(s.col)},"min":${s.min},"max":${s.max}$bloom$rows$ndv$hist$cols}"""
+    }
+    val stats = m.stats.map { case (p, s) =>
+      s"""${jstr(p)}:${statJson(s)}"""
     }.mkString("{", ",", "}")
     // schemaJson is already JSON (StructType.json) — embedded verbatim
     val schema = m.schemaJson.map(j => s""","schema":$j""").getOrElse("")
@@ -200,9 +232,10 @@ object TxLog {
         s"""{"name":${jstr(dr.name)},""" +
           s""""segs":${dr.segs.toSeq.sorted.map(jstr).mkString("[", ",", "]")}}"""
       }.mkString(""","drops":[""", ",", "]")
+    val ts = m.ts.map(t => s""","ts":$t""").getOrElse("")
     s"""{"version":${m.version},"op":${jstr(m.op)},"adds":${arr(m.adds)},""" +
       s""""removes":${arr(m.removes)},"readVersion":${m.readVersion},""" +
-      s""""stats":$stats$schema$dv$check$renames$drops}"""
+      s""""stats":$stats$schema$dv$check$renames$drops$ts}"""
   }
 
   def readManifest(table: String, v: Long): Manifest = {
@@ -217,7 +250,8 @@ object TxLog {
       schemaJson, dvField(node),
       Option(node.get("checks")).map(_.elements().asScala.map(c =>
         (c.get("name").asText(), c.get("expr").asText())).toSeq).getOrElse(Seq.empty),
-      renamesField(node), dropsField(node))
+      renamesField(node), dropsField(node),
+      Option(node.get("ts")).map(_.asLong()))
   }
 
   /** The manifest `dv` field: a path array since r12 (the chain entries
@@ -232,18 +266,21 @@ object TxLog {
     }
 
   private def statsField(
-      node: com.fasterxml.jackson.databind.JsonNode): Map[String, SegStats] =
+      node: com.fasterxml.jackson.databind.JsonNode): Map[String, SegStats] = {
+    def parseStat(v: com.fasterxml.jackson.databind.JsonNode): SegStats =
+      SegStats(v.get("col").asText(),
+        v.get("min").asLong(), v.get("max").asLong(),
+        Option(v.get("bloom")).map(_.asText()),
+        Option(v.get("rows")).map(_.asLong()),
+        Option(v.get("ndv")).map(_.asLong()),
+        Option(v.get("hist")).map(
+          _.elements().asScala.map(_.asLong()).toSeq),
+        Option(v.get("cols")).fold(Seq.empty[SegStats])(
+          _.elements().asScala.map(parseStat).toSeq))
     Option(node.get("stats")).map { sn =>
-      sn.properties().asScala.map { e =>
-        e.getKey -> SegStats(e.getValue.get("col").asText(),
-          e.getValue.get("min").asLong(), e.getValue.get("max").asLong(),
-          Option(e.getValue.get("bloom")).map(_.asText()),
-          Option(e.getValue.get("rows")).map(_.asLong()),
-          Option(e.getValue.get("ndv")).map(_.asLong()),
-          Option(e.getValue.get("hist")).map(
-            _.elements().asScala.map(_.asLong()).toSeq))
-      }.toMap
+      sn.properties().asScala.map(e => e.getKey -> parseStat(e.getValue)).toMap
     }.getOrElse(Map.empty[String, SegStats])
+  }
 
   private def renamesField(node: com.fasterxml.jackson.databind.JsonNode): Seq[Rename] =
     Option(node.get("renames")).fold(Seq.empty[Rename]) { rs =>
@@ -386,6 +423,7 @@ object TxLog {
     // rewritten away (compact)
     if (added.nonEmpty) {
       val liveNow = liveFiles(table, Some(rv)).toSet
+      val renamesAll = tableStateViaCheckpoint(table, Some(rv)).renames
       added.foreach { nf =>
         dropHistory(table).find(dr =>
             dr.name == nf.name && dr.segs.intersect(liveNow).nonEmpty).foreach { dr =>
@@ -393,6 +431,24 @@ object TxLog {
             s"evolve of $table re-adds dropped column '${nf.name}' while " +
               s"${dr.segs.intersect(liveNow).size} pre-drop segment(s) are still " +
               "live — their old values would resurrect; compact (rewrite) first")
+        }
+        // a RENAME leaves the old physical name in every pre-rename
+        // segment: adding that name back while any such segment is live
+        // either resurrects the old values (if the name was later
+        // dropped under its new name — the drop record holds the NEW
+        // name, so the check above never fires) or maps two logical
+        // fields onto one physical column (duplicate-field physSchema,
+        // every snapshot throws until compact). Refuse both (ADVICE r12,
+        // high): the added name must not be any rename's oldName whose
+        // affected segments are still live.
+        renamesAll.find(r =>
+            r.oldName == nf.name && r.segs.intersect(liveNow).nonEmpty).foreach { r =>
+          throw new IllegalArgumentException(
+            s"evolve of $table re-adds '${nf.name}', the pre-rename physical " +
+              s"name of '${r.newName}', while ${r.segs.intersect(liveNow).size} " +
+              "pre-rename segment(s) are still live — their physical " +
+              s"'${nf.name}' bytes would collide with the new column; " +
+              "compact (rewrite) first")
         }
       }
     }
@@ -524,6 +580,17 @@ object TxLog {
     * and alias back — the plan is |epochs| scans unioned, never per-file
     * work, and no byte is rewritten.
     */
+  /** Physical column names of `logicalNames` inside segment `file` under
+    * the rename history (newest→oldest walk; chained renames compose) —
+    * the same per-file mapping [[readFiles]] applies, public so the
+    * stream source can translate its batches across rename epochs.
+    */
+  def physicalNames(file: String, logicalNames: Seq[String],
+                    renames: Seq[Rename]): Seq[String] =
+    logicalNames.map(n => renames.reverseIterator.foldLeft(n) { (nn, r) =>
+      if (r.newName == nn && r.segs.contains(file)) r.oldName else nn
+    })
+
   private def readFiles(spark: SparkSession, files: Seq[String],
                         schemaOpt: Option[org.apache.spark.sql.types.StructType],
                         renames: Seq[Rename] = Seq.empty,
@@ -826,8 +893,10 @@ object TxLog {
             "data was validated against the old table metadata; re-validate " +
             "and retry against the new snapshot")
       val target = cur + 1
+      // commit wall-clock stamped INSIDE the manifest: mtime-derived time
+      // travel silently shifts after any copy/rsync of the log (ADVICE r12)
       val m = Manifest(target, op, adds, removes, readVersion, stats, schemaJson,
-        dv, checks, renames, drops)
+        dv, checks, renames, drops, ts = Some(System.currentTimeMillis()))
       val tmp = Files.createTempFile(logDir(table), s".$target-", ".tmp")
       Files.writeString(tmp, manifestJson(m))
       try {
@@ -891,27 +960,46 @@ object TxLog {
     */
   val HistBuckets = 32
 
-  def appendWithStats(df: DataFrame, table: String, statsCol: String): Long = {
+  def appendWithStats(df: DataFrame, table: String, statsCol: String): Long =
+    appendWithStats(df, table, Seq(statsCol))
+
+  /** Multi-column variant: min/max/NDV/histogram recorded for EVERY
+    * declared column, all computed in the SAME single aggregate pass over
+    * the staged segment (Delta/Iceberg record per-file stats for N
+    * columns for the same reason — real tables prune on several keys).
+    * Any of them then drives manifest skipping ([[snapshotPrunedMulti]])
+    * and range selectivity ([[estimatedRangeRows]]).
+    */
+  def appendWithStats(df: DataFrame, table: String, statsCols: Seq[String]): Long = {
     import org.apache.spark.sql.functions.{count, countDistinct, lit,
       max => fmax, min => fmin, col => fcol, percentile_approx, array}
+    require(statsCols.nonEmpty, s"appendWithStats($table) needs >= 1 stats column")
     val rv = currentVersion(table) // before validation — see append
     validateWrite(df, table)
     val p = stage(df, table)
     // one agg pass also records ANALYZE stats (rows + exact NDV + a
-    // 32-bucket EQUI-DEPTH HISTOGRAM of the tracked column) — write-time
+    // 32-bucket EQUI-DEPTH HISTOGRAM per tracked column) — write-time
     // bookkeeping that lets every future planner size this segment AND
     // estimate range selectivity from the manifest without a scan
     val probs = array((0 to HistBuckets).map(i =>
       lit(i.toDouble / HistBuckets)): _*)
-    val r = df.sparkSession.read.parquet(p)
-      .agg(fmin(fcol(statsCol).cast("long")), fmax(fcol(statsCol).cast("long")),
-        count(lit(1)), countDistinct(fcol(statsCol)),
-        percentile_approx(fcol(statsCol).cast("long"), probs, lit(10000))).head()
-    val stats =
-      if (r.isNullAt(0)) Map.empty[String, SegStats]
-      else Map(p -> SegStats(statsCol, r.getLong(0), r.getLong(1), None,
-        Some(r.getLong(2)), Some(r.getLong(3)),
-        Option(r.getSeq[Long](4)).map(_.toSeq)))
+    val aggs = count(lit(1)) +: statsCols.flatMap(c => Seq(
+      fmin(fcol(c).cast("long")), fmax(fcol(c).cast("long")),
+      countDistinct(fcol(c)),
+      percentile_approx(fcol(c).cast("long"), probs, lit(10000))))
+    val r = df.sparkSession.read.parquet(p).agg(aggs.head, aggs.tail: _*).head()
+    val n = r.getLong(0)
+    val per = statsCols.zipWithIndex.flatMap { case (c, i) =>
+      val o = 1 + i * 4 // all-null column: min is null — no stats for it
+      if (r.isNullAt(o)) None
+      else Some(SegStats(c, r.getLong(o), r.getLong(o + 1), None,
+        Some(n), Some(r.getLong(o + 2)),
+        Option(r.getSeq[Long](o + 3)).map(_.toSeq)))
+    }
+    val stats = per match {
+      case Seq() => Map.empty[String, SegStats]
+      case head +: rest => Map(p -> head.copy(extra = rest))
+    }
     commit(table, "append", Seq(p), Seq.empty, rv, stats)
   }
 
@@ -930,7 +1018,7 @@ object TxLog {
                          asOf: Option[Long] = None): Option[Double] = {
     val st = tableStateViaCheckpoint(table, asOf)
     if (st.dv.nonEmpty || hi < lo) return None
-    val per = st.segments.map(_._2.filter(_.col == col).flatMap(s =>
+    val per = st.segments.map(_._2.flatMap(_.statsFor(col)).flatMap(s =>
       (s.rows, s.hist) match {
         case (Some(r), Some(h)) => Some(r * histSelectivity(h, lo, hi))
         case _ => None
@@ -974,6 +1062,23 @@ object TxLog {
     if (rows.exists(_.isEmpty)) None else Some(rows.flatten.sum)
   }
 
+  /** Table-wide [min, max] of a tracked column from manifest metadata
+    * alone — exact (nulls excluded on both sides, matching SQL MIN/MAX)
+    * when every live segment carries stats for `col` and no deletion
+    * vector is in force; None otherwise (the honest-planner refusal
+    * shared with [[tableRowCount]]). NB stats are recorded as
+    * cast-to-long, so callers must only trust this for LONG columns
+    * ([[graft.plans.ManifestCountRule]] checks the schema).
+    */
+  def tableMinMax(table: String, col: String,
+                  asOf: Option[Long] = None): Option[(Long, Long)] = {
+    val st = tableStateViaCheckpoint(table, asOf)
+    if (st.dv.nonEmpty || st.segments.isEmpty) return None
+    val per = st.segments.map(_._2.flatMap(_.statsFor(col)))
+    if (per.exists(_.isEmpty)) None
+    else Some((per.flatten.map(_.min).min, per.flatten.map(_.max).max))
+  }
+
   /** NDV bounds for the tracked column from manifest metadata: segments'
     * exact per-segment NDVs give [max(ndv_i), Σ ndv_i] — the true table
     * NDV lies within (equality on the left when one segment dominates,
@@ -985,7 +1090,7 @@ object TxLog {
                 asOf: Option[Long] = None): Option[(Long, Long)] = {
     val st = tableStateViaCheckpoint(table, asOf)
     if (st.dv.nonEmpty) return None // soft deletes may have removed values
-    val ndvs = st.segments.map(_._2.filter(_.col == col).flatMap(_.ndv))
+    val ndvs = st.segments.map(_._2.flatMap(_.statsFor(col)).flatMap(_.ndv))
     if (ndvs.isEmpty || ndvs.exists(_.isEmpty)) None
     else Some((ndvs.flatten.max, ndvs.flatten.sum))
   }
@@ -1058,9 +1163,9 @@ object TxLog {
     val all = st.segments
     val keep = all.collect {
       case (p, None) => p
-      case (p, Some(s)) if s.col != keyCol => p
-      case (p, Some(s)) if key >= s.min && key <= s.max &&
-        s.bloomHex.forall(bloomMightContain(_, pos)) => p
+      case (p, Some(s)) if s.statsFor(keyCol).forall(cs =>
+        key >= cs.min && key <= cs.max &&
+          cs.bloomHex.forall(bloomMightContain(_, pos))) => p
     }
     require(keep.nonEmpty, s"key $key pruned from every segment of $table")
     val rel = readSegments(spark, keep, recordedSchema(table), st)
@@ -1121,11 +1226,44 @@ object TxLog {
     val all = st.segments
     val keep = all.collect {
       case (p, None) => p
-      case (p, Some(s)) if s.col != statsCol || (s.max >= lo && s.min <= hi) => p
+      case (p, Some(s)) if s.statsFor(statsCol).forall(cs =>
+        cs.max >= lo && cs.min <= hi) => p
     }
     require(keep.nonEmpty, s"predicate [$lo,$hi] prunes every segment of $table")
     val rel = readSegments(spark, keep, recordedSchema(table), st)
     (rel, keep.size, all.size)
+  }
+
+  /** Stats-pruned snapshot over SEVERAL conjunctive range predicates at
+    * once — the multi-column skipping read ([[appendWithStats]] records
+    * per-segment stats for N columns; a segment is skipped when ANY
+    * constrained column's recorded [min, max] misses its range;
+    * stat-less columns/segments are conservatively kept). LENIENT on the
+    * all-pruned case: a legal query whose predicate excludes every
+    * segment gets an EMPTY relation of the snapshot schema, not an error
+    * (ADVICE r12 — `spark.read.format("txlog")` routes pushed predicates
+    * here, and a zero-row query is an ordinary query). The assert-style
+    * [[snapshotPruned]] keeps its require for callers pinning geometry.
+    */
+  def snapshotPrunedMulti(spark: SparkSession, table: String,
+                          bounds: Seq[(String, Long, Long)],
+                          asOf: Option[Long] = None): (DataFrame, Int, Int) = {
+    val st = tableStateViaCheckpoint(table, asOf)
+    val all = st.segments
+    require(all.nonEmpty, s"no committed segments in $table")
+    val keep = all.collect {
+      case (p, None) => p
+      case (p, Some(s)) if bounds.forall { case (c, lo, hi) =>
+        s.statsFor(c).forall(cs => cs.max >= lo && cs.min <= hi) } => p
+    }
+    if (keep.isEmpty) {
+      val schema = readSegments(spark, all.map(_._1),
+        recordedSchema(table, asOf), st).schema
+      (spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema),
+        0, all.size)
+    } else (readSegments(spark, keep, recordedSchema(table, asOf), st),
+      keep.size, all.size)
   }
 
   /** Hive-style PARTITIONED append: one distributed write fans the frame
@@ -1155,10 +1293,10 @@ object TxLog {
     validateWrite(df, table)
     val base = s"$table/data/${java.util.UUID.randomUUID}"
     df.write.mode(SaveMode.ErrorIfExists).partitionBy(partCol).parquet(base)
-    val subdirs = Files.list(Paths.get(base)).iterator().asScala
+    val subdirs = listClosed(Files.list(Paths.get(base)))
       .filter(p => Files.isDirectory(p) &&
         p.getFileName.toString.startsWith(partCol + "="))
-      .map(_.toString).toSeq.sorted
+      .map(_.toString).sorted
     require(subdirs.nonEmpty, s"partitioned append to $table staged no partitions")
     commit(table, "append", subdirs, Seq.empty, rv)
   }
@@ -1202,6 +1340,31 @@ object TxLog {
     (rel, keep.size, st.segments.size)
   }
 
+  /** Full-table overwrite STAGED PARTITIONED (the `df.write.format("txlog")
+    * .mode("overwrite").partitionBy(c).save(t)` shape): the replacement
+    * fans into `partCol=value` segment dirs like [[appendPartitioned]],
+    * and ONE commit swaps them for the exact live set this writer read —
+    * any concurrent commit aborts the swap, and readers see the old or
+    * the new layout, never a mix.
+    */
+  def overwritePartitioned(df: DataFrame, table: String, partCol: String): Long = {
+    init(table)
+    require(df.schema(partCol).dataType ==
+      org.apache.spark.sql.types.StringType,
+      s"partition column $partCol must be STRING (values become path components)")
+    val rv = currentVersion(table) // before validation — see append
+    validateWrite(df, table)
+    val live = liveFiles(table, Some(rv))
+    val base = s"$table/data/${java.util.UUID.randomUUID}"
+    df.write.mode(SaveMode.ErrorIfExists).partitionBy(partCol).parquet(base)
+    val subdirs = listClosed(Files.list(Paths.get(base)))
+      .filter(p => Files.isDirectory(p) &&
+        p.getFileName.toString.startsWith(partCol + "="))
+      .map(_.toString).sorted
+    require(subdirs.nonEmpty, s"partitioned overwrite of $table staged no partitions")
+    commit(table, "overwrite", subdirs, live, rv)
+  }
+
   /** Dynamic PARTITION OVERWRITE (Delta's `replaceWhere` / Spark's
     * dynamic partition-overwrite mode, through the commit protocol):
     * atomically replace exactly the `partCol=value` segments with the
@@ -1224,10 +1387,10 @@ object TxLog {
       .filter(p => Paths.get(p).getFileName.toString == s"$partCol=$value")
     val base = s"$table/data/${java.util.UUID.randomUUID}"
     df.write.mode(SaveMode.ErrorIfExists).partitionBy(partCol).parquet(base)
-    val subdirs = Files.list(Paths.get(base)).iterator().asScala
+    val subdirs = listClosed(Files.list(Paths.get(base)))
       .filter(p => Files.isDirectory(p) &&
         p.getFileName.toString == s"$partCol=$value")
-      .map(_.toString).toSeq
+      .map(_.toString)
     require(subdirs.size == 1,
       s"overwritePartition staged ${subdirs.size} dirs for $partCol=$value")
     commit(table, "overwrite", subdirs, old, rv)
@@ -1428,16 +1591,28 @@ object TxLog {
                            op: String): Map[String, SegStats] = {
     import org.apache.spark.sql.functions.{count, countDistinct, lit,
       max => fmax, min => fmin, col => fcol}
-    val tracked = st.segments.flatMap(_._2).map(_.col).filter(_.nonEmpty).distinct
+    val tracked = st.segments.flatMap(_._2).flatMap(_.trackedCols).distinct
     val seg = spark.read.parquet(p)
-    tracked match {
-      case Seq(c) if seg.columns.contains(c) =>
-        val r = seg.agg(fmin(fcol(c).cast("long")), fmax(fcol(c).cast("long")),
-          count(lit(1)), countDistinct(fcol(c))).head()
-        if (r.isNullAt(0)) Map(p -> rowsOnlyStats(r.getLong(2)))
-        else Map(p -> SegStats(c, r.getLong(0), r.getLong(1), None,
-          Some(r.getLong(2)), Some(r.getLong(3))))
-      case _ => Map(p -> rowsOnlyStats(seg.count()))
+    val present = tracked.filter(seg.columns.contains)
+    if (present.isEmpty) Map(p -> rowsOnlyStats(seg.count()))
+    else {
+      // every pre-rewrite tracked column re-recorded in ONE agg pass —
+      // OPTIMIZE must not shrink the multi-column skipping surface
+      val aggs = count(lit(1)) +: present.flatMap(c => Seq(
+        fmin(fcol(c).cast("long")), fmax(fcol(c).cast("long")),
+        countDistinct(fcol(c))))
+      val r = seg.agg(aggs.head, aggs.tail: _*).head()
+      val n = r.getLong(0)
+      val per = present.zipWithIndex.flatMap { case (c, i) =>
+        val o = 1 + i * 3
+        if (r.isNullAt(o)) None
+        else Some(SegStats(c, r.getLong(o), r.getLong(o + 1), None,
+          Some(n), Some(r.getLong(o + 2))))
+      }
+      per match {
+        case Seq() => Map(p -> rowsOnlyStats(n))
+        case h +: t => Map(p -> h.copy(extra = t))
+      }
     }
   }
 
@@ -1786,11 +1961,11 @@ object TxLog {
   def checkpointVersions(table: String): Seq[Long] = {
     val dir = logDir(table)
     if (!Files.isDirectory(dir)) Seq.empty
-    else Files.list(dir).iterator().asScala
+    else listClosed(Files.list(dir))
       .map(_.getFileName.toString)
       .filter(_.matches("\\d{20}\\.checkpoint\\.json"))
       .map(_.stripSuffix(".checkpoint.json").toLong)
-      .toSeq.sorted
+      .sorted
   }
 
   private def readCheckpoint(table: String, v: Long): Manifest = {
@@ -1868,13 +2043,12 @@ object TxLog {
     val cutoff = System.currentTimeMillis() - minAgeMillis
     // a partitioned append references SUBDIRS (uuid/partCol=v) of a
     // staging dir: the parent is live iff any kept path is at or under it
-    val doomed = Files.list(dataDir).iterator().asScala
+    val doomed = listClosed(Files.list(dataDir))
       .filterNot(p => keep.exists(k =>
         k == p.toString || k.startsWith(p.toString + "/")))
       .filter(p => Files.getLastModifiedTime(p).toMillis <= cutoff)
-      .toSeq
     doomed.foreach { p =>
-      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      listClosed(Files.walk(p)).reverse.foreach(Files.deleteIfExists(_))
     }
     doomed.map(_.toString)
   }

@@ -139,6 +139,7 @@ object GraftFunctions {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => LevenshteinThresholdRewrite)
+    e.injectOptimizerRule(_ => ManifestCountRule)
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)
     GraftFunctions.all.foreach(e.injectFunction)
   }

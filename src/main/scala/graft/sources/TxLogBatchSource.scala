@@ -4,35 +4,53 @@ import graft.ops.TxLog
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types.StructType
-import org.apache.spark.sql.{Row, SQLContext, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SQLContext, SaveMode, SparkSession}
 
-/** `spark.read.format("txlog")` — the standard Spark spelling for the
-  * transactional lake ([[graft.ops.TxLog]]), so a reader needs no
-  * library API at all:
+/** `spark.read.format("txlog")` / `df.write.format("txlog")` — the
+  * standard Spark spellings for the transactional lake
+  * ([[graft.ops.TxLog]]), so neither side needs any library API:
   *
   * {{{
   *   spark.read.format("txlog").load(tablePath)                  // head
   *   spark.read.format("txlog")
   *     .option("versionAsOf", 3).load(tablePath)                 // time travel
+  *
+  *   df.write.format("txlog").mode("append").save(tablePath)     // commit
+  *   df.write.format("txlog").mode("overwrite")
+  *     .partitionBy("lang").save(tablePath)                      // partitioned swap
+  *   df.write.format("txlog")
+  *     .option("statsCols", "k1,k2").save(tablePath)             // + skipping stats
   * }}}
   *
-  * Implemented as a V1 `PrunedFilteredScan`: Spark hands the relation
-  * the query's pushable predicates and required columns, and
-  * `buildScan` turns range/point predicates on the table's tracked
-  * stats column into MANIFEST SEGMENT PRUNING (min/max skipping via
-  * [[TxLog.snapshotPruned]]) before any file is opened — the same
-  * planning-time skipping `snapshot()` callers get explicitly, now
-  * driven by the optimizer's pushdown. Column pruning applies to the
-  * inner parquet scan (projection before `.rdd`). Every filter is
+  * READ: a V1 `PrunedFilteredScan` — Spark hands the relation the query's
+  * pushable predicates and required columns, and `buildScan` turns
+  * range/point predicates on ANY of the table's tracked stats columns
+  * into MANIFEST SEGMENT PRUNING (min/max skipping via
+  * [[TxLog.snapshotPrunedMulti]]) before any file is opened. A predicate
+  * that prunes EVERY segment yields an empty relation, not an error
+  * (ADVICE r12) — a zero-row query is an ordinary query. Every filter is
   * reported unhandled, so Spark re-applies predicates row-level —
   * segment skipping is a superset guarantee, exactly like parquet
   * row-group skipping.
   *
-  * Reference parity note: the reference reads everything through
-  * `spark.read.<format>` (`/root/reference/scripts/pyspark.py:49-84`);
-  * this gives its lake tables the same entry point.
+  * WRITE: a `CreatableRelationProvider` routing each `SaveMode` to the
+  * matching commit primitive — append / appendPartitioned / overwrite /
+  * overwritePartitioned, with `statsCols` riding the append through
+  * [[TxLog.appendWithStats]]. `partitionBy(...)` arrives through Spark's
+  * own encoded option (the key `DataFrameWriter` sets for every V1
+  * source); exactly one partition column is supported, matching the
+  * path-encoded layout. ErrorIfExists refuses a table with committed
+  * versions; Ignore is a silent no-op on one. Every path lands as ONE
+  * atomic manifest with full CAS semantics — two racing overwrites
+  * conflict exactly like the library API.
+  *
+  * Reference parity note: the reference both reads and writes through
+  * `spark.read.<format>` / `df.write.partitionBy(...).mode(...).save(...)`
+  * (`/root/reference/scripts/pyspark.py:49-84,306-322`); this gives its
+  * lake tables the same two entry points.
   */
-final class TxLogBatchSource extends RelationProvider with DataSourceRegister {
+final class TxLogBatchSource extends RelationProvider
+    with CreatableRelationProvider with DataSourceRegister {
   override def shortName(): String = "txlog"
 
   override def createRelation(sqlContext: SQLContext,
@@ -42,17 +60,68 @@ final class TxLogBatchSource extends RelationProvider with DataSourceRegister {
     val asOf = parameters.get("versionAsOf").map(_.toLong)
     new TxLogRelation(sqlContext, table, asOf)
   }
+
+  override def createRelation(sqlContext: SQLContext, mode: SaveMode,
+                              parameters: Map[String, String],
+                              data: DataFrame): BaseRelation = {
+    val table = parameters.getOrElse("path", throw new IllegalArgumentException(
+      "txlog batch sink requires .save(tablePath)"))
+    val partCols = TxLogBatchSource.partitionColumns(parameters)
+    require(partCols.lengthCompare(1) <= 0,
+      s"txlog sink supports one partition column, got ${partCols.mkString(", ")}")
+    val statsCols = parameters.get("statsCols").orElse(parameters.get("statscols"))
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .filter(_.nonEmpty)
+    require(statsCols.isEmpty || partCols.isEmpty,
+      "txlog sink: statsCols and partitionBy cannot combine (partitioned " +
+        "segments are path-pruned; per-segment column stats ride unpartitioned appends)")
+    val exists = TxLog.currentVersion(table) > 0
+    mode match {
+      case SaveMode.ErrorIfExists if exists =>
+        throw new IllegalArgumentException(
+          s"txlog table $table already has committed versions " +
+            "(SaveMode.ErrorIfExists); use append or overwrite")
+      case SaveMode.Ignore if exists => () // table stands — no-op
+      case SaveMode.Overwrite =>
+        partCols match {
+          case Seq(pc) => TxLog.overwritePartitioned(data, table, pc)
+          case _ => TxLog.overwrite(data, table)
+        }
+      case _ => // Append, or first write under ErrorIfExists/Ignore
+        (partCols, statsCols) match {
+          case (Seq(pc), _) => TxLog.appendPartitioned(data, table, pc)
+          case (_, Some(cs)) => TxLog.appendWithStats(data, table, cs)
+          case _ => TxLog.append(data, table)
+        }
+    }
+    new TxLogRelation(sqlContext, table, None)
+  }
 }
 
 object TxLogBatchSource {
+  import scala.jdk.CollectionConverters._
+
   /** Last (scanned, total) segment counts of a pruned buildScan — spec
     * observability for skipping that is otherwise invisible through the
     * RDD seam. Test-only; racy under concurrent scans by design.
     */
   @volatile var lastPrune: Option[(Int, Int)] = None
+
+  /** `partitionBy(...)` columns as DataFrameWriter hands them to a V1
+    * source: a JSON string array under `__partition_columns` (Spark's
+    * `DataSourceUtils.PARTITIONING_COLUMNS_KEY`). A plain `partitionBy`
+    * option is accepted as the explicit spelling.
+    */
+  private[sources] def partitionColumns(parameters: Map[String, String]): Seq[String] =
+    parameters.get("__partition_columns").map { json =>
+      new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+        .elements().asScala.map(_.asText()).toSeq
+    }.orElse(parameters.get("partitionby").orElse(parameters.get("partitionBy"))
+      .map(s => s.split(",").map(_.trim).filter(_.nonEmpty).toSeq))
+      .getOrElse(Seq.empty)
 }
 
-final class TxLogRelation(ctx: SQLContext, table: String, asOf: Option[Long])
+final class TxLogRelation(ctx: SQLContext, val table: String, val asOf: Option[Long])
     extends BaseRelation with PrunedFilteredScan {
 
   private def spark: SparkSession = ctx.sparkSession
@@ -68,21 +137,24 @@ final class TxLogRelation(ctx: SQLContext, table: String, asOf: Option[Long])
 
   override def buildScan(requiredColumns: Array[String],
                          filters: Array[Filter]): RDD[Row] = {
-    val statsCol = TxLog.liveFilesWithStats(table, asOf)
-      .flatMap(_._2.map(_.col)).headOption
-    val bounds = statsCol.flatMap(c => filterBounds(c, filters))
-    val df = (statsCol, bounds) match {
+    // every column ANY live segment tracks is a pruning candidate —
+    // multi-column stats (appendWithStats with N columns) prune on all
+    val tracked = TxLog.liveFilesWithStats(table, asOf)
+      .flatMap(_._2.toSeq.flatMap(_.trackedCols)).distinct
+    val bounds = tracked.flatMap(c =>
+      filterBounds(c, filters).map { case (lo, hi) => (c, lo, hi) })
+    val df =
       // stats-pruned head read: min/max skipping decided from the
-      // manifest (snapshotPruned resolves head state; time travel takes
-      // the unpruned path — correctness before skipping)
-      case (Some(c), Some((lo, hi))) if asOf.isEmpty =>
-        val (rel, scanned, total) = TxLog.snapshotPruned(spark, table, c, lo, hi)
+      // manifest (snapshotPrunedMulti resolves head state; time travel
+      // takes the unpruned path — correctness before skipping)
+      if (bounds.nonEmpty && asOf.isEmpty) {
+        val (rel, scanned, total) = TxLog.snapshotPrunedMulti(spark, table, bounds)
         TxLogBatchSource.lastPrune = Some((scanned, total))
         rel
-      case _ =>
+      } else {
         TxLogBatchSource.lastPrune = None
         TxLog.snapshot(spark, table, asOf)
-    }
+      }
     val projected =
       if (requiredColumns.isEmpty) df
       else df.select(requiredColumns.map(org.apache.spark.sql.functions.col)

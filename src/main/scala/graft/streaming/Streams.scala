@@ -666,3 +666,98 @@ class RunningTotalsProcessor
     Iterator.single((key, n, c))
   }
 }
+
+/** ALL THREE Spark-4 stateful primitives composed in ONE processor for
+  * the consolidated txlog oracle gate (VERDICT r12 item 8 — the triad
+  * used to spin three sessions/checkpoints for 6.5 s of sf0.1 bench;
+  * one stream now feeds all three oracles): per bucket, a ValueState
+  * (n_orders, total_cents) accumulator, a MapState type histogram, and
+  * a ListState top-`keep` ring buffer advance together across RocksDB
+  * micro-batches. `n_orders` strictly increases on every batch that
+  * touches the bucket, making the update-mode emissions reducible
+  * (`max` / `max_by(_, n_orders)` pick each bucket's final row).
+  */
+class TriadGateProcessor(keep: Int)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, Long, String, Long), (Long, Long, Long, Long, String)] {
+  import org.apache.spark.sql.streaming.{ListState, MapState, OutputMode,
+    TimeMode, TimerValues, TTLConfig, ValueState}
+
+  @transient private var totals: ValueState[(Long, Long)] = _
+  @transient private var hist: MapState[String, Long] = _
+  @transient private var recent: ListState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    totals = getHandle.getValueState[(Long, Long)]("totals",
+      org.apache.spark.sql.Encoders.product[(Long, Long)], TTLConfig.NONE)
+    hist = getHandle.getMapState[String, Long]("hist",
+      org.apache.spark.sql.Encoders.STRING,
+      org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    recent = getHandle.getListState[Long]("recent",
+      org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+  }
+
+  override def handleInputRows(key: Long, rows: Iterator[(Long, Long, String, Long)],
+                               timerValues: TimerValues):
+      Iterator[(Long, Long, Long, Long, String)] = {
+    val (n0, c0) = if (totals.exists()) totals.get() else (0L, 0L)
+    var n = n0
+    var c = c0
+    val ids = Seq.newBuilder[Long]
+    rows.foreach { case (_, cents, typ, id) =>
+      n += 1; c += cents
+      val tc = if (hist.containsKey(typ)) hist.getValue(typ) else 0L
+      hist.updateValue(typ, tc + 1L)
+      ids += id
+    }
+    // top-k by VALUE (merge old state + batch, sort desc, trim): the
+    // retained set is independent of batch arrival order
+    val merged = ((if (recent.exists()) recent.get().toArray else Array.empty[Long])
+      ++ ids.result()).sorted(Ordering[Long].reverse).take(keep)
+    recent.put(merged)
+    totals.update((n, c))
+    var nTypes = 0L
+    hist.keys().foreach(_ => nTypes += 1)
+    Iterator.single((key, n, c, nTypes, merged.mkString(",")))
+  }
+}
+
+/** STATE TTL through the real multi-batch path (VERDICT r12 item 6 —
+  * the knob that bounds 100-TB state without explicit timers): the
+  * per-key `live` counter is created with a processing-time
+  * [[org.apache.spark.sql.streaming.TTLConfig]], so a key idle past the
+  * TTL re-initializes from zero on its next batch instead of
+  * accumulating; the `ever` counter on the same key has NO ttl and
+  * proves the state store itself carried across the gap. Requires
+  * `TimeMode.ProcessingTime()` (the Spark contract for TTL state).
+  */
+class TtlCounterProcessor(ttlMs: Long)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, Long), (Long, Long, Long)] {
+  import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues,
+    TTLConfig, ValueState}
+
+  @transient private var live: ValueState[Long] = _
+  @transient private var ever: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    live = getHandle.getValueState[Long]("live",
+      org.apache.spark.sql.Encoders.scalaLong,
+      TTLConfig(java.time.Duration.ofMillis(ttlMs)))
+    ever = getHandle.getValueState[Long]("ever",
+      org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+  }
+
+  override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
+                               timerValues: TimerValues):
+      Iterator[(Long, Long, Long)] = {
+    var batch = 0L
+    rows.foreach(_ => batch += 1)
+    // an expired value reads as absent — exactly the re-initialize path
+    val n = (if (live.exists()) live.get() else 0L) + batch
+    val e = (if (ever.exists()) ever.get() else 0L) + batch
+    live.update(n)
+    ever.update(e)
+    Iterator.single((key, n, e))
+  }
+}

@@ -425,6 +425,32 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("stats-ordered 3-table join: dims broadcast on metadata, order flips with the stats") {
+    val c = spark.conf
+    val saved = c.getOption("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      c.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = SparkEntry.queries("lake_txlog_stats_order3")(spark, sf)
+      val p = df.queryExecution.executedPlan.toString
+      assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+        s"both dims must broadcast from manifest row counts alone:\n${p.take(1200)}")
+      assert(df.collect().head.getString(0) === "supplier",
+        "the smaller dim (by manifest row count) must join first")
+      // THE pin that the order is stats-DRIVEN, not hardcoded: flipping
+      // the row counts flips the chosen order (same tables, same data)
+      val (tO, tS) = graft.queries.StatsQueries.txDim3Tables(spark, sf)
+      val flipped = graft.queries.StatsQueries.statsOrderedThreeJoin(
+        spark, sf, tO, tS, rowsO = 1L, rowsS = 2L)
+      assert(flipped.collect().head.getString(0) === "orders",
+        "flipped stats must flip the join order")
+      assert("BroadcastHashJoin".r.findAllIn(
+        flipped.queryExecution.executedPlan.toString).size >= 2)
+    } finally saved match {
+      case Some(v) => c.set("spark.sql.autoBroadcastJoinThreshold", v)
+      case None => c.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("no plan buffers a whole group in an exact-percentile aggregate") {
     // VERDICT r10: Spark's `percentile`/`median` is a
     // TypedImperativeAggregate whose buffer holds EVERY value of the

@@ -765,19 +765,23 @@ class TxLogSpec extends SparkSpec {
     TxLog.compact(spark, t)
     assert(TxLog.snapshot(spark, t).columns.toSeq === Seq("k", "amt"))
     assert(TxLog.snapshot(spark, t).count() === 3L)
-    // streaming across a rename epoch fails loudly at source creation
-    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
-      val q = spark.readStream.format("txlog-stream").load(t)
-        .writeStream.format("memory").queryName("rename_reject")
-        .option("checkpointLocation",
-          Files.createTempDirectory("ckpt-").toString)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-      try q.awaitTermination() finally q.stop()
-    }
-    val msgs = Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null)
-      .map(_.getMessage).mkString(" | ")
-    assert(msgs.contains("RENAME"),
-      s"stream over a renamed table must fail with guidance, got: $msgs")
+    // streaming RUNS THROUGH the rename epochs (r13): pre-rename segments
+    // translate per-file to the pinned head names; the delete skips via
+    // ignoreDeletes; compact/checkpoint are content-neutral. NB the
+    // stream replays raw appends — the DV'd row (2, 20) was emitted
+    // before the delete and is never retracted (documented contract).
+    val q = spark.readStream.format("txlog-stream")
+      .option("ignoreDeletes", true).load(t)
+      .writeStream.format("memory").queryName("rename_through")
+      .option("checkpointLocation",
+        Files.createTempDirectory("ckpt-").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    try q.awaitTermination() finally q.stop()
+    val streamed = spark.table("rename_through")
+    assert(streamed.columns.toSeq === Seq("k", "amt"),
+      "output schema is the pinned head-epoch names across all rename epochs")
+    assert(streamed.as[(Long, Long)].collect().toMap
+      === Map(1L -> 10L, 2L -> 20L, 3L -> 30L, 4L -> 40L))
   }
 
   test("column drop: projected read-back, zero rewrite, time travel, resurrection guard") {
@@ -828,23 +832,35 @@ class TxLogSpec extends SparkSpec {
     intercept[IllegalArgumentException] { TxLog.dropColumn(spark, t2, "only") }
   }
 
-  test("timestamp travel: monotonic commit-time cut, inversion-safe") {
+  test("timestamp travel: monotonic commit-time cut, inversion-safe, mtime fallback") {
     val t = freshTable()
     TxLog.append(rows(1L -> 10L), t)                    // v1
     TxLog.append(rows(2L -> 20L), t)                    // v2
     TxLog.append(rows(3L -> 30L), t)                    // v3
-    def pin(v: Long, ts: Long): Unit = Files.setLastModifiedTime(
-      Paths.get(t, "_txlog", f"$v%020d.json"),
-      java.nio.file.attribute.FileTime.fromMillis(ts))
-    // v3's reported mtime INVERTS (coarse clock / skew) — version order is
+    def manifestPath(v: Long) = Paths.get(t, "_txlog", f"$v%020d.json")
+    // commit time is the ts stamped INSIDE the manifest (r13): simulate a
+    // skewed writer clock by rewriting the recorded values
+    def setTs(v: Long, ts: Long): Unit = Files.writeString(manifestPath(v),
+      Files.readString(manifestPath(v)).replaceAll("\"ts\":\\d+", s""""ts":$ts"""))
+    // v3's recorded ts INVERTS (writer clock skew) — version order is
     // authoritative, so its effective time clamps up to v2's
-    pin(1L, 1000L); pin(2L, 2000L); pin(3L, 1500L)
+    setTs(1L, 1000L); setTs(2L, 2000L); setTs(3L, 1500L)
     intercept[IllegalArgumentException] { TxLog.versionAtTimestamp(t, 999L) }
     assert(TxLog.versionAtTimestamp(t, 1000L) === 1L)
     assert(TxLog.versionAtTimestamp(t, 1999L) === 1L)
     assert(TxLog.versionAtTimestamp(t, 2000L) === 3L) // v2 AND clamped v3 ≤ cut
     assert(TxLog.versionAtTimestamp(t, System.currentTimeMillis()) === 3L)
     assert(TxLog.snapshotAtTimestamp(spark, t, 1000L).count() === 1L)
+    // pre-r13 manifests carry no ts: the file mtime is the fallback, with
+    // the same running-max clamp
+    def stripTs(v: Long): Unit = Files.writeString(manifestPath(v),
+      Files.readString(manifestPath(v)).replaceAll(",\"ts\":\\d+", ""))
+    def pin(v: Long, ts: Long): Unit = Files.setLastModifiedTime(
+      manifestPath(v), java.nio.file.attribute.FileTime.fromMillis(ts))
+    Seq(1L, 2L, 3L).foreach(stripTs)
+    pin(1L, 1000L); pin(2L, 2000L); pin(3L, 1500L)
+    assert(TxLog.versionAtTimestamp(t, 1999L) === 1L)
+    assert(TxLog.versionAtTimestamp(t, 2000L) === 3L)
   }
 
   test("mergeDv rejects type-mismatched updates on never-evolved tables") {
@@ -1149,5 +1165,186 @@ class TxLogSpec extends SparkSpec {
     val v2 = TxLog.commit(t, "append", Seq(s2), Seq.empty, 1L)
     assert(Set(v1, v2) === Set(2L, 3L), "both commits land, on distinct versions")
     assert(TxLog.snapshot(spark, t).count() === 3L)
+  }
+
+  test("evolve refuses re-adding a rename's old name while pre-rename segments live") {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val schemaKV = StructType(Seq(StructField("k", LongType), StructField("v", LongType)))
+    // scenario A: rename(k->kk) then evolve re-add 'k' — the pre-rename
+    // segment physically stores 'k'; mapping two logical fields onto one
+    // physical column must be refused, not discovered at read time
+    val t = freshTable()
+    TxLog.append(rows(1L -> 10L), t)                  // v1, physical k
+    TxLog.renameColumn(spark, t, "k", "kk")           // v2
+    val withK = StructType(Seq(StructField("kk", LongType), StructField("v", LongType),
+      StructField("k", LongType, nullable = true)))
+    val eA = intercept[IllegalArgumentException](TxLog.evolve(t, withK))
+    assert(eA.getMessage.contains("pre-rename"))
+    // scenario B (the ADVICE r12 resurrection): rename(k->kk), drop(kk),
+    // evolve re-add 'k' — the Drop record holds 'kk', so only the rename
+    // walk knows the live segment still carries 'k' bytes
+    val t2 = freshTable()
+    TxLog.append(rows(1L -> 10L), t2)                 // v1, physical k
+    TxLog.renameColumn(spark, t2, "k", "kk")          // v2
+    TxLog.dropColumn(spark, t2, "kk")                 // v3
+    val vOnlyPlusK = StructType(Seq(StructField("v", LongType),
+      StructField("k", LongType, nullable = true)))
+    val eB = intercept[IllegalArgumentException](TxLog.evolve(t2, vOnlyPlusK))
+    assert(eB.getMessage.contains("pre-rename"))
+    // compaction rewrites the pre-rename bytes away — the add is then legal
+    // and the re-added column reads as NULL, never the 1996 values
+    TxLog.compact(spark, t2)
+    TxLog.evolve(t2, vOnlyPlusK)
+    val back = TxLog.snapshot(spark, t2).select("v", "k").collect()
+    assert(back.map(r => (r.getLong(0), r.isNullAt(1))).toSeq === Seq((10L, true)))
+  }
+
+  test("multi-column stats: one pass records all, any column prunes, OPTIMIZE keeps them") {
+    val df1 = Seq((1L, 100L), (2L, 200L)).toDF("a", "b")
+    val df2 = Seq((50L, 5000L), (60L, 6000L)).toDF("a", "b")
+    val t = freshTable()
+    TxLog.appendWithStats(df1, t, Seq("a", "b"))
+    TxLog.appendWithStats(df2, t, Seq("a", "b"))
+    // stats JSON round-trips both columns
+    val st = TxLog.liveFilesWithStats(t).flatMap(_._2)
+    assert(st.forall(_.trackedCols === Seq("a", "b")))
+    // the SECOND column prunes too
+    val (relB, scannedB, totalB) = TxLog.snapshotPrunedMulti(spark, t,
+      Seq(("b", 0L, 300L)))
+    assert((scannedB, totalB) === (1, 2))
+    assert(relB.count() === 2L)
+    // planner surfaces answer on either column
+    assert(TxLog.ndvBounds(t, "b") === Some((2L, 4L)))
+    assert(TxLog.estimatedRangeRows(t, "b", 100L, 200L).exists(_ > 0.0))
+    assert(TxLog.tableRowCount(t) === Some(4L))
+    // conjunctive multi-column bounds compose (skip when ANY col
+    // excludes): each range alone keeps one segment, together they
+    // keep none — seg1 fails the b range, seg2 fails the a range
+    assert(TxLog.snapshotPrunedMulti(spark, t,
+      Seq(("a", 0L, 10L), ("b", 4000L, 9999L)))._2 === 0)
+    // OPTIMIZE re-records BOTH columns' stats on the rewritten segment
+    TxLog.compact(spark, t)
+    val after = TxLog.liveFilesWithStats(t).flatMap(_._2)
+    assert(after.nonEmpty && after.forall(s =>
+      s.statsFor("a").nonEmpty && s.statsFor("b").nonEmpty))
+    assert(TxLog.tableRowCount(t) === Some(4L))
+  }
+
+  test("snapshotPrunedMulti is lenient: an all-pruning predicate yields empty, not an error") {
+    val t = freshTable()
+    TxLog.appendWithStats(rows(1L -> 10L, 2L -> 20L), t, "k")
+    val (rel, scanned, total) = TxLog.snapshotPrunedMulti(spark, t,
+      Seq(("k", 1000L, 2000L)))
+    assert((scanned, total) === (0, 1))
+    assert(rel.count() === 0L)
+    assert(rel.columns.toSeq === Seq("k", "v"))
+    // the same zero-row query through the standard read spelling
+    assert(spark.read.format("txlog").load(t)
+      .filter(col("k") === 5000L).count() === 0L)
+  }
+
+  test("manifest ts drives timestamp travel even after every mtime is rewritten") {
+    val t = freshTable()
+    TxLog.append(rows(1L -> 10L), t)  // v1
+    Thread.sleep(25)
+    val betweenCommits = System.currentTimeMillis()
+    Thread.sleep(25)
+    TxLog.append(rows(2L -> 20L), t)  // v2
+    // a backup-restore/rsync of the log rewrites mtimes wholesale — the
+    // in-manifest ts must keep the cut stable (ADVICE r12)
+    val future = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() + 3600L * 1000)
+    Files.list(Paths.get(t, "_txlog")).forEach(p =>
+      Files.setLastModifiedTime(p, future))
+    assert(TxLog.versionAtTimestamp(t, betweenCommits) === 1L)
+    assert(TxLog.snapshotAtTimestamp(spark, t, betweenCommits).count() === 1L)
+  }
+
+  test("df.write.format(\"txlog\"): mode semantics through the standard writer") {
+    val t = freshTable()
+    val a = rows(1L -> 10L, 2L -> 20L)
+    // default ErrorIfExists on a fresh table = first commit
+    a.write.format("txlog").save(t)
+    assert(TxLog.currentVersion(t) === 1L)
+    // a second ErrorIfExists write refuses; the table is untouched
+    intercept[Exception](a.write.format("txlog").save(t))
+    assert(TxLog.currentVersion(t) === 1L)
+    // Ignore on an existing table: silent no-op
+    rows(9L -> 90L).write.format("txlog").mode("ignore").save(t)
+    assert(TxLog.currentVersion(t) === 1L)
+    // append commits a second segment
+    rows(3L -> 30L).write.format("txlog").mode("append").save(t)
+    assert(spark.read.format("txlog").load(t).count() === 3L)
+    // overwrite swaps the whole live set in one CAS commit
+    rows(7L -> 70L).write.format("txlog").mode("overwrite").save(t)
+    assert(spark.read.format("txlog").load(t)
+      .as[(Long, Long)].collect().toSeq === Seq((7L, 70L)))
+    // history is intact: version 2's snapshot still reads
+    assert(TxLog.snapshot(spark, t, Some(2L)).count() === 3L)
+  }
+
+  test("df.write.format(\"txlog\").partitionBy: hive layout, one manifest, prunable") {
+    val t = freshTable()
+    val df = Seq((1L, "en"), (2L, "de"), (3L, "en")).toDF("id", "lang")
+    df.write.format("txlog").mode("append").partitionBy("lang").save(t)
+    assert(TxLog.currentVersion(t) === 1L, "one atomic manifest for all partitions")
+    val (rel, scanned, total) = TxLog.snapshotPartitionPruned(spark, t, "lang", Some("en"))
+    assert((scanned, total) === (1, 2))
+    assert(rel.count() === 2L)
+    // partitioned OVERWRITE replaces the whole table, still path-laid-out
+    Seq((9L, "fr")).toDF("id", "lang").write.format("txlog")
+      .mode("overwrite").partitionBy("lang").save(t)
+    assert(TxLog.partitionValues(t, "lang") === Seq("fr"))
+    assert(TxLog.snapshotPartitionPruned(spark, t, "lang", None)._1.count() === 1L)
+  }
+
+  test("df.write.format(\"txlog\").option(\"statsCols\"): skipping stats ride the writer API") {
+    val t = freshTable()
+    Seq((1L, 100L), (2L, 200L)).toDF("a", "b").write.format("txlog")
+      .option("statsCols", "a,b").save(t)
+    Seq((50L, 5000L)).toDF("a", "b").write.format("txlog")
+      .mode("append").option("statsCols", "a,b").save(t)
+    graft.sources.TxLogBatchSource.lastPrune = None
+    // pushdown on the SECOND tracked column prunes via the manifest
+    assert(spark.read.format("txlog").load(t)
+      .filter(col("b") >= 4000L).count() === 1L)
+    assert(graft.sources.TxLogBatchSource.lastPrune === Some((1, 2)))
+  }
+
+  test("count(*) over format(\"txlog\") answers from the manifest alone") {
+    val t = freshTable()
+    TxLog.appendWithStats(rows(1L -> 10L, 2L -> 20L), t, "k")
+    TxLog.appendWithStats(rows(3L -> 30L), t, "k")
+    graft.plans.ManifestCountRule.lastAnswered = None
+    val df = spark.read.format("txlog").load(t)
+    assert(df.count() === 3L)
+    assert(graft.plans.ManifestCountRule.lastAnswered === Some((t, 3L)),
+      "the rule must have answered (no segment opened)")
+    // min/max of the tracked LONG column answer from the manifest too
+    graft.plans.ManifestCountRule.lastAnswered = None
+    val mm = df.agg(org.apache.spark.sql.functions.min("k"),
+      org.apache.spark.sql.functions.max("k"),
+      org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1))).head()
+    assert((mm.getLong(0), mm.getLong(1), mm.getLong(2)) === ((1L, 3L, 3L)))
+    assert(graft.plans.ManifestCountRule.lastAnswered.nonEmpty,
+      "min/max over tracked columns must answer from the manifest")
+    // min/max of an UNTRACKED column must scan, not guess
+    graft.plans.ManifestCountRule.lastAnswered = None
+    assert(df.agg(org.apache.spark.sql.functions.max("v")).head().getLong(0) === 30L)
+    assert(graft.plans.ManifestCountRule.lastAnswered === None)
+    // the optimized plan IS metadata: a local relation, no scan node
+    val counted = df.groupBy().count()
+    assert(counted.queryExecution.optimizedPlan.collectFirst {
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => l
+    }.nonEmpty, "count(*) must plan as a LocalRelation")
+    // a standing deletion vector makes segment counts a lie — the rule
+    // must step aside and the scan must answer
+    TxLog.deleteWhere(spark, t, col("k") === 1L)
+    graft.plans.ManifestCountRule.lastAnswered = None
+    assert(spark.read.format("txlog").load(t).count() === 2L)
+    assert(graft.plans.ManifestCountRule.lastAnswered === None,
+      "a DV in force must disable the manifest answer")
+    // a FILTERED count never short-circuits
+    assert(spark.read.format("txlog").load(t).filter(col("k") > 2L).count() === 1L)
   }
 }

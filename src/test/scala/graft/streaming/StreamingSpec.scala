@@ -159,6 +159,53 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("state TTL expires an idle key: it re-initializes instead of accumulating") {
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // ProcessingTime time mode otherwise schedules CONTINUOUS no-data
+    // batches to advance the TTL clock — processAllAvailable never sees
+    // a quiescent stream; expiry here is read-driven, so switch them off
+    val prevNd = spark.conf.getOption("spark.sql.streaming.noDataMicroBatches.enabled")
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    try {
+      val mem = MemoryStream[(Long, Long)]
+      val out = mem.toDS()
+        .groupByKey(_._1)
+        .transformWithState(new TtlCounterProcessor(300L),
+          org.apache.spark.sql.streaming.TimeMode.ProcessingTime(),
+          org.apache.spark.sql.streaming.OutputMode.Update())
+        .toDF("k", "n_live", "n_ever")
+      val q = out.writeStream.outputMode("update").format("memory")
+        .queryName("ttl_smoke").start()
+      try {
+        mem.addData((1L, 1L), (1L, 1L), (2L, 1L)) // batch 0: k1 ×2, k2 ×1
+        q.processAllAvailable()
+        Thread.sleep(900)                          // idle past the 300 ms TTL
+        mem.addData((1L, 1L))                      // batch 1: k1 ×1
+        q.processAllAvailable()
+      } finally q.stop()
+      val last = spark.table("ttl_smoke").collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
+        .groupBy(_._1).view.mapValues(_.last._2).toMap
+      // the TTL'd counter RE-INITIALIZED (1, not 3); the NO-ttl counter
+      // on the same key accumulated (3) — the store carried, the TTL'd
+      // value expired
+      assert(last(1L) === ((1L, 3L)))
+      assert(last(2L) === ((1L, 1L))) // untouched key keeps its batch-0 row
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+      prevNd match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", p)
+        case None => spark.conf.unset("spark.sql.streaming.noDataMicroBatches.enabled")
+      }
+    }
+  }
+
   test("ListState keeps only the last 3 event ids per user across batches") {
     implicit val sqlCtx = spark.sqlContext
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")

@@ -178,6 +178,45 @@ class TxLogStreamSpec extends SparkSpec {
     assert(drain(t, ckpt).isEmpty)
   }
 
+  test("stream runs THROUGH rename epochs: per-file translation, pinned output schema") {
+    val t = freshTable()
+    TxLog.append(rows(1L -> 10L), t)                   // v1: physical "v"
+    TxLog.renameColumn(spark, t, "v", "amt")           // v2
+    TxLog.append(Seq((2L, 20L)).toDF("k", "amt"), t)   // v3: physical "amt"
+    // a fresh stream pinned at head replays BOTH epochs: the v1 segment
+    // reads under its physical name and aliases to the pinned "amt"
+    val got = drain(t, Files.createTempDirectory("ckpt-").toString)
+    assert(got.sorted.toSeq === Seq((1L, 10L, 1L), (2L, 20L, 3L)))
+    // MID-STREAM rename (after the pin): batch 0 commits rename+append
+    // from inside the sink; the continuing stream emits the post-rename
+    // segment under the names pinned at start — output schema unchanged
+    val t2 = freshTable()
+    TxLog.append(rows(1L -> 10L), t2)                  // v1: physical "v"
+    val buf = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Long)]
+    val q = spark.readStream.format("txlog-stream")
+      .option("withCommitVersion", true)
+      .option("maxVersionsPerTrigger", 1).load(t2)
+      .writeStream
+      .option("checkpointLocation", Files.createTempDirectory("ckpt-").toString)
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        df.as[(Long, Long, Long)].collect().foreach(buf.add)
+        if (id == 0L) {
+          TxLog.renameColumn(spark, t2, "v", "amt")       // v2 (after pin)
+          TxLog.append(Seq((2L, 20L)).toDF("k", "amt"), t2) // v3: physical "amt"
+        }
+        ()
+      }
+      .trigger(Trigger.ProcessingTime("50 milliseconds")).start()
+    try {
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (buf.size < 2 && System.nanoTime() < deadline) Thread.sleep(50)
+    } finally q.stop()
+    // the post-rename row arrived under the schema pinned BEFORE the
+    // rename: logical (k, v) — physical "amt" translated back
+    assert(buf.toArray(Array.empty[(Long, Long, Long)]).toSeq.sorted
+      === Seq((1L, 10L, 1L), (2L, 20L, 3L)))
+  }
+
   test("schema stays pinned across an evolve; restart picks the new column up") {
     val t = freshTable()
     val ckpt = Files.createTempDirectory("ckpt-").toString
