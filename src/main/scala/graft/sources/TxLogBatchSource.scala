@@ -14,6 +14,8 @@ import org.apache.spark.sql.{DataFrame, Row, SQLContext, SaveMode, SparkSession}
   *   spark.read.format("txlog").load(tablePath)                  // head
   *   spark.read.format("txlog")
   *     .option("versionAsOf", 3).load(tablePath)                 // time travel
+  *   spark.read.format("txlog")
+  *     .option("timestampAsOf", epochMillis).load(tablePath)     // Delta's other spelling
   *
   *   df.write.format("txlog").mode("append").save(tablePath)     // commit
   *   df.write.format("txlog").mode("overwrite")
@@ -58,6 +60,11 @@ final class TxLogBatchSource extends RelationProvider
     val table = parameters.getOrElse("path", throw new IllegalArgumentException(
       "txlog batch source requires .load(tablePath)"))
     val asOf = parameters.get("versionAsOf").map(_.toLong)
+      .orElse(parameters.get("timestampAsOf").orElse(parameters.get("timestampasof"))
+        .map(ts => TxLog.versionAtTimestamp(table, ts.toLong)))
+    require(parameters.get("versionAsOf").isEmpty ||
+      parameters.get("timestampAsOf").orElse(parameters.get("timestampasof")).isEmpty,
+      "txlog: versionAsOf and timestampAsOf are mutually exclusive")
     new TxLogRelation(sqlContext, table, asOf)
   }
 

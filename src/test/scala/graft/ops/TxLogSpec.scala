@@ -861,6 +861,13 @@ class TxLogSpec extends SparkSpec {
     pin(1L, 1000L); pin(2L, 2000L); pin(3L, 1500L)
     assert(TxLog.versionAtTimestamp(t, 1999L) === 1L)
     assert(TxLog.versionAtTimestamp(t, 2000L) === 3L)
+    // Delta's reader-option spelling resolves through the same cut
+    assert(spark.read.format("txlog").option("timestampAsOf", 1999L)
+      .load(t).count() === 1L)
+    intercept[IllegalArgumentException] {
+      spark.read.format("txlog").option("timestampAsOf", 1999L)
+        .option("versionAsOf", 2L).load(t).count()
+    }
   }
 
   test("mergeDv rejects type-mismatched updates on never-evolved tables") {
