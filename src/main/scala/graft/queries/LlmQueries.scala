@@ -511,18 +511,31 @@ object LlmQueries extends QueryPack {
         .join(docs.select(col("doc_id").as("d1"), col("text").as("t1")), "d1")
         .join(docs.select(col("doc_id").as("d2"), col("text").as("t2")), "d2")
         // Per-pair edit budget: 20% of the longer doc — a verify keeps
-        // near-dups, it doesn't score arbitrary pairs. Two cheap gates run
-        // BEFORE any DP (r11 verdict item 8): (1) edit distance >=
-        // |length difference|, so a two-int comparison drops
-        // length-incompatible pairs with zero DP work; (2) the 3-arg
-        // banded Ukkonen DP computes the exact distance in
-        // O(thr*min(|t|)) when it is <= thr and bails at -1 otherwise —
-        // vs the full O(|t1|*|t2|) program both output columns used to
-        // pay. Survivors are exactly {lev <= thr} with exact distances,
+        // near-dups, it doesn't score arbitrary pairs. Three cheap gates
+        // run BEFORE any DP (r11 verdict item 8 + r13): (1) edit distance
+        // >= |length difference|, so a two-int comparison drops
+        // length-incompatible pairs with zero DP work; (2) BYTE-EQUAL
+        // pairs short-circuit to distance 0 — lev(t,t)=0 by definition,
+        // and on a duplicate-heavy corpus the surviving candidate set is
+        // DOMINATED by exact clones, so an O(len) memcmp replaces an
+        // O(thr·len)=O(len²/5) DP on most pairs; (3) the 3-arg banded
+        // Ukkonen DP computes the exact distance in O(thr*min(|t|)) when
+        // it is <= thr and bails at -1 otherwise — vs the full
+        // O(|t1|*|t2|) program both output columns used to pay.
+        // Survivors are exactly {lev <= thr} with exact distances,
         // identical to the oracle's unbanded filter.
         .withColumn("thr", expr("CAST(greatest(length(t1), length(t2)) div 5 AS INT)"))
         .filter(abs(length(col("t1")) - length(col("t2"))) <= col("thr"))
-        .withColumn("edit_dist", expr("CAST(levenshtein(t1, t2, thr) AS BIGINT)"))
+        // the DP lands under a GENERATE (explode of a 1-element array):
+        // predicates on a generated column cannot push through Generate,
+        // so the >= 0 filter and the dist_milli projection both read the
+        // ONE computed value — as a plain column, PushPredicateThroughNonJoin
+        // inlined the whole when/levenshtein into the filter and the
+        // kernel ran 2-3x per pair (measured 4.7 s -> 14.6 s at sf1)
+        .select(col("d1"), col("d2"), col("t1"), col("t2"),
+          explode(array(when(col("t1") === col("t2"), lit(0L))
+            .otherwise(expr("CAST(levenshtein(t1, t2, thr) AS BIGINT)"))))
+            .as("edit_dist"))
         .filter(col("edit_dist") >= 0)
         .select(col("d1"), col("d2"), col("edit_dist"),
           expr("edit_dist * 1000 div greatest(length(t1), length(t2))")
