@@ -133,6 +133,43 @@ object ScaleExperiment {
     require(partGeom(0) == partGeom(1) && partGeom(0)._1 * 5 == partGeom(0)._2,
       s"partition-prune geometry must be volume-independent: $partGeom")
 
+    // MULTI-COLUMN STATS + MANIFEST AGGREGATES (r13): skipping on the
+    // SECOND tracked column is manifest geometry — scanned/total
+    // identical at 1x and Kx (the decision reads min/max, never data) —
+    // and count(*) over the unfiltered format("txlog") relation answers
+    // from per-segment row stats via the optimizer rule at BOTH scales,
+    // the answer scaling exactly with K while zero files open.
+    graft.plans.ManifestCountRule.install(spark)
+    val charsCut = Tables.documents(spark, sfDir)
+      .stat.approxQuantile("n_chars", Array(0.5), 0.01).head.toLong
+    val multiGeom = Seq(("1x", sfDir), (s"${k}x", rep)).map { case (tag, dir) =>
+      val t = s"${sys.props("java.io.tmpdir")}/graft-multi-$tag"
+      val root = java.nio.file.Paths.get(t)
+      if (java.nio.file.Files.isDirectory(root)) deleteRecursively(root)
+      val base = Tables.documents(spark, dir).select(col("doc_id"), col("n_chars"))
+      // n_chars-disjoint segments, doc_id interleaving: only the second
+      // tracked column's stats can prune the range read
+      graft.ops.TxLog.appendWithStats(
+        base.filter(col("n_chars") < charsCut), t, Seq("doc_id", "n_chars"))
+      graft.ops.TxLog.appendWithStats(
+        base.filter(col("n_chars") >= charsCut), t, Seq("doc_id", "n_chars"))
+      val (rel, scanned, total) = graft.ops.TxLog.snapshotPrunedMulti(
+        spark, t, Seq(("n_chars", charsCut, Long.MaxValue)))
+      val n = rel.count()
+      graft.plans.ManifestCountRule.lastAnswered = None
+      val cnt = spark.read.format("txlog").load(t).count()
+      require(graft.plans.ManifestCountRule.lastAnswered.exists(_._1 == t),
+        s"[$tag] count(*) must answer from the manifest")
+      println(s"""{"multicol_prune":"$tag","scanned":$scanned,"total":$total,""" +
+        s""""rows":$n,"manifest_count":$cnt}""")
+      (scanned, total, cnt)
+    }
+    require(multiGeom(0)._1 == multiGeom(1)._1 &&
+      multiGeom(0)._2 == multiGeom(1)._2 && multiGeom(0)._1 < multiGeom(0)._2,
+      s"multi-col prune geometry must be volume-independent: $multiGeom")
+    require(multiGeom(1)._3 == multiGeom(0)._3 * k,
+      s"manifest count must scale exactly with K: $multiGeom")
+
     spark.stop()
   }
 
