@@ -1003,6 +1003,63 @@ object TxLog {
     commit(table, "append", Seq(p), Seq.empty, rv, stats)
   }
 
+  /** ANALYZE TABLE as a pure METADATA COMMIT: retro-fit per-segment
+    * stats (min/max + rows + exact NDV + equi-depth histogram for every
+    * declared column, one agg pass per stat-less segment) onto a table
+    * whose segments were committed without them — plain appends, legacy
+    * loads, maintenance rewrites from before multi-column stats. Not a
+    * byte of data moves: the commit carries ONLY a stats map keyed by
+    * the existing segment paths, and the snapshot fold's `statAcc ++
+    * m.stats` merge attaches them (later stats win, so re-analyzing
+    * refreshes). After it, manifest skipping, `tableRowCount` /
+    * `tableMinMax` / `estimatedRangeRows`, and the count(*) optimizer
+    * rule all answer on a table that never saw `appendWithStats` — the
+    * Delta/Iceberg ANALYZE contract. Segments already carrying stats
+    * for every requested column are skipped (`force` recomputes all).
+    * CAS-conflicts with any concurrent commit: the stats were computed
+    * against the exact live set it read. Returns the commit version, or
+    * the current version unchanged when nothing needed analyzing.
+    */
+  def analyze(spark: SparkSession, table: String, statsCols: Seq[String],
+              force: Boolean = false): Long = {
+    import org.apache.spark.sql.functions.{count, countDistinct, lit,
+      max => fmax, min => fmin, col => fcol, percentile_approx, array}
+    require(statsCols.nonEmpty, s"analyze($table) needs >= 1 stats column")
+    val rv = currentVersion(table)
+    require(rv > 0, s"analyze of uninitialized table $table")
+    val st = tableStateViaCheckpoint(table, Some(rv))
+    val todo = st.segments.collect {
+      case (p, s) if force ||
+        !statsCols.forall(c => s.exists(_.statsFor(c).nonEmpty)) => p
+    }
+    if (todo.isEmpty) return rv
+    val probs = array((0 to HistBuckets).map(i =>
+      lit(i.toDouble / HistBuckets)): _*)
+    val stats = todo.flatMap { p =>
+      val seg = spark.read.parquet(p)
+      val present = statsCols.filter(seg.columns.contains)
+      val aggs = count(lit(1)) +: present.flatMap(c => Seq(
+        fmin(fcol(c).cast("long")), fmax(fcol(c).cast("long")),
+        countDistinct(fcol(c)),
+        percentile_approx(fcol(c).cast("long"), probs, lit(10000))))
+      val r = seg.agg(aggs.head, aggs.tail: _*).head()
+      val n = r.getLong(0)
+      val per = present.zipWithIndex.flatMap { case (c, i) =>
+        val o = 1 + i * 4
+        if (r.isNullAt(o)) None
+        else Some(SegStats(c, r.getLong(o), r.getLong(o + 1), None,
+          Some(n), Some(r.getLong(o + 2)),
+          Option(r.getSeq[Long](o + 3)).map(_.toSeq)))
+      }
+      per match {
+        case Seq() => Some(p -> rowsOnlyStats(n))
+        case head +: rest => Some(p -> head.copy(extra = rest))
+      }
+    }.toMap
+    commit(table, "analyze", Seq.empty, Seq.empty, rv, stats,
+      () => false, None, casAlways = true)
+  }
+
   /** Estimated rows matching `col BETWEEN lo AND hi` — from the manifest
     * ALONE, no segment scanned: each segment's equi-depth histogram puts
     * rows/32 in every [b_i, b_{i+1}] bucket; the estimate sums each
@@ -1286,19 +1343,27 @@ object TxLog {
     */
   def appendPartitioned(df: DataFrame, table: String, partCol: String): Long = {
     init(table)
+    val rv = currentVersion(table) // before validation — see append
+    validateWrite(df, table)
+    commit(table, "append", stagePartitioned(df, table, partCol), Seq.empty, rv)
+  }
+
+  /** Stage a frame as `partCol=value` segment dirs (Hive layout) under
+    * one fresh base; returns the partition subdirs a commit publishes.
+    */
+  private def stagePartitioned(df: DataFrame, table: String,
+                               partCol: String): Seq[String] = {
     require(df.schema(partCol).dataType ==
       org.apache.spark.sql.types.StringType,
       s"partition column $partCol must be STRING (values become path components)")
-    val rv = currentVersion(table) // before validation — see append
-    validateWrite(df, table)
     val base = s"$table/data/${java.util.UUID.randomUUID}"
     df.write.mode(SaveMode.ErrorIfExists).partitionBy(partCol).parquet(base)
     val subdirs = listClosed(Files.list(Paths.get(base)))
       .filter(p => Files.isDirectory(p) &&
         p.getFileName.toString.startsWith(partCol + "="))
       .map(_.toString).sorted
-    require(subdirs.nonEmpty, s"partitioned append to $table staged no partitions")
-    commit(table, "append", subdirs, Seq.empty, rv)
+    require(subdirs.nonEmpty, s"partitioned write to $table staged no partitions")
+    subdirs
   }
 
   /** Partition-pruned snapshot: `value = Some(v)` reads ONLY the
@@ -1672,14 +1737,25 @@ object TxLog {
     * `stream_append_b<id>` manifest, and returns -1; its orphaned staged
     * segment is invisible to readers and collected by [[vacuum]].
     */
-  def streamingAppend(df: DataFrame, table: String, batchId: Long): Long = {
+  def streamingAppend(df: DataFrame, table: String, batchId: Long): Long =
+    streamingAppend(df, table, batchId, None)
+
+  /** As above, optionally staging the micro-batch into `partCol=value`
+    * segment dirs (the partitioned streaming sink shape) — the batch-id
+    * dedup and in-CAS zombie check are identical.
+    */
+  def streamingAppend(df: DataFrame, table: String, batchId: Long,
+                      partCol: Option[String]): Long = {
     init(table)
     if (batchId <= maxCommittedBatch(table)) -1L
     else {
       val rv = currentVersion(table) // before validation — see append
       validateWrite(df, table)
-      val p = stage(df, table)
-      commit(table, s"stream_append_b$batchId", Seq(p), Seq.empty,
+      val adds = partCol match {
+        case None => Seq(stage(df, table))
+        case Some(pc) => stagePartitioned(df, table, pc)
+      }
+      commit(table, s"stream_append_b$batchId", adds, Seq.empty,
         rv, Map.empty,
         skipIf = () => maxCommittedBatch(table) >= batchId, schemaJson = None)
     }

@@ -359,6 +359,22 @@ object StatsQueries extends QueryPack {
     */
   private val MultiStatsCut = 10000000L
 
+  /** ANALYZE fixture: two PLAIN appends (no write-time stats — the
+    * legacy-table shape) retro-fitted by one `TxLog.analyze` metadata
+    * commit carrying per-segment stats for BOTH columns; zero data
+    * bytes move.
+    */
+  private def txAnalyzeTable(s: SparkSession, d: String): String =
+    txTables.computeIfAbsent((s, "analyze:" + d), _ => {
+      val t = s"${graft.ops.Scratch.base}/txanalyze_${(d.hashCode & 0xffffff).toHexString}"
+      val base = Tables.orders(s, d).select(col("o_orderkey"),
+        Cleaning.cents(col("o_totalprice")).as("cents"))
+      graft.ops.TxLog.append(base.filter(col("cents") < MultiStatsCut), t)
+      graft.ops.TxLog.append(base.filter(col("cents") >= MultiStatsCut), t)
+      graft.ops.TxLog.analyze(s, t, Seq("o_orderkey", "cents"))
+      t
+    })
+
   /** 3-table CBO fixture (VERDICT r12 item 7): two filtered dimension
     * tables committed with ANALYZE stats — supplier slice (always the
     * smaller) and orders slice — whose manifest row counts drive the
@@ -1604,6 +1620,33 @@ object StatsQueries extends QueryPack {
         lit(row.getLong(2)).as("max_key"))
     }),
 
+    // ANALYZE TABLE as a metadata commit: a table whose segments were
+    // committed WITHOUT stats (plain appends — the legacy shape) gets
+    // min/max/rows/NDV/histograms for both columns retro-fitted by one
+    // `analyze` commit keyed by the existing segment paths; not a byte
+    // of data moves, and afterwards manifest skipping (the cents
+    // predicate prunes 1-of-2 via the SECOND column), the count(*)
+    // optimizer rule, and range selectivity all answer — the
+    // Delta/Iceberg ANALYZE contract through the commit log.
+    "lake_txlog_analyze" -> ((s, d) => {
+      val t = txAnalyzeTable(s, d)
+      graft.plans.ManifestCountRule.install(s)
+      graft.plans.ManifestCountRule.lastAnswered = None
+      val n = s.read.format("txlog").load(t).count()
+      val counted = graft.plans.ManifestCountRule.lastAnswered.exists(_._1 == t)
+      val (rel, scanned, total) = graft.ops.TxLog.snapshotPrunedMulti(
+        s, t, Seq(("cents", MultiStatsCut, Long.MaxValue)))
+      val est = graft.ops.TxLog.estimatedRangeRows(
+        t, "o_orderkey", 0L, Long.MaxValue)
+      rel.agg(count(lit(1)).as("n_pruned_rows"), sum("cents").as("sum_cents"))
+        .select(lit(counted).as("manifest_count_answered"),
+          lit(n).as("n_rows"),
+          lit(scanned < total).as("pruned_second_col"),
+          lit(est.exists(e => math.abs(e - n) < 1.0 + n * 0.02))
+            .as("range_est_sane"),
+          col("n_pruned_rows"), col("sum_cents"))
+    }),
+
     // STATS-DRIVEN JOIN ORDERING across 3 tables (VERDICT r12 item 7 —
     // the CBO payoff beyond broadcast-side choice): the two dim tables'
     // manifest row counts order the joins smallest-first against the
@@ -2248,6 +2291,13 @@ object StatsQueries extends QueryPack {
       """SELECT TRUE AS manifest_answered, COUNT(*) AS n_rows,
         |  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
         |FROM orders""".stripMargin,
+    "lake_txlog_analyze" ->
+      """SELECT TRUE AS manifest_count_answered,
+        |  (SELECT COUNT(*) FROM orders) AS n_rows,
+        |  TRUE AS pruned_second_col, TRUE AS range_est_sane,
+        |  COUNT(*) AS n_pruned_rows, CAST(SUM(c) AS BIGINT) AS sum_cents
+        |FROM (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c FROM orders)
+        |WHERE c >= 10000000""".stripMargin,
     "lake_txlog_stats_order3" ->
       """SELECT 'supplier' AS first_join, COUNT(*) AS n_items,
         |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty

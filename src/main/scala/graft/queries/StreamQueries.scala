@@ -123,6 +123,31 @@ object StreamQueries extends QueryPack {
         max("n_ever").as("n_ever"))
   }
 
+  /** Native streaming-sink fixture (`df.writeStream.format("txlog")`):
+    * the existing two-commit txlog fixture streams through
+    * `txlog-stream` rate-limited to one commit per trigger into a NEW
+    * txlog table via the V1 sink — each micro-batch lands as one
+    * `stream_append_b<id>` commit (exactly-once by batch id inside the
+    * commit CAS), so the sink table must hold exactly the source rows
+    * across exactly 2 commits. Runs once per (session, sfDir).
+    */
+  private def txSinkTable(s: org.apache.spark.sql.SparkSession, d: String): String =
+    txStreamTables.computeIfAbsent((s, "sink:" + d), _ => {
+      val src = txStreamTable(s, d)
+      val t = s"${graft.ops.Scratch.base}/txsink_${(d.hashCode & 0xffffff).toHexString}"
+      val ns = s.newSession()
+      ns.conf.set("spark.sql.shuffle.partitions", "4")
+      val q = ns.readStream.format("txlog-stream")
+        .option("maxVersionsPerTrigger", 1).load(src)
+        .writeStream.format("txlog")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("txsink-ckpt-").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start(t)
+      try q.awaitTermination() finally q.stop()
+      t
+    })
+
   /** Streaming-CDC-upsert fixture: base appended, then three CDC
     * micro-batches applied through `TxLog.streamingMergeDv` — each one
     * merge-on-read commit (marks + one segment, zero rewrites) carrying
@@ -172,6 +197,21 @@ object StreamQueries extends QueryPack {
           graft.ops.Cleaning.cents(col("o_totalprice")).as("price_cents"),
           col("o_orderstatus"))
         .orderBy("o_orderkey")),
+    // NATIVE STREAMING SINK (`df.writeStream.format("txlog")` — the
+    // Delta sink shape, write-side twin of the txlog-stream source, no
+    // library API): two rate-limited micro-batches land as two
+    // `stream_append_b<id>` commits with the batch-id dedup re-checked
+    // inside the commit CAS (replays/zombies skip — spec-pinned). The
+    // sink table's snapshot must equal the source closed-form, with
+    // exactly batch id 1 as the max committed.
+    "stream_txlog_sink_batcheq" -> ((s, d) => {
+      val t = txSinkTable(s, d)
+      graft.ops.TxLog.snapshot(s, t)
+        .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+        .select(lit(graft.ops.TxLog.maxCommittedBatch(t)).as("max_batch"),
+          col("n"), col("sum_cents"))
+    }),
+
     // The lake's read-side streaming quadrant: `txlog-stream` replays a
     // TxLog table's COMMITS as micro-batches (offsets = log versions,
     // exactly-once per commit — TxLogStreamSpec pins restarts/rewrites).
@@ -446,6 +486,11 @@ object StreamQueries extends QueryPack {
         |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
         |    AS total_cents
         |FROM orders GROUP BY 1 ORDER BY k""".stripMargin,
+    "stream_txlog_sink_batcheq" ->
+      """SELECT CAST(1 AS BIGINT) AS max_batch, COUNT(*) AS n,
+        |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents
+        |FROM orders""".stripMargin,
     "stream_tws_ttl_batcheq" ->
       """WITH per AS (SELECT o_orderkey % 101 AS k,
         |    COUNT(*) FILTER (WHERE o_orderkey % 2 = 0) AS n_even,

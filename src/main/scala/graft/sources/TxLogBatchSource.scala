@@ -52,8 +52,34 @@ import org.apache.spark.sql.{DataFrame, Row, SQLContext, SaveMode, SparkSession}
   * lake tables the same two entry points.
   */
 final class TxLogBatchSource extends RelationProvider
-    with CreatableRelationProvider with DataSourceRegister {
+    with CreatableRelationProvider
+    with org.apache.spark.sql.sources.StreamSinkProvider
+    with DataSourceRegister {
   override def shortName(): String = "txlog"
+
+  /** `df.writeStream.format("txlog")` — EXACTLY-ONCE streaming into the
+    * lake with zero library API (the Delta sink shape): every micro-batch
+    * lands as one `stream_append_b<id>` commit through
+    * [[TxLog.streamingAppend]], whose batch-id dedup re-checks inside
+    * the commit CAS — a replayed or zombie batch skips, so restarts
+    * never double-append. Append-only (a table accretes commits; use
+    * foreachBatch + streamingMergeDv for the upsert shape);
+    * `partitionBy(col)` stages the batch into the Hive layout.
+    */
+  override def createSink(sqlContext: SQLContext,
+                          parameters: Map[String, String],
+                          partitionColumns: Seq[String],
+                          outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    val table = parameters.getOrElse("path", throw new IllegalArgumentException(
+      "txlog sink requires .option(\"path\", tablePath) or .start(tablePath)"))
+    require(outputMode == org.apache.spark.sql.streaming.OutputMode.Append(),
+      s"txlog sink is append-only, got $outputMode — update/complete shapes go " +
+        "through foreachBatch + TxLog.streamingMergeDv")
+    require(partitionColumns.lengthCompare(1) <= 0,
+      s"txlog sink supports one partition column, got ${partitionColumns.mkString(", ")}")
+    new TxLogSink(table, partitionColumns.headOption)
+  }
 
   override def createRelation(sqlContext: SQLContext,
                               parameters: Map[String, String]): BaseRelation = {
@@ -103,6 +129,19 @@ final class TxLogBatchSource extends RelationProvider
     }
     new TxLogRelation(sqlContext, table, None)
   }
+}
+
+/** V1 streaming sink over the commit log; see [[TxLogBatchSource.createSink]]. */
+final class TxLogSink(table: String, partCol: Option[String])
+    extends org.apache.spark.sql.execution.streaming.Sink {
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    // the engine's frame still carries the streaming source in its
+    // logical plan — any fresh action on it refuses; re-wrap the
+    // ALREADY-PLANNED incremental execution (the FileStreamSink pattern)
+    val batch = org.apache.spark.sql.graft.StreamBridge.sinkBatch(data)
+    TxLog.streamingAppend(batch, table, batchId, partCol)
+  }
+  override def toString: String = s"TxLogSink[$table]"
 }
 
 object TxLogBatchSource {

@@ -32,7 +32,8 @@ import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
   *    duplicate every row each time OPTIMIZE runs).
   *  - `txn:<appId>:v<N>` — an idempotent-writer append
   *    ([[TxLog.idempotentAppend]]); streamed like `append`.
-  *  - `evolve` / `constraint` / `dropcolumn` — metadata only; skipped
+  *  - `evolve` / `constraint` / `dropcolumn` / `analyze` — metadata
+  *    only; skipped
   *    (the source schema stays pinned at stream start: mid-stream schema
   *    drift breaks sinks, so a stream wanting the new column restarts,
   *    exactly like Delta).
@@ -217,7 +218,7 @@ private final class TxLogSource(spark: SparkSession, table: String,
         // the dropped column; post-drop appends null-fill it, exactly
         // the read-old-under-pinned contract)
         case "compact" | "optimize" | "optimize_zorder" | "compact_dv"
-             | "evolve" | "constraint" | "dropcolumn" => None
+             | "evolve" | "constraint" | "dropcolumn" | "analyze" => None
         // a rename is pure metadata to THIS source: batches translate
         // each segment's physical names to the pinned logical names via
         // the same rename walk batch readers use (readAdds) — the output

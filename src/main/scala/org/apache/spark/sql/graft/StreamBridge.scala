@@ -44,4 +44,21 @@ object StreamBridge {
     Dataset.ofRows(cs,
       LocalRelation(DataTypeUtils.toAttributes(schema), Nil, isStreaming = true))
   }
+
+  /** The micro-batch a V1 `Sink.addBatch` receives, re-wrapped as an
+    * ordinary batch DataFrame: the engine's Dataset still carries the
+    * streaming source in its LOGICAL plan, so any fresh action on it
+    * (`df.rdd`, `df.write`) re-analyzes and refuses ("queries with
+    * streaming sources must be executed with writeStream.start()").
+    * FileStreamSink writes `data.queryExecution.executedPlan` directly
+    * for exactly this reason; this is the equivalent for a sink that
+    * wants a DataFrame — the ALREADY-PLANNED incremental execution's
+    * row RDD under the batch's schema (`internalCreateDataFrame` is
+    * `private[sql]`, hence the bridge).
+    */
+  def sinkBatch(data: DataFrame): DataFrame = {
+    val cs = data.sparkSession.asInstanceOf[ClassicSession]
+    cs.internalCreateDataFrame(
+      data.queryExecution.toRdd, data.schema, isStreaming = false)
+  }
 }

@@ -1318,6 +1318,35 @@ class TxLogSpec extends SparkSpec {
     assert(graft.sources.TxLogBatchSource.lastPrune === Some((1, 2)))
   }
 
+  test("analyze retro-fits multi-column stats as a pure metadata commit") {
+    val t = freshTable()
+    TxLog.append(Seq((1L, 100L), (2L, 200L)).toDF("a", "b"), t)  // v1, no stats
+    TxLog.append(Seq((50L, 5000L)).toDF("a", "b"), t)            // v2, no stats
+    assert(TxLog.tableRowCount(t) === None, "plain appends carry no stats")
+    def dataFiles() = {
+      val s = Files.walk(Paths.get(t, "data"))
+      try s.filter(_.toString.endsWith(".parquet")).count()
+      finally s.close()
+    }
+    val before = dataFiles()
+    assert(TxLog.analyze(spark, t, Seq("a", "b")) === 3L)
+    assert(dataFiles() === before, "analyze must not move a byte of data")
+    // the full CBO/skipping surface answers on a never-appendWithStats table
+    assert(TxLog.tableRowCount(t) === Some(3L))
+    assert(TxLog.tableMinMax(t, "b") === Some((100L, 5000L)))
+    assert(TxLog.ndvBounds(t, "a") === Some((2L, 3L)))
+    assert(TxLog.estimatedRangeRows(t, "b", 0L, 10000L).exists(_ > 2.9))
+    assert(TxLog.snapshotPrunedMulti(spark, t, Seq(("b", 0L, 300L)))._2 === 1)
+    // nothing left to analyze: no new commit published
+    assert(TxLog.analyze(spark, t, Seq("a", "b")) === 3L)
+    assert(TxLog.currentVersion(t) === 3L)
+    // history stays honest: before the analyze, stats did not exist
+    assert(TxLog.tableRowCount(t, Some(2L)) === None)
+    // the stream source classifies 'analyze' as metadata (no re-emission)
+    val got = TxLog.readManifest(t, 3L)
+    assert(got.op === "analyze" && got.adds.isEmpty && got.removes.isEmpty)
+  }
+
   test("count(*) over format(\"txlog\") answers from the manifest alone") {
     val t = freshTable()
     TxLog.appendWithStats(rows(1L -> 10L, 2L -> 20L), t, "k")

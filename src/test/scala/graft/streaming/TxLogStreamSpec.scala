@@ -178,6 +178,52 @@ class TxLogStreamSpec extends SparkSpec {
     assert(drain(t, ckpt).isEmpty)
   }
 
+  test("writeStream.format(\"txlog\"): one commit per micro-batch, replay-safe across restarts") {
+    val src = freshTable()
+    val dst = freshTable()
+    TxLog.append(rows(1L -> 10L), src) // v1
+    TxLog.append(rows(2L -> 20L), src) // v2
+    val ckpt = Files.createTempDirectory("sink-ckpt-").toString
+    def run(): Unit = {
+      val q = spark.readStream.format("txlog-stream")
+        .option("maxVersionsPerTrigger", 1).load(src)
+        .writeStream.format("txlog")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start(dst)
+      try q.awaitTermination() finally q.stop()
+    }
+    run()
+    assert(TxLog.snapshot(spark, dst).as[(Long, Long)].collect().toMap
+      === Map(1L -> 10L, 2L -> 20L))
+    assert(TxLog.maxCommittedBatch(dst) === 1L, "two rate-limited micro-batches")
+    assert(TxLog.currentVersion(dst) === 2L, "exactly one commit per batch")
+    // restart on the same checkpoint with no new data: nothing re-lands
+    run()
+    assert(TxLog.currentVersion(dst) === 2L)
+    // new source commits stream as the next batches
+    TxLog.append(rows(3L -> 30L), src)
+    run()
+    assert(TxLog.snapshot(spark, dst).as[(Long, Long)].collect().toMap
+      === Map(1L -> 10L, 2L -> 20L, 3L -> 30L))
+    // a zombie replay of an already-committed batch id skips
+    assert(TxLog.streamingAppend(rows(9L -> 90L), dst, 1L) === -1L)
+    assert(TxLog.snapshot(spark, dst).count() === 3L)
+  }
+
+  test("writeStream.format(\"txlog\").partitionBy: hive layout per micro-batch") {
+    val src = freshTable()
+    val dst = freshTable()
+    TxLog.append(Seq((1L, "en"), (2L, "de")).toDF("id", "lang"), src)
+    val q = spark.readStream.format("txlog-stream").load(src)
+      .writeStream.format("txlog").partitionBy("lang")
+      .option("checkpointLocation", Files.createTempDirectory("sink-ckpt-").toString)
+      .trigger(Trigger.AvailableNow()).start(dst)
+    try q.awaitTermination() finally q.stop()
+    val (rel, scanned, total) = TxLog.snapshotPartitionPruned(spark, dst, "lang", Some("en"))
+    assert((scanned, total) === (1, 2))
+    assert(rel.select("id").as[Long].collect().toSeq === Seq(1L))
+  }
+
   test("stream runs THROUGH rename epochs: per-file translation, pinned output schema") {
     val t = freshTable()
     TxLog.append(rows(1L -> 10L), t)                   // v1: physical "v"
