@@ -40,8 +40,11 @@ import org.apache.spark.sql.{DataFrame, Row, SQLContext, SaveMode, SparkSession}
   * overwritePartitioned, with `statsCols` riding the append through
   * [[TxLog.appendWithStats]]. `partitionBy(...)` arrives through Spark's
   * own encoded option (the key `DataFrameWriter` sets for every V1
-  * source); exactly one partition column is supported, matching the
-  * path-encoded layout. ErrorIfExists refuses a table with committed
+  * source); N partition columns nest as `c1=v1/.../cN=vN` leaf segments
+  * (the reference's own flagship write is two-level —
+  * `partitionBy('country','visa_category')`, `pyspark.py:306-322`), and
+  * `statsCols` coexists with partitioning: per-LEAF stats on the
+  * non-partition columns. ErrorIfExists refuses a table with committed
   * versions; Ignore is a silent no-op on one. Every path lands as ONE
   * atomic manifest with full CAS semantics — two racing overwrites
   * conflict exactly like the library API.
@@ -76,9 +79,7 @@ final class TxLogBatchSource extends RelationProvider
     require(outputMode == org.apache.spark.sql.streaming.OutputMode.Append(),
       s"txlog sink is append-only, got $outputMode — update/complete shapes go " +
         "through foreachBatch + TxLog.streamingMergeDv")
-    require(partitionColumns.lengthCompare(1) <= 0,
-      s"txlog sink supports one partition column, got ${partitionColumns.mkString(", ")}")
-    new TxLogSink(table, partitionColumns.headOption)
+    new TxLogSink(table, partitionColumns)
   }
 
   override def createRelation(sqlContext: SQLContext,
@@ -100,14 +101,9 @@ final class TxLogBatchSource extends RelationProvider
     val table = parameters.getOrElse("path", throw new IllegalArgumentException(
       "txlog batch sink requires .save(tablePath)"))
     val partCols = TxLogBatchSource.partitionColumns(parameters)
-    require(partCols.lengthCompare(1) <= 0,
-      s"txlog sink supports one partition column, got ${partCols.mkString(", ")}")
     val statsCols = parameters.get("statsCols").orElse(parameters.get("statscols"))
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .filter(_.nonEmpty)
-    require(statsCols.isEmpty || partCols.isEmpty,
-      "txlog sink: statsCols and partitionBy cannot combine (partitioned " +
-        "segments are path-pruned; per-segment column stats ride unpartitioned appends)")
     val exists = TxLog.currentVersion(table) > 0
     mode match {
       case SaveMode.ErrorIfExists if exists =>
@@ -116,15 +112,23 @@ final class TxLogBatchSource extends RelationProvider
             "(SaveMode.ErrorIfExists); use append or overwrite")
       case SaveMode.Ignore if exists => () // table stands — no-op
       case SaveMode.Overwrite =>
-        partCols match {
-          case Seq(pc) => TxLog.overwritePartitioned(data, table, pc)
-          case _ => TxLog.overwrite(data, table)
+        (partCols, statsCols) match {
+          case (Seq(), None) => TxLog.overwrite(data, table)
+          // overwrite + statsCols records skipping stats on the
+          // replacement — never silently dropped (ADVICE r13)
+          case (Seq(), Some(cs)) => TxLog.overwriteWithStats(data, table, cs)
+          case (pcs, cs) =>
+            TxLog.overwritePartitioned(data, table, pcs, cs.getOrElse(Seq.empty))
         }
       case _ => // Append, or first write under ErrorIfExists/Ignore
         (partCols, statsCols) match {
-          case (Seq(pc), _) => TxLog.appendPartitioned(data, table, pc)
-          case (_, Some(cs)) => TxLog.appendWithStats(data, table, cs)
-          case _ => TxLog.append(data, table)
+          case (Seq(), None) => TxLog.append(data, table)
+          case (Seq(), Some(cs)) => TxLog.appendWithStats(data, table, cs)
+          case (pcs, None) => TxLog.appendPartitioned(data, table, pcs)
+          // partitionBy(a, b, ...) + statsCols: path pruning on the
+          // partition levels, per-leaf min/max/NDV/histogram on the rest
+          case (pcs, Some(cs)) =>
+            TxLog.appendPartitionedWithStats(data, table, pcs, cs)
         }
     }
     new TxLogRelation(sqlContext, table, None)
@@ -132,14 +136,14 @@ final class TxLogBatchSource extends RelationProvider
 }
 
 /** V1 streaming sink over the commit log; see [[TxLogBatchSource.createSink]]. */
-final class TxLogSink(table: String, partCol: Option[String])
+final class TxLogSink(table: String, partCols: Seq[String])
     extends org.apache.spark.sql.execution.streaming.Sink {
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     // the engine's frame still carries the streaming source in its
     // logical plan — any fresh action on it refuses; re-wrap the
     // ALREADY-PLANNED incremental execution (the FileStreamSink pattern)
     val batch = org.apache.spark.sql.graft.StreamBridge.sinkBatch(data)
-    TxLog.streamingAppend(batch, table, batchId, partCol)
+    TxLog.streamingAppend(batch, table, batchId, partCols)
   }
   override def toString: String = s"TxLogSink[$table]"
 }

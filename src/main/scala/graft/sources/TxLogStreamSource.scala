@@ -245,7 +245,13 @@ private final class TxLogSource(spark: SparkSession, table: String,
     }.filter(_._2.nonEmpty)
     if (emitted.isEmpty) StreamBridge.emptyStreamingBatch(spark, schema)
     else {
-      val renames = renameLog(e)
+      // extend the rename log to the PIN epoch, not just the batch's end
+      // version: a fresh stream whose first rate-limited batch ends before
+      // a historical rename (maxVersionsPerTrigger, or checkpoint replay)
+      // must still translate those segments' pre-rename physical names to
+      // the pinned post-rename schema — renameLog(e) alone would return an
+      // empty list and readAdds would null-fill the renamed column
+      val renames = renameLog(math.max(e, pinVersion))
       if (withVersion)
         emitted.map { case (v, files) =>
           readAdds(files, renames)

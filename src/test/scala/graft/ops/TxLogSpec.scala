@@ -1318,6 +1318,76 @@ class TxLogSpec extends SparkSpec {
     assert(graft.sources.TxLogBatchSource.lastPrune === Some((1, 2)))
   }
 
+  test("df.write.format(\"txlog\").partitionBy(a, b): nested layout, per-level pruning, statsCols coexist") {
+    val t = freshTable()
+    val df = Seq(
+      (1L, "US", "B1", 10L), (2L, "US", "B2", 20L),
+      (3L, "DE", "B1", 30L), (4L, "DE", "B2", 40L), (5L, "US", "B1", 50L)
+    ).toDF("id", "country", "visa", "score")
+    df.write.format("txlog").mode("append")
+      .partitionBy("country", "visa").option("statsCols", "score").save(t)
+    assert(TxLog.currentVersion(t) === 1L, "one atomic manifest for all leaves")
+    // level-1 pruning: country=US reads 2 of 4 leaves, path-decided
+    val (us, s1, t1) = TxLog.snapshotPartitionPruned(
+      spark, t, Seq("country" -> Some("US"), "visa" -> None), None)
+    assert((s1, t1) === (2, 4))
+    assert(us.select("id").as[Long].collect().sorted.toSeq === Seq(1L, 2L, 5L))
+    assert(us.columns.toSet === Set("id", "country", "visa", "score"),
+      "both partition columns re-derive from the path")
+    // level-2 pruning: (US, B1) is exactly one leaf
+    val (leaf, s2, t2) = TxLog.snapshotPartitionPruned(
+      spark, t, Seq("country" -> Some("US"), "visa" -> Some("B1")), None)
+    assert((s2, t2) === (1, 4))
+    assert(leaf.select("id").as[Long].collect().sorted.toSeq === Seq(1L, 5L))
+    // per-LEAF stats on the NON-partition column drive manifest skipping
+    // through the format read: score >= 45 overlaps only US/B1's [10,50]
+    graft.sources.TxLogBatchSource.lastPrune = None
+    assert(spark.read.format("txlog").load(t)
+      .filter(col("score") >= 45L).count() === 1L)
+    assert(graft.sources.TxLogBatchSource.lastPrune === Some((1, 4)))
+    // two-level OVERWRITE swaps the whole live set in one CAS commit
+    Seq((9L, "FR", "B9", 90L)).toDF("id", "country", "visa", "score")
+      .write.format("txlog").mode("overwrite")
+      .partitionBy("country", "visa").option("statsCols", "score").save(t)
+    val (all, s3, t3) = TxLog.snapshotPartitionPruned(
+      spark, t, Seq("country" -> None, "visa" -> None), None)
+    assert((s3, t3) === (1, 1))
+    assert(all.select("id").as[Long].head() === 9L)
+    // statsCols naming a partition column is refused, not silently wrong
+    intercept[IllegalArgumentException] {
+      df.write.format("txlog").mode("append")
+        .partitionBy("country", "visa").option("statsCols", "country").save(t)
+    }
+  }
+
+  test("analyze MERGES per-segment stats: prior columns and blooms survive (r13 ADVICE)") {
+    val t = freshTable()
+    TxLog.appendWithBloom(rows(1L -> 10L, 2L -> 20L), t, "k") // v1: bloom on k
+    // v2: analyze a DIFFERENT column — must not clobber k's record
+    TxLog.analyze(spark, t, Seq("v"), force = true)
+    val s = TxLog.liveFilesWithStats(t).flatMap(_._2).head
+    assert(s.statsFor("k").exists(_.bloomHex.nonEmpty),
+      "the write-time bloom must survive an analyze of another column")
+    assert(s.statsFor("v").exists(cs => cs.min == 10L && cs.max == 20L))
+    // the preserved bloom still prunes point lookups
+    val (_, scanned, total) = TxLog.snapshotPointLookup(spark, t, "k", 1L)
+    assert((scanned, total) === (1, 1))
+    // re-analyzing k itself refreshes values but keeps the bloom
+    TxLog.analyze(spark, t, Seq("k"), force = true)
+    val s2 = TxLog.liveFilesWithStats(t).flatMap(_._2).head
+    assert(s2.statsFor("k").exists(cs => cs.bloomHex.nonEmpty && cs.ndv.contains(2L)))
+    assert(s2.statsFor("v").nonEmpty, "v's analyze stats survive k's re-analyze")
+  }
+
+  test("overwrite + statsCols records skipping stats on the replacement (r13 ADVICE)") {
+    val t = freshTable()
+    rows(1L -> 10L).write.format("txlog").save(t)
+    Seq((100L, 1L), (200L, 2L)).toDF("k", "v").write.format("txlog")
+      .mode("overwrite").option("statsCols", "k").save(t)
+    assert(TxLog.tableMinMax(t, "k") === Some((100L, 200L)))
+    assert(TxLog.tableRowCount(t) === Some(2L))
+  }
+
   test("analyze retro-fits multi-column stats as a pure metadata commit") {
     val t = freshTable()
     TxLog.append(Seq((1L, 100L), (2L, 200L)).toDF("a", "b"), t)  // v1, no stats

@@ -263,6 +263,23 @@ class TxLogStreamSpec extends SparkSpec {
       === Seq((1L, 10L, 1L), (2L, 20L, 3L)))
   }
 
+  test("rate-limited batch ending BEFORE a historical rename still translates (r13 ADVICE)") {
+    // append, rename, append — then stream with maxVersionsPerTrigger=1.
+    // The first micro-batch covers only (0, 1]: its end version predates
+    // the rename at v2, but the schema is pinned at head (post-rename
+    // "amt"), so the v1 segment's physical "v" MUST still translate. A
+    // rename log truncated at the batch end would be empty here and the
+    // renamed column would silently null-fill.
+    val t = freshTable()
+    TxLog.append(rows(1L -> 10L), t)                   // v1: physical "v"
+    TxLog.renameColumn(spark, t, "v", "amt")           // v2
+    TxLog.append(Seq((2L, 20L)).toDF("k", "amt"), t)   // v3: physical "amt"
+    val got = drain(t, Files.createTempDirectory("ckpt-").toString,
+      Map("maxVersionsPerTrigger" -> "1"))
+    assert(got.sorted.toSeq === Seq((1L, 10L, 1L), (2L, 20L, 3L)),
+      "the v1 row must carry its value under the pinned name, not null")
+  }
+
   test("schema stays pinned across an evolve; restart picks the new column up") {
     val t = freshTable()
     val ckpt = Files.createTempDirectory("ckpt-").toString
