@@ -129,6 +129,20 @@ object TextOps {
       graft.functions.SimHash60Expr(
         org.apache.spark.sql.GraftSqlBridge.toExpression(toks)))
 
+  /** Bit-parallel `levenshtein(l, r, threshold)` — exact distance when
+    * ≤ threshold, −1 otherwise, identical to Spark's 3-arg builtin but
+    * via Myers' blocked bit-vector algorithm: O(len·⌈len/64⌉) word ops
+    * instead of the banded DP's O(len·thr) cell ops
+    * ([[graft.functions.LevenshteinBPExpr]]; equality pinned against the
+    * builtin in `TextVectorOpsSpec`).
+    */
+  def levenshteinBP(l: Column, r: Column, threshold: Column): Column =
+    org.apache.spark.sql.GraftSqlBridge.toColumn(
+      graft.functions.LevenshteinBPExpr(
+        org.apache.spark.sql.GraftSqlBridge.toExpression(l),
+        org.apache.spark.sql.GraftSqlBridge.toExpression(r),
+        org.apache.spark.sql.GraftSqlBridge.toExpression(threshold)))
+
   /** 15-bit SimHash blocking keys (4 bands): near-dups (small Hamming
     * distance) agree on at least one band by pigeonhole, so the candidate
     * join runs on band equality, never all-pairs.

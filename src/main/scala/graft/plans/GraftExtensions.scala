@@ -18,19 +18,24 @@ import org.apache.spark.sql.types.IntegerType
   *
   *   1. edit distance ≥ |length(a) − length(b)|, so a length-difference
   *      check filters most pairs with two already-computed ints;
-  *   2. Spark's 3-arg `Levenshtein(a, b, threshold)` runs the banded
-  *      Ukkonen DP — O(k·min(|a|,|b|)) — returning −1 when the distance
-  *      exceeds the threshold.
+  *   2. a thresholded kernel can stop early — and Myers' bit-vector
+  *      algorithm ([[graft.functions.LevenshteinBPExpr]], exact, pinned
+  *      equal to Spark's builtin) computes the distance in
+  *      O(|b|·⌈|a|/64⌉) word operations instead of O(|a|·|b|) cells
+  *      (r14; the r13 target was Spark's banded 3-arg `Levenshtein`,
+  *      O(k·min) cells — the bit-parallel kernel beats both, ~12× fewer
+  *      operations at corpus document lengths, and keeps the same
+  *      distance-≤-k-else-−1 contract).
   *
   * So `lev(a,b) <= k` becomes
-  * `abs(length(a)-length(b)) <= k AND lev(a,b,k) >= 0` — identical on all
-  * inputs (including nulls: a null string nulls both forms; a false guard
-  * implies distance > k) but ~k/|b|× the work on the DP and zero DP work
-  * on length-incompatible pairs. In the near-dup verify stage this is the
+  * `abs(length(a)-length(b)) <= k AND lev_bp(a,b,k) >= 0` — identical on
+  * all inputs (including nulls: a null string nulls both forms; a false
+  * guard implies distance > k) with zero kernel work on
+  * length-incompatible pairs. In the near-dup verify stage this is the
   * hot predicate: it runs once per LSH candidate pair.
   *
-  * The rewrite matches ONLY the 2-arg form (`threshold = None`), so its
-  * own output never re-matches — idempotent under fixed-point execution.
+  * The rewrite matches ONLY the builtin 2-arg form, so its own output
+  * never re-matches — idempotent under fixed-point execution.
   */
 object LevenshteinThresholdRewrite extends Rule[LogicalPlan] {
 
@@ -38,8 +43,8 @@ object LevenshteinThresholdRewrite extends Rule[LogicalPlan] {
     val kLit = Literal(k)
     val lengthGuard =
       LessThanOrEqual(Abs(Subtract(Length(a), Length(b))), kLit)
-    val banded =
-      GreaterThanOrEqual(Levenshtein(a, b, Some(kLit)), Literal(0))
+    val banded = GreaterThanOrEqual(
+      graft.functions.LevenshteinBPExpr(a, b, kLit), Literal(0))
     And(lengthGuard, banded)
   }
 

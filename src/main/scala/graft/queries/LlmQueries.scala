@@ -517,24 +517,30 @@ object LlmQueries extends QueryPack {
         // length-incompatible pairs with zero DP work; (2) BYTE-EQUAL
         // pairs short-circuit to distance 0 — lev(t,t)=0 by definition,
         // and on a duplicate-heavy corpus the surviving candidate set is
-        // DOMINATED by exact clones, so an O(len) memcmp replaces an
-        // O(thr·len)=O(len²/5) DP on most pairs; (3) the 3-arg banded
-        // Ukkonen DP computes the exact distance in O(thr*min(|t|)) when
-        // it is <= thr and bails at -1 otherwise — vs the full
-        // O(|t1|*|t2|) program both output columns used to pay.
+        // DOMINATED by exact clones, so an O(len) memcmp replaces the
+        // kernel on most pairs; (3) the BIT-PARALLEL Myers kernel
+        // (TextOps.levenshteinBP, r14 — DP inputs measured 98.6% DISTINCT
+        // content at sf1, so the r13-proposed once-per-content grouping
+        // only added a shuffle; the win is per-pair cost) computes the
+        // exact distance in O(len·⌈len/64⌉) word ops when it is <= thr
+        // and bails at -1 otherwise — ~12× fewer operations than the
+        // banded Ukkonen DP's O(len·thr) cells at these doc lengths.
         // Survivors are exactly {lev <= thr} with exact distances,
-        // identical to the oracle's unbanded filter.
+        // identical to the oracle's unbanded filter (kernel pinned equal
+        // to Spark's levenshtein in TextVectorOpsSpec).
         .withColumn("thr", expr("CAST(greatest(length(t1), length(t2)) div 5 AS INT)"))
         .filter(abs(length(col("t1")) - length(col("t2"))) <= col("thr"))
-        // the DP lands under a GENERATE (explode of a 1-element array):
-        // predicates on a generated column cannot push through Generate,
-        // so the >= 0 filter and the dist_milli projection both read the
-        // ONE computed value — as a plain column, PushPredicateThroughNonJoin
-        // inlined the whole when/levenshtein into the filter and the
-        // kernel ran 2-3x per pair (measured 4.7 s -> 14.6 s at sf1)
+        // the kernel lands under a GENERATE (explode of a 1-element
+        // array): predicates on a generated column cannot push through
+        // Generate, so the >= 0 filter and the dist_milli projection both
+        // read the ONE computed value — as a plain column,
+        // PushPredicateThroughNonJoin inlined the whole when/levenshtein
+        // into the filter and the kernel ran 2-3x per pair (measured
+        // 4.7 s -> 14.6 s at sf1)
         .select(col("d1"), col("d2"), col("t1"), col("t2"),
           explode(array(when(col("t1") === col("t2"), lit(0L))
-            .otherwise(expr("CAST(levenshtein(t1, t2, thr) AS BIGINT)"))))
+            .otherwise(graft.ops.TextOps.levenshteinBP(
+              col("t1"), col("t2"), col("thr")).cast("long"))))
             .as("edit_dist"))
         .filter(col("edit_dist") >= 0)
         .select(col("d1"), col("d2"), col("edit_dist"),

@@ -455,6 +455,25 @@ object StatsQueries extends QueryPack {
       t
     })
 
+  /** TWO-LEVEL partitioned TxLog fixture, written through the FORMAT seam
+    * (`df.write.format("txlog").partitionBy("lang", "src")`) — the
+    * reference's own flagship write shape (visitor =
+    * `partitionBy('country','visa_category')`, `pyspark.py:306-322`).
+    * Leaves are lang×src combinations; `statsCols` on `doc_id` rides the
+    * same write, so path pruning and per-leaf column stats coexist.
+    */
+  private def txPart2Table(s: SparkSession, d: String): String =
+    txTables.computeIfAbsent((s, "part2:" + d), _ => {
+      val t = s"${graft.ops.Scratch.base}/txpart2_${(d.hashCode & 0xffffff).toHexString}"
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          when(col("doc_id") % 2 === 0, "web").otherwise("book").as("src"),
+          col("n_chars"))
+        .write.format("txlog").mode("append")
+        .partitionBy("lang", "src").option("statsCols", "doc_id").save(t)
+      t
+    })
+
   /** Partition-overwrite fixture: the partitioned load, then lang='en'
     * wholesale-replaced (every n_chars +1000) through ONE atomic
     * `overwritePartition` commit — other languages' segments untouched.
@@ -1679,6 +1698,26 @@ object StatsQueries extends QueryPack {
           col("n_docs"), col("sum_chars"))
     }),
 
+    // TWO-LEVEL partition pruning (lang=.../src=... nested leaves): the
+    // lang='en' read keeps exactly the 2 en leaves of 2×|langs|, and the
+    // (en, web) read keeps exactly 1 — both decided driver-side from the
+    // trailing path components of the manifest's segment list, no listing,
+    // no footers. Both partition columns are physically absent from the
+    // files and re-derived per leaf. The table was WRITTEN through
+    // df.write.format("txlog").partitionBy("lang","src") with statsCols —
+    // the lake seam's headline write path (VERDICT r13 item 1).
+    "lake_txlog_partitioned2" -> ((s, d) => {
+      val t = txPart2Table(s, d)
+      val (_, s1, t1) = graft.ops.TxLog.snapshotPartitionPruned(
+        s, t, Seq("lang" -> Some("en"), "src" -> None), None)
+      val (leaf, s2, t2) = graft.ops.TxLog.snapshotPartitionPruned(
+        s, t, Seq("lang" -> Some("en"), "src" -> Some("web")), None)
+      leaf.agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        .select(lit(s1 == 2 && s1 < t1).as("pruned_l1"),
+          lit(s2 == 1 && t2 == t1).as("pruned_l2"),
+          col("n_docs"), col("sum_chars"))
+    }),
+
     // Dynamic partition overwrite (replaceWhere): lang='en' replaced
     // atomically, every other partition's segments byte-identical; the
     // full partitioned read must show exactly the composed head.
@@ -2313,6 +2352,11 @@ object StatsQueries extends QueryPack {
         |  COUNT(*) AS n_docs,
         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
         |FROM documents WHERE lang = 'en'""".stripMargin,
+    "lake_txlog_partitioned2" ->
+      """SELECT TRUE AS pruned_l1, TRUE AS pruned_l2,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE lang = 'en' AND doc_id % 2 = 0""".stripMargin,
     "lake_txlog_format_scan" ->
       """WITH cut AS (SELECT MAX(o_orderkey) // 2 AS c FROM orders)
         |SELECT COUNT(*) AS n,

@@ -57,15 +57,15 @@ class ExtensionsSpec extends SparkSpec {
     assert(bare.sql("SELECT dot_product(array(2.0D), array(8.0D)) AS d").head().getDouble(0) == 16.0)
   }
 
-  test("levenshtein<=k filters rewrite to length guard + banded threshold DP") {
+  test("levenshtein<=k filters rewrite to length guard + bit-parallel threshold kernel") {
     // parquet-backed source: a LocalRelation would be constant-folded away
     // before the plan assertion could see the filter
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select(col("text").as("t1"), reverse(col("text")).as("t2"))
     val q = docs.filter(levenshtein(col("t1"), col("t2")) <= 3)
     val opt = q.queryExecution.optimizedPlan.toString
-    assert(opt.contains("levenshtein(") && opt.contains("Some(3)"),
-      s"threshold form missing from optimized plan:\n$opt")
+    assert(opt.toLowerCase.contains("levenshteinbp"),
+      s"bit-parallel threshold kernel missing from optimized plan:\n$opt")
     assert(opt.contains("abs("), s"length prefilter missing:\n$opt")
     // semantics: identical to the unrewritten predicate (projection form is
     // not a boolean comparison, so the rule leaves it alone)

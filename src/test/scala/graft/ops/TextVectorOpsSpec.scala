@@ -46,6 +46,54 @@ class TextVectorOpsSpec extends SparkSpec {
     }
   }
 
+  test("levenshteinBP equals Spark's 3-arg levenshtein across randomized inputs") {
+    val rnd = new scala.util.Random(42)
+    def randStr(maxLen: Int, alphabet: String): String =
+      (0 until rnd.nextInt(maxLen + 1)).map(_ =>
+        alphabet(rnd.nextInt(alphabet.length))).mkString
+    // mutate a base string so many pairs land NEAR the threshold boundary
+    def mutate(s: String, edits: Int): String = {
+      var cur = s
+      (0 until edits).foreach { _ =>
+        if (cur.isEmpty) cur = "x"
+        else rnd.nextInt(3) match {
+          case 0 => val i = rnd.nextInt(cur.length) // substitute
+            cur = cur.updated(i, ('a' + rnd.nextInt(26)).toChar)
+          case 1 => val i = rnd.nextInt(cur.length) // delete
+            cur = cur.take(i) + cur.drop(i + 1)
+          case _ => val i = rnd.nextInt(cur.length + 1) // insert
+            cur = cur.take(i) + ('a' + rnd.nextInt(26)).toChar + cur.drop(i)
+        }
+      }
+      cur
+    }
+    val ascii = "abcdef "
+    val uni = "aé界🌍b "
+    val cases = Seq(("", "", 0), ("", "abc", 2), ("", "abc", 3),
+        ("same", "same", 0), ("a" * 200, "a" * 130 + "b" * 70, 50)) ++
+      (0 until 200).map { _ =>
+        val a = randStr(60, ascii)
+        (a, mutate(a, rnd.nextInt(12)), rnd.nextInt(15))
+      } ++
+      (0 until 100).map { _ => // >64 chars exercises the multi-block path
+        val a = randStr(400, ascii)
+        (a, mutate(a, rnd.nextInt(60)), rnd.nextInt(90))
+      } ++
+      (0 until 100).map { _ => // non-ASCII exercises the code-point path
+        val a = randStr(80, uni)
+        (a, randStr(80, uni), rnd.nextInt(40))
+      }
+    val df = cases.toDF("a", "b", "thr").select(
+      TextOps.levenshteinBP(col("a"), col("b"), col("thr")).as("bp"),
+      expr("levenshtein(a, b, thr)").as("builtin"),
+      col("a"), col("b"), col("thr"))
+    df.as[(Int, Int, String, String, Int)].collect().foreach {
+      case (bp, builtin, a, b, thr) =>
+        assert(bp == builtin,
+          s"levenshteinBP=$bp builtin=$builtin for ('$a', '$b', thr=$thr)")
+    }
+  }
+
   test("minHashSignature: deterministic, k=8, identical docs get identical signatures") {
     val df = Seq("w1 w2 w3 w4 w5", "w1 w2 w3 w4 w5", "z1 z2 z3 z4 z5").toDF("t")
       .select(TextOps.minHashSignature(TextOps.shingleHashes(col("t"), 3)).as("sig"))
