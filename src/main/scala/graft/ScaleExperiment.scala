@@ -207,6 +207,40 @@ object ScaleExperiment {
       col("x.band") === col("y.band") && col("x.band_key") === col("y.band_key")).count()
     val snBound = 2L * nDocs // window of 2 successors per doc
 
+    // SimHash screen-loss audit (ADVICE r13): the fuzzy-verify Hamming
+    // pre-gate is mirrored into the DuckDB oracle, so the engine/oracle
+    // compare can no longer detect a pair the screen drops. This measures
+    // the UNSCREENED truth at each benched scale: over the exact
+    // fuzzy-verify candidate set (threshold-8 hot-band cap + length
+    // gate), every lev-PASSING pair's SimHash Hamming distance — and
+    // requires the screen threshold to clear the maximum with ≥ 3 bits
+    // of margin. A corpus shift that pushed true near-dups past the
+    // screen fails HERE, not silently in a green compare.
+    val hot8 = bands.groupBy("band", "band_key")
+      .agg(count(lit(1)).as("n")).filter(col("n") > 8)
+      .select("band", "band_key")
+    val cold8 = bands.join(broadcast(hot8), Seq("band", "band_key"), "left_anti")
+    val sig = Tables.documents(spark, dir).select(col("doc_id"),
+      graft.ops.TextOps.simHash60Native(
+        graft.ops.TextOps.tokens(col("text"))).as("sh"))
+    val docsT = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val screenRow = selfPairs(cold8).toDF("d1", "d2").distinct()
+      .join(docsT.select(col("doc_id").as("d1"), col("text").as("t1")), "d1")
+      .join(docsT.select(col("doc_id").as("d2"), col("text").as("t2")), "d2")
+      .withColumn("thr", expr("CAST(greatest(length(t1), length(t2)) div 5 AS INT)"))
+      .filter(abs(length(col("t1")) - length(col("t2"))) <= col("thr"))
+      .filter(graft.ops.TextOps.levenshteinBP(col("t1"), col("t2"), col("thr")) >= 0)
+      .join(sig.select(col("doc_id").as("d1"), col("sh").as("s1")), "d1")
+      .join(sig.select(col("doc_id").as("d2"), col("sh").as("s2")), "d2")
+      .agg(max(expr("bit_count(s1 ^ s2)")).as("max_ham"),
+        count(lit(1)).as("n_passing")).head()
+    val maxHam = if (screenRow.isNullAt(0)) 0 else screenRow.getInt(0)
+    val nPassing = screenRow.getLong(1)
+    val screenThr = queries.LlmQueries.FuzzyScreenHamming
+    require(screenThr - maxHam >= 3,
+      s"[$tag] SimHash screen margin too thin: max lev-passing Hamming " +
+        s"$maxHam vs screen threshold $screenThr (need >= 3 bits of margin)")
+
     val times = Seq("dedup_minhash_capped", "dedup_sorted_neighborhood",
       "dedup_incremental_pairs", "dedup_minhash_pairs", "dedup_line_segments",
       "dedup_edit_prefilter", "dedup_fuzzy_verify",
@@ -242,7 +276,8 @@ object ScaleExperiment {
 
     s"""{"scale":"$tag","n_docs":$nDocs,"candidates":{"uncapped":$uncapped,""" +
       s""""capped":$capped,"capped_bound":$cappedBound,"incremental":$incremental},""" +
-      s""""queries":{$times}}"""
+      s""""screen":{"max_lev_passing_hamming":$maxHam,"n_lev_passing":$nPassing,""" +
+      s""""threshold":$screenThr},"queries":{$times}}"""
   }
 
   private def selfPairs(b: DataFrame): DataFrame =

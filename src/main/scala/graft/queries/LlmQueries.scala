@@ -1191,7 +1191,7 @@ object LlmQueries extends QueryPack {
     * median 18, so most DP calls are screened away. Mirrored verbatim in
     * the DuckDB oracle.
     */
-  private val FuzzyScreenHamming = 14
+  private[graft] val FuzzyScreenHamming = 14
 
   /** [[simhashSql]] under screen-prefixed CTE names so it composes with
     * [[mhSigSql]] in one WITH (both define toks/hs/sig).
