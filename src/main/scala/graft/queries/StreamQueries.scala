@@ -181,7 +181,49 @@ object StreamQueries extends QueryPack {
       t
     })
 
+  /** CDC fixture: one append (v1), then a DV merge that rewrites every
+    * o_orderkey % 5 == 0 row with cents+500 (v2) — the rewrite-shaped
+    * history the change-feed stream must diff into update pre/post rows.
+    */
+  private def txCdfTable(s: org.apache.spark.sql.SparkSession, d: String): String =
+    txStreamTables.computeIfAbsent((s, "cdf:" + d), _ => {
+      val t = s"${graft.ops.Scratch.base}/txcdf_${(d.hashCode & 0xffffff).toHexString}"
+      val base = Tables.orders(s, d).select(col("o_orderkey"),
+        graft.ops.Cleaning.cents(col("o_totalprice")).as("cents"))
+      graft.ops.TxLog.append(base, t)
+      graft.ops.TxLog.mergeDv(s,
+        base.filter(col("o_orderkey") % 5 === 0)
+          .withColumn("cents", col("cents") + 500L),
+        t, "o_orderkey")
+      t
+    })
+
   val queries: Map[String, Q] = Map(
+    // CHANGE-DATA-FEED STREAM (Delta's readChangeFeed, VERDICT r13 item
+    // 2): instead of the "rewrites history" refusal, the stream emits
+    // CHANGE ROWS across the merge commit — v1's rows as inserts, v2's
+    // DV-merge as update_preimage/update_postimage pairs keyed on
+    // o_orderkey. The gate runs the REAL streaming query (AvailableNow →
+    // memory sink) with a per-(version, change-type) aggregation, so the
+    // driver-held sink is log-sized; the oracle recomputes each change
+    // class closed-form from orders.
+    "stream_txlog_cdf_batcheq" -> ((s, d) => {
+      val t = txCdfTable(s, d)
+      val qn = s"txlog_cdf_${sinkSeq.incrementAndGet()}"
+      val ns = s.newSession()
+      ns.conf.set("spark.sql.shuffle.partitions", "4")
+      val q = ns.readStream.format("txlog-stream")
+        .option("readChangeFeed", true).option("cdcKey", "o_orderkey")
+        .option("withCommitVersion", true).load(t)
+        .groupBy(col("_commit_version").as("commit_version"),
+          col("_change_type").as("change_type"))
+        .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+        .writeStream.outputMode("complete").format("memory").queryName(qn)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally q.stop()
+      ns.table(qn).orderBy("commit_version", "change_type")
+    }),
+
     // STREAMING CDC UPSERT through the lake (the Delta foreachBatch+MERGE
     // pattern, write-side twin of stream_txlog_source_batcheq): three CDC
     // micro-batches applied by TxLog.streamingMergeDv — each an
@@ -442,6 +484,18 @@ object StreamQueries extends QueryPack {
   )
 
   val oracle: Map[String, String] = Map(
+    "stream_txlog_cdf_batcheq" ->
+      """WITH c AS (SELECT o_orderkey,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders)
+        |SELECT CAST(1 AS BIGINT) AS commit_version, 'insert' AS change_type,
+        |  COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS sum_cents FROM c
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), 'update_preimage', COUNT(*),
+        |  CAST(SUM(cents) AS BIGINT) FROM c WHERE o_orderkey % 5 = 0
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), 'update_postimage', COUNT(*),
+        |  CAST(SUM(cents + 500) AS BIGINT) FROM c WHERE o_orderkey % 5 = 0
+        |ORDER BY commit_version, change_type""".stripMargin,
     "stream_txlog_upsert_batcheq" ->
       """SELECT o_orderkey,
         |  CAST(round((o_totalprice + CASE WHEN o_orderkey % 7 = 0 THEN 3000.0

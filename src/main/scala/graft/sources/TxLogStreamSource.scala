@@ -92,12 +92,15 @@ final class TxLogStreamSource extends StreamSourceProvider with DataSourceRegist
       ignoreDeletes = TxLogStreamSource.boolOpt(parameters, "ignoreDeletes"),
       startingVersion = startingVersion,
       maxVersionsPerTrigger = parameters.get("maxVersionsPerTrigger").map(_.toLong),
-      pinVersion = pinVersion)
+      pinVersion = pinVersion,
+      changeFeed = TxLogStreamSource.boolOpt(parameters, "readChangeFeed"),
+      cdcKey = parameters.get("cdcKey").orElse(parameters.get("cdckey")))
   }
 }
 
 object TxLogStreamSource {
   val CommitVersionCol = "_commit_version"
+  val ChangeTypeCol = "_change_type"
 
   private def tablePath(parameters: Map[String, String]): String = {
     val p = parameters.getOrElse("path",
@@ -124,9 +127,15 @@ object TxLogStreamSource {
   private def fullSchema(spark: SparkSession, table: String,
                          parameters: Map[String, String]): StructType = {
     val base = dataSchema(spark, table)
+    val withCdc =
+      if (boolOpt(parameters, "readChangeFeed"))
+        StructType(base.fields :+
+          StructField(ChangeTypeCol, org.apache.spark.sql.types.StringType,
+            nullable = false))
+      else base
     if (boolOpt(parameters, "withCommitVersion"))
-      StructType(base.fields :+ StructField(CommitVersionCol, LongType, nullable = false))
-    else base
+      StructType(withCdc.fields :+ StructField(CommitVersionCol, LongType, nullable = false))
+    else withCdc
   }
 }
 
@@ -140,7 +149,9 @@ private final class TxLogSource(spark: SparkSession, table: String,
                                 ignoreChanges: Boolean, ignoreDeletes: Boolean,
                                 startingVersion: Long,
                                 maxVersionsPerTrigger: Option[Long],
-                                pinVersion: Long)
+                                pinVersion: Long,
+                                changeFeed: Boolean = false,
+                                cdcKey: Option[String] = None)
     extends Source with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
   /** Version files are immutable once published (hard-link commit), so a
@@ -186,11 +197,18 @@ private final class TxLogSource(spark: SparkSession, table: String,
   override def reportLatestOffset(): V2Offset =
     TxLogVersionOffset(TxLog.currentVersion(table))
 
-  override def schema: StructType =
+  override def schema: StructType = {
+    val base =
+      if (changeFeed)
+        StructType(dataSchema.fields :+
+          StructField(TxLogStreamSource.ChangeTypeCol,
+            org.apache.spark.sql.types.StringType, nullable = false))
+      else dataSchema
     if (withVersion)
-      StructType(dataSchema.fields :+
+      StructType(base.fields :+
         StructField(TxLogStreamSource.CommitVersionCol, LongType, nullable = false))
-    else dataSchema
+    else base
+  }
 
   /** Legacy poll path — the engine calls latestOffset(start, limit) on a
     * SupportsAdmissionControl source; kept for direct V1 callers.
@@ -203,6 +221,7 @@ private final class TxLogSource(spark: SparkSession, table: String,
   override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
     val s = start.map(_.json().toLong).getOrElse(startingVersion)
     val e = end.json().toLong
+    if (changeFeed) return changeBatch(s, e)
     val emitted = ((s + 1) to e).flatMap { v =>
       val m = manifest(v)
       m.op match {
@@ -262,6 +281,118 @@ private final class TxLogSource(spark: SparkSession, table: String,
     }
   }
 
+  /** CHANGE-DATA-FEED micro-batch (`readChangeFeed=true` — Delta's
+    * `readChangeFeed` for this lake): instead of refusing rewrite-shaped
+    * history, every commit in (s, e] emits CHANGE ROWS tagged
+    * `_change_type` ∈ insert / delete / update_preimage /
+    * update_postimage (the last two only when a `cdcKey` names the merge
+    * key; without one an update is its delete+insert pair — exact
+    * multiset semantics, no key assumption).
+    *
+    *  - append-shaped commits read ONLY their added segments (the same
+    *    pinned-schema rename walk as the plain stream — never a snapshot
+    *    scan, so the common append path stays O(new data) at 100 TB);
+    *  - rewrite-shaped commits (delete / merge / merge_dv / overwrite /
+    *    restore / stream_merge) diff the two adjacent snapshots with
+    *    bag semantics (`exceptAll` both ways) — the read-side derivation
+    *    of the change set this lake does not persist at write time
+    *    (Delta writes change files in the commit; the diff is the
+    *    zero-storage equivalent, priced per rewritten commit);
+    *  - maintenance and metadata commits emit nothing, exactly like the
+    *    plain stream.
+    *
+    * Column renames between a commit and the stream's pin epoch are
+    * aligned by walking the rename log forward (pre-pin commits) or
+    * backward (post-pin commits), so the feed's schema never drifts.
+    */
+  private def changeBatch(s: Long, e: Long): DataFrame = {
+    import org.apache.spark.sql.functions.{lit => flit}
+    val frames = ((s + 1) to e).flatMap { v =>
+      val m = manifest(v)
+      val changed: Option[DataFrame] = m.op match {
+        case "append" => Some(insertFrame(v, m, e))
+        case op if op.startsWith("stream_append_b") => Some(insertFrame(v, m, e))
+        case op if op.startsWith("txn:") => Some(insertFrame(v, m, e))
+        case "compact" | "optimize" | "optimize_zorder" | "compact_dv"
+             | "evolve" | "constraint" | "dropcolumn" | "analyze"
+             | "rename" => None
+        case _ => Some(diffFrame(v))
+      }
+      changed.map(df =>
+        if (withVersion) df.withColumn(TxLogStreamSource.CommitVersionCol, flit(v))
+        else df)
+    }
+    if (frames.isEmpty) StreamBridge.emptyStreamingBatch(spark, schema)
+    else StreamBridge.streamingFromBatch(frames.reduce(_.unionByName(_)))
+  }
+
+  /** An append commit's rows as `insert` changes — batch-read of exactly
+    * the added segments under the pinned schema (rename walk included).
+    */
+  private def insertFrame(v: Long, m: TxLog.Manifest, e: Long): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    readAddsWith(m.adds, renameLog(math.max(e, pinVersion)),
+      (sch, fs) => spark.read.schema(sch).parquet(fs: _*))
+      .withColumn(TxLogStreamSource.ChangeTypeCol, lit("insert"))
+  }
+
+  /** The bag diff of versions v−1 → v under the pinned schema. */
+  private def diffFrame(v: Long): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val ct = TxLogStreamSource.ChangeTypeCol
+    val before = conformPinned(alignToPin(
+      TxLog.snapshot(spark, table, Some(v - 1)), v - 1))
+    val after = conformPinned(alignToPin(
+      TxLog.snapshot(spark, table, Some(v)), v))
+    val del = before.exceptAll(after)
+    val ins = after.exceptAll(before)
+    cdcKey match {
+      case None =>
+        del.withColumn(ct, lit("delete"))
+          .unionByName(ins.withColumn(ct, lit("insert")))
+      case Some(k) =>
+        // keys present on BOTH sides of the diff are updates; the pre/post
+        // images carry the old and new row respectively — everything else
+        // is a plain delete or insert
+        val updKeys = del.select(k).intersect(ins.select(k))
+        del.join(updKeys, Seq(k), "left_semi")
+          .withColumn(ct, lit("update_preimage"))
+          .unionByName(del.join(updKeys, Seq(k), "left_anti")
+            .withColumn(ct, lit("delete")))
+          .unionByName(ins.join(updKeys, Seq(k), "left_semi")
+            .withColumn(ct, lit("update_postimage")))
+          .unionByName(ins.join(updKeys, Seq(k), "left_anti")
+            .withColumn(ct, lit("insert")))
+    }
+  }
+
+  /** Rename-align a snapshot taken at `v` to the pin epoch's names:
+    * renames committed after `v` but at/before the pin walk FORWARD
+    * (the snapshot predates them), renames committed after the pin walk
+    * BACKWARD (the snapshot postdates the pinned names).
+    */
+  private def alignToPin(df: DataFrame, v: Long): DataFrame = {
+    val fwd = ((v + 1) to pinVersion).flatMap(x => manifest(x).renames)
+    val f = fwd.foldLeft(df)((d, r) =>
+      if (d.columns.contains(r.oldName)) d.withColumnRenamed(r.oldName, r.newName)
+      else d)
+    val bwd = ((pinVersion + 1) to v).flatMap(x => manifest(x).renames).reverse
+    bwd.foldLeft(f)((d, r) =>
+      if (d.columns.contains(r.newName)) d.withColumnRenamed(r.newName, r.oldName)
+      else d)
+  }
+
+  /** Project onto the pinned data schema: later-added columns null-fill
+    * in earlier snapshots, later-dropped ones are ignored.
+    */
+  private def conformPinned(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col => fcol, lit}
+    df.select(dataSchema.fields.map { f =>
+      if (df.columns.contains(f.name)) fcol(f.name).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }.toIndexedSeq: _*)
+  }
+
   /** Every rename committed at or before `upTo`, in version order — the
     * full history the per-file physical-name walk needs. Versions are
     * immutable, so the scan extends monotonically and re-reads nothing
@@ -296,9 +427,17 @@ private final class TxLogSource(spark: SparkSession, table: String,
     * relation — the plan is |epochs| scans unioned, never per-file work.
     */
   private def readAdds(files: Seq[String],
-                       renames: Seq[TxLog.Rename]): DataFrame = {
-    if (renames.isEmpty)
-      return StreamBridge.streamingParquetBatch(spark, dataSchema, files)
+                       renames: Seq[TxLog.Rename]): DataFrame =
+    readAddsWith(files, renames,
+      (sch, fs) => StreamBridge.streamingParquetBatch(spark, sch, fs))
+
+  /** The rename-aware scan with a pluggable leaf reader: the plain stream
+    * builds streaming-flagged relations, the change feed builds ordinary
+    * batch scans (its computed diff re-flags once at the end).
+    */
+  private def readAddsWith(files: Seq[String], renames: Seq[TxLog.Rename],
+                           read: (StructType, Seq[String]) => DataFrame): DataFrame = {
+    if (renames.isEmpty) return read(dataSchema, files)
     import org.apache.spark.sql.functions.{col => fcol}
     val renamesAfterPin = renames.drop(renamesThroughPin)
     val headNames = dataSchema.fieldNames.map(n =>
@@ -311,7 +450,7 @@ private final class TxLogSource(spark: SparkSession, table: String,
         val aliases = dataSchema.fieldNames.zip(phys).map { case (ln, pn) =>
           fcol(pn).as(ln)
         }.toIndexedSeq
-        StreamBridge.streamingParquetBatch(spark, physSchema, fs).select(aliases: _*)
+        read(physSchema, fs).select(aliases: _*)
       }.reduce(_.union(_))
   }
 

@@ -45,6 +45,20 @@ object StreamBridge {
       LocalRelation(DataTypeUtils.toAttributes(schema), Nil, isStreaming = true))
   }
 
+  /** A COMPUTED batch frame re-flagged as streaming: the change-feed
+    * source's micro-batches are snapshot DIFFS (exceptAll/joins over two
+    * table versions), not raw file scans, so the plan is built with the
+    * ordinary batch API and its row RDD is wrapped under the streaming
+    * flag — execution stays lazy (the RDD evaluates when the micro-batch
+    * runs), which is the same `internalCreateDataFrame` shape Spark's own
+    * sources use for computed batches.
+    */
+  def streamingFromBatch(df: DataFrame): DataFrame = {
+    val cs = df.sparkSession.asInstanceOf[ClassicSession]
+    cs.internalCreateDataFrame(
+      df.queryExecution.toRdd, df.schema, isStreaming = true)
+  }
+
   /** The micro-batch a V1 `Sink.addBatch` receives, re-wrapped as an
     * ordinary batch DataFrame: the engine's Dataset still carries the
     * streaming source in its LOGICAL plan, so any fresh action on it

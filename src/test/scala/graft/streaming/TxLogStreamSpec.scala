@@ -280,6 +280,47 @@ class TxLogStreamSpec extends SparkSpec {
       "the v1 row must carry its value under the pinned name, not null")
   }
 
+  test("readChangeFeed streams change rows through merge/delete commits (CDC)") {
+    val t = freshTable()
+    TxLog.append(rows(1L -> 10L, 2L -> 20L), t)            // v1: inserts
+    TxLog.mergeDv(spark, rows(2L -> 200L, 3L -> 300L), t, "k") // v2: update + insert
+    TxLog.deleteWhere(spark, t, $"k" === 1L)               // v3: delete
+    val buf = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, String, Long)]
+    val q = spark.readStream.format("txlog-stream")
+      .option("readChangeFeed", true).option("cdcKey", "k")
+      .option("withCommitVersion", true)
+      .option("maxVersionsPerTrigger", 1).load(t)
+      .writeStream
+      .option("checkpointLocation", Files.createTempDirectory("cdc-ckpt-").toString)
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        df.as[(Long, Long, String, Long)].collect().foreach(buf.add)
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination() finally q.stop()
+    val got = buf.toArray(Array.empty[(Long, Long, String, Long)]).toSeq.sorted
+    assert(got === Seq(
+      (1L, 10L, "delete", 3L),            // v3 removes k=1
+      (1L, 10L, "insert", 1L),
+      (2L, 20L, "insert", 1L),
+      (2L, 20L, "update_preimage", 2L),   // v2 rewrites k=2
+      (2L, 200L, "update_postimage", 2L),
+      (3L, 300L, "insert", 2L)            // v2's new key
+    ).sorted, s"unexpected change feed: $got")
+    // keyless mode degrades updates to delete+insert pairs, same multiset
+    val buf2 = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, String)]
+    val q2 = spark.readStream.format("txlog-stream")
+      .option("readChangeFeed", true).load(t)
+      .writeStream
+      .option("checkpointLocation", Files.createTempDirectory("cdc-ckpt-").toString)
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        df.as[(Long, Long, String)].collect().foreach(buf2.add)
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    try q2.awaitTermination() finally q2.stop()
+    val got2 = buf2.toArray(Array.empty[(Long, Long, String)]).toSeq
+    assert(got2.count(_._3 == "insert") === 4 && got2.count(_._3 == "delete") === 2)
+  }
+
   test("schema stays pinned across an evolve; restart picks the new column up") {
     val t = freshTable()
     val ckpt = Files.createTempDirectory("ckpt-").toString
