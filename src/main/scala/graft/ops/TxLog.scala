@@ -1858,6 +1858,40 @@ object TxLog {
       .collectFirst { case StreamMergeOp(b) => b.toLong }
       .getOrElse(-1L)
 
+  /** Highest batch id committed by EITHER streaming op family — the dedup
+    * line for the native update-mode sink, whose history legitimately
+    * mixes both: its bootstrap batch lands as `stream_append_b<id>`, the
+    * rest as `stream_merge_b<id>`, and a replay of the bootstrap must
+    * skip even though no MERGE with its id exists.
+    */
+  def maxCommittedAnyBatch(table: String): Long =
+    math.max(maxCommittedBatch(table), maxCommittedMergeBatch(table))
+
+  /** The native UPDATE-MODE streaming sink step
+    * (`writeStream.format("txlog").outputMode("update")`): each
+    * micro-batch of keyed update rows applies as one exactly-once
+    * MERGE-ON-READ commit (deletion-vector marks + one new segment) —
+    * except the FIRST data into an empty table, which bootstraps as a
+    * batch-tagged append (there is nothing to merge into). The batch-id
+    * dedup spans both op families, checked up front AND inside the
+    * commit CAS, so restarts and zombie drivers skip exactly like the
+    * append sink.
+    */
+  def streamingUpsert(spark: SparkSession, updates: DataFrame, table: String,
+                      key: String, batchId: Long): Long = {
+    init(table)
+    if (batchId <= maxCommittedAnyBatch(table)) -1L
+    else if (tableStateViaCheckpoint(table).segments.isEmpty) {
+      val rv = currentVersion(table) // before validation — see append
+      validateUpdates(updates, key)
+      validateWrite(updates, table)
+      val p = stage(updates, table)
+      commit(table, s"stream_append_b$batchId", Seq(p), Seq.empty, rv, Map.empty,
+        skipIf = () => maxCommittedAnyBatch(table) >= batchId, schemaJson = None)
+    } else mergeDvImpl(spark, updates, table, key, s"stream_merge_b$batchId",
+      skipIf = () => maxCommittedAnyBatch(table) >= batchId)
+  }
+
   /** Exactly-once STREAMING CDC UPSERT — the foreachBatch body that
     * applies each micro-batch of change rows as one merge-on-read commit
     * (the Delta `foreachBatch + MERGE` pattern, here through the DV

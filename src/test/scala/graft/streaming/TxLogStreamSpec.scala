@@ -280,6 +280,42 @@ class TxLogStreamSpec extends SparkSpec {
       "the v1 row must carry its value under the pinned name, not null")
   }
 
+  test("writeStream.format(\"txlog\").outputMode(\"update\"): merge-on-read upsert, replay-safe") {
+    val src = freshTable()
+    val dst = freshTable()
+    TxLog.append(rows(1L -> 10L, 2L -> 20L), src)   // v1
+    TxLog.append(rows(2L -> 200L, 3L -> 300L), src) // v2: k=2 updated
+    val ckpt = Files.createTempDirectory("upsert-ckpt-").toString
+    def run(): Unit = {
+      val q = spark.readStream.format("txlog-stream")
+        .option("maxVersionsPerTrigger", 1).load(src)
+        .writeStream.format("txlog").outputMode("update")
+        .option("mergeKey", "k")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start(dst)
+      try q.awaitTermination() finally q.stop()
+    }
+    run()
+    assert(TxLog.snapshot(spark, dst).as[(Long, Long)].collect().toMap
+      === Map(1L -> 10L, 2L -> 200L, 3L -> 300L), "latest-wins upsert state")
+    // batch 0 bootstrapped as an append (empty table), batch 1 as a DV merge
+    assert(TxLog.readManifest(dst, 1L).op === "stream_append_b0")
+    assert(TxLog.readManifest(dst, 2L).op === "stream_merge_b1")
+    assert(TxLog.maxCommittedAnyBatch(dst) === 1L)
+    // restart on the same checkpoint: nothing re-lands
+    run()
+    assert(TxLog.currentVersion(dst) === 2L)
+    // zombie replays of BOTH op families skip (the dedup line spans them)
+    assert(TxLog.streamingUpsert(spark, rows(9L -> 90L), dst, "k", 0L) === -1L)
+    assert(TxLog.streamingUpsert(spark, rows(9L -> 90L), dst, "k", 1L) === -1L)
+    assert(TxLog.snapshot(spark, dst).count() === 3L)
+    // new source commits continue the line as merges
+    TxLog.append(rows(1L -> 11L), src)
+    run()
+    assert(TxLog.snapshot(spark, dst).as[(Long, Long)].collect().toMap
+      === Map(1L -> 11L, 2L -> 200L, 3L -> 300L))
+  }
+
   test("readChangeFeed streams change rows through merge/delete commits (CDC)") {
     val t = freshTable()
     TxLog.append(rows(1L -> 10L, 2L -> 20L), t)            // v1: inserts
