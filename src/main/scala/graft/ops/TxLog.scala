@@ -1654,6 +1654,44 @@ object TxLog {
     (rel, keep.size, st.segments.size)
   }
 
+  /** The FORMAT relation's partitioned scan: partition-value equality
+    * pruning (per level, sets from pushed EqualTo/In filters) composed
+    * with per-segment stats bounds pruning, both decided driver-side
+    * from the manifest; surviving leaves read grouped per value
+    * combination with every partition column re-attached. LENIENT on
+    * all-pruned (returns None — a zero-row query is an ordinary query,
+    * the ADVICE-r12 buildScan contract), so callers with a pinned schema
+    * build their own empty relation.
+    */
+  def snapshotPartitionStatsPruned(spark: SparkSession, table: String,
+                                   partIn: Seq[(String, Option[Set[String]])],
+                                   bounds: Seq[(String, Long, Long)],
+                                   asOf: Option[Long] = None)
+      : (Option[DataFrame], Int, Int) = {
+    import org.apache.spark.sql.functions.{lit => flit}
+    val partCols = partIn.map(_._1)
+    val st = tableStateViaCheckpoint(table, asOf)
+    val tagged = st.segments.map { case (p, ss) =>
+      (p, ss, segPartValues(p, partCols))
+    }
+    val keep = tagged.filter { case (_, ss, vals) =>
+      partIn.map(_._2).zip(vals).forall { case (f, v) => f.forall(_.contains(v)) } &&
+        bounds.forall { case (c, lo, hi) =>
+          ss.flatMap(_.statsFor(c)).forall(s => s.max >= lo && s.min <= hi)
+        }
+    }
+    if (keep.isEmpty) return (None, 0, st.segments.size)
+    val schemaOpt = recordedSchema(table, asOf)
+    val rel = keep.groupBy(_._3).toSeq.sortBy(_._1.mkString("/")).map {
+      case (vals, segs) =>
+        partCols.zip(vals).foldLeft(
+          readSegments(spark, segs.map(_._1), schemaOpt, st)) {
+          case (d, (pc, v)) => d.withColumn(pc, flit(v))
+        }
+    }.reduce(_.unionByName(_))
+    (Some(rel), keep.size, st.segments.size)
+  }
+
   /** Full-table overwrite STAGED PARTITIONED (the `df.write.format("txlog")
     * .mode("overwrite").partitionBy(c).save(t)` shape): the replacement
     * fans into `partCol=value` segment dirs like [[appendPartitioned]],
@@ -1715,6 +1753,87 @@ object TxLog {
     require(subdirs.size == 1,
       s"overwritePartition staged ${subdirs.size} dirs for $partCol=$value")
     commit(table, "overwrite", subdirs, old, rv)
+  }
+
+  /** The table's partitioned LAYOUT, detected from manifest paths alone:
+    * the trailing `col=value` path components every live segment agrees
+    * on, in level order — `Seq("country", "visa")` for a two-level
+    * table, empty for an unpartitioned one or a mixed history (a
+    * maintenance rewrite that dropped the layout makes the table honest
+    * plain segments again).
+    */
+  def partitionLayout(table: String, asOf: Option[Long] = None): Seq[String] = {
+    val segs = tableStateViaCheckpoint(table, asOf).segments.map(_._1)
+    if (segs.isEmpty) return Seq.empty
+    def levels(p: String): Seq[String] = {
+      val path = Paths.get(p)
+      var i = path.getNameCount - 1
+      var acc = List.empty[String]
+      while (i >= 0 && {
+        val name = path.getName(i).toString
+        val eq = name.indexOf('=')
+        eq > 0 && { acc = name.substring(0, eq) :: acc; true }
+      }) i -= 1
+      acc
+    }
+    val first = levels(segs.head)
+    if (first.nonEmpty && segs.forall(s => levels(s) == first)) first
+    else Seq.empty
+  }
+
+  /** A segment's partition values for `partCols` (trailing path levels,
+    * layout order).
+    */
+  private def segPartValues(p: String, partCols: Seq[String]): Seq[String] = {
+    val path = Paths.get(p)
+    val n = path.getNameCount
+    partCols.zipWithIndex.map { case (pc, i) =>
+      val name = path.getName(n - partCols.size + i).toString
+      require(name.startsWith(pc + "="),
+        s"segment $p carries no $pc= path at level ${i + 1}")
+      name.substring(pc.length + 1)
+    }
+  }
+
+  /** Per-value row counts of `partCol` from the manifest ALONE — the
+    * `count(*) GROUP BY <partition col>` answer, no file opened. None
+    * when the answer would be inexact: a deletion vector in force, the
+    * table not partitioned on `partCol`, or any live segment committed
+    * without row stats (the [[tableRowCount]] refusal contract).
+    */
+  def partitionRowCounts(table: String, partCol: String,
+                         asOf: Option[Long] = None): Option[Seq[(String, Long)]] = {
+    val layout = partitionLayout(table, asOf)
+    val idx = layout.indexOf(partCol)
+    if (idx < 0) return None
+    val st = tableStateViaCheckpoint(table, asOf)
+    if (st.dv.nonEmpty) return None
+    val per = st.segments.map { case (p, ss) =>
+      ss.flatMap(_.rows).map(r => segPartValues(p, layout)(idx) -> r)
+    }
+    if (per.exists(_.isEmpty)) None
+    else Some(per.flatten.groupBy(_._1).view.mapValues(_.map(_._2).sum)
+      .toSeq.sortBy(_._1))
+  }
+
+  /** The stats records of the live segments inside the partition slice
+    * `partEq` (equality per named level, layout order irrelevant) — the
+    * metadata a planner folds count/min/max under a partition-key
+    * predicate from. None when inexact: DV in force, a named column not
+    * a partition level, or any matching segment without a stats record.
+    */
+  def partitionSliceStats(table: String, partEq: Seq[(String, String)],
+                          asOf: Option[Long] = None): Option[Seq[SegStats]] = {
+    val layout = partitionLayout(table, asOf)
+    if (partEq.exists { case (c, _) => !layout.contains(c) }) return None
+    val st = tableStateViaCheckpoint(table, asOf)
+    if (st.dv.nonEmpty) return None
+    val matching = st.segments.filter { case (p, _) =>
+      val vals = segPartValues(p, layout)
+      partEq.forall { case (c, v) => vals(layout.indexOf(c)) == v }
+    }
+    val stats = matching.map(_._2)
+    if (stats.exists(_.isEmpty)) None else Some(stats.flatten)
   }
 
   /** Distinct partition values of the live set — from manifest paths

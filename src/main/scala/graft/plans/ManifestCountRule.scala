@@ -88,16 +88,138 @@ object ManifestCountRule extends Rule[LogicalPlan] {
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
-    case a: Aggregate
-        if a.groupingExpressions.isEmpty && a.aggregateExpressions.nonEmpty =>
-      txlogScan(a.child).flatMap { rel =>
-        val answers = a.aggregateExpressions.map(e => answer(unalias(e), rel))
-        if (answers.exists(_.isEmpty)) None
-        else {
-          lastAnswered = Some((rel.table, answers.head.get))
-          Some(LocalRelation(a.output,
-            Seq(InternalRow.fromSeq(answers.map(_.get)))))
+    case a: Aggregate if a.aggregateExpressions.nonEmpty =>
+      (if (a.groupingExpressions.isEmpty)
+        globalOverScan(a).orElse(globalOverPartitionSlice(a))
+      else groupByPartition(a)).getOrElse(a)
+  }
+
+  /** The original global case: unfiltered scan, whole-table stats. */
+  private def globalOverScan(a: Aggregate): Option[LogicalPlan] =
+    txlogScan(a.child).flatMap { rel =>
+      val answers = a.aggregateExpressions.map(e => answer(unalias(e), rel))
+      if (answers.exists(_.isEmpty)) None
+      else {
+        lastAnswered = Some((rel.table, answers.head.get))
+        Some(LocalRelation(a.output,
+          Seq(InternalRow.fromSeq(answers.map(_.get)))))
+      }
+    }
+
+  /** `count(*) GROUP BY <partition col>` answered from manifest paths +
+    * per-segment row counts (VERDICT r13 item 5): the Aggregate collapses
+    * to one local row per partition VALUE — partition counts are
+    * metadata-scale, never data-scale. Fires only when grouping is a
+    * single bare partition-column attribute and every output is that
+    * attribute or an exact manifest count.
+    */
+  private def groupByPartition(a: Aggregate): Option[LogicalPlan] =
+    for {
+      attr <- a.groupingExpressions match {
+        case Seq(ar: AttributeReference) => Some(ar)
+        case _ => None
+      }
+      rel <- txlogScan(a.child)
+      if rel.partitionCols.contains(attr.name)
+      counts <- TxLog.partitionRowCounts(rel.table, attr.name, rel.asOf)
+      builders <- {
+        val bs = a.aggregateExpressions.map(unalias).map {
+          case ar: AttributeReference if ar.semanticEquals(attr) =>
+            Some((v: String, _: Long) =>
+              org.apache.spark.unsafe.types.UTF8String.fromString(v): Any)
+          case AggregateExpression(Count(Seq(Literal(_, _))), _, false, None, _) =>
+            Some((_: String, n: Long) => n: Any)
+          case _ => None
         }
-      }.getOrElse(a)
+        if (bs.exists(_.isEmpty)) None else Some(bs.map(_.get))
+      }
+    } yield {
+      lastAnswered = Some((rel.table, counts.map(_._2).sum))
+      LocalRelation(a.output,
+        counts.map { case (v, n) => InternalRow.fromSeq(builders.map(_(v, n))) })
+    }
+
+  /** Global count/min/max under a conjunction of PARTITION-KEY equality
+    * predicates: the slice's segments are picked by path, their stats
+    * folded — no file opened. Empty slices answer count 0 and NULL
+    * min/max, exactly the SQL semantics.
+    */
+  private def globalOverPartitionSlice(a: Aggregate): Option[LogicalPlan] = {
+    import org.apache.spark.sql.catalyst.plans.logical.Filter
+    def stripped(p: LogicalPlan): LogicalPlan = p match {
+      case Project(pl, child) if pl.forall(_.isInstanceOf[AttributeReference]) =>
+        stripped(child)
+      case SubqueryAlias(_, child) => stripped(child)
+      case other => other
+    }
+    stripped(a.child) match {
+      case Filter(cond, grandchild) =>
+        for {
+          rel <- txlogScan(grandchild)
+          eqs <- partitionEqualities(cond, rel)
+          slice <- TxLog.partitionSliceStats(rel.table, eqs, rel.asOf)
+          answers <- {
+            val as = a.aggregateExpressions.map(e => sliceAnswer(unalias(e), slice))
+            if (as.exists(_.isEmpty)) None else Some(as.map(_.get))
+          }
+        } yield {
+          lastAnswered = Some((rel.table, answers.head match {
+            case n: java.lang.Long => n.longValue()
+            case _ => -1L
+          }))
+          LocalRelation(a.output, Seq(InternalRow.fromSeq(answers)))
+        }
+      case _ => None
+    }
+  }
+
+  /** Decompose `cond` into partition-column string equalities; None if
+    * any conjunct is anything else (the scan must then run).
+    */
+  private def partitionEqualities(cond: Expression,
+                                  rel: TxLogRelation): Option[Seq[(String, String)]] = {
+    import org.apache.spark.sql.catalyst.expressions.{And, EqualTo}
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    val eqs = conjuncts(cond).map {
+      case EqualTo(ar: AttributeReference, Literal(v, org.apache.spark.sql.types.StringType))
+          if rel.partitionCols.contains(ar.name) && v != null =>
+        Some(ar.name -> v.toString)
+      case EqualTo(Literal(v, org.apache.spark.sql.types.StringType), ar: AttributeReference)
+          if rel.partitionCols.contains(ar.name) && v != null =>
+        Some(ar.name -> v.toString)
+      case _ => None
+    }
+    if (eqs.exists(_.isEmpty)) None else Some(eqs.map(_.get))
+  }
+
+  /** One aggregate's answer from a partition slice's stats records —
+    * boxed (min/max of an empty slice is SQL NULL).
+    */
+  private def sliceAnswer(ae: Expression,
+                          slice: Seq[TxLog.SegStats]): Option[Any] = ae match {
+    case AggregateExpression(Count(Seq(Literal(_, _))), _, false, None, _) =>
+      val rows = slice.map(_.rows)
+      if (rows.exists(_.isEmpty)) None
+      else Some(java.lang.Long.valueOf(rows.flatten.sum))
+    case AggregateExpression(Min(attr: AttributeReference), _, false, None, _)
+        if attr.dataType == LongType =>
+      if (slice.isEmpty) Some(null)
+      else {
+        val per = slice.map(_.statsFor(attr.name))
+        if (per.exists(_.isEmpty)) None
+        else Some(java.lang.Long.valueOf(per.flatten.map(_.min).min))
+      }
+    case AggregateExpression(Max(attr: AttributeReference), _, false, None, _)
+        if attr.dataType == LongType =>
+      if (slice.isEmpty) Some(null)
+      else {
+        val per = slice.map(_.statsFor(attr.name))
+        if (per.exists(_.isEmpty)) None
+        else Some(java.lang.Long.valueOf(per.flatten.map(_.max).max))
+      }
+    case _ => None
   }
 }

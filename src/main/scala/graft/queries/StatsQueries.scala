@@ -1718,6 +1718,36 @@ object StatsQueries extends QueryPack {
           col("n_docs"), col("sum_chars"))
     }),
 
+    // PARTITION-WISE MANIFEST AGGREGATES (VERDICT r13 item 5): over the
+    // two-level table, `count(*) GROUP BY lang` collapses to one local
+    // row per partition value (manifest paths + per-leaf row counts) and
+    // count/min/max under the (lang, src) equality slice folds the
+    // matching leaves' stats — ZERO parquet files opened for either, the
+    // `*_answered` pins prove it (lastAnswered flips only when the rule
+    // rewrote the Aggregate to a LocalRelation). Partition counts are
+    // metadata-scale, so the driver-held group list is |values|-sized.
+    "lake_txlog_manifest_group" -> ((s, d) => {
+      val t = txPart2Table(s, d)
+      graft.plans.ManifestCountRule.install(s)
+      graft.plans.ManifestCountRule.lastAnswered = None
+      val rel = s.read.format("txlog").load(t)
+      val perLang = rel.groupBy("lang").count().orderBy("lang").collect()
+      val groupAnswered = graft.plans.ManifestCountRule.lastAnswered.exists(_._1 == t)
+      graft.plans.ManifestCountRule.lastAnswered = None
+      val slice = rel.filter(col("lang") === "en" && col("src") === "web")
+        .agg(count(lit(1)), min("doc_id"), max("doc_id")).head()
+      val sliceAnswered = graft.plans.ManifestCountRule.lastAnswered.exists(_._1 == t)
+      import s.implicits._
+      perLang.map(r => (r.getString(0), r.getLong(1))).toSeq.toDF("lang", "n_docs")
+        .select(col("lang"), col("n_docs"),
+          lit(groupAnswered).as("group_answered"),
+          lit(sliceAnswered).as("slice_answered"),
+          lit(slice.getLong(0)).as("en_web_docs"),
+          lit(slice.getLong(1)).as("en_web_min_id"),
+          lit(slice.getLong(2)).as("en_web_max_id"))
+        .orderBy("lang")
+    }),
+
     // Dynamic partition overwrite (replaceWhere): lang='en' replaced
     // atomically, every other partition's segments byte-identical; the
     // full partitioned read must show exactly the composed head.
@@ -2352,6 +2382,15 @@ object StatsQueries extends QueryPack {
         |  COUNT(*) AS n_docs,
         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
         |FROM documents WHERE lang = 'en'""".stripMargin,
+    "lake_txlog_manifest_group" ->
+      """WITH enweb AS (SELECT COUNT(*) AS n, MIN(doc_id) AS mn, MAX(doc_id) AS mx
+        |  FROM documents WHERE lang = 'en' AND doc_id % 2 = 0)
+        |SELECT lang, COUNT(*) AS n_docs,
+        |  TRUE AS group_answered, TRUE AS slice_answered,
+        |  (SELECT n FROM enweb) AS en_web_docs,
+        |  (SELECT mn FROM enweb) AS en_web_min_id,
+        |  (SELECT mx FROM enweb) AS en_web_max_id
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "lake_txlog_partitioned2" ->
       """SELECT TRUE AS pruned_l1, TRUE AS pruned_l2,
         |  COUNT(*) AS n_docs,

@@ -208,8 +208,21 @@ final class TxLogRelation(ctx: SQLContext, val table: String, val asOf: Option[L
 
   override def sqlContext: SQLContext = ctx
 
-  override lazy val schema: StructType =
-    TxLog.snapshot(spark, table, asOf).schema
+  /** The table's partitioned layout (trailing `col=value` path levels),
+    * empty for plain tables — detected once from manifest paths. A
+    * partitioned table's FULL logical schema includes these columns
+    * (physically absent from the files, re-derived from the path), so
+    * `spark.read.format("txlog")` round-trips what
+    * `partitionBy(...).save` wrote.
+    */
+  val partitionCols: Seq[String] = TxLog.partitionLayout(table, asOf)
+
+  override lazy val schema: StructType = {
+    val base = TxLog.snapshot(spark, table, asOf).schema
+    StructType(base.fields ++ partitionCols.map(c =>
+      org.apache.spark.sql.types.StructField(c,
+        org.apache.spark.sql.types.StringType, nullable = false)))
+  }
 
   // every filter re-applies row-level: segment pruning only skips
   // segments that provably contain NO matching row
@@ -218,16 +231,28 @@ final class TxLogRelation(ctx: SQLContext, val table: String, val asOf: Option[L
   override def buildScan(requiredColumns: Array[String],
                          filters: Array[Filter]): RDD[Row] = {
     // every column ANY live segment tracks is a pruning candidate —
-    // multi-column stats (appendWithStats with N columns) prune on all
+    // multi-column stats (appendWithStats with N columns) prune on all.
+    // Stats bounds apply at head only (time travel takes the unpruned
+    // path — correctness before skipping); PARTITION pruning is pure
+    // path metadata, valid at any version.
     val tracked = TxLog.liveFilesWithStats(table, asOf)
       .flatMap(_._2.toSeq.flatMap(_.trackedCols)).distinct
-    val bounds = tracked.flatMap(c =>
-      filterBounds(c, filters).map { case (lo, hi) => (c, lo, hi) })
+    val bounds =
+      if (asOf.isEmpty)
+        tracked.flatMap(c =>
+          filterBounds(c, filters).map { case (lo, hi) => (c, lo, hi) })
+      else Seq.empty
     val df =
-      // stats-pruned head read: min/max skipping decided from the
-      // manifest (snapshotPrunedMulti resolves head state; time travel
-      // takes the unpruned path — correctness before skipping)
-      if (bounds.nonEmpty && asOf.isEmpty) {
+      if (partitionCols.nonEmpty) {
+        // partitioned layout: equality/IN filters on partition columns
+        // prune whole leaf directories; stats bounds prune within
+        val partIn = partitionCols.map(c => c -> eqStringValues(c, filters))
+        val (relOpt, scanned, total) = TxLog.snapshotPartitionStatsPruned(
+          spark, table, partIn, bounds, asOf)
+        TxLogBatchSource.lastPrune = Some((scanned, total))
+        relOpt.getOrElse(spark.createDataFrame(
+          spark.sparkContext.emptyRDD[Row], schema))
+      } else if (bounds.nonEmpty) {
         val (rel, scanned, total) = TxLog.snapshotPrunedMulti(spark, table, bounds)
         TxLogBatchSource.lastPrune = Some((scanned, total))
         rel
@@ -240,6 +265,23 @@ final class TxLogRelation(ctx: SQLContext, val table: String, val asOf: Option[L
       else df.select(requiredColumns.map(org.apache.spark.sql.functions.col)
         .toIndexedSeq: _*)
     projected.rdd
+  }
+
+  /** Allowed values for partition column `c` from the pushed filters:
+    * the intersection of every EqualTo/In constraint; None = no
+    * constraint (read every value).
+    */
+  private def eqStringValues(c: String,
+                             filters: Array[Filter]): Option[Set[String]] = {
+    var acc: Option[Set[String]] = None
+    def add(vs: Set[String]): Unit = acc = Some(acc.fold(vs)(_ intersect vs))
+    filters.foreach {
+      case EqualTo(`c`, v: String) => add(Set(v))
+      case In(`c`, vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[String]) =>
+        add(vs.iterator.map(_.asInstanceOf[String]).toSet)
+      case _ => ()
+    }
+    acc
   }
 
   /** Conjunctive [lo, hi] bound on `statsCol` from the pushed filters;

@@ -451,6 +451,30 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("partition-wise manifest aggregates plan as LocalRelation — zero file scans") {
+    val t = java.nio.file.Files.createTempDirectory("planshape-mg-")
+      .resolve("t").toString
+    import spark.implicits._
+    Seq((1L, "en"), (2L, "de"), (3L, "en")).toDF("id", "lang")
+      .write.format("txlog").partitionBy("lang").option("statsCols", "id").save(t)
+    graft.plans.ManifestCountRule.install(spark)
+    val rel = spark.read.format("txlog").load(t)
+    // count(*) GROUP BY <partition col>: the optimized plan must be a
+    // bare LocalRelation — no relation, no exchange, no scan node at all
+    val grouped = rel.groupBy("lang").count()
+    val gp = grouped.queryExecution.optimizedPlan
+    assert(gp.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation],
+      s"group-by must collapse to a LocalRelation:\n$gp")
+    // count/min/max under a partition equality: same collapse
+    val slice = rel.filter(org.apache.spark.sql.functions.col("lang") === "en")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)),
+        org.apache.spark.sql.functions.min("id"))
+    val sp = slice.queryExecution.optimizedPlan
+    assert(sp.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation],
+      s"partition-slice aggregate must collapse to a LocalRelation:\n$sp")
+  }
+
   test("no plan buffers a whole group in an exact-percentile aggregate") {
     // VERDICT r10: Spark's `percentile`/`median` is a
     // TypedImperativeAggregate whose buffer holds EVERY value of the

@@ -2,7 +2,7 @@ package graft.ops
 
 import graft.SparkSpec
 
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, count, lit, max, min, sum}
 
 import java.nio.file.{Files, Paths}
 import java.util.ConcurrentModificationException
@@ -1358,6 +1358,39 @@ class TxLogSpec extends SparkSpec {
       df.write.format("txlog").mode("append")
         .partitionBy("country", "visa").option("statsCols", "country").save(t)
     }
+  }
+
+  test("partition-wise manifest aggregates answer with zero file scans (r13 item 5)") {
+    val t = freshTable()
+    Seq((1L, "en", 10L), (2L, "de", 20L), (3L, "en", 30L), (4L, "fr", 40L))
+      .toDF("id", "lang", "v")
+      .write.format("txlog").partitionBy("lang").option("statsCols", "id").save(t)
+    graft.plans.ManifestCountRule.install(spark)
+    val rel = spark.read.format("txlog").load(t)
+    // the format read now exposes the partition column (path-derived)
+    assert(rel.columns.toSet === Set("id", "v", "lang"))
+    // count(*) GROUP BY partition col: one local row per value, no scan
+    graft.plans.ManifestCountRule.lastAnswered = None
+    val grouped = rel.groupBy("lang").count().orderBy("lang").collect()
+    assert(grouped.map(r => (r.getString(0), r.getLong(1))).toSeq
+      === Seq(("de", 1L), ("en", 2L), ("fr", 1L)))
+    assert(graft.plans.ManifestCountRule.lastAnswered === Some((t, 4L)),
+      "the group-by must have been answered from the manifest")
+    // count/min/max under a partition-key equality: the slice's stats fold
+    graft.plans.ManifestCountRule.lastAnswered = None
+    val row = rel.filter(col("lang") === "en")
+      .agg(count(lit(1)), min("id"), max("id")).head()
+    assert((row.getLong(0), row.getLong(1), row.getLong(2)) === ((2L, 1L, 3L)))
+    assert(graft.plans.ManifestCountRule.lastAnswered === Some((t, 2L)))
+    // empty slice: SQL semantics (count 0, NULL min), still no scan
+    graft.plans.ManifestCountRule.lastAnswered = None
+    val z = rel.filter(col("lang") === "zz").agg(count(lit(1)), min("id")).head()
+    assert(z.getLong(0) === 0L && z.isNullAt(1))
+    assert(graft.plans.ManifestCountRule.lastAnswered === Some((t, 0L)))
+    // a non-answerable aggregate still scans — path-pruned to the leaf
+    graft.sources.TxLogBatchSource.lastPrune = None
+    assert(rel.filter(col("lang") === "en").agg(sum("v")).head().getLong(0) === 40L)
+    assert(graft.sources.TxLogBatchSource.lastPrune === Some((1, 3)))
   }
 
   test("analyze MERGES per-segment stats: prior columns and blooms survive (r13 ADVICE)") {
