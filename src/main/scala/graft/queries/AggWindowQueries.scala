@@ -270,16 +270,21 @@ object AggWindowQueries extends QueryPack {
     }),
 
     // UNPIVOT/melt: wide metric columns → long (metric, value) rows — the
-    // inverse of pivot, one narrow scan, no shuffle.
+    // inverse of pivot. The deterministic gate ordering is produced by
+    // sorting the NARROW side BEFORE the 3× Expand (r14: the sort shuffle
+    // moves 1/3 the rows — 1.8M post-melt rows never shuffle): Expand is
+    // a per-partition 1→3 map that emits the value columns in DECLARED
+    // order, so declaring them alphabetically makes the post-melt order
+    // exactly `ORDER BY keys, metric` with zero post-expand exchange.
     "unpivot_melt" -> ((s, d) =>
       Tables.lineitem(s, d)
         .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
           "l_quantity", "l_extendedprice", "l_discount")
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
         .unpivot(
           Array(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey")),
-          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
-          "metric", "value")
-        .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "metric")),
+          Array(col("l_discount"), col("l_extendedprice"), col("l_quantity")),
+          "metric", "value")),
 
     // collect_set aggregation made deterministic: sort_array + concat_ws
     // turns the unordered set into a canonical string.
