@@ -425,6 +425,37 @@ object StatsQueries extends QueryPack {
       .select(lit(ordered.head._1).as("first_join"), col("n_items"), col("sum_qty"))
   }
 
+  /** Histogram-WEIGHTED stats-ordered 3-table join (VERDICT r13 item 8):
+    * like [[statsOrderedThreeJoin]], but each side's weight is its
+    * ESTIMATED POST-FILTER cardinality — manifest row count composed
+    * with equi-depth-histogram range selectivity for a filtered side —
+    * so a selective range filter can flip the order raw row counts
+    * alone would pick. Estimates are parameters so the spec can pin the
+    * flip without rewriting manifests; `filterO` is the actual
+    * predicate applied to the orders dim.
+    */
+  private[graft] def histOrderedThreeJoin(s: SparkSession, d: String,
+      tOrders: String, tSupp: String, estO: Double, estS: Double,
+      filterO: Option[org.apache.spark.sql.Column]): DataFrame = {
+    val fact = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"),
+      col("l_quantity").cast("long").as("qty"))
+    def side(df: DataFrame, est: Double) =
+      if (est <= 1000000.0) broadcast(df) else df
+    val dimO0 = graft.ops.TxLog.snapshot(s, tOrders)
+    val dimO = filterO.fold(dimO0)(dimO0.filter)
+    val joins = Seq(
+      ("orders", estO, side(dimO, estO),
+        col("l_orderkey") === col("o_orderkey")),
+      ("supplier", estS, side(graft.ops.TxLog.snapshot(s, tSupp), estS),
+        col("l_suppkey") === col("s_suppkey")))
+    val ordered = joins.sortBy(_._2) // smallest ESTIMATE first
+    val joined = ordered.foldLeft(fact) { case (acc, (_, _, dim, cond)) =>
+      acc.join(dim, cond)
+    }
+    joined.agg(count(lit(1)).as("n_items"), sum("qty").as("sum_qty"))
+      .select(lit(ordered.head._1).as("first_join"), col("n_items"), col("sum_qty"))
+  }
+
   /** Histogram-CBO fixture: orders keys interleaved (even/odd) across two
     * `appendWithStats` segments — min/max can never prune, so any range
     * answer must come from the per-segment EQUI-DEPTH HISTOGRAMS the
@@ -1682,6 +1713,32 @@ object StatsQueries extends QueryPack {
       statsOrderedThreeJoin(s, d, tO, tS, rowsO, rowsS)
     }),
 
+    // HISTOGRAM-WEIGHTED join ordering (VERDICT r13 item 8): the orders
+    // dim is ~300× the supplier dim by manifest ROW COUNT (raw counts
+    // pick supplier first — lake_txlog_stats_order3), but a range filter
+    // covering 1/1000 of its key space makes its ESTIMATED post-filter
+    // cardinality — manifest rows × equi-depth-histogram selectivity,
+    // estimatedRangeRows, zero files opened — SMALLER than supplier's,
+    // so the planner joins the filtered orders dim FIRST. The
+    // `flipped_by_filter` pin proves the estimate (not the raw count)
+    // drove the choice; PlanShapeSpec pins the order flips with
+    // auto-broadcast off.
+    "lake_txlog_stats_order_hist" -> ((s, d) => {
+      val (tO, tS) = txDim3Tables(s, d)
+      val (mn, mx) = graft.ops.TxLog.tableMinMax(tO, "o_orderkey")
+        .getOrElse(sys.error(s"$tO committed without min/max stats"))
+      val cut = mn + (mx - mn) / 1000
+      val estO = graft.ops.TxLog.estimatedRangeRows(tO, "o_orderkey", mn, cut)
+        .getOrElse(sys.error(s"$tO committed without histograms"))
+      val rowsO = graft.ops.TxLog.tableRowCount(tO).get.toDouble
+      val rowsS = graft.ops.TxLog.tableRowCount(tS).get.toDouble
+      histOrderedThreeJoin(s, d, tO, tS, estO, rowsS,
+        Some(col("o_orderkey") <= cut))
+        .select(col("first_join"),
+          lit(estO < rowsS && rowsS < rowsO).as("flipped_by_filter"),
+          col("n_items"), col("sum_qty"))
+    }),
+
     // PARTITION PRUNING from the manifest alone (the first-order 100-TB
     // primitive): the lang='en' read opens 2 of 10 segments, decided
     // driver-side from segment PATHS — no listing, no footers, no bytes
@@ -2382,6 +2439,18 @@ object StatsQueries extends QueryPack {
         |  COUNT(*) AS n_docs,
         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
         |FROM documents WHERE lang = 'en'""".stripMargin,
+    "lake_txlog_stats_order_hist" ->
+      """WITH dimo AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 2 = 0),
+        |b AS (SELECT MIN(o_orderkey) AS mn, MAX(o_orderkey) AS mx FROM dimo),
+        |fo AS (SELECT o_orderkey FROM dimo, b
+        |  WHERE o_orderkey <= mn + (mx - mn) // 1000),
+        |dims AS (SELECT s_suppkey FROM supplier WHERE s_suppkey % 4 = 0)
+        |SELECT 'orders' AS first_join, TRUE AS flipped_by_filter,
+        |  COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM lineitem
+        |JOIN fo ON l_orderkey = fo.o_orderkey
+        |JOIN dims ON l_suppkey = dims.s_suppkey""".stripMargin,
     "lake_txlog_manifest_group" ->
       """WITH enweb AS (SELECT COUNT(*) AS n, MIN(doc_id) AS mn, MAX(doc_id) AS mx
         |  FROM documents WHERE lang = 'en' AND doc_id % 2 = 0)

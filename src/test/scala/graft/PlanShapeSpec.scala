@@ -451,6 +451,34 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("histogram-weighted ordering: a selective filter flips the raw-count join order") {
+    val c = spark.conf
+    val saved = c.getOption("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      c.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // with the range filter, the orders dim's HISTOGRAM estimate is the
+      // smaller side: it must join first, and both dims still broadcast
+      // purely on metadata
+      val df = SparkEntry.queries("lake_txlog_stats_order_hist")(spark, sf)
+      val p = df.queryExecution.executedPlan.toString
+      assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+        s"both dims must broadcast from manifest estimates alone:\n${p.take(1200)}")
+      val row = df.collect().head
+      assert(row.getString(0) === "orders" && row.getBoolean(1),
+        "the histogram estimate must flip the order raw counts would pick")
+      // raw row counts alone (no filter, no histogram) pick supplier —
+      // the flip is estimate-driven, not hardcoded
+      val (tO, tS) = graft.queries.StatsQueries.txDim3Tables(spark, sf)
+      val raw = graft.queries.StatsQueries.histOrderedThreeJoin(spark, sf, tO, tS,
+        graft.ops.TxLog.tableRowCount(tO).get.toDouble,
+        graft.ops.TxLog.tableRowCount(tS).get.toDouble, None)
+      assert(raw.collect().head.getString(0) === "supplier")
+    } finally saved match {
+      case Some(v) => c.set("spark.sql.autoBroadcastJoinThreshold", v)
+      case None => c.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("partition-wise manifest aggregates plan as LocalRelation — zero file scans") {
     val t = java.nio.file.Files.createTempDirectory("planshape-mg-")
       .resolve("t").toString
