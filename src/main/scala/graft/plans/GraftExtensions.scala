@@ -110,6 +110,12 @@ object GraftFunctions {
       // an AggregateExpression when it lands in an aggregation context
       (args: Seq[Expression]) => graft.functions.MisraGries(args(0),
         literalInt("misra_gries", "k", args(1)))),
+    (FunctionIdentifier("levenshtein_bp"),
+      info("levenshtein_bp",
+        "levenshtein_bp(l, r, k) - bit-parallel thresholded edit distance: " +
+          "the exact Levenshtein distance when <= k, -1 otherwise"),
+      (args: Seq[Expression]) => graft.functions.LevenshteinBPExpr(
+        args(0), args(1), args(2))),
     (FunctionIdentifier("kmv_sketch"),
       info("kmv_sketch",
         "kmv_sketch(hash, k) - k-minimum-values distinct sketch over a BIGINT " +

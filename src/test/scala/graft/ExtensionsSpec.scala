@@ -48,6 +48,14 @@ class ExtensionsSpec extends SparkSpec {
     assert(r == Map("a" -> 3L, "b" -> 1L, "c" -> 1L))
   }
 
+  test("levenshtein_bp is SQL-callable with the builtin's threshold contract") {
+    val row = spark.sql(
+      "SELECT levenshtein_bp('kitten', 'sitting', 5) AS d, " +
+        "levenshtein_bp('kitten', 'sitting', 2) AS over, " +
+        "levenshtein_bp('same', 'same', 0) AS eq").head()
+    assert(row.getInt(0) === 3 && row.getInt(1) === -1 && row.getInt(2) === 0)
+  }
+
   test("runtime register() works on a session built without the extensions config") {
     val bare = org.apache.spark.sql.SparkSession.builder()
       .master("local[1]").appName("graft-bare")
