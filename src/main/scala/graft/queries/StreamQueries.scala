@@ -268,6 +268,20 @@ object StreamQueries extends QueryPack {
       ns.table(qn).orderBy("commit_version", "change_type")
     }),
 
+    // BATCH change-data-feed (the read-side twin of the stream gate
+    // above — Delta's spark.read.option("readChangeFeed", true)): the
+    // same change classes over the same fixture, computed by the batch
+    // relation with no streaming machinery at all; the oracle is shared
+    // closed-form.
+    "lake_txlog_cdf_batch" -> ((s, d) =>
+      s.read.format("txlog")
+        .option("readChangeFeed", true).option("cdcKey", "o_orderkey")
+        .load(txCdfTable(s, d))
+        .groupBy(col("_commit_version").as("commit_version"),
+          col("_change_type").as("change_type"))
+        .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+        .orderBy("commit_version", "change_type")),
+
     // STREAMING CDC UPSERT through the lake (the Delta foreachBatch+MERGE
     // pattern, write-side twin of stream_txlog_source_batcheq): three CDC
     // micro-batches applied by TxLog.streamingMergeDv — each an
@@ -533,6 +547,18 @@ object StreamQueries extends QueryPack {
         |  CAST(round(o_totalprice * 100) AS BIGINT)
         |    + CASE WHEN o_orderkey % 5 = 0 THEN 500 ELSE 0 END AS cents
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "lake_txlog_cdf_batch" ->
+      """WITH c AS (SELECT o_orderkey,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders)
+        |SELECT CAST(1 AS BIGINT) AS commit_version, 'insert' AS change_type,
+        |  COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS sum_cents FROM c
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), 'update_preimage', COUNT(*),
+        |  CAST(SUM(cents) AS BIGINT) FROM c WHERE o_orderkey % 5 = 0
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), 'update_postimage', COUNT(*),
+        |  CAST(SUM(cents + 500) AS BIGINT) FROM c WHERE o_orderkey % 5 = 0
+        |ORDER BY commit_version, change_type""".stripMargin,
     "stream_txlog_cdf_batcheq" ->
       """WITH c AS (SELECT o_orderkey,
         |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders)

@@ -103,6 +103,18 @@ final class TxLogBatchSource extends RelationProvider
                               parameters: Map[String, String]): BaseRelation = {
     val table = parameters.getOrElse("path", throw new IllegalArgumentException(
       "txlog batch source requires .load(tablePath)"))
+    // batch CHANGE-DATA-FEED read (Delta's readChangeFeed): change rows
+    // for (startingVersion, endingVersion], default the whole history
+    if (parameters.get("readChangeFeed").orElse(parameters.get("readchangefeed"))
+        .exists(_.trim.equalsIgnoreCase("true"))) {
+      val fromV = parameters.get("startingVersion")
+        .orElse(parameters.get("startingversion")).map(_.toLong).getOrElse(0L)
+      val toV = parameters.get("endingVersion")
+        .orElse(parameters.get("endingversion")).map(_.toLong)
+        .getOrElse(TxLog.currentVersion(table))
+      return new TxLogCdfRelation(sqlContext, table, fromV, toV,
+        parameters.get("cdcKey").orElse(parameters.get("cdckey")))
+    }
     val asOf = parameters.get("versionAsOf").map(_.toLong)
       .orElse(parameters.get("timestampAsOf").orElse(parameters.get("timestampasof"))
         .map(ts => TxLog.versionAtTimestamp(table, ts.toLong)))

@@ -1393,6 +1393,26 @@ class TxLogSpec extends SparkSpec {
     assert(graft.sources.TxLogBatchSource.lastPrune === Some((1, 3)))
   }
 
+  test("batch readChangeFeed: rename-aligned change rows, bounded version range") {
+    val t = freshTable()
+    TxLog.append(Seq((1L, 10L)).toDF("k", "v"), t)                // v1: physical "v"
+    TxLog.renameColumn(spark, t, "v", "amt")                      // v2
+    TxLog.append(Seq((2L, 20L)).toDF("k", "amt"), t)              // v3
+    TxLog.mergeDv(spark, Seq((1L, 11L)).toDF("k", "amt"), t, "k") // v4: update
+    val all = spark.read.format("txlog")
+      .option("readChangeFeed", true).option("cdcKey", "k").load(t)
+    assert(all.columns.toSeq === Seq("k", "amt", "_change_type", "_commit_version"))
+    // v1's segment physically stores "v": the walk aligns it to the
+    // pinned "amt"; the merge shows as a pre/post pair
+    assert(all.as[(Long, Long, String, Long)].collect().toSet === Set(
+      (1L, 10L, "insert", 1L), (2L, 20L, "insert", 3L),
+      (1L, 10L, "update_preimage", 4L), (1L, 11L, "update_postimage", 4L)))
+    // bounded range reads only (3, 4]
+    val range = spark.read.format("txlog").option("readChangeFeed", true)
+      .option("startingVersion", 3).option("cdcKey", "k").load(t)
+    assert(range.count() === 2L)
+  }
+
   test("analyze MERGES per-segment stats: prior columns and blooms survive (r13 ADVICE)") {
     val t = freshTable()
     TxLog.appendWithBloom(rows(1L -> 10L, 2L -> 20L), t, "k") // v1: bloom on k
