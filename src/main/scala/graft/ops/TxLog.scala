@@ -1837,16 +1837,21 @@ object TxLog {
   }
 
   /** Distinct partition values of the live set — from manifest paths
-    * alone (the SHOW PARTITIONS primitive).
+    * alone (the SHOW PARTITIONS primitive). Works at ANY level of a
+    * nested layout: `partitionValues(t, "country")` on a
+    * country/visa-partitioned table lists the countries.
     */
   def partitionValues(table: String, partCol: String,
-                      asOf: Option[Long] = None): Seq[String] =
-    tableStateViaCheckpoint(table, asOf).segments.map { case (p, _) =>
-      val name = Paths.get(p).getFileName.toString
-      require(name.startsWith(partCol + "="),
-        s"$table segment $p carries no $partCol= partition path")
-      name.substring(partCol.length + 1)
-    }.distinct.sorted
+                      asOf: Option[Long] = None): Seq[String] = {
+    val layout = partitionLayout(table, asOf)
+    val idx = layout.indexOf(partCol)
+    require(idx >= 0, s"$table is not partitioned by $partCol" +
+      (if (layout.isEmpty) " (no partitioned layout)"
+       else s" (layout: ${layout.mkString("/")})"))
+    tableStateViaCheckpoint(table, asOf).segments
+      .map { case (p, _) => segPartValues(p, layout)(idx) }
+      .distinct.sorted
+  }
 
   /** MERGE through the commit protocol — the copy-on-write upsert every
     * table format executes: matched keys take the update, unmatched keep
