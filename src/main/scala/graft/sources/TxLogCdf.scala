@@ -102,32 +102,83 @@ object TxLogCdf {
     base.withColumn(ChangeTypeCol, lit("insert"))
   }
 
-  /** Bag diff of versions v−1 → v under the names pinned at `toV`. */
-  private def diffFrame(spark: SparkSession, table: String,
-                        dataSchema: StructType, v: Long, toV: Long,
-                        cdcKey: Option[String]): DataFrame = {
+  /** Bag diff of versions v−1 → v under the names pinned at `pinV` —
+    * shared by the BATCH relation (pinV = endingVersion ≥ v) and the
+    * STREAM source (pinV = the stream's schema-pin epoch, which a
+    * mid-stream rewrite can postdate): renames between v and the pin
+    * walk forward or backward as needed.
+    *
+    * ONE PASS over the two snapshots: each row is tagged ±1 and a hash
+    * aggregate keeps rows whose signed count is nonzero — exactly
+    * `exceptAll` in both directions at once (delta < 0 ⇒ |delta| delete
+    * rows, delta > 0 ⇒ delta insert rows). The surviving CHANGED set is
+    * change-sized, and it MATERIALIZES to scratch parquet (versions are
+    * immutable, so the artifact is write-once per (table, v, pin)) so
+    * the pre/post-image split's joins re-read a tiny scan instead of
+    * re-running the two-snapshot aggregate per branch — the naive
+    * exceptAll/intersect shape re-diffed the table ~5× (measured 5.5 s
+    * at sf1 on a 1.5M-row table; this shape is one diff pass).
+    */
+  private[sources] def diffFrame(spark: SparkSession, table: String,
+                                 dataSchema: StructType, v: Long, pinV: Long,
+                                 cdcKey: Option[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{abs => fabs, expr, max => fmax,
+      sum => fsum, when, explode}
     def aligned(atV: Long): DataFrame = {
       val snap = TxLog.snapshot(spark, table, Some(atV))
       // renames committed after atV but at/before the pin walk FORWARD
-      val fwd = ((atV + 1) to toV).flatMap(x => TxLog.readManifest(table, x).renames)
-      val walked = fwd.foldLeft(snap)((d, r) =>
+      val fwd = ((atV + 1) to pinV).flatMap(x => TxLog.readManifest(table, x).renames)
+      val f = fwd.foldLeft(snap)((d, r) =>
         if (d.columns.contains(r.oldName)) d.withColumnRenamed(r.oldName, r.newName)
+        else d)
+      // renames committed after the pin but at/before atV walk BACKWARD
+      val bwd = ((pinV + 1) to atV).flatMap(x => TxLog.readManifest(table, x).renames)
+        .reverse
+      val walked = bwd.foldLeft(f)((d, r) =>
+        if (d.columns.contains(r.newName)) d.withColumnRenamed(r.newName, r.oldName)
         else d)
       walked.select(dataSchema.fields.map { f =>
         if (walked.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
         else lit(null).cast(f.dataType).as(f.name)
       }.toIndexedSeq: _*)
     }
-    val before = aligned(v - 1)
-    val after = aligned(v)
-    val del = before.exceptAll(after)
-    val ins = after.exceptAll(before)
+    val cols = dataSchema.fieldNames.toIndexedSeq
+    // helper columns must not collide with user columns (same discipline
+    // as TxLog's DV helpers)
+    val taken = cols.toSet
+    def fresh(base: String): String = {
+      var n = base; var i = 0
+      while (taken.contains(n)) { n = base + i; i += 1 }
+      n
+    }
+    val dc = fresh("__cdf_delta")
+    val ic = fresh("__cdf_i")
+    val changed = graft.ops.Scratch.materialize(
+      s"txcdf_v${v}_p$pinV", spark, table) {
+      aligned(v - 1).withColumn(dc, lit(-1L))
+        .unionByName(aligned(v).withColumn(dc, lit(1L)))
+        .groupBy(cols.map(col): _*).agg(fsum(dc).as(dc))
+        .filter(col(dc) =!= 0L)
+    }
+    // fan each changed row back out to |delta| rows (duplicate-row bags)
+    val rows = changed.select(cols.map(col) :+ col(dc) :+
+      explode(expr(s"sequence(1, abs($dc))")).as(ic): _*)
+    val del = rows.filter(col(dc) < 0L).select(cols.map(col): _*)
+    val ins = rows.filter(col(dc) > 0L).select(cols.map(col): _*)
     cdcKey match {
       case None =>
         del.withColumn(ChangeTypeCol, lit("delete"))
           .unionByName(ins.withColumn(ChangeTypeCol, lit("insert")))
       case Some(k) =>
-        val updKeys = del.select(k).intersect(ins.select(k))
+        // keys carrying BOTH a removed and an added row are updates
+        val hd = fresh("__cdf_has_del")
+        val hi = fresh("__cdf_has_ins")
+        val updKeys = changed
+          .groupBy(col(k))
+          .agg(fmax(when(col(dc) < 0L, 1).otherwise(0)).as(hd),
+            fmax(when(col(dc) > 0L, 1).otherwise(0)).as(hi))
+          .filter(col(hd) === 1 && col(hi) === 1)
+          .select(col(k))
         del.join(updKeys, Seq(k), "left_semi")
           .withColumn(ChangeTypeCol, lit("update_preimage"))
           .unionByName(del.join(updKeys, Seq(k), "left_anti")

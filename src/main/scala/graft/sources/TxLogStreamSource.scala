@@ -316,7 +316,8 @@ private final class TxLogSource(spark: SparkSession, table: String,
         case "compact" | "optimize" | "optimize_zorder" | "compact_dv"
              | "evolve" | "constraint" | "dropcolumn" | "analyze"
              | "rename" => None
-        case _ => Some(diffFrame(v))
+        case _ => // shared single-pass bag diff (see TxLogCdf.diffFrame)
+          Some(TxLogCdf.diffFrame(spark, table, dataSchema, v, pinVersion, cdcKey))
       }
       changed.map(df =>
         if (withVersion) df.withColumn(TxLogStreamSource.CommitVersionCol, flit(v))
@@ -334,63 +335,6 @@ private final class TxLogSource(spark: SparkSession, table: String,
     readAddsWith(m.adds, renameLog(math.max(e, pinVersion)),
       (sch, fs) => spark.read.schema(sch).parquet(fs: _*))
       .withColumn(TxLogStreamSource.ChangeTypeCol, lit("insert"))
-  }
-
-  /** The bag diff of versions v−1 → v under the pinned schema. */
-  private def diffFrame(v: Long): DataFrame = {
-    import org.apache.spark.sql.functions.lit
-    val ct = TxLogStreamSource.ChangeTypeCol
-    val before = conformPinned(alignToPin(
-      TxLog.snapshot(spark, table, Some(v - 1)), v - 1))
-    val after = conformPinned(alignToPin(
-      TxLog.snapshot(spark, table, Some(v)), v))
-    val del = before.exceptAll(after)
-    val ins = after.exceptAll(before)
-    cdcKey match {
-      case None =>
-        del.withColumn(ct, lit("delete"))
-          .unionByName(ins.withColumn(ct, lit("insert")))
-      case Some(k) =>
-        // keys present on BOTH sides of the diff are updates; the pre/post
-        // images carry the old and new row respectively — everything else
-        // is a plain delete or insert
-        val updKeys = del.select(k).intersect(ins.select(k))
-        del.join(updKeys, Seq(k), "left_semi")
-          .withColumn(ct, lit("update_preimage"))
-          .unionByName(del.join(updKeys, Seq(k), "left_anti")
-            .withColumn(ct, lit("delete")))
-          .unionByName(ins.join(updKeys, Seq(k), "left_semi")
-            .withColumn(ct, lit("update_postimage")))
-          .unionByName(ins.join(updKeys, Seq(k), "left_anti")
-            .withColumn(ct, lit("insert")))
-    }
-  }
-
-  /** Rename-align a snapshot taken at `v` to the pin epoch's names:
-    * renames committed after `v` but at/before the pin walk FORWARD
-    * (the snapshot predates them), renames committed after the pin walk
-    * BACKWARD (the snapshot postdates the pinned names).
-    */
-  private def alignToPin(df: DataFrame, v: Long): DataFrame = {
-    val fwd = ((v + 1) to pinVersion).flatMap(x => manifest(x).renames)
-    val f = fwd.foldLeft(df)((d, r) =>
-      if (d.columns.contains(r.oldName)) d.withColumnRenamed(r.oldName, r.newName)
-      else d)
-    val bwd = ((pinVersion + 1) to v).flatMap(x => manifest(x).renames).reverse
-    bwd.foldLeft(f)((d, r) =>
-      if (d.columns.contains(r.newName)) d.withColumnRenamed(r.newName, r.oldName)
-      else d)
-  }
-
-  /** Project onto the pinned data schema: later-added columns null-fill
-    * in earlier snapshots, later-dropped ones are ignored.
-    */
-  private def conformPinned(df: DataFrame): DataFrame = {
-    import org.apache.spark.sql.functions.{col => fcol, lit}
-    df.select(dataSchema.fields.map { f =>
-      if (df.columns.contains(f.name)) fcol(f.name).cast(f.dataType).as(f.name)
-      else lit(null).cast(f.dataType).as(f.name)
-    }.toIndexedSeq: _*)
   }
 
   /** Every rename committed at or before `upTo`, in version order — the
