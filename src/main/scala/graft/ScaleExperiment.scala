@@ -216,14 +216,29 @@ object ScaleExperiment {
     // requires the screen threshold to clear the maximum with ≥ 3 bits
     // of margin. A corpus shift that pushed true near-dups past the
     // screen fails HERE, not silently in a green compare.
-    val hot8 = bands.groupBy("band", "band_key")
+    // SEEDED near-dup twins (VERDICT r14 item 5): the replica corpus
+    // alone can yield ZERO lev-passing candidates at Kx — exact-dup
+    // groups of K ≥ 9 are all hot-capped away — which made the margin
+    // require vacuous. 64 deterministic twin pairs with PAIR-UNIQUE
+    // vocabulary (their band buckets hold exactly the two twins, so the
+    // cap never drops them) join the audit corpus at EVERY scale, and
+    // the audit refuses a zero-sized passing set below.
+    val seedRows = (0 until 64).flatMap { j =>
+      val words = (0 until 30).map(i => s"sw${j}x$i")
+      Seq((9000000000L + 2L * j, s"seed doc $j " + words.mkString(" ")),
+        (9000000001L + 2L * j,
+          s"seed doc $j " + words.dropRight(1).mkString(" ") + " swedited"))
+    }
+    val docsT = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+      .unionByName(spark.createDataFrame(seedRows).toDF("doc_id", "text"))
+    val auditBands = graft.ops.TextOps.minhashBandTable(docsT)
+    val hot8 = auditBands.groupBy("band", "band_key")
       .agg(count(lit(1)).as("n")).filter(col("n") > 8)
       .select("band", "band_key")
-    val cold8 = bands.join(broadcast(hot8), Seq("band", "band_key"), "left_anti")
-    val sig = Tables.documents(spark, dir).select(col("doc_id"),
+    val cold8 = auditBands.join(broadcast(hot8), Seq("band", "band_key"), "left_anti")
+    val sig = docsT.select(col("doc_id"),
       graft.ops.TextOps.simHash60Native(
         graft.ops.TextOps.tokens(col("text"))).as("sh"))
-    val docsT = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
     val screenRow = selfPairs(cold8).toDF("d1", "d2").distinct()
       .join(docsT.select(col("doc_id").as("d1"), col("text").as("t1")), "d1")
       .join(docsT.select(col("doc_id").as("d2"), col("text").as("t2")), "d2")
@@ -237,6 +252,9 @@ object ScaleExperiment {
     val maxHam = if (screenRow.isNullAt(0)) 0 else screenRow.getInt(0)
     val nPassing = screenRow.getLong(1)
     val screenThr = queries.LlmQueries.FuzzyScreenHamming
+    require(nPassing > 0,
+      s"[$tag] SimHash screen audit measured an EMPTY lev-passing set — " +
+        "the margin requirement would be vacuous; the seeded twins must survive")
     require(screenThr - maxHam >= 3,
       s"[$tag] SimHash screen margin too thin: max lev-passing Hamming " +
         s"$maxHam vs screen threshold $screenThr (need >= 3 bits of margin)")

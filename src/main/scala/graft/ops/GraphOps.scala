@@ -24,9 +24,32 @@ object GraphOps {
 
   /** edges: (src, dst) undirected pairs. Returns (id, comp) for every
     * vertex appearing in any edge, comp = min vertex id in its component.
+    *
+    * The edge frame is spilled to scratch parquet FIRST — the candidate-
+    * pair plan above it (blocked self-join + edit-distance kernel) is
+    * usually the expensive part, and it must run once, not once per
+    * label-prop round. Then a SINGLE-EDGE FAST PATH (VERDICT r14 item 3):
+    * if no vertex appears in more than one edge, every component IS its
+    * edge — comp = min(src, dst), zero propagation rounds, one cheap
+    * degree check. Entity-resolution blocks of ≤ 2 records always hit
+    * this; chained blocks (A~B, B~C) fall through to the generic
+    * label-prop + pointer-jumping loop below.
     */
   def connectedComponents(edges: DataFrame, maxIters: Int = 25): DataFrame = {
-    val e = edges.select(col("src"), col("dst"))
+    val spark = edges.sparkSession
+    val eout = s"${Scratch.base}/cc_e_${java.util.UUID.randomUUID.toString.take(8)}"
+    edges.select(col("src"), col("dst")).write.parquet(eout)
+    val e = spark.read.parquet(eout)
+    val chained = e.select(explode(array(col("src"), col("dst"))).as("id"))
+      .groupBy("id").count().filter(col("count") > 1)
+      .limit(1).count() > 0
+    if (!chained) {
+      return e.select(least(col("src"), col("dst")).as("comp"), col("src").as("id"))
+        .union(e.select(least(col("src"), col("dst")).as("comp"),
+          col("dst").as("id")))
+        .distinct() // a self-loop edge would list its vertex twice
+        .select(col("id"), col("comp"))
+    }
     // both directions, so a label can flow either way across an edge
     val both = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -71,7 +94,6 @@ object GraphOps {
     // spill the (small) label table to scratch parquet and hand back the
     // file-backed frame, then unpersist every round's checkpoint RDD —
     // deterministically, not whenever the next GC lets the cleaner run
-    val spark = edges.sparkSession
     val out = s"${Scratch.base}/cc_${java.util.UUID.randomUUID.toString.take(8)}"
     labels.write.mode("overwrite").parquet(out)
     ckpts.foreach(_.unpersist(blocking = false))

@@ -124,6 +124,8 @@ object ManifestCountRule extends Rule[LogicalPlan] {
       counts <- TxLog.partitionRowCounts(rel.table, attr.name, rel.asOf)
       builders <- {
         val bs = a.aggregateExpressions.map(unalias).map {
+          // a null partition (Hive default dir) groups as SQL NULL —
+          // UTF8String.fromString(null) is null, the right InternalRow value
           case ar: AttributeReference if ar.semanticEquals(attr) =>
             Some((v: String, _: Long) =>
               org.apache.spark.unsafe.types.UTF8String.fromString(v): Any)

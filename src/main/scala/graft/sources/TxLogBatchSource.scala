@@ -107,10 +107,24 @@ final class TxLogBatchSource extends RelationProvider
     // for (startingVersion, endingVersion], default the whole history
     if (parameters.get("readChangeFeed").orElse(parameters.get("readchangefeed"))
         .exists(_.trim.equalsIgnoreCase("true"))) {
-      val fromV = parameters.get("startingVersion")
-        .orElse(parameters.get("startingversion")).map(_.toLong).getOrElse(0L)
-      val toV = parameters.get("endingVersion")
-        .orElse(parameters.get("endingversion")).map(_.toLong)
+      def opt(k: String): Option[String] =
+        parameters.get(k).orElse(parameters.get(k.toLowerCase))
+      require(opt("startingVersion").isEmpty || opt("startingTimestamp").isEmpty,
+        "txlog CDF: startingVersion and startingTimestamp are mutually exclusive")
+      require(opt("endingVersion").isEmpty || opt("endingTimestamp").isEmpty,
+        "txlog CDF: endingVersion and endingTimestamp are mutually exclusive")
+      // timestamp bounds resolve through the in-manifest commit times
+      // (Delta's startingTimestamp/endingTimestamp): the lower bound is
+      // EXCLUSIVE in version space, so startingTimestamp ts maps to the
+      // last version strictly before ts — the feed then includes every
+      // commit stamped at or after the cut
+      val fromV = opt("startingVersion").map(_.toLong)
+        .orElse(opt("startingTimestamp").map(ts =>
+          TxLog.versionBefore(table, ts.toLong)))
+        .getOrElse(0L)
+      val toV = opt("endingVersion").map(_.toLong)
+        .orElse(opt("endingTimestamp").map(ts =>
+          TxLog.versionAtTimestamp(table, ts.toLong)))
         .getOrElse(TxLog.currentVersion(table))
       return new TxLogCdfRelation(sqlContext, table, fromV, toV,
         parameters.get("cdcKey").orElse(parameters.get("cdckey")))
@@ -230,10 +244,16 @@ final class TxLogRelation(ctx: SQLContext, val table: String, val asOf: Option[L
   val partitionCols: Seq[String] = TxLog.partitionLayout(table, asOf)
 
   override lazy val schema: StructType = {
+    // On an evolved/renamed partitioned table the RECORDED schema already
+    // names the partition columns (validateWrite requires them), so the
+    // base snapshot carries them null-filled — append only the ones it
+    // lacks, or the relation would declare duplicate names (ADVICE r14).
+    // Nullable: a partition value can be NULL (Hive default dir).
     val base = TxLog.snapshot(spark, table, asOf).schema
-    StructType(base.fields ++ partitionCols.map(c =>
-      org.apache.spark.sql.types.StructField(c,
-        org.apache.spark.sql.types.StringType, nullable = false)))
+    StructType(base.fields ++
+      partitionCols.filterNot(base.fieldNames.contains).map(c =>
+        org.apache.spark.sql.types.StructField(c,
+          org.apache.spark.sql.types.StringType, nullable = true)))
   }
 
   // every filter re-applies row-level: segment pruning only skips

@@ -77,8 +77,17 @@ final class TxLogStreamSource extends StreamSourceProvider with DataSourceRegist
                             schema: Option[StructType], providerName: String,
                             parameters: Map[String, String]): Source = {
     val table = TxLogStreamSource.tablePath(parameters)
+    require(parameters.get("startingVersion").isEmpty ||
+      parameters.get("startingTimestamp").isEmpty,
+      "txlog-stream: startingVersion and startingTimestamp are mutually exclusive")
+    // startingTimestamp resolves to the last version strictly before the
+    // cut (the offset lower bound is exclusive), via in-manifest commit
+    // times — same spelling as the batch change feed
     val startingVersion =
-      parameters.get("startingVersion").map(_.toLong).getOrElse(0L)
+      parameters.get("startingVersion").map(_.toLong)
+        .orElse(parameters.get("startingTimestamp").map(ts =>
+          TxLog.versionBefore(table, ts.toLong)))
+        .getOrElse(0L)
     // the schema-pin epoch: renames committed at or before this version
     // are already reflected in dataSchema's names; later (mid-stream)
     // renames are forward-translated per batch (captured BEFORE the
@@ -305,37 +314,17 @@ private final class TxLogSource(spark: SparkSession, table: String,
     * aligned by walking the rename log forward (pre-pin commits) or
     * backward (post-pin commits), so the feed's schema never drifts.
     */
-  private def changeBatch(s: Long, e: Long): DataFrame = {
-    import org.apache.spark.sql.functions.{lit => flit}
-    val frames = ((s + 1) to e).flatMap { v =>
-      val m = manifest(v)
-      val changed: Option[DataFrame] = m.op match {
-        case "append" => Some(insertFrame(v, m, e))
-        case op if op.startsWith("stream_append_b") => Some(insertFrame(v, m, e))
-        case op if op.startsWith("txn:") => Some(insertFrame(v, m, e))
-        case "compact" | "optimize" | "optimize_zorder" | "compact_dv"
-             | "evolve" | "constraint" | "dropcolumn" | "analyze"
-             | "rename" => None
-        case _ => // shared single-pass bag diff (see TxLogCdf.diffFrame)
-          Some(TxLogCdf.diffFrame(spark, table, dataSchema, v, pinVersion, cdcKey))
-      }
-      changed.map(df =>
-        if (withVersion) df.withColumn(TxLogStreamSource.CommitVersionCol, flit(v))
-        else df)
+  private def changeBatch(s: Long, e: Long): DataFrame =
+    // the shared CDC engine (TxLogCdf): write-time artifacts for
+    // merge/delete commits, coalesced insert scans, snapshot bag-diff
+    // only as the legacy/overwrite fallback. Computed as an ordinary
+    // batch frame and re-flagged streaming once at the end; the per-
+    // stream manifest memo rides through so nothing is parsed twice.
+    TxLogCdf.changeRows(spark, table, s, e, cdcKey, dataSchema,
+        pinV = pinVersion, withVersion = withVersion, manifestOf = manifest) match {
+      case None => StreamBridge.emptyStreamingBatch(spark, schema)
+      case Some(df) => StreamBridge.streamingFromBatch(df)
     }
-    if (frames.isEmpty) StreamBridge.emptyStreamingBatch(spark, schema)
-    else StreamBridge.streamingFromBatch(frames.reduce(_.unionByName(_)))
-  }
-
-  /** An append commit's rows as `insert` changes — batch-read of exactly
-    * the added segments under the pinned schema (rename walk included).
-    */
-  private def insertFrame(v: Long, m: TxLog.Manifest, e: Long): DataFrame = {
-    import org.apache.spark.sql.functions.lit
-    readAddsWith(m.adds, renameLog(math.max(e, pinVersion)),
-      (sch, fs) => spark.read.schema(sch).parquet(fs: _*))
-      .withColumn(TxLogStreamSource.ChangeTypeCol, lit("insert"))
-  }
 
   /** Every rename committed at or before `upTo`, in version order — the
     * full history the per-file physical-name walk needs. Versions are
