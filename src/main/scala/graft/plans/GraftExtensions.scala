@@ -152,6 +152,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectOptimizerRule(_ => LevenshteinThresholdRewrite)
     e.injectOptimizerRule(_ => ManifestCountRule)
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)
+    // lake SQL dialect: DESCRIBE HISTORY statement + MERGE INTO routing
+    e.injectParser((_, delegate) => new GraftSqlParser(delegate))
+    e.injectResolutionRule(session => MergeIntoTxLogRule(session))
     GraftFunctions.all.foreach(e.injectFunction)
   }
 }

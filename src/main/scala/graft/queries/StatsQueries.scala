@@ -204,6 +204,33 @@ object StatsQueries extends QueryPack {
       t
     })
 
+  /** Pure-SQL lake fixture (VERDICT r14 items 6–7): base committed
+    * through the log, registered in the session catalog via
+    * `CREATE TABLE ... USING txlog LOCATION`, then upserted ENTIRELY in
+    * SQL — `MERGE INTO` rewritten by [[graft.plans.MergeIntoTxLogRule]]
+    * into one [[graft.ops.TxLog.mergeDv]] commit. Returns the CATALOG
+    * table name (queries read through `spark.sql`, no library API).
+    */
+  private def txSqlTable(s: SparkSession, d: String): String =
+    txTables.computeIfAbsent((s, "sql:" + d), _ => {
+      val h = (d.hashCode & 0xffffff).toHexString
+      val t = s"${graft.ops.Scratch.base}/txsql_$h"
+      val tbl = s"graft_sql_$h"
+      val base = Tables.orders(s, d)
+        .select(col("o_orderkey"), Cleaning.cents(col("o_totalprice")).as("cents"))
+      graft.ops.TxLog.append(base, t)
+      s.sql(s"CREATE TABLE IF NOT EXISTS $tbl USING txlog LOCATION '$t'")
+      base.filter(col("o_orderkey") % 5 === 0)
+        .withColumn("cents", col("cents") + 500L)
+        .createOrReplaceTempView(s"${tbl}_upd")
+      val v = s.sql(
+        s"""MERGE INTO $tbl t USING ${tbl}_upd s ON t.o_orderkey = s.o_orderkey
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin).head().getLong(0)
+      require(v == 2L, s"SQL MERGE must land as commit 2, got $v")
+      tbl
+    })
+
   /** Merge-on-read TxLog table: base appended, then merge_upsert's exact
     * update set applied through `TxLog.mergeDv` — deletion-vector marks +
     * one new segment, ZERO existing segments rewritten — then a
@@ -1840,6 +1867,29 @@ object StatsQueries extends QueryPack {
           col("o_orderstatus"))
         .orderBy("o_orderkey")),
 
+    // PURE-SQL lake surface (VERDICT r14 item 6): the fixture drives the
+    // whole lifecycle through spark.sql — CREATE TABLE ... USING txlog
+    // registers the location in the session catalog, MERGE INTO routes
+    // through the analyzer rule into TxLog.mergeDv, and DESCRIBE HISTORY
+    // (the injected parser statement) reads the commit log as rows. The
+    // query emits the history's op line beside the merged aggregate, all
+    // resolved from SQL alone.
+    "sql_txlog_catalog" -> ((s, d) => {
+      val tbl = txSqlTable(s, d)
+      val ops = s.sql(s"DESCRIBE HISTORY $tbl").orderBy("version")
+        .select("op").collect().map(_.getString(0)).mkString(",")
+      s.sql(s"SELECT COUNT(*) AS n_rows, SUM(cents) AS sum_cents FROM $tbl")
+        .select(lit(ops).as("history_ops"), col("n_rows"), col("sum_cents"))
+    }),
+
+    // MERGE INTO ... USING ... ON ... UPDATE SET * / INSERT * executed as
+    // SQL (VERDICT r14 item 7) — the row-level result read back through
+    // the catalog table must equal the closed-form upsert.
+    "sql_txlog_merge" -> ((s, d) => {
+      val tbl = txSqlTable(s, d)
+      s.sql(s"SELECT o_orderkey, cents FROM $tbl ORDER BY o_orderkey")
+    }),
+
     // Compaction as a version-history read: two appends then one compact
     // commit; per committed version, the live-segment count and the row
     // count AT that snapshot. Compaction changes the physical layout
@@ -2493,6 +2543,17 @@ object StatsQueries extends QueryPack {
         |SELECT o_orderkey, o_custkey,
         |  CAST(round(o_totalprice*100) AS BIGINT) AS price_cents, o_orderstatus
         |FROM m ORDER BY o_orderkey""".stripMargin,
+    "sql_txlog_catalog" ->
+      """SELECT 'append,merge_dv' AS history_ops, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)
+        |    + CASE WHEN o_orderkey % 5 = 0 THEN 500 ELSE 0 END) AS BIGINT)
+        |    AS sum_cents
+        |FROM orders""".stripMargin,
+    "sql_txlog_merge" ->
+      """SELECT o_orderkey,
+        |  CAST(round(o_totalprice * 100) AS BIGINT)
+        |    + CASE WHEN o_orderkey % 5 = 0 THEN 500 ELSE 0 END AS cents
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "lake_txlog_compact" ->
       """WITH n AS (SELECT COUNT(*) AS n_all FROM orders),
         |odd AS (SELECT COUNT(*) AS n_odd FROM orders WHERE o_orderkey % 2 = 1),

@@ -198,6 +198,35 @@ object StreamQueries extends QueryPack {
       t
     })
 
+  /** Timestamp-bounded CDF fixture: the cdf table's history plus a third
+    * commit (a second DV merge on the %7 keys), with each version's
+    * IN-MANIFEST `ts` pinned to a known epoch (v1 → 1,000s, v2 → 2,000s,
+    * v3 → 3,000s) through the same test seam as the timestamp-travel
+    * fixture, so a (startingTimestamp, endingTimestamp) window can cut
+    * the middle commit deterministically.
+    */
+  private def txCdfTsTable(s: org.apache.spark.sql.SparkSession, d: String): String =
+    txStreamTables.computeIfAbsent((s, "cdfts:" + d), _ => {
+      val t = s"${graft.ops.Scratch.base}/txcdfts_${(d.hashCode & 0xffffff).toHexString}"
+      val base = Tables.orders(s, d).select(col("o_orderkey"),
+        graft.ops.Cleaning.cents(col("o_totalprice")).as("cents"))
+      val v1 = graft.ops.TxLog.append(base, t)
+      val v2 = graft.ops.TxLog.mergeDv(s,
+        base.filter(col("o_orderkey") % 5 === 0)
+          .withColumn("cents", col("cents") + 500L),
+        t, "o_orderkey")
+      val v3 = graft.ops.TxLog.mergeDv(s,
+        base.filter(col("o_orderkey") % 7 === 0)
+          .withColumn("cents", col("cents") + 900L),
+        t, "o_orderkey")
+      Seq(v1 -> 1000000L, v2 -> 2000000L, v3 -> 3000000L).foreach { case (v, ts) =>
+        val p = java.nio.file.Paths.get(t, "_txlog", f"$v%020d.json")
+        java.nio.file.Files.writeString(p, java.nio.file.Files.readString(p)
+          .replaceAll("\"ts\":\\d+", s""""ts":$ts"""))
+      }
+      t
+    })
+
   /** Update-mode SINK fixture: a source table of two append commits (all
     * orders, then the %5 keys with cents+500) streamed through
     * `writeStream.format("txlog").outputMode("update")` — batch 0
@@ -281,6 +310,24 @@ object StreamQueries extends QueryPack {
       s.read.format("txlog")
         .option("readChangeFeed", true).option("cdcKey", "o_orderkey")
         .load(txCdfTable(s, d))
+        .groupBy(col("_commit_version").as("commit_version"),
+          col("_change_type").as("change_type"))
+        .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+        .orderBy("commit_version", "change_type")),
+
+    // TIMESTAMP-BOUNDED change feed (Delta's startingTimestamp /
+    // endingTimestamp, VERDICT r14 item 4): the window (1,500s, 2,500s]
+    // over a three-commit history resolves through the in-manifest
+    // commit times to exactly the MIDDLE merge — v1's inserts fall
+    // before the start cut, v3's merge after the end cut. Bounds
+    // resolve driver-side via versionBefore/versionAtTimestamp; the
+    // change rows themselves come from the merge's write-time artifacts.
+    "lake_txlog_cdf_ts" -> ((s, d) =>
+      s.read.format("txlog")
+        .option("readChangeFeed", true).option("cdcKey", "o_orderkey")
+        .option("startingTimestamp", 1500000L)
+        .option("endingTimestamp", 2500000L)
+        .load(txCdfTsTable(s, d))
         .groupBy(col("_commit_version").as("commit_version"),
           col("_change_type").as("change_type"))
         .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
@@ -559,6 +606,16 @@ object StreamQueries extends QueryPack {
         |UNION ALL
         |SELECT CAST(2 AS BIGINT), 'update_preimage', COUNT(*),
         |  CAST(SUM(cents) AS BIGINT) FROM c WHERE o_orderkey % 5 = 0
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), 'update_postimage', COUNT(*),
+        |  CAST(SUM(cents + 500) AS BIGINT) FROM c WHERE o_orderkey % 5 = 0
+        |ORDER BY commit_version, change_type""".stripMargin,
+    "lake_txlog_cdf_ts" ->
+      """WITH c AS (SELECT o_orderkey,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders)
+        |SELECT CAST(2 AS BIGINT) AS commit_version,
+        |  'update_preimage' AS change_type, COUNT(*) AS n,
+        |  CAST(SUM(cents) AS BIGINT) AS sum_cents FROM c WHERE o_orderkey % 5 = 0
         |UNION ALL
         |SELECT CAST(2 AS BIGINT), 'update_postimage', COUNT(*),
         |  CAST(SUM(cents + 500) AS BIGINT) FROM c WHERE o_orderkey % 5 = 0

@@ -74,8 +74,9 @@ final class TxLogBatchSource extends RelationProvider
                           partitionColumns: Seq[String],
                           outputMode: org.apache.spark.sql.streaming.OutputMode)
       : org.apache.spark.sql.execution.streaming.Sink = {
-    val table = parameters.getOrElse("path", throw new IllegalArgumentException(
-      "txlog sink requires .option(\"path\", tablePath) or .start(tablePath)"))
+    val table = TxLogBatchSource.localPath(
+      parameters.getOrElse("path", throw new IllegalArgumentException(
+        "txlog sink requires .option(\"path\", tablePath) or .start(tablePath)")))
     outputMode match {
       case m if m == org.apache.spark.sql.streaming.OutputMode.Append() =>
         new TxLogSink(table, partitionColumns)
@@ -101,8 +102,9 @@ final class TxLogBatchSource extends RelationProvider
 
   override def createRelation(sqlContext: SQLContext,
                               parameters: Map[String, String]): BaseRelation = {
-    val table = parameters.getOrElse("path", throw new IllegalArgumentException(
-      "txlog batch source requires .load(tablePath)"))
+    val table = TxLogBatchSource.localPath(
+      parameters.getOrElse("path", throw new IllegalArgumentException(
+        "txlog batch source requires .load(tablePath)")))
     // batch CHANGE-DATA-FEED read (Delta's readChangeFeed): change rows
     // for (startingVersion, endingVersion], default the whole history
     if (parameters.get("readChangeFeed").orElse(parameters.get("readchangefeed"))
@@ -141,8 +143,9 @@ final class TxLogBatchSource extends RelationProvider
   override def createRelation(sqlContext: SQLContext, mode: SaveMode,
                               parameters: Map[String, String],
                               data: DataFrame): BaseRelation = {
-    val table = parameters.getOrElse("path", throw new IllegalArgumentException(
-      "txlog batch sink requires .save(tablePath)"))
+    val table = TxLogBatchSource.localPath(
+      parameters.getOrElse("path", throw new IllegalArgumentException(
+        "txlog batch sink requires .save(tablePath)")))
     val partCols = TxLogBatchSource.partitionColumns(parameters)
     val statsCols = parameters.get("statsCols").orElse(parameters.get("statscols"))
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
@@ -206,6 +209,16 @@ final class TxLogUpsertSink(table: String, key: String)
 
 object TxLogBatchSource {
   import scala.jdk.CollectionConverters._
+
+  /** The session catalog hands a table's LOCATION as a `file:` URI; the
+    * log layer addresses local tables by plain filesystem path. Other
+    * schemes pass through untouched (the s3a path rides the FileSystem
+    * seam).
+    */
+  private[sources] def localPath(p: String): String =
+    if (!p.startsWith("file:")) p
+    else try new java.io.File(java.net.URI.create(p)).getPath
+    catch { case _: IllegalArgumentException => p.stripPrefix("file:") }
 
   /** Last (scanned, total) segment counts of a pruned buildScan — spec
     * observability for skipping that is otherwise invisible through the

@@ -112,8 +112,8 @@ object TxLogStreamSource {
   val ChangeTypeCol = "_change_type"
 
   private def tablePath(parameters: Map[String, String]): String = {
-    val p = parameters.getOrElse("path",
-      throw new IllegalArgumentException("txlog-stream requires a load(tablePath)"))
+    val p = TxLogBatchSource.localPath(parameters.getOrElse("path",
+      throw new IllegalArgumentException("txlog-stream requires a load(tablePath)")))
     require(TxLog.currentVersion(p) > 0,
       s"txlog-stream: $p has no committed versions (empty or not a TxLog table)")
     p

@@ -104,4 +104,42 @@ class ExtensionsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
     assert(got == expected && got.nonEmpty)
   }
+
+  test("pure-SQL lake surface: CREATE TABLE USING txlog, SELECT, DESCRIBE HISTORY, MERGE INTO") {
+    import spark.implicits._
+    val t = java.nio.file.Files.createTempDirectory("txsql-").resolve("t").toString
+    graft.ops.TxLog.append(
+      Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("k", "v"), t)
+    spark.sql(s"CREATE TABLE graft_sql_spec USING txlog LOCATION '$t'")
+    try {
+      // SELECT resolves through the V1 relation
+      assert(spark.sql("SELECT sum(v) FROM graft_sql_spec").head().getLong(0) === 60L)
+      // DESCRIBE HISTORY — both the table and the quoted-path spelling
+      val h1 = spark.sql("DESCRIBE HISTORY graft_sql_spec").collect()
+      assert(h1.map(r => (r.getLong(0), r.getString(1))).toSeq === Seq(1L -> "append"))
+      assert(spark.sql(s"DESCRIBE HISTORY '$t'").count() === 1L)
+      // MERGE INTO routes through TxLog.mergeDv — one merge-on-read commit
+      Seq((2L, 222L), (9L, 999L)).toDF("k", "v").createOrReplaceTempView("upd")
+      val v = spark.sql(
+        """MERGE INTO graft_sql_spec t USING upd s ON t.k = s.k
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin).head().getLong(0)
+      assert(v === 2L)
+      assert(graft.ops.TxLog.readManifest(t, 2L).op === "merge_dv")
+      assert(spark.sql("SELECT k, v FROM graft_sql_spec ORDER BY k")
+        .as[(Long, Long)].collect().toSeq ===
+        Seq(1L -> 10L, 2L -> 222L, 3L -> 30L, 9L -> 999L))
+      // history reflects the merge, newest first
+      val h2 = spark.sql("DESCRIBE HISTORY graft_sql_spec").collect()
+      assert(h2.map(_.getString(1)).toSeq === Seq("merge_dv", "append"))
+      // an unsupported shape fails with the routing rule's message, not
+      // Spark's generic v2 complaint
+      val err = intercept[Exception] {
+        spark.sql(
+          """MERGE INTO graft_sql_spec t USING upd s ON t.k = s.k
+            |WHEN MATCHED THEN DELETE""".stripMargin).collect()
+      }
+      assert(err.getMessage.contains("mergeDv"), err.getMessage)
+    } finally spark.sql("DROP TABLE IF EXISTS graft_sql_spec")
+  }
 }

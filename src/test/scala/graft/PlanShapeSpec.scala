@@ -616,6 +616,23 @@ class PlanShapeSpec extends SparkSpec {
       s"profiler must scan the table exactly once:\n${p.take(800)}")
   }
 
+  test("unpivot sorts BELOW the Expand and nothing reshuffles above it") {
+    // unpivot_melt's deterministic ordering rests on sorting the narrow
+    // pre-melt side: Expand is a per-partition 1→3 map emitting value
+    // columns in declared order, so the gate's ORDER BY holds iff NO
+    // exchange sits between the Expand and the collect. That is a plan
+    // SHAPE property, not a Spark contract — pin it so an optimizer or
+    // AQE change that reintroduces a post-expand shuffle fails loudly
+    // instead of silently breaking the ordering (ADVICE r14).
+    val p = plan("unpivot_melt")
+    val ei = p.indexOf("Expand")
+    assert(ei >= 0, s"unpivot lost its Expand plan:\n${p.take(600)}")
+    assert(!p.substring(0, ei).contains("Exchange"),
+      s"an exchange above the Expand breaks the pre-melt sort order:\n${p.take(800)}")
+    assert(p.indexOf("Sort", ei) > ei,
+      s"the pre-melt sort below the Expand is gone:\n${p.take(800)}")
+  }
+
   test("anomaly filter joins only the broadcast per-type stats") {
     val p = plan("anomaly_3sigma")
     assert(p.contains("BroadcastHashJoin"), s"type stats must broadcast:\n${p.take(600)}")

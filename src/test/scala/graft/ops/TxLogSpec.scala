@@ -1506,4 +1506,217 @@ class TxLogSpec extends SparkSpec {
     // a FILTERED count never short-circuits
     assert(spark.read.format("txlog").load(t).filter(col("k") > 2L).count() === 1L)
   }
+
+  test("change feed reads a merge commit from write-time artifacts: zero base segments") {
+    val t = freshTable()
+    TxLog.append(rows((1L to 200L).map(k => k -> k * 10L): _*), t) // v1
+    val baseSegs = TxLog.liveFiles(t).map(Paths.get(_).toAbsolutePath.toString)
+    TxLog.mergeDv(spark,
+      rows(3L -> 333L, 6L -> 666L, 201L -> 2010L), t, "k")         // v2
+    val m = TxLog.readManifest(t, 2L)
+    assert(m.changeDeleteSrcs.nonEmpty && m.changeInsertSrcs.nonEmpty,
+      "the DV merge must persist its change artifacts in the commit")
+    // PLAN PIN: the merge commit's feed range opens ONLY the artifacts —
+    // not one pre-merge base segment (the O(changes) contract)
+    val feed = graft.sources.TxLogCdf.changeFrame(spark, t, 1L, 2L, Some("k"))
+    val scanned = feed.inputFiles.map(Paths.get(_).toAbsolutePath.toString)
+    assert(scanned.nonEmpty, "the feed must scan the persisted artifacts")
+    assert(!scanned.exists(f => baseSegs.exists(s => f.startsWith(s))),
+      s"feed opened base segments:\n${scanned.mkString("\n")}")
+    // correctness: 2 update pairs + 1 insert, exact pre/post images
+    val byType = feed.groupBy("_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType === Map("update_preimage" -> 2L, "update_postimage" -> 2L,
+      "insert" -> 1L))
+    val post = feed.filter(col("_change_type") === "update_postimage")
+      .select("k", "v").as[(Long, Long)].collect().toMap
+    assert(post === Map(3L -> 333L, 6L -> 666L))
+    // deleteWhere persists too: its feed range also opens zero base segs
+    TxLog.deleteWhere(spark, t, col("k") === 10L)                  // v3
+    val m3 = TxLog.readManifest(t, 3L)
+    assert(m3.changeDeleteSrcs.nonEmpty && m3.changeInsertSrcs.isEmpty)
+    val feed3 = graft.sources.TxLogCdf.changeFrame(spark, t, 2L, 3L, None)
+    val scanned3 = feed3.inputFiles.map(Paths.get(_).toAbsolutePath.toString)
+    assert(!scanned3.exists(f => baseSegs.exists(s => f.startsWith(s))))
+    assert(feed3.select("k", "_change_type").as[(Long, String)].collect()
+      .toSeq === Seq(10L -> "delete"))
+    // the enriched DV chain still anti-joins correctly and compacts
+    // back to a coordinate-only vector
+    assert(TxLog.snapshot(spark, t).count() === 200L) // 200 +1 ins -1 del
+    val cv = TxLog.compactDv(spark, t)
+    val folded = spark.read.parquet(TxLog.tableState(t).dv.head)
+    assert(folded.columns.toSet === Set("file_path", "row_index"),
+      "compactDv must fold enriched entries to the coordinate schema")
+    assert(TxLog.snapshot(spark, t, Some(cv)).count() === 200L)
+  }
+
+  test("copy-on-write merge persists change-sized artifacts beside the rewrite") {
+    val t = freshTable()
+    TxLog.append(rows((1L to 100L).map(k => k -> k): _*), t)       // v1
+    val baseSegs = TxLog.liveFiles(t).map(Paths.get(_).toAbsolutePath.toString)
+    TxLog.merge(spark, rows(7L -> 700L, 7000L -> 1L), t, "k")      // v2
+    val m = TxLog.readManifest(t, 2L)
+    assert(m.changeDeleteSrcs.size === 1 && m.changeInsertSrcs.size === 1)
+    // the artifacts are change-sized, NOT the staged full rewrite
+    assert(!m.changeInsertSrcs.exists(m.adds.contains),
+      "CoW post-image source must be the updates frame, not the rewritten table")
+    val feed = graft.sources.TxLogCdf.changeFrame(spark, t, 1L, 2L, Some("k"))
+    val scanned = feed.inputFiles.map(Paths.get(_).toAbsolutePath.toString)
+    assert(!scanned.exists(f => baseSegs.exists(s => f.startsWith(s))),
+      "CoW merge feed must read artifacts, not the old or new table")
+    val byType = feed.groupBy("_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType === Map("update_preimage" -> 1L, "update_postimage" -> 1L,
+      "insert" -> 1L))
+    // vacuum keeping only the head must RETAIN the artifacts (the feed
+    // at the head still reads them)
+    TxLog.vacuum(t, keepVersionsFrom = 2L, minAgeMillis = 0L)
+    assert(graft.sources.TxLogCdf.changeFrame(spark, t, 1L, 2L, Some("k"))
+      .count() === 3L, "vacuum must not collect referenced change artifacts")
+  }
+
+  test("feed over a 1000-commit history: O(rewrites) plan, sub-second resolution") {
+    val t = freshTable()
+    // 8 real appends interleaved into a 1000-commit log padded with
+    // content-neutral metadata commits (pure manifest writes)
+    (1 to 8).foreach(i => TxLog.append(rows(i.toLong -> i.toLong), t))
+    (1 to 991).foreach(_ =>
+      TxLog.commit(t, "analyze", Seq.empty, Seq.empty, TxLog.currentVersion(t)))
+    TxLog.mergeDv(spark, rows(1L -> 111L), t, "k")
+    val head = TxLog.currentVersion(t)
+    assert(head === 1000L)
+    val t0 = System.nanoTime()
+    val feed = graft.sources.TxLogCdf.changeFrame(spark, t, 0L, head, None)
+    val plan = feed.queryExecution.executedPlan.toString
+    val built = (System.nanoTime() - t0) / 1e9
+    assert(built < 2.0,
+      f"feed construction over 1000 commits took $built%.2f s driver-side")
+    // plan size: ONE coalesced scan for all 8 appends (+ the merge's
+    // artifact scans) — never one branch per commit
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans <= 12, s"feed plan has $scans scans — not O(rewrites):\n" +
+      plan.take(1200))
+    // versions come from the uuid→version map: every append attributed
+    val got = feed.groupBy("_commit_version").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = (1L to 8L).map(_ -> 1L).toMap ++
+      Map(head -> 2L) // merge: 1 delete + 1 insert (no cdcKey pairing)
+    assert(got === expected)
+  }
+
+  test("partition values round-trip Hive escaping and NULL end to end") {
+    val t = freshTable()
+    val df = Seq((1L, "a:b"), (2L, "x%y"), (3L, "plain"), (4L, null))
+      .toDF("k", "lang")
+    // stats-recording write so the manifest GROUP BY below can answer
+    // (plain appendPartitioned records no per-leaf row counts)
+    TxLog.appendPartitionedWithStats(df, t, Seq("lang"), Seq("k"))
+    // the format read returns the LOGICAL values, null included,
+    // under a nullable partition column
+    val rel = spark.read.format("txlog").load(t)
+    assert(rel.schema("lang").nullable)
+    assert(rel.select("k", "lang").as[(Long, String)].collect().toMap ===
+      Map(1L -> "a:b", 2L -> "x%y", 3L -> "plain", 4L -> null))
+    // pushed equality on an escaped value prunes to its one leaf and
+    // returns the matching rows (pre-fix: compared against 'a%3Ab',
+    // pruned everything, silently returned zero rows)
+    val one = rel.filter(col("lang") === "a:b")
+    assert(one.select("k").as[Long].collect().toSeq === Seq(1L))
+    assert(graft.sources.TxLogBatchSource.lastPrune === Some((1, 4)))
+    // library surfaces: SHOW PARTITIONS unescapes (null keeps the Hive
+    // sentinel), the manifest GROUP BY surfaces SQL NULL
+    assert(TxLog.partitionValues(t, "lang") ===
+      Seq("__HIVE_DEFAULT_PARTITION__", "a:b", "plain", "x%y"))
+    assert(TxLog.partitionRowCounts(t, "lang") ===
+      Some(Seq((null, 1L), ("a:b", 1L), ("plain", 1L), ("x%y", 1L))))
+    graft.plans.ManifestCountRule.lastAnswered = None
+    val grouped = spark.read.format("txlog").load(t)
+      .groupBy("lang").count().collect()
+      .map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    assert(grouped === Map(Some("a:b") -> 1L, Some("x%y") -> 1L,
+      Some("plain") -> 1L, None -> 1L))
+    assert(graft.plans.ManifestCountRule.lastAnswered.exists(_._1 == t),
+      "the partition-wise manifest aggregate must answer, with NULL intact")
+    // dynamic partition overwrite matches the ESCAPED directory
+    TxLog.overwritePartition(Seq((10L, "a:b")).toDF("k", "lang"), t, "lang", "a:b")
+    assert(spark.read.format("txlog").load(t)
+      .filter(col("lang") === "a:b").select("k").as[Long].collect().toSeq ===
+      Seq(10L))
+    // single-level pruned read under the user value
+    val (pruned, scanned, total) =
+      TxLog.snapshotPartitionPruned(spark, t, "lang", Some("x%y"))
+    assert((scanned, total) === ((1, 4)) &&
+      pruned.select("k").as[Long].collect().toSeq === Seq(2L))
+  }
+
+  test("evolved partitioned table: relation schema has no duplicate columns") {
+    val t = freshTable()
+    TxLog.appendPartitioned(Seq((1L, "en"), (2L, "fr")).toDF("k", "lang"), t, "lang")
+    // evolve records a schema that NAMES the partition column (the shape
+    // validateWrite requires for partitioned appends after evolution)
+    TxLog.evolve(t, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("lang",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("extra",
+        org.apache.spark.sql.types.LongType))))
+    val rel = spark.read.format("txlog").load(t)
+    assert(rel.schema.fieldNames.toSeq.sorted === Seq("extra", "k", "lang"),
+      s"duplicate or missing columns: ${rel.schema.fieldNames.mkString(",")}")
+    // the read still re-derives partition values from the path (the
+    // recorded schema's null-filled column is replaced, not duplicated)
+    assert(rel.select("k", "lang").as[(Long, String)].collect().toMap ===
+      Map(1L -> "en", 2L -> "fr"))
+  }
+
+  test("change feed of a first-commit overwrite emits inserts, not an error") {
+    val t = freshTable()
+    rows(1L -> 10L, 2L -> 20L).write.format("txlog").mode("overwrite").save(t)
+    assert(TxLog.readManifest(t, 1L).op === "overwrite")
+    val feed = spark.read.format("txlog").option("readChangeFeed", true).load(t)
+    assert(feed.select("k", "_change_type").as[(Long, String)].collect()
+      .sortBy(_._1).toSeq === Seq(1L -> "insert", 2L -> "insert"))
+  }
+
+  test("a schema-metadata key named 'ts' cannot shadow the commit time") {
+    val t = freshTable()
+    TxLog.init(t)
+    // a pre-r13-shaped manifest (no trailing ts) whose embedded schema
+    // JSON carries a metadata key "ts" — the fast scan must reject the
+    // mid-body match and fall back (full parse → no ts → file mtime)
+    val json = """{"version":1,"op":"append","adds":[],"removes":[],""" +
+      """"readVersion":0,"stats":{},"schema":{"type":"struct","fields":""" +
+      """[{"name":"a","type":"long","nullable":true,"metadata":{"ts":123}}]}}"""
+    val p = Paths.get(t, "_txlog", f"${1L}%020d.json")
+    Files.writeString(p, json)
+    val mtime = Files.getLastModifiedTime(p).toMillis
+    assert(TxLog.versionAtTimestamp(t, mtime) === 1L)
+    // pre-fix the bogus 123 was parsed as the commit time and this cut
+    // resolved v1; now nothing is committed at or before t=124
+    intercept[IllegalArgumentException] {
+      TxLog.versionAtTimestamp(t, 124L)
+    }
+  }
+
+  test("timestamp-bounded feed: versionBefore cuts are exclusive and total") {
+    val t = freshTable()
+    val v1 = TxLog.append(rows(1L -> 10L), t)
+    val v2 = TxLog.append(rows(2L -> 20L), t)
+    Seq(v1 -> 1000000L, v2 -> 2000000L).foreach { case (v, ts) =>
+      val p = Paths.get(t, "_txlog", f"$v%020d.json")
+      Files.writeString(p, Files.readString(p)
+        .replaceAll("\"ts\":\\d+", s""""ts":$ts"""))
+    }
+    assert(TxLog.versionBefore(t, 500000L) === 0L)   // predates: full feed
+    assert(TxLog.versionBefore(t, 1000000L) === 0L)  // exact stamp included
+    assert(TxLog.versionBefore(t, 1500000L) === 1L)
+    assert(TxLog.versionBefore(t, 3000000L) === 2L)
+    val mid = spark.read.format("txlog")
+      .option("readChangeFeed", true)
+      .option("startingTimestamp", 1500000L)
+      .option("endingTimestamp", 2500000L).load(t)
+    assert(mid.select("k", "_commit_version").as[(Long, Long)].collect()
+      .toSeq === Seq(2L -> 2L))
+  }
 }
