@@ -1451,8 +1451,13 @@ object StatsQueries extends QueryPack {
       val pairs = rec.as("a").join(rec.as("b"),
           col("a.c_name") === col("b.c_name") && col("a.rec_id") < col("b.rec_id"))
         .filter(levenshtein(col("a.phone"), col("b.phone")) <= 2)
-        .select(col("a.rec_id").as("src"), col("b.rec_id").as("dst"))
-      val comp = graft.ops.GraphOps.connectedComponents(pairs)
+        .select(col("a.c_name").as("block"),
+          col("a.rec_id").as("src"), col("b.rec_id").as("dst"))
+      // match edges never cross the name block, so clustering is the
+      // BLOCKED CC — one shuffle, a per-block fold-union, no iterative
+      // label-prop rounds (VERDICT r14 item 3; the generic loop stays
+      // exercised by dedup_cluster and the graph_* family)
+      val comp = graft.ops.GraphOps.blockedComponents(pairs)
         .withColumnRenamed("id", "rec_id")
       rec.join(comp, "rec_id")
         .groupBy("comp")

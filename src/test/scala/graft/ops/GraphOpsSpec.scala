@@ -32,4 +32,30 @@ class GraphOpsSpec extends SparkSpec {
     assert(a == b)
     assert(a.forall(_._2 == 1L)) // the whole chain is one component
   }
+
+  test("blockedComponents equals the generic algorithm on randomized blocked graphs") {
+    // deterministic pseudo-random blocked graphs: vertices are unique
+    // across blocks (the ER invariant), edge sets include chains, stars,
+    // singles, self-loops, duplicate edges, and reversed-order pairs
+    val rnd = new scala.util.Random(42)
+    val rows = (0 until 60).flatMap { b =>
+      val n = 2 + rnd.nextInt(9) // block size 2..10
+      val ids = (0 until n).map(i => b * 100L + i)
+      val nEdges = 1 + rnd.nextInt(n * 2)
+      (0 until nEdges).map { _ =>
+        val s = ids(rnd.nextInt(n)); val d = ids(rnd.nextInt(n))
+        (s"blk$b", s, d)
+      }
+    }
+    val edges = rows.toDF("block", "src", "dst")
+    val blocked = GraphOps.blockedComponents(edges)
+      .as[(Long, Long)].collect().toMap
+    val generic = GraphOps.connectedComponents(
+      edges.select("src", "dst")).as[(Long, Long)].collect().toMap
+    assert(blocked == generic)
+    // and on the trivial no-chain shape (the single-edge fast path's turf)
+    val single = Seq(("a", 1L, 2L), ("b", 7L, 5L)).toDF("block", "src", "dst")
+    assert(GraphOps.blockedComponents(single).as[(Long, Long)].collect().toMap ===
+      Map(1L -> 1L, 2L -> 1L, 5L -> 5L, 7L -> 5L))
+  }
 }
