@@ -144,6 +144,65 @@ object GraftFunctions {
     }
 }
 
+/** TABLE-VALUED functions over the lake — Delta's `table_changes` as a
+  * SQL TVF:
+  * {{{
+  *   SELECT * FROM table_changes('/lake/t', 1)        -- (1, head]
+  *   SELECT * FROM table_changes('/lake/t', 1, 5)     -- (1, 5]
+  *   SELECT * FROM table_changes('/lake/t', 1, 5, 'k') -- + update pairing
+  * }}}
+  * Version bounds follow the reader's (startingVersion, endingVersion]
+  * contract; the builder hands the analyzer the change frame's resolved
+  * plan, so the TVF composes with any SQL on top (joins, aggregates,
+  * filters).
+  */
+object GraftTableFunctions {
+  import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[CosineSimilarity].getName, null, name, usage,
+      "", "", "", "", "", "", "built-in")
+
+  private def strLit(fn: String, e: Expression): String = {
+    require(e.foldable, s"$fn: argument must be a literal string, got ${e.sql}")
+    e.eval(null) match {
+      case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+      case other => throw new IllegalArgumentException(
+        s"$fn: argument must be a literal string, got $other")
+    }
+  }
+
+  private def longLit(fn: String, e: Expression): Long = {
+    require(e.foldable, s"$fn: argument must be a literal integer, got ${e.sql}")
+    e.eval(null) match {
+      case n: Number => n.longValue()
+      case other => throw new IllegalArgumentException(
+        s"$fn: argument must be a literal integer, got $other")
+    }
+  }
+
+  val all: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => LogicalPlan)] = Seq(
+    (FunctionIdentifier("table_changes"),
+      info("table_changes",
+        "table_changes(path, startingVersion[, endingVersion[, cdcKey]]) - " +
+          "change rows of a txlog table for (startingVersion, endingVersion]"),
+      (args: Seq[Expression]) => {
+        require(args.size >= 2 && args.size <= 4,
+          s"table_changes takes 2-4 arguments, got ${args.size}")
+        val spark = SparkSession.active
+        val table = graft.sources.TxLogBatchSource.localPath(
+          strLit("table_changes", args.head))
+        val fromV = longLit("table_changes", args(1))
+        val toV =
+          if (args.size >= 3) longLit("table_changes", args(2))
+          else graft.ops.TxLog.currentVersion(table)
+        val key = if (args.size >= 4) Some(strLit("table_changes", args(3))) else None
+        graft.sources.TxLogCdf.changeFrame(spark, table, fromV, toV, key)
+          .queryExecution.analyzed
+      }))
+}
+
 /** `spark.sql.extensions` entry point: optimizer rule + native functions
   * + the as-of join planner strategy.
   */
@@ -152,9 +211,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectOptimizerRule(_ => LevenshteinThresholdRewrite)
     e.injectOptimizerRule(_ => ManifestCountRule)
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)
-    // lake SQL dialect: DESCRIBE HISTORY statement + MERGE INTO routing
+    // lake SQL dialect: DESCRIBE HISTORY / OPTIMIZE / VACUUM / RESTORE
+    // statements + MERGE INTO routing + the table_changes TVF
     e.injectParser((_, delegate) => new GraftSqlParser(delegate))
     e.injectResolutionRule(session => MergeIntoTxLogRule(session))
     GraftFunctions.all.foreach(e.injectFunction)
+    GraftTableFunctions.all.foreach(e.injectTableFunction)
   }
 }

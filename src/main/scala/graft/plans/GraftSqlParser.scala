@@ -40,14 +40,40 @@ final class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 
   private val DescribeHistory =
     """(?is)^\s*DESC(?:RIBE)?\s+HISTORY\s+(.+?)\s*;?\s*$""".r
+  private val OptimizeZOrder =
+    """(?is)^\s*OPTIMIZE\s+(.+?)\s+ZORDER\s+BY\s*\(\s*(\w+)\s*,\s*(\w+)\s*\)\s*;?\s*$""".r
+  private val Optimize = """(?is)^\s*OPTIMIZE\s+(.+?)\s*;?\s*$""".r
+  private val VacuumRetain =
+    """(?is)^\s*VACUUM\s+(.+?)\s+RETAIN\s+(\d+)\s+HOURS\s*;?\s*$""".r
+  private val Vacuum = """(?is)^\s*VACUUM\s+(.+?)\s*;?\s*$""".r
+  private val RestoreTo =
+    """(?is)^\s*RESTORE\s+TABLE\s+(.+?)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""".r
+
+  private def target(raw: String): (String, Boolean) = {
+    val t = raw.trim
+    if ((t.startsWith("'") && t.endsWith("'")) ||
+        (t.startsWith("\"") && t.endsWith("\"")))
+      (t.substring(1, t.length - 1), true)
+    else (t, false)
+  }
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
-    case DescribeHistory(target) =>
-      val t = target.trim
-      if ((t.startsWith("'") && t.endsWith("'")) ||
-          (t.startsWith("\"") && t.endsWith("\"")))
-        DescribeHistoryCommand(t.substring(1, t.length - 1), isPath = true)
-      else DescribeHistoryCommand(t, isPath = false)
+    case DescribeHistory(t) =>
+      val (n, p) = target(t); DescribeHistoryCommand(n, p)
+    case OptimizeZOrder(t, x, y) =>
+      val (n, p) = target(t); TxLogMaintenanceCommand(n, p, "optimize_zorder",
+        cols = Seq(x, y))
+    case Optimize(t) =>
+      val (n, p) = target(t); TxLogMaintenanceCommand(n, p, "optimize")
+    case VacuumRetain(t, hours) =>
+      val (n, p) = target(t); TxLogMaintenanceCommand(n, p, "vacuum",
+        arg = hours.toLong)
+    case Vacuum(t) =>
+      val (n, p) = target(t); TxLogMaintenanceCommand(n, p, "vacuum",
+        arg = 7L * 24) // Delta's default retention: 7 days
+    case RestoreTo(t, v) =>
+      val (n, p) = target(t); TxLogMaintenanceCommand(n, p, "restore",
+        arg = v.toLong)
     case _ => delegate.parsePlan(sqlText)
   }
 
@@ -95,6 +121,37 @@ final case class DescribeHistoryCommand(target: String, isPath: Boolean)
       Row(m.version, m.op, m.readVersion, m.adds.size, m.removes.size,
         m.changes.size, m.dv.nonEmpty, m.ts.orNull)
     }
+  }
+}
+
+/** Delta-dialect maintenance statements over the lake, each one commit
+  * (or one GC pass) through the library primitive:
+  * `OPTIMIZE t` → [[TxLog.compact]]; `OPTIMIZE t ZORDER BY (x, y)` →
+  * [[TxLog.compactZOrder]] (16 z-run segments); `VACUUM t [RETAIN n
+  * HOURS]` → [[TxLog.vacuum]] keeping the head, age-gated (default 7
+  * days — Delta's retention); `RESTORE TABLE t TO VERSION AS OF n` →
+  * [[TxLog.restore]]. Returns the committed version (vacuum: the number
+  * of collected dirs).
+  */
+final case class TxLogMaintenanceCommand(name: String, isPath: Boolean,
+                                         op: String, arg: Long = 0L,
+                                         cols: Seq[String] = Seq.empty)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("value", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val table = if (isPath) name else GraftSqlSurface.tableLocation(spark, name)
+    val v = op match {
+      case "optimize" => TxLog.compact(spark, table)
+      case "optimize_zorder" =>
+        TxLog.compactZOrder(spark, table, cols.head, cols(1), buckets = 16)
+      case "vacuum" =>
+        TxLog.vacuum(table, keepVersionsFrom = TxLog.currentVersion(table),
+          minAgeMillis = arg * 3600L * 1000L).size.toLong
+      case "restore" => TxLog.restore(spark, table, arg)
+    }
+    Seq(Row(v))
   }
 }
 

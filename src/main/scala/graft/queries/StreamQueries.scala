@@ -315,6 +315,21 @@ object StreamQueries extends QueryPack {
         .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
         .orderBy("commit_version", "change_type")),
 
+    // table_changes AS A SQL TVF (Delta's spelling, via
+    // injectTableFunction): the same change classes as the batch CDF
+    // read, driven entirely from spark.sql — the TVF's plan is the
+    // change frame itself, so GROUP BY/ORDER BY compose on top like any
+    // relation.
+    "sql_txlog_changes_tvf" -> ((s, d) => {
+      val t = txCdfTable(s, d)
+      s.sql(
+        s"""SELECT _commit_version AS commit_version,
+           |  _change_type AS change_type,
+           |  COUNT(*) AS n, SUM(cents) AS sum_cents
+           |FROM table_changes('$t', 0, 2, 'o_orderkey')
+           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+    }),
+
     // TIMESTAMP-BOUNDED change feed (Delta's startingTimestamp /
     // endingTimestamp, VERDICT r14 item 4): the window (1,500s, 2,500s]
     // over a three-commit history resolves through the in-manifest
@@ -599,6 +614,18 @@ object StreamQueries extends QueryPack {
         |    + CASE WHEN o_orderkey % 5 = 0 THEN 500 ELSE 0 END AS cents
         |FROM orders ORDER BY o_orderkey""".stripMargin,
     "lake_txlog_cdf_batch" ->
+      """WITH c AS (SELECT o_orderkey,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders)
+        |SELECT CAST(1 AS BIGINT) AS commit_version, 'insert' AS change_type,
+        |  COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS sum_cents FROM c
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), 'update_preimage', COUNT(*),
+        |  CAST(SUM(cents) AS BIGINT) FROM c WHERE o_orderkey % 5 = 0
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), 'update_postimage', COUNT(*),
+        |  CAST(SUM(cents + 500) AS BIGINT) FROM c WHERE o_orderkey % 5 = 0
+        |ORDER BY commit_version, change_type""".stripMargin,
+    "sql_txlog_changes_tvf" ->
       """WITH c AS (SELECT o_orderkey,
         |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders)
         |SELECT CAST(1 AS BIGINT) AS commit_version, 'insert' AS change_type,

@@ -215,7 +215,7 @@ object TxLogBatchSource {
     * schemes pass through untouched (the s3a path rides the FileSystem
     * seam).
     */
-  private[sources] def localPath(p: String): String =
+  private[graft] def localPath(p: String): String =
     if (!p.startsWith("file:")) p
     else try new java.io.File(java.net.URI.create(p)).getPath
     catch { case _: IllegalArgumentException => p.stripPrefix("file:") }

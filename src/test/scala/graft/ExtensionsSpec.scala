@@ -142,4 +142,38 @@ class ExtensionsSpec extends SparkSpec {
       assert(err.getMessage.contains("mergeDv"), err.getMessage)
     } finally spark.sql("DROP TABLE IF EXISTS graft_sql_spec")
   }
+
+  test("maintenance SQL + table_changes TVF drive the lake end to end") {
+    import spark.implicits._
+    val t = java.nio.file.Files.createTempDirectory("txsql2-").resolve("t").toString
+    graft.ops.TxLog.append(Seq((1L, 10L), (2L, 20L)).toDF("k", "v"), t)
+    graft.ops.TxLog.append(Seq((3L, 30L)).toDF("k", "v"), t)
+    graft.ops.TxLog.mergeDv(spark, Seq((2L, 222L)).toDF("k", "v"), t, "k")
+    // table_changes composes under plain SQL — the merge commit's rows
+    // come from its write-time artifacts
+    val ch = spark.sql(
+      s"SELECT k, _change_type, _commit_version FROM table_changes('$t', 2, 3, 'k') ORDER BY k, _change_type")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(ch === Seq((2L, "update_postimage", 3L), (2L, "update_preimage", 3L)))
+    assert(spark.sql(s"SELECT count(*) FROM table_changes('$t', 0)")
+      .head().getLong(0) === 5L) // 3 inserts + the update pair
+    // OPTIMIZE compacts to one segment (and materializes the DV)
+    assert(spark.sql(s"OPTIMIZE '$t'").head().getLong(0) === 4L)
+    assert(graft.ops.TxLog.readManifest(t, 4L).op === "compact")
+    assert(graft.ops.TxLog.liveFiles(t).size === 1)
+    // VACUUM RETAIN 0 HOURS collects the pre-compaction segments
+    assert(spark.sql(s"VACUUM '$t' RETAIN 0 HOURS").head().getLong(0) >= 1L)
+    // RESTORE goes back to v2 (pre-merge)... but v1/v2 segments were just
+    // vacuumed away below the horizon — restore must REFUSE, loudly
+    val gone = intercept[Exception] {
+      spark.sql(s"RESTORE TABLE '$t' TO VERSION AS OF 2").collect()
+    }
+    assert(gone.getMessage.contains("vacuum"), gone.getMessage)
+    // on an unvacuumed table the restore lands as one commit
+    val t2 = java.nio.file.Files.createTempDirectory("txsql3-").resolve("t").toString
+    graft.ops.TxLog.append(Seq((1L, 1L)).toDF("k", "v"), t2)
+    graft.ops.TxLog.overwrite(Seq((1L, 9L)).toDF("k", "v"), t2)
+    assert(spark.sql(s"RESTORE TABLE '$t2' TO VERSION AS OF 1").head().getLong(0) === 3L)
+    assert(graft.ops.TxLog.snapshot(spark, t2).as[(Long, Long)].head() === ((1L, 1L)))
+  }
 }
