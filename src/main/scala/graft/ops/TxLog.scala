@@ -76,7 +76,8 @@ object TxLog {
                             renames: Seq[Rename] = Seq.empty,
                             drops: Seq[Drop] = Seq.empty,
                             ts: Option[Long] = None,
-                            changes: Seq[String] = Seq.empty) {
+                            changes: Seq[String] = Seq.empty,
+                            ingests: Seq[String] = Seq.empty) {
     /** Persisted CDC pre-image sources (`d:` entries of `changes`):
       * parquet staged at commit time whose rows this commit DELETED
       * (they may carry extra helper columns, e.g. the DV coordinates —
@@ -117,13 +118,27 @@ object TxLog {
     * Iceberg record per-file stats for N declared columns; real tables
     * prune on several keys, not one). Extras never nest and never carry a
     * bloom; [[statsFor]] is the one lookup every pruning consumer uses.
+    *
+    * STRING columns record exact `strMin`/`strMax` instead of the
+    * cast-to-long pair (Delta/Iceberg keep per-file min/max for string
+    * keys too — that is what prunes `c BETWEEN 'a…' AND 'b…'`). A
+    * string-stat record's long `min`/`max` are zero placeholders and
+    * MUST never be consulted: every numeric-bound pruning consumer
+    * treats [[isString]] records as unprunable, and [[tableMinMax]]
+    * refuses them ([[tableMinMaxString]] is the exact answer).
     */
   final case class SegStats(col: String, min: Long, max: Long,
                             bloomHex: Option[String] = None,
                             rows: Option[Long] = None,
                             ndv: Option[Long] = None,
                             hist: Option[Seq[Long]] = None,
-                            extra: Seq[SegStats] = Seq.empty) {
+                            extra: Seq[SegStats] = Seq.empty,
+                            strMin: Option[String] = None,
+                            strMax: Option[String] = None) {
+    /** True when this record tracks a STRING column: `strMin`/`strMax`
+      * are the real bounds and the long pair is a placeholder.
+      */
+    def isString: Boolean = strMin.nonEmpty
     /** Stats recorded for column `c`, primary or extra; None means this
       * segment can never be pruned on `c` (conservatively scanned).
       */
@@ -283,10 +298,12 @@ object TxLog {
       val ndv = s.ndv.map(n => s""","ndv":$n""").getOrElse("")
       val hist = s.hist.map(h =>
         s""","hist":${h.mkString("[", ",", "]")}""").getOrElse("")
+      val smin = s.strMin.map(v => s""","smin":${jstr(v)}""").getOrElse("")
+      val smax = s.strMax.map(v => s""","smax":${jstr(v)}""").getOrElse("")
       val cols =
         if (s.extra.isEmpty) ""
         else s.extra.map(statJson).mkString(""","cols":[""", ",", "]")
-      s"""{"col":${jstr(s.col)},"min":${s.min},"max":${s.max}$bloom$rows$ndv$hist$cols}"""
+      s"""{"col":${jstr(s.col)},"min":${s.min},"max":${s.max}$bloom$rows$ndv$hist$smin$smax$cols}"""
     }
     val stats = m.stats.map { case (p, s) =>
       s"""${jstr(p)}:${statJson(s)}"""
@@ -317,11 +334,15 @@ object TxLog {
     val changes =
       if (m.changes.isEmpty) ""
       else s""","changes":${m.changes.map(jstr).mkString("[", ",", "]")}"""
+    // COPY INTO source-file identities this commit ingested
+    val ingests =
+      if (m.ingests.isEmpty) ""
+      else s""","ingest":${m.ingests.map(jstr).mkString("[", ",", "]")}"""
     // ts stays the FINAL field — commitTimeMillis's fast path anchors on it
     val ts = m.ts.map(t => s""","ts":$t""").getOrElse("")
     s"""{"version":${m.version},"op":${jstr(m.op)},"adds":${arr(m.adds)},""" +
       s""""removes":${arr(m.removes)},"readVersion":${m.readVersion},""" +
-      s""""stats":$stats$schema$dv$check$renames$drops$changes$ts}"""
+      s""""stats":$stats$schema$dv$check$renames$drops$changes$ingests$ts}"""
   }
 
   def readManifest(table: String, v: Long): Manifest = {
@@ -339,6 +360,8 @@ object TxLog {
       renamesField(node), dropsField(node),
       Option(node.get("ts")).map(_.asLong()),
       Option(node.get("changes")).fold(Seq.empty[String])(
+        _.elements().asScala.map(_.asText()).toSeq),
+      Option(node.get("ingest")).fold(Seq.empty[String])(
         _.elements().asScala.map(_.asText()).toSeq))
   }
 
@@ -364,7 +387,9 @@ object TxLog {
         Option(v.get("hist")).map(
           _.elements().asScala.map(_.asLong()).toSeq),
         Option(v.get("cols")).fold(Seq.empty[SegStats])(
-          _.elements().asScala.map(parseStat).toSeq))
+          _.elements().asScala.map(parseStat).toSeq),
+        Option(v.get("smin")).map(_.asText()),
+        Option(v.get("smax")).map(_.asText()))
     Option(node.get("stats")).map { sn =>
       sn.properties().asScala.map(e => e.getKey -> parseStat(e.getValue)).toMap
     }.getOrElse(Map.empty[String, SegStats])
@@ -977,7 +1002,8 @@ object TxLog {
                      casAlways: Boolean = false,
                      renames: Seq[Rename] = Seq.empty,
                      drops: Seq[Drop] = Seq.empty,
-                     changes: Seq[String] = Seq.empty): Long = {
+                     changes: Seq[String] = Seq.empty,
+                     ingests: Seq[String] = Seq.empty): Long = {
     init(table)
     var attempts = 0
     while (attempts < 100) {
@@ -1017,7 +1043,7 @@ object TxLog {
       // travel silently shifts after any copy/rsync of the log (ADVICE r12)
       val m = Manifest(target, op, adds, removes, readVersion, stats, schemaJson,
         dv, checks, renames, drops, ts = Some(System.currentTimeMillis()),
-        changes = changes)
+        changes = changes, ingests = ingests)
       val tmp = Files.createTempFile(logDir(table), s".$target-", ".tmp")
       Files.writeString(tmp, manifestJson(m))
       try {
@@ -1119,6 +1145,54 @@ object TxLog {
       stagedSegStats(df.sparkSession, p, statsCols))
   }
 
+  /** Per-column stats aggregation PLAN, shared by every write-time and
+    * ANALYZE stats pass: the aggregate slots for each stats column plus a
+    * reader turning a result row (columns starting at `base`) back into
+    * [[SegStats]] records. Numeric (and numeric-castable) columns record
+    * long min/max + exact NDV (+ the equi-depth histogram when
+    * `withHist`); STRING columns record exact `strMin`/`strMax` + NDV —
+    * lexicographic bounds prune string range predicates exactly like the
+    * long pair prunes numeric ones, and a histogram over strings has no
+    * `Seq[Long]` encoding, so string records never carry one. All-null
+    * columns record nothing (min is null — nothing to prune on).
+    */
+  private def statsAggPlan(schema: org.apache.spark.sql.types.StructType,
+                           statsCols: Seq[String], withHist: Boolean)
+      : (Seq[org.apache.spark.sql.Column], (Row, Int, Long) => Seq[SegStats]) = {
+    import org.apache.spark.sql.functions.{countDistinct, lit,
+      max => fmax, min => fmin, col => fcol, percentile_approx, array}
+    import org.apache.spark.sql.types.StringType
+    val probs = array((0 to HistBuckets).map(i =>
+      lit(i.toDouble / HistBuckets)): _*)
+    val isStr = statsCols.map(c =>
+      schema.fields.find(_.name == c).exists(_.dataType == StringType))
+    val aggs = statsCols.zip(isStr).flatMap { case (c, s) =>
+      if (s) Seq(fmin(fcol(c)), fmax(fcol(c)), countDistinct(fcol(c)))
+      else {
+        val base = Seq(fmin(fcol(c).cast("long")), fmax(fcol(c).cast("long")),
+          countDistinct(fcol(c)))
+        if (withHist)
+          base :+ percentile_approx(fcol(c).cast("long"), probs, lit(10000))
+        else base
+      }
+    }
+    val offsets = statsCols.zip(isStr).scanLeft(0) { case (o, (_, s)) =>
+      o + (if (s || !withHist) 3 else 4)
+    }
+    val read = (r: Row, base: Int, n: Long) =>
+      statsCols.zip(isStr).zip(offsets).flatMap { case ((c, s), off) =>
+        val o = base + off
+        if (r.isNullAt(o)) None
+        else if (s) Some(SegStats(c, 0L, 0L, None, Some(n),
+          Some(r.getLong(o + 2)), None, Seq.empty,
+          Some(r.getString(o)), Some(r.getString(o + 1))))
+        else Some(SegStats(c, r.getLong(o), r.getLong(o + 1), None,
+          Some(n), Some(r.getLong(o + 2)),
+          if (withHist) Option(r.getSeq[Long](o + 3)).map(_.toSeq) else None))
+      }
+    (aggs, read)
+  }
+
   /** The write-time stats record for ONE staged segment: one agg pass
     * computes rows + per-column min/max + exact NDV + a 32-bucket
     * EQUI-DEPTH HISTOGRAM — bookkeeping that lets every future planner
@@ -1128,24 +1202,13 @@ object TxLog {
     */
   private def stagedSegStats(spark: SparkSession, p: String,
                              statsCols: Seq[String]): Map[String, SegStats] = {
-    import org.apache.spark.sql.functions.{count, countDistinct, lit,
-      max => fmax, min => fmin, col => fcol, percentile_approx, array}
-    val probs = array((0 to HistBuckets).map(i =>
-      lit(i.toDouble / HistBuckets)): _*)
-    val aggs = count(lit(1)) +: statsCols.flatMap(c => Seq(
-      fmin(fcol(c).cast("long")), fmax(fcol(c).cast("long")),
-      countDistinct(fcol(c)),
-      percentile_approx(fcol(c).cast("long"), probs, lit(10000))))
-    val r = spark.read.parquet(p).agg(aggs.head, aggs.tail: _*).head()
+    import org.apache.spark.sql.functions.{count, lit}
+    val seg = spark.read.parquet(p)
+    val (aggs0, read) = statsAggPlan(seg.schema, statsCols, withHist = true)
+    val aggs = count(lit(1)) +: aggs0
+    val r = seg.agg(aggs.head, aggs.tail: _*).head()
     val n = r.getLong(0)
-    val per = statsCols.zipWithIndex.flatMap { case (c, i) =>
-      val o = 1 + i * 4 // all-null column: min is null — no stats for it
-      if (r.isNullAt(o)) None
-      else Some(SegStats(c, r.getLong(o), r.getLong(o + 1), None,
-        Some(n), Some(r.getLong(o + 2)),
-        Option(r.getSeq[Long](o + 3)).map(_.toSeq)))
-    }
-    per match {
+    read(r, 1, n) match {
       case Seq() => Map.empty[String, SegStats]
       case head +: rest => Map(p -> head.copy(extra = rest))
     }
@@ -1170,8 +1233,7 @@ object TxLog {
     */
   def analyze(spark: SparkSession, table: String, statsCols: Seq[String],
               force: Boolean = false): Long = {
-    import org.apache.spark.sql.functions.{count, countDistinct, lit,
-      max => fmax, min => fmin, col => fcol, percentile_approx, array}
+    import org.apache.spark.sql.functions.{count, lit}
     require(statsCols.nonEmpty, s"analyze($table) needs >= 1 stats column")
     val rv = currentVersion(table)
     require(rv > 0, s"analyze of uninitialized table $table")
@@ -1182,24 +1244,14 @@ object TxLog {
     }
     if (todo.isEmpty) return rv
     val priorByPath: Map[String, Option[SegStats]] = st.segments.toMap
-    val probs = array((0 to HistBuckets).map(i =>
-      lit(i.toDouble / HistBuckets)): _*)
     val stats = todo.flatMap { p =>
       val seg = spark.read.parquet(p)
       val present = statsCols.filter(seg.columns.contains)
-      val aggs = count(lit(1)) +: present.flatMap(c => Seq(
-        fmin(fcol(c).cast("long")), fmax(fcol(c).cast("long")),
-        countDistinct(fcol(c)),
-        percentile_approx(fcol(c).cast("long"), probs, lit(10000))))
+      val (aggs0, readStats) = statsAggPlan(seg.schema, present, withHist = true)
+      val aggs = count(lit(1)) +: aggs0
       val r = seg.agg(aggs.head, aggs.tail: _*).head()
       val n = r.getLong(0)
-      val per = present.zipWithIndex.flatMap { case (c, i) =>
-        val o = 1 + i * 4
-        if (r.isNullAt(o)) None
-        else Some(SegStats(c, r.getLong(o), r.getLong(o + 1), None,
-          Some(n), Some(r.getLong(o + 2)),
-          Option(r.getSeq[Long](o + 3)).map(_.toSeq)))
-      }
+      val per = readStats(r, 1, n)
       // MERGE into the segment's existing stats record instead of
       // replacing it wholesale: the snapshot fold's `statAcc ++ m.stats`
       // is last-wins per segment, so a fresh record for only the
@@ -1225,7 +1277,7 @@ object TxLog {
     */
   private def mergeSegStats(prior: Option[SegStats], fresh: Seq[SegStats],
                             rows: Long): SegStats = prior match {
-    case None | Some(SegStats("", _, _, None, _, _, _, Seq())) =>
+    case None | Some(SegStats("", _, _, None, _, _, _, Seq(), None, None)) =>
       fresh match { // nothing real to preserve
         case Seq() => rowsOnlyStats(rows)
         case head +: rest => head.copy(extra = rest)
@@ -1316,8 +1368,29 @@ object TxLog {
     val st = tableStateViaCheckpoint(table, asOf)
     if (st.dv.nonEmpty || st.segments.isEmpty) return None
     val per = st.segments.map(_._2.flatMap(_.statsFor(col)))
-    if (per.exists(_.isEmpty)) None
+    // a string-tracked column's long pair is a placeholder — refuse
+    // rather than answer zeros ([[tableMinMaxString]] is the exact path)
+    if (per.exists(_.isEmpty) || per.flatten.exists(_.isString)) None
     else Some((per.flatten.map(_.min).min, per.flatten.map(_.max).max))
+  }
+
+  /** Table-wide [min, max] of a STRING-tracked column from manifest
+    * metadata alone — exact under the same refusal contract as
+    * [[tableMinMax]]: every live segment must carry string stats for
+    * `col` and no deletion vector may be in force. The answer
+    * `MIN(col)`/`MAX(col)` folds per-segment lexicographic bounds, which
+    * is exactly SQL MIN/MAX over binary-collated strings (nulls excluded
+    * on both sides).
+    */
+  def tableMinMaxString(table: String, col: String,
+                        asOf: Option[Long] = None): Option[(String, String)] = {
+    val st = tableStateViaCheckpoint(table, asOf)
+    if (st.dv.nonEmpty || st.segments.isEmpty) return None
+    val per = st.segments.map(_._2.flatMap(_.statsFor(col)))
+    if (per.exists(_.isEmpty)) return None
+    val bounds = per.flatten.map(s => (s.strMin, s.strMax))
+    if (bounds.exists { case (mn, mx) => mn.isEmpty || mx.isEmpty }) None
+    else Some((bounds.map(_._1.get).min, bounds.map(_._2.get).max))
   }
 
   /** NDV bounds for the tracked column from manifest metadata: segments'
@@ -1405,7 +1478,7 @@ object TxLog {
     val keep = all.collect {
       case (p, None) => p
       case (p, Some(s)) if s.statsFor(keyCol).forall(cs =>
-        key >= cs.min && key <= cs.max &&
+        (cs.isString || (key >= cs.min && key <= cs.max)) &&
           cs.bloomHex.forall(bloomMightContain(_, pos))) => p
     }
     require(keep.nonEmpty, s"key $key pruned from every segment of $table")
@@ -1468,7 +1541,7 @@ object TxLog {
     val keep = all.collect {
       case (p, None) => p
       case (p, Some(s)) if s.statsFor(statsCol).forall(cs =>
-        cs.max >= lo && cs.min <= hi) => p
+        cs.isString || (cs.max >= lo && cs.min <= hi)) => p
     }
     require(keep.nonEmpty, s"predicate [$lo,$hi] prunes every segment of $table")
     val rel = readSegments(spark, keep, recordedSchema(table), st)
@@ -1488,14 +1561,19 @@ object TxLog {
     */
   def snapshotPrunedMulti(spark: SparkSession, table: String,
                           bounds: Seq[(String, Long, Long)],
-                          asOf: Option[Long] = None): (DataFrame, Int, Int) = {
+                          asOf: Option[Long] = None,
+                          strBounds: Seq[(String, Option[String], Option[String])] =
+                            Seq.empty): (DataFrame, Int, Int) = {
     val st = tableStateViaCheckpoint(table, asOf)
     val all = st.segments
     require(all.nonEmpty, s"no committed segments in $table")
     val keep = all.collect {
       case (p, None) => p
       case (p, Some(s)) if bounds.forall { case (c, lo, hi) =>
-        s.statsFor(c).forall(cs => cs.max >= lo && cs.min <= hi) } => p
+        s.statsFor(c).forall(cs =>
+          cs.isString || (cs.max >= lo && cs.min <= hi)) } &&
+        strBounds.forall { case (c, lo, hi) =>
+          s.statsFor(c).forall(cs => strOverlaps(cs, lo, hi)) } => p
     }
     if (keep.isEmpty) {
       val schema = readSegments(spark, all.map(_._1),
@@ -1505,6 +1583,45 @@ object TxLog {
         0, all.size)
     } else (readSegments(spark, keep, recordedSchema(table, asOf), st),
       keep.size, all.size)
+  }
+
+  /** Does a segment's recorded range intersect the INCLUSIVE string
+    * interval [lo, hi] (None = unbounded on that side)? Only a record
+    * that actually tracks string bounds can exclude the segment —
+    * numeric records and stat-less columns are conservatively kept, the
+    * same honest-pruning stance as the long path (pruning is an
+    * optimization, never the filter).
+    */
+  private def strOverlaps(cs: SegStats, lo: Option[String],
+                          hi: Option[String]): Boolean =
+    (cs.strMin, cs.strMax) match {
+      case (Some(mn), Some(mx)) =>
+        lo.forall(mx >= _) && hi.forall(mn <= _)
+      case _ => true
+    }
+
+  /** Assert-style STRING-range pruned snapshot (the [[snapshotPruned]]
+    * twin for string-tracked columns): only segments whose recorded
+    * [strMin, strMax] on `statsCol` intersects the inclusive [lo, hi]
+    * are read; stat-less or numerically-tracked segments are
+    * conservatively kept. Lexicographic bounds are exactly what Delta
+    * and Iceberg prune string predicates with — at 100 TB a sorted or
+    * range-partitioned string key (URL, domain, doc id) skips the same
+    * way a long key does.
+    */
+  def snapshotPrunedStr(spark: SparkSession, table: String, statsCol: String,
+                        lo: String, hi: String): (DataFrame, Int, Int) = {
+    val st = tableStateViaCheckpoint(table)
+    val all = st.segments
+    val keep = all.collect {
+      case (p, None) => p
+      case (p, Some(s)) if s.statsFor(statsCol).forall(
+        strOverlaps(_, Some(lo), Some(hi))) => p
+    }
+    require(keep.nonEmpty,
+      s"predicate ['$lo','$hi'] prunes every segment of $table")
+    val rel = readSegments(spark, keep, recordedSchema(table), st)
+    (rel, keep.size, all.size)
   }
 
   /** Hive-style PARTITIONED append: one distributed write fans the frame
@@ -1612,15 +1729,10 @@ object TxLog {
                            schema: org.apache.spark.sql.types.StructType,
                            partCols: Seq[String],
                            statsCols: Seq[String]): Map[String, SegStats] = {
-    import org.apache.spark.sql.functions.{array, count, countDistinct, lit,
-      max => fmax, min => fmin, col => fcol, percentile_approx}
+    import org.apache.spark.sql.functions.{count, lit, col => fcol}
     import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-    val probs = array((0 to HistBuckets).map(i =>
-      lit(i.toDouble / HistBuckets)): _*)
-    val aggs = count(lit(1)) +: statsCols.flatMap(c => Seq(
-      fmin(fcol(c).cast("long")), fmax(fcol(c).cast("long")),
-      countDistinct(fcol(c)),
-      percentile_approx(fcol(c).cast("long"), probs, lit(10000))))
+    val (aggs0, readStats) = statsAggPlan(schema, statsCols, withHist = true)
+    val aggs = count(lit(1)) +: aggs0
     val rows = spark.read.schema(schema).parquet(base)
       .groupBy(partCols.map(fcol): _*).agg(aggs.head, aggs.tail: _*).collect()
     val byVals: Map[Seq[String], Row] = rows.map { r =>
@@ -1637,13 +1749,7 @@ object TxLog {
       }
       byVals.get(vals).map { r =>
         val cnt = r.getLong(partCols.size)
-        val per = statsCols.zipWithIndex.flatMap { case (c, i) =>
-          val o = partCols.size + 1 + i * 4
-          if (r.isNullAt(o)) None
-          else Some(SegStats(c, r.getLong(o), r.getLong(o + 1), None,
-            Some(cnt), Some(r.getLong(o + 2)),
-            Option(r.getSeq[Long](o + 3)).map(_.toSeq)))
-        }
+        val per = readStats(r, partCols.size + 1, cnt)
         per match {
           case Seq() => leaf -> rowsOnlyStats(cnt)
           case head +: rest => leaf -> head.copy(extra = rest)
@@ -1751,7 +1857,9 @@ object TxLog {
   def snapshotPartitionStatsPruned(spark: SparkSession, table: String,
                                    partIn: Seq[(String, Option[Set[String]])],
                                    bounds: Seq[(String, Long, Long)],
-                                   asOf: Option[Long] = None)
+                                   asOf: Option[Long] = None,
+                                   strBounds: Seq[(String, Option[String],
+                                     Option[String])] = Seq.empty)
       : (Option[DataFrame], Int, Int) = {
     val partCols = partIn.map(_._1)
     val st = tableStateViaCheckpoint(table, asOf)
@@ -1761,7 +1869,11 @@ object TxLog {
     val keep = tagged.filter { case (_, ss, vals) =>
       partIn.map(_._2).zip(vals).forall { case (f, v) => f.forall(_.contains(v)) } &&
         bounds.forall { case (c, lo, hi) =>
-          ss.flatMap(_.statsFor(c)).forall(s => s.max >= lo && s.min <= hi)
+          ss.flatMap(_.statsFor(c)).forall(s =>
+            s.isString || (s.max >= lo && s.min <= hi))
+        } &&
+        strBounds.forall { case (c, lo, hi) =>
+          ss.flatMap(_.statsFor(c)).forall(strOverlaps(_, lo, hi))
         }
     }
     if (keep.isEmpty) return (None, 0, st.segments.size)
@@ -1933,6 +2045,32 @@ object TxLog {
     if (per.exists(_.isEmpty)) None
     else Some(per.flatten.groupBy(_._1).view.mapValues(_.map(_._2).sum)
       .toSeq.sortBy(t => Option(t._1))) // null partition sorts first
+  }
+
+  /** Multi-column variant of [[partitionRowCounts]]: per-LEAF row counts
+    * keyed by the logical value tuple of `partCols` (any subset of the
+    * layout, in the caller's order) — the `count(*) GROUP BY c1, c2`
+    * answer from the manifest alone. Same refusal contract: None on a
+    * standing DV, a non-partition column, or any live segment without
+    * row stats. Leaf tuples are metadata-scale, never data-scale.
+    */
+  def partitionRowCountsMulti(table: String, partCols: Seq[String],
+                              asOf: Option[Long] = None)
+      : Option[Seq[(Seq[String], Long)]] = {
+    val layout = partitionLayout(table, asOf)
+    val idxs = partCols.map(layout.indexOf)
+    if (partCols.isEmpty || idxs.exists(_ < 0)) return None
+    val st = tableStateViaCheckpoint(table, asOf)
+    if (st.dv.nonEmpty) return None
+    val per = st.segments.map { case (p, ss) =>
+      ss.flatMap(_.rows).map { r =>
+        val vals = segPartValues(p, layout)
+        idxs.map(i => logicalPartValue(vals(i))) -> r
+      }
+    }
+    if (per.exists(_.isEmpty)) None
+    else Some(per.flatten.groupBy(_._1).view.mapValues(_.map(_._2).sum)
+      .toSeq.sortBy(t => t._1.map(Option(_)).mkString("/")))
   }
 
   /** The stats records of the live segments inside the partition slice
@@ -2213,8 +2351,7 @@ object TxLog {
     */
   private def rewriteStats(spark: SparkSession, p: String, st: TableState,
                            op: String): Map[String, SegStats] = {
-    import org.apache.spark.sql.functions.{count, countDistinct, lit,
-      max => fmax, min => fmin, col => fcol}
+    import org.apache.spark.sql.functions.{count, lit}
     val tracked = st.segments.flatMap(_._2).flatMap(_.trackedCols).distinct
     val seg = spark.read.parquet(p)
     val present = tracked.filter(seg.columns.contains)
@@ -2222,17 +2359,11 @@ object TxLog {
     else {
       // every pre-rewrite tracked column re-recorded in ONE agg pass —
       // OPTIMIZE must not shrink the multi-column skipping surface
-      val aggs = count(lit(1)) +: present.flatMap(c => Seq(
-        fmin(fcol(c).cast("long")), fmax(fcol(c).cast("long")),
-        countDistinct(fcol(c))))
+      val (aggs0, readStats) = statsAggPlan(seg.schema, present, withHist = false)
+      val aggs = count(lit(1)) +: aggs0
       val r = seg.agg(aggs.head, aggs.tail: _*).head()
       val n = r.getLong(0)
-      val per = present.zipWithIndex.flatMap { case (c, i) =>
-        val o = 1 + i * 3
-        if (r.isNullAt(o)) None
-        else Some(SegStats(c, r.getLong(o), r.getLong(o + 1), None,
-          Some(n), Some(r.getLong(o + 2))))
-      }
+      val per = readStats(r, 1, n)
       per match {
         case Seq() => Map(p -> rowsOnlyStats(n))
         case h +: t => Map(p -> h.copy(extra = t))
@@ -2656,6 +2787,101 @@ object TxLog {
         }
         TableState(live.map(p => p -> stats.get(p)), dv, ren)
     }
+  }
+
+  /** SHALLOW CLONE (Delta's `CREATE TABLE ... SHALLOW CLONE src`): a new
+    * table whose first commit REFERENCES the source's live segments —
+    * zero data bytes move, the clone is one manifest write regardless of
+    * table size. The clone carries the source head's full table state:
+    * segments + per-segment stats (skipping/CBO answer identically),
+    * the deletion-vector chain, the rename log, the recorded schema, and
+    * the cumulative CHECK constraints. From then on the two tables
+    * diverge independently — writes to either stage their own segments;
+    * a rewrite on the clone (compact/merge/overwrite) naturally replaces
+    * the foreign references with local bytes. Same caveat as Delta:
+    * [[vacuum]] on the SOURCE can collect segments the clone still
+    * references (the clone's manifests are invisible to the source's
+    * reachability walk) — retain the source's history for as long as
+    * clones of it live, or compact the clone to localize it.
+    */
+  def cloneShallow(spark: SparkSession, src: String, dst: String): Long = {
+    require(currentVersion(dst) == 0,
+      s"clone target $dst already has commits — clone only creates tables")
+    val rv = currentVersion(src)
+    require(rv > 0, s"clone of uninitialized table $src")
+    val st = tableStateViaCheckpoint(src, Some(rv))
+    val (schemaJson, checks) = (recordedSchemaJsonAt(src, Some(rv)),
+      headMeta(src)._2)
+    init(dst)
+    commit(dst, "clone", st.segments.map(_._1), Seq.empty, 0L,
+      st.segments.collect { case (p, Some(s)) => p -> s }.toMap,
+      () => false, schemaJson, dv = st.dv, checks = checks,
+      renames = st.renames)
+  }
+
+  /** In-process memo of the source-file identities [[copyInto]] has
+    * ingested, keyed by table and advanced incrementally: only manifests
+    * after the cached version are parsed on a later call (the same
+    * immutable-prefix argument as `headMetaCache`). Correctness never
+    * depends on the cache — a cold JVM re-folds the log.
+    */
+  private val ingestCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Long, Set[String])]()
+
+  /** Every source-file identity previously ingested into `table` by
+    * [[copyInto]] — the union of the manifests' `ingest` fields.
+    */
+  def ingestedSources(table: String): Set[String] = {
+    val head = currentVersion(table)
+    val (from, base) = Option(ingestCache.get(table)) match {
+      case Some((v, s)) if v <= head => (v + 1, s)
+      case _ => (1L, Set.empty[String])
+    }
+    val acc = (from to head).foldLeft(base) { (s, v) =>
+      s ++ readManifest(table, v).ingests
+    }
+    ingestCache.put(table, (head, acc))
+    acc
+  }
+
+  /** Idempotent file ingest (Delta/Databricks `COPY INTO`): each source
+    * parquet file is loaded AT MOST ONCE per table, keyed by its path —
+    * the ingest ledger lives in the manifests themselves, so re-running
+    * the same ingest job after a crash, a retry, or on an overlapping
+    * file listing never duplicates rows (the exactly-once property a
+    * 100-TB landing-zone pipeline needs; files are content-addressed by
+    * path, so a REWRITTEN file under the same path is treated as already
+    * loaded, like Delta). New files are read in one multi-file scan,
+    * staged as one segment, and committed with the ingested identities
+    * in the same atomic manifest; the commit's `skipIf` re-checks the
+    * ledger inside every CAS attempt, so two racing ingests of the same
+    * files cannot both land (the loser rebases and drops the overlap).
+    * Returns (head version, the files actually ingested this call).
+    */
+  def copyInto(spark: SparkSession, table: String,
+               files: Seq[String]): (Long, Seq[String]) = {
+    init(table)
+    var attempts = 0
+    while (attempts < 100) {
+      attempts += 1
+      val done = ingestedSources(table)
+      val todo = files.distinct.filterNot(done.contains).sorted
+      if (todo.isEmpty) return (currentVersion(table), Seq.empty)
+      val df = spark.read.parquet(todo: _*)
+      val rv = currentVersion(table)
+      validateWrite(df, table)
+      val p = stage(df, table)
+      val v = commit(table, "copyinto", Seq(p), Seq.empty, rv,
+        Map(p -> rowsOnlyStats(spark.read.parquet(p).count())),
+        // another ingest landed any of our files → abort this attempt,
+        // re-derive todo from the new ledger (the staged bytes become a
+        // vacuum-collectable orphan, never visible)
+        () => ingestedSources(table).exists(todo.contains), None,
+        ingests = todo)
+      if (v > 0) return (v, todo)
+    }
+    throw new IllegalStateException(
+      s"$table: copyInto starved after 100 attempts")
   }
 
   /** Garbage-collect segment dirs referenced by NO version ≥

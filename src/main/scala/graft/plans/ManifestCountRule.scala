@@ -9,7 +9,8 @@ import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression,
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LocalRelation, LogicalPlan, Project, SubqueryAlias}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.LogicalRelation
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** AGGREGATE PUSHDOWN to the manifest: a global `count(*)` / `min(col)` /
   * `max(col)` over an unfiltered `format("txlog")` scan is answered from
@@ -69,16 +70,31 @@ object ManifestCountRule extends Rule[LogicalPlan] {
     case _ => None
   }
 
-  /** The manifest answer for one aggregate expression, if exact. */
-  private def answer(ae: Expression, rel: TxLogRelation): Option[Long] = ae match {
+  /** The manifest answer for one aggregate expression, if exact — a
+    * boxed Long for counts and long min/max, a UTF8String for STRING
+    * min/max (per-segment `strMin`/`strMax` fold to exact SQL MIN/MAX
+    * under binary collation; [[TxLog.tableMinMaxString]] refuses unless
+    * every live segment tracks the column as string).
+    */
+  private def answer(ae: Expression, rel: TxLogRelation): Option[Any] = ae match {
     case AggregateExpression(Count(Seq(Literal(_, _))), _, false, None, _) =>
-      TxLog.tableRowCount(rel.table, rel.asOf)
+      TxLog.tableRowCount(rel.table, rel.asOf).map(java.lang.Long.valueOf)
     case AggregateExpression(Min(a: AttributeReference), _, false, None, _)
         if a.dataType == LongType =>
-      TxLog.tableMinMax(rel.table, a.name, rel.asOf).map(_._1)
+      TxLog.tableMinMax(rel.table, a.name, rel.asOf)
+        .map(mm => java.lang.Long.valueOf(mm._1))
     case AggregateExpression(Max(a: AttributeReference), _, false, None, _)
         if a.dataType == LongType =>
-      TxLog.tableMinMax(rel.table, a.name, rel.asOf).map(_._2)
+      TxLog.tableMinMax(rel.table, a.name, rel.asOf)
+        .map(mm => java.lang.Long.valueOf(mm._2))
+    case AggregateExpression(Min(a: AttributeReference), _, false, None, _)
+        if a.dataType == StringType =>
+      TxLog.tableMinMaxString(rel.table, a.name, rel.asOf)
+        .map(mm => UTF8String.fromString(mm._1))
+    case AggregateExpression(Max(a: AttributeReference), _, false, None, _)
+        if a.dataType == StringType =>
+      TxLog.tableMinMaxString(rel.table, a.name, rel.asOf)
+        .map(mm => UTF8String.fromString(mm._2))
     case _ => None
   }
 
@@ -100,37 +116,48 @@ object ManifestCountRule extends Rule[LogicalPlan] {
       val answers = a.aggregateExpressions.map(e => answer(unalias(e), rel))
       if (answers.exists(_.isEmpty)) None
       else {
-        lastAnswered = Some((rel.table, answers.head.get))
+        lastAnswered = Some((rel.table, answers.head.get match {
+          case n: java.lang.Long => n.longValue()
+          case _ => -1L
+        }))
         Some(LocalRelation(a.output,
           Seq(InternalRow.fromSeq(answers.map(_.get)))))
       }
     }
 
-  /** `count(*) GROUP BY <partition col>` answered from manifest paths +
-    * per-segment row counts (VERDICT r13 item 5): the Aggregate collapses
-    * to one local row per partition VALUE — partition counts are
-    * metadata-scale, never data-scale. Fires only when grouping is a
-    * single bare partition-column attribute and every output is that
-    * attribute or an exact manifest count.
+  /** `count(*) GROUP BY <partition cols>` answered from manifest paths +
+    * per-segment row counts (VERDICT r13 item 5; r15 extends to ANY
+    * subset of the partition layout): the Aggregate collapses to one
+    * local row per partition value TUPLE — partition counts are
+    * metadata-scale, never data-scale. Fires only when every grouping
+    * expression is a bare partition-column attribute and every output is
+    * one of those attributes or an exact manifest count.
     */
   private def groupByPartition(a: Aggregate): Option[LogicalPlan] =
     for {
-      attr <- a.groupingExpressions match {
-        case Seq(ar: AttributeReference) => Some(ar)
-        case _ => None
+      attrs <- {
+        val as = a.groupingExpressions.map {
+          case ar: AttributeReference => Some(ar)
+          case _ => None
+        }
+        if (as.isEmpty || as.exists(_.isEmpty)) None else Some(as.map(_.get))
       }
       rel <- txlogScan(a.child)
-      if rel.partitionCols.contains(attr.name)
-      counts <- TxLog.partitionRowCounts(rel.table, attr.name, rel.asOf)
+      if attrs.forall(ar => rel.partitionCols.contains(ar.name)) &&
+        attrs.map(_.name).distinct.size == attrs.size
+      counts <- TxLog.partitionRowCountsMulti(
+        rel.table, attrs.map(_.name), rel.asOf)
       builders <- {
         val bs = a.aggregateExpressions.map(unalias).map {
           // a null partition (Hive default dir) groups as SQL NULL —
           // UTF8String.fromString(null) is null, the right InternalRow value
-          case ar: AttributeReference if ar.semanticEquals(attr) =>
-            Some((v: String, _: Long) =>
-              org.apache.spark.unsafe.types.UTF8String.fromString(v): Any)
+          case ar: AttributeReference
+              if attrs.exists(_.semanticEquals(ar)) =>
+            val i = attrs.indexWhere(_.semanticEquals(ar))
+            Some((vs: Seq[String], _: Long) =>
+              org.apache.spark.unsafe.types.UTF8String.fromString(vs(i)): Any)
           case AggregateExpression(Count(Seq(Literal(_, _))), _, false, None, _) =>
-            Some((_: String, n: Long) => n: Any)
+            Some((_: Seq[String], n: Long) => n: Any)
           case _ => None
         }
         if (bs.exists(_.isEmpty)) None else Some(bs.map(_.get))
@@ -138,7 +165,7 @@ object ManifestCountRule extends Rule[LogicalPlan] {
     } yield {
       lastAnswered = Some((rel.table, counts.map(_._2).sum))
       LocalRelation(a.output,
-        counts.map { case (v, n) => InternalRow.fromSeq(builders.map(_(v, n))) })
+        counts.map { case (vs, n) => InternalRow.fromSeq(builders.map(_(vs, n))) })
     }
 
   /** Global count/min/max under a conjunction of PARTITION-KEY equality
@@ -211,7 +238,7 @@ object ManifestCountRule extends Rule[LogicalPlan] {
       if (slice.isEmpty) Some(null)
       else {
         val per = slice.map(_.statsFor(attr.name))
-        if (per.exists(_.isEmpty)) None
+        if (per.exists(_.isEmpty) || per.flatten.exists(_.isString)) None
         else Some(java.lang.Long.valueOf(per.flatten.map(_.min).min))
       }
     case AggregateExpression(Max(attr: AttributeReference), _, false, None, _)
@@ -219,8 +246,24 @@ object ManifestCountRule extends Rule[LogicalPlan] {
       if (slice.isEmpty) Some(null)
       else {
         val per = slice.map(_.statsFor(attr.name))
-        if (per.exists(_.isEmpty)) None
+        if (per.exists(_.isEmpty) || per.flatten.exists(_.isString)) None
         else Some(java.lang.Long.valueOf(per.flatten.map(_.max).max))
+      }
+    case AggregateExpression(Min(attr: AttributeReference), _, false, None, _)
+        if attr.dataType == StringType =>
+      if (slice.isEmpty) Some(null)
+      else {
+        val per = slice.map(_.statsFor(attr.name).flatMap(_.strMin))
+        if (per.exists(_.isEmpty)) None
+        else Some(UTF8String.fromString(per.flatten.min))
+      }
+    case AggregateExpression(Max(attr: AttributeReference), _, false, None, _)
+        if attr.dataType == StringType =>
+      if (slice.isEmpty) Some(null)
+      else {
+        val per = slice.map(_.statsFor(attr.name).flatMap(_.strMax))
+        if (per.exists(_.isEmpty)) None
+        else Some(UTF8String.fromString(per.flatten.max))
       }
     case _ => None
   }

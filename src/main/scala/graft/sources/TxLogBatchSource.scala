@@ -280,12 +280,22 @@ final class TxLogRelation(ctx: SQLContext, val table: String, val asOf: Option[L
     // Stats bounds apply at head only (time travel takes the unpruned
     // path — correctness before skipping); PARTITION pruning is pure
     // path metadata, valid at any version.
-    val tracked = TxLog.liveFilesWithStats(table, asOf)
-      .flatMap(_._2.toSeq.flatMap(_.trackedCols)).distinct
+    val segStats = TxLog.liveFilesWithStats(table, asOf).map(_._2)
+    val tracked = segStats.flatMap(_.toSeq.flatMap(_.trackedCols)).distinct
+    // a column is string-bounded when any live record tracks it as string
+    // (strMin/strMax) — pushed string predicates prune it; everything
+    // else takes the long path
+    val strTracked = tracked.filter(c =>
+      segStats.exists(_.exists(_.statsFor(c).exists(_.isString)))).toSet
     val bounds =
       if (asOf.isEmpty)
-        tracked.flatMap(c =>
+        tracked.filterNot(strTracked).flatMap(c =>
           filterBounds(c, filters).map { case (lo, hi) => (c, lo, hi) })
+      else Seq.empty
+    val strBounds =
+      if (asOf.isEmpty)
+        tracked.filter(strTracked).flatMap(c =>
+          strFilterBounds(c, filters).map { case (lo, hi) => (c, lo, hi) })
       else Seq.empty
     val df =
       if (partitionCols.nonEmpty) {
@@ -293,12 +303,13 @@ final class TxLogRelation(ctx: SQLContext, val table: String, val asOf: Option[L
         // prune whole leaf directories; stats bounds prune within
         val partIn = partitionCols.map(c => c -> eqStringValues(c, filters))
         val (relOpt, scanned, total) = TxLog.snapshotPartitionStatsPruned(
-          spark, table, partIn, bounds, asOf)
+          spark, table, partIn, bounds, asOf, strBounds)
         TxLogBatchSource.lastPrune = Some((scanned, total))
         relOpt.getOrElse(spark.createDataFrame(
           spark.sparkContext.emptyRDD[Row], schema))
-      } else if (bounds.nonEmpty) {
-        val (rel, scanned, total) = TxLog.snapshotPrunedMulti(spark, table, bounds)
+      } else if (bounds.nonEmpty || strBounds.nonEmpty) {
+        val (rel, scanned, total) =
+          TxLog.snapshotPrunedMulti(spark, table, bounds, None, strBounds)
         TxLogBatchSource.lastPrune = Some((scanned, total))
         rel
       } else {
@@ -362,6 +373,37 @@ final class TxLogRelation(ctx: SQLContext, val table: String, val asOf: Option[L
         if (xs.length == vs.length) {
           lo = math.max(lo, xs.min); hi = math.min(hi, xs.max); any = true
         }
+      case _ => ()
+    }
+    if (any) Some((lo, hi)) else None
+  }
+
+  /** Conjunctive inclusive [lo, hi] STRING bound on `statsCol` from the
+    * pushed filters; None when no string predicate constrains it.
+    * Strict comparisons keep the inclusive endpoint (strings have no
+    * "+1") — conservative is correct, the residual filter still applies
+    * row-level.
+    */
+  private def strFilterBounds(statsCol: String, filters: Array[Filter])
+      : Option[(Option[String], Option[String])] = {
+    var lo: Option[String] = None
+    var hi: Option[String] = None
+    var any = false
+    def tighten(l: Option[String], h: Option[String]): Unit = {
+      l.foreach(x => lo = Some(lo.fold(x)(c => if (x > c) x else c)))
+      h.foreach(x => hi = Some(hi.fold(x)(c => if (x < c) x else c)))
+      any = true
+    }
+    filters.foreach {
+      case EqualTo(`statsCol`, v: String) => tighten(Some(v), Some(v))
+      case GreaterThan(`statsCol`, v: String) => tighten(Some(v), None)
+      case GreaterThanOrEqual(`statsCol`, v: String) => tighten(Some(v), None)
+      case LessThan(`statsCol`, v: String) => tighten(None, Some(v))
+      case LessThanOrEqual(`statsCol`, v: String) => tighten(None, Some(v))
+      case In(`statsCol`, vs)
+          if vs.nonEmpty && vs.forall(_.isInstanceOf[String]) =>
+        val xs = vs.iterator.map(_.asInstanceOf[String]).toSeq
+        tighten(Some(xs.min), Some(xs.max))
       case _ => ()
     }
     if (any) Some((lo, hi)) else None

@@ -176,4 +176,38 @@ class ExtensionsSpec extends SparkSpec {
     assert(spark.sql(s"RESTORE TABLE '$t2' TO VERSION AS OF 1").head().getLong(0) === 3L)
     assert(graft.ops.TxLog.snapshot(spark, t2).as[(Long, Long)].head() === ((1L, 1L)))
   }
+
+  test("SHALLOW CLONE and COPY INTO as SQL statements") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("txsql4-")
+    val src = dir.resolve("src").toString
+    graft.ops.TxLog.append(Seq((1L, 10L), (2L, 20L)).toDF("k", "v"), src)
+    // catalog-named clone at an explicit LOCATION: one manifest, the
+    // name queryable immediately
+    val cl = dir.resolve("cl").toString
+    assert(spark.sql(
+      s"CREATE TABLE graft_clone_spec SHALLOW CLONE '$src' LOCATION '$cl'")
+      .head().getLong(0) === 1L)
+    assert(graft.ops.TxLog.readManifest(cl, 1L).adds.toSet ===
+      graft.ops.TxLog.liveFiles(src).toSet)
+    assert(spark.sql("SELECT count(*) FROM graft_clone_spec")
+      .head().getLong(0) === 2L)
+    // a catalog-named clone WITHOUT a location refuses with the reason
+    val e = intercept[Exception] {
+      spark.sql(s"CREATE TABLE graft_clone_spec2 SHALLOW CLONE '$src'").collect()
+    }
+    assert(e.getMessage.contains("LOCATION"), e.getMessage)
+    // COPY INTO: landing dir ingests once; the re-run reports 0 files
+    val land = dir.resolve("land")
+    Seq((3L, 30L)).toDF("k", "v").write.parquet(land.resolve("f0").toString)
+    val first = spark.sql(s"COPY INTO graft_clone_spec FROM '$land'").head()
+    assert(first.getLong(1) === 1L)
+    assert(spark.sql(s"COPY INTO graft_clone_spec FROM '$land'")
+      .head().getLong(1) === 0L)
+    assert(spark.sql("SELECT count(*) FROM graft_clone_spec")
+      .head().getLong(0) === 3L)
+    // the source never saw any of it
+    assert(graft.ops.TxLog.snapshot(spark, src).count() === 2L)
+    spark.sql("DROP TABLE graft_clone_spec")
+  }
 }

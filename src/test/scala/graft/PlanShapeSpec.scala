@@ -503,6 +503,39 @@ class PlanShapeSpec extends SparkSpec {
       s"partition-slice aggregate must collapse to a LocalRelation:\n$sp")
   }
 
+  test("string min/max and multi-column partition group-by collapse to LocalRelation") {
+    import org.apache.spark.sql.functions.{col, count, lit, max, min}
+    val dir = java.nio.file.Files.createTempDirectory("planshape-str-")
+    import spark.implicits._
+    graft.plans.ManifestCountRule.install(spark)
+    // string-tracked table: min/max(name) + count(*) answer from the
+    // manifest's strMin/strMax — the optimized plan is a bare
+    // LocalRelation, not one file opened
+    val ts = dir.resolve("s").toString
+    Seq(("apple", 1L), ("pear", 2L)).toDF("name", "v")
+      .write.format("txlog").option("statsCols", "name").save(ts)
+    val mm = spark.read.format("txlog").load(ts)
+      .agg(min("name").as("mn"), max("name").as("mx"), count(lit(1)).as("n"))
+    assert(mm.queryExecution.optimizedPlan
+      .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation],
+      s"string min/max must collapse:\n${mm.queryExecution.optimizedPlan}")
+    assert(mm.collect().head.toSeq === Seq("apple", "pear", 2L))
+    // two-level partitioned table: count(*) GROUP BY (both cols) answers
+    // from per-leaf row counts — same collapse
+    val tp = dir.resolve("p").toString
+    Seq((1L, "en", "web"), (2L, "en", "book"), (3L, "de", "web"))
+      .toDF("id", "lang", "src")
+      .write.format("txlog").partitionBy("lang", "src")
+      .option("statsCols", "id").save(tp)
+    val g2 = spark.read.format("txlog").load(tp)
+      .groupBy("lang", "src").count()
+    assert(g2.queryExecution.optimizedPlan
+      .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation],
+      s"two-column partition group-by must collapse:\n${g2.queryExecution.optimizedPlan}")
+    assert(g2.orderBy("lang", "src").collect().map(_.toSeq).toSeq ===
+      Seq(Seq("de", "web", 1L), Seq("en", "book", 1L), Seq("en", "web", 1L)))
+  }
+
   test("no plan buffers a whole group in an exact-percentile aggregate") {
     // VERDICT r10: Spark's `percentile`/`median` is a
     // TypedImperativeAggregate whose buffer holds EVERY value of the

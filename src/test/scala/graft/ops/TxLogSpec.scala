@@ -1719,4 +1719,106 @@ class TxLogSpec extends SparkSpec {
     assert(mid.select("k", "_commit_version").as[(Long, Long)].collect()
       .toSeq === Seq(2L -> 2L))
   }
+
+  private def strRows(xs: (String, Long)*) =
+    xs.toSeq.toDF("name", "v")
+
+  test("string stats: strMin/strMax round-trip the manifest and prune string ranges") {
+    val t = freshTable()
+    TxLog.appendWithStats(strRows("apple" -> 1L, "cherry" -> 2L), t, "name")
+    TxLog.appendWithStats(strRows("mango" -> 3L, "peach" -> 4L), t, "name")
+    // recorded bounds are the exact lexicographic min/max per segment
+    val per = TxLog.liveFilesWithStats(t).flatMap(_._2)
+      .flatMap(_.statsFor("name")).sortBy(_.strMin)
+    assert(per.map(s => (s.strMin.get, s.strMax.get)) ===
+      Seq(("apple", "cherry"), ("mango", "peach")))
+    assert(per.forall(_.isString))
+    // a range inside the second segment prunes the first from metadata
+    val (df, scanned, total) = TxLog.snapshotPrunedStr(spark, t, "name", "k", "n")
+    assert((scanned, total) === (1, 2))
+    assert(df.filter(col("name") >= "k" && col("name") <= "n")
+      .as[(String, Long)].collect().toSeq === Seq("mango" -> 3L))
+    // the long-side answers refuse string-tracked columns; the string
+    // side answers exactly
+    assert(TxLog.tableMinMax(t, "name").isEmpty)
+    assert(TxLog.tableMinMaxString(t, "name") === Some(("apple", "peach")))
+  }
+
+  test("format(\"txlog\") pushes string range predicates into segment skipping") {
+    val t = freshTable()
+    TxLog.appendWithStats(strRows("alpha" -> 1L, "delta" -> 2L), t, "name")
+    TxLog.appendWithStats(strRows("omega" -> 3L, "sigma" -> 4L), t, "name")
+    val got = spark.read.format("txlog").load(t)
+      .filter(col("name") >= "n" && col("name") < "p")
+      .select("name").as[String].collect().toSeq
+    assert(got === Seq("omega"))
+    // the scan opened ONE of the two segments — string bounds pruned
+    assert(graft.sources.TxLogBatchSource.lastPrune === Some((1, 2)))
+  }
+
+  test("shallow clone: one manifest, shared segments, independent divergence") {
+    val src = freshTable()
+    TxLog.appendWithStats(rows(1L -> 10L, 2L -> 20L), src, "k")
+    TxLog.appendWithStats(rows(3L -> 30L, 4L -> 40L), src, "k")
+    val dst = freshTable()
+    assert(TxLog.cloneShallow(spark, src, dst) === 1L)
+    // zero data bytes moved: the clone's first commit REFERENCES the
+    // source's live segments and carries their stats
+    assert(TxLog.readManifest(dst, 1L).adds.toSet === TxLog.liveFiles(src).toSet)
+    assert(TxLog.tableRowCount(dst) === Some(4L))
+    assert(TxLog.tableMinMax(dst, "k") === Some((1L, 4L)))
+    assert(TxLog.snapshot(spark, dst).as[(Long, Long)].collect().sorted ===
+      TxLog.snapshot(spark, src).as[(Long, Long)].collect().sorted)
+    // divergence is isolated both ways
+    TxLog.deleteWhere(spark, dst, col("k") % 2 === 0)
+    TxLog.append(rows(9L -> 90L), src)
+    assert(TxLog.snapshot(spark, dst).as[(Long, Long)].collect().sorted.toSeq ===
+      Seq(1L -> 10L, 3L -> 30L))
+    assert(TxLog.snapshot(spark, src).count() === 5L)
+    // cloning onto an existing table refuses
+    intercept[IllegalArgumentException] { TxLog.cloneShallow(spark, src, dst) }
+  }
+
+  test("copyInto ingests each file exactly once across overlapping, racing calls") {
+    val land = Files.createTempDirectory("txlog-land-")
+    val mk = (b: Long) => {
+      val f = land.resolve(s"f$b").toString
+      rows(b * 10 -> b).write.parquet(f)
+      f
+    }
+    val files = (1L to 3L).map(mk)
+    val t = freshTable()
+    val (v1, in1) = TxLog.copyInto(spark, t, files.take(2))
+    assert(v1 === 1L && in1.size === 2)
+    // overlapping listing: only the new file loads
+    val (v2, in2) = TxLog.copyInto(spark, t, files)
+    assert(v2 === 2L && in2 === Seq(files(2)))
+    // full re-run: pure no-op, no commit
+    val (v3, in3) = TxLog.copyInto(spark, t, files)
+    assert(v3 === 2L && in3.isEmpty)
+    assert(TxLog.snapshot(spark, t).count() === 3L)
+    // two racers over the SAME new file: exactly one commit lands
+    val f4 = mk(4L)
+    val results = (1 to 2).map { _ =>
+      new java.util.concurrent.FutureTask(
+        () => TxLog.copyInto(spark, t, Seq(f4)))
+    }
+    results.foreach(new Thread(_).start())
+    val ingested = results.map(_.get()).flatMap(_._2)
+    assert(ingested === Seq(f4), s"double ingest: $ingested")
+    assert(TxLog.snapshot(spark, t).count() === 4L)
+  }
+
+  test("analyze retro-fits string stats; compact re-records them") {
+    val t = freshTable()
+    TxLog.append(strRows("kiwi" -> 1L, "lime" -> 2L), t)
+    assert(TxLog.tableMinMaxString(t, "name").isEmpty)
+    TxLog.analyze(spark, t, Seq("name"))
+    assert(TxLog.tableMinMaxString(t, "name") === Some(("kiwi", "lime")))
+    // a maintenance rewrite must not shrink the string-skipping surface
+    TxLog.append(strRows("pear" -> 3L), t)
+    TxLog.analyze(spark, t, Seq("name"))
+    TxLog.compact(spark, t)
+    assert(TxLog.tableMinMaxString(t, "name") === Some(("kiwi", "pear")))
+  }
 }
