@@ -170,6 +170,49 @@ object ScaleExperiment {
     require(multiGeom(1)._3 == multiGeom(0)._3 * k,
       s"manifest count must scale exactly with K: $multiGeom")
 
+    // SHALLOW CLONE + COPY INTO + STRING SKIPPING (r15): a clone is ONE
+    // manifest — its bytes are KB-scale and must NOT grow with the data
+    // (the property that makes cloning a 100-TB table instant); COPY
+    // INTO's re-run ingests ZERO files at both scales (the ledger is
+    // manifest metadata, not a data diff); and STRING-range skipping is
+    // the same volume-independent manifest geometry as the long path —
+    // 1 of 2 lang-split segments opened at 1x and Kx.
+    val cloneGeom = Seq(("1x", sfDir), (s"${k}x", rep)).map { case (tag, dir) =>
+      val t = s"${sys.props("java.io.tmpdir")}/graft-clone-$tag"
+      val c = s"${sys.props("java.io.tmpdir")}/graft-clonedst-$tag"
+      val tc = s"${sys.props("java.io.tmpdir")}/graft-copy-$tag"
+      Seq(t, c, tc).map(java.nio.file.Paths.get(_))
+        .filter(java.nio.file.Files.isDirectory(_)).foreach(deleteRecursively)
+      val docs = Tables.documents(spark, dir)
+        .select(col("doc_id"), col("text"), col("lang"))
+      // two segments split on the lang alphabet with STRING stats
+      graft.ops.TxLog.appendWithStats(docs.filter(col("lang") < "fr"), t, "lang")
+      graft.ops.TxLog.appendWithStats(docs.filter(col("lang") >= "fr"), t, "lang")
+      val tableBytes = dirBytes(java.nio.file.Paths.get(t, "data"))
+      graft.ops.TxLog.cloneShallow(spark, t, c)
+      val cloneBytes = dirBytes(java.nio.file.Paths.get(c))
+      require(cloneBytes * 20 < tableBytes,
+        s"[$tag] shallow clone wrote $cloneBytes bytes against a " +
+          s"$tableBytes-byte table — not metadata-only")
+      val (_, scanned, total) =
+        graft.ops.TxLog.snapshotPrunedStr(spark, t, "lang", "aa", "eo")
+      val (v1, in1) = graft.ops.TxLog.copyInto(spark, tc,
+        Seq(s"$dir/documents.parquet"))
+      val (v2, in2) = graft.ops.TxLog.copyInto(spark, tc,
+        Seq(s"$dir/documents.parquet"))
+      require(in1.size == 1 && in2.isEmpty && v2 == v1,
+        s"[$tag] COPY INTO re-run must ingest nothing: $in1 then $in2")
+      println(s"""{"clone_copy_str":"$tag","table_bytes":$tableBytes,""" +
+        s""""clone_bytes":$cloneBytes,"str_scanned":$scanned,""" +
+        s""""str_total":$total,"recopy_ingested":${in2.size}}""")
+      (cloneBytes, scanned, total)
+    }
+    require(cloneGeom(0)._2 == 1 && cloneGeom(0)._3 == 2 &&
+      (cloneGeom(0)._2, cloneGeom(0)._3) == (cloneGeom(1)._2, cloneGeom(1)._3),
+      s"string-prune geometry must be volume-independent: $cloneGeom")
+    require(cloneGeom(1)._1 < cloneGeom(0)._1 * 4,
+      s"clone manifest bytes must not grow with data: $cloneGeom")
+
     spark.stop()
   }
 

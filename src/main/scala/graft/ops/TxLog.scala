@@ -1486,6 +1486,14 @@ object TxLog {
     (rel, keep.size, all.size)
   }
 
+  /** Is a deletion-vector chain in force at the head (or `asOf`)? The
+    * one-bit answer DESCRIBE DETAIL and stats consumers report — when
+    * true, segment-level counts overcount and the metadata refusal
+    * contract applies.
+    */
+  def dvInForce(table: String, asOf: Option[Long] = None): Boolean =
+    tableStateViaCheckpoint(table, asOf).dv.nonEmpty
+
   /** Live segments carrying their accumulated stats (None for segments
     * committed without stats — those can never be pruned).
     */

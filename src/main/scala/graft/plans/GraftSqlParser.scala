@@ -42,6 +42,8 @@ final class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 
   private val DescribeHistory =
     """(?is)^\s*DESC(?:RIBE)?\s+HISTORY\s+(.+?)\s*;?\s*$""".r
+  private val DescribeDetail =
+    """(?is)^\s*DESC(?:RIBE)?\s+DETAIL\s+(.+?)\s*;?\s*$""".r
   private val OptimizeZOrder =
     """(?is)^\s*OPTIMIZE\s+(.+?)\s+ZORDER\s+BY\s*\(\s*(\w+)\s*,\s*(\w+)\s*\)\s*;?\s*$""".r
   private val Optimize = """(?is)^\s*OPTIMIZE\s+(.+?)\s*;?\s*$""".r
@@ -50,6 +52,8 @@ final class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val Vacuum = """(?is)^\s*VACUUM\s+(.+?)\s*;?\s*$""".r
   private val RestoreTo =
     """(?is)^\s*RESTORE\s+TABLE\s+(.+?)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""".r
+  private val RestoreToTs =
+    """(?is)^\s*RESTORE\s+TABLE\s+(.+?)\s+TO\s+TIMESTAMP\s+AS\s+OF\s+(\d+)\s*;?\s*$""".r
   private val ShallowClone =
     """(?is)^\s*CREATE\s+TABLE\s+(.+?)\s+SHALLOW\s+CLONE\s+(.+?)(?:\s+LOCATION\s+'([^']+)')?\s*;?\s*$""".r
   private val CopyIntoFrom =
@@ -66,6 +70,8 @@ final class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case DescribeHistory(t) =>
       val (n, p) = target(t); DescribeHistoryCommand(n, p)
+    case DescribeDetail(t) =>
+      val (n, p) = target(t); DescribeDetailCommand(n, p)
     case OptimizeZOrder(t, x, y) =>
       val (n, p) = target(t); TxLogMaintenanceCommand(n, p, "optimize_zorder",
         cols = Seq(x, y))
@@ -80,6 +86,9 @@ final class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case RestoreTo(t, v) =>
       val (n, p) = target(t); TxLogMaintenanceCommand(n, p, "restore",
         arg = v.toLong)
+    case RestoreToTs(t, ts) =>
+      val (n, p) = target(t); TxLogMaintenanceCommand(n, p, "restore_ts",
+        arg = ts.toLong)
     case ShallowClone(dst, src, loc) =>
       val (dn, dp) = target(dst)
       val (sn, sp) = target(src)
@@ -162,8 +171,56 @@ final case class TxLogMaintenanceCommand(name: String, isPath: Boolean,
         TxLog.vacuum(table, keepVersionsFrom = TxLog.currentVersion(table),
           minAgeMillis = arg * 3600L * 1000L).size.toLong
       case "restore" => TxLog.restore(spark, table, arg)
+      // epoch-millis timestamp resolved through the in-manifest commit
+      // times, then the same one-commit restore
+      case "restore_ts" =>
+        TxLog.restore(spark, table, TxLog.versionAtTimestamp(table, arg))
     }
     Seq(Row(v))
+  }
+}
+
+/** `DESCRIBE DETAIL <table | 'path'>` — the table-level summary row
+  * (Delta's command where the fields coincide): location, head version,
+  * live segment count, on-disk bytes of the live set, row count from
+  * manifest stats (NULL under the same refusal contract as
+  * [[TxLog.tableRowCount]] — a standing DV or a stats-less segment means
+  * the metadata cannot answer exactly), the partition layout, and
+  * whether a deletion vector is in force. Pure driver-side metadata plus
+  * one file-size stat walk; no data file is opened.
+  */
+final case class DescribeDetailCommand(target: String, isPath: Boolean)
+    extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("location", StringType, nullable = false)(),
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("num_segments", LongType, nullable = false)(),
+    AttributeReference("size_bytes", LongType, nullable = false)(),
+    AttributeReference("num_rows", LongType, nullable = true)(),
+    AttributeReference("partition_columns", StringType, nullable = false)(),
+    AttributeReference("has_dv", BooleanType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val table = if (isPath) target else GraftSqlSurface.tableLocation(spark, target)
+    val head = TxLog.currentVersion(table)
+    require(head > 0, s"DESCRIBE DETAIL: $table has no committed versions")
+    val segs = TxLog.liveFiles(table)
+    val bytes = segs.map { p =>
+      val root = java.nio.file.Paths.get(p)
+      if (!java.nio.file.Files.exists(root)) 0L
+      else {
+        val s = java.nio.file.Files.walk(root)
+        try s.iterator().asScala
+          .filter(java.nio.file.Files.isRegularFile(_))
+          .map(java.nio.file.Files.size).sum
+        finally s.close()
+      }
+    }.sum
+    Seq(Row(table, head, segs.size.toLong, bytes,
+      TxLog.tableRowCount(table).map(java.lang.Long.valueOf).orNull,
+      TxLog.partitionLayout(table).mkString(","),
+      TxLog.dvInForce(table)))
   }
 }
 

@@ -602,6 +602,25 @@ object StatsQueries extends QueryPack {
       t
     })
 
+  /** mergeSchema fixture: evens appended under the base (key, cents)
+    * schema, then odds appended with a NEW `big` column under
+    * `.option("mergeSchema", true)` — the write auto-commits an additive
+    * evolve, so the old segments read back null-filled.
+    */
+  private def txMergeSchemaTable(s: SparkSession, d: String): String =
+    txTables.computeIfAbsent((s, "mergeschema:" + d), _ => {
+      val t = s"${graft.ops.Scratch.base}/txmsch_${(d.hashCode & 0xffffff).toHexString}"
+      val base = Tables.orders(s, d)
+        .select(col("o_orderkey"), Cleaning.cents(col("o_totalprice")).as("cents"))
+      base.filter(col("o_orderkey") % 2 === 0)
+        .write.format("txlog").mode("append").save(t)
+      base.filter(col("o_orderkey") % 2 === 1)
+        .withColumn("big", col("cents") > 100000L)
+        .write.format("txlog").mode("append")
+        .option("mergeSchema", "true").save(t)
+      t
+    })
+
   /** SHALLOW-CLONE fixture: the 4-segment stats table cloned by
     * reference (one manifest, zero bytes copied), then the even keys
     * DV-deleted on the CLONE only — divergence without touching the
@@ -1951,6 +1970,34 @@ object StatsQueries extends QueryPack {
         .orderBy("lang", "src")
     }),
 
+    // WRITER-OPTION SCHEMA EVOLUTION (Delta's mergeSchema): an append
+    // whose frame carries a new column auto-commits an additive evolve
+    // first — old segments read back with the column null-filled, and
+    // non-additive changes still refuse through evolve's checks. The
+    // aggregate distinguishes null (pre-evolution rows) from false.
+    "lake_txlog_mergeschema" -> ((s, d) => {
+      val t = txMergeSchemaTable(s, d)
+      s.read.format("txlog").load(t)
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("big")).as("n_flagged"),
+          sum(when(col("big"), 1L).otherwise(0L)).as("n_big"),
+          sum("cents").as("sum_cents"))
+    }),
+
+    // DESCRIBE DETAIL as SQL (Delta dialect): the table-level summary —
+    // head version, live segment count, manifest-stats row count (the
+    // honest-refusal contract), DV flag — all metadata-priced; only the
+    // deterministic fields are oracle-compared (on-disk bytes depend on
+    // parquet encoding, pinned only as > 0).
+    "sql_txlog_detail" -> ((s, d) => {
+      val t = txStatsTable(s, d)
+      val r = s.sql(s"DESCRIBE DETAIL '$t'").head()
+      import s.implicits._
+      Seq((r.getLong(1), r.getLong(2), r.getLong(4), r.getLong(3) > 0L,
+        r.getBoolean(6)))
+        .toDF("version", "num_segments", "num_rows", "has_bytes", "has_dv")
+    }),
+
     // SHALLOW CLONE (Delta parity): the clone's first commit REFERENCES
     // the source's live segments — `meta_only` pins that its manifest
     // adds are exactly the source's live set, zero bytes staged. The
@@ -2721,6 +2768,20 @@ object StatsQueries extends QueryPack {
         |  CASE WHEN doc_id % 2 = 0 THEN 'web' ELSE 'book' END AS src,
         |  COUNT(*) AS n_docs, TRUE AS answered
         |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "lake_txlog_mergeschema" ->
+      """SELECT COUNT(*) AS n_rows,
+        |  COUNT(CASE WHEN o_orderkey % 2 = 1 THEN 1 END) AS n_flagged,
+        |  CAST(SUM(CASE WHEN o_orderkey % 2 = 1
+        |    AND round(o_totalprice * 100) > 100000 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_big,
+        |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents
+        |FROM orders""".stripMargin,
+    "sql_txlog_detail" ->
+      """SELECT CAST(4 AS BIGINT) AS version,
+        |  CAST(4 AS BIGINT) AS num_segments,
+        |  COUNT(*) AS num_rows, TRUE AS has_bytes, FALSE AS has_dv
+        |FROM orders""".stripMargin,
     "lake_txlog_clone" ->
       """WITH s AS (SELECT COUNT(*) AS n,
         |    CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS c

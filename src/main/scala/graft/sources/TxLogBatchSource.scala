@@ -167,6 +167,24 @@ final class TxLogBatchSource extends RelationProvider
             TxLog.overwritePartitioned(data, table, pcs, cs.getOrElse(Seq.empty))
         }
       case _ => // Append, or first write under ErrorIfExists/Ignore
+        // .option("mergeSchema", true): ADDITIVE auto-evolution on append
+        // (Delta's writer option) — new columns in the frame commit an
+        // evolve first (nullable, so prior segments read back null-filled),
+        // then the data lands; anything non-additive still refuses
+        // through evolve's own checks (dropped columns, type changes)
+        val mergeSchema = parameters.get("mergeSchema")
+          .orElse(parameters.get("mergeschema"))
+          .exists(_.trim.equalsIgnoreCase("true"))
+        if (mergeSchema && exists) {
+          val spark = sqlContext.sparkSession
+          val current = TxLog.recordedSchema(table)
+            .getOrElse(TxLog.snapshot(spark, table).schema)
+          val added = data.schema.fields
+            .filterNot(f => current.fieldNames.contains(f.name))
+          if (added.nonEmpty)
+            TxLog.evolve(table,
+              StructType(current.fields ++ added.map(_.copy(nullable = true))))
+        }
         (partCols, statsCols) match {
           case (Seq(), None) => TxLog.append(data, table)
           case (Seq(), Some(cs)) => TxLog.appendWithStats(data, table, cs)

@@ -177,6 +177,40 @@ class ExtensionsSpec extends SparkSpec {
     assert(graft.ops.TxLog.snapshot(spark, t2).as[(Long, Long)].head() === ((1L, 1L)))
   }
 
+  test("RESTORE TABLE TO TIMESTAMP AS OF resolves through in-manifest commit times") {
+    import spark.implicits._
+    val t = java.nio.file.Files.createTempDirectory("txrts-").resolve("t").toString
+    graft.ops.TxLog.append(Seq((1L, 1L)).toDF("k", "v"), t)
+    graft.ops.TxLog.overwrite(Seq((1L, 9L)).toDF("k", "v"), t)
+    // pin commit times so the timestamp cut is deterministic
+    Seq(1L -> 1000000L, 2L -> 2000000L).foreach { case (v, ts) =>
+      val p = java.nio.file.Paths.get(t, "_txlog", f"$v%020d.json")
+      java.nio.file.Files.writeString(p, java.nio.file.Files.readString(p)
+        .replaceAll("\"ts\":\\d+", s""""ts":$ts"""))
+    }
+    assert(spark.sql(s"RESTORE TABLE '$t' TO TIMESTAMP AS OF 1500000")
+      .head().getLong(0) === 3L)
+    assert(graft.ops.TxLog.snapshot(spark, t).as[(Long, Long)].head() === ((1L, 1L)))
+  }
+
+  test("DESCRIBE DETAIL reports metadata-priced table facts") {
+    import spark.implicits._
+    val t = java.nio.file.Files.createTempDirectory("txdetail-").resolve("t").toString
+    graft.ops.TxLog.appendWithStats(Seq((1L, 10L), (2L, 20L)).toDF("k", "v"), t, "k")
+    graft.ops.TxLog.appendWithStats(Seq((3L, 30L)).toDF("k", "v"), t, "k")
+    val r = spark.sql(s"DESCRIBE DETAIL '$t'").head()
+    assert(r.getLong(1) === 2L)        // version
+    assert(r.getLong(2) === 2L)        // num_segments
+    assert(r.getLong(3) > 0L)          // size_bytes
+    assert(r.getLong(4) === 3L)        // num_rows from manifest stats
+    assert(r.getString(5) === "")      // not partitioned
+    assert(!r.getBoolean(6))           // no DV
+    // a standing DV flips has_dv and voids the exact row count
+    graft.ops.TxLog.deleteWhere(spark, t, org.apache.spark.sql.functions.col("k") === 1L)
+    val r2 = spark.sql(s"DESCRIBE DETAIL '$t'").head()
+    assert(r2.getBoolean(6) && r2.isNullAt(4))
+  }
+
   test("SHALLOW CLONE and COPY INTO as SQL statements") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("txsql4-")

@@ -1809,6 +1809,34 @@ class TxLogSpec extends SparkSpec {
     assert(TxLog.snapshot(spark, t).count() === 4L)
   }
 
+  test("writer mergeSchema: additive append auto-evolves; type change still refuses") {
+    val t = freshTable()
+    rows(1L -> 10L).write.format("txlog").mode("append").save(t)
+    // with mergeSchema the evolve commits first, then the data — and the
+    // evolve RECORDS the schema, so write validation is in force after
+    rows(2L -> 20L).withColumn("tag", lit("x"))
+      .write.format("txlog").mode("append")
+      .option("mergeSchema", "true").save(t)
+    val got = TxLog.snapshot(spark, t).as[(Long, Long, Option[String])]
+      .collect().sortBy(_._1).toSeq
+    assert(got === Seq((1L, 10L, None), (2L, 20L, Some("x"))))
+    // once a schema is recorded, a further new column WITHOUT the option
+    // refuses (evolution stays explicit)
+    val unknown = intercept[Exception] {
+      rows(4L -> 40L).withColumn("extra", lit(1L))
+        .write.format("txlog").mode("append").save(t)
+    }
+    assert(unknown.getMessage.contains("evolve"), unknown.getMessage)
+    // non-additive (type change) refuses through the write validation
+    val e = intercept[Exception] {
+      spark.range(1).selectExpr("CAST(3 AS STRING) AS k", "CAST(30 AS BIGINT) AS v")
+        .write.format("txlog").mode("append")
+        .option("mergeSchema", "true").save(t)
+    }
+    assert(e.getMessage.contains("incompatible") ||
+      e.getMessage.contains("records"), e.getMessage)
+  }
+
   test("analyze retro-fits string stats; compact re-records them") {
     val t = freshTable()
     TxLog.append(strRows("kiwi" -> 1L, "lime" -> 2L), t)
