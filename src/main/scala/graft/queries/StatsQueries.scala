@@ -581,23 +581,27 @@ object StatsQueries extends QueryPack {
     })
 
   /** STRING-stats TxLog table: customer split into 4 custkey-quartile
-    * appends with manifest stats on `c_name` — the names are zero-padded
-    * ("Customer#000000042"), so lexicographic order equals key order and
-    * each segment's recorded [strMin, strMax] covers a disjoint name
-    * range. The layout a 100-TB table keyed by URL/domain/doc-id has
-    * after clustering — string range predicates skip segments from the
+    * appends with manifest stats on a KEY-DERIVED zero-padded name
+    * (`Customer#000000042`), so lexicographic order equals key order BY
+    * CONSTRUCTION (the raw c_name breaks that at replica scales — the
+    * scale-up generator offsets keys but copies names verbatim) and each
+    * segment's recorded [strMin, strMax] covers a disjoint name range.
+    * The layout a 100-TB table keyed by URL/domain/doc-id has after
+    * clustering — string range predicates skip segments from the
     * manifest alone, exactly like the long-stats table.
     */
   private def txStrStatsTable(s: SparkSession, d: String): String =
     txTables.computeIfAbsent((s, "strstats:" + d), _ => {
       val t = s"${graft.ops.Scratch.base}/txstrstats_${(d.hashCode & 0xffffff).toHexString}"
       val base = Tables.customer(s, d)
-        .select(col("c_custkey"), col("c_name"),
+        .select(col("c_custkey"),
+          concat(lit("Customer#"),
+            lpad(col("c_custkey").cast("string"), 9, "0")).as("name"),
           Cleaning.cents(col("c_acctbal")).as("cents"))
       val q = base.agg(max("c_custkey")).head().getLong(0) / 4 + 1
       (0L to 3L).foreach { b =>
         graft.ops.TxLog.appendWithStats(
-          base.filter(expr(s"c_custkey div $q") === b), t, "c_name")
+          base.filter(expr(s"c_custkey div $q") === b), t, "name")
       }
       t
     })
@@ -1927,8 +1931,8 @@ object StatsQueries extends QueryPack {
       val q = Tables.customer(s, d).agg(max("c_custkey")).head().getLong(0) / 4 + 1
       def nm(k: Long) = f"Customer#$k%09d"
       val (df, scanned, total) =
-        graft.ops.TxLog.snapshotPrunedStr(s, t, "c_name", nm(q), nm(2 * q - 1))
-      df.filter(col("c_name") >= nm(q) && col("c_name") < nm(2 * q))
+        graft.ops.TxLog.snapshotPrunedStr(s, t, "name", nm(q), nm(2 * q - 1))
+      df.filter(col("name") >= nm(q) && col("name") < nm(2 * q))
         .agg(count(lit(1)).as("n_rows"), sum("cents").as("sum_cents"))
         .select(lit(scanned.toLong).as("n_scanned"), lit(total.toLong).as("n_total"),
           col("n_rows"), col("sum_cents"))
@@ -1944,7 +1948,7 @@ object StatsQueries extends QueryPack {
       graft.plans.ManifestCountRule.install(s)
       graft.plans.ManifestCountRule.lastAnswered = None
       val r = s.read.format("txlog").load(t)
-        .agg(min("c_name").as("min_name"), max("c_name").as("max_name"),
+        .agg(min("name").as("min_name"), max("name").as("max_name"),
           count(lit(1)).as("n")).head()
       val answered = graft.plans.ManifestCountRule.lastAnswered.exists(_._1 == t)
       import s.implicits._
@@ -2751,17 +2755,22 @@ object StatsQueries extends QueryPack {
         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
         |FROM documents WHERE lang = 'en' AND doc_id % 2 = 0""".stripMargin,
     "lake_txlog_stats_string" ->
-      """WITH m AS (SELECT MAX(c_custkey) // 4 + 1 AS q FROM customer)
+      """WITH c AS (SELECT 'Customer#' || lpad(CAST(c_custkey AS VARCHAR), 9, '0')
+        |    AS name, c_acctbal FROM customer),
+        |m AS (SELECT MAX(c_custkey) // 4 + 1 AS q FROM customer)
         |SELECT CAST(1 AS BIGINT) AS n_scanned, CAST(4 AS BIGINT) AS n_total,
         |  COUNT(*) AS n_rows,
         |  CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
         |    AS sum_cents
-        |FROM customer, m
-        |WHERE c_name >= 'Customer#' || lpad(CAST(q AS VARCHAR), 9, '0')
-        |  AND c_name < 'Customer#' || lpad(CAST(2 * q AS VARCHAR), 9, '0')"""
+        |FROM c, m
+        |WHERE name >= 'Customer#' || lpad(CAST(q AS VARCHAR), 9, '0')
+        |  AND name < 'Customer#' || lpad(CAST(2 * q AS VARCHAR), 9, '0')"""
         .stripMargin,
     "lake_txlog_minmax_string" ->
-      """SELECT MIN(c_name) AS min_name, MAX(c_name) AS max_name,
+      """SELECT MIN('Customer#' || lpad(CAST(c_custkey AS VARCHAR), 9, '0'))
+        |    AS min_name,
+        |  MAX('Customer#' || lpad(CAST(c_custkey AS VARCHAR), 9, '0'))
+        |    AS max_name,
         |  COUNT(*) AS n, TRUE AS answered FROM customer""".stripMargin,
     "lake_txlog_manifest_group2" ->
       """SELECT lang,
