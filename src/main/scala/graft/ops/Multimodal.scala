@@ -64,6 +64,14 @@ object Multimodal {
       .toDF("media_id", "width", "height", "n_bytes")
   }
 
+  // ImageIO defaults to a DISK-backed stream cache: every encode/decode
+  // creates and deletes a temp file, so per-row codec calls pay /tmp
+  // latency instead of CPU (measured 2.7× on mm_decode_ahash when the
+  // host's tmpfs was cold). These are KB-scale tiles — cache in memory.
+  // Executes once per JVM on first touch of this object, driver and
+  // executors alike (the mapPartitions closures reference it).
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** REAL in-JVM image codec (no external deps): 8-bit grayscale PNG
     * encode of a raw luma raster. PNG is lossless, so
     * `decodePngGray(encodePngGray(b, w, h))` returns the identical bytes —
