@@ -1422,6 +1422,17 @@ object TxLog {
   private val BloomBits = 1 << 20
   private val BloomWords = BloomBits / 64
 
+  /** Probe positions for a STRING key: hash the raw UTF8 value — writer
+    * column and reader literal are both StringType, so the type-dependent
+    * xxhash64 agrees by construction (the string twin of the cast-to-long
+    * rule the numeric path uses).
+    */
+  private def bloomPositionsStr(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{array, lit, pmod, xxhash64}
+    array((0 until 3).map(s =>
+      pmod(xxhash64(c, lit(s)), lit(BloomBits.toLong))): _*)
+  }
+
   private def bloomPositions(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions.{array, lit, pmod, xxhash64}
     array((0 until 3).map(s =>
@@ -1436,12 +1447,20 @@ object TxLog {
     */
   def appendWithBloom(df: DataFrame, table: String, keyCol: String): Long = {
     import org.apache.spark.sql.functions.{col => fcol, explode, expr, max => fmax, min => fmin}
+    import org.apache.spark.sql.types.StringType
     val rv = currentVersion(table) // before validation — see append
     validateWrite(df, table)
     val p = stage(df, table)
     val sdf = df.sparkSession.read.parquet(p)
-    val mm = sdf.agg(fmin(fcol(keyCol).cast("long")), fmax(fcol(keyCol).cast("long"))).head()
-    val words = sdf.select(explode(bloomPositions(fcol(keyCol))).as("pos"))
+    val isStr = sdf.schema.fields.find(_.name == keyCol)
+      .exists(_.dataType == StringType)
+    // STRING keys hash the raw column (the reader's StringType literal
+    // hashes identically — xxhash64 is type-dependent, so the long cast
+    // that protects numeric keys would null out every string and record
+    // no bloom at all); numeric keys keep the cast-to-long contract
+    val posCol =
+      if (isStr) bloomPositionsStr(fcol(keyCol)) else bloomPositions(fcol(keyCol))
+    val words = sdf.select(explode(posCol).as("pos"))
       .select(expr("CAST(pos div 64 AS INT)").as("w"),
         expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").as("m"))
       .groupBy("w").agg(expr("bit_or(m)").as("bits"))
@@ -1450,8 +1469,17 @@ object TxLog {
     words.foreach(r => arr(r.getInt(0)) = r.getLong(1))
     val hex = arr.map(l => f"$l%016x").mkString
     val stats =
-      if (mm.isNullAt(0)) Map.empty[String, SegStats]
-      else Map(p -> SegStats(keyCol, mm.getLong(0), mm.getLong(1), Some(hex)))
+      if (isStr) {
+        val mm = sdf.agg(fmin(fcol(keyCol)), fmax(fcol(keyCol))).head()
+        if (mm.isNullAt(0)) Map.empty[String, SegStats]
+        else Map(p -> SegStats(keyCol, 0L, 0L, Some(hex),
+          strMin = Some(mm.getString(0)), strMax = Some(mm.getString(1))))
+      } else {
+        val mm = sdf.agg(fmin(fcol(keyCol).cast("long")),
+          fmax(fcol(keyCol).cast("long"))).head()
+        if (mm.isNullAt(0)) Map.empty[String, SegStats]
+        else Map(p -> SegStats(keyCol, mm.getLong(0), mm.getLong(1), Some(hex)))
+      }
     commit(table, "append", Seq(p), Seq.empty, rv, stats)
   }
 
@@ -1477,11 +1505,38 @@ object TxLog {
     val all = st.segments
     val keep = all.collect {
       case (p, None) => p
+      // a string-tracked record's bounds AND bloom are string-hashed —
+      // a LONG-key probe must not consult either (conservative scan)
       case (p, Some(s)) if s.statsFor(keyCol).forall(cs =>
-        (cs.isString || (key >= cs.min && key <= cs.max)) &&
-          cs.bloomHex.forall(bloomMightContain(_, pos))) => p
+        cs.isString || ((key >= cs.min && key <= cs.max) &&
+          cs.bloomHex.forall(bloomMightContain(_, pos)))) => p
     }
     require(keep.nonEmpty, s"key $key pruned from every segment of $table")
+    val rel = readSegments(spark, keep, recordedSchema(table), st)
+    (rel, keep.size, all.size)
+  }
+
+  /** STRING point lookup pruned by manifest stats — the
+    * [[snapshotPointLookup]] twin for string keys (URL, doc id, content
+    * hash: the key shapes a 100-TB corpus actually looks up). A segment
+    * is skipped when its recorded [strMin, strMax] excludes the key OR
+    * its string-hashed Bloom filter proves absence; stat-less or
+    * numerically-tracked segments are conservatively scanned.
+    */
+  def snapshotPointLookupStr(spark: SparkSession, table: String,
+                             keyCol: String, key: String): (DataFrame, Int, Int) = {
+    import org.apache.spark.sql.functions.lit
+    val pos = spark.range(1).select(bloomPositionsStr(lit(key)).as("p"))
+      .head().getSeq[Long](0)
+    val st = tableStateViaCheckpoint(table)
+    val all = st.segments
+    val keep = all.collect {
+      case (p, None) => p
+      case (p, Some(s)) if s.statsFor(keyCol).forall(cs =>
+        strOverlaps(cs, Some(key), Some(key)) &&
+          (!cs.isString || cs.bloomHex.forall(bloomMightContain(_, pos)))) => p
+    }
+    require(keep.nonEmpty, s"key '$key' pruned from every segment of $table")
     val rel = readSegments(spark, keep, recordedSchema(table), st)
     (rel, keep.size, all.size)
   }

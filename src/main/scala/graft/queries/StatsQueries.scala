@@ -662,6 +662,27 @@ object StatsQueries extends QueryPack {
       t
     })
 
+  /** STRING-bloom TxLog table: 4 appends split by o_orderkey % 4 with a
+    * key-derived zero-padded string key — every segment's lexicographic
+    * [strMin, strMax] spans nearly the whole name space (mod-4 keys
+    * interleave), so only the string-hashed per-segment Bloom filter can
+    * prune a point lookup.
+    */
+  private def txBloomStrTable(s: SparkSession, d: String): String =
+    txTables.computeIfAbsent((s, "bloomstr:" + d), _ => {
+      val t = s"${graft.ops.Scratch.base}/txbloomstr_${(d.hashCode & 0xffffff).toHexString}"
+      val base = Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          concat(lit("Order#"),
+            lpad(col("o_orderkey").cast("string"), 9, "0")).as("name"),
+          Cleaning.cents(col("o_totalprice")).as("cents"))
+      (0L to 3L).foreach { b =>
+        graft.ops.TxLog.appendWithBloom(
+          base.filter(col("o_orderkey") % 4 === b), t, "name")
+      }
+      t
+    })
+
   /** Fifth TxLog table: 4 appends split by o_orderkey % 4 — INTERLEAVED
     * key ranges, so min/max stats cannot prune a point lookup and only
     * the per-segment Bloom filter can.
@@ -1938,6 +1959,24 @@ object StatsQueries extends QueryPack {
           col("n_rows"), col("sum_cents"))
     }),
 
+    // STRING-KEY BLOOM POINT LOOKUP: mod-4 segments interleave the name
+    // space, so strMin/strMax cannot prune a point probe — the
+    // string-hashed per-segment Bloom filter proves absence for 3 of 4
+    // segments from the manifest alone (the URL/doc-id/content-hash
+    // lookup shape of a 100-TB corpus; the numeric bloom's cast-to-long
+    // would null out every string and never prune).
+    "lake_txlog_bloom_string" -> ((s, d) => {
+      val t = txBloomStrTable(s, d)
+      val mk = Tables.orders(s, d).agg(max("o_orderkey")).head().getLong(0)
+      val key = f"Order#$mk%09d"
+      val (df, scanned, total) =
+        graft.ops.TxLog.snapshotPointLookupStr(s, t, "name", key)
+      df.filter(col("name") === key)
+        .agg(count(lit(1)).as("n_rows"), sum("cents").as("key_cents"))
+        .select(lit(scanned.toLong).as("n_scanned"),
+          lit(total.toLong).as("n_total"), col("n_rows"), col("key_cents"))
+    }),
+
     // STRING MIN/MAX FROM THE MANIFEST: min(c_name)/max(c_name)/count(*)
     // over the format("txlog") scan collapse to a LocalRelation — the
     // per-segment strMin/strMax fold to exact SQL MIN/MAX under binary
@@ -2766,6 +2805,13 @@ object StatsQueries extends QueryPack {
         |WHERE name >= 'Customer#' || lpad(CAST(q AS VARCHAR), 9, '0')
         |  AND name < 'Customer#' || lpad(CAST(2 * q AS VARCHAR), 9, '0')"""
         .stripMargin,
+    "lake_txlog_bloom_string" ->
+      """WITH k AS (SELECT MAX(o_orderkey) AS mk FROM orders)
+        |SELECT CAST(1 AS BIGINT) AS n_scanned, CAST(4 AS BIGINT) AS n_total,
+        |  COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS key_cents
+        |FROM orders, k WHERE o_orderkey = mk""".stripMargin,
     "lake_txlog_minmax_string" ->
       """SELECT MIN('Customer#' || lpad(CAST(c_custkey AS VARCHAR), 9, '0'))
         |    AS min_name,

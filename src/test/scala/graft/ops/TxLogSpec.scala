@@ -1837,6 +1837,28 @@ class TxLogSpec extends SparkSpec {
       e.getMessage.contains("records"), e.getMessage)
   }
 
+  test("string-key bloom: point lookup prunes interleaved segments; long probe never consults it") {
+    val t = freshTable()
+    // interleaved name ranges: both segments span a..z, only the bloom prunes
+    TxLog.appendWithBloom(strRows("alpha" -> 1L, "zeta" -> 2L), t, "name")
+    TxLog.appendWithBloom(strRows("beta" -> 3L, "zulu" -> 4L), t, "name")
+    val per = TxLog.liveFilesWithStats(t).flatMap(_._2)
+    assert(per.forall(s => s.isString && s.bloomHex.nonEmpty))
+    val (df, scanned, total) = TxLog.snapshotPointLookupStr(spark, t, "name", "beta")
+    assert((scanned, total) === (1, 2))
+    assert(df.filter(col("name") === "beta").as[(String, Long)].collect()
+      .toSeq === Seq("beta" -> 3L))
+    // a definitively-absent key prunes everything — the require is the
+    // loud contract, never a silent wrong answer
+    intercept[IllegalArgumentException] {
+      TxLog.snapshotPointLookupStr(spark, t, "name", "missing-key")
+    }
+    // the LONG probe must not consult string-hashed bounds or bloom:
+    // conservative full scan, not a false prune
+    val (_, scannedLong, totalLong) = TxLog.snapshotPointLookup(spark, t, "name", 42L)
+    assert((scannedLong, totalLong) === (2, 2))
+  }
+
   test("analyze retro-fits string stats; compact re-records them") {
     val t = freshTable()
     TxLog.append(strRows("kiwi" -> 1L, "lime" -> 2L), t)
