@@ -2176,6 +2176,23 @@ object TxLog {
       .distinct.sorted
   }
 
+  /** Distinct partition-value TUPLES of the live set across the FULL
+    * layout, from manifest paths alone (the `SHOW PARTITIONS` row set —
+    * Delta/Hive return one row per leaf). Values are logical
+    * (path-unescaped); a null partition surfaces as Hive's default
+    * sentinel, the SHOW PARTITIONS convention. Requires a partitioned
+    * layout (refuses loudly otherwise, like [[partitionValues]]).
+    */
+  def partitionLeaves(table: String,
+                      asOf: Option[Long] = None): (Seq[String], Seq[Seq[String]]) = {
+    val layout = partitionLayout(table, asOf)
+    require(layout.nonEmpty, s"$table has no partitioned layout")
+    val leaves = tableStateViaCheckpoint(table, asOf).segments
+      .map { case (p, _) => segPartValues(p, layout) }
+      .distinct.sortBy(_.mkString("/"))
+    (layout, leaves)
+  }
+
   /** MERGE through the commit protocol — the copy-on-write upsert every
     * table format executes: matched keys take the update, unmatched keep
     * the base row, new keys insert, and the whole rewrite publishes as ONE

@@ -58,6 +58,11 @@ final class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)^\s*CREATE\s+TABLE\s+(.+?)\s+SHALLOW\s+CLONE\s+(.+?)(?:\s+LOCATION\s+'([^']+)')?\s*;?\s*$""".r
   private val CopyIntoFrom =
     """(?is)^\s*COPY\s+INTO\s+(.+?)\s+FROM\s+'([^']+)'(?:\s+FILEFORMAT\s*=\s*PARQUET)?\s*;?\s*$""".r
+  // QUOTED-PATH spelling only: a named `SHOW PARTITIONS t` stays with
+  // Spark's own statement (catalog tables of any provider), so this
+  // parser never shadows builtin behavior
+  private val ShowPartitionsPath =
+    """(?is)^\s*SHOW\s+PARTITIONS\s+'([^']+)'\s*;?\s*$""".r
 
   private def target(raw: String): (String, Boolean) = {
     val t = raw.trim
@@ -95,6 +100,7 @@ final class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       ShallowCloneCommand(dn, dp, sn, sp, Option(loc))
     case CopyIntoFrom(t, landing) =>
       val (n, p) = target(t); CopyIntoCommand(n, p, landing)
+    case ShowPartitionsPath(path) => ShowPartitionsCommand(path)
     case _ => delegate.parsePlan(sqlText)
   }
 
@@ -221,6 +227,28 @@ final case class DescribeDetailCommand(target: String, isPath: Boolean)
       TxLog.tableRowCount(table).map(java.lang.Long.valueOf).orNull,
       TxLog.partitionLayout(table).mkString(","),
       TxLog.dvInForce(table)))
+  }
+}
+
+/** `SHOW PARTITIONS '<path>'` — one row per live partition-value tuple
+  * across the full layout, from manifest paths alone (the Delta/Hive
+  * row set; a NULL partition lists as Hive's default sentinel). The
+  * output schema is the table's partition layout, resolved at parse
+  * time; an unpartitioned table refuses loudly at execution.
+  */
+final case class ShowPartitionsCommand(path: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    TxLog.partitionLayout(path) match {
+      case Seq() => Seq(AttributeReference("partition", StringType,
+        nullable = false)())
+      case cols => cols.map(c =>
+        AttributeReference(c, StringType, nullable = false)())
+    }
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (_, leaves) = TxLog.partitionLeaves(path)
+    leaves.map(vs => Row(vs: _*))
   }
 }
 

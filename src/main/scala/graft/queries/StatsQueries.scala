@@ -2041,6 +2041,14 @@ object StatsQueries extends QueryPack {
         .toDF("version", "num_segments", "num_rows", "has_bytes", "has_dv")
     }),
 
+    // SHOW PARTITIONS as SQL: one row per live leaf tuple, straight from
+    // manifest paths — the partition inventory of a 100-TB table is a
+    // metadata read, never a listing.
+    "sql_txlog_show_partitions" -> ((s, d) => {
+      val t = txPart2Table(s, d)
+      s.sql(s"SHOW PARTITIONS '$t'").orderBy("lang", "src")
+    }),
+
     // SHALLOW CLONE (Delta parity): the clone's first commit REFERENCES
     // the source's live segments — `meta_only` pins that its manifest
     // adds are exactly the source's live set, zero bytes staged. The
@@ -2837,6 +2845,10 @@ object StatsQueries extends QueryPack {
         |  CAST(4 AS BIGINT) AS num_segments,
         |  COUNT(*) AS num_rows, TRUE AS has_bytes, FALSE AS has_dv
         |FROM orders""".stripMargin,
+    "sql_txlog_show_partitions" ->
+      """SELECT DISTINCT lang,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'web' ELSE 'book' END AS src
+        |FROM documents ORDER BY 1, 2""".stripMargin,
     "lake_txlog_clone" ->
       """WITH s AS (SELECT COUNT(*) AS n,
         |    CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS c

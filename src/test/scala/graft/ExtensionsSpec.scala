@@ -193,6 +193,20 @@ class ExtensionsSpec extends SparkSpec {
     assert(graft.ops.TxLog.snapshot(spark, t).as[(Long, Long)].head() === ((1L, 1L)))
   }
 
+  test("SHOW PARTITIONS '<path>' lists leaf tuples from the manifest") {
+    import spark.implicits._
+    val t = java.nio.file.Files.createTempDirectory("txshowp-").resolve("t").toString
+    Seq((1L, "en", "web"), (2L, "en", "book"), (3L, "de", "web"))
+      .toDF("id", "lang", "src")
+      .write.format("txlog").partitionBy("lang", "src").save(t)
+    val rows = spark.sql(s"SHOW PARTITIONS '$t'")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq.sorted
+    assert(rows === Seq(("de", "web"), ("en", "book"), ("en", "web")))
+    // named SHOW PARTITIONS stays with Spark's own statement
+    val e = intercept[Exception] { spark.sql("SHOW PARTITIONS not_a_table") }
+    assert(!e.getMessage.contains("partitioned layout"), e.getMessage)
+  }
+
   test("DESCRIBE DETAIL reports metadata-priced table facts") {
     import spark.implicits._
     val t = java.nio.file.Files.createTempDirectory("txdetail-").resolve("t").toString
