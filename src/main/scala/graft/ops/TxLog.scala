@@ -155,6 +155,23 @@ object TxLog {
     */
   val ChangeTypeColName: String = "_change_type"
 
+  /** Spark evaluates string comparisons, MIN/MAX, and the recorded
+    * strMin/strMax bounds in UTF8String binary order (unsigned UTF-8
+    * bytes), while Java String's compareTo is UTF-16 code-unit order.
+    * The two DISAGREE for supplementary-plane characters vs chars in
+    * U+E000..U+FFFF: an emoji U+1F600 encodes as a surrogate pair
+    * (0xD83D…) so Java sorts it below '', but its UTF-8 bytes
+    * (0xF0…) sort above. Every driver-side fold or comparison of string
+    * bounds MUST use this ordering — a Java-ordered compare silently
+    * prunes segments that DO contain matching rows, turning an
+    * optimization into a wrong answer (ADVICE r15, high).
+    */
+  private[graft] val Utf8Ordering: Ordering[String] = new Ordering[String] {
+    override def compare(a: String, b: String): Int =
+      org.apache.spark.unsafe.types.UTF8String.fromString(a)
+        .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b))
+  }
+
   private def logDir(table: String): Path = Paths.get(table, "_txlog")
   private def fmt(v: Long): String = f"$v%020d.json"
 
@@ -1390,7 +1407,11 @@ object TxLog {
     if (per.exists(_.isEmpty)) return None
     val bounds = per.flatten.map(s => (s.strMin, s.strMax))
     if (bounds.exists { case (mn, mx) => mn.isEmpty || mx.isEmpty }) None
-    else Some((bounds.map(_._1.get).min, bounds.map(_._2.get).max))
+    // fold in UTF8 binary order — the collation the per-segment bounds
+    // were recorded under (Spark MIN/MAX); Java's .min/.max disagrees
+    // for supplementary-plane strings (ADVICE r15)
+    else Some((bounds.map(_._1.get).min(Utf8Ordering),
+      bounds.map(_._2.get).max(Utf8Ordering)))
   }
 
   /** NDV bounds for the tracked column from manifest metadata: segments'
@@ -1658,8 +1679,13 @@ object TxLog {
   private def strOverlaps(cs: SegStats, lo: Option[String],
                           hi: Option[String]): Boolean =
     (cs.strMin, cs.strMax) match {
+      // UTF8 binary comparison, matching both the recorded bounds'
+      // collation and row-level predicate evaluation (ADVICE r15): Java's
+      // `>=` would prune a segment whose max is an emoji against a
+      // lo of '' even though the segment contains matching rows
       case (Some(mn), Some(mx)) =>
-        lo.forall(mx >= _) && hi.forall(mn <= _)
+        lo.forall(l => Utf8Ordering.gteq(mx, l)) &&
+          hi.forall(h => Utf8Ordering.lteq(mn, h))
       case _ => true
     }
 

@@ -253,9 +253,13 @@ object ManifestCountRule extends Rule[LogicalPlan] {
         if attr.dataType == StringType =>
       if (slice.isEmpty) Some(null)
       else {
+        // UTF8-binary fold (ADVICE r15): the per-segment bounds were
+        // recorded under Spark's binary collation, and this answer is
+        // substituted for a real MIN — a Java-ordered fold would return
+        // the wrong bound for supplementary-plane strings
         val per = slice.map(_.statsFor(attr.name).flatMap(_.strMin))
         if (per.exists(_.isEmpty)) None
-        else Some(UTF8String.fromString(per.flatten.min))
+        else Some(UTF8String.fromString(per.flatten.min(TxLog.Utf8Ordering)))
       }
     case AggregateExpression(Max(attr: AttributeReference), _, false, None, _)
         if attr.dataType == StringType =>
@@ -263,7 +267,7 @@ object ManifestCountRule extends Rule[LogicalPlan] {
       else {
         val per = slice.map(_.statsFor(attr.name).flatMap(_.strMax))
         if (per.exists(_.isEmpty)) None
-        else Some(UTF8String.fromString(per.flatten.max))
+        else Some(UTF8String.fromString(per.flatten.max(TxLog.Utf8Ordering)))
       }
     case _ => None
   }

@@ -407,9 +407,14 @@ final class TxLogRelation(ctx: SQLContext, val table: String, val asOf: Option[L
     var lo: Option[String] = None
     var hi: Option[String] = None
     var any = false
+    // bounds tighten in UTF8 binary order — the collation Spark pushed
+    // the predicates in and the manifest bounds were recorded under;
+    // Java String order disagrees for supplementary-plane chars
+    // (ADVICE r15)
+    val ord = TxLog.Utf8Ordering
     def tighten(l: Option[String], h: Option[String]): Unit = {
-      l.foreach(x => lo = Some(lo.fold(x)(c => if (x > c) x else c)))
-      h.foreach(x => hi = Some(hi.fold(x)(c => if (x < c) x else c)))
+      l.foreach(x => lo = Some(lo.fold(x)(c => if (ord.gt(x, c)) x else c)))
+      h.foreach(x => hi = Some(hi.fold(x)(c => if (ord.lt(x, c)) x else c)))
       any = true
     }
     filters.foreach {
@@ -421,7 +426,7 @@ final class TxLogRelation(ctx: SQLContext, val table: String, val asOf: Option[L
       case In(`statsCol`, vs)
           if vs.nonEmpty && vs.forall(_.isInstanceOf[String]) =>
         val xs = vs.iterator.map(_.asInstanceOf[String]).toSeq
-        tighten(Some(xs.min), Some(xs.max))
+        tighten(Some(xs.min(ord)), Some(xs.max(ord)))
       case _ => ()
     }
     if (any) Some((lo, hi)) else None

@@ -1859,6 +1859,42 @@ class TxLogSpec extends SparkSpec {
     assert((scannedLong, totalLong) === (2, 2))
   }
 
+  test("string bounds compare in UTF8 binary order, not Java UTF-16 (supplementary planes)") {
+    val t = freshTable()
+    // U+E000 (private use, UTF-8 bytes EE 80 80) vs U+1F600 (emoji, F0 9F
+    // 98 80): Java's UTF-16 code-unit order puts the emoji's surrogate
+    // pair (\uD83D…) BELOW , Spark's UTF8 binary order puts it
+    // ABOVE. Driver-side bound comparisons must use the latter — the
+    // collation the bounds were recorded under and the one row-level
+    // predicates evaluate in (ADVICE r15, high).
+    val pua = ""
+    val emojiLo = "😀" // U+1F600
+    val emojiHi = "😈" // U+1F608
+    TxLog.appendWithStats(strRows(s"${pua}a" -> 1L, s"${pua}z" -> 2L), t, "name")
+    TxLog.appendWithStats(strRows(emojiLo -> 3L, emojiHi -> 4L), t, "name")
+    // the table-wide MAX folds under UTF8 order: the emoji, not the PUA
+    // string a Java fold would pick
+    assert(TxLog.tableMinMaxString(t, "name") === Some((s"${pua}a", emojiHi)))
+    // an emoji-range read prunes exactly the PUA segment (Java order kept
+    // both — conservative; and under the inverse predicate it WRONGLY
+    // pruned the emoji segment — see the format path below)
+    val (df, scanned, total) =
+      TxLog.snapshotPrunedStr(spark, t, "name", emojiLo, emojiHi)
+    assert((scanned, total) === (1, 2))
+    assert(df.count() === 2L)
+    // the wrong-answer case pre-fix: name >= '' matches ALL FOUR
+    // rows, but the Java-ordered bound check concluded the emoji
+    // segment's max was below the cut and silently pruned rows 3 and 4
+    val all = spark.read.format("txlog").load(t)
+      .filter(col("name") >= pua).select("v").as[Long].collect().sorted.toSeq
+    assert(all === Seq(1L, 2L, 3L, 4L))
+    // and the pushed emoji bound still PRUNES (skipping stays effective)
+    val hi = spark.read.format("txlog").load(t)
+      .filter(col("name") >= emojiLo).select("v").as[Long].collect().sorted.toSeq
+    assert(hi === Seq(3L, 4L))
+    assert(graft.sources.TxLogBatchSource.lastPrune === Some((1, 2)))
+  }
+
   test("analyze retro-fits string stats; compact re-records them") {
     val t = freshTable()
     TxLog.append(strRows("kiwi" -> 1L, "lime" -> 2L), t)
