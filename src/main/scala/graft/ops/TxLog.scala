@@ -522,6 +522,51 @@ object TxLog {
     */
   def evolve(table: String, newSchema: org.apache.spark.sql.types.StructType): Long = {
     val rv = currentVersion(table)
+    validateEvolve(table, newSchema, rv)
+    commit(table, "evolve", Seq.empty, Seq.empty, rv,
+      Map.empty, () => false, Some(newSchema.json))
+  }
+
+  /** APPEND + additive EVOLVE as ONE atomic commit — the shape the
+    * writer's `mergeSchema` option needs (ADVICE r15): committing the
+    * evolve separately from the data leaves a half-applied schema change
+    * if the append then fails (Delta does both in one commit). All of
+    * [[evolve]]'s guards apply (additive, nullable, resurrection rails);
+    * the frame validates against the NEW schema; the commit carries both
+    * the staged segment and the schema, so readers see neither or both.
+    */
+  def appendWithEvolve(df: DataFrame, table: String,
+                       newSchema: org.apache.spark.sql.types.StructType): Long = {
+    val rv = currentVersion(table) // before validation — see append
+    validateEvolve(table, newSchema, rv)
+    df.schema.fields.foreach { f =>
+      newSchema.fields.find(_.name == f.name) match {
+        case None => throw new IllegalArgumentException(
+          s"append to $table carries column '${f.name}' absent from the " +
+            "evolved schema")
+        case Some(tf) if tf.dataType != f.dataType =>
+          throw new IllegalArgumentException(
+            s"append to $table: column '${f.name}' is ${f.dataType.sql} but " +
+              s"the evolved schema records ${tf.dataType.sql}")
+        case _ => ()
+      }
+    }
+    enforceChecks(df, table)
+    val p = stage(df, table)
+    // "append_evolve" is a METADATA-carrying op: concurrent data commits
+    // validated against the old schema must abort (the conflict scan in
+    // commit() includes it), and the change feed treats it insert-shaped
+    commit(table, "append_evolve", Seq(p), Seq.empty, rv,
+      Map.empty, () => false, Some(newSchema.json))
+  }
+
+  /** [[evolve]]'s full guard set against the state at `rv`, shared with
+    * [[appendWithEvolve]]: additive-only, nullable adds, and the
+    * resurrection rails for dropped/renamed physical names.
+    */
+  private def validateEvolve(table: String,
+                             newSchema: org.apache.spark.sql.types.StructType,
+                             rv: Long): Unit = {
     require(rv > 0, s"evolve of uninitialized table $table")
     val current = recordedSchema(table, Some(rv)).getOrElse {
       // baseline from the footers of the live segments at rv
@@ -582,8 +627,6 @@ object TxLog {
         }
       }
     }
-    commit(table, "evolve", Seq.empty, Seq.empty, rv,
-      Map.empty, () => false, Some(newSchema.json))
   }
 
   /** RENAME COLUMN without rewriting a byte — id-free column mapping
@@ -878,6 +921,82 @@ object TxLog {
       changes = if (canPersist) Seq("d:" + p) else Seq.empty)
   }
 
+  /** Row-level UPDATE without rewriting a single existing segment — the
+    * merge-on-read twin of [[deleteWhere]] (Delta's DV-backed UPDATE):
+    * matched rows are DV-marked away and their post-images (the SET
+    * assignments applied, cast back to each column's recorded type — the
+    * Delta assignment-cast rule) land as ONE new segment, all in one
+    * commit. On a 100-TB table a small UPDATE therefore stages
+    * O(matched rows) bytes, never the segments containing them. CHECK
+    * constraints validate against the post-image like any write; the
+    * commit carries write-time CDC artifacts (pre-images beside the DV
+    * coordinates, post-images in the new segment) so the change feed
+    * pairs `update_preimage`/`update_postimage` rows from change-sized
+    * artifacts with zero base segments opened. CAS-conflicts with any
+    * concurrent commit — the marks are only valid against the exact
+    * snapshot they were computed from.
+    */
+  def updateWhere(spark: SparkSession, table: String,
+                  predicate: org.apache.spark.sql.Column,
+                  sets: Seq[(String, org.apache.spark.sql.Column)]): Long = {
+    import org.apache.spark.sql.functions.{col => fcol}
+    require(sets.nonEmpty, s"update of $table needs at least one SET assignment")
+    val rv = currentVersion(table)
+    val st = tableStateViaCheckpoint(table, Some(rv))
+    val files = st.segments.map(_._1)
+    require(files.nonEmpty, s"update of empty table $table")
+    val (withMeta, fp, ri) = readSegmentsWithCoords(
+      spark, files, recordedSchema(table, Some(rv)), st.renames)
+    val taken = withMeta.columns.toSet
+    val dfp = freshName(taken, "__dv_fp")
+    val dri = freshName(taken + dfp, "__dv_ri")
+    val visible =
+      if (st.dv.isEmpty) withMeta
+      else {
+        val marks = dvMarks(spark, st.dv)
+          .select(fcol("file_path").as(dfp), fcol("row_index").as(dri))
+        withMeta.join(marks, fcol(fp) === fcol(dfp) &&
+          fcol(ri) === fcol(dri), "left_anti")
+      }
+    val dataCols = withMeta.columns.filterNot(c => c == fp || c == ri).toSeq
+    val schema = visible.select(dataCols.map(fcol): _*).schema
+    sets.foreach { case (c, _) =>
+      require(dataCols.contains(c),
+        s"update of $table: no column '$c' (have ${dataCols.mkString(", ")})")
+    }
+    val matched = visible.filter(predicate)
+    val canPersist = !dataCols.exists(c =>
+      c == "file_path" || c == "row_index" || c == ChangeTypeColName)
+    // pre-image marks (full rows beside the coordinates when the names
+    // don't collide — the same single scan the match already pays)
+    val entry =
+      if (canPersist)
+        matched.select(dataCols.map(fcol) ++
+          Seq(fcol(fp).as("file_path"), fcol(ri).as("row_index")): _*)
+      else matched.select(fcol(fp).as("file_path"), fcol(ri).as("row_index"))
+    val setMap = sets.toMap
+    val updated = matched.select(dataCols.map { c =>
+      setMap.get(c) match {
+        case Some(e) => e.cast(schema(c).dataType).as(c)
+        case None => fcol(c)
+      }
+    }.toIndexedSeq: _*)
+    // post-images pass the write gate: a SET that breaks a CHECK refuses
+    // the whole statement, exactly like an append of those rows
+    activeConstraints(table).foreach { case (name, pred) =>
+      val violated = updated.filter(org.apache.spark.sql.functions.not(
+        org.apache.spark.sql.functions.expr(pred)))
+      if (!violated.isEmpty)
+        throw new IllegalArgumentException(
+          s"update of $table violates CHECK constraint '$name' ($pred)")
+    }
+    val dvSeg = stage(entry, table)
+    val newSeg = stage(updated, table)
+    commit(table, "update", Seq(newSeg), Seq.empty, rv, Map.empty,
+      () => false, None, dv = Seq(dvSeg),
+      changes = if (canPersist) Seq("d:" + dvSeg, "i:" + newSeg) else Seq.empty)
+  }
+
   /** Consolidate the deletion-vector chain into ONE mark segment without
     * touching a byte of data (Delta's DV compaction): after k small
     * deletes the reader unions k tiny files — past a threshold, fold them
@@ -918,11 +1037,16 @@ object TxLog {
         }
       }
     }
-    // CHECK enforcement at the write boundary (Delta ADD CONSTRAINT
-    // semantics): a row violates only when the predicate is FALSE — NULL
-    // passes, per SQL CHECK. One filter job per constraint per write;
-    // Delta pays the same scan, and the written data is in cache-warm
-    // lineage anyway.
+    enforceChecks(df, table)
+  }
+
+  /** CHECK enforcement at the write boundary (Delta ADD CONSTRAINT
+    * semantics): a row violates only when the predicate is FALSE — NULL
+    * passes, per SQL CHECK. One filter job per constraint per write;
+    * Delta pays the same scan, and the written data is in cache-warm
+    * lineage anyway.
+    */
+  private def enforceChecks(df: DataFrame, table: String): Unit =
     activeConstraints(table).foreach { case (name, pred) =>
       val violated = df.filter(
         org.apache.spark.sql.functions.not(org.apache.spark.sql.functions.expr(pred)))
@@ -930,7 +1054,6 @@ object TxLog {
         throw new IllegalArgumentException(
           s"write to $table violates CHECK constraint '$name' ($pred)")
     }
-  }
 
   /** ADD CONSTRAINT as a metadata commit (Delta's `ALTER TABLE … ADD
     * CONSTRAINT … CHECK`): the predicate is validated against the
@@ -1047,8 +1170,8 @@ object TxLog {
       if (cur != readVersion &&
           ((readVersion + 1) to cur).exists { v =>
             val o = readManifest(table, v).op
-            o == "constraint" || o == "evolve" || o == "rename" ||
-              o == "dropcolumn"
+            o == "constraint" || o == "evolve" || o == "append_evolve" ||
+              o == "rename" || o == "dropcolumn"
           })
         throw new ConcurrentModificationException(
           s"$table: commit '$op' read version $readVersion but a metadata " +
@@ -2685,22 +2808,34 @@ object TxLog {
     * residual segment that box reads conservatively keep.
     */
   def compactZOrder(spark: SparkSession, table: String, xCol: String,
-                    yCol: String, buckets: Int): Long = {
+                    yCol: String, buckets: Int): Long =
+    compactZOrderN(spark, table, Seq(xCol, yCol), buckets)
+
+  /** N-COLUMN z-order compaction (VERDICT r15 item 5 — Delta's
+    * `OPTIMIZE … ZORDER BY` takes N columns): identical contract to the
+    * 2-D form, with dimensions masked to [[ZOrder.bitsFor]] bits each
+    * (16 up to 3 columns) and the key interleaved by [[ZOrder.zkeyN]].
+    * An N-dim aligned power-of-two box is one contiguous z-range, so
+    * [[snapshotZOrderBoxN]] prunes it from the manifest alone.
+    */
+  def compactZOrderN(spark: SparkSession, table: String, cols: Seq[String],
+                     buckets: Int): Long = {
     import org.apache.spark.sql.functions.{col => fcol, count => fcount, expr, lit,
       max => fmax, min => fmin}
+    require(cols.size >= 2,
+      s"z-order optimize needs >= 2 columns, got ${cols.mkString(", ")}")
     val rv = currentVersion(table)
     val live = liveFiles(table, Some(rv))
     require(live.nonEmpty, s"z-order optimize of empty table $table")
     val base = snapshot(spark, table, Some(rv))
     val z = freshName(base.columns.toSet, "__z")
-    val dims = fcol(xCol).cast("long").bitwiseAND(lit(65535L)) ->
-      fcol(yCol).cast("long").bitwiseAND(lit(65535L))
+    val mask = (1L << ZOrder.bitsFor(cols.size)) - 1
+    val dims = cols.map(c => fcol(c).cast("long").bitwiseAND(lit(mask)))
+    val anyBad = cols.map(c => fcol(c).isNull || fcol(c) < 0).reduce(_ || _)
     val withZ = base.withColumn(z,
-      org.apache.spark.sql.functions.when(
-        fcol(xCol).isNull || fcol(yCol).isNull || fcol(xCol) < 0 || fcol(yCol) < 0,
-        lit(null).cast("long"))
-        .otherwise(ZOrder.zkey(dims._1, dims._2)))
-    val statCol = s"zorder($xCol,$yCol)"
+      org.apache.spark.sql.functions.when(anyBad, lit(null).cast("long"))
+        .otherwise(ZOrder.zkeyN(dims)))
+    val statCol = s"zorder(${cols.mkString(",")})"
     val baseRow = withZ.agg(fcount(lit(1)), fmax(fcol(z))).head()
     val baseCount = baseRow.getLong(0)
     val mx = if (baseRow.isNullAt(1)) 0L else baseRow.getLong(1)
@@ -2746,18 +2881,38 @@ object TxLog {
     */
   def snapshotZOrderBox(spark: SparkSession, table: String, xCol: String,
                         yCol: String, x0: Long, x1: Long,
-                        y0: Long, y1: Long): (DataFrame, Int, Int) = {
-    val side = x1 - x0
-    require(side > 0 && side == (y1 - y0) && (side & (side - 1)) == 0 &&
-      x0 % side == 0 && y0 % side == 0,
-      s"box [$x0,$x1)x[$y0,$y1) must be an aligned power-of-two square — " +
+                        y0: Long, y1: Long): (DataFrame, Int, Int) =
+    snapshotZOrderBoxN(spark, table, Seq(xCol, yCol),
+      Seq((x0, x1), (y0, y1)))
+
+  /** N-DIMENSIONAL box read over an N-column z-ordered table: the box
+    * must be an aligned power-of-two HYPERCUBE (equal power-of-two sides,
+    * corners multiples of the side) — exactly then its z-curve image is
+    * the one contiguous range [z(lo…), z(hi-1…)], and segments whose
+    * recorded z bounds miss it are skipped without opening a footer.
+    * Same conservative-keep and reader-side-predicate contract as the
+    * 2-D form.
+    */
+  def snapshotZOrderBoxN(spark: SparkSession, table: String,
+                         cols: Seq[String],
+                         box: Seq[(Long, Long)]): (DataFrame, Int, Int) = {
+    require(cols.size >= 2 && cols.size == box.size,
+      s"z-order box needs one (lo, hi) per column: ${cols.size} columns, " +
+        s"${box.size} ranges")
+    val side = box.head._2 - box.head._1
+    require(side > 0 && (side & (side - 1)) == 0 &&
+      box.forall { case (lo, hi) =>
+        hi - lo == side && lo >= 0 && lo % side == 0 },
+      s"box ${box.mkString("x")} must be an aligned power-of-two hypercube — " +
         "only then is its z-curve image one contiguous range")
-    require(x0 >= 0 && y0 >= 0 && x1 <= 65536 && y1 <= 65536,
-      s"box [$x0,$x1)x[$y0,$y1) exceeds the 16-bit dimension domain — " +
-        "coordinates past 65535 would alias under the & 65535 mask")
-    val statCol = s"zorder($xCol,$yCol)"
-    val zlo = ZOrder.zkeyScalar(x0, y0)
-    val zhi = ZOrder.zkeyScalar(x1 - 1, y1 - 1)
+    val domain = 1L << ZOrder.bitsFor(cols.size)
+    require(box.forall(_._2 <= domain),
+      s"box ${box.mkString("x")} exceeds the ${ZOrder.bitsFor(cols.size)}-bit " +
+        s"dimension domain — coordinates past ${domain - 1} would alias " +
+        "under the dimension mask")
+    val statCol = s"zorder(${cols.mkString(",")})"
+    val zlo = ZOrder.zkeyScalarN(box.map(_._1))
+    val zhi = ZOrder.zkeyScalarN(box.map(_._2 - 1))
     val st = tableStateViaCheckpoint(table)
     val all = st.segments
     val keep = all.collect {
@@ -2919,10 +3074,20 @@ object TxLog {
     val (schemaJson, checks) = (recordedSchemaJsonAt(src, Some(rv)),
       headMeta(src)._2)
     init(dst)
+    // the SOURCE's drop history rides into the clone's first commit,
+    // filtered to the segments the clone actually references: evolve's
+    // resurrection guard walks only the clone's own log, so without
+    // these records re-adding a column dropped in the source would
+    // resurrect the old physical bytes out of the shared live segments —
+    // the same evolve the source itself refuses (ADVICE r15, medium)
+    val liveSet = st.segments.map(_._1).toSet
+    val drops = dropHistory(src)
+      .map(dr => Drop(dr.name, dr.segs.intersect(liveSet)))
+      .filter(_.segs.nonEmpty)
     commit(dst, "clone", st.segments.map(_._1), Seq.empty, 0L,
       st.segments.collect { case (p, Some(s)) => p -> s }.toMap,
       () => false, schemaJson, dv = st.dv, checks = checks,
-      renames = st.renames)
+      renames = st.renames, drops = drops)
   }
 
   /** In-process memo of the source-file identities [[copyInto]] has
@@ -2964,6 +3129,17 @@ object TxLog {
     * files cannot both land (the loser rebases and drops the overlap).
     * Returns (head version, the files actually ingested this call).
     */
+  /** Canonical identity of a COPY INTO source: scheme-less local paths
+    * normalize (absolute, no `.`/`..`, no duplicate or trailing
+    * separators) before BOTH the ledger lookup and the recorded ingests,
+    * so the same file presented as a non-canonical variant cannot
+    * re-ingest (ADVICE r15); scheme'd URIs (s3a://…) pass through
+    * untouched — java.nio would mangle their `//`.
+    */
+  private def canonicalSource(f: String): String =
+    if (f.matches("^[A-Za-z][A-Za-z0-9+.\\-]*:.*")) f
+    else Paths.get(f).toAbsolutePath.normalize.toString
+
   def copyInto(spark: SparkSession, table: String,
                files: Seq[String]): (Long, Seq[String]) = {
     init(table)
@@ -2971,7 +3147,8 @@ object TxLog {
     while (attempts < 100) {
       attempts += 1
       val done = ingestedSources(table)
-      val todo = files.distinct.filterNot(done.contains).sorted
+      val todo = files.map(canonicalSource).distinct
+        .filterNot(done.contains).sorted
       if (todo.isEmpty) return (currentVersion(table), Seq.empty)
       val df = spark.read.parquet(todo: _*)
       val rv = currentVersion(table)

@@ -74,4 +74,56 @@ object ZOrder {
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")
+
+  // ---- N-dimensional generalization (VERDICT r15 item 5) ---------------
+  // Delta's OPTIMIZE ZORDER BY accepts N columns; the 2-D fast path above
+  // keeps its magic-mask spread, while N >= 3 interleaves with a generic
+  // stride-N spread composed from the same shift/mask/OR built-ins —
+  // still plain codegen'd map work, evaluated once per row at rewrite
+  // time.
+
+  /** Bits kept per dimension for an N-dim key: 16 (the 2-D contract) while
+    * N*16 fits a positive long, shrinking beyond — 4 dims → 15 bits each.
+    */
+  def bitsFor(n: Int): Int = math.min(16, 62 / n)
+
+  /** Spread the low `bits` bits of `c` to stride-`n` positions (payload
+    * bit i lands at position i*n) — the generic interleave spacing.
+    */
+  def spreadN(c: Column, n: Int, bits: Int): Column =
+    (0 until bits).map { i =>
+      shiftleft(shiftright(c, i).bitwiseAND(lit(1L)), i * n)
+    }.reduce(_.bitwiseOR(_))
+
+  /** N-dimensional Morton key: dim j's payload bit i lands at position
+    * j + i*N. N=2 delegates to the mask-sequence [[zkey]] (identical
+    * output — ZOrderSpec pins the equivalence).
+    */
+  def zkeyN(dims: Seq[Column]): Column = {
+    require(dims.size >= 2, s"zkeyN needs >= 2 dimensions, got ${dims.size}")
+    if (dims.size == 2) zkey(dims.head, dims(1))
+    else {
+      val b = bitsFor(dims.size)
+      val mask = (1L << b) - 1
+      dims.zipWithIndex.map { case (c, j) =>
+        shiftleft(spreadN(c.bitwiseAND(lit(mask)), dims.size, b), j)
+      }.reduce(_.bitwiseOR(_))
+    }
+  }
+
+  /** Driver-side scalar twin of [[zkeyN]] — box-read range computation. */
+  def zkeyScalarN(xs: Seq[Long]): Long = {
+    require(xs.size >= 2, s"zkeyScalarN needs >= 2 dimensions, got ${xs.size}")
+    if (xs.size == 2) zkeyScalar(xs.head, xs(1))
+    else {
+      val n = xs.size
+      val b = bitsFor(n)
+      xs.zipWithIndex.map { case (x, j) =>
+        var acc = 0L
+        var i = 0
+        while (i < b) { acc |= ((x >> i) & 1L) << (i * n); i += 1 }
+        acc << j
+      }.reduce(_ | _)
+    }
+  }
 }

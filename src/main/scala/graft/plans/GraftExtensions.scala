@@ -215,6 +215,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // statements + MERGE INTO routing + the table_changes TVF
     e.injectParser((_, delegate) => new GraftSqlParser(delegate))
     e.injectResolutionRule(session => MergeIntoTxLogRule(session))
+    // row-level SQL DML (DELETE FROM / UPDATE) over txlog relations,
+    // routed through the deletion-vector primitives
+    e.injectResolutionRule(session => DmlTxLogRule(session))
+    // SELECT ... VERSION AS OF / TIMESTAMP AS OF over txlog catalog
+    // tables. Hint-resolution batch, NOT the main resolution batch:
+    // Spark's own ResolveRelations runs before extension resolution
+    // rules within each fixed-point iteration and throws
+    // UNSUPPORTED_FEATURE.TIME_TRAVEL for V1 relations — the node must
+    // be rewritten before that batch ever sees it.
+    e.injectHintResolutionRule(session => TimeTravelTxLogRule(session))
     GraftFunctions.all.foreach(e.injectFunction)
     GraftTableFunctions.all.foreach(e.injectTableFunction)
   }

@@ -44,8 +44,9 @@ final class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)^\s*DESC(?:RIBE)?\s+HISTORY\s+(.+?)\s*;?\s*$""".r
   private val DescribeDetail =
     """(?is)^\s*DESC(?:RIBE)?\s+DETAIL\s+(.+?)\s*;?\s*$""".r
+  // N columns (Delta parity — VERDICT r15 item 5), 2 minimum
   private val OptimizeZOrder =
-    """(?is)^\s*OPTIMIZE\s+(.+?)\s+ZORDER\s+BY\s*\(\s*(\w+)\s*,\s*(\w+)\s*\)\s*;?\s*$""".r
+    """(?is)^\s*OPTIMIZE\s+(.+?)\s+ZORDER\s+BY\s*\(([^)]+)\)\s*;?\s*$""".r
   private val Optimize = """(?is)^\s*OPTIMIZE\s+(.+?)\s*;?\s*$""".r
   private val VacuumRetain =
     """(?is)^\s*VACUUM\s+(.+?)\s+RETAIN\s+(\d+)\s+HOURS\s*;?\s*$""".r
@@ -63,6 +64,18 @@ final class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   // parser never shadows builtin behavior
   private val ShowPartitionsPath =
     """(?is)^\s*SHOW\s+PARTITIONS\s+'([^']+)'\s*;?\s*$""".r
+  // ALTER TABLE schema evolution over a txlog PATH (VERDICT r15 item 4) —
+  // quoted-path spelling only, like SHOW PARTITIONS: Spark cannot parse
+  // ALTER TABLE '<literal>', so these can never shadow the builtin
+  // named-table statements. Each routes to the matching metadata commit.
+  private val AlterAddConstraint =
+    """(?is)^\s*ALTER\s+TABLE\s+'([^']+)'\s+ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\((.+)\)\s*;?\s*$""".r
+  private val AlterAddCols =
+    """(?is)^\s*ALTER\s+TABLE\s+'([^']+)'\s+ADD\s+COLUMNS?\s*\((.+)\)\s*;?\s*$""".r
+  private val AlterRenameCol =
+    """(?is)^\s*ALTER\s+TABLE\s+'([^']+)'\s+RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)\s*;?\s*$""".r
+  private val AlterDropCol =
+    """(?is)^\s*ALTER\s+TABLE\s+'([^']+)'\s+DROP\s+COLUMN\s+(\w+)\s*;?\s*$""".r
 
   private def target(raw: String): (String, Boolean) = {
     val t = raw.trim
@@ -72,14 +85,36 @@ final class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     else (t, false)
   }
 
-  override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
+  /** Leading `--` line and `/* */` block comments (and whitespace)
+    * stripped, so a formatted/commented Delta-dialect statement still
+    * reaches the regex shims (VERDICT r15 item 6). Only the PREFIX is
+    * stripped — matching, not rewriting: the delegate always receives
+    * the ORIGINAL text, and inline comments inside a shim statement
+    * simply fall through to Spark's parser error as before.
+    */
+  @scala.annotation.tailrec
+  private def stripLeadingComments(s: String): String = {
+    val t = s.dropWhile(_.isWhitespace)
+    if (t.startsWith("--")) {
+      val nl = t.indexOf('\n')
+      if (nl < 0) "" else stripLeadingComments(t.substring(nl + 1))
+    } else if (t.startsWith("/*")) {
+      val end = t.indexOf("*/")
+      if (end < 0) t else stripLeadingComments(t.substring(end + 2))
+    } else t
+  }
+
+  override def parsePlan(sqlText: String): LogicalPlan = stripLeadingComments(sqlText) match {
     case DescribeHistory(t) =>
       val (n, p) = target(t); DescribeHistoryCommand(n, p)
     case DescribeDetail(t) =>
       val (n, p) = target(t); DescribeDetailCommand(n, p)
-    case OptimizeZOrder(t, x, y) =>
-      val (n, p) = target(t); TxLogMaintenanceCommand(n, p, "optimize_zorder",
-        cols = Seq(x, y))
+    case OptimizeZOrder(t, colList) =>
+      val (n, p) = target(t)
+      val cols = colList.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      require(cols.size >= 2 && cols.forall(_.matches("\\w+")),
+        s"OPTIMIZE ... ZORDER BY needs >= 2 column names, got ($colList)")
+      TxLogMaintenanceCommand(n, p, "optimize_zorder", cols = cols)
     case Optimize(t) =>
       val (n, p) = target(t); TxLogMaintenanceCommand(n, p, "optimize")
     case VacuumRetain(t, hours) =>
@@ -101,6 +136,14 @@ final class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case CopyIntoFrom(t, landing) =>
       val (n, p) = target(t); CopyIntoCommand(n, p, landing)
     case ShowPartitionsPath(path) => ShowPartitionsCommand(path)
+    case AlterAddConstraint(path, name, expr) =>
+      AlterTxLogCommand(path, "add_constraint", Seq(name, expr))
+    case AlterAddCols(path, cols) =>
+      AlterTxLogCommand(path, "add_columns", Seq(cols))
+    case AlterRenameCol(path, from, to) =>
+      AlterTxLogCommand(path, "rename_column", Seq(from, to))
+    case AlterDropCol(path, name) =>
+      AlterTxLogCommand(path, "drop_column", Seq(name))
     case _ => delegate.parsePlan(sqlText)
   }
 
@@ -172,7 +215,7 @@ final case class TxLogMaintenanceCommand(name: String, isPath: Boolean,
     val v = op match {
       case "optimize" => TxLog.compact(spark, table)
       case "optimize_zorder" =>
-        TxLog.compactZOrder(spark, table, cols.head, cols(1), buckets = 16)
+        TxLog.compactZOrderN(spark, table, cols, buckets = 16)
       case "vacuum" =>
         TxLog.vacuum(table, keepVersionsFrom = TxLog.currentVersion(table),
           minAgeMillis = arg * 3600L * 1000L).size.toLong
@@ -238,13 +281,25 @@ final case class DescribeDetailCommand(target: String, isPath: Boolean)
   */
 final case class ShowPartitionsCommand(path: String)
     extends LeafRunnableCommand {
-  override val output: Seq[Attribute] =
-    TxLog.partitionLayout(path) match {
+  // LAZY: the layout needs filesystem IO, which must not run at parse/
+  // plan-construction time (a not-yet-existing path failed with an
+  // obscure parse-time error, e.g. under EXPLAIN — ADVICE r15); the
+  // first ANALYSIS access resolves it, with a clear error
+  override lazy val output: Seq[Attribute] = {
+    val layout =
+      try TxLog.partitionLayout(path)
+      catch {
+        case e: Exception => throw new IllegalArgumentException(
+          s"SHOW PARTITIONS '$path': cannot resolve a txlog partition " +
+            s"layout there (${e.getMessage})", e)
+      }
+    layout match {
       case Seq() => Seq(AttributeReference("partition", StringType,
         nullable = false)())
       case cols => cols.map(c =>
         AttributeReference(c, StringType, nullable = false)())
     }
+  }
 
   override def run(spark: SparkSession): Seq[Row] = {
     val (_, leaves) = TxLog.partitionLeaves(path)
@@ -307,6 +362,44 @@ final case class CopyIntoCommand(name: String, isPath: Boolean,
     }
     val (v, ingested) = TxLog.copyInto(spark, table, real)
     Seq(Row(v, ingested.size.toLong))
+  }
+}
+
+/** `ALTER TABLE '<path>' …` schema evolution as SQL (VERDICT r15 item 4),
+  * each one metadata commit through the library primitive — no data byte
+  * moves for any of them:
+  *
+  *  - `ADD COLUMN(S) (c TYPE, …)` → [[TxLog.evolve]] (columns forced
+  *    nullable — pre-evolve segments read back null-filled; evolve's own
+  *    resurrection guards still apply);
+  *  - `RENAME COLUMN a TO b` → [[TxLog.renameColumn]] (id-free mapping);
+  *  - `DROP COLUMN c` → [[TxLog.dropColumn]] (tracked drop, constraint/
+  *    last-column rails);
+  *  - `ADD CONSTRAINT name CHECK (expr)` → [[TxLog.addConstraint]]
+  *    (validated against the current snapshot, then enforced on writes).
+  *
+  * Returns the committed version.
+  */
+final case class AlterTxLogCommand(path: String, action: String,
+                                   args: Seq[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val v = action match {
+      case "add_columns" =>
+        val added = spark.sessionState.sqlParser.parseTableSchema(args.head)
+        val current = TxLog.recordedSchema(path)
+          .getOrElse(TxLog.snapshot(spark, path).schema)
+        TxLog.evolve(path, StructType(current.fields ++
+          added.fields.map(_.copy(nullable = true))))
+      case "rename_column" => TxLog.renameColumn(spark, path, args(0), args(1))
+      case "drop_column" => TxLog.dropColumn(spark, path, args.head)
+      case "add_constraint" =>
+        TxLog.addConstraint(spark, path, args(0), args(1))
+    }
+    Seq(Row(v))
   }
 }
 
@@ -416,4 +509,177 @@ final case class GraftMergeCommand(table: String, source: LogicalPlan,
     val src = org.apache.spark.sql.GraftSqlBridge.ofRows(spark, source)
     Seq(Row(TxLog.mergeDv(spark, src, table, key)))
   }
+}
+
+/** Analyzer rule routing row-level SQL DML over txlog relations through
+  * the merge-on-read primitives (VERDICT r15 item 1) — the two statements
+  * a migrating Delta user types first:
+  *
+  * {{{
+  *   DELETE FROM events WHERE ts < '2020-01-01'   -- TxLog.deleteWhere
+  *   UPDATE events SET status = 'done' WHERE id % 2 = 0  -- TxLog.updateWhere
+  * }}}
+  *
+  * Spark parses both natively ([[DeleteFromTable]]/[[UpdateTable]]) but
+  * can only execute them against DSv2 row-level-operation tables; this
+  * rule rewrites the txlog-targeted forms into commands over the
+  * deletion-vector primitives — one commit staging O(matched rows), no
+  * segment rewritten. Resolved attribute references are re-anchored by
+  * NAME (the primitives read their own snapshot frame, where the
+  * analyzer's exprIds don't exist); WHERE subqueries are refused loudly —
+  * materialize and MERGE instead.
+  */
+final case class DmlTxLogRule(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  // re-anchored by NAME and wrapped as an opaque Column: the primitives
+  // resolve it against their own snapshot frame (the analyzer's exprIds
+  // don't exist there), and CheckAnalysis never walks into a Column
+  // field, so the deliberately-unresolved names don't trip it
+  private def unresolve(what: String, e: Expression): org.apache.spark.sql.Column = {
+    if (e.exists(_.isInstanceOf[
+        org.apache.spark.sql.catalyst.expressions.SubqueryExpression]))
+      throw new IllegalArgumentException(
+        s"$what on a txlog table does not support subqueries; " +
+          "materialize the subquery and use MERGE INTO or the library API")
+    org.apache.spark.sql.GraftSqlBridge.toColumn(e.transform {
+      case a: AttributeReference =>
+        org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(Seq(a.name))
+    })
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case d @ DeleteFromTable(target, condition) if condition.resolved =>
+      GraftSqlSurface.txlogTarget(target) match {
+        case None => d
+        case Some(table) =>
+          GraftDeleteCommand(table, unresolve("DELETE", condition))
+      }
+    case u @ UpdateTable(target, assignments, condition)
+        if assignments.forall(_.resolved) && condition.forall(_.resolved) =>
+      GraftSqlSurface.txlogTarget(target) match {
+        case None => u
+        case Some(table) =>
+          val sets = assignments.map { a =>
+            a.key match {
+              case ar: AttributeReference =>
+                ar.name -> unresolve("UPDATE", a.value)
+              case other => throw new IllegalArgumentException(
+                s"UPDATE on a txlog table supports only top-level column " +
+                  s"assignments, got ${other.sql}")
+            }
+          }
+          GraftUpdateCommand(table, sets,
+            condition.map(unresolve("UPDATE", _)).getOrElse(
+              org.apache.spark.sql.functions.lit(true)))
+      }
+  }
+}
+
+/** SQL time travel in SELECT (VERDICT r15 item 3) — Delta's spellings
+  * over txlog catalog tables:
+  *
+  * {{{
+  *   SELECT * FROM events VERSION AS OF 3
+  *   SELECT * FROM events TIMESTAMP AS OF 1700000000000   -- epoch millis
+  * }}}
+  *
+  * Spark's parser already produces [[RelationTimeTravel]]; for V1
+  * session-catalog tables the built-in resolution refuses it, so this
+  * rule intercepts the node FIRST (extension resolution rules run in the
+  * same fixed-point batch) when the named table's provider is txlog and
+  * resolves it to the exact relation the reader-option spelling builds
+  * ([[graft.sources.TxLogBatchSource]] `versionAsOf`/`timestampAsOf`) —
+  * one code path for both spellings.
+  */
+final case class TimeTravelTxLogRule(spark: SparkSession) extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedRelation}
+
+  /** The table's txlog root, if `parts` names a session-catalog table
+    * whose provider is txlog; None otherwise (the node stays with Spark).
+    */
+  private def txlogLocation(parts: Seq[String]): Option[String] = {
+    if (parts.isEmpty || parts.size > 2) return None
+    val ident = parts match {
+      case Seq(t) => TableIdentifier(t)
+      case Seq(db, t) => TableIdentifier(t, Some(db))
+    }
+    val cat = spark.sessionState.catalog
+    try {
+      if (!cat.tableExists(ident)) None
+      else {
+        val meta = cat.getTableMetadata(ident)
+        if (meta.provider.exists(_.equalsIgnoreCase("txlog"))) {
+          val uri = meta.location
+          Some(uri.getScheme match {
+            case null => uri.getPath
+            case "file" => new java.io.File(uri).getPath
+            case _ => uri.toString
+          })
+        } else None
+      }
+    } catch { case _: Exception => None }
+  }
+
+  /** Epoch millis from the TIMESTAMP AS OF expression: an integer literal
+    * is millis (the engine's commit-time unit); a timestamp-typed
+    * foldable evaluates to micros.
+    */
+  private def tsMillis(e: Expression): Long = {
+    require(e.foldable, s"TIMESTAMP AS OF must be a literal, got ${e.sql}")
+    e.eval(null) match {
+      case n: java.lang.Number
+          if e.dataType == org.apache.spark.sql.types.TimestampType =>
+        n.longValue() / 1000L
+      case n: java.lang.Number => n.longValue()
+      case s: org.apache.spark.unsafe.types.UTF8String
+          if s.toString.matches("\\d+") => s.toString.toLong
+      case other => throw new IllegalArgumentException(
+        s"TIMESTAMP AS OF on a txlog table takes epoch millis or a " +
+          s"timestamp literal, got $other")
+    }
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case tt @ RelationTimeTravel(u: UnresolvedRelation, ts, ver) =>
+      txlogLocation(u.multipartIdentifier) match {
+        case None => tt
+        case Some(path) =>
+          val reader = spark.read.format("txlog")
+          val withOpt = (ver, ts) match {
+            case (Some(v), _) => reader.option("versionAsOf", v.toLong)
+            case (None, Some(t)) => reader.option("timestampAsOf", tsMillis(t))
+            case _ => reader
+          }
+          withOpt.load(path).queryExecution.analyzed
+      }
+  }
+}
+
+/** The rewritten DELETE: one [[TxLog.deleteWhere]] commit (DV marks +
+  * write-time CDC artifacts; zero segments rewritten), returning the
+  * committed version.
+  */
+final case class GraftDeleteCommand(table: String,
+                                    condition: org.apache.spark.sql.Column)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(TxLog.deleteWhere(spark, table, condition)))
+}
+
+/** The rewritten UPDATE: one [[TxLog.updateWhere]] merge-on-read commit
+  * (DV marks over the matched rows + one post-image segment), returning
+  * the committed version.
+  */
+final case class GraftUpdateCommand(table: String,
+                                    sets: Seq[(String, org.apache.spark.sql.Column)],
+                                    condition: org.apache.spark.sql.Column)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(TxLog.updateWhere(spark, table, condition, sets)))
 }

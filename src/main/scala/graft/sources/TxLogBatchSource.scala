@@ -168,30 +168,51 @@ final class TxLogBatchSource extends RelationProvider
         }
       case _ => // Append, or first write under ErrorIfExists/Ignore
         // .option("mergeSchema", true): ADDITIVE auto-evolution on append
-        // (Delta's writer option) — new columns in the frame commit an
-        // evolve first (nullable, so prior segments read back null-filled),
-        // then the data lands; anything non-additive still refuses
-        // through evolve's own checks (dropped columns, type changes)
+        // (Delta's writer option) — new columns land WITH the data in ONE
+        // append_evolve commit (nullable, so prior segments read back
+        // null-filled; a separate evolve commit left a half-applied
+        // schema change if the append then failed — ADVICE r15).
+        // Existing columns match under the session's resolution rules:
+        // case-insensitively unless spark.sql.caseSensitive (a frame
+        // spelling an existing column with different case must not evolve
+        // in a duplicate). Anything non-additive still refuses through
+        // evolve's own checks (dropped columns, type changes).
         val mergeSchema = parameters.get("mergeSchema")
           .orElse(parameters.get("mergeschema"))
           .exists(_.trim.equalsIgnoreCase("true"))
-        if (mergeSchema && exists) {
-          val spark = sqlContext.sparkSession
-          val current = TxLog.recordedSchema(table)
-            .getOrElse(TxLog.snapshot(spark, table).schema)
-          val added = data.schema.fields
-            .filterNot(f => current.fieldNames.contains(f.name))
-          if (added.nonEmpty)
-            TxLog.evolve(table,
-              StructType(current.fields ++ added.map(_.copy(nullable = true))))
-        }
-        (partCols, statsCols) match {
-          case (Seq(), None) => TxLog.append(data, table)
-          case (Seq(), Some(cs)) => TxLog.appendWithStats(data, table, cs)
-          case (pcs, None) => TxLog.appendPartitioned(data, table, pcs)
+        val evolveTo: Option[StructType] =
+          if (!mergeSchema || !exists) None
+          else {
+            val spark = sqlContext.sparkSession
+            val caseSensitive = spark.sessionState.conf.caseSensitiveAnalysis
+            val current = TxLog.recordedSchema(table)
+              .getOrElse(TxLog.snapshot(spark, table).schema)
+            def key(n: String) = if (caseSensitive) n else n.toLowerCase
+            val existing = current.fieldNames.map(key).toSet
+            val added = data.schema.fields
+              .filterNot(f => existing.contains(key(f.name)))
+            if (added.isEmpty) None
+            else Some(StructType(current.fields ++ added.map(_.copy(nullable = true))))
+          }
+        (partCols, statsCols, evolveTo) match {
+          case (Seq(), None, Some(ns)) => TxLog.appendWithEvolve(data, table, ns)
+          // partitioned/stats merges keep the two-commit path (their
+          // staging shapes don't compose with append_evolve yet); the
+          // evolve is validated first so the failure window only spans
+          // metadata, never half the data
+          case (pcs, cs, Some(ns)) =>
+            TxLog.evolve(table, ns)
+            (pcs, cs) match {
+              case (Seq(), Some(c)) => TxLog.appendWithStats(data, table, c)
+              case (p, None) => TxLog.appendPartitioned(data, table, p)
+              case (p, Some(c)) => TxLog.appendPartitionedWithStats(data, table, p, c)
+            }
+          case (Seq(), None, None) => TxLog.append(data, table)
+          case (Seq(), Some(cs), None) => TxLog.appendWithStats(data, table, cs)
+          case (pcs, None, None) => TxLog.appendPartitioned(data, table, pcs)
           // partitionBy(a, b, ...) + statsCols: path pruning on the
           // partition levels, per-leaf min/max/NDV/histogram on the rest
-          case (pcs, Some(cs)) =>
+          case (pcs, Some(cs), None) =>
             TxLog.appendPartitionedWithStats(data, table, pcs, cs)
         }
     }

@@ -50,9 +50,13 @@ object TxLogCdf {
   val ChangeTypeCol: String = TxLog.ChangeTypeColName
   val CommitVersionCol: String = TxLogStreamSource.CommitVersionCol
 
-  /** Insert-shaped ops: commits whose adds are exactly their change set. */
+  /** Insert-shaped ops: commits whose adds are exactly their change set
+    * (append_evolve carries a schema beside its adds, but its change set
+    * is still exactly the staged segment).
+    */
   private def insertShaped(op: String): Boolean =
-    op == "append" || op.startsWith("stream_append_b") || op.startsWith("txn:")
+    op == "append" || op == "append_evolve" ||
+      op.startsWith("stream_append_b") || op.startsWith("txn:")
 
   /** Content-neutral ops: layout maintenance and pure metadata. */
   private def neutral(op: String): Boolean = op match {
@@ -368,15 +372,40 @@ object TxLogCdf {
   }
 }
 
-/** V1 relation wrapping [[TxLogCdf.changeFrame]]; see the object doc. */
+/** V1 relation wrapping [[TxLogCdf.changeFrame]]; see the object doc.
+  *
+  * PRUNED scan (VERDICT r15 item 7): Spark hands the query's required
+  * columns down, and projecting them on TOP of the change frame lets
+  * Catalyst push the pruning into the frame's own plan — the coalesced
+  * INSERT scans (the table-sized part of any feed) then read only the
+  * needed parquet columns. The rewrite branches keep whatever the
+  * bag-diff semantically needs (the group key is the full row — pruning
+  * below the diff would cancel rows that differ in a dropped column),
+  * which is exactly the correct boundary.
+  */
 final class TxLogCdfRelation(ctx: org.apache.spark.sql.SQLContext,
                              table: String, fromV: Long, toV: Long,
                              cdcKey: Option[String])
     extends org.apache.spark.sql.sources.BaseRelation
-    with org.apache.spark.sql.sources.TableScan {
+    with org.apache.spark.sql.sources.PrunedScan {
   override def sqlContext: org.apache.spark.sql.SQLContext = ctx
   override lazy val schema: StructType =
     TxLogCdf.fullSchema(ctx.sparkSession, table, toV)
-  override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
-    TxLogCdf.changeFrame(ctx.sparkSession, table, fromV, toV, cdcKey).rdd
+  override def buildScan(requiredColumns: Array[String])
+      : org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
+    TxLogCdfRelation.lastRequired = Some(requiredColumns.toSeq)
+    val df = TxLogCdf.changeFrame(ctx.sparkSession, table, fromV, toV, cdcKey)
+    val projected =
+      if (requiredColumns.isEmpty) df
+      else df.select(requiredColumns.map(col).toIndexedSeq: _*)
+    projected.rdd
+  }
+}
+
+object TxLogCdfRelation {
+  /** Last pruned column set a CDF scan was asked for — spec observability
+    * for pruning that is otherwise invisible through the RDD seam.
+    * Test-only; racy under concurrent scans by design.
+    */
+  @volatile var lastRequired: Option[Seq[String]] = None
 }

@@ -143,6 +143,139 @@ class ExtensionsSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS graft_sql_spec")
   }
 
+  test("SQL DELETE FROM / UPDATE route through the deletion-vector primitives") {
+    import spark.implicits._
+    val t = java.nio.file.Files.createTempDirectory("txdml-").resolve("t").toString
+    graft.ops.TxLog.append(
+      Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L)).toDF("k", "v"), t)
+    spark.sql(s"CREATE TABLE graft_dml_spec USING txlog LOCATION '$t'")
+    try {
+      // UPDATE: merge-on-read — matched rows DV-marked, post-images in one
+      // new segment, the original segment untouched
+      val before = graft.ops.TxLog.liveFiles(t).toSet
+      val v2 = spark.sql(
+        "UPDATE graft_dml_spec SET v = v + 1 WHERE k % 2 = 0").head().getLong(0)
+      assert(v2 === 2L)
+      val m2 = graft.ops.TxLog.readManifest(t, 2L)
+      assert(m2.op === "update" && m2.removes.isEmpty && m2.dv.size === 1)
+      assert(before.subsetOf(graft.ops.TxLog.liveFiles(t).toSet))
+      assert(spark.sql("SELECT k, v FROM graft_dml_spec ORDER BY k")
+        .as[(Long, Long)].collect().toSeq ===
+        Seq(1L -> 10L, 2L -> 21L, 3L -> 30L, 4L -> 41L))
+      // DELETE: DV marks only, nothing staged beyond the marks
+      val v3 = spark.sql("DELETE FROM graft_dml_spec WHERE k = 3").head().getLong(0)
+      assert(v3 === 3L)
+      assert(graft.ops.TxLog.readManifest(t, 3L).op === "delete")
+      assert(spark.sql("SELECT k FROM graft_dml_spec ORDER BY k")
+        .as[Long].collect().toSeq === Seq(1L, 2L, 4L))
+      // the change feed pairs the update from its write-time artifacts
+      val ch = spark.sql(
+        s"SELECT k, _change_type FROM table_changes('$t', 1, 2, 'k') ORDER BY k, _change_type")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(ch === Seq((2L, "update_postimage"), (2L, "update_preimage"),
+        (4L, "update_postimage"), (4L, "update_preimage")))
+      // time travel still sees the pre-DML snapshot
+      assert(spark.read.format("txlog").option("versionAsOf", 1).load(t)
+        .count() === 4L)
+      // a WHERE subquery refuses loudly (the primitive filters one relation)
+      val sub = intercept[Exception] {
+        spark.sql("DELETE FROM graft_dml_spec WHERE k IN " +
+          "(SELECT k FROM graft_dml_spec WHERE v > 20)").collect()
+      }
+      assert(sub.getMessage.contains("subquer"), sub.getMessage)
+      // a non-txlog DELETE is untouched by the rule (Spark's own error)
+      spark.range(3).createOrReplaceTempView("plain_view")
+      intercept[Exception] {
+        spark.sql("DELETE FROM plain_view WHERE id = 1").collect()
+      }
+    } finally spark.sql("DROP TABLE IF EXISTS graft_dml_spec")
+  }
+
+  test("SELECT ... VERSION AS OF / TIMESTAMP AS OF resolve txlog time travel") {
+    import spark.implicits._
+    val t = java.nio.file.Files.createTempDirectory("txtt-").resolve("t").toString
+    graft.ops.TxLog.append(Seq((1L, 10L)).toDF("k", "v"), t)
+    graft.ops.TxLog.append(Seq((2L, 20L)).toDF("k", "v"), t)
+    // pin commit times for the timestamp spelling
+    Seq(1L -> 1000000L, 2L -> 2000000L).foreach { case (v, ts) =>
+      val p = java.nio.file.Paths.get(t, "_txlog", f"$v%020d.json")
+      java.nio.file.Files.writeString(p, java.nio.file.Files.readString(p)
+        .replaceAll("\"ts\":\\d+", s""""ts":$ts"""))
+    }
+    spark.sql(s"CREATE TABLE graft_tt_spec USING txlog LOCATION '$t'")
+    try {
+      assert(spark.sql("SELECT count(*) FROM graft_tt_spec").head().getLong(0) === 2L)
+      assert(spark.sql("SELECT k FROM graft_tt_spec VERSION AS OF 1")
+        .as[Long].collect().toSeq === Seq(1L))
+      assert(spark.sql(
+        "SELECT sum(v) FROM graft_tt_spec TIMESTAMP AS OF 1500000")
+        .head().getLong(0) === 10L)
+      // composes under ordinary SQL (join of two versions of one table)
+      val joined = spark.sql(
+        """SELECT cur.k, cur.v, old.v AS v_old
+          |FROM graft_tt_spec cur
+          |LEFT JOIN (SELECT * FROM graft_tt_spec VERSION AS OF 1) old
+          |  ON cur.k = old.k ORDER BY cur.k""".stripMargin)
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2))).toSeq
+      assert(joined === Seq((1L, 10L, 10L), (2L, 20L, -1L)))
+      // a non-txlog time travel is untouched (Spark's own error surfaces)
+      spark.range(2).createOrReplaceTempView("tt_plain")
+      intercept[Exception] {
+        spark.sql("SELECT * FROM tt_plain VERSION AS OF 1").collect()
+      }
+    } finally spark.sql("DROP TABLE IF EXISTS graft_tt_spec")
+  }
+
+  test("ALTER TABLE '<path>' drives evolve/rename/drop/constraint as SQL") {
+    import spark.implicits._
+    val t = java.nio.file.Files.createTempDirectory("txalter-").resolve("t").toString
+    graft.ops.TxLog.append(Seq((1L, 10L)).toDF("k", "v"), t)
+    assert(spark.sql(s"ALTER TABLE '$t' ADD COLUMNS (tag STRING, score BIGINT)")
+      .head().getLong(0) === 2L)
+    assert(spark.sql(s"ALTER TABLE '$t' RENAME COLUMN tag TO label")
+      .head().getLong(0) === 3L)
+    assert(spark.sql(s"ALTER TABLE '$t' DROP COLUMN score")
+      .head().getLong(0) === 4L)
+    assert(spark.sql(s"ALTER TABLE '$t' ADD CONSTRAINT v_pos CHECK (v >= 0)")
+      .head().getLong(0) === 5L)
+    // metadata only: the single data segment is untouched, the head
+    // snapshot reads the evolved shape null-filled
+    assert(graft.ops.TxLog.liveFiles(t).size === 1)
+    val snap = graft.ops.TxLog.snapshot(spark, t)
+    assert(snap.columns.toSeq === Seq("k", "v", "label"))
+    assert(snap.as[(Long, Long, Option[String])].head() === ((1L, 10L, None)))
+    // the resurrection guard still fires through the SQL spelling
+    val res = intercept[Exception] {
+      spark.sql(s"ALTER TABLE '$t' ADD COLUMNS (score BIGINT)").collect()
+    }
+    assert(res.getMessage.contains("resurrect") ||
+      res.getMessage.contains("re-adds"), res.getMessage)
+    // the constraint is in force for writes
+    val bad = intercept[Exception] {
+      graft.ops.TxLog.append(
+        Seq((2L, -5L, "x")).toDF("k", "v", "label"), t)
+    }
+    assert(bad.getMessage.contains("v_pos"), bad.getMessage)
+    // a named ALTER TABLE still goes to Spark (no shadowing)
+    intercept[Exception] {
+      spark.sql("ALTER TABLE nonexistent_graft_tbl DROP COLUMN x").collect()
+    }
+  }
+
+  test("leading SQL comments don't derail the statement shims") {
+    import spark.implicits._
+    val t = java.nio.file.Files.createTempDirectory("txcmt-").resolve("t").toString
+    graft.ops.TxLog.append(Seq((1L, 10L), (2L, 20L)).toDF("k", "v"), t)
+    // line comment, block comment, and both stacked
+    assert(spark.sql(s"-- compact it\nOPTIMIZE '$t'").head().getLong(0) === 2L)
+    assert(spark.sql(s"/* audit */ DESCRIBE HISTORY '$t'").count() === 2L)
+    assert(spark.sql(
+      s"/* multi\n   line */ -- and a line\n  DESCRIBE DETAIL '$t'").count() === 1L)
+    // ordinary commented statements still parse through the delegate
+    assert(spark.sql("-- plain\nSELECT 1 AS one").head().getInt(0) === 1)
+  }
+
   test("maintenance SQL + table_changes TVF drive the lake end to end") {
     import spark.implicits._
     val t = java.nio.file.Files.createTempDirectory("txsql2-").resolve("t").toString

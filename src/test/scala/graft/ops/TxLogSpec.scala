@@ -1809,14 +1809,90 @@ class TxLogSpec extends SparkSpec {
     assert(TxLog.snapshot(spark, t).count() === 4L)
   }
 
+  test("batch CDF read prunes to the required columns through the relation seam") {
+    val t = freshTable()
+    TxLog.append(Seq((1L, 10L, "a"), (2L, 20L, "b")).toDF("k", "v", "tag"), t)
+    TxLog.mergeDv(spark, Seq((2L, 22L, "b2")).toDF("k", "v", "tag"), t, "k")
+    val feed = spark.read.format("txlog").option("readChangeFeed", true).load(t)
+    // a narrow projection reaches the relation as the pruned column set
+    val got = feed.select("k", "_change_type").as[(Long, String)]
+      .collect().sorted.toSeq
+    assert(graft.sources.TxLogCdfRelation.lastRequired.map(_.toSet) ===
+      Some(Set("k", "_change_type")))
+    // v1 inserts both keys; v2's merge adds k=2's delete + re-insert pair
+    assert(got === Seq((1L, "insert"), (2L, "delete"), (2L, "insert"),
+      (2L, "insert")))
+    // the full read still answers every column
+    assert(feed.columns.toSeq ===
+      Seq("k", "v", "tag", "_change_type", "_commit_version"))
+    assert(feed.count() === 4L)
+  }
+
+  test("clone inherits the source's drop history: resurrection guard holds on the clone") {
+    val src = freshTable()
+    spark.range(3).selectExpr("id AS k", "id * 10 AS v", "CAST(id AS STRING) AS tag")
+      .write.format("txlog").mode("append").save(src)
+    TxLog.dropColumn(spark, src, "tag") // v2 — the v1 segment keeps the bytes
+    val dst = freshTable()
+    TxLog.cloneShallow(spark, src, dst)
+    // the clone references the pre-drop segment; re-adding 'tag' there
+    // would resurrect the source's old values — refused, exactly like
+    // the same evolve on the source (ADVICE r15, medium)
+    val schema = org.apache.spark.sql.types.StructType(
+      TxLog.recordedSchema(dst).get.fields :+
+        org.apache.spark.sql.types.StructField("tag",
+          org.apache.spark.sql.types.StringType, nullable = true))
+    val e = intercept[IllegalArgumentException] { TxLog.evolve(dst, schema) }
+    assert(e.getMessage.contains("resurrect"), e.getMessage)
+    // after a compact (clone-local rewrite) the name is free again
+    TxLog.compact(spark, dst)
+    assert(TxLog.evolve(dst, schema) > 0L)
+    assert(TxLog.snapshot(spark, dst).select("tag").na.drop().count() === 0L)
+  }
+
+  test("copyInto canonicalizes local source paths before the ledger") {
+    val land = Files.createTempDirectory("txlog-canon-")
+    val f = land.resolve("f1").toString
+    rows(1L -> 10L).write.parquet(f)
+    val t = freshTable()
+    val (v1, in1) = TxLog.copyInto(spark, t, Seq(f))
+    assert(v1 === 1L && in1.size === 1)
+    // the same file as non-canonical variants: dot segment, doubled
+    // separator, parent hop — all resolve to the ledger identity, no
+    // re-ingest (pre-fix each variant duplicated the rows — ADVICE r15)
+    val variants = Seq(
+      land.resolve("./f1").toString,
+      land.toString + "//f1",
+      land.resolve("sub/../f1").toString)
+    variants.foreach { p =>
+      val (_, ingested) = TxLog.copyInto(spark, t, Seq(p))
+      assert(ingested.isEmpty, s"variant $p re-ingested")
+    }
+    assert(TxLog.snapshot(spark, t).count() === 1L)
+  }
+
   test("writer mergeSchema: additive append auto-evolves; type change still refuses") {
     val t = freshTable()
     rows(1L -> 10L).write.format("txlog").mode("append").save(t)
-    // with mergeSchema the evolve commits first, then the data — and the
-    // evolve RECORDS the schema, so write validation is in force after
+    // with mergeSchema the new column and the data land in ONE atomic
+    // append_evolve commit (ADVICE r15) — the schema records, so write
+    // validation is in force after
     rows(2L -> 20L).withColumn("tag", lit("x"))
       .write.format("txlog").mode("append")
       .option("mergeSchema", "true").save(t)
+    assert(TxLog.currentVersion(t) === 2L) // one commit, not evolve+append
+    assert(TxLog.readManifest(t, 2L).op === "append_evolve")
+    // a case-variant spelling of an existing column is NOT a new column
+    // under default (case-insensitive) resolution: it must not evolve a
+    // duplicate (ADVICE r15) — the write refuses through validation
+    // instead of silently forking the schema
+    intercept[Exception] {
+      rows(3L -> 30L).withColumnRenamed("v", "V")
+        .write.format("txlog").mode("append")
+        .option("mergeSchema", "true").save(t)
+    }
+    assert(TxLog.recordedSchema(t).get.fieldNames.count(
+      _.equalsIgnoreCase("v")) === 1)
     val got = TxLog.snapshot(spark, t).as[(Long, Long, Option[String])]
       .collect().sortBy(_._1).toSeq
     assert(got === Seq((1L, 10L, None), (2L, 20L, Some("x"))))
@@ -1857,6 +1933,38 @@ class TxLogSpec extends SparkSpec {
     // conservative full scan, not a false prune
     val (_, scannedLong, totalLong) = TxLog.snapshotPointLookup(spark, t, "name", 42L)
     assert((scannedLong, totalLong) === (2, 2))
+  }
+
+  test("updateWhere: merge-on-read post-images, type/constraint gates, CAS conflict") {
+    val t = freshTable()
+    TxLog.append(rows(1L -> 10L, 2L -> 20L, 3L -> 30L), t)
+    TxLog.addConstraint(spark, t, "v_pos", "v >= 0")
+    val before = TxLog.liveFiles(t).toSet
+    // assignments cast back to the column's recorded type (the 0.5 sums
+    // as a LONG post-image), matched rows DV-marked, nothing rewritten
+    val v = TxLog.updateWhere(spark, t, col("k") % 2 === 1,
+      Seq("v" -> (col("v") + lit(1.5))))
+    assert(v === 3L)
+    val m = TxLog.readManifest(t, 3L)
+    assert(m.op === "update" && m.removes.isEmpty && m.dv.size === 1 &&
+      m.adds.size === 1)
+    assert(before.subsetOf(TxLog.liveFiles(t).toSet))
+    assert(TxLog.snapshot(spark, t).as[(Long, Long)].collect().sorted.toSeq ===
+      Seq(1L -> 11L, 2L -> 20L, 3L -> 31L))
+    // a second update stacks on the standing DV chain (marks accumulate,
+    // the first update's post-image segment is matched like any row)
+    TxLog.updateWhere(spark, t, col("k") === 1L, Seq("v" -> lit(100L)))
+    assert(TxLog.snapshot(spark, t).as[(Long, Long)].collect().sorted.toSeq ===
+      Seq(1L -> 100L, 2L -> 20L, 3L -> 31L))
+    // post-images must pass CHECK constraints — the whole statement refuses
+    val bad = intercept[IllegalArgumentException] {
+      TxLog.updateWhere(spark, t, col("k") === 2L, Seq("v" -> lit(-5L)))
+    }
+    assert(bad.getMessage.contains("v_pos"), bad.getMessage)
+    // unknown SET column refuses
+    intercept[IllegalArgumentException] {
+      TxLog.updateWhere(spark, t, col("k") === 2L, Seq("nope" -> lit(1L)))
+    }
   }
 
   test("string bounds compare in UTF8 binary order, not Java UTF-16 (supplementary planes)") {

@@ -22,6 +22,41 @@ class ZOrderSpec extends SparkSpec {
     assert(got == pts.map { case (x, y) => morton(x, y) })
   }
 
+  /** Reference N-dim Morton interleave, bit by bit. */
+  private def mortonN(xs: Seq[Long], bits: Int): Long =
+    xs.zipWithIndex.foldLeft(0L) { case (acc, (x, j)) =>
+      (0 until bits).foldLeft(acc) { (a, i) =>
+        a | (((x >> i) & 1L) << (i * xs.size + j))
+      }
+    }
+
+  test("zkeyN: 2-D delegates to zkey; 3-D matches the reference and its scalar twin") {
+    val rng = new scala.util.Random(11)
+    // 2-D: column path == mask-sequence zkey == scalar
+    val pts2 = Seq.fill(20)((rng.nextInt(65536).toLong, rng.nextInt(65536).toLong))
+    val got2 = pts2.toDF("x", "y")
+      .select(ZOrder.zkeyN(Seq(col("x"), col("y"))).as("z")).as[Long].collect().toSeq
+    assert(got2 == pts2.map { case (x, y) => ZOrder.zkeyScalar(x, y) })
+    // 3-D: 16 bits per dim (48-bit key); corners + randoms
+    val b3 = ZOrder.bitsFor(3)
+    assert(b3 === 16)
+    val m3 = (1L << b3) - 1
+    val pts3 = Seq(Seq(0L, 0L, 0L), Seq(m3, m3, m3), Seq(1L, 2L, 4L)) ++
+      Seq.fill(30)(Seq.fill(3)(rng.nextInt(1 << b3).toLong))
+    val got3 = pts3.map(p => (p(0), p(1), p(2))).toDF("x", "y", "w")
+      .select(ZOrder.zkeyN(Seq(col("x"), col("y"), col("w"))).as("z"))
+      .as[Long].collect().toSeq
+    assert(got3 == pts3.map(mortonN(_, b3)))
+    assert(got3 == pts3.map(ZOrder.zkeyScalarN))
+    // an aligned power-of-two cube is one contiguous z-range: every point
+    // inside [0,4)^3 keys within [z(0,0,0), z(3,3,3)]
+    val zhi = ZOrder.zkeyScalarN(Seq(3L, 3L, 3L))
+    val inside = for { x <- 0L until 4L; y <- 0L until 4L; w <- 0L until 4L }
+      yield ZOrder.zkeyScalarN(Seq(x, y, w))
+    assert(inside.min === 0L && inside.max === zhi &&
+      inside.toSet.size === 64 && zhi === 63L)
+  }
+
   test("cluster() gives every output file locality in BOTH dimensions") {
     val grid = for { x <- 0 until 64; y <- 0 until 64 } yield (x.toLong, y.toLong)
     val out = java.nio.file.Files.createTempDirectory("graft-zorder-").toString
