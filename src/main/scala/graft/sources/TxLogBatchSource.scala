@@ -312,6 +312,12 @@ final class TxLogRelation(ctx: SQLContext, val table: String, val asOf: Option[L
   // segments that provably contain NO matching row
   override def unhandledFilters(filters: Array[Filter]): Array[Filter] = filters
 
+  // hand back the inner plan's INTERNAL rows (toRdd) instead of
+  // externalizing to Row and letting Spark re-encode — the V1 seam's
+  // double conversion cost ~2 µs/row, measurable on every snapshot read
+  // (r16 cdf adjudication found it first on the change feed)
+  override def needConversion: Boolean = false
+
   override def buildScan(requiredColumns: Array[String],
                          filters: Array[Filter]): RDD[Row] = {
     // every column ANY live segment tracks is a pruning candidate —
@@ -355,11 +361,11 @@ final class TxLogRelation(ctx: SQLContext, val table: String, val asOf: Option[L
         TxLogBatchSource.lastPrune = None
         TxLog.snapshot(spark, table, asOf)
       }
-    val projected =
-      if (requiredColumns.isEmpty) df
-      else df.select(requiredColumns.map(org.apache.spark.sql.functions.col)
-        .toIndexedSeq: _*)
-    projected.rdd
+    // internal rows must match the REQUESTED width exactly — a zero-column
+    // request (bare count) gets zero-field rows, not the full frame
+    val projected = df.select(requiredColumns
+      .map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
+    projected.queryExecution.toRdd.asInstanceOf[RDD[Row]]
   }
 
   /** Allowed values for partition column `c` from the pushed filters:

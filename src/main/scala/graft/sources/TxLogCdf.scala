@@ -123,7 +123,8 @@ object TxLogCdf {
       renamesV, withVersion)
     val rewriteFrames = ms.collect {
       case (v, m) if !insertShaped(m.op) && !neutral(m.op) =>
-        val f = persistedChanges(spark, m, dataSchema, v, pinV, renamesV, cdcKey)
+        val f = persistedChanges(spark, table, m, dataSchema, v, pinV,
+          renamesV, cdcKey)
           .getOrElse(diffFrame(spark, table, dataSchema, v, pinV, cdcKey,
             manifestOf, renamesV))
         if (withVersion) f.withColumn(CommitVersionCol, lit(v)) else f
@@ -145,7 +146,8 @@ object TxLogCdf {
                                dataSchema: StructType, pinV: Long,
                                renamesV: Seq[(Long, TxLog.Rename)],
                                withVersion: Boolean): Option[DataFrame] = {
-    import org.apache.spark.sql.functions.{element_at, regexp_extract, typedLit}
+    import org.apache.spark.sql.functions.{element_at, substring,
+      substring_index, typedLit}
     if (inserts.isEmpty) return None
     val uuidRe = "data/([0-9a-fA-F\\-]{36})"
     def uuidOf(p: String): Option[String] =
@@ -156,10 +158,16 @@ object TxLogCdf {
     val uuidToV = fileToV.collect { case (_, u, v) if u.nonEmpty => u -> v }.toMap
     val coalesce = fileToV.forall(_._2.nonEmpty) &&
       uuidToV.size == fileToV.map(_._2).distinct.size // no cross-version uuid
+    // the segment uuid sits right after the LAST '/data/' (partition
+    // suffixes Hive-escape '/', so none can follow it) — plain
+    // substring ops, ~2× cheaper per row than the regexp_extract this
+    // replaces (r16 cdf adjudication: the derivation runs on every
+    // insert row of a feed read)
     val verCol =
       if (!withVersion) None
       else Some(element_at(typedLit(uuidToV),
-        regexp_extract(col("_metadata.file_path"), uuidRe, 1))
+        substring(substring_index(col("_metadata.file_path"), "/data/", -1),
+          1, 36))
         .as(CommitVersionCol))
     val renames = renamesV.map(_._2)
     // the pinned logical names walked forward through post-pin renames
@@ -209,7 +217,8 @@ object TxLogCdf {
     * carries no artifacts (legacy log, overwrite/restore) — the caller
     * falls back to the snapshot diff.
     */
-  private def persistedChanges(spark: SparkSession, m: TxLog.Manifest,
+  private def persistedChanges(spark: SparkSession, table: String,
+                               m: TxLog.Manifest,
                                dataSchema: StructType, v: Long, pinV: Long,
                                renamesV: Seq[(Long, TxLog.Rename)],
                                cdcKey: Option[String]): Option[DataFrame] = {
@@ -222,7 +231,29 @@ object TxLogCdf {
         renamesV)
     val del = read(m.changeDeleteSrcs)
     val ins = read(m.changeInsertSrcs)
-    Some(bagDiffChanges(del, ins, dataSchema, cdcKey))
+    Some(bagDiffChanges(spark, table, del, ins, dataSchema, cdcKey,
+      // the diff of two IMMUTABLE artifact sets is a pure function of
+      // (commit, schema/rename epoch) — materialize it to scratch exactly
+      // like the legacy snapshot-diff path, so repeat feed reads replay a
+      // change-sized scan instead of re-running the union+aggregate and
+      // the 4 pre/post pairing branches over the raw artifacts (the
+      // r15→r16 lake_txlog_cdf_batch adjudication: per-read cost, not
+      // the write-time architecture)
+      materializeKey = Some(s"txcdfart_v${v}_e${epochHash(dataSchema,
+        renamesV, v, pinV).toHexString}")))
+  }
+
+  /** The schema-shape + rename-mapping hash both scratch keys use: two
+    * epochs that could produce different change rows never collide, and
+    * successive heads (same epoch) share the artifact.
+    */
+  private def epochHash(dataSchema: StructType,
+                        renamesV: Seq[(Long, TxLog.Rename)],
+                        v: Long, pinV: Long): Int = {
+    val lo = math.min(v, pinV); val hi = math.max(v, pinV)
+    (dataSchema.map(f => (f.name, f.dataType.sql)) ++
+      renamesV.collect { case (rv, r) if rv > lo && rv <= hi =>
+        (r.oldName, r.newName) }).hashCode() & 0xffffff
   }
 
   /** Align a commit-time artifact (columns named as of version `v`) to
@@ -252,10 +283,12 @@ object TxLogCdf {
     * pair by `cdcKey` into update pre/post images — the shared tail of
     * both the artifact path and the snapshot-diff path.
     */
-  private def bagDiffChanges(del0: DataFrame, ins0: DataFrame,
+  private def bagDiffChanges(spark: SparkSession, table: String,
+                             del0: DataFrame, ins0: DataFrame,
                              dataSchema: StructType,
-                             cdcKey: Option[String]): DataFrame = {
-    import org.apache.spark.sql.functions.{expr, explode, max => fmax, sum => fsum, when}
+                             cdcKey: Option[String],
+                             materializeKey: Option[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{sum => fsum}
     val cols = dataSchema.fieldNames.toIndexedSeq
     val taken = cols.toSet
     def fresh(base: String): String = {
@@ -265,10 +298,14 @@ object TxLogCdf {
     }
     val dc = fresh("__cdf_delta")
     val ic = fresh("__cdf_i")
-    val changed = del0.withColumn(dc, lit(-1L))
+    def changed0 = del0.withColumn(dc, lit(-1L))
       .unionByName(ins0.withColumn(dc, lit(1L)))
       .groupBy(cols.map(col): _*).agg(fsum(dc).as(dc))
       .filter(col(dc) =!= 0L)
+    val changed = materializeKey match {
+      case Some(k) => graft.ops.Scratch.materialize(k, spark, table)(changed0)
+      case None => changed0
+    }
     fanAndPair(changed, cols, dc, ic, cdcKey)
   }
 
@@ -357,10 +394,7 @@ object TxLogCdf {
     // snapshots, the pinned schema SHAPE, and the rename mapping between
     // v and the pin — hash the latter two so distinct epochs never
     // collide while successive heads (same epoch) share the artifact
-    val lo = math.min(v, pinV); val hi = math.max(v, pinV)
-    val epoch = (dataSchema.map(f => (f.name, f.dataType.sql)) ++
-      renamesV.collect { case (rv, r) if rv > lo && rv <= hi =>
-        (r.oldName, r.newName) }).hashCode() & 0xffffff
+    val epoch = epochHash(dataSchema, renamesV, v, pinV)
     val changed = graft.ops.Scratch.materialize(
       s"txcdf_v${v}_e${epoch.toHexString}", spark, table) {
       aligned(v - 1).withColumn(dc, lit(-1L))
@@ -391,14 +425,19 @@ final class TxLogCdfRelation(ctx: org.apache.spark.sql.SQLContext,
   override def sqlContext: org.apache.spark.sql.SQLContext = ctx
   override lazy val schema: StructType =
     TxLogCdf.fullSchema(ctx.sparkSession, table, toV)
+  // the scan hands back the inner plan's INTERNAL rows (toRdd) instead of
+  // externalizing to Row and letting Spark re-encode — the double
+  // conversion cost ~0.4 s per 200k change rows (r16 cdf adjudication)
+  override def needConversion: Boolean = false
   override def buildScan(requiredColumns: Array[String])
       : org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
     TxLogCdfRelation.lastRequired = Some(requiredColumns.toSeq)
     val df = TxLogCdf.changeFrame(ctx.sparkSession, table, fromV, toV, cdcKey)
-    val projected =
-      if (requiredColumns.isEmpty) df
-      else df.select(requiredColumns.map(col).toIndexedSeq: _*)
-    projected.rdd
+    // internal rows must match the REQUESTED width exactly — a zero-column
+    // request (bare count) gets zero-field rows, not the full frame
+    val projected = df.select(requiredColumns.map(col).toIndexedSeq: _*)
+    projected.queryExecution.toRdd
+      .asInstanceOf[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]]
   }
 }
 
