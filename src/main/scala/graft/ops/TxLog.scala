@@ -3167,6 +3167,58 @@ object TxLog {
       s"$table: copyInto starved after 100 attempts")
   }
 
+  /** CONVERT an existing parquet directory into a txlog table IN PLACE
+    * (Delta's `CONVERT TO DELTA`) — the migration operator: ONE metadata
+    * commit referencing the directory's existing parquet files, zero
+    * bytes rewritten or copied, so converting a 100-TB layout costs one
+    * directory walk. The log lands inside the directory (`_txlog/`),
+    * after which every lake mechanism applies — appends stage into
+    * `data/`, DV deletes, time travel, constraints, SQL.
+    *
+    * Accepted layouts (exactly Spark's own writer output):
+    *  - PLAIN: top-level `*.parquet` part-files → each file one segment;
+    *  - HIVE-PARTITIONED: nested `col=value` dirs → each leaf dir one
+    *    segment, so the converted table prunes partitions from the
+    *    manifest exactly like an [[appendPartitioned]]-written one.
+    * A mixed or unrecognized layout refuses loudly.
+    *
+    * Caveat (same class as [[cloneShallow]]'s): the converted files live
+    * OUTSIDE `data/`, so [[vacuum]] never collects them even after a
+    * rewrite drops the last reference — converted bytes are the caller's
+    * to retire.
+    */
+  def convertInPlace(spark: SparkSession, dir: String): Long = {
+    require(currentVersion(dir) == 0,
+      s"convert: $dir already has txlog commits")
+    val root = Paths.get(dir)
+    require(Files.isDirectory(root), s"convert: $dir is not a directory")
+    def hidden(p: Path): Boolean = {
+      val n = p.getFileName.toString
+      n.startsWith("_") || n.startsWith(".")
+    }
+    val top = listClosed(Files.list(root)).filterNot(hidden)
+    val files = top.filter(p => Files.isRegularFile(p) &&
+      p.getFileName.toString.endsWith(".parquet"))
+    val dirs = top.filter(Files.isDirectory(_))
+    def partDir(p: Path): Boolean = p.getFileName.toString.indexOf('=') > 0
+    val adds: Seq[String] =
+      if (files.nonEmpty && dirs.isEmpty) files.map(_.toString)
+      else if (files.isEmpty && dirs.nonEmpty && dirs.forall(partDir)) {
+        def leaves(p: Path): Seq[Path] = {
+          val kids = listClosed(Files.list(p)).filterNot(hidden)
+          val (ds, fs) = kids.partition(Files.isDirectory(_))
+          if (fs.isEmpty && ds.nonEmpty && ds.forall(partDir)) ds.flatMap(leaves)
+          else Seq(p)
+        }
+        dirs.flatMap(leaves).map(_.toString)
+      } else throw new IllegalArgumentException(
+        s"convert: $dir is neither a plain parquet directory nor a " +
+          "hive-partitioned (col=value) layout — cannot convert in place")
+    require(adds.nonEmpty, s"convert: $dir holds no parquet data")
+    init(dir)
+    commit(dir, "convert", adds, Seq.empty, 0L)
+  }
+
   /** Garbage-collect segment dirs referenced by NO version ≥
     * `keepVersionsFrom` — removes both crash-orphaned staged data (never
     * committed) and segments only old snapshots could see. Time travel

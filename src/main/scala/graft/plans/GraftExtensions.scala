@@ -191,8 +191,21 @@ object GraftTableFunctions {
         require(args.size >= 2 && args.size <= 4,
           s"table_changes takes 2-4 arguments, got ${args.size}")
         val spark = SparkSession.active
+        val raw = strLit("table_changes", args.head)
+        // Delta's spelling passes the TABLE NAME; path spellings keep
+        // working — a name that resolves in the session catalog to a
+        // txlog table reads through its location
         val table = graft.sources.TxLogBatchSource.localPath(
-          strLit("table_changes", args.head))
+          if (raw.contains("/")) raw
+          else {
+            val ident = spark.sessionState.sqlParser.parseTableIdentifier(raw)
+            if (spark.sessionState.catalog.tableExists(ident)) {
+              val meta = spark.sessionState.catalog.getTableMetadata(ident)
+              require(meta.provider.exists(_.equalsIgnoreCase("txlog")),
+                s"table_changes('$raw'): not a txlog table")
+              meta.location.toString
+            } else raw
+          })
         val fromV = longLit("table_changes", args(1))
         val toV =
           if (args.size >= 3) longLit("table_changes", args(2))

@@ -76,6 +76,9 @@ final class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)^\s*ALTER\s+TABLE\s+'([^']+)'\s+RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)\s*;?\s*$""".r
   private val AlterDropCol =
     """(?is)^\s*ALTER\s+TABLE\s+'([^']+)'\s+DROP\s+COLUMN\s+(\w+)\s*;?\s*$""".r
+  // Delta's CONVERT TO DELTA, txlog spelling — in-place metadata convert
+  private val ConvertToTxLog =
+    """(?is)^\s*CONVERT\s+TO\s+TXLOG\s+'([^']+)'\s*;?\s*$""".r
 
   private def target(raw: String): (String, Boolean) = {
     val t = raw.trim
@@ -144,6 +147,7 @@ final class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       AlterTxLogCommand(path, "rename_column", Seq(from, to))
     case AlterDropCol(path, name) =>
       AlterTxLogCommand(path, "drop_column", Seq(name))
+    case ConvertToTxLog(path) => ConvertToTxLogCommand(path)
     case _ => delegate.parsePlan(sqlText)
   }
 
@@ -401,6 +405,20 @@ final case class AlterTxLogCommand(path: String, action: String,
     }
     Seq(Row(v))
   }
+}
+
+/** `CONVERT TO TXLOG '<path>'` — one [[TxLog.convertInPlace]] metadata
+  * commit turning an existing parquet directory (plain or Hive-
+  * partitioned) into a txlog table without moving a byte. Returns the
+  * committed version (1).
+  */
+final case class ConvertToTxLogCommand(path: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(TxLog.convertInPlace(spark, path)))
 }
 
 private[plans] object GraftSqlSurface {

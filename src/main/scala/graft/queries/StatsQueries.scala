@@ -257,6 +257,48 @@ object StatsQueries extends QueryPack {
       tbl
     })
 
+  /** CONVERT TO TXLOG fixture (the migration operator): orders written
+    * as a PLAIN Spark hive-partitioned parquet layout (no log), converted
+    * in place by the SQL statement — one metadata commit referencing the
+    * existing leaf dirs, zero bytes moved — then a DV delete composes on
+    * top, proving the converted table is a first-class lake table.
+    */
+  private def txConvertTable(s: SparkSession, d: String): String =
+    txTables.computeIfAbsent((s, "convert:" + d), _ => {
+      val t = s"${graft.ops.Scratch.base}/txconvert_${(d.hashCode & 0xffffff).toHexString}"
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), Cleaning.cents(col("o_totalprice")).as("cents"),
+          col("o_orderstatus"))
+        .write.partitionBy("o_orderstatus").mode("overwrite").parquet(t)
+      val v = s.sql(s"CONVERT TO TXLOG '$t'").head().getLong(0)
+      require(v == 1L, s"convert must land as commit 1, got $v")
+      graft.ops.TxLog.deleteWhere(s, t, col("o_orderkey") % 7 === 0)
+      t
+    })
+
+  /** SQL INSERT fixture: odds committed through the library (v1), evens
+    * arriving via `INSERT INTO … SELECT` through the V1 relation's
+    * insert seam (v2) — the first DML a migrating user types after
+    * CREATE TABLE. Returns the catalog name.
+    */
+  private def txSqlInsertTable(s: SparkSession, d: String): String =
+    txTables.computeIfAbsent((s, "sqlins:" + d), _ => {
+      val h = (d.hashCode & 0xffffff).toHexString
+      val t = s"${graft.ops.Scratch.base}/txsqlins_$h"
+      val tbl = s"graft_ins_$h"
+      val base = Tables.orders(s, d)
+        .select(col("o_orderkey"), Cleaning.cents(col("o_totalprice")).as("cents"))
+      graft.ops.TxLog.append(base.filter(col("o_orderkey") % 2 === 1), t)
+      s.sql(s"CREATE TABLE IF NOT EXISTS $tbl USING txlog LOCATION '$t'")
+      base.filter(col("o_orderkey") % 2 === 0)
+        .createOrReplaceTempView(s"${tbl}_src")
+      s.sql(s"INSERT INTO $tbl SELECT * FROM ${tbl}_src")
+      require(graft.ops.TxLog.currentVersion(t) == 2L &&
+        graft.ops.TxLog.readManifest(t, 2L).op == "append",
+        "INSERT INTO must land as one append commit")
+      tbl
+    })
+
   /** ALTER TABLE SQL fixture (VERDICT r15 item 4): the full schema-
     * evolution lifecycle driven through the quoted-path ALTER statements
     * — ADD COLUMNS (v2 evolve), RENAME COLUMN (v3), DROP COLUMN (v4),
@@ -2309,6 +2351,34 @@ object StatsQueries extends QueryPack {
            |     (SELECT COUNT(*) AS n, SUM(cents) AS s FROM $tbl) cur""".stripMargin)
     }),
 
+    // CONVERT TO TXLOG (Delta's CONVERT TO DELTA): an existing hive-
+    // partitioned parquet layout becomes a lake table by ONE metadata
+    // commit — the converted table partition-prunes from the manifest
+    // (1 of 3 status leaves scanned, pinned in-band) and composes with
+    // DV deletes like any txlog table.
+    "lake_txlog_convert" -> ((s, d) => {
+      val t = txConvertTable(s, d)
+      val r = s.read.format("txlog").load(t)
+        .filter(col("o_orderstatus") === "F")
+        .agg(count(lit(1)).as("n_rows"), sum("cents").as("sum_cents")).head()
+      val (scanned, total) =
+        graft.sources.TxLogBatchSource.lastPrune.getOrElse((-1, -1))
+      import s.implicits._
+      Seq((scanned.toLong, total.toLong, r.getLong(0), r.getLong(1)))
+        .toDF("scanned", "total", "n_rows", "sum_cents")
+    }),
+
+    // INSERT INTO ... SELECT as SQL: the V1 relation's insert seam lands
+    // the evens as one append commit beside the library-written odds —
+    // the readback is the full base, with the op history pinned in-band.
+    "sql_txlog_insert" -> ((s, d) => {
+      val tbl = txSqlInsertTable(s, d)
+      val ops = s.sql(s"DESCRIBE HISTORY $tbl").orderBy("version")
+        .select("op").collect().map(_.getString(0)).mkString(",")
+      s.sql(s"SELECT COUNT(*) AS n_rows, SUM(cents) AS sum_cents FROM $tbl")
+        .select(lit(ops).as("history_ops"), col("n_rows"), col("sum_cents"))
+    }),
+
     // ALTER TABLE as SQL (VERDICT r15 item 4): the four statements drive
     // evolve/rename/drop/constraint as metadata commits; the readback
     // pins the op history, the final column set (renamed column present,
@@ -3066,6 +3136,18 @@ object StatsQueries extends QueryPack {
         |  CAST(round(o_totalprice * 100) AS BIGINT)
         |    + CASE WHEN o_orderkey % 5 = 0 THEN 500 ELSE 0 END AS cents
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "lake_txlog_convert" ->
+      """SELECT CAST(1 AS BIGINT) AS scanned, CAST(3 AS BIGINT) AS total,
+        |  COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents
+        |FROM orders
+        |WHERE o_orderstatus = 'F' AND o_orderkey % 7 <> 0""".stripMargin,
+    "sql_txlog_insert" ->
+      """SELECT 'append,append' AS history_ops, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents
+        |FROM orders""".stripMargin,
     "lake_txlog_zorder3" ->
       """SELECT CAST(4 AS BIGINT) AS total_before, CAST(1 AS BIGINT) AS scan_after,
         |  CAST(16 AS BIGINT) AS total_after, COUNT(*) AS n_rows,

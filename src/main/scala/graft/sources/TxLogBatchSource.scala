@@ -158,12 +158,23 @@ final class TxLogBatchSource extends RelationProvider
             "(SaveMode.ErrorIfExists); use append or overwrite")
       case SaveMode.Ignore if exists => () // table stands — no-op
       case SaveMode.Overwrite =>
-        (partCols, statsCols) match {
-          case (Seq(), None) => TxLog.overwrite(data, table)
+        // .option("replaceWhere", "col = 'value'") — Delta's selective
+        // overwrite: exactly one partition's segments swap atomically,
+        // every other partition untouched (TxLog.overwritePartition's
+        // cross-partition-row refusal applies). Only the partition-
+        // equality shape is accepted; arbitrary predicates belong to
+        // deleteWhere + append or MERGE.
+        val replaceWhere = parameters.get("replaceWhere")
+          .orElse(parameters.get("replacewhere"))
+        (replaceWhere, partCols, statsCols) match {
+          case (Some(pred), _, _) =>
+            val (c, v) = TxLogBatchSource.parseReplaceWhere(pred)
+            TxLog.overwritePartition(data, table, c, v)
+          case (None, Seq(), None) => TxLog.overwrite(data, table)
           // overwrite + statsCols records skipping stats on the
           // replacement — never silently dropped (ADVICE r13)
-          case (Seq(), Some(cs)) => TxLog.overwriteWithStats(data, table, cs)
-          case (pcs, cs) =>
+          case (None, Seq(), Some(cs)) => TxLog.overwriteWithStats(data, table, cs)
+          case (None, pcs, cs) =>
             TxLog.overwritePartitioned(data, table, pcs, cs.getOrElse(Seq.empty))
         }
       case _ => // Append, or first write under ErrorIfExists/Ignore
@@ -265,6 +276,20 @@ object TxLogBatchSource {
     */
   @volatile var lastPrune: Option[(Int, Int)] = None
 
+  /** The one replaceWhere shape the writer accepts: `col = 'value'`
+    * (single partition equality). Anything else refuses loudly.
+    */
+  private val ReplaceWhereEq = """(?s)^\s*(\w+)\s*=\s*'([^']*)'\s*$""".r
+
+  private[sources] def parseReplaceWhere(pred: String): (String, String) =
+    pred match {
+      case ReplaceWhereEq(c, v) => (c, v)
+      case _ => throw new IllegalArgumentException(
+        s"txlog replaceWhere supports the partition-equality shape " +
+          s"col = 'value', got: $pred — arbitrary predicates go through " +
+          "TxLog.deleteWhere + append, or MERGE INTO")
+    }
+
   /** `partitionBy(...)` columns as DataFrameWriter hands them to a V1
     * source: a JSON string array under `__partition_columns` (Spark's
     * `DataSourceUtils.PARTITIONING_COLUMNS_KEY`). A plain `partitionBy`
@@ -280,11 +305,30 @@ object TxLogBatchSource {
 }
 
 final class TxLogRelation(ctx: SQLContext, val table: String, val asOf: Option[Long])
-    extends BaseRelation with PrunedFilteredScan {
+    extends BaseRelation with PrunedFilteredScan with InsertableRelation {
 
   private def spark: SparkSession = ctx.sparkSession
 
   override def sqlContext: SQLContext = ctx
+
+  /** `INSERT INTO t SELECT …` / `INSERT OVERWRITE t …` on a txlog catalog
+    * table — Spark routes the statement to the V1 relation's insert; each
+    * lands as one atomic commit through the matching primitive (the first
+    * DML statement a migrating user types after CREATE TABLE). A
+    * partitioned table fans the frame back into its Hive layout, so the
+    * manifest geometry matches what `partitionBy(...).save` wrote.
+    */
+  override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+    require(asOf.isEmpty,
+      s"INSERT into $table: cannot write through a time-travel relation")
+    (overwrite, partitionCols) match {
+      case (false, Seq()) => TxLog.append(data, table)
+      case (false, pcs) => TxLog.appendPartitioned(data, table, pcs)
+      case (true, Seq()) => TxLog.overwrite(data, table)
+      case (true, pcs) => TxLog.overwritePartitioned(data, table, pcs, Seq.empty)
+    }
+    ()
+  }
 
   /** The table's partitioned layout (trailing `col=value` path levels),
     * empty for plain tables — detected once from manifest paths. A

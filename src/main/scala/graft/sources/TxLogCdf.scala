@@ -55,7 +55,8 @@ object TxLogCdf {
     * is still exactly the staged segment).
     */
   private def insertShaped(op: String): Boolean =
-    op == "append" || op == "append_evolve" ||
+    op == "append" || op == "append_evolve" || op == "convert" ||
+      op == "copyinto" ||
       op.startsWith("stream_append_b") || op.startsWith("txn:")
 
   /** Content-neutral ops: layout maintenance and pure metadata. */

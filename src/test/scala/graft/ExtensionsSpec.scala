@@ -168,9 +168,11 @@ class ExtensionsSpec extends SparkSpec {
       assert(graft.ops.TxLog.readManifest(t, 3L).op === "delete")
       assert(spark.sql("SELECT k FROM graft_dml_spec ORDER BY k")
         .as[Long].collect().toSeq === Seq(1L, 2L, 4L))
-      // the change feed pairs the update from its write-time artifacts
+      // the change feed pairs the update from its write-time artifacts —
+      // via the CATALOG NAME (Delta's table_changes spelling); the path
+      // spelling keeps working elsewhere
       val ch = spark.sql(
-        s"SELECT k, _change_type FROM table_changes('$t', 1, 2, 'k') ORDER BY k, _change_type")
+        s"SELECT k, _change_type FROM table_changes('graft_dml_spec', 1, 2, 'k') ORDER BY k, _change_type")
         .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
       assert(ch === Seq((2L, "update_postimage"), (2L, "update_preimage"),
         (4L, "update_postimage"), (4L, "update_preimage")))
@@ -225,6 +227,73 @@ class ExtensionsSpec extends SparkSpec {
         spark.sql("SELECT * FROM tt_plain VERSION AS OF 1").collect()
       }
     } finally spark.sql("DROP TABLE IF EXISTS graft_tt_spec")
+  }
+
+  test("INSERT INTO / INSERT OVERWRITE write through the V1 txlog relation") {
+    import spark.implicits._
+    val t = java.nio.file.Files.createTempDirectory("txins-").resolve("t").toString
+    graft.ops.TxLog.append(Seq((1L, 10L)).toDF("k", "v"), t)
+    spark.sql(s"CREATE TABLE graft_ins_spec USING txlog LOCATION '$t'")
+    try {
+      // INSERT INTO appends one atomic commit
+      spark.sql("INSERT INTO graft_ins_spec VALUES (2, 20), (3, 30)")
+      assert(graft.ops.TxLog.currentVersion(t) === 2L)
+      assert(graft.ops.TxLog.readManifest(t, 2L).op === "append")
+      assert(spark.sql("SELECT sum(v) FROM graft_ins_spec").head().getLong(0) === 60L)
+      // INSERT OVERWRITE swaps the whole snapshot in one commit
+      Seq((9L, 90L)).toDF("k", "v").createOrReplaceTempView("graft_ins_src")
+      spark.sql("INSERT OVERWRITE graft_ins_spec SELECT * FROM graft_ins_src")
+      assert(graft.ops.TxLog.readManifest(t, 3L).op === "overwrite")
+      assert(spark.sql("SELECT k, v FROM graft_ins_spec")
+        .as[(Long, Long)].collect().toSeq === Seq(9L -> 90L))
+      // old snapshots still travel
+      assert(spark.sql("SELECT count(*) FROM graft_ins_spec VERSION AS OF 2")
+        .head().getLong(0) === 3L)
+    } finally spark.sql("DROP TABLE IF EXISTS graft_ins_spec")
+    // partitioned table: INSERT INTO fans back into the Hive layout
+    val p = java.nio.file.Files.createTempDirectory("txinsp-").resolve("t").toString
+    graft.ops.TxLog.appendPartitioned(
+      Seq((1L, "en"), (2L, "de")).toDF("n", "lang"), p, "lang")
+    spark.sql(s"CREATE TABLE graft_insp_spec USING txlog LOCATION '$p'")
+    try {
+      spark.sql("INSERT INTO graft_insp_spec VALUES (3, 'fr')")
+      assert(graft.ops.TxLog.partitionLeaves(p)._2.flatten.toSet ===
+        Set("en", "de", "fr"))
+      assert(spark.sql(
+        "SELECT n FROM graft_insp_spec WHERE lang = 'fr'").head().getLong(0) === 3L)
+    } finally spark.sql("DROP TABLE IF EXISTS graft_insp_spec")
+  }
+
+  test("CONVERT TO TXLOG adopts plain and partitioned parquet layouts in place") {
+    import spark.implicits._
+    // plain layout: each part-file becomes a referenced segment
+    val plain = java.nio.file.Files.createTempDirectory("txconv-")
+      .resolve("t").toString
+    Seq((1L, 10L), (2L, 20L)).toDF("k", "v").repartition(1).write.parquet(plain)
+    assert(spark.sql(s"CONVERT TO TXLOG '$plain'").head().getLong(0) === 1L)
+    assert(graft.ops.TxLog.readManifest(plain, 1L).op === "convert")
+    assert(graft.ops.TxLog.snapshot(spark, plain).count() === 2L)
+    // full lake semantics compose on the converted table
+    graft.ops.TxLog.append(Seq((3L, 30L)).toDF("k", "v"), plain)
+    graft.ops.TxLog.deleteWhere(spark, plain, col("k") === 1L)
+    assert(graft.ops.TxLog.snapshot(spark, plain).as[(Long, Long)]
+      .collect().sorted.toSeq === Seq(2L -> 20L, 3L -> 30L))
+    // re-convert refuses
+    intercept[IllegalArgumentException] {
+      graft.ops.TxLog.convertInPlace(spark, plain)
+    }
+    // hive-partitioned layout: leaf dirs become segments, the layout
+    // partition-prunes through the standard reader
+    val part = java.nio.file.Files.createTempDirectory("txconvp-")
+      .resolve("t").toString
+    Seq((1L, "en"), (2L, "en"), (3L, "de")).toDF("n", "lang")
+      .write.partitionBy("lang").parquet(part)
+    assert(spark.sql(s"CONVERT TO TXLOG '$part'").head().getLong(0) === 1L)
+    assert(graft.ops.TxLog.partitionLayout(part) === Seq("lang"))
+    val en = spark.read.format("txlog").load(part)
+      .filter(col("lang") === "en").select("n").as[Long].collect().sorted.toSeq
+    assert(en === Seq(1L, 2L))
+    assert(graft.sources.TxLogBatchSource.lastPrune === Some((1, 2)))
   }
 
   test("ALTER TABLE '<path>' drives evolve/rename/drop/constraint as SQL") {

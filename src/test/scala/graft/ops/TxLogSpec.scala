@@ -1809,6 +1809,38 @@ class TxLogSpec extends SparkSpec {
     assert(TxLog.snapshot(spark, t).count() === 4L)
   }
 
+  test("writer replaceWhere swaps exactly one partition's segments") {
+    val t = freshTable()
+    val df = Seq((1L, "en"), (2L, "en"), (3L, "de"), (4L, "fr"))
+      .toDF("n", "lang")
+    df.write.format("txlog").partitionBy("lang").mode("append").save(t)
+    val before = TxLog.liveFiles(t)
+    val deSegs = before.filter(_.contains("lang=de")).toSet
+    val frSegs = before.filter(_.contains("lang=fr")).toSet
+    // selective overwrite: only lang=en replaced, one atomic commit
+    Seq((10L, "en"), (11L, "en")).toDF("n", "lang")
+      .write.format("txlog").mode("overwrite")
+      .option("replaceWhere", "lang = 'en'").save(t)
+    assert(TxLog.currentVersion(t) === 2L)
+    val after = TxLog.liveFiles(t)
+    assert(deSegs.subsetOf(after.toSet) && frSegs.subsetOf(after.toSet),
+      "untouched partitions must keep their exact segments")
+    assert(spark.read.format("txlog").load(t).select("n", "lang")
+      .as[(Long, String)].collect().sorted.toSeq ===
+      Seq(3L -> "de", 4L -> "fr", 10L -> "en", 11L -> "en"))
+    // cross-partition rows refuse; non-equality predicates refuse
+    intercept[IllegalArgumentException] {
+      Seq((12L, "de")).toDF("n", "lang")
+        .write.format("txlog").mode("overwrite")
+        .option("replaceWhere", "lang = 'en'").save(t)
+    }
+    intercept[IllegalArgumentException] {
+      Seq((12L, "en")).toDF("n", "lang")
+        .write.format("txlog").mode("overwrite")
+        .option("replaceWhere", "lang > 'a'").save(t)
+    }
+  }
+
   test("batch CDF read prunes to the required columns through the relation seam") {
     val t = freshTable()
     TxLog.append(Seq((1L, 10L, "a"), (2L, 20L, "b")).toDF("k", "v", "tag"), t)
