@@ -175,6 +175,9 @@ object TxLog {
   private def logDir(table: String): Path = Paths.get(table, "_txlog")
   private def fmt(v: Long): String = f"$v%020d.json"
 
+  /** Every Nth commit writes a checkpoint automatically (Delta's 10). */
+  val AutoCheckpointInterval: Long = 10L
+
   /** Drain a `Files.list`/`Files.walk` stream to a List and CLOSE it —
     * the NIO streams hold a directory fd until closed, and the bare
     * `.iterator().asScala` idiom leaked one per call (ADVICE r12).
@@ -1199,6 +1202,15 @@ object TxLog {
         // HDFS/S3 the equivalent is no-overwrite rename / conditional PUT.
         Files.createLink(logDir(table).resolve(fmt(target)), tmp)
         Files.deleteIfExists(tmp)
+        // AUTO-CHECKPOINT (Delta's cadence): every 10th commit collapses
+        // the fold so readers resolve any snapshot from O(10) manifests —
+        // the property that keeps a million-commit table readable without
+        // anyone remembering to call checkpoint(). Deterministic content,
+        // atomic no-overwrite publish, and never on the commit's critical
+        // correctness path: a failure here leaves a valid (just
+        // uncheckpointed) log.
+        if (target % AutoCheckpointInterval == 0)
+          try checkpoint(table) catch { case _: Exception => () }
         return target
       } catch {
         case _: FileAlreadyExistsException => Files.deleteIfExists(tmp)
@@ -2978,7 +2990,11 @@ object TxLog {
   def checkpoint(table: String): Long = {
     val v = currentVersion(table)
     require(v > 0, s"checkpoint of empty log $table")
-    val st = tableState(table, Some(v))
+    // resolve THROUGH the previous checkpoint (spec-pinned equal to the
+    // full fold): the write itself is then O(commits since the last
+    // checkpoint), which is what lets the auto-checkpoint hook amortize
+    // to O(1) manifests per commit on a million-commit log
+    val st = tableStateViaCheckpoint(table, Some(v))
     val schema = recordedSchema(table, Some(v))
     val stats = st.segments.collect { case (p, Some(s)) => p -> s }.toMap
     val m = Manifest(v, "checkpoint", st.segments.map(_._1), Seq.empty, v, stats,

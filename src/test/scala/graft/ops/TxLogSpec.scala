@@ -1809,6 +1809,24 @@ class TxLogSpec extends SparkSpec {
     assert(TxLog.snapshot(spark, t).count() === 4L)
   }
 
+  test("auto-checkpoint: every 10th commit collapses the fold; resolution unchanged") {
+    val t = freshTable()
+    (1L to 23L).foreach(i => TxLog.append(rows(i -> i * 10), t))
+    // commits 10 and 20 checkpointed without anyone asking
+    assert(TxLog.checkpointVersions(t) === Seq(10L, 20L))
+    // resolution through the checkpoints equals the full fold, at head
+    // and across history
+    assert(TxLog.snapshot(spark, t).count() === 23L)
+    assert(TxLog.tableState(t).segments.map(_._1).sorted ===
+      TxLog.tableStateViaCheckpoint(t).segments.map(_._1).sorted)
+    assert(TxLog.snapshot(spark, t, Some(15L)).count() === 15L)
+    // a checkpoint written THROUGH a prior checkpoint carries the same
+    // cumulative state (the O(delta) checkpoint path)
+    val dv = TxLog.deleteWhere(spark, t, col("k") <= 3L)
+    assert(dv === 24L)
+    assert(TxLog.snapshot(spark, t).count() === 20L)
+  }
+
   test("writer replaceWhere swaps exactly one partition's segments") {
     val t = freshTable()
     val df = Seq((1L, "en"), (2L, "en"), (3L, "de"), (4L, "fr"))
