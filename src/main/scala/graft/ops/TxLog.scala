@@ -2581,6 +2581,64 @@ object TxLog {
       rewriteStats(spark, p, st, "compact"))
   }
 
+  /** PARTITION-SCOPED compaction — `OPTIMIZE t WHERE part = 'v'` (Delta's
+    * selective OPTIMIZE): rewrite ONLY that partition's live segments
+    * into one, every other partition's segments untouched (the commit
+    * references them byte-identically). At 100 TB a table is never
+    * compacted whole; maintenance is per-partition, and this keeps it a
+    * partition-sized job. A standing deletion-vector chain is handled
+    * atomically: the rewrite reads the DV-applied rows of the TARGET
+    * partition (its soft deletes materialize into the new segment), and
+    * the SAME commit installs the marks belonging to the untouched
+    * segments as the replacement chain (a removes-carrying commit
+    * replaces the chain — [[foldDvChain]]), so no other partition's
+    * delete is lost or resurrected. The new segment lands under the same
+    * `col=value` leaf, so the partition layout and path pruning survive.
+    */
+  def compactPartition(spark: SparkSession, table: String, partCol: String,
+                       value: String): Long = {
+    import org.apache.spark.sql.functions.{col => fcol}
+    val rv = currentVersion(table)
+    val st = tableStateViaCheckpoint(table, Some(rv))
+    val escDir = partCol + "=" + org.apache.spark.sql.catalyst.catalog
+      .ExternalCatalogUtils.escapePathName(value)
+    val (target, _) = st.segments.map(_._1)
+      .partition(p => Paths.get(p).getFileName.toString == escDir)
+    require(target.nonEmpty,
+      s"optimize: no live segments for $partCol=$value in $table")
+    // DV-applied read of ONLY the target partition's segments
+    val (withMeta, fp, ri) = readSegmentsWithCoords(
+      spark, target, recordedSchema(table, Some(rv)), st.renames)
+    val visible =
+      if (st.dv.isEmpty) withMeta
+      else {
+        val taken = withMeta.columns.toSet
+        val dfp = freshName(taken, "__dv_fp")
+        val dri = freshName(taken + dfp, "__dv_ri")
+        val marks = dvMarks(spark, st.dv)
+          .select(fcol("file_path").as(dfp), fcol("row_index").as(dri))
+        withMeta.join(marks, fcol(fp) === fcol(dfp) &&
+          fcol(ri) === fcol(dri), "left_anti")
+      }
+    val part = visible.drop(fp, ri)
+    // re-stage under the SAME escaped leaf so the layout survives
+    val p = s"$table/data/${java.util.UUID.randomUUID}/$escDir"
+    part.write.mode(SaveMode.ErrorIfExists).parquet(p)
+    // marks on untouched segments survive as the replacement chain;
+    // coordinates record the scan's URI form, so match by containment
+    val dvRemaining =
+      if (st.dv.isEmpty) Seq.empty[String]
+      else {
+        val onTarget = target.map(t =>
+          fcol("file_path").contains(t)).reduce(_ || _)
+        val rest = dvMarks(spark, st.dv).filter(!onTarget)
+        if (rest.isEmpty) Seq.empty[String] else Seq(stage(rest, table))
+      }
+    commit(table, "optimize", Seq(p), target, rv,
+      rewriteStats(spark, p, st, "optimize"), () => false, None,
+      dv = dvRemaining)
+  }
+
   /** ANALYZE stats for a maintenance-rewritten segment: re-record the row
     * count (+ min/max/NDV of the tracked column when the pre-rewrite live
     * set agrees on one that still exists) so [[tableRowCount]] /

@@ -47,6 +47,9 @@ final class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   // N columns (Delta parity — VERDICT r15 item 5), 2 minimum
   private val OptimizeZOrder =
     """(?is)^\s*OPTIMIZE\s+(.+?)\s+ZORDER\s+BY\s*\(([^)]+)\)\s*;?\s*$""".r
+  // partition-scoped OPTIMIZE (must match before the bare form below)
+  private val OptimizeWhere =
+    """(?is)^\s*OPTIMIZE\s+(.+?)\s+WHERE\s+(\w+)\s*=\s*'([^']*)'\s*;?\s*$""".r
   private val Optimize = """(?is)^\s*OPTIMIZE\s+(.+?)\s*;?\s*$""".r
   private val VacuumRetain =
     """(?is)^\s*VACUUM\s+(.+?)\s+RETAIN\s+(\d+)\s+HOURS\s*;?\s*$""".r
@@ -118,6 +121,9 @@ final class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       require(cols.size >= 2 && cols.forall(_.matches("\\w+")),
         s"OPTIMIZE ... ZORDER BY needs >= 2 column names, got ($colList)")
       TxLogMaintenanceCommand(n, p, "optimize_zorder", cols = cols)
+    case OptimizeWhere(t, c, v) =>
+      val (n, p) = target(t)
+      TxLogMaintenanceCommand(n, p, "optimize_where", cols = Seq(c, v))
     case Optimize(t) =>
       val (n, p) = target(t); TxLogMaintenanceCommand(n, p, "optimize")
     case VacuumRetain(t, hours) =>
@@ -218,6 +224,9 @@ final case class TxLogMaintenanceCommand(name: String, isPath: Boolean,
     val table = if (isPath) name else GraftSqlSurface.tableLocation(spark, name)
     val v = op match {
       case "optimize" => TxLog.compact(spark, table)
+      // `OPTIMIZE t WHERE part = 'v'`: one partition's segments rewritten
+      case "optimize_where" =>
+        TxLog.compactPartition(spark, table, cols.head, cols(1))
       case "optimize_zorder" =>
         TxLog.compactZOrderN(spark, table, cols, buckets = 16)
       case "vacuum" =>

@@ -276,6 +276,28 @@ object StatsQueries extends QueryPack {
       t
     })
 
+  /** Partition-scoped OPTIMIZE fixture: orders partitioned by status as
+    * two appends (two segments per status leaf), a DV delete crossing
+    * every partition, then `OPTIMIZE … WHERE o_orderstatus = 'F'` — only
+    * F's segments rewrite (its soft deletes materialize), every other
+    * leaf keeps its exact segments and its standing deletes.
+    */
+  private def txOptWhereTable(s: SparkSession, d: String): String =
+    txTables.computeIfAbsent((s, "optwhere:" + d), _ => {
+      val t = s"${graft.ops.Scratch.base}/txoptwhere_${(d.hashCode & 0xffffff).toHexString}"
+      val base = Tables.orders(s, d)
+        .select(col("o_orderkey"), Cleaning.cents(col("o_totalprice")).as("cents"),
+          col("o_orderstatus"))
+      base.filter(col("o_orderkey") % 2 === 1).write.format("txlog")
+        .partitionBy("o_orderstatus").mode("append").save(t)
+      base.filter(col("o_orderkey") % 2 === 0).write.format("txlog")
+        .partitionBy("o_orderstatus").mode("append").save(t)
+      graft.ops.TxLog.deleteWhere(s, t, col("o_orderkey") % 7 === 0)
+      val v = s.sql(s"OPTIMIZE '$t' WHERE o_orderstatus = 'F'").head().getLong(0)
+      require(v == 4L, s"partition optimize must land as commit 4, got $v")
+      t
+    })
+
   /** SQL INSERT fixture: odds committed through the library (v1), evens
     * arriving via `INSERT INTO … SELECT` through the V1 relation's
     * insert seam (v2) — the first DML a migrating user types after
@@ -2368,6 +2390,23 @@ object StatsQueries extends QueryPack {
         .toDF("scanned", "total", "n_rows", "sum_cents")
     }),
 
+    // OPTIMIZE ... WHERE (partition-scoped compaction): only the F leaf
+    // rewrites (2 segments -> 1, its soft deletes materialized); the O
+    // leaf keeps both segments, and the cross-partition delete stays in
+    // force everywhere — geometry pinned in-band beside the aggregate.
+    "lake_txlog_optimize_where" -> ((s, d) => {
+      val t = txOptWhereTable(s, d)
+      val segs = graft.ops.TxLog.liveFiles(t)
+      val nF = segs.count(_.contains("o_orderstatus=F")).toLong
+      val nO = segs.count(_.contains("o_orderstatus=O")).toLong
+      s.read.format("txlog").load(t)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+        .select(lit(nF).as("segs_f"), lit(nO).as("segs_o"),
+          col("o_orderstatus"), col("n"), col("sum_cents"))
+        .orderBy("o_orderstatus")
+    }),
+
     // INSERT INTO ... SELECT as SQL: the V1 relation's insert seam lands
     // the evens as one append commit beside the library-written odds —
     // the readback is the full base, with the op history pinned in-band.
@@ -3143,6 +3182,13 @@ object StatsQueries extends QueryPack {
         |    AS sum_cents
         |FROM orders
         |WHERE o_orderstatus = 'F' AND o_orderkey % 7 <> 0""".stripMargin,
+    "lake_txlog_optimize_where" ->
+      """SELECT CAST(1 AS BIGINT) AS segs_f, CAST(2 AS BIGINT) AS segs_o,
+        |  o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents
+        |FROM orders WHERE o_orderkey % 7 <> 0
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "sql_txlog_insert" ->
       """SELECT 'append,append' AS history_ops, COUNT(*) AS n_rows,
         |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)

@@ -1809,6 +1809,37 @@ class TxLogSpec extends SparkSpec {
     assert(TxLog.snapshot(spark, t).count() === 4L)
   }
 
+  test("compactPartition rewrites one partition, preserves others' segments AND deletes") {
+    val t = freshTable()
+    // two partitions, two segments each
+    Seq((1L, "en"), (2L, "en")).toDF("n", "lang")
+      .write.format("txlog").partitionBy("lang").mode("append").save(t)
+    Seq((3L, "en"), (4L, "de")).toDF("n", "lang")
+      .write.format("txlog").partitionBy("lang").mode("append").save(t)
+    Seq((5L, "de")).toDF("n", "lang")
+      .write.format("txlog").partitionBy("lang").mode("append").save(t)
+    // a DV delete crossing BOTH partitions
+    graft.ops.TxLog.deleteWhere(spark, t,
+      org.apache.spark.sql.functions.expr("n IN (2, 4)"))
+    val deSegs = TxLog.liveFiles(t).filter(_.contains("lang=de")).toSet
+    assert(TxLog.liveFiles(t).count(_.contains("lang=en")) === 2)
+    // partition-scoped optimize via the SQL spelling
+    val v = spark.sql(s"OPTIMIZE '$t' WHERE lang = 'en'").head().getLong(0)
+    assert(v === 5L && TxLog.readManifest(t, 5L).op === "optimize")
+    // en collapsed to ONE segment (delete of n=2 materialized); de's
+    // segments byte-identical AND its delete (n=4) still in force
+    assert(TxLog.liveFiles(t).count(_.contains("lang=en")) === 1)
+    assert(deSegs.subsetOf(TxLog.liveFiles(t).toSet))
+    assert(TxLog.partitionLayout(t) === Seq("lang"))
+    val got = spark.read.format("txlog").load(t).select("n", "lang")
+      .as[(Long, String)].collect().sorted.toSeq
+    assert(got === Seq(1L -> "en", 3L -> "en", 5L -> "de"))
+    // the en partition's rows came out of one file
+    intercept[IllegalArgumentException] {
+      TxLog.compactPartition(spark, t, "lang", "missing")
+    }
+  }
+
   test("auto-checkpoint: every 10th commit collapses the fold; resolution unchanged") {
     val t = freshTable()
     (1L to 23L).foreach(i => TxLog.append(rows(i -> i * 10), t))
