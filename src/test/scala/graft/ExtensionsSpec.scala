@@ -264,6 +264,26 @@ class ExtensionsSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS graft_insp_spec")
   }
 
+  test("CREATE TABLE ... USING txlog AS SELECT lands as one commit (CTAS)") {
+    import spark.implicits._
+    val t = java.nio.file.Files.createTempDirectory("txctas-")
+      .resolve("t").toString
+    spark.range(5).selectExpr("id AS k", "id * 10 AS v")
+      .createOrReplaceTempView("ctas_src")
+    spark.sql(
+      s"CREATE TABLE graft_ctas_spec USING txlog LOCATION '$t' AS SELECT * FROM ctas_src")
+    try {
+      assert(graft.ops.TxLog.currentVersion(t) === 1L)
+      assert(spark.sql("SELECT sum(v) FROM graft_ctas_spec").head().getLong(0) === 100L)
+      // and the full DML lifecycle composes on the CTAS table
+      spark.sql("DELETE FROM graft_ctas_spec WHERE k = 0")
+      spark.sql("UPDATE graft_ctas_spec SET v = 1 WHERE k = 1")
+      assert(spark.sql("SELECT k, v FROM graft_ctas_spec ORDER BY k")
+        .as[(Long, Long)].collect().toSeq ===
+        Seq(1L -> 1L, 2L -> 20L, 3L -> 30L, 4L -> 40L))
+    } finally spark.sql("DROP TABLE IF EXISTS graft_ctas_spec")
+  }
+
   test("CONVERT TO TXLOG adopts plain and partitioned parquet layouts in place") {
     import spark.implicits._
     // plain layout: each part-file becomes a referenced segment
