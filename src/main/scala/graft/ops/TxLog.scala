@@ -262,6 +262,23 @@ object TxLog {
     best
   }
 
+  /** Epoch millis from a user-supplied timestamp spelling, shared by every
+    * timestamp surface (reader options, SQL time travel, RESTORE): bare
+    * digits are millis; `yyyy-MM-dd` and `yyyy-MM-dd HH:mm:ss[.SSS]`
+    * parse in UTC — the engine's pinned session zone, so a cut means the
+    * same instant on every driver.
+    */
+  def parseTsMillis(s: String): Long = {
+    val t = s.trim
+    if (t.matches("\\d+")) t.toLong
+    else if (t.matches("\\d{4}-\\d{2}-\\d{2}"))
+      java.time.LocalDate.parse(t).atStartOfDay(java.time.ZoneOffset.UTC)
+        .toInstant.toEpochMilli
+    else
+      java.time.LocalDateTime.parse(t.replace(' ', 'T'))
+        .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+  }
+
   /** The wall-clock millis of commit `v`, WITHOUT a full manifest parse:
     * the writer emits `ts` as the manifest's FINAL field, so the true
     * match is `"ts":<digits>` immediately followed by the `}` that closes
@@ -3308,6 +3325,22 @@ object TxLog {
     */
   def vacuum(table: String, keepVersionsFrom: Long,
              minAgeMillis: Long = 10 * 60 * 1000L): Seq[String] = {
+    val doomed = doomedDirs(table, keepVersionsFrom, minAgeMillis)
+    doomed.foreach { p =>
+      listClosed(Files.walk(p)).reverse.foreach(Files.deleteIfExists(_))
+    }
+    doomed.map(_.toString)
+  }
+
+  /** `VACUUM … DRY RUN` (Delta parity): exactly the directories a real
+    * vacuum with the same arguments would delete, deleting nothing.
+    */
+  def vacuumDryRun(table: String, keepVersionsFrom: Long,
+                   minAgeMillis: Long = 10 * 60 * 1000L): Seq[String] =
+    doomedDirs(table, keepVersionsFrom, minAgeMillis).map(_.toString)
+
+  private def doomedDirs(table: String, keepVersionsFrom: Long,
+                         minAgeMillis: Long): List[Path] = {
     // deletion-vector segments are references too: collecting a dv a
     // retained version still resolves would un-delete its rows. So are
     // write-time CDC artifacts: a retained version's change feed reads
@@ -3321,17 +3354,13 @@ object TxLog {
           m.changeDeleteSrcs ++ m.changeInsertSrcs
       }.toSet
     val dataDir = Paths.get(table, "data")
-    if (!Files.isDirectory(dataDir)) return Seq.empty
+    if (!Files.isDirectory(dataDir)) return List.empty
     val cutoff = System.currentTimeMillis() - minAgeMillis
     // a partitioned append references SUBDIRS (uuid/partCol=v) of a
     // staging dir: the parent is live iff any kept path is at or under it
-    val doomed = listClosed(Files.list(dataDir))
+    listClosed(Files.list(dataDir))
       .filterNot(p => keep.exists(k =>
         k == p.toString || k.startsWith(p.toString + "/")))
       .filter(p => Files.getLastModifiedTime(p).toMillis <= cutoff)
-    doomed.foreach { p =>
-      listClosed(Files.walk(p)).reverse.foreach(Files.deleteIfExists(_))
-    }
-    doomed.map(_.toString)
   }
 }

@@ -40,6 +40,11 @@ import scala.jdk.CollectionConverters._
   */
 final class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 
+  // LIMIT spelling first (the bare form's (.+?) would swallow it): a
+  // million-commit log answers DESCRIBE HISTORY t LIMIT 20 from 20
+  // manifests, not the whole history
+  private val DescribeHistoryLimit =
+    """(?is)^\s*DESC(?:RIBE)?\s+HISTORY\s+(.+?)\s+LIMIT\s+(\d+)\s*;?\s*$""".r
   private val DescribeHistory =
     """(?is)^\s*DESC(?:RIBE)?\s+HISTORY\s+(.+?)\s*;?\s*$""".r
   private val DescribeDetail =
@@ -51,13 +56,19 @@ final class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val OptimizeWhere =
     """(?is)^\s*OPTIMIZE\s+(.+?)\s+WHERE\s+(\w+)\s*=\s*'([^']*)'\s*;?\s*$""".r
   private val Optimize = """(?is)^\s*OPTIMIZE\s+(.+?)\s*;?\s*$""".r
+  // DRY RUN spellings first (the bare forms' (.+?) would swallow them)
+  private val VacuumRetainDry =
+    """(?is)^\s*VACUUM\s+(.+?)\s+RETAIN\s+(\d+)\s+HOURS\s+DRY\s+RUN\s*;?\s*$""".r
+  private val VacuumDry =
+    """(?is)^\s*VACUUM\s+(.+?)\s+DRY\s+RUN\s*;?\s*$""".r
   private val VacuumRetain =
     """(?is)^\s*VACUUM\s+(.+?)\s+RETAIN\s+(\d+)\s+HOURS\s*;?\s*$""".r
   private val Vacuum = """(?is)^\s*VACUUM\s+(.+?)\s*;?\s*$""".r
   private val RestoreTo =
     """(?is)^\s*RESTORE\s+TABLE\s+(.+?)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""".r
+  // epoch millis or a quoted 'yyyy-MM-dd[ HH:mm:ss]' (TxLog.parseTsMillis)
   private val RestoreToTs =
-    """(?is)^\s*RESTORE\s+TABLE\s+(.+?)\s+TO\s+TIMESTAMP\s+AS\s+OF\s+(\d+)\s*;?\s*$""".r
+    """(?is)^\s*RESTORE\s+TABLE\s+(.+?)\s+TO\s+TIMESTAMP\s+AS\s+OF\s+(?:'([^']+)'|(\d+))\s*;?\s*$""".r
   private val ShallowClone =
     """(?is)^\s*CREATE\s+TABLE\s+(.+?)\s+SHALLOW\s+CLONE\s+(.+?)(?:\s+LOCATION\s+'([^']+)')?\s*;?\s*$""".r
   private val CopyIntoFrom =
@@ -111,6 +122,8 @@ final class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   }
 
   override def parsePlan(sqlText: String): LogicalPlan = stripLeadingComments(sqlText) match {
+    case DescribeHistoryLimit(t, lim) =>
+      val (n, p) = target(t); DescribeHistoryCommand(n, p, Some(lim.toLong))
     case DescribeHistory(t) =>
       val (n, p) = target(t); DescribeHistoryCommand(n, p)
     case DescribeDetail(t) =>
@@ -126,6 +139,10 @@ final class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       TxLogMaintenanceCommand(n, p, "optimize_where", cols = Seq(c, v))
     case Optimize(t) =>
       val (n, p) = target(t); TxLogMaintenanceCommand(n, p, "optimize")
+    case VacuumRetainDry(t, hours) =>
+      val (n, p) = target(t); VacuumDryRunCommand(n, p, hours.toLong)
+    case VacuumDry(t) =>
+      val (n, p) = target(t); VacuumDryRunCommand(n, p, 7L * 24)
     case VacuumRetain(t, hours) =>
       val (n, p) = target(t); TxLogMaintenanceCommand(n, p, "vacuum",
         arg = hours.toLong)
@@ -135,9 +152,9 @@ final class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case RestoreTo(t, v) =>
       val (n, p) = target(t); TxLogMaintenanceCommand(n, p, "restore",
         arg = v.toLong)
-    case RestoreToTs(t, ts) =>
+    case RestoreToTs(t, str, digits) =>
       val (n, p) = target(t); TxLogMaintenanceCommand(n, p, "restore_ts",
-        arg = ts.toLong)
+        arg = TxLog.parseTsMillis(Option(str).getOrElse(digits)))
     case ShallowClone(dst, src, loc) =>
       val (dn, dp) = target(dst)
       val (sn, sp) = target(src)
@@ -175,11 +192,14 @@ final class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     delegate.parseDataType(sqlText)
 }
 
-/** `DESCRIBE HISTORY <table | 'path'>` — the commit log as rows, newest
-  * first (Delta's column convention where the fields coincide). Pure
-  * driver-side manifest metadata; no data file is opened.
+/** `DESCRIBE HISTORY <table | 'path'> [LIMIT n]` — the commit log as
+  * rows, newest first (Delta's column convention where the fields
+  * coincide). Pure driver-side manifest metadata; no data file is
+  * opened, and a LIMIT reads exactly n manifests — the only sane
+  * spelling against a million-commit log.
   */
-final case class DescribeHistoryCommand(target: String, isPath: Boolean)
+final case class DescribeHistoryCommand(target: String, isPath: Boolean,
+                                        limit: Option[Long] = None)
     extends LeafRunnableCommand {
 
   override val output: Seq[Attribute] = Seq(
@@ -196,7 +216,8 @@ final case class DescribeHistoryCommand(target: String, isPath: Boolean)
     val table = if (isPath) target else GraftSqlSurface.tableLocation(spark, target)
     val head = TxLog.currentVersion(table)
     require(head > 0, s"DESCRIBE HISTORY: $table has no committed versions")
-    (head to 1L by -1L).map { v =>
+    val floor = limit.fold(1L)(n => math.max(1L, head - n + 1L))
+    (head to floor by -1L).map { v =>
       val m = TxLog.readManifest(table, v)
       Row(m.version, m.op, m.readVersion, m.adds.size, m.removes.size,
         m.changes.size, m.dv.nonEmpty, m.ts.orNull)
@@ -239,6 +260,23 @@ final case class TxLogMaintenanceCommand(name: String, isPath: Boolean,
         TxLog.restore(spark, table, TxLog.versionAtTimestamp(table, arg))
     }
     Seq(Row(v))
+  }
+}
+
+/** `VACUUM <table | 'path'> [RETAIN n HOURS] DRY RUN` — one row per
+  * directory a real vacuum with the same arguments would collect,
+  * deleting nothing (Delta parity; the operator you run FIRST on a
+  * 100-TB table).
+  */
+final case class VacuumDryRunCommand(name: String, isPath: Boolean,
+                                     hours: Long) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("path", StringType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val table = if (isPath) name else GraftSqlSurface.tableLocation(spark, name)
+    TxLog.vacuumDryRun(table, keepVersionsFrom = TxLog.currentVersion(table),
+      minAgeMillis = hours * 3600L * 1000L).map(Row(_))
   }
 }
 
@@ -658,8 +696,8 @@ final case class TimeTravelTxLogRule(spark: SparkSession) extends Rule[LogicalPl
           if e.dataType == org.apache.spark.sql.types.TimestampType =>
         n.longValue() / 1000L
       case n: java.lang.Number => n.longValue()
-      case s: org.apache.spark.unsafe.types.UTF8String
-          if s.toString.matches("\\d+") => s.toString.toLong
+      case s: org.apache.spark.unsafe.types.UTF8String =>
+        TxLog.parseTsMillis(s.toString)
       case other => throw new IllegalArgumentException(
         s"TIMESTAMP AS OF on a txlog table takes epoch millis or a " +
           s"timestamp literal, got $other")

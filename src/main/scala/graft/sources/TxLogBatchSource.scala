@@ -122,18 +122,18 @@ final class TxLogBatchSource extends RelationProvider
       // commit stamped at or after the cut
       val fromV = opt("startingVersion").map(_.toLong)
         .orElse(opt("startingTimestamp").map(ts =>
-          TxLog.versionBefore(table, ts.toLong)))
+          TxLog.versionBefore(table, TxLog.parseTsMillis(ts))))
         .getOrElse(0L)
       val toV = opt("endingVersion").map(_.toLong)
         .orElse(opt("endingTimestamp").map(ts =>
-          TxLog.versionAtTimestamp(table, ts.toLong)))
+          TxLog.versionAtTimestamp(table, TxLog.parseTsMillis(ts))))
         .getOrElse(TxLog.currentVersion(table))
       return new TxLogCdfRelation(sqlContext, table, fromV, toV,
         parameters.get("cdcKey").orElse(parameters.get("cdckey")))
     }
     val asOf = parameters.get("versionAsOf").map(_.toLong)
       .orElse(parameters.get("timestampAsOf").orElse(parameters.get("timestampasof"))
-        .map(ts => TxLog.versionAtTimestamp(table, ts.toLong)))
+        .map(ts => TxLog.versionAtTimestamp(table, TxLog.parseTsMillis(ts))))
     require(parameters.get("versionAsOf").isEmpty ||
       parameters.get("timestampAsOf").orElse(parameters.get("timestampasof")).isEmpty,
       "txlog: versionAsOf and timestampAsOf are mutually exclusive")

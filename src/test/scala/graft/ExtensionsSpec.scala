@@ -480,4 +480,69 @@ class ExtensionsSpec extends SparkSpec {
     assert(graft.ops.TxLog.snapshot(spark, src).count() === 2L)
     spark.sql("DROP TABLE graft_clone_spec")
   }
+
+  test("DESCRIBE HISTORY LIMIT reads only the newest n manifests") {
+    import spark.implicits._
+    val t = java.nio.file.Files.createTempDirectory("txhlim-").resolve("t").toString
+    (1 to 5).foreach(i => graft.ops.TxLog.append(Seq((i.toLong, i.toLong)).toDF("k", "v"), t))
+    val lim = spark.sql(s"DESCRIBE HISTORY '$t' LIMIT 2").collect()
+    assert(lim.map(_.getLong(0)).toSeq === Seq(5L, 4L))
+    // bare spelling still returns the whole log, newest first
+    assert(spark.sql(s"DESCRIBE HISTORY '$t'").collect()
+      .map(_.getLong(0)).toSeq === (5L to 1L by -1L))
+    // LIMIT larger than the log is the whole log, not an error
+    assert(spark.sql(s"DESCRIBE HISTORY '$t' LIMIT 99").count() === 5L)
+  }
+
+  test("VACUUM DRY RUN lists exactly what a real vacuum would delete, deleting nothing") {
+    import spark.implicits._
+    val t = java.nio.file.Files.createTempDirectory("txvdry-").resolve("t").toString
+    graft.ops.TxLog.append(Seq((1L, 10L)).toDF("k", "v"), t)
+    graft.ops.TxLog.overwrite(Seq((1L, 99L)).toDF("k", "v"), t)
+    // RETAIN 0 HOURS DRY RUN: the orphaned v1 segment is listed, kept
+    val listed = spark.sql(s"VACUUM '$t' RETAIN 0 HOURS DRY RUN")
+      .collect().map(_.getString(0)).toSeq
+    assert(listed.size === 1)
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(listed.head)))
+    assert(graft.ops.TxLog.snapshot(spark, t).count() === 1L)
+    // default-retention DRY RUN keeps everything younger than 7 days
+    assert(spark.sql(s"VACUUM '$t' DRY RUN").count() === 0L)
+    // the real vacuum then deletes exactly the dry-run set
+    val deleted = spark.sql(s"VACUUM '$t' RETAIN 0 HOURS")
+    assert(deleted.head().getLong(0) === 1L)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(listed.head)))
+  }
+
+  test("timestamp spellings parse uniformly across every timestamp surface") {
+    import spark.implicits._
+    // the shared parser: bare millis, date-only, datetime, datetime.millis
+    assert(graft.ops.TxLog.parseTsMillis("1500000") === 1500000L)
+    assert(graft.ops.TxLog.parseTsMillis("1970-01-01") === 0L)
+    assert(graft.ops.TxLog.parseTsMillis(" 1970-01-02 ") === 86400000L)
+    assert(graft.ops.TxLog.parseTsMillis("1970-01-01 00:25:00") === 1500000L)
+    assert(graft.ops.TxLog.parseTsMillis("1970-01-01 00:25:00.123") === 1500123L)
+    val t = java.nio.file.Files.createTempDirectory("txtsp-").resolve("t").toString
+    graft.ops.TxLog.append(Seq((1L, 10L)).toDF("k", "v"), t)
+    graft.ops.TxLog.append(Seq((2L, 20L)).toDF("k", "v"), t)
+    Seq(1L -> 1000000L, 2L -> 2000000L).foreach { case (v, ts) =>
+      val p = java.nio.file.Paths.get(t, "_txlog", f"$v%020d.json")
+      java.nio.file.Files.writeString(p, java.nio.file.Files.readString(p)
+        .replaceAll("\"ts\":\\d+", s""""ts":$ts"""))
+    }
+    // reader option takes the ISO spelling
+    assert(spark.read.format("txlog")
+      .option("timestampAsOf", "1970-01-01 00:25:00").load(t).count() === 1L)
+    // SELECT ... TIMESTAMP AS OF takes the quoted ISO spelling
+    spark.sql(s"CREATE TABLE graft_tsp_spec USING txlog LOCATION '$t'")
+    try {
+      assert(spark.sql(
+        "SELECT count(*) FROM graft_tsp_spec TIMESTAMP AS OF '1970-01-01 00:25:00'")
+        .head().getLong(0) === 1L)
+      // RESTORE takes the quoted ISO spelling (and still the bare millis)
+      assert(spark.sql(
+        s"RESTORE TABLE '$t' TO TIMESTAMP AS OF '1970-01-01 00:25:00'")
+        .head().getLong(0) === 3L)
+      assert(graft.ops.TxLog.snapshot(spark, t).as[(Long, Long)].head() === ((1L, 10L)))
+    } finally spark.sql("DROP TABLE IF EXISTS graft_tsp_spec")
+  }
 }
