@@ -77,7 +77,10 @@ object TxLog {
                             drops: Seq[Drop] = Seq.empty,
                             ts: Option[Long] = None,
                             changes: Seq[String] = Seq.empty,
-                            ingests: Seq[String] = Seq.empty) {
+                            ingests: Seq[String] = Seq.empty,
+                            props: Map[String, String] = Map.empty,
+                            unsetProps: Seq[String] = Seq.empty,
+                            dropChecks: Seq[String] = Seq.empty) {
     /** Persisted CDC pre-image sources (`d:` entries of `changes`):
       * parquet staged at commit time whose rows this commit DELETED
       * (they may carry extra helper columns, e.g. the DV coordinates —
@@ -375,11 +378,25 @@ object TxLog {
     val ingests =
       if (m.ingests.isEmpty) ""
       else s""","ingest":${m.ingests.map(jstr).mkString("[", ",", "]")}"""
+    // table properties this commit SET (checkpoints: the cumulative map)
+    val props =
+      if (m.props.isEmpty) ""
+      else m.props.toSeq.sortBy(_._1).map { case (k, v) =>
+        s"${jstr(k)}:${jstr(v)}"
+      }.mkString(""","props":{""", ",", "}")
+    val unset =
+      if (m.unsetProps.isEmpty) ""
+      else s""","unsetProps":${m.unsetProps.map(jstr).mkString("[", ",", "]")}"""
+    // CHECK-constraint names this commit DROPPED
+    val dropChecks =
+      if (m.dropChecks.isEmpty) ""
+      else s""","dropChecks":${m.dropChecks.map(jstr).mkString("[", ",", "]")}"""
     // ts stays the FINAL field — commitTimeMillis's fast path anchors on it
     val ts = m.ts.map(t => s""","ts":$t""").getOrElse("")
     s"""{"version":${m.version},"op":${jstr(m.op)},"adds":${arr(m.adds)},""" +
       s""""removes":${arr(m.removes)},"readVersion":${m.readVersion},""" +
-      s""""stats":$stats$schema$dv$check$renames$drops$changes$ingests$ts}"""
+      s""""stats":$stats$schema$dv$check$renames$drops$changes$ingests""" +
+      s"""$props$unset$dropChecks$ts}"""
   }
 
   def readManifest(table: String, v: Long): Manifest = {
@@ -399,8 +416,19 @@ object TxLog {
       Option(node.get("changes")).fold(Seq.empty[String])(
         _.elements().asScala.map(_.asText()).toSeq),
       Option(node.get("ingest")).fold(Seq.empty[String])(
+        _.elements().asScala.map(_.asText()).toSeq),
+      propsField(node),
+      Option(node.get("unsetProps")).fold(Seq.empty[String])(
+        _.elements().asScala.map(_.asText()).toSeq),
+      Option(node.get("dropChecks")).fold(Seq.empty[String])(
         _.elements().asScala.map(_.asText()).toSeq))
   }
+
+  private def propsField(
+      node: com.fasterxml.jackson.databind.JsonNode): Map[String, String] =
+    Option(node.get("props")).fold(Map.empty[String, String]) { pn =>
+      pn.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
+    }
 
   /** The manifest `dv` field: a path array since r12 (the chain entries
     * this commit contributes); a bare string in pre-r12 logs (the
@@ -501,29 +529,32 @@ object TxLog {
     * next read re-folds — correctness never depends on the cache.
     */
   private val headMetaCache = new java.util.concurrent.ConcurrentHashMap[
-    String, (Long, Option[String], Seq[(String, String)])]()
+    String, (Long, Option[String], Seq[(String, String)], Map[String, String])]()
 
-  private def headMeta(table: String): (Option[String], Seq[(String, String)]) = {
+  private def headMeta(table: String):
+      (Option[String], Seq[(String, String)], Map[String, String]) = {
     val cur = currentVersion(table)
-    if (cur == 0L) return (None, Seq.empty)
+    if (cur == 0L) return (None, Seq.empty, Map.empty)
     Option(headMetaCache.get(table)) match {
-      case Some((v, sc, ck)) if v == cur => (sc, ck)
-      case Some((v, sc, ck)) if v < cur =>
+      case Some((v, sc, ck, pr)) if v == cur => (sc, ck, pr)
+      case Some((v, sc, ck, pr)) if v < cur =>
         var s = sc
-        val b = Seq.newBuilder[(String, String)]
-        b ++= ck
+        var cks = ck
+        var props = pr
         ((v + 1) to cur).foreach { vv =>
           val m = readManifest(table, vv)
           m.schemaJson.foreach(j => s = Some(j))
-          b ++= m.checks
+          cks = (cks ++ m.checks).filterNot(c => m.dropChecks.contains(c._1))
+          props = (props ++ m.props) -- m.unsetProps
         }
-        val res = (s, b.result())
-        headMetaCache.put(table, (cur, res._1, res._2))
+        val res = (s, cks, props)
+        headMetaCache.put(table, (cur, res._1, res._2, res._3))
         res
       case _ => // first touch (or a foreign cache regression): full resolve
         val res = (recordedSchemaJsonAt(table, Some(cur)),
-          activeConstraintsAt(table, Some(cur)))
-        headMetaCache.put(table, (cur, res._1, res._2))
+          activeConstraintsAt(table, Some(cur)),
+          tablePropertiesAt(table, Some(cur)))
+        headMetaCache.put(table, (cur, res._1, res._2, res._3))
         res
     }
   }
@@ -1099,6 +1130,67 @@ object TxLog {
       () => false, None, checks = Seq((name, predicate)))
   }
 
+  /** DROP CONSTRAINT as a metadata commit (Delta's `ALTER TABLE … DROP
+    * CONSTRAINT`): the name is tombstoned in the manifest; every
+    * constraint fold (head memo, time travel, checkpoint) removes it
+    * from the version it lands. CAS-conflicts like addConstraint (the
+    * "exists" check is only meaningful against the head it read) — but
+    * a drop is NOT in the data-commit metadata-conflict scan: data
+    * staged under MORE constraints stays valid under fewer.
+    */
+  def dropConstraint(table: String, name: String): Long = {
+    val rv = currentVersion(table)
+    require(activeConstraints(table).exists(_._1 == name),
+      s"$table has no constraint named '$name'")
+    commit(table, "dropconstraint", Seq.empty, Seq.empty, rv, Map.empty,
+      () => false, None, dropChecks = Seq(name))
+  }
+
+  /** SET TBLPROPERTIES as a metadata commit: `entries` merge over the
+    * table's property map, last commit wins per key. Properties are
+    * free-form `String -> String` (Delta's model); the engine itself
+    * reads `graft.deletedFileRetentionDuration` (VACUUM's default
+    * retention and its safety floor) and
+    * `graft.retentionDurationCheck.enabled` (set "false" to allow a
+    * shorter RETAIN). No CAS: a property write validates nothing against
+    * the snapshot, so concurrent commits just interleave by version.
+    */
+  def setProperties(table: String, entries: Map[String, String]): Long = {
+    require(entries.nonEmpty, "SET TBLPROPERTIES of nothing")
+    commit(table, "setprops", Seq.empty, Seq.empty, currentVersion(table),
+      Map.empty, () => false, None, props = entries)
+  }
+
+  /** UNSET TBLPROPERTIES — removes `keys` from the property map (absent
+    * keys are a no-op, Delta's IF EXISTS semantics by default).
+    */
+  def unsetProperties(table: String, keys: Seq[String]): Long = {
+    require(keys.nonEmpty, "UNSET TBLPROPERTIES of nothing")
+    commit(table, "unsetprops", Seq.empty, Seq.empty, currentVersion(table),
+      Map.empty, () => false, None, unsetProps = keys)
+  }
+
+  /** `interval N hour(s)|day(s)|week(s)` (Delta's retention spelling) or
+    * bare digits (millis) → millis.
+    */
+  def parseIntervalMillis(s: String): Long = {
+    val t = s.trim.toLowerCase
+    if (t.matches("\\d+")) t.toLong
+    else t match {
+      case IntervalRe(n, unit) =>
+        val base = unit match {
+          case "hour" => 3600L * 1000L
+          case "day" => 24L * 3600L * 1000L
+          case "week" => 7L * 24L * 3600L * 1000L
+        }
+        n.toLong * base
+      case _ => throw new IllegalArgumentException(
+        s"cannot parse interval '$s' — want 'interval N hours|days|weeks' " +
+          "or bare millis")
+    }
+  }
+  private val IntervalRe = """interval\s+(\d+)\s+(hour|day|week)s?""".r
+
   /** Constraints in force at `asOf` — the head path answers from the
     * [[headMeta]] memo (O(delta) manifests since the last call); time
     * travel resolves through the nearest checkpoint (which carries the
@@ -1116,8 +1208,36 @@ object TxLog {
     val vs = listVersions(table).filter(v => asOf.forall(v <= _))
     val ckpt = checkpointVersions(table).filter(v => asOf.forall(v <= _)).lastOption
     val after = ckpt.fold(vs)(cv => vs.filter(_ > cv))
-    ckpt.map(cv => readCheckpoint(table, cv).checks).getOrElse(Seq.empty) ++
-      after.flatMap(v => readManifest(table, v).checks)
+    val base = ckpt.map(cv => readCheckpoint(table, cv).checks).getOrElse(Seq.empty)
+    after.foldLeft(base) { (acc, v) =>
+      val m = readManifest(table, v)
+      (acc ++ m.checks).filterNot(c => m.dropChecks.contains(c._1))
+    }
+  }
+
+  /** Table properties in force at `asOf` (default: head, answered from
+    * the [[headMeta]] memo). Same fold shape as constraints: the nearest
+    * checkpoint's cumulative map, then each later manifest's SETs applied
+    * over it and its UNSETs removed.
+    */
+  def tableProperties(table: String,
+                      asOf: Option[Long] = None): Map[String, String] =
+    asOf match {
+      case Some(_) => tablePropertiesAt(table, asOf)
+      case None => headMeta(table)._3
+    }
+
+  private def tablePropertiesAt(table: String,
+                                asOf: Option[Long]): Map[String, String] = {
+    val vs = listVersions(table).filter(v => asOf.forall(v <= _))
+    val ckpt = checkpointVersions(table).filter(v => asOf.forall(v <= _)).lastOption
+    val after = ckpt.fold(vs)(cv => vs.filter(_ > cv))
+    val base = ckpt.map(cv => readCheckpoint(table, cv).props)
+      .getOrElse(Map.empty[String, String])
+    after.foldLeft(base) { (acc, v) =>
+      val m = readManifest(table, v)
+      (acc ++ m.props) -- m.unsetProps
+    }
   }
 
   /** Stage a dataframe as a new immutable segment directory — NOT yet
@@ -1163,7 +1283,10 @@ object TxLog {
                      renames: Seq[Rename] = Seq.empty,
                      drops: Seq[Drop] = Seq.empty,
                      changes: Seq[String] = Seq.empty,
-                     ingests: Seq[String] = Seq.empty): Long = {
+                     ingests: Seq[String] = Seq.empty,
+                     props: Map[String, String] = Map.empty,
+                     unsetProps: Seq[String] = Seq.empty,
+                     dropChecks: Seq[String] = Seq.empty): Long = {
     init(table)
     var attempts = 0
     while (attempts < 100) {
@@ -1176,7 +1299,7 @@ object TxLog {
       // valid against the exact head it read
       if ((casAlways || removes.nonEmpty || schemaJson.nonEmpty ||
            dv.nonEmpty || checks.nonEmpty || renames.nonEmpty ||
-           drops.nonEmpty) && cur != readVersion)
+           drops.nonEmpty || dropChecks.nonEmpty) && cur != readVersion)
         throw new ConcurrentModificationException(
           s"$table: commit '$op' read version $readVersion but head is $cur — " +
             "a concurrent commit landed; rebase on the new snapshot and retry")
@@ -1203,7 +1326,8 @@ object TxLog {
       // travel silently shifts after any copy/rsync of the log (ADVICE r12)
       val m = Manifest(target, op, adds, removes, readVersion, stats, schemaJson,
         dv, checks, renames, drops, ts = Some(System.currentTimeMillis()),
-        changes = changes, ingests = ingests)
+        changes = changes, ingests = ingests, props = props,
+        unsetProps = unsetProps, dropChecks = dropChecks)
       val tmp = Files.createTempFile(logDir(table), s".$target-", ".tmp")
       Files.writeString(tmp, manifestJson(m))
       try {
@@ -3073,7 +3197,8 @@ object TxLog {
     val schema = recordedSchema(table, Some(v))
     val stats = st.segments.collect { case (p, Some(s)) => p -> s }.toMap
     val m = Manifest(v, "checkpoint", st.segments.map(_._1), Seq.empty, v, stats,
-      schema.map(_.json), st.dv, activeConstraints(table, Some(v)), st.renames)
+      schema.map(_.json), st.dv, activeConstraints(table, Some(v)), st.renames,
+      props = tableProperties(table, Some(v)))
     val tmp = Files.createTempFile(logDir(table), s".ckpt$v-", ".tmp")
     Files.writeString(tmp, manifestJson(m))
     try Files.createLink(logDir(table).resolve(f"$v%020d.checkpoint.json"), tmp)
@@ -3105,7 +3230,7 @@ object TxLog {
       dvField(node),
       Option(node.get("checks")).map(_.elements().asScala.map(c =>
         (c.get("name").asText(), c.get("expr").asText())).toSeq).getOrElse(Seq.empty),
-      renamesField(node))
+      renamesField(node), props = propsField(node))
   }
 
   /** Snapshot resolution through the nearest checkpoint: the fold starts
@@ -3139,6 +3264,33 @@ object TxLog {
         }
         TableState(live.map(p => p -> stats.get(p)), dv, ren)
     }
+  }
+
+  /** FSCK REPAIR (Delta's `FSCK REPAIR TABLE`): drop manifest references
+    * to live segments whose directories are GONE from storage (manual
+    * deletion, a botched retention job, a source table vacuumed under a
+    * shallow clone) so the table reads again without the missing bytes —
+    * one removes-only commit, CAS-guarded, metadata-priced. Returns the
+    * dropped paths; `dryRun` lists them without committing.
+    *
+    * A missing DELETION-VECTOR segment REFUSES instead: dropping a dv
+    * reference would resurrect the rows it deletes — data loss is
+    * recoverable by accepting it, silent un-deletion is not.
+    */
+  def fsck(table: String, dryRun: Boolean = false): Seq[String] = {
+    val rv = currentVersion(table) // pin BEFORE the state read: the CAS
+    val st = tableStateViaCheckpoint(table, Some(rv)) // must guard what we saw
+    val missingDv = st.dv.filterNot(p => Files.exists(Paths.get(p)))
+    require(missingDv.isEmpty,
+      s"FSCK $table: deletion-vector segment(s) missing " +
+        s"(${missingDv.mkString(", ")}) — repairing would RESURRECT their " +
+        "deleted rows; restore the files or rewrite the table instead")
+    val missing = st.segments.map(_._1)
+      .filterNot(p => Files.exists(Paths.get(p)))
+    if (missing.nonEmpty && !dryRun)
+      commit(table, "fsck", Seq.empty, missing, rv,
+        Map.empty, () => false, None)
+    missing
   }
 
   /** SHALLOW CLONE (Delta's `CREATE TABLE ... SHALLOW CLONE src`): a new

@@ -90,9 +90,45 @@ final class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)^\s*ALTER\s+TABLE\s+'([^']+)'\s+RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)\s*;?\s*$""".r
   private val AlterDropCol =
     """(?is)^\s*ALTER\s+TABLE\s+'([^']+)'\s+DROP\s+COLUMN\s+(\w+)\s*;?\s*$""".r
+  private val AlterDropConstraint =
+    """(?is)^\s*ALTER\s+TABLE\s+'([^']+)'\s+DROP\s+CONSTRAINT\s+(\w+)\s*;?\s*$""".r
+  // TBLPROPERTIES over a txlog PATH (same no-shadowing argument: Spark
+  // cannot parse ALTER TABLE / SHOW TBLPROPERTIES with a quoted path)
+  private val AlterSetProps =
+    """(?is)^\s*ALTER\s+TABLE\s+'([^']+)'\s+SET\s+TBLPROPERTIES\s*\((.+)\)\s*;?\s*$""".r
+  private val AlterUnsetProps =
+    """(?is)^\s*ALTER\s+TABLE\s+'([^']+)'\s+UNSET\s+TBLPROPERTIES\s*\((.+)\)\s*;?\s*$""".r
+  private val ShowTblProps =
+    """(?is)^\s*SHOW\s+TBLPROPERTIES\s+'([^']+)'\s*;?\s*$""".r
+  // one `'k' = 'v'` / `k = 'v'` pair inside a TBLPROPERTIES list
+  private val PropPair =
+    """(?s)\s*(?:'([^']+)'|([\w.\-]+))\s*=\s*'([^']*)'\s*""".r
+  private val PropKey = """(?s)\s*(?:'([^']+)'|([\w.\-]+))\s*""".r
   // Delta's CONVERT TO DELTA, txlog spelling — in-place metadata convert
   private val ConvertToTxLog =
     """(?is)^\s*CONVERT\s+TO\s+TXLOG\s+'([^']+)'\s*;?\s*$""".r
+  // Delta's FSCK REPAIR TABLE — DRY RUN spelling first (the bare (.+?)
+  // would swallow it)
+  private val FsckDry =
+    """(?is)^\s*FSCK\s+REPAIR\s+TABLE\s+(.+?)\s+DRY\s+RUN\s*;?\s*$""".r
+  private val Fsck =
+    """(?is)^\s*FSCK\s+REPAIR\s+TABLE\s+(.+?)\s*;?\s*$""".r
+
+  /** Split a TBLPROPERTIES list on commas OUTSIDE single quotes (values
+    * may contain commas).
+    */
+  private def splitTopLevel(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val sb = new StringBuilder
+    var q = false
+    s.foreach {
+      case '\'' => q = !q; sb += '\''
+      case ',' if !q => out += sb.toString; sb.clear()
+      case c => sb += c
+    }
+    out += sb.toString
+    out.result()
+  }
 
   private def target(raw: String): (String, Boolean) = {
     val t = raw.trim
@@ -142,13 +178,15 @@ final class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case VacuumRetainDry(t, hours) =>
       val (n, p) = target(t); VacuumDryRunCommand(n, p, hours.toLong)
     case VacuumDry(t) =>
-      val (n, p) = target(t); VacuumDryRunCommand(n, p, 7L * 24)
+      val (n, p) = target(t); VacuumDryRunCommand(n, p, -1L)
     case VacuumRetain(t, hours) =>
       val (n, p) = target(t); TxLogMaintenanceCommand(n, p, "vacuum",
         arg = hours.toLong)
     case Vacuum(t) =>
+      // -1 = no RETAIN clause: run() resolves the table's declared
+      // graft.deletedFileRetentionDuration, else Delta's 7-day default
       val (n, p) = target(t); TxLogMaintenanceCommand(n, p, "vacuum",
-        arg = 7L * 24) // Delta's default retention: 7 days
+        arg = -1L)
     case RestoreTo(t, v) =>
       val (n, p) = target(t); TxLogMaintenanceCommand(n, p, "restore",
         arg = v.toLong)
@@ -170,7 +208,29 @@ final class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       AlterTxLogCommand(path, "rename_column", Seq(from, to))
     case AlterDropCol(path, name) =>
       AlterTxLogCommand(path, "drop_column", Seq(name))
+    case AlterDropConstraint(path, name) =>
+      AlterTxLogCommand(path, "drop_constraint", Seq(name))
+    case AlterSetProps(path, pairs) =>
+      val kvs = splitTopLevel(pairs).map {
+        case PropPair(qk, bk, v) => s"${Option(qk).getOrElse(bk)}=$v"
+        case other => throw new IllegalArgumentException(
+          s"SET TBLPROPERTIES: cannot parse pair '$other' — want 'key' = 'value'")
+      }
+      AlterTxLogCommand(path, "set_props", kvs)
+    case AlterUnsetProps(path, keys) =>
+      val ks = splitTopLevel(keys).map {
+        case PropKey(qk, bk) => Option(qk).getOrElse(bk)
+        case other => throw new IllegalArgumentException(
+          s"UNSET TBLPROPERTIES: cannot parse key '$other'")
+      }
+      AlterTxLogCommand(path, "unset_props", ks)
+    case ShowTblProps(path) =>
+      ShowTblPropertiesCommand(path)
     case ConvertToTxLog(path) => ConvertToTxLogCommand(path)
+    case FsckDry(t) =>
+      val (n, p) = target(t); FsckRepairCommand(n, p, dryRun = true)
+    case Fsck(t) =>
+      val (n, p) = target(t); FsckRepairCommand(n, p, dryRun = false)
     case _ => delegate.parsePlan(sqlText)
   }
 
@@ -252,7 +312,8 @@ final case class TxLogMaintenanceCommand(name: String, isPath: Boolean,
         TxLog.compactZOrderN(spark, table, cols, buckets = 16)
       case "vacuum" =>
         TxLog.vacuum(table, keepVersionsFrom = TxLog.currentVersion(table),
-          minAgeMillis = arg * 3600L * 1000L).size.toLong
+          minAgeMillis = GraftSqlSurface.vacuumRetentionMillis(table, arg))
+          .size.toLong
       case "restore" => TxLog.restore(spark, table, arg)
       // epoch-millis timestamp resolved through the in-manifest commit
       // times, then the same one-commit restore
@@ -276,7 +337,8 @@ final case class VacuumDryRunCommand(name: String, isPath: Boolean,
   override def run(spark: SparkSession): Seq[Row] = {
     val table = if (isPath) name else GraftSqlSurface.tableLocation(spark, name)
     TxLog.vacuumDryRun(table, keepVersionsFrom = TxLog.currentVersion(table),
-      minAgeMillis = hours * 3600L * 1000L).map(Row(_))
+      minAgeMillis = GraftSqlSurface.vacuumRetentionMillis(table, hours))
+      .map(Row(_))
   }
 }
 
@@ -449,9 +511,49 @@ final case class AlterTxLogCommand(path: String, action: String,
       case "drop_column" => TxLog.dropColumn(spark, path, args.head)
       case "add_constraint" =>
         TxLog.addConstraint(spark, path, args(0), args(1))
+      case "drop_constraint" => TxLog.dropConstraint(path, args.head)
+      case "set_props" =>
+        TxLog.setProperties(path, args.map { kv =>
+          val i = kv.indexOf('=')
+          kv.substring(0, i) -> kv.substring(i + 1)
+        }.toMap)
+      case "unset_props" => TxLog.unsetProperties(path, args)
     }
     Seq(Row(v))
   }
+}
+
+/** `FSCK REPAIR TABLE <t|'path'> [DRY RUN]` — one row per live-segment
+  * reference whose directory is gone from storage; without DRY RUN the
+  * references are dropped in one removes-only commit so the table reads
+  * again ([[TxLog.fsck]]; a missing deletion-vector segment refuses —
+  * repairing it would resurrect deleted rows).
+  */
+final case class FsckRepairCommand(name: String, isPath: Boolean,
+                                   dryRun: Boolean) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("path", StringType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val table = if (isPath) name else GraftSqlSurface.tableLocation(spark, name)
+    TxLog.fsck(table, dryRun).map(Row(_))
+  }
+}
+
+/** `SHOW TBLPROPERTIES '<path>'` — the table's property map in force at
+  * the head, one (key, value) row per entry, key-sorted. Pure manifest
+  * metadata (the headMeta memo answers in O(delta) manifests).
+  */
+final case class ShowTblPropertiesCommand(path: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("key", StringType, nullable = false)(),
+    AttributeReference("value", StringType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] =
+    TxLog.tableProperties(path).toSeq.sortBy(_._1).map {
+      case (k, v) => Row(k, v)
+    }
 }
 
 /** `CONVERT TO TXLOG '<path>'` — one [[TxLog.convertInPlace]] metadata
@@ -469,6 +571,34 @@ final case class ConvertToTxLogCommand(path: String)
 }
 
 private[plans] object GraftSqlSurface {
+  /** Effective VACUUM age floor in millis. `retainHours` < 0 means the
+    * statement had no RETAIN clause: the table's declared
+    * `graft.deletedFileRetentionDuration` property answers, else Delta's
+    * 7-day default. An explicit RETAIN shorter than the declared
+    * retention REFUSES (Delta's retentionDurationCheck: a short vacuum
+    * silently breaks time travel and any stream reading an old offset)
+    * unless the table sets `graft.retentionDurationCheck.enabled=false`.
+    */
+  def vacuumRetentionMillis(table: String, retainHours: Long): Long = {
+    val props = TxLog.tableProperties(table)
+    val declared = props.get("graft.deletedFileRetentionDuration")
+      .map(TxLog.parseIntervalMillis)
+    if (retainHours < 0) declared.getOrElse(7L * 24 * 3600L * 1000L)
+    else {
+      val req = retainHours * 3600L * 1000L
+      val checkOn = props.get("graft.retentionDurationCheck.enabled")
+        .forall(v => !v.equalsIgnoreCase("false"))
+      declared.filter(d => req < d && checkOn).foreach { d =>
+        throw new IllegalArgumentException(
+          s"VACUUM RETAIN ${retainHours} HOURS is below $table's declared " +
+            s"retention (${d / 3600000L} hours, graft.deletedFileRetentionDuration) " +
+            "— this can break time travel and running streams; set table " +
+            "property graft.retentionDurationCheck.enabled=false to override")
+      }
+      req
+    }
+  }
+
   /** A catalog table's txlog root as a filesystem path string. */
   def tableLocation(spark: SparkSession, name: String): String = {
     val ident = spark.sessionState.sqlParser.parseTableIdentifier(name)

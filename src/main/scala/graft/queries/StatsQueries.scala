@@ -473,6 +473,30 @@ object StatsQueries extends QueryPack {
       t
     })
 
+  /** TBLPROPERTIES + DROP CONSTRAINT lifecycle table: properties set
+    * twice (last write wins per key), one unset, a CHECK added then
+    * DROPPED, and a row the dropped CHECK would have rejected appended
+    * after — proving enforcement is lifted from the drop's version on.
+    */
+  private def txPropsTable(s: SparkSession, d: String): String =
+    txTables.computeIfAbsent((s, "props:" + d), _ => {
+      val t = s"${graft.ops.Scratch.base}/txprops_${(d.hashCode & 0xffffff).toHexString}"
+      val base = Tables.orders(s, d)
+        .select(col("o_orderkey"), Cleaning.cents(col("o_totalprice")).as("cents"))
+      graft.ops.TxLog.append(base, t)
+      graft.ops.TxLog.setProperties(t, Map(
+        "owner" -> "data-eng", "temp.bootstrap" -> "true"))
+      graft.ops.TxLog.setProperties(t, Map(
+        "owner" -> "ml-platform",
+        "graft.deletedFileRetentionDuration" -> "interval 7 days"))
+      graft.ops.TxLog.unsetProperties(t, Seq("temp.bootstrap"))
+      graft.ops.TxLog.addConstraint(s, t, "cents_non_negative", "cents >= 0")
+      graft.ops.TxLog.dropConstraint(t, "cents_non_negative")
+      import s.implicits._
+      graft.ops.TxLog.append(Seq((-1L, -12345L)).toDF("o_orderkey", "cents"), t)
+      t
+    })
+
   /** ANALYZE-stats TxLog dim table: nation split into two appends, each
     * committed with row-count + exact-NDV manifest stats — the metadata
     * the CBO-shape query plans its join from without scanning a byte.
@@ -1795,6 +1819,26 @@ object StatsQueries extends QueryPack {
           lit(cs.size.toLong).as("n_constraints"), col("n"), col("min_cents"))
     }),
 
+    // TABLE PROPERTIES + DROP CONSTRAINT through the commit log (Delta's
+    // TBLPROPERTIES model): free-form string properties folded across
+    // commits (set twice = last write wins; unset removes; checkpoints
+    // carry the cumulative map), and a CHECK constraint tombstoned by
+    // DROP CONSTRAINT — the post-drop append carries a row the CHECK
+    // would have rejected, so n/sum prove enforcement ended at the
+    // drop's version while time travel still sees it in force before.
+    "lake_txlog_properties" -> ((s, d) => {
+      val t = txPropsTable(s, d)
+      val props = graft.ops.TxLog.tableProperties(t).toSeq.sortBy(_._1)
+      val nCks = graft.ops.TxLog.activeConstraints(t).size.toLong
+      import s.implicits._
+      props.toDF("key", "value")
+        .crossJoin(graft.ops.TxLog.snapshot(s, t)
+          .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents")))
+        .select(col("key"), col("value"),
+          lit(nCks).as("n_constraints"), col("n"), col("sum_cents"))
+        .orderBy("key")
+    }),
+
     // OPTIMIZE ZORDER through the commit log (Delta's 2-D clustering
     // maintenance op): the table starts as 4 modulus-split segments —
     // every one spans the whole (px, py) plane, so a box read must scan
@@ -2979,6 +3023,18 @@ object StatsQueries extends QueryPack {
         |  COUNT(*) AS n,
         |  CAST(MIN(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS min_cents
         |FROM orders""".stripMargin,
+    "lake_txlog_properties" ->
+      """WITH base AS (
+        |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+        |agg AS (
+        |  SELECT COUNT(*) + 1 AS n,
+        |         CAST(SUM(cents) - 12345 AS BIGINT) AS sum_cents FROM base),
+        |props AS (SELECT * FROM (VALUES
+        |  ('graft.deletedFileRetentionDuration', 'interval 7 days'),
+        |  ('owner', 'ml-platform')) AS p("key", "value"))
+        |SELECT p."key", p."value", CAST(0 AS BIGINT) AS n_constraints,
+        |  agg.n, agg.sum_cents
+        |FROM props p CROSS JOIN agg ORDER BY p."key"""".stripMargin,
     "lake_txlog_stats_join" ->
       """WITH meta AS (SELECT COUNT(*) AS dim_rows,
         |    GREATEST(COUNT(*) FILTER (n_nationkey < 12),

@@ -61,9 +61,11 @@ object TxLogCdf {
 
   /** Content-neutral ops: layout maintenance and pure metadata. */
   private def neutral(op: String): Boolean = op match {
+    // fsck is neutral BY NECESSITY: the rows its removed references held
+    // are unreadable (the files are gone) — nothing emittable remains
     case "compact" | "optimize" | "optimize_zorder" | "compact_dv"
-         | "evolve" | "constraint" | "dropcolumn" | "analyze"
-         | "rename" => true
+         | "evolve" | "constraint" | "dropconstraint" | "dropcolumn"
+         | "analyze" | "rename" | "setprops" | "unsetprops" | "fsck" => true
     case _ => false
   }
 

@@ -245,8 +245,11 @@ private final class TxLogSource(spark: SparkSession, table: String,
         // constraints, column drop — the pinned schema keeps projecting
         // the dropped column; post-drop appends null-fill it, exactly
         // the read-old-under-pinned contract)
+        // fsck is content-neutral by necessity: its removed references'
+        // rows are unreadable (the files are gone)
         case "compact" | "optimize" | "optimize_zorder" | "compact_dv"
-             | "evolve" | "constraint" | "dropcolumn" | "analyze" => None
+             | "evolve" | "constraint" | "dropconstraint" | "dropcolumn"
+             | "analyze" | "setprops" | "unsetprops" | "fsck" => None
         // a rename is pure metadata to THIS source: batches translate
         // each segment's physical names to the pinned logical names via
         // the same rename walk batch readers use (readAdds) — the output

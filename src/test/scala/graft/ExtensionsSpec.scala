@@ -513,6 +513,126 @@ class ExtensionsSpec extends SparkSpec {
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(listed.head)))
   }
 
+  test("TBLPROPERTIES set/unset/show round-trip, survive checkpoints, time travel") {
+    import spark.implicits._
+    val t = java.nio.file.Files.createTempDirectory("txprops-").resolve("t").toString
+    graft.ops.TxLog.append(Seq((1L, 10L)).toDF("k", "v"), t)
+    spark.sql(s"ALTER TABLE '$t' SET TBLPROPERTIES ('owner' = 'data-eng', " +
+      "'graft.deletedFileRetentionDuration' = 'interval 1 hour')")
+    val propsV = graft.ops.TxLog.currentVersion(t)
+    assert(spark.sql(s"SHOW TBLPROPERTIES '$t'").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq === Seq(
+        ("graft.deletedFileRetentionDuration", "interval 1 hour"),
+        ("owner", "data-eng")))
+    // last write wins per key; UNSET removes; absent-key UNSET is a no-op
+    spark.sql(s"ALTER TABLE '$t' SET TBLPROPERTIES ('owner' = 'ml-platform')")
+    spark.sql(s"ALTER TABLE '$t' UNSET TBLPROPERTIES " +
+      "('graft.deletedFileRetentionDuration', 'never.existed')")
+    assert(graft.ops.TxLog.tableProperties(t) === Map("owner" -> "ml-platform"))
+    // time travel sees the map as of the old version
+    assert(graft.ops.TxLog.tableProperties(t, Some(propsV))
+      .get("owner").contains("data-eng"))
+    // the cumulative map survives a checkpoint collapse
+    graft.ops.TxLog.checkpoint(t)
+    graft.ops.TxLog.append(Seq((2L, 20L)).toDF("k", "v"), t)
+    assert(graft.ops.TxLog.tableProperties(t) === Map("owner" -> "ml-platform"))
+    // property commits are content-neutral to readers
+    assert(graft.ops.TxLog.snapshot(spark, t).count() === 2L)
+  }
+
+  test("DROP CONSTRAINT lifts enforcement and survives checkpoints") {
+    import spark.implicits._
+    val t = java.nio.file.Files.createTempDirectory("txdropck-").resolve("t").toString
+    graft.ops.TxLog.append(Seq((1L, 10L)).toDF("k", "v"), t)
+    spark.sql(s"ALTER TABLE '$t' ADD CONSTRAINT v_pos CHECK (v >= 0)")
+    intercept[Exception] {
+      graft.ops.TxLog.append(Seq((2L, -5L)).toDF("k", "v"), t)
+    }
+    assert(spark.sql(s"ALTER TABLE '$t' DROP CONSTRAINT v_pos")
+      .head().getLong(0) === 3L)
+    assert(graft.ops.TxLog.activeConstraints(t).isEmpty)
+    // the formerly-violating write now lands
+    graft.ops.TxLog.append(Seq((2L, -5L)).toDF("k", "v"), t)
+    assert(graft.ops.TxLog.snapshot(spark, t).count() === 2L)
+    // dropping a constraint that doesn't exist refuses loudly
+    val e = intercept[Exception] {
+      spark.sql(s"ALTER TABLE '$t' DROP CONSTRAINT nope").collect()
+    }
+    assert(e.getMessage.contains("no constraint"), e.getMessage)
+    // the tombstone survives a checkpoint collapse (the checkpoint's
+    // cumulative checks already exclude the dropped name)
+    graft.ops.TxLog.checkpoint(t)
+    graft.ops.TxLog.append(Seq((3L, -7L)).toDF("k", "v"), t)
+    assert(graft.ops.TxLog.activeConstraints(t).isEmpty)
+    // time travel still sees the constraint while it was in force
+    assert(graft.ops.TxLog.activeConstraints(t, Some(2L)) ===
+      Seq(("v_pos", "v >= 0")))
+  }
+
+  test("VACUUM honors declared retention; short RETAIN refuses unless overridden") {
+    import spark.implicits._
+    val t = java.nio.file.Files.createTempDirectory("txvret-").resolve("t").toString
+    graft.ops.TxLog.append(Seq((1L, 10L)).toDF("k", "v"), t)
+    graft.ops.TxLog.overwrite(Seq((1L, 99L)).toDF("k", "v"), t)
+    spark.sql(s"ALTER TABLE '$t' SET TBLPROPERTIES " +
+      "('graft.deletedFileRetentionDuration' = 'interval 1 hour')")
+    // bare VACUUM now uses the declared 1-hour floor: nothing is old enough
+    assert(spark.sql(s"VACUUM '$t'").head().getLong(0) === 0L)
+    // RETAIN below the declared retention refuses with the override hint
+    val e = intercept[Exception] {
+      spark.sql(s"VACUUM '$t' RETAIN 0 HOURS").collect()
+    }
+    assert(e.getMessage.contains("retentionDurationCheck"), e.getMessage)
+    // ... DRY RUN refuses identically (same resolution path)
+    intercept[Exception] {
+      spark.sql(s"VACUUM '$t' RETAIN 0 HOURS DRY RUN").collect()
+    }
+    // the documented override property unblocks the short vacuum
+    spark.sql(s"ALTER TABLE '$t' SET TBLPROPERTIES " +
+      "('graft.retentionDurationCheck.enabled' = 'false')")
+    assert(spark.sql(s"VACUUM '$t' RETAIN 0 HOURS").head().getLong(0) === 1L)
+    assert(graft.ops.TxLog.snapshot(spark, t).as[(Long, Long)].head() === ((1L, 99L)))
+  }
+
+  test("FSCK REPAIR TABLE drops references to missing segments, refuses on missing DVs") {
+    import spark.implicits._
+    val t = java.nio.file.Files.createTempDirectory("txfsck-").resolve("t").toString
+    graft.ops.TxLog.append(Seq((1L, 10L)).toDF("k", "v"), t)
+    graft.ops.TxLog.append(Seq((2L, 20L)).toDF("k", "v"), t)
+    // a healthy table repairs nothing (and commits nothing)
+    assert(spark.sql(s"FSCK REPAIR TABLE '$t'").count() === 0L)
+    assert(graft.ops.TxLog.currentVersion(t) === 2L)
+    // physically delete the first segment out from under the log
+    val seg1 = graft.ops.TxLog.readManifest(t, 1L).adds.head
+    val segPath = java.nio.file.Paths.get(seg1)
+    java.nio.file.Files.walk(segPath).sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => java.nio.file.Files.deleteIfExists(p))
+    // DRY RUN lists the gone reference without committing
+    val listed = spark.sql(s"FSCK REPAIR TABLE '$t' DRY RUN")
+      .collect().map(_.getString(0)).toSeq
+    assert(listed === Seq(seg1))
+    assert(graft.ops.TxLog.currentVersion(t) === 2L)
+    // the repair lands one removes-only commit; the table reads again
+    assert(spark.sql(s"FSCK REPAIR TABLE '$t'").collect()
+      .map(_.getString(0)).toSeq === Seq(seg1))
+    assert(graft.ops.TxLog.readManifest(t, 3L).op === "fsck")
+    assert(graft.ops.TxLog.snapshot(spark, t).as[(Long, Long)].collect()
+      .toSeq === Seq((2L, 20L)))
+    // a missing DELETION-VECTOR segment refuses: repairing would
+    // resurrect the rows it deletes
+    val t2 = java.nio.file.Files.createTempDirectory("txfsck2-").resolve("t").toString
+    graft.ops.TxLog.append(Seq((1L, 10L), (2L, 20L)).toDF("k", "v"), t2)
+    graft.ops.TxLog.deleteWhere(spark, t2, col("k") === 1L)
+    val dvSeg = graft.ops.TxLog.tableStateViaCheckpoint(t2).dv.head
+    java.nio.file.Files.walk(java.nio.file.Paths.get(dvSeg))
+      .sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => java.nio.file.Files.deleteIfExists(p))
+    val e = intercept[Exception] {
+      spark.sql(s"FSCK REPAIR TABLE '$t2'").collect()
+    }
+    assert(e.getMessage.contains("RESURRECT"), e.getMessage)
+  }
+
   test("timestamp spellings parse uniformly across every timestamp surface") {
     import spark.implicits._
     // the shared parser: bare millis, date-only, datetime, datetime.millis

@@ -264,6 +264,42 @@ class TxLogSpec extends SparkSpec {
     assert(TxLog.maxCommittedBatch(t) === 1L)
   }
 
+  test("racing property commits all land; racing same-name constraint drops land once") {
+    // setProperties has no CAS (a property write validates nothing
+    // against the snapshot): 8 concurrent writers must ALL commit, and
+    // the folded map resolves last-write-wins by version order.
+    val t = freshTable()
+    TxLog.append(rows(1L -> 1L), t)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      (1 to 8).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Long] {
+          def call(): Long =
+            TxLog.setProperties(t, Map("writer" -> i.toString, s"k$i" -> "1"))
+        })
+      }.foreach(f => assert(f.get() > 0L))
+      assert(TxLog.currentVersion(t) === 9L)
+      val props = TxLog.tableProperties(t)
+      assert((1 to 8).forall(i => props.get(s"k$i").contains("1")))
+      // the winner of "writer" is whichever committed LAST by version
+      val lastWriter = (2L to 9L).flatMap(v =>
+        TxLog.readManifest(t, v).props.get("writer")).last
+      assert(props.get("writer").contains(lastWriter))
+      // racing DROP CONSTRAINT of one name: exactly one lands (the drop
+      // CAS-guards the head its existence check read)
+      TxLog.addConstraint(spark, t, "v_pos", "v >= 0")
+      val outcomes = (1 to 4).map { _ =>
+        pool.submit(new java.util.concurrent.Callable[Boolean] {
+          def call(): Boolean =
+            try { TxLog.dropConstraint(t, "v_pos"); true }
+            catch { case _: Exception => false }
+        })
+      }.map(_.get())
+      assert(outcomes.count(identity) === 1, s"got $outcomes")
+      assert(TxLog.activeConstraints(t).isEmpty)
+    } finally pool.shutdown()
+  }
+
   test("idempotent txn: replays skip, apps are independent, zombie race lands once") {
     val t = freshTable()
     assert(TxLog.idempotentAppend(rows(1L -> 10L), t, "etl", 1L) > 0)
