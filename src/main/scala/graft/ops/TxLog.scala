@@ -2780,6 +2780,101 @@ object TxLog {
       dv = dvRemaining)
   }
 
+  /** `REORG TABLE … APPLY (PURGE)` (Delta's DV materialization): rewrite
+    * ONLY the live segments that standing deletion-vector marks actually
+    * reference, so soft deletes become physical without touching the rest
+    * of the table. At 100 TB this is the difference between rewriting the
+    * fraction of files carrying deletes and rewriting everything
+    * ([[compact]]). The rewrite is LEAF-PRESERVING: a partitioned
+    * segment re-stages under the same `col=value` chain, so the layout
+    * and path pruning survive. One commit removes the marked segments,
+    * adds their purged rewrites (a fully-deleted segment simply
+    * disappears — no empty add), and clears the chain (a
+    * removes-carrying commit replaces it — [[foldDvChain]]); stale marks
+    * on long-dead segments vanish with it. Time travel to pre-purge
+    * versions still resolves — purge deletes no files, [[vacuum]] does.
+    * No-op (returns the head) when no chain is standing.
+    */
+  def purge(spark: SparkSession, table: String): Long = {
+    import org.apache.spark.sql.functions.{col => fcol}
+    val rv = currentVersion(table)
+    val st = tableStateViaCheckpoint(table, Some(rv))
+    if (st.dv.isEmpty) return rv
+    val live = st.segments.map(_._1)
+    // distinct marked FILES are metadata-sized (bounded by the table's
+    // file count); segments resolve driver-side by path containment
+    // (coordinates record the scan's URI form — compactPartition's trick)
+    val markedFiles = dvMarks(spark, st.dv).select("file_path").distinct()
+      .collect().map(_.getString(0))
+    val marked = live.filter(seg => markedFiles.exists(_.contains(seg)))
+    if (marked.isEmpty) return rv // only stale marks on dead segments
+    val schemaOpt = recordedSchema(table, Some(rv))
+    val adds = marked.groupBy(segLeaf(table, _)).toSeq.sortBy(_._1).map {
+      case (leaf, segs) =>
+        val (withMeta, fp, ri) = readSegmentsWithCoords(
+          spark, segs, schemaOpt, st.renames)
+        val taken = withMeta.columns.toSet
+        val dfp = freshName(taken, "__dv_fp")
+        val dri = freshName(taken + dfp, "__dv_ri")
+        val marks = dvMarks(spark, st.dv)
+          .select(fcol("file_path").as(dfp), fcol("row_index").as(dri))
+        val visible = withMeta.join(marks,
+          fcol(fp) === fcol(dfp) && fcol(ri) === fcol(dri), "left_anti")
+          .drop(fp, ri)
+        val p =
+          if (leaf.isEmpty) s"$table/data/${java.util.UUID.randomUUID}"
+          else s"$table/data/${java.util.UUID.randomUUID}/$leaf"
+        visible.write.mode(SaveMode.ErrorIfExists).parquet(p)
+        p
+    }
+    // the stats pass also counts rows: a group whose rows were ALL
+    // deleted is a husk — drop it instead of committing an empty segment
+    val statsPairs = adds.map(p => p -> rewriteStats(spark, p, st, "purge")(p))
+    val (keep, husks) = statsPairs.partition(_._2.rows.forall(_ > 0L))
+    husks.foreach { case (p, _) =>
+      listClosed(Files.walk(Paths.get(p))).reverse.foreach(Files.deleteIfExists(_))
+    }
+    commit(table, "purge", keep.map(_._1), marked, rv, keep.toMap,
+      () => false, None)
+  }
+
+  /** The partition-leaf chain of a segment path — the `col=value[/...]`
+    * components after `data/<uuid>`; empty for unpartitioned segments.
+    */
+  private def segLeaf(table: String, seg: String): String = {
+    val dataRoot = Paths.get(table, "data").toAbsolutePath.normalize
+    val rel = dataRoot.relativize(Paths.get(seg).toAbsolutePath.normalize)
+    (1 until rel.getNameCount).map(rel.getName(_).toString).mkString("/")
+  }
+
+  /** `GENERATE symlink_format_manifest` (Delta's external-reader interop
+    * statement): write `_symlink_format_manifest[/<leaf>]/manifest` text
+    * files, one per partition leaf (one total when unpartitioned), each
+    * listing the absolute URIs of the live parquet data files under that
+    * leaf — the format Presto/Trino/Athena external tables read. The
+    * whole manifest tree is rebuilt from the current snapshot on every
+    * call, so leaves that no longer exist disappear. Metadata-priced:
+    * a directory walk of the live segments, no data bytes read.
+    */
+  def generateSymlinkManifest(table: String): Seq[String] = {
+    val st = tableStateViaCheckpoint(table)
+    val root = Paths.get(table, "_symlink_format_manifest")
+    if (Files.isDirectory(root))
+      listClosed(Files.walk(root)).reverse.foreach(Files.deleteIfExists(_))
+    st.segments.map(_._1).groupBy(segLeaf(table, _)).toSeq.sortBy(_._1)
+      .map { case (leaf, segs) =>
+        val files = segs.flatMap(s =>
+          listClosed(Files.walk(Paths.get(s)))
+            .filter(_.getFileName.toString.endsWith(".parquet")))
+          .map(_.toUri.toString).sorted
+        val dir = if (leaf.isEmpty) root else root.resolve(leaf)
+        Files.createDirectories(dir)
+        val f = dir.resolve("manifest")
+        Files.writeString(f, files.mkString("", "\n", "\n"))
+        f.toString
+      }
+  }
+
   /** ANALYZE stats for a maintenance-rewritten segment: re-record the row
     * count (+ min/max/NDV of the tracked column when the pre-rewrite live
     * set agrees on one that still exists) so [[tableRowCount]] /

@@ -107,6 +107,14 @@ final class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   // Delta's CONVERT TO DELTA, txlog spelling — in-place metadata convert
   private val ConvertToTxLog =
     """(?is)^\s*CONVERT\s+TO\s+TXLOG\s+'([^']+)'\s*;?\s*$""".r
+  // Delta's GENERATE symlink_format_manifest FOR TABLE — external-reader
+  // interop manifests (Presto/Trino/Athena)
+  private val GenerateManifest =
+    """(?is)^\s*GENERATE\s+symlink_format_manifest\s+FOR\s+TABLE\s+(.+?)\s*;?\s*$""".r
+  // Delta's REORG TABLE … APPLY (PURGE) — materialize deletion vectors
+  // by rewriting ONLY the marked segments
+  private val ReorgPurge =
+    """(?is)^\s*REORG\s+TABLE\s+(.+?)\s+APPLY\s*\(\s*PURGE\s*\)\s*;?\s*$""".r
   // Delta's FSCK REPAIR TABLE — DRY RUN spelling first (the bare (.+?)
   // would swallow it)
   private val FsckDry =
@@ -227,6 +235,10 @@ final class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case ShowTblProps(path) =>
       ShowTblPropertiesCommand(path)
     case ConvertToTxLog(path) => ConvertToTxLogCommand(path)
+    case GenerateManifest(t) =>
+      val (n, p) = target(t); GenerateManifestCommand(n, p)
+    case ReorgPurge(t) =>
+      val (n, p) = target(t); TxLogMaintenanceCommand(n, p, "purge")
     case FsckDry(t) =>
       val (n, p) = target(t); FsckRepairCommand(n, p, dryRun = true)
     case Fsck(t) =>
@@ -310,6 +322,8 @@ final case class TxLogMaintenanceCommand(name: String, isPath: Boolean,
         TxLog.compactPartition(spark, table, cols.head, cols(1))
       case "optimize_zorder" =>
         TxLog.compactZOrderN(spark, table, cols, buckets = 16)
+      // REORG … APPLY (PURGE): rewrite only the DV-marked segments
+      case "purge" => TxLog.purge(spark, table)
       case "vacuum" =>
         TxLog.vacuum(table, keepVersionsFrom = TxLog.currentVersion(table),
           minAgeMillis = GraftSqlSurface.vacuumRetentionMillis(table, arg))
@@ -537,6 +551,22 @@ final case class FsckRepairCommand(name: String, isPath: Boolean,
   override def run(spark: SparkSession): Seq[Row] = {
     val table = if (isPath) name else GraftSqlSurface.tableLocation(spark, name)
     TxLog.fsck(table, dryRun).map(Row(_))
+  }
+}
+
+/** `GENERATE symlink_format_manifest FOR TABLE <t|'path'>` — one row per
+  * manifest file written under `_symlink_format_manifest/` (one per
+  * partition leaf), each listing the live parquet files' URIs for
+  * external readers ([[TxLog.generateSymlinkManifest]]).
+  */
+final case class GenerateManifestCommand(name: String, isPath: Boolean)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("manifest", StringType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val table = if (isPath) name else GraftSqlSurface.tableLocation(spark, name)
+    TxLog.generateSymlinkManifest(table).map(Row(_))
   }
 }
 

@@ -497,6 +497,22 @@ object StatsQueries extends QueryPack {
       t
     })
 
+  /** REORG APPLY (PURGE) table: odd keys in segment 1, even in segment
+    * 2; a delete marking only odd keys, then a purge — exactly segment 1
+    * rewritten, segment 2 referenced untouched, the chain cleared.
+    */
+  private def txPurgeTable(s: SparkSession, d: String): String =
+    txTables.computeIfAbsent((s, "purge:" + d), _ => {
+      val t = s"${graft.ops.Scratch.base}/txpurge_${(d.hashCode & 0xffffff).toHexString}"
+      val base = Tables.orders(s, d)
+        .select(col("o_orderkey"), Cleaning.cents(col("o_totalprice")).as("cents"))
+      graft.ops.TxLog.append(base.filter(col("o_orderkey") % 2 === 1), t)
+      graft.ops.TxLog.append(base.filter(col("o_orderkey") % 2 === 0), t)
+      graft.ops.TxLog.deleteWhere(s, t, col("o_orderkey") % 10 === 1)
+      graft.ops.TxLog.purge(s, t)
+      t
+    })
+
   /** ANALYZE-stats TxLog dim table: nation split into two appends, each
     * committed with row-count + exact-NDV manifest stats — the metadata
     * the CBO-shape query plans its join from without scanning a byte.
@@ -1839,6 +1855,26 @@ object StatsQueries extends QueryPack {
         .orderBy("key")
     }),
 
+    // REORG APPLY (PURGE) through the commit log (Delta's DV
+    // materialization): only the DV-marked segment is rewritten — the
+    // manifest proves it (1 removed, 1 added, the unmarked segment
+    // referenced byte-identically) and the chain is cleared, while the
+    // visible rows are exactly the un-deleted set. At 100 TB this is
+    // the op that makes soft deletes physical WITHOUT a full-table
+    // compact: cost ∝ files carrying deletes, not table size.
+    "lake_txlog_purge" -> ((s, d) => {
+      val t = txPurgeTable(s, d)
+      val m = graft.ops.TxLog.readManifest(t, 4L)
+      val st = graft.ops.TxLog.tableStateViaCheckpoint(t)
+      graft.ops.TxLog.snapshot(s, t)
+        .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+        .select(lit(m.op).as("op"),
+          lit(m.removes.size.toLong).as("n_removed"),
+          lit(m.adds.size.toLong).as("n_added"),
+          lit(st.dv.size.toLong).as("n_dv"),
+          col("n"), col("sum_cents"))
+    }),
+
     // OPTIMIZE ZORDER through the commit log (Delta's 2-D clustering
     // maintenance op): the table starts as 4 modulus-split segments —
     // every one spans the whole (px, py) plane, so a box read must scan
@@ -3023,6 +3059,15 @@ object StatsQueries extends QueryPack {
         |  COUNT(*) AS n,
         |  CAST(MIN(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS min_cents
         |FROM orders""".stripMargin,
+    "lake_txlog_purge" ->
+      """WITH base AS (
+        |  SELECT o_orderkey,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+        |kept AS (SELECT * FROM base WHERE o_orderkey % 10 <> 1)
+        |SELECT 'purge' AS op, CAST(1 AS BIGINT) AS n_removed,
+        |  CAST(1 AS BIGINT) AS n_added, CAST(0 AS BIGINT) AS n_dv,
+        |  COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS sum_cents
+        |FROM kept""".stripMargin,
     "lake_txlog_properties" ->
       """WITH base AS (
         |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),

@@ -63,9 +63,12 @@ object TxLogCdf {
   private def neutral(op: String): Boolean = op match {
     // fsck is neutral BY NECESSITY: the rows its removed references held
     // are unreadable (the files are gone) — nothing emittable remains
+    // purge is OPTIMIZE-shaped: it materializes already-emitted deletes
+    // into the layout without changing the visible row set
     case "compact" | "optimize" | "optimize_zorder" | "compact_dv"
          | "evolve" | "constraint" | "dropconstraint" | "dropcolumn"
-         | "analyze" | "rename" | "setprops" | "unsetprops" | "fsck" => true
+         | "analyze" | "rename" | "setprops" | "unsetprops" | "fsck"
+         | "purge" => true
     case _ => false
   }
 

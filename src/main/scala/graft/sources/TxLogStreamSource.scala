@@ -249,7 +249,8 @@ private final class TxLogSource(spark: SparkSession, table: String,
         // rows are unreadable (the files are gone)
         case "compact" | "optimize" | "optimize_zorder" | "compact_dv"
              | "evolve" | "constraint" | "dropconstraint" | "dropcolumn"
-             | "analyze" | "setprops" | "unsetprops" | "fsck" => None
+             | "analyze" | "setprops" | "unsetprops" | "fsck"
+             | "purge" => None
         // a rename is pure metadata to THIS source: batches translate
         // each segment's physical names to the pinned logical names via
         // the same rename walk batch readers use (readAdds) — the output

@@ -633,6 +633,85 @@ class ExtensionsSpec extends SparkSpec {
     assert(e.getMessage.contains("RESURRECT"), e.getMessage)
   }
 
+  test("REORG APPLY (PURGE) rewrites only DV-marked segments, preserves layout") {
+    import spark.implicits._
+    // two segments; deletes hit only the first — purge must rewrite it
+    // and reference the second byte-identically
+    val t = java.nio.file.Files.createTempDirectory("txpurge-").resolve("t").toString
+    graft.ops.TxLog.append((1L to 4L).map(k => (k, k * 10L)).toDF("k", "v"), t)
+    graft.ops.TxLog.append((5L to 8L).map(k => (k, k * 10L)).toDF("k", "v"), t)
+    // purge with no standing DV is a no-op at the head
+    assert(spark.sql(s"REORG TABLE '$t' APPLY (PURGE)").head().getLong(0) === 2L)
+    graft.ops.TxLog.deleteWhere(spark, t, col("k") === 2L)
+    val seg2 = graft.ops.TxLog.readManifest(t, 2L).adds.head
+    val preSnap = graft.ops.TxLog.snapshot(spark, t)
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(spark.sql(s"REORG TABLE '$t' APPLY (PURGE)").head().getLong(0) === 4L)
+    val m = graft.ops.TxLog.readManifest(t, 4L)
+    assert(m.op === "purge")
+    assert(m.removes === Seq(graft.ops.TxLog.readManifest(t, 1L).adds.head))
+    assert(m.adds.size === 1)
+    // untouched segment still referenced, chain cleared, rows unchanged
+    val st = graft.ops.TxLog.tableStateViaCheckpoint(t)
+    assert(st.segments.map(_._1).contains(seg2))
+    assert(st.dv.isEmpty)
+    assert(graft.ops.TxLog.snapshot(spark, t)
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq === preSnap)
+    // time travel to the pre-purge version still applies the old chain
+    assert(graft.ops.TxLog.snapshot(spark, t, Some(3L)).count() === 7L)
+
+    // partitioned: the rewrite re-stages under the same col=value leaf
+    val t2 = java.nio.file.Files.createTempDirectory("txpurge2-").resolve("t").toString
+    Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("k", "part")
+      .write.format("txlog").partitionBy("part").save(t2)
+    graft.ops.TxLog.deleteWhere(spark, t2, col("k") === 1L)
+    spark.sql(s"REORG TABLE '$t2' APPLY (PURGE)")
+    val live2 = graft.ops.TxLog.liveFiles(t2)
+    assert(live2.exists(_.endsWith("part=a")) && live2.exists(_.endsWith("part=b")))
+    val back = spark.read.format("txlog").load(t2)
+      .select("k", "part").as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(back === Seq((2L, "a"), (3L, "b")))
+
+    // a fully-deleted segment disappears without an empty add
+    val t3 = java.nio.file.Files.createTempDirectory("txpurge3-").resolve("t").toString
+    graft.ops.TxLog.append(Seq((1L, 10L)).toDF("k", "v"), t3)
+    graft.ops.TxLog.append(Seq((2L, 20L)).toDF("k", "v"), t3)
+    graft.ops.TxLog.deleteWhere(spark, t3, col("k") === 1L)
+    graft.ops.TxLog.purge(spark, t3)
+    val m3 = graft.ops.TxLog.readManifest(t3, 4L)
+    assert(m3.adds.isEmpty && m3.removes.size === 1)
+    assert(graft.ops.TxLog.snapshot(spark, t3).as[(Long, Long)]
+      .collect().toSeq === Seq((2L, 20L)))
+  }
+
+  test("GENERATE symlink_format_manifest lists live parquet per partition leaf") {
+    import spark.implicits._
+    val t = java.nio.file.Files.createTempDirectory("txgen-").resolve("t").toString
+    Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("k", "part")
+      .write.format("txlog").partitionBy("part").save(t)
+    val manifests = spark.sql(s"GENERATE symlink_format_manifest FOR TABLE '$t'")
+      .collect().map(_.getString(0)).toSeq
+    assert(manifests.size === 2)
+    assert(manifests.exists(_.contains("part=a")) &&
+      manifests.exists(_.contains("part=b")))
+    // an external reader following the listed URIs sees exactly the data
+    import scala.jdk.CollectionConverters._
+    val listed = manifests.flatMap(m =>
+      java.nio.file.Files.readAllLines(java.nio.file.Paths.get(m)).asScala)
+    assert(listed.nonEmpty && listed.forall(_.endsWith(".parquet")))
+    val viaManifest = spark.read.parquet(listed.map(u =>
+      java.nio.file.Paths.get(java.net.URI.create(u)).toString): _*)
+    assert(viaManifest.count() === 3L)
+    // regeneration after a rewrite drops stale leaves and files
+    graft.ops.TxLog.deleteWhere(spark, t, col("k") =!= 3L)
+    graft.ops.TxLog.purge(spark, t) // part=a disappears entirely
+    val regen = spark.sql(s"GENERATE symlink_format_manifest FOR TABLE '$t'")
+      .collect().map(_.getString(0)).toSeq
+    assert(regen.size === 1 && regen.head.contains("part=b"))
+    assert(!manifests.filter(_.contains("part=a"))
+      .exists(m => java.nio.file.Files.exists(java.nio.file.Paths.get(m))))
+  }
+
   test("timestamp spellings parse uniformly across every timestamp surface") {
     import spark.implicits._
     // the shared parser: bare millis, date-only, datetime, datetime.millis
