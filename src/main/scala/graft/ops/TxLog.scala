@@ -2766,12 +2766,16 @@ object TxLog {
     val p = s"$table/data/${java.util.UUID.randomUUID}/$escDir"
     part.write.mode(SaveMode.ErrorIfExists).parquet(p)
     // marks on untouched segments survive as the replacement chain;
-    // coordinates record the scan's URI form, so match by containment
+    // coordinates record the scan's URI form, so match by containment —
+    // WITH a trailing '/' boundary: bare contains(t) also matches a
+    // sibling leaf whose value extends this one (part=a vs part=ab under
+    // one staging uuid), which would silently drop that leaf's marks
+    // from the chain and RESURRECT its deleted rows
     val dvRemaining =
       if (st.dv.isEmpty) Seq.empty[String]
       else {
         val onTarget = target.map(t =>
-          fcol("file_path").contains(t)).reduce(_ || _)
+          fcol("file_path").contains(t + "/")).reduce(_ || _)
         val rest = dvMarks(spark, st.dv).filter(!onTarget)
         if (rest.isEmpty) Seq.empty[String] else Seq(stage(rest, table))
       }
@@ -2806,7 +2810,9 @@ object TxLog {
     // (coordinates record the scan's URI form — compactPartition's trick)
     val markedFiles = dvMarks(spark, st.dv).select("file_path").distinct()
       .collect().map(_.getString(0))
-    val marked = live.filter(seg => markedFiles.exists(_.contains(seg)))
+    // '/' boundary: a file under part=ab must not mark part=a (sibling
+    // leaves can share a value prefix under one staging uuid)
+    val marked = live.filter(seg => markedFiles.exists(_.contains(seg + "/")))
     if (marked.isEmpty) return rv // only stale marks on dead segments
     val schemaOpt = recordedSchema(table, Some(rv))
     val adds = marked.groupBy(segLeaf(table, _)).toSeq.sortBy(_._1).map {

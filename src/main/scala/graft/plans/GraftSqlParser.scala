@@ -107,6 +107,11 @@ final class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   // Delta's CONVERT TO DELTA, txlog spelling — in-place metadata convert
   private val ConvertToTxLog =
     """(?is)^\s*CONVERT\s+TO\s+TXLOG\s+'([^']+)'\s*;?\s*$""".r
+  // ANALYZE over a txlog PATH only (Spark parses the named spelling for
+  // catalog tables itself — no shadowing): stats land in the MANIFEST,
+  // where pruning/CBO read them
+  private val AnalyzePath =
+    """(?is)^\s*ANALYZE\s+TABLE\s+'([^']+)'\s+COMPUTE\s+STATISTICS\s+FOR\s+COLUMNS\s+(.+?)\s*;?\s*$""".r
   // Delta's GENERATE symlink_format_manifest FOR TABLE — external-reader
   // interop manifests (Presto/Trino/Athena)
   private val GenerateManifest =
@@ -235,6 +240,9 @@ final class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case ShowTblProps(path) =>
       ShowTblPropertiesCommand(path)
     case ConvertToTxLog(path) => ConvertToTxLogCommand(path)
+    case AnalyzePath(path, cols) =>
+      TxLogMaintenanceCommand(path, isPath = true, "analyze",
+        cols = cols.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     case GenerateManifest(t) =>
       val (n, p) = target(t); GenerateManifestCommand(n, p)
     case ReorgPurge(t) =>
@@ -324,6 +332,8 @@ final case class TxLogMaintenanceCommand(name: String, isPath: Boolean,
         TxLog.compactZOrderN(spark, table, cols, buckets = 16)
       // REORG … APPLY (PURGE): rewrite only the DV-marked segments
       case "purge" => TxLog.purge(spark, table)
+      // ANALYZE … FOR COLUMNS: per-segment manifest stats for pruning/CBO
+      case "analyze" => TxLog.analyze(spark, table, cols)
       case "vacuum" =>
         TxLog.vacuum(table, keepVersionsFrom = TxLog.currentVersion(table),
           minAgeMillis = GraftSqlSurface.vacuumRetentionMillis(table, arg))

@@ -712,6 +712,56 @@ class ExtensionsSpec extends SparkSpec {
       .exists(m => java.nio.file.Files.exists(java.nio.file.Paths.get(m))))
   }
 
+  test("ANALYZE TABLE '<path>' COMPUTE STATISTICS FOR COLUMNS records manifest stats") {
+    import spark.implicits._
+    val t = java.nio.file.Files.createTempDirectory("txanalyze-").resolve("t").toString
+    graft.ops.TxLog.append((1L to 4L).map(k => (k, k * 10L)).toDF("k", "v"), t)
+    assert(spark.sql(
+      s"ANALYZE TABLE '$t' COMPUTE STATISTICS FOR COLUMNS k, v")
+      .head().getLong(0) === 2L)
+    val st = graft.ops.TxLog.tableStateViaCheckpoint(t)
+    val stats = st.segments.head._2.get
+    assert(stats.statsFor("k").exists(s => s.min === 1L && s.max === 4L))
+    assert(stats.statsFor("v").exists(s => s.min === 10L && s.max === 40L))
+    // already-covered columns are a no-op (returns the head, no commit)
+    assert(spark.sql(
+      s"ANALYZE TABLE '$t' COMPUTE STATISTICS FOR COLUMNS k")
+      .head().getLong(0) === 2L)
+    assert(graft.ops.TxLog.currentVersion(t) === 2L)
+    // the NAMED spelling still reaches Spark's own ANALYZE
+    intercept[Exception] {
+      spark.sql("ANALYZE TABLE nonexistent_graft_tbl COMPUTE STATISTICS FOR COLUMNS x")
+        .collect()
+    }
+  }
+
+  test("partition-scoped OPTIMIZE keeps deletes on a prefix-sharing sibling leaf") {
+    import spark.implicits._
+    // part=a and part=ab land under ONE staging uuid: bare substring
+    // matching of segment paths would treat part=ab's marks as part=a's
+    // and drop them from the replacement chain — resurrecting the delete
+    val t = java.nio.file.Files.createTempDirectory("txoptpfx-").resolve("t").toString
+    Seq((1L, "a"), (2L, "a"), (3L, "ab"), (4L, "ab")).toDF("k", "part")
+      .write.format("txlog").partitionBy("part").save(t)
+    graft.ops.TxLog.deleteWhere(spark, t, col("k") === 3L) // marks part=ab only
+    spark.sql(s"OPTIMIZE '$t' WHERE part = 'a'")
+    val back = spark.read.format("txlog").load(t)
+      .select("k", "part").as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(back === Seq((1L, "a"), (2L, "a"), (4L, "ab")),
+      "the sibling leaf's delete must survive the other leaf's rewrite")
+    // and purge under the same layout rewrites ONLY the marked leaf
+    val t2 = java.nio.file.Files.createTempDirectory("txpurgepfx-").resolve("t").toString
+    Seq((1L, "a"), (2L, "ab")).toDF("k", "part")
+      .write.format("txlog").partitionBy("part").save(t2)
+    graft.ops.TxLog.deleteWhere(spark, t2, col("k") === 2L)
+    graft.ops.TxLog.purge(spark, t2)
+    val m = graft.ops.TxLog.readManifest(t2, graft.ops.TxLog.currentVersion(t2))
+    assert(m.op === "purge" && m.removes.size === 1 &&
+      m.removes.head.endsWith("part=ab"), m.removes.toString)
+    assert(spark.read.format("txlog").load(t2)
+      .select("k", "part").as[(Long, String)].collect().toSeq === Seq((1L, "a")))
+  }
+
   test("timestamp spellings parse uniformly across every timestamp surface") {
     import spark.implicits._
     // the shared parser: bare millis, date-only, datetime, datetime.millis
