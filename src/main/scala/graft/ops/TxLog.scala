@@ -934,6 +934,7 @@ object TxLog {
   def deleteWhere(spark: SparkSession, table: String,
                   predicate: org.apache.spark.sql.Column): Long = {
     import org.apache.spark.sql.functions.{col => fcol}
+    requireNotAppendOnly(table, "deleteWhere")
     val rv = currentVersion(table)
     val st = tableStateViaCheckpoint(table, Some(rv))
     val files = st.segments.map(_._1)
@@ -992,6 +993,7 @@ object TxLog {
                   sets: Seq[(String, org.apache.spark.sql.Column)]): Long = {
     import org.apache.spark.sql.functions.{col => fcol}
     require(sets.nonEmpty, s"update of $table needs at least one SET assignment")
+    requireNotAppendOnly(table, "updateWhere")
     val rv = currentVersion(table)
     val st = tableStateViaCheckpoint(table, Some(rv))
     val files = st.segments.map(_._1)
@@ -1129,6 +1131,20 @@ object TxLog {
     commit(table, "constraint", Seq.empty, Seq.empty, rv, Map.empty,
       () => false, None, checks = Seq((name, predicate)))
   }
+
+  /** Refuse row-removing/rewriting DML when the table declares
+    * `graft.appendOnly=true` (Delta's `delta.appendOnly`): appends,
+    * maintenance (compact/z-order/purge — visible rows unchanged), and
+    * metadata commits stay allowed; delete/update/merge/overwrite
+    * refuse. The SQL surface inherits the guard for free — every DML
+    * statement routes through these primitives.
+    */
+  private def requireNotAppendOnly(table: String, op: String): Unit =
+    if (tableProperties(table).get("graft.appendOnly")
+        .exists(_.equalsIgnoreCase("true")))
+      throw new IllegalArgumentException(
+        s"$op on $table refused: table property graft.appendOnly=true " +
+          "(UNSET it to allow row-removing writes)")
 
   /** DROP CONSTRAINT as a metadata commit (Delta's `ALTER TABLE … DROP
     * CONSTRAINT`): the name is tombstoned in the manifest; every
@@ -1343,14 +1359,19 @@ object TxLog {
         // HDFS/S3 the equivalent is no-overwrite rename / conditional PUT.
         Files.createLink(logDir(table).resolve(fmt(target)), tmp)
         Files.deleteIfExists(tmp)
-        // AUTO-CHECKPOINT (Delta's cadence): every 10th commit collapses
-        // the fold so readers resolve any snapshot from O(10) manifests —
+        // AUTO-CHECKPOINT (Delta's cadence): every Nth commit collapses
+        // the fold so readers resolve any snapshot from O(N) manifests —
         // the property that keeps a million-commit table readable without
-        // anyone remembering to call checkpoint(). Deterministic content,
-        // atomic no-overwrite publish, and never on the commit's critical
-        // correctness path: a failure here leaves a valid (just
+        // anyone remembering to call checkpoint(). N defaults to 10 and
+        // is tunable per table via `graft.checkpointInterval` (Delta's
+        // delta.checkpointInterval; headMeta answers in O(delta)
+        // manifests, so the lookup is commit-priced). Deterministic
+        // content, atomic no-overwrite publish, and never on the commit's
+        // critical correctness path: a failure here leaves a valid (just
         // uncheckpointed) log.
-        if (target % AutoCheckpointInterval == 0)
+        val ckptEvery = tableProperties(table).get("graft.checkpointInterval")
+          .flatMap(_.toLongOption).filter(_ > 0).getOrElse(AutoCheckpointInterval)
+        if (target % ckptEvery == 0)
           try checkpoint(table) catch { case _: Exception => () }
         return target
       } catch {
@@ -1380,6 +1401,7 @@ object TxLog {
     */
   def overwrite(df: DataFrame, table: String): Long = {
     init(table)
+    requireNotAppendOnly(table, "overwrite")
     val rv = currentVersion(table) // before validation — see append
     validateWrite(df, table)
     val live = liveFiles(table, Some(rv))
@@ -1430,6 +1452,7 @@ object TxLog {
                          statsCols: Seq[String]): Long = {
     require(statsCols.nonEmpty, s"overwriteWithStats($table) needs >= 1 stats column")
     init(table)
+    requireNotAppendOnly(table, "overwriteWithStats")
     val rv = currentVersion(table) // before validation — see append
     validateWrite(df, table)
     val live = liveFiles(table, Some(rv))
@@ -2271,6 +2294,7 @@ object TxLog {
                            partCols: Seq[String],
                            statsCols: Seq[String] = Seq.empty): Long = {
     init(table)
+    requireNotAppendOnly(table, "overwritePartitioned")
     require(statsCols.intersect(partCols).isEmpty,
       s"statsCols ${statsCols.intersect(partCols).mkString(",")} are partition " +
         "columns — partition values are path metadata, already pruned exactly")
@@ -2299,6 +2323,7 @@ object TxLog {
                          value: String): Long = {
     import org.apache.spark.sql.functions.{col => fcol}
     init(table)
+    requireNotAppendOnly(table, "overwritePartition")
     val rv = currentVersion(table) // before validation — see append
     validateWrite(df, table)
     // null partition values would silently stage under the Hive default
@@ -2506,6 +2531,7 @@ object TxLog {
   def merge(spark: SparkSession, updates: DataFrame, table: String,
             key: String): Long = {
     init(table)
+    requireNotAppendOnly(table, "merge")
     val rv = currentVersion(table) // before validation — see append
     validateUpdates(updates, key)
     validateWrite(updates, table)
@@ -2570,6 +2596,7 @@ object TxLog {
                           key: String, op: String, skipIf: () => Boolean): Long = {
     import org.apache.spark.sql.functions.{col => fcol, lit}
     init(table)
+    requireNotAppendOnly(table, op)
     val rv = currentVersion(table) // before validation — see append
     validateUpdates(updates, key)
     validateWrite(updates, table)

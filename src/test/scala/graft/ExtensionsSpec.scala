@@ -762,6 +762,41 @@ class ExtensionsSpec extends SparkSpec {
       .select("k", "part").as[(Long, String)].collect().toSeq === Seq((1L, "a")))
   }
 
+  test("graft.appendOnly blocks row-removing DML; graft.checkpointInterval tunes cadence") {
+    import spark.implicits._
+    val t = java.nio.file.Files.createTempDirectory("txappo-").resolve("t").toString
+    graft.ops.TxLog.append(Seq((1L, 10L)).toDF("k", "v"), t)
+    spark.sql(s"ALTER TABLE '$t' SET TBLPROPERTIES ('graft.appendOnly' = 'true')")
+    // appends still land; every row-removing primitive refuses
+    graft.ops.TxLog.append(Seq((2L, 20L)).toDF("k", "v"), t)
+    def refused(f: => Any): Unit = {
+      val e = intercept[Exception](f)
+      assert(e.getMessage.contains("appendOnly"), e.getMessage)
+    }
+    refused(graft.ops.TxLog.deleteWhere(spark, t, col("k") === 1L))
+    refused(graft.ops.TxLog.updateWhere(spark, t, col("k") === 1L,
+      Seq("v" -> lit(99L))))
+    refused(graft.ops.TxLog.mergeDv(spark, Seq((1L, 99L)).toDF("k", "v"), t, "k"))
+    refused(graft.ops.TxLog.overwrite(Seq((9L, 9L)).toDF("k", "v"), t))
+    // the SQL surface inherits the guard through the primitives
+    spark.sql(s"CREATE TABLE graft_appo_spec USING txlog LOCATION '$t'")
+    try refused(spark.sql("DELETE FROM graft_appo_spec WHERE k = 1").collect())
+    finally spark.sql("DROP TABLE IF EXISTS graft_appo_spec")
+    // UNSET re-allows
+    spark.sql(s"ALTER TABLE '$t' UNSET TBLPROPERTIES ('graft.appendOnly')")
+    graft.ops.TxLog.deleteWhere(spark, t, col("k") === 1L)
+    assert(graft.ops.TxLog.snapshot(spark, t).as[(Long, Long)].collect()
+      .toSeq.sorted === Seq((2L, 20L)))
+
+    // checkpoint cadence: interval 3 → checkpoints land on multiples of 3
+    val t2 = java.nio.file.Files.createTempDirectory("txckint-").resolve("t").toString
+    graft.ops.TxLog.append(Seq((0L, 0L)).toDF("k", "v"), t2)
+    spark.sql(s"ALTER TABLE '$t2' SET TBLPROPERTIES ('graft.checkpointInterval' = '3')")
+    (1 to 7).foreach(i => graft.ops.TxLog.append(Seq((i.toLong, i.toLong)).toDF("k", "v"), t2))
+    // commits 3, 6, 9 carry checkpoints (v2 was the property commit)
+    assert(graft.ops.TxLog.checkpointVersions(t2) === Seq(3L, 6L, 9L))
+  }
+
   test("timestamp spellings parse uniformly across every timestamp surface") {
     import spark.implicits._
     // the shared parser: bare millis, date-only, datetime, datetime.millis
