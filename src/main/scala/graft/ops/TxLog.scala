@@ -505,10 +505,23 @@ object TxLog {
     }).map(j => org.apache.spark.sql.types.DataType.fromJson(j)
       .asInstanceOf[org.apache.spark.sql.types.StructType])
 
+  /** After [[cleanupLog]], a fold with no surviving checkpoint at or
+    * below `asOf` would silently answer from a truncated prefix — refuse
+    * instead. ckpt is the asOf-filtered nearest checkpoint the caller
+    * resolved; a floor of 1 means nothing was cleaned.
+    */
+  private def requireFoldable(table: String, ckpt: Option[Long],
+                              asOf: Option[Long]): Unit =
+    require(ckpt.nonEmpty || listVersions(table).headOption.forall(_ == 1L),
+      s"$table: version ${asOf.map(_.toString).getOrElse("head")} predates " +
+        "the cleaned log floor and no surviving checkpoint covers it — " +
+        "unavailable (graft.logRetentionDuration cleanup removed it)")
+
   private def recordedSchemaJsonAt(table: String,
                                    asOf: Option[Long]): Option[String] = {
     val vs = listVersions(table).filter(v => asOf.forall(v <= _))
     val ckpt = checkpointVersions(table).filter(v => asOf.forall(v <= _)).lastOption
+    requireFoldable(table, ckpt, asOf)
     val after = ckpt.fold(vs)(cv => vs.filter(_ > cv))
     after.reverseIterator
       .map(v => readManifest(table, v).schemaJson)
@@ -1223,6 +1236,7 @@ object TxLog {
                                   asOf: Option[Long]): Seq[(String, String)] = {
     val vs = listVersions(table).filter(v => asOf.forall(v <= _))
     val ckpt = checkpointVersions(table).filter(v => asOf.forall(v <= _)).lastOption
+    requireFoldable(table, ckpt, asOf)
     val after = ckpt.fold(vs)(cv => vs.filter(_ > cv))
     val base = ckpt.map(cv => readCheckpoint(table, cv).checks).getOrElse(Seq.empty)
     after.foldLeft(base) { (acc, v) =>
@@ -1247,6 +1261,7 @@ object TxLog {
                                 asOf: Option[Long]): Map[String, String] = {
     val vs = listVersions(table).filter(v => asOf.forall(v <= _))
     val ckpt = checkpointVersions(table).filter(v => asOf.forall(v <= _)).lastOption
+    requireFoldable(table, ckpt, asOf)
     val after = ckpt.fold(vs)(cv => vs.filter(_ > cv))
     val base = ckpt.map(cv => readCheckpoint(table, cv).props)
       .getOrElse(Map.empty[String, String])
@@ -1874,7 +1889,7 @@ object TxLog {
     */
   def liveFilesWithStats(table: String,
                          asOf: Option[Long] = None): Seq[(String, Option[SegStats])] =
-    tableState(table, asOf).segments
+    tableStateViaCheckpoint(table, asOf).segments
 
   /** DV-chain fold rule, shared by both resolution paths:
     *  - RESTORE and [[compactDv]] commits REPLACE the chain with exactly
@@ -1900,6 +1915,7 @@ object TxLog {
     * rules in [[foldDvChain]]).
     */
   def tableState(table: String, asOf: Option[Long] = None): TableState = {
+    requireFoldable(table, None, asOf) // full fold: only valid from v1
     val vs = listVersions(table).filter(v => asOf.forall(v <= _))
     val (live, stats, dv, ren) = vs.foldLeft(
       (Vector.empty[String], Map.empty[String, SegStats], Vector.empty[String],
@@ -3332,7 +3348,57 @@ object TxLog {
     try Files.createLink(logDir(table).resolve(f"$v%020d.checkpoint.json"), tmp)
     catch { case _: FileAlreadyExistsException => () } // identical content
     Files.deleteIfExists(tmp)
+    // LOG RETENTION (Delta's metadata cleanup, run at checkpoint time):
+    // when the table DECLARES graft.logRetentionDuration, manifests
+    // below the newest expired checkpoint are deleted opportunistically.
+    // Best-effort, never on the checkpoint's correctness path.
+    if (m.props.contains("graft.logRetentionDuration"))
+      try cleanupLog(table) catch { case _: Exception => () }
     v
+  }
+
+  /** The earliest version still present in the log — 1 until
+    * [[cleanupLog]] has run, the floor it left afterwards. Versions
+    * below it are no longer resolvable (time travel, history, CDF all
+    * error with that message rather than answering wrong).
+    */
+  def logFloor(table: String): Long =
+    listVersions(table).headOption.getOrElse(1L)
+
+  /** LOG RETENTION (Delta's `delta.logRetentionDuration` cleanup, spelled
+    * `graft.logRetentionDuration`): delete manifests and superseded
+    * checkpoints STRICTLY BELOW the newest checkpoint whose commit time
+    * is older than the retention window. The surviving checkpoint carries
+    * the cumulative table state at its version (segments, stats, schema,
+    * constraints, properties, dv, renames), so every read at or above it
+    * resolves exactly as before; reads BELOW it error loudly (the
+    * foldability guards) instead of answering from a truncated fold.
+    * This is what bounds the `_txlog` file count on a million-commit
+    * table — checkpoints bound the fold COST, cleanup bounds the file
+    * COUNT. Returns the deleted paths. Default retention: 30 days
+    * (Delta's default), overridden by the table property or the
+    * argument.
+    */
+  def cleanupLog(table: String,
+                 retentionMillis: Option[Long] = None): Seq[String] = {
+    val retain = retentionMillis
+      .orElse(tableProperties(table).get("graft.logRetentionDuration")
+        .map(parseIntervalMillis))
+      .getOrElse(30L * 24 * 3600 * 1000)
+    val cutoff = System.currentTimeMillis() - retain
+    val ckpts = checkpointVersions(table)
+    val cut = ckpts.filter(cv => commitTimeMillis(table, cv) <= cutoff)
+      .lastOption
+    cut match {
+      case None => Seq.empty
+      case Some(cv) =>
+        val files =
+          listVersions(table).filter(_ < cv).map(v => logDir(table).resolve(fmt(v))) ++
+            ckpts.filter(_ < cv).map(v =>
+              logDir(table).resolve(f"$v%020d.checkpoint.json"))
+        files.foreach(Files.deleteIfExists(_))
+        files.map(_.toString)
+    }
   }
 
   /** Checkpoint versions present in the log, ascending. */
@@ -3628,7 +3694,9 @@ object TxLog {
     // NOTHING else — its dv is empty and they are not adds)
     val keep = listVersions(table).filter(_ >= keepVersionsFrom)
       .flatMap { v =>
-        val st = tableState(table, Some(v))
+        // checkpoint-resolved (O(delta) per version, and the only sound
+        // resolution once log-retention cleanup raised the floor)
+        val st = tableStateViaCheckpoint(table, Some(v))
         val m = readManifest(table, v)
         st.segments.map(_._1) ++ st.dv ++
           m.changeDeleteSrcs ++ m.changeInsertSrcs

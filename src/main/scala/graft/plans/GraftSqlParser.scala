@@ -296,7 +296,10 @@ final case class DescribeHistoryCommand(target: String, isPath: Boolean,
     val table = if (isPath) target else GraftSqlSurface.tableLocation(spark, target)
     val head = TxLog.currentVersion(table)
     require(head > 0, s"DESCRIBE HISTORY: $table has no committed versions")
-    val floor = limit.fold(1L)(n => math.max(1L, head - n + 1L))
+    // the log floor moves above 1 after retention cleanup — history
+    // below it is gone by design, not an error
+    val floor = math.max(TxLog.logFloor(table),
+      limit.fold(1L)(n => math.max(1L, head - n + 1L)))
     (head to floor by -1L).map { v =>
       val m = TxLog.readManifest(table, v)
       Row(m.version, m.op, m.readVersion, m.adds.size, m.removes.size,

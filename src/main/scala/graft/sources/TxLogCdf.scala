@@ -95,6 +95,14 @@ object TxLogCdf {
     */
   def changeFrame(spark: SparkSession, table: String, fromV: Long, toV: Long,
                   cdcKey: Option[String]): DataFrame = {
+    // after log-retention cleanup the feed below the floor is GONE — the
+    // manifests (and their change artifacts' provenance) were deleted;
+    // refuse with the reason instead of a bare missing-file error
+    val floor = TxLog.logFloor(table)
+    require(fromV >= floor - 1,
+      s"txlog CDF on $table: startingVersion $fromV predates the cleaned " +
+        s"log floor $floor (graft.logRetentionDuration cleanup) — the " +
+        "change history below it no longer exists")
     val memo = new java.util.concurrent.ConcurrentHashMap[Long, TxLog.Manifest]
     changeRows(spark, table, fromV, toV, cdcKey,
       dataSchemaAt(spark, table, toV), pinV = toV, withVersion = true,
@@ -118,10 +126,21 @@ object TxLogCdf {
       : Option[DataFrame] = {
     require(toV >= fromV, s"txlog CDF: endingVersion $toV < startingVersion $fromV")
     val ms = ((fromV + 1) to toV).map(v => v -> manifestOf(v))
-    // the rename log once, WITH versions, to the horizon both walks need
+    // the rename log once, WITH versions, to the horizon both walks need.
+    // After log-retention cleanup the pre-floor manifests are gone: the
+    // floor checkpoint's CUMULATIVE rename list stands in, attributed to
+    // version `floor` — sound because every scanned commit and pinV are
+    // >= floor (fromV >= floor-1 is enforced upstream), so the version
+    // comparisons (`rv > v`, `rv > pinV`) resolve identically to the
+    // true pre-floor versions.
     val horizon = math.max(toV, pinV)
+    val floor = TxLog.logFloor(table)
     val renamesV: Seq[(Long, TxLog.Rename)] =
-      (1L to horizon).flatMap(v => manifestOf(v).renames.map(v -> _))
+      if (floor <= 1L)
+        (1L to horizon).flatMap(v => manifestOf(v).renames.map(v -> _))
+      else
+        TxLog.tableStateViaCheckpoint(table, Some(floor)).renames.map(floor -> _) ++
+          ((floor + 1) to horizon).flatMap(v => manifestOf(v).renames.map(v -> _))
     val inserts = ms.collect {
       case (v, m) if insertShaped(m.op) && m.adds.nonEmpty => v -> m.adds
     }

@@ -230,6 +230,14 @@ private final class TxLogSource(spark: SparkSession, table: String,
   override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
     val s = start.map(_.json().toLong).getOrElse(startingVersion)
     val e = end.json().toLong
+    // after log-retention cleanup the commits below the floor are gone —
+    // an offset below it cannot be replayed; refuse with the reason
+    // (Delta's stream does the same when the log was cleaned under it)
+    val lowFloor = TxLog.logFloor(table)
+    require(s >= lowFloor - 1 || e < lowFloor,
+      s"txlog stream on $table: offset $s predates the cleaned log floor " +
+        s"$lowFloor (graft.logRetentionDuration cleanup) — restart the " +
+        "stream from a current snapshot")
     if (changeFeed) return changeBatch(s, e)
     val emitted = ((s + 1) to e).flatMap { v =>
       val m = manifest(v)
@@ -345,7 +353,15 @@ private final class TxLogSource(spark: SparkSession, table: String,
     // the same steps to the file's true physical name
     if (upTo <= cachedTo) cached
     else {
-      val ext = cached ++ ((cachedTo + 1) to upTo).flatMap(v => manifest(v).renames)
+      // first extension on a retention-cleaned log: seed with the floor
+      // checkpoint's CUMULATIVE rename list (same fold order), then
+      // extend from the surviving manifests only
+      val floor = TxLog.logFloor(table)
+      val (seed, seedTo) =
+        if (cachedTo == 0L && floor > 1L)
+          (TxLog.tableStateViaCheckpoint(table, Some(floor)).renames, floor)
+        else (cached, cachedTo)
+      val ext = seed ++ ((seedTo + 1) to upTo).flatMap(v => manifest(v).renames)
       renameCache = (upTo, ext)
       ext
     }
@@ -396,7 +412,9 @@ private final class TxLogSource(spark: SparkSession, table: String,
     * pinned names; later ones need the forward fold. Resolved once.
     */
   private lazy val renamesThroughPin: Int =
-    (1L to pinVersion).iterator.map(v => manifest(v).renames.size).sum
+    // the checkpoint-resolved state at the pin carries the CUMULATIVE
+    // rename list — correct on both intact and retention-cleaned logs
+    TxLog.tableStateViaCheckpoint(table, Some(pinVersion)).renames.size
 
   override def commit(end: V1Offset): Unit = ()
   override def stop(): Unit = ()

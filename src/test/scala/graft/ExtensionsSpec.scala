@@ -797,6 +797,47 @@ class ExtensionsSpec extends SparkSpec {
     assert(graft.ops.TxLog.checkpointVersions(t2) === Seq(3L, 6L, 9L))
   }
 
+  test("log retention cleanup bounds the manifest count; pre-cut reads refuse loudly") {
+    import spark.implicits._
+    val t = java.nio.file.Files.createTempDirectory("txlogret-").resolve("t").toString
+    (1 to 7).foreach(i =>
+      graft.ops.TxLog.append(Seq((i.toLong, i.toLong)).toDF("k", "v"), t))
+    graft.ops.TxLog.deleteWhere(spark, t, col("k") === 1L) // v8, leaves a DV
+    // declare zero retention so cleanup is immediate once checkpointed
+    spark.sql(s"ALTER TABLE '$t' SET TBLPROPERTIES " +
+      "('graft.logRetentionDuration' = '0')") // v9
+    graft.ops.TxLog.append(Seq((9L, 9L)).toDF("k", "v"), t) // v10 → auto ckpt
+    // the checkpoint hook ran cleanup: manifests below the checkpoint gone
+    assert(graft.ops.TxLog.checkpointVersions(t).contains(10L))
+    assert(graft.ops.TxLog.logFloor(t) === 10L)
+    // every head-path read still answers exactly (state from the checkpoint)
+    assert(graft.ops.TxLog.snapshot(spark, t).count() === 7L) // 8 appended - 1 deleted
+    assert(graft.ops.TxLog.tableProperties(t)
+      .contains("graft.logRetentionDuration"))
+    graft.ops.TxLog.append(Seq((10L, 10L)).toDF("k", "v"), t) // v11 post-cut
+    assert(graft.ops.TxLog.snapshot(spark, t).count() === 8L)
+    // history reports only the surviving range, no error
+    assert(spark.sql(s"DESCRIBE HISTORY '$t'").collect()
+      .map(_.getLong(0)).toSeq === Seq(11L, 10L))
+    // time travel below the floor refuses with the retention reason
+    val e = intercept[Exception] {
+      graft.ops.TxLog.snapshot(spark, t, Some(5L)).count()
+    }
+    assert(e.getMessage.contains("logRetentionDuration"), e.getMessage)
+    // CDF from version 0 refuses with the retention reason
+    val e2 = intercept[Exception] {
+      spark.read.format("txlog").option("readChangeFeed", "true")
+        .option("startingVersion", "0").load(t).count()
+    }
+    assert(e2.getMessage.contains("log floor"), e2.getMessage)
+    // CDF from the floor onward still answers
+    assert(spark.read.format("txlog").option("readChangeFeed", "true")
+      .option("startingVersion", (graft.ops.TxLog.logFloor(t) - 1).toString)
+      .load(t).count() >= 1L)
+    // time travel AT/above the floor resolves through the checkpoint
+    assert(graft.ops.TxLog.snapshot(spark, t, Some(10L)).count() === 7L)
+  }
+
   test("timestamp spellings parse uniformly across every timestamp surface") {
     import spark.implicits._
     // the shared parser: bare millis, date-only, datetime, datetime.millis
