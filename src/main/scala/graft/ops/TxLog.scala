@@ -1041,12 +1041,23 @@ object TxLog {
           Seq(fcol(fp).as("file_path"), fcol(ri).as("row_index")): _*)
       else matched.select(fcol(fp).as("file_path"), fcol(ri).as("row_index"))
     val setMap = sets.toMap
-    val updated = matched.select(dataCols.map { c =>
+    val updated0 = matched.select(dataCols.map { c =>
       setMap.get(c) match {
         case Some(e) => e.cast(schema(c).dataType).as(c)
         case None => fcol(c)
       }
     }.toIndexedSeq: _*)
+    // GENERATED columns not explicitly SET recompute from the POST-image
+    // (Delta's behavior: updating a generation source regenerates the
+    // column) — a second projection so the expression sees updated
+    // values, not pre-images; explicitly-SET generated columns instead
+    // pass through enforceGenerated below and refuse on disagreement
+    val updated = generatedColumns(table).foldLeft(updated0) {
+      case (d, (c, e)) if dataCols.contains(c) && !setMap.contains(c) =>
+        d.withColumn(c,
+          org.apache.spark.sql.functions.expr(e).cast(schema(c).dataType))
+      case (d, _) => d
+    }
     // post-images pass the write gate: a SET that breaks a CHECK refuses
     // the whole statement, exactly like an append of those rows
     activeConstraints(table).foreach { case (name, pred) =>
@@ -1056,6 +1067,7 @@ object TxLog {
         throw new IllegalArgumentException(
           s"update of $table violates CHECK constraint '$name' ($pred)")
     }
+    enforceGenerated(updated, table)
     val dvSeg = stage(entry, table)
     val newSeg = stage(updated, table)
     commit(table, "update", Seq(newSeg), Seq.empty, rv, Map.empty,
@@ -1104,6 +1116,7 @@ object TxLog {
       }
     }
     enforceChecks(df, table)
+    enforceGenerated(df, table)
   }
 
   /** CHECK enforcement at the write boundary (Delta ADD CONSTRAINT
@@ -1197,6 +1210,201 @@ object TxLog {
     require(keys.nonEmpty, "UNSET TBLPROPERTIES of nothing")
     commit(table, "unsetprops", Seq.empty, Seq.empty, currentVersion(table),
       Map.empty, () => false, None, unsetProps = keys)
+  }
+
+  // ──────────────────── column governance (Delta parity) ────────────────────
+  // NOT NULL, DEFAULT, and GENERATED ALWAYS AS ride existing lake
+  // machinery instead of new manifest fields: NOT NULL is a CHECK
+  // constraint under a reserved name (fold, checkpoint, time travel,
+  // SQL DROP all apply unchanged); DEFAULT and GENERATED are TABLE
+  // PROPERTIES (`graft.default.<col>` / `graft.generated.<col>`), so
+  // the property fold prices the lookup at O(delta) manifests and the
+  // declarations version/travel/clone like any other metadata. Delta
+  // stores the same facts as column-metadata keys
+  // (`delta.generationExpression`) — properties are this engine's
+  // one spelling for versioned table-scoped metadata.
+
+  private val DefaultPropPrefix = "graft.default."
+  private val GeneratedPropPrefix = "graft.generated."
+  private def notNullName(col: String): String = s"__not_null_$col"
+
+  /** Declared column defaults in force: col -> literal/expression SQL,
+    * filled into any write that OMITS the column (write-time only —
+    * rows already on disk keep their bytes, evolve's null-fill contract).
+    */
+  def columnDefaults(table: String): Map[String, String] =
+    tableProperties(table).collect {
+      case (k, v) if k.startsWith(DefaultPropPrefix) =>
+        k.stripPrefix(DefaultPropPrefix) -> v
+    }
+
+  /** Declared generated columns in force: col -> generation expression
+    * SQL. Omitted in a write → computed; present → equality-enforced
+    * (Delta's implicit CHECK around `GENERATED ALWAYS AS`).
+    */
+  def generatedColumns(table: String): Map[String, String] =
+    tableProperties(table).collect {
+      case (k, v) if k.startsWith(GeneratedPropPrefix) =>
+        k.stripPrefix(GeneratedPropPrefix) -> v
+    }
+
+  /** Declare a DEFAULT for `col` (Delta's `ALTER COLUMN … SET DEFAULT`):
+    * one property commit; every later write omitting `col` gets the
+    * expression, cast to the recorded type. The expression must parse
+    * and must not reference other columns (a default fills rows that
+    * don't carry it — there is nothing to reference).
+    */
+  def setColumnDefault(spark: SparkSession, table: String, col: String,
+                       exprSql: String): Long = {
+    requireGovernedCol(table, col, "SET DEFAULT")
+    val parsed = spark.sessionState.sqlParser.parseExpression(exprSql)
+    require(parsed.references.isEmpty,
+      s"SET DEFAULT on $table.$col: expression '$exprSql' references " +
+        "other columns — defaults fill rows that omit the column, use " +
+        "a generated column for derived values")
+    setProperties(table, Map(DefaultPropPrefix + col -> exprSql))
+  }
+
+  /** Remove `col`'s DEFAULT (Delta's `ALTER COLUMN … DROP DEFAULT`). */
+  def dropColumnDefault(table: String, col: String): Long =
+    unsetProperties(table, Seq(DefaultPropPrefix + col))
+
+  /** Declare `col` GENERATED ALWAYS AS (`exprSql`) — Delta's generated
+    * column, declared post-creation with full validation: every EXISTING
+    * row must already satisfy `col <=> expr` (one scan, like ADD
+    * CONSTRAINT), then the declaration is a property commit. From then
+    * on writes omitting `col` compute it, and writes carrying it are
+    * refused unless they agree row-for-row — which is what licenses the
+    * read side to derive PARTITION pruning from filters on the source
+    * column ([[livePartitionValues]] + the monotone-shape derivation in
+    * the batch relation): on a 100-TB table partitioned by
+    * `day = CAST(ts AS DATE)`, a query filtering only `ts` skips whole
+    * leaf directories by path metadata alone.
+    */
+  def setGeneratedColumn(spark: SparkSession, table: String, col: String,
+                         exprSql: String): Long = {
+    requireGovernedCol(table, col, "SET GENERATED ALWAYS AS")
+    val full = spark.read.format("txlog").load(table)
+    require(full.columns.contains(col),
+      s"SET GENERATED on $table: column '$col' not in the table schema")
+    // determinism must be judged on the ANALYZED expression (an
+    // unresolved function claims deterministic): fill and enforcement
+    // both evaluate it and must agree
+    require(full.select(org.apache.spark.sql.functions.expr(exprSql))
+        .queryExecution.analyzed.expressions.forall(_.deterministic),
+      s"SET GENERATED on $table.$col: expression '$exprSql' is " +
+        "non-deterministic — fill and enforcement must agree")
+    val f = org.apache.spark.sql.functions
+    val bad = full.filter(f.not(f.col(col) <=> f.expr(exprSql)))
+    if (!bad.isEmpty)
+      throw new IllegalArgumentException(
+        s"cannot declare $table.$col GENERATED ALWAYS AS ($exprSql): " +
+          "existing rows violate the expression")
+    setProperties(table, Map(GeneratedPropPrefix + col -> exprSql))
+  }
+
+  /** Remove `col`'s generation rule (the column stays, future writes
+    * must carry it explicitly).
+    */
+  def dropGeneratedColumn(table: String, col: String): Long =
+    unsetProperties(table, Seq(GeneratedPropPrefix + col))
+
+  /** `ALTER COLUMN … SET NOT NULL`: a CHECK constraint under a reserved
+    * name — existing rows validate (addConstraint's scan), later writes
+    * carrying a NULL refuse, and every constraint surface (fold,
+    * checkpoint, time travel, SQL) applies unchanged.
+    */
+  def setNotNull(spark: SparkSession, table: String, col: String): Long =
+    addConstraint(spark, table, notNullName(col), s"$col IS NOT NULL")
+
+  /** `ALTER COLUMN … DROP NOT NULL`. */
+  def dropNotNull(table: String, col: String): Long =
+    dropConstraint(table, notNullName(col))
+
+  /** Governance declarations name RECORDED or PARTITION columns only —
+    * a typo'd column would otherwise silently govern nothing.
+    */
+  private def requireGovernedCol(table: String, col: String,
+                                 what: String): Unit = {
+    val known = recordedSchema(table).map(_.fieldNames.toSeq)
+      .getOrElse(Seq.empty) ++ partitionLayout(table)
+    require(known.isEmpty || known.contains(col),
+      s"$what on $table: column '$col' not in the table schema " +
+        s"(${known.mkString(", ")})")
+  }
+
+  /** Live partition VALUES for partition column `col` — pure driver-side
+    * manifest metadata (the segment paths), never a file listing. NULL
+    * (the Hive default-partition sentinel) surfaces as Scala null. This
+    * is what lets generated-column derivation turn a source-column
+    * filter into an explicit admissible-value set for the existing
+    * partition pruning machinery.
+    */
+  def livePartitionValues(table: String, col: String,
+                          asOf: Option[Long] = None): Seq[String] = {
+    require(partitionLayout(table, asOf).contains(col),
+      s"$table has no partition column '$col'")
+    tableStateViaCheckpoint(table, asOf).segments
+      .map { case (p, _) => segPartValues(p, Seq(col)).head }.distinct
+  }
+
+  /** Fill write-omitted GOVERNED columns (defaults first, then generated
+    * expressions — a generated expression may reference a defaulted
+    * column), cast to the recorded type. Zero plan change when the table
+    * declares neither; the property lookup is the same memoized O(delta)
+    * fold every write already pays for the appendOnly guard.
+    *
+    * A generated column that is a PARTITION-LAYOUT column fills only
+    * when the caller is a partitioned writer that will fan it into the
+    * Hive layout (`partitionedFill` names those columns) — a plain
+    * stage would otherwise bake the partition column into the data
+    * bytes of one segment while every sibling derives it from the path.
+    */
+  private def fillGoverned(df: DataFrame, table: String,
+                           partitionedFill: Seq[String] = Seq.empty): DataFrame = {
+    val defaults = columnDefaults(table)
+      .filterNot { case (c, _) => df.columns.contains(c) }
+    val gens0 = generatedColumns(table)
+      .filterNot { case (c, _) => df.columns.contains(c) }
+    val gens =
+      if (gens0.isEmpty) gens0
+      else {
+        val layout = partitionLayout(table).toSet -- partitionedFill
+        gens0.filterNot { case (c, _) => layout.contains(c) }
+      }
+    if (defaults.isEmpty && gens.isEmpty) df
+    else {
+      val f = org.apache.spark.sql.functions
+      val types = recordedSchema(table)
+        .map(s => s.fields.map(fd => fd.name -> fd.dataType).toMap)
+        .getOrElse(Map.empty)
+      (defaults.toSeq ++ gens.toSeq).foldLeft(df) { case (d, (c, e)) =>
+        d.withColumn(c, types.get(c).fold(f.expr(e))(t => f.expr(e).cast(t)))
+      }
+    }
+  }
+
+  /** Generated-column agreement at the write boundary (Delta's implicit
+    * CHECK around GENERATED ALWAYS AS): a write CARRYING a generated
+    * column must agree with its expression row-for-row — otherwise the
+    * derivation invariant readers prune by would silently break. One
+    * filter job per generated column PRESENT in the incoming frame;
+    * engine-computed fills agree by construction (they run through this
+    * after [[fillGoverned]], which is the price of one guarantee for
+    * every writer path).
+    */
+  private def enforceGenerated(df: DataFrame, table: String): Unit = {
+    val f = org.apache.spark.sql.functions
+    generatedColumns(table).foreach { case (c, e) =>
+      if (df.columns.contains(c)) {
+        val bad = df.filter(f.not(f.col(c) <=> f.expr(e)))
+        if (!bad.isEmpty)
+          throw new IllegalArgumentException(
+            s"write to $table: column '$c' is GENERATED ALWAYS AS ($e) " +
+              "and the written values disagree with the expression — " +
+              "omit the column to have the engine compute it")
+      }
+    }
   }
 
   /** `interval N hour(s)|day(s)|week(s)` (Delta's retention spelling) or
@@ -1405,8 +1613,9 @@ object TxLog {
     // was validated against must be ≤ rv — capturing rv after validation
     // leaves a window where a just-landed CHECK is silently bypassed
     val rv = currentVersion(table)
-    validateWrite(df, table)
-    val p = stage(df, table)
+    val w = fillGoverned(df, table)
+    validateWrite(w, table)
+    val p = stage(w, table)
     commit(table, "append", Seq(p), Seq.empty, rv)
   }
 
@@ -1418,9 +1627,10 @@ object TxLog {
     init(table)
     requireNotAppendOnly(table, "overwrite")
     val rv = currentVersion(table) // before validation — see append
-    validateWrite(df, table)
+    val w = fillGoverned(df, table)
+    validateWrite(w, table)
     val live = liveFiles(table, Some(rv))
-    val p = stage(df, table)
+    val p = stage(w, table)
     commit(table, "overwrite", Seq(p), live, rv)
   }
 
@@ -1450,8 +1660,9 @@ object TxLog {
   def appendWithStats(df: DataFrame, table: String, statsCols: Seq[String]): Long = {
     require(statsCols.nonEmpty, s"appendWithStats($table) needs >= 1 stats column")
     val rv = currentVersion(table) // before validation — see append
-    validateWrite(df, table)
-    val p = stage(df, table)
+    val w = fillGoverned(df, table)
+    validateWrite(w, table)
+    val p = stage(w, table)
     commit(table, "append", Seq(p), Seq.empty, rv,
       stagedSegStats(df.sparkSession, p, statsCols))
   }
@@ -1469,9 +1680,10 @@ object TxLog {
     init(table)
     requireNotAppendOnly(table, "overwriteWithStats")
     val rv = currentVersion(table) // before validation — see append
-    validateWrite(df, table)
+    val w = fillGoverned(df, table)
+    validateWrite(w, table)
     val live = liveFiles(table, Some(rv))
-    val p = stage(df, table)
+    val p = stage(w, table)
     commit(table, "overwrite", Seq(p), live, rv,
       stagedSegStats(df.sparkSession, p, statsCols))
   }
@@ -1784,8 +1996,9 @@ object TxLog {
     import org.apache.spark.sql.functions.{col => fcol, explode, expr, max => fmax, min => fmin}
     import org.apache.spark.sql.types.StringType
     val rv = currentVersion(table) // before validation — see append
-    validateWrite(df, table)
-    val p = stage(df, table)
+    val w = fillGoverned(df, table)
+    validateWrite(w, table)
+    val p = stage(w, table)
     val sdf = df.sparkSession.read.parquet(p)
     val isStr = sdf.schema.fields.find(_.name == keyCol)
       .exists(_.dataType == StringType)
@@ -2061,8 +2274,9 @@ object TxLog {
                         partCols: Seq[String]): Long = {
     init(table)
     val rv = currentVersion(table) // before validation — see append
-    validateWrite(df, table)
-    commit(table, "append", stagePartitionedMulti(df, table, partCols)._2,
+    val w = fillGoverned(df, table, partCols)
+    validateWrite(w, table)
+    commit(table, "append", stagePartitionedMulti(w, table, partCols)._2,
       Seq.empty, rv)
   }
 
@@ -2085,9 +2299,10 @@ object TxLog {
         "columns — partition values are path metadata, already pruned exactly")
     init(table)
     val rv = currentVersion(table) // before validation — see append
-    validateWrite(df, table)
-    val (base, leaves) = stagePartitionedMulti(df, table, partCols)
-    val stats = leafSegStats(df.sparkSession, base, leaves, df.schema,
+    val w = fillGoverned(df, table, partCols)
+    validateWrite(w, table)
+    val (base, leaves) = stagePartitionedMulti(w, table, partCols)
+    val stats = leafSegStats(w.sparkSession, base, leaves, w.schema,
       partCols, statsCols)
     commit(table, "append", leaves, Seq.empty, rv, stats)
   }
@@ -2315,12 +2530,13 @@ object TxLog {
       s"statsCols ${statsCols.intersect(partCols).mkString(",")} are partition " +
         "columns — partition values are path metadata, already pruned exactly")
     val rv = currentVersion(table) // before validation — see append
-    validateWrite(df, table)
+    val w = fillGoverned(df, table, partCols)
+    validateWrite(w, table)
     val live = liveFiles(table, Some(rv))
-    val (base, leaves) = stagePartitionedMulti(df, table, partCols)
+    val (base, leaves) = stagePartitionedMulti(w, table, partCols)
     val stats =
       if (statsCols.isEmpty) Map.empty[String, SegStats]
-      else leafSegStats(df.sparkSession, base, leaves, df.schema,
+      else leafSegStats(w.sparkSession, base, leaves, w.schema,
         partCols, statsCols)
     commit(table, "overwrite", leaves, live, rv, stats)
   }
@@ -2341,11 +2557,12 @@ object TxLog {
     init(table)
     requireNotAppendOnly(table, "overwritePartition")
     val rv = currentVersion(table) // before validation — see append
-    validateWrite(df, table)
+    val w = fillGoverned(df, table, Seq(partCol))
+    validateWrite(w, table)
     // null partition values would silently stage under the Hive default
     // dir and miss the swap below — refuse them with the cross-partition
     // rows (=!= alone passes nulls: three-valued logic)
-    require(df.filter(fcol(partCol).isNull || fcol(partCol) =!= value).isEmpty,
+    require(w.filter(fcol(partCol).isNull || fcol(partCol) =!= value).isEmpty,
       s"overwritePartition($partCol=$value) got rows of other partitions")
     // paths store the Hive-ESCAPED value (Spark escapes on write), so the
     // dir-name match must escape the user's value the same way
@@ -2354,7 +2571,7 @@ object TxLog {
     val old = tableStateViaCheckpoint(table, Some(rv)).segments.map(_._1)
       .filter(p => Paths.get(p).getFileName.toString == escDir)
     val base = s"$table/data/${java.util.UUID.randomUUID}"
-    df.write.mode(SaveMode.ErrorIfExists).partitionBy(partCol).parquet(base)
+    w.write.mode(SaveMode.ErrorIfExists).partitionBy(partCol).parquet(base)
     val subdirs = listClosed(Files.list(Paths.get(base)))
       .filter(p => Files.isDirectory(p) &&
         p.getFileName.toString == escDir)
@@ -2550,7 +2767,8 @@ object TxLog {
     requireNotAppendOnly(table, "merge")
     val rv = currentVersion(table) // before validation — see append
     validateUpdates(updates, key)
-    validateWrite(updates, table)
+    val u = fillGoverned(updates, table) // governed upsert rows agree too
+    validateWrite(u, table)
     val live = liveFiles(table, Some(rv))
     require(live.nonEmpty, s"merge into empty table $table")
     // base resolves under the recorded schema (rename-mapped, null-filled
@@ -2559,8 +2777,8 @@ object TxLog {
     // the dv) and writes segments under the CURRENT logical names
     val base = readSegments(spark, live, recordedSchema(table, Some(rv)),
       tableStateViaCheckpoint(table, Some(rv)))
-    val merged = updates.unionByName(
-      base.join(updates.select(key), Seq(key), "left_anti"),
+    val merged = u.unionByName(
+      base.join(u.select(key), Seq(key), "left_anti"),
       allowMissingColumns = true)
     val p = stage(merged, table)
     // write-time CDC: the matched base rows (pre-images) and the updates
@@ -2570,8 +2788,8 @@ object TxLog {
     // item 1). The rewrite itself stays table-priced (copy-on-write);
     // the one extra semi-join scan is within that cost class.
     val preSeg = stage(
-      base.join(updates.select(key), Seq(key), "left_semi"), table)
-    val updSeg = stage(updates, table)
+      base.join(u.select(key), Seq(key), "left_semi"), table)
+    val updSeg = stage(u, table)
     commit(table, "merge", Seq(p), live, rv, Map.empty, () => false, None,
       changes = Seq("d:" + preSeg, "i:" + updSeg))
   }
@@ -2615,14 +2833,18 @@ object TxLog {
     requireNotAppendOnly(table, op)
     val rv = currentVersion(table) // before validation — see append
     validateUpdates(updates, key)
-    validateWrite(updates, table)
+    // governed fill (non-partition columns only — a DV merge stages a
+    // plain segment) so upsert rows omitting a default/generated column
+    // agree with the declarations like every other writer
+    val u = fillGoverned(updates, table)
+    validateWrite(u, table)
     val st = tableStateViaCheckpoint(table, Some(rv))
     val files = st.segments.map(_._1)
     require(files.nonEmpty, s"merge into empty table $table")
     val (withMeta0, fp, ri) = readSegmentsWithCoords(
       spark, files, recordedSchema(table, Some(rv)), st.renames)
     val rel = withMeta0.drop(fp, ri) // logical shape for the checks below
-    val extra = updates.columns.filterNot(rel.columns.contains)
+    val extra = u.columns.filterNot(rel.columns.contains)
     require(extra.isEmpty,
       s"mergeDv into $table: updates carry column(s) ${extra.mkString(", ")} not in " +
         "the table schema — a DV merge never rewrites old segments, so widen via evolve first")
@@ -2630,7 +2852,7 @@ object TxLog {
     // only checks evolved ones): the staged segment is read BESIDE the
     // old ones, and a mixed-type column across parquet files fails or
     // miscasts at read time — reject at write time instead
-    updates.schema.fields.foreach { uf =>
+    u.schema.fields.foreach { uf =>
       rel.schema.fields.find(_.name == uf.name).foreach { bf =>
         require(bf.dataType == uf.dataType,
           s"mergeDv into $table: column '${uf.name}' is ${uf.dataType.sql} in the " +
@@ -2658,7 +2880,7 @@ object TxLog {
     // pre-images come from this artifact alone (the new segment is the
     // post-image source) instead of bag-diffing two snapshots
     // (VERDICT r14 item 1).
-    val matched = visible.join(updates.select(key), Seq(key), "left_semi")
+    val matched = visible.join(u.select(key), Seq(key), "left_semi")
     val canPersist = !rel.columns.exists(c =>
       c == "file_path" || c == "row_index" || c == ChangeTypeColName)
     val entry =
@@ -2668,8 +2890,8 @@ object TxLog {
       else matched.select(fcol(fp).as("file_path"), fcol(ri).as("row_index"))
     // conform updates to the table's column set/order so the new segment
     // reads uniformly beside old ones (missing columns null-fill)
-    val conformed = updates.select(rel.schema.fields.map { f =>
-      if (updates.columns.contains(f.name)) fcol(f.name)
+    val conformed = u.select(rel.schema.fields.map { f =>
+      if (u.columns.contains(f.name)) fcol(f.name)
       else lit(null).cast(f.dataType).as(f.name)
     }.toIndexedSeq: _*)
     val dvSeg = stage(entry, table)
@@ -2716,8 +2938,9 @@ object TxLog {
     else if (tableStateViaCheckpoint(table).segments.isEmpty) {
       val rv = currentVersion(table) // before validation — see append
       validateUpdates(updates, key)
-      validateWrite(updates, table)
-      val p = stage(updates, table)
+      val u = fillGoverned(updates, table)
+      validateWrite(u, table)
+      val p = stage(u, table)
       commit(table, s"stream_append_b$batchId", Seq(p), Seq.empty, rv, Map.empty,
         skipIf = () => maxCommittedAnyBatch(table) >= batchId, schemaJson = None)
     } else mergeDvImpl(spark, updates, table, key, s"stream_merge_b$batchId",
@@ -3032,10 +3255,11 @@ object TxLog {
     if (batchId <= maxCommittedBatch(table)) -1L
     else {
       val rv = currentVersion(table) // before validation — see append
-      validateWrite(df, table)
+      val w = fillGoverned(df, table, partCols)
+      validateWrite(w, table)
       val adds =
-        if (partCols.isEmpty) Seq(stage(df, table))
-        else stagePartitionedMulti(df, table, partCols)._2
+        if (partCols.isEmpty) Seq(stage(w, table))
+        else stagePartitionedMulti(w, table, partCols)._2
       commit(table, s"stream_append_b$batchId", adds, Seq.empty,
         rv, Map.empty,
         skipIf = () => maxCommittedBatch(table) >= batchId, schemaJson = None)
@@ -3077,8 +3301,9 @@ object TxLog {
     if (txnVersion <= lastTxnVersion(table, appId)) -1L
     else {
       val rv = currentVersion(table) // before validation — see append
-      validateWrite(df, table)
-      val p = stage(df, table)
+      val w = fillGoverned(df, table)
+      validateWrite(w, table)
+      val p = stage(w, table)
       commit(table, s"txn:$appId:v$txnVersion", Seq(p), Seq.empty,
         rv, Map.empty,
         skipIf = () => lastTxnVersion(table, appId) >= txnVersion,
@@ -3315,8 +3540,29 @@ object TxLog {
         "vacuumed — that version is below the retention horizon")
     val adds = targetSegs.filterNot(live.contains)
     val removes = live.filterNot(targetSegs.contains)
+    // RESTORE restores DATA, and properties persist — so a GENERATED
+    // declaration validated against a LATER snapshot may not hold for
+    // resurrected rows (deleted before the declaration, never scanned
+    // by it). Re-validate each declaration against the target snapshot
+    // and UNSET the violated ones in the same restore commit: the
+    // read-side partition derivation prunes by exactly this invariant,
+    // so a stale declaration must not survive the restore.
+    val gens = generatedColumns(table)
+    val staleGen =
+      if (gens.isEmpty) Seq.empty[String]
+      else {
+        val f = org.apache.spark.sql.functions
+        val snapAt = spark.read.format("txlog")
+          .option("versionAsOf", toVersion).load(table)
+        gens.collect {
+          case (c, e) if snapAt.columns.contains(c) &&
+            !snapAt.filter(f.not(f.col(c) <=> f.expr(e))).isEmpty =>
+            GeneratedPropPrefix + c
+        }.toSeq
+      }
     commit(table, s"restore_v$toVersion", adds, removes, rv, Map.empty,
-      () => false, None, dv = target.dv, casAlways = true)
+      () => false, None, dv = target.dv, casAlways = true,
+      unsetProps = staleGen)
   }
 
   /** CHECKPOINT the manifest log (Delta's _last_checkpoint / Iceberg's
@@ -3587,7 +3833,7 @@ object TxLog {
       val todo = files.map(canonicalSource).distinct
         .filterNot(done.contains).sorted
       if (todo.isEmpty) return (currentVersion(table), Seq.empty)
-      val df = spark.read.parquet(todo: _*)
+      val df = fillGoverned(spark.read.parquet(todo: _*), table)
       val rv = currentVersion(table)
       validateWrite(df, table)
       val p = stage(df, table)

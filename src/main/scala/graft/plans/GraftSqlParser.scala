@@ -93,6 +93,21 @@ final class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val AlterDropConstraint =
     """(?is)^\s*ALTER\s+TABLE\s+'([^']+)'\s+DROP\s+CONSTRAINT\s+(\w+)\s*;?\s*$""".r
   // TBLPROPERTIES over a txlog PATH (same no-shadowing argument: Spark
+  // column governance (Delta's ALTER COLUMN family): NOT NULL rides the
+  // CHECK machinery, DEFAULT / GENERATED ride table properties — all
+  // four spellings land as one metadata commit
+  private val AlterColSetNotNull =
+    """(?is)^\s*ALTER\s+TABLE\s+'([^']+)'\s+ALTER\s+COLUMN\s+(\w+)\s+SET\s+NOT\s+NULL\s*;?\s*$""".r
+  private val AlterColDropNotNull =
+    """(?is)^\s*ALTER\s+TABLE\s+'([^']+)'\s+ALTER\s+COLUMN\s+(\w+)\s+DROP\s+NOT\s+NULL\s*;?\s*$""".r
+  private val AlterColSetDefault =
+    """(?is)^\s*ALTER\s+TABLE\s+'([^']+)'\s+ALTER\s+COLUMN\s+(\w+)\s+SET\s+DEFAULT\s+(.+?)\s*;?\s*$""".r
+  private val AlterColDropDefault =
+    """(?is)^\s*ALTER\s+TABLE\s+'([^']+)'\s+ALTER\s+COLUMN\s+(\w+)\s+DROP\s+DEFAULT\s*;?\s*$""".r
+  private val AlterColSetGenerated =
+    """(?is)^\s*ALTER\s+TABLE\s+'([^']+)'\s+ALTER\s+COLUMN\s+(\w+)\s+SET\s+GENERATED\s+ALWAYS\s+AS\s*\((.+)\)\s*;?\s*$""".r
+  private val AlterColDropGenerated =
+    """(?is)^\s*ALTER\s+TABLE\s+'([^']+)'\s+ALTER\s+COLUMN\s+(\w+)\s+DROP\s+GENERATED\s*;?\s*$""".r
   // cannot parse ALTER TABLE / SHOW TBLPROPERTIES with a quoted path)
   private val AlterSetProps =
     """(?is)^\s*ALTER\s+TABLE\s+'([^']+)'\s+SET\s+TBLPROPERTIES\s*\((.+)\)\s*;?\s*$""".r
@@ -223,6 +238,18 @@ final class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       AlterTxLogCommand(path, "drop_column", Seq(name))
     case AlterDropConstraint(path, name) =>
       AlterTxLogCommand(path, "drop_constraint", Seq(name))
+    case AlterColSetNotNull(path, c) =>
+      AlterTxLogCommand(path, "set_not_null", Seq(c))
+    case AlterColDropNotNull(path, c) =>
+      AlterTxLogCommand(path, "drop_not_null", Seq(c))
+    case AlterColSetGenerated(path, c, e) =>
+      AlterTxLogCommand(path, "set_generated", Seq(c, e))
+    case AlterColDropGenerated(path, c) =>
+      AlterTxLogCommand(path, "drop_generated", Seq(c))
+    case AlterColSetDefault(path, c, e) =>
+      AlterTxLogCommand(path, "set_default", Seq(c, e))
+    case AlterColDropDefault(path, c) =>
+      AlterTxLogCommand(path, "drop_default", Seq(c))
     case AlterSetProps(path, pairs) =>
       val kvs = splitTopLevel(pairs).map {
         case PropPair(qk, bk, v) => s"${Option(qk).getOrElse(bk)}=$v"
@@ -545,6 +572,14 @@ final case class AlterTxLogCommand(path: String, action: String,
           kv.substring(0, i) -> kv.substring(i + 1)
         }.toMap)
       case "unset_props" => TxLog.unsetProperties(path, args)
+      case "set_not_null" => TxLog.setNotNull(spark, path, args.head)
+      case "drop_not_null" => TxLog.dropNotNull(path, args.head)
+      case "set_generated" =>
+        TxLog.setGeneratedColumn(spark, path, args(0), args(1))
+      case "drop_generated" => TxLog.dropGeneratedColumn(path, args.head)
+      case "set_default" =>
+        TxLog.setColumnDefault(spark, path, args(0), args(1))
+      case "drop_default" => TxLog.dropColumnDefault(path, args.head)
     }
     Seq(Row(v))
   }

@@ -31,6 +31,19 @@ object StreamQueries extends QueryPack {
       t
     })
 
+  /** Rate-limit fixture: FOUR one-segment commits (order-key mod 4), so
+    * `maxFilesPerTrigger=1` must drain as exactly four micro-batches.
+    */
+  private def txRateTable(s: org.apache.spark.sql.SparkSession, d: String): String =
+    txStreamTables.computeIfAbsent((s, "rate:" + d), _ => {
+      val t = s"${graft.ops.Scratch.base}/txrate_${(d.hashCode & 0xffffff).toHexString}"
+      val base = Tables.orders(s, d).select(col("o_orderkey"),
+        graft.ops.Cleaning.cents(col("o_totalprice")).as("cents"))
+      (0L to 3L).foreach(k =>
+        graft.ops.TxLog.append(base.filter(col("o_orderkey") % 4 === k), t))
+      t
+    })
+
   /** The consolidated transformWithState TRIAD run — ONE RocksDB stream
     * over the txlog fixture feeds all three stateful-primitive oracles
     * (VERDICT r12 item 8: the triad used to spin a session/checkpoint
@@ -385,6 +398,37 @@ object StreamQueries extends QueryPack {
     // and checks per-commit attribution: the in-stream aggregation holds
     // one row per commit, so the driver-held sink is log-sized, never
     // data-sized. The oracle recomputes each commit's rows from orders.
+    // Stream RATE LIMITS (Delta's maxFilesPerTrigger): the txlog source
+    // admits whole commits per micro-batch while the cumulative added
+    // file count stays under the cap — 4 one-segment commits under
+    // maxFilesPerTrigger=1 MUST drain as exactly 4 AvailableNow
+    // micro-batches (the admission knob that keeps the first trigger
+    // over a 100-TB backlog from becoming one table-sized batch).
+    // Batch count pinned in-band beside the row totals.
+    "stream_rate_limit_files" -> ((s, d) => {
+      val t = txRateTable(s, d)
+      val batches = new java.util.concurrent.atomic.AtomicLong
+      val rows = new java.util.concurrent.atomic.AtomicLong
+      val cents = new java.util.concurrent.atomic.AtomicLong
+      val ns = s.newSession()
+      ns.conf.set("spark.sql.shuffle.partitions", "4")
+      val q = ns.readStream.format("txlog-stream")
+        .option("maxFilesPerTrigger", "1").load(t)
+        .writeStream.foreachBatch {
+          (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            val r = b.agg(count(lit(1)), coalesce(sum("cents"), lit(0L))).head()
+            if (r.getLong(0) > 0) batches.incrementAndGet()
+            rows.addAndGet(r.getLong(0))
+            cents.addAndGet(r.getLong(1))
+            ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally q.stop()
+      import s.implicits._
+      Seq((batches.get(), rows.get(), cents.get()))
+        .toDF("n_batches", "n_rows", "sum_cents")
+    }),
+
     "stream_txlog_source_batcheq" -> ((s, d) => {
       val t = txStreamTable(s, d)
       val qn = s"txlog_gate_${sinkSeq.incrementAndGet()}"
@@ -608,6 +652,11 @@ object StreamQueries extends QueryPack {
   )
 
   val oracle: Map[String, String] = Map(
+    "stream_rate_limit_files" ->
+      """SELECT CAST(4 AS BIGINT) AS n_batches, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents
+        |FROM orders""".stripMargin,
     "stream_txlog_sink_upsert_batcheq" ->
       """SELECT o_orderkey,
         |  CAST(round(o_totalprice * 100) AS BIGINT)

@@ -389,8 +389,26 @@ final class TxLogRelation(ctx: SQLContext, val table: String, val asOf: Option[L
     val df =
       if (partitionCols.nonEmpty) {
         // partitioned layout: equality/IN filters on partition columns
-        // prune whole leaf directories; stats bounds prune within
-        val partIn = partitionCols.map(c => c -> eqStringValues(c, filters))
+        // prune whole leaf directories; stats bounds prune within.
+        // GENERATED partition columns additionally derive admissible
+        // values from filters on their SOURCE column (head only — the
+        // declaration's invariant is validated against current history,
+        // not arbitrary past versions)
+        val genDecls =
+          if (asOf.isEmpty)
+            TxLog.generatedColumns(table)
+              .filter { case (c, _) => partitionCols.contains(c) }
+          else Map.empty[String, String]
+        val partIn = partitionCols.map { c =>
+          val eq = eqStringValues(c, filters)
+          val derived = genDecls.get(c).flatMap(e =>
+            GeneratedColumnPrune.admissibleValues(e, filters,
+              TxLog.livePartitionValues(table, c, asOf)))
+          c -> ((eq, derived) match {
+            case (Some(a), Some(b)) => Some(a intersect b)
+            case (a, b) => a.orElse(b)
+          })
+        }
         val (relOpt, scanned, total) = TxLog.snapshotPartitionStatsPruned(
           spark, table, partIn, bounds, asOf, strBounds)
         TxLogBatchSource.lastPrune = Some((scanned, total))
@@ -502,4 +520,132 @@ final class TxLogRelation(ctx: SQLContext, val table: String, val asOf: Option[L
     }
     if (any) Some((lo, hi)) else None
   }
+}
+
+/** Partition-filter DERIVATION for GENERATED partition columns (Delta's
+  * generated-column partition pruning): when a table declares
+  * `day GENERATED ALWAYS AS (CAST(ts AS DATE))` and partitions by `day`,
+  * a query filtering only `ts` should still skip whole `day=...` leaf
+  * directories. The write path enforces `day = f(ts)` row-for-row
+  * ([[graft.ops.TxLog.setGeneratedColumn]] validates history, every
+  * writer enforces on commit, RESTORE re-validates), and every
+  * recognized shape is MONOTONE NON-DECREASING — so rows with
+  * `ts ∈ [lo, hi]` live only in partitions `f(lo) <= day <= f(hi)`, and
+  * the admissible partition VALUES are computable driver-side from the
+  * pushed filters plus the live partition values (pure manifest
+  * metadata). Strict bounds keep the truncated endpoint inclusive —
+  * conservative is correct, the residual row-level filter still applies.
+  */
+private[sources] object GeneratedColumnPrune {
+  import java.time.{Instant, ZoneOffset}
+
+  // monotone generation shapes, anchored over the whole recorded
+  // expression; anything else derives nothing (scan every partition)
+  private val CastDate =
+    """(?i)^\s*CAST\s*\(\s*(\w+)\s+AS\s+DATE\s*\)\s*$""".r
+  private val ToDate = """(?i)^\s*to_date\s*\(\s*(\w+)\s*\)\s*$""".r
+  private val YearOf = """(?i)^\s*year\s*\(\s*(\w+)\s*\)\s*$""".r
+  private val Substr =
+    """(?i)^\s*substr(?:ing)?\s*\(\s*(\w+)\s*,\s*1\s*,\s*(\d+)\s*\)\s*$""".r
+  private val DateFmt =
+    """(?i)^\s*date_format\s*\(\s*(\w+)\s*,\s*'(yyyy-MM(?:-dd)?)'\s*\)\s*$""".r
+
+  /** Admissible partition values for a generated partition column, or
+    * None when the expression shape is unrecognized or no pushed filter
+    * constrains its source column. `liveValues` (by-name — only touched
+    * once a bound exists) are the column's live partition values from
+    * the manifests; NULL (the Hive default partition) is never
+    * admissible because every source comparison filter excludes
+    * null-source rows and all shapes null-propagate.
+    */
+  def admissibleValues(genExpr: String, filters: Array[Filter],
+                       liveValues: => Seq[String]): Option[Set[String]] = {
+    val shape: Option[(String, Any => Option[String])] = genExpr match {
+      case CastDate(src) => Some((src, v => utcInstant(v).map(localDate)))
+      case ToDate(src) => Some((src, v => utcInstant(v).map(localDate)))
+      case YearOf(src) => Some((src, v => utcInstant(v)
+        .map(_.atZone(ZoneOffset.UTC).getYear.toString)))
+      case Substr(src, n) => Some((src, {
+        case s: String => Some(s.take(n.toInt))
+        case _ => None
+      }: Any => Option[String]))
+      case DateFmt(src, fmt) =>
+        val f = java.time.format.DateTimeFormatter.ofPattern(fmt)
+          .withZone(ZoneOffset.UTC)
+        Some((src, v => utcInstant(v).map(f.format)))
+      case _ => None
+    }
+    shape.flatMap { case (src, f) =>
+      bounds(src, f, filters).map { case (lo, hi, exact) =>
+        liveValues.filter(v => v != null &&
+          exact.forall(_.contains(v)) &&
+          lo.forall(cmp(v, _) >= 0) &&
+          hi.forall(cmp(v, _) <= 0)).toSet
+      }
+    }
+  }
+
+  /** Conjunctive derived bound on the PARTITION value from filters on
+    * the SOURCE column: lo/hi from range predicates mapped through the
+    * monotone shape, an exact value set from EqualTo/In. None when no
+    * filter on the source maps (unmappable values conservatively ignore
+    * their filter rather than deriving a wrong bound).
+    */
+  private def bounds(src: String, f: Any => Option[String],
+                     filters: Array[Filter])
+      : Option[(Option[String], Option[String], Option[Set[String]])] = {
+    var lo: Option[String] = None
+    var hi: Option[String] = None
+    var exact: Option[Set[String]] = None
+    var any = false
+    def low(x: String): Unit = {
+      lo = Some(lo.fold(x)(c => if (cmp(x, c) > 0) x else c)); any = true
+    }
+    def high(x: String): Unit = {
+      hi = Some(hi.fold(x)(c => if (cmp(x, c) < 0) x else c)); any = true
+    }
+    filters.foreach {
+      case EqualTo(`src`, v) => f(v).foreach { x => low(x); high(x) }
+      case GreaterThan(`src`, v) => f(v).foreach(low)
+      case GreaterThanOrEqual(`src`, v) => f(v).foreach(low)
+      case LessThan(`src`, v) => f(v).foreach(high)
+      case LessThanOrEqual(`src`, v) => f(v).foreach(high)
+      case In(`src`, vs) if vs.nonEmpty =>
+        val xs = vs.toSeq.map(f)
+        if (xs.forall(_.nonEmpty)) { // every value mapped, else ignore
+          val set = xs.flatten.toSet
+          exact = Some(exact.fold(set)(_ intersect set)); any = true
+        }
+      case _ => ()
+    }
+    if (any) Some((lo, hi, exact)) else None
+  }
+
+  /** Partition values compare numerically when both sides parse as
+    * longs (`year=2024`), else in UTF8 binary order — the collation the
+    * engine records string bounds under.
+    */
+  private def cmp(a: String, b: String): Int =
+    (a.toLongOption, b.toLongOption) match {
+      case (Some(x), Some(y)) => java.lang.Long.compare(x, y)
+      case _ => TxLog.Utf8Ordering.compare(a, b)
+    }
+
+  /** Pushed filter values for date/timestamp sources arrive as the JVM
+    * external types (both the legacy and java8 datetime APIs); anything
+    * else derives nothing for the time-based shapes.
+    */
+  private def utcInstant(v: Any): Option[Instant] = v match {
+    case t: java.sql.Timestamp => Some(t.toInstant)
+    case i: Instant => Some(i)
+    case d: java.sql.Date =>
+      Some(d.toLocalDate.atStartOfDay(ZoneOffset.UTC).toInstant)
+    case d: java.time.LocalDate =>
+      Some(d.atStartOfDay(ZoneOffset.UTC).toInstant)
+    case d: java.time.LocalDateTime => Some(d.toInstant(ZoneOffset.UTC))
+    case _ => None
+  }
+
+  private def localDate(i: Instant): String =
+    i.atZone(ZoneOffset.UTC).toLocalDate.toString
 }

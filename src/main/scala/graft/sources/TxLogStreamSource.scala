@@ -101,6 +101,8 @@ final class TxLogStreamSource extends StreamSourceProvider with DataSourceRegist
       ignoreDeletes = TxLogStreamSource.boolOpt(parameters, "ignoreDeletes"),
       startingVersion = startingVersion,
       maxVersionsPerTrigger = parameters.get("maxVersionsPerTrigger").map(_.toLong),
+      maxFilesPerTrigger = parameters.get("maxFilesPerTrigger").map(_.toLong),
+      maxBytesPerTrigger = parameters.get("maxBytesPerTrigger").map(_.toLong),
       pinVersion = pinVersion,
       changeFeed = TxLogStreamSource.boolOpt(parameters, "readChangeFeed"),
       cdcKey = parameters.get("cdcKey").orElse(parameters.get("cdckey")))
@@ -158,6 +160,8 @@ private final class TxLogSource(spark: SparkSession, table: String,
                                 ignoreChanges: Boolean, ignoreDeletes: Boolean,
                                 startingVersion: Long,
                                 maxVersionsPerTrigger: Option[Long],
+                                maxFilesPerTrigger: Option[Long] = None,
+                                maxBytesPerTrigger: Option[Long] = None,
                                 pinVersion: Long,
                                 changeFeed: Boolean = false,
                                 cdcKey: Option[String] = None)
@@ -199,9 +203,53 @@ private final class TxLogSource(spark: SparkSession, table: String,
       .getOrElse(startingVersion)
     val head = availableNowFence.fold(TxLog.currentVersion(table))(
       f => math.min(f, TxLog.currentVersion(table)))
-    val capped = maxVersionsPerTrigger.fold(head)(m => math.min(head, start + m))
+    val capped0 = maxVersionsPerTrigger.fold(head)(m => math.min(head, start + m))
+    // FILE/BYTE rate limits (Delta's maxFilesPerTrigger /
+    // maxBytesPerTrigger): admit whole commits while the cumulative
+    // added-file count / staged bytes stay within the caps, always
+    // admitting at least one commit so the stream makes progress — the
+    // knob that keeps a first trigger over a 100-TB backlog from
+    // becoming one table-sized micro-batch. Costs manifest metadata
+    // only (adds lists; byte sizes memoized per immutable version).
+    val capped =
+      if (maxFilesPerTrigger.isEmpty && maxBytesPerTrigger.isEmpty) capped0
+      else {
+        var v = start
+        var files = 0L
+        var bytes = 0L
+        var stop = false
+        while (!stop && v < capped0) {
+          val m = manifest(v + 1)
+          val nf = m.adds.size.toLong
+          val nb = if (maxBytesPerTrigger.isEmpty) 0L
+                   else m.adds.map(segBytes).sum
+          if ((maxFilesPerTrigger.exists(files + nf > _) ||
+               maxBytesPerTrigger.exists(bytes + nb > _)) && v > start)
+            stop = true
+          else { v += 1; files += nf; bytes += nb }
+        }
+        v
+      }
     TxLogVersionOffset(math.max(start, capped))
   }
+
+  /** Bytes under one staged segment dir, memoized — segment dirs are
+    * immutable once committed (vacuum only deletes whole dead dirs), so
+    * one filesystem walk per segment per STREAM bounds the cost.
+    */
+  private val segBytesMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]
+  private def segBytes(p: String): Long =
+    segBytesMemo.computeIfAbsent(p, { path =>
+      val root = java.nio.file.Paths.get(path)
+      if (!java.nio.file.Files.exists(root)) 0L
+      else {
+        val st = java.nio.file.Files.walk(root)
+        try st.filter(java.nio.file.Files.isRegularFile(_))
+          .mapToLong(java.nio.file.Files.size(_)).sum
+        finally st.close()
+      }
+    }: java.util.function.Function[String, java.lang.Long])
 
   override def reportLatestOffset(): V2Offset =
     TxLogVersionOffset(TxLog.currentVersion(table))

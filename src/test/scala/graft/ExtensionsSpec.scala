@@ -838,6 +838,112 @@ class ExtensionsSpec extends SparkSpec {
     assert(graft.ops.TxLog.snapshot(spark, t, Some(10L)).count() === 7L)
   }
 
+  test("column DEFAULT and NOT NULL govern the write path through SQL") {
+    import spark.implicits._
+    val t = java.nio.file.Files.createTempDirectory("txdef-").resolve("t").toString
+    graft.ops.TxLog.append(Seq((1L, "a"), (2L, "b")).toDF("k", "s"), t)
+    spark.sql(s"ALTER TABLE '$t' ALTER COLUMN s SET DEFAULT 'dflt'")
+    spark.sql(s"ALTER TABLE '$t' ALTER COLUMN s SET NOT NULL")
+    // an omitted column fills with the default (which satisfies NOT NULL)
+    graft.ops.TxLog.append(Seq(Tuple1(3L)).toDF("k"), t)
+    assert(spark.read.format("txlog").load(t)
+      .filter(col("s") === "dflt").count() === 1L)
+    // an explicit NULL refuses via the NOT NULL check
+    val e = intercept[Exception] {
+      graft.ops.TxLog.append(Seq((4L, null: String)).toDF("k", "s"), t)
+    }
+    assert(e.getMessage.contains("not_null"), e.getMessage)
+    // DROP NOT NULL lifts the check; DROP DEFAULT stops the fill
+    spark.sql(s"ALTER TABLE '$t' ALTER COLUMN s DROP NOT NULL")
+    graft.ops.TxLog.append(Seq((4L, null: String)).toDF("k", "s"), t)
+    spark.sql(s"ALTER TABLE '$t' ALTER COLUMN s DROP DEFAULT")
+    graft.ops.TxLog.append(Seq(Tuple1(5L)).toDF("k"), t)
+    val by = spark.read.format("txlog").load(t)
+    assert(by.count() === 5L)
+    assert(by.filter(col("s").isNull).count() === 2L) // explicit + undefaulted
+    // the default's declaration is plain versioned metadata: SHOW
+    // TBLPROPERTIES no longer lists it after the DROP
+    assert(!spark.sql(s"SHOW TBLPROPERTIES '$t'").collect()
+      .exists(_.getString(0).startsWith("graft.default.")))
+  }
+
+  test("generated columns fill, enforce, recompute on UPDATE, and derive pruning") {
+    import spark.implicits._
+    val t = java.nio.file.Files.createTempDirectory("txgen-").resolve("t").toString
+    val mk = (r: Range) => r.map(i => (i.toLong, s"c${i % 8}_$i", 10L + i))
+      .toDF("id", "code", "v")
+    // v1: explicit pfx; v2: declare (validates v1); v3: omitted pfx fills
+    graft.ops.TxLog.appendPartitioned(
+      mk(0 until 16).withColumn("pfx", expr("substring(code, 1, 2)")),
+      t, Seq("pfx"))
+    spark.sql(s"ALTER TABLE '$t' ALTER COLUMN pfx " +
+      "SET GENERATED ALWAYS AS (substring(code, 1, 2))")
+    graft.ops.TxLog.appendPartitioned(mk(16 until 32), t, Seq("pfx"))
+    // a filter ONLY on the source column derives the partition values:
+    // code in [c2, c3_z] → pfx in {c2, c3} → 4 of 16 leaf segments
+    val got = spark.read.format("txlog").load(t)
+      .filter(col("code") >= "c2" && col("code") <= "c3_z")
+      .agg(count(lit(1)), sum("v")).head()
+    assert(graft.sources.TxLogBatchSource.lastPrune === Some((4, 16)))
+    val exp = (0 until 32).filter(i => { val c = s"c${i % 8}_$i"
+      c >= "c2" && c <= "c3_z" })
+    assert(got.getLong(0) === exp.size.toLong)
+    assert(got.getLong(1) === exp.map(10L + _).sum)
+    // a write CARRYING a disagreeing generated value refuses
+    val e = intercept[Exception] {
+      graft.ops.TxLog.appendPartitioned(
+        Seq((99L, "c1_99", 1L, "zz")).toDF("id", "code", "v", "pfx"),
+        t, Seq("pfx"))
+    }
+    assert(e.getMessage.contains("GENERATED"), e.getMessage)
+    // declaring against a violating history refuses
+    val t2 = java.nio.file.Files.createTempDirectory("txgen2-").resolve("t").toString
+    graft.ops.TxLog.append(Seq((1L, "ab", "zz")).toDF("id", "code", "pfx"), t2)
+    val e2 = intercept[Exception] {
+      spark.sql(s"ALTER TABLE '$t2' ALTER COLUMN pfx " +
+        "SET GENERATED ALWAYS AS (substring(code, 1, 2))")
+    }
+    assert(e2.getMessage.contains("existing rows violate"), e2.getMessage)
+    // non-deterministic expressions refuse at declaration
+    val e3 = intercept[Exception] {
+      spark.sql(s"ALTER TABLE '$t2' ALTER COLUMN code " +
+        "SET GENERATED ALWAYS AS (uuid())")
+    }
+    assert(e3.getMessage.contains("non-deterministic"), e3.getMessage)
+  }
+
+  test("UPDATE recomputes generated columns from the post-image; RESTORE unsets stale declarations") {
+    import spark.implicits._
+    val t = java.nio.file.Files.createTempDirectory("txgenu-").resolve("t").toString
+    graft.ops.TxLog.append(
+      Seq((1L, "a", "a!"), (2L, "b", "b!")).toDF("k", "src", "gen"), t)
+    graft.ops.TxLog.setGeneratedColumn(spark, t, "gen", "concat(src, '!')")
+    // SET src without gen → gen recomputes from the POST-image
+    graft.ops.TxLog.updateWhere(spark, t, col("k") === 1L,
+      Seq("src" -> lit("z")))
+    val r = spark.read.format("txlog").load(t)
+      .filter(col("k") === 1L).select("src", "gen").head()
+    assert(r.getString(0) === "z" && r.getString(1) === "z!")
+    // explicitly SETTING a disagreeing generated value refuses
+    val e = intercept[Exception] {
+      graft.ops.TxLog.updateWhere(spark, t, col("k") === 2L,
+        Seq("gen" -> lit("nope")))
+    }
+    assert(e.getMessage.contains("GENERATED"), e.getMessage)
+    // RESTORE resurrects rows the declaration never validated → the
+    // stale declaration is UNSET in the same restore commit
+    val t2 = java.nio.file.Files.createTempDirectory("txgenr-").resolve("t").toString
+    graft.ops.TxLog.append(Seq((9L, "bad")).toDF("k", "gen"), t2) // violates k+1
+    graft.ops.TxLog.deleteWhere(spark, t2, col("k") === 9L)
+    graft.ops.TxLog.append(Seq((1L, "2")).toDF("k", "gen"), t2)
+    graft.ops.TxLog.setGeneratedColumn(spark, t2, "gen",
+      "CAST(k + 1 AS STRING)")
+    assert(graft.ops.TxLog.generatedColumns(t2).nonEmpty)
+    graft.ops.TxLog.restore(spark, t2, 1L) // resurrects the bad row
+    assert(graft.ops.TxLog.generatedColumns(t2).isEmpty,
+      "stale generated declaration must not survive a restore below its validation")
+  }
+
   test("timestamp spellings parse uniformly across every timestamp surface") {
     import spark.implicits._
     // the shared parser: bare millis, date-only, datetime, datetime.millis

@@ -379,4 +379,33 @@ class TxLogStreamSpec extends SparkSpec {
     val got = spark.table(qn).as[(Long, Long, Option[String])].collect()
     assert(got.sorted.toSeq === Seq((1L, 10L, None), (2L, 20L, Some("b"))))
   }
+
+  test("maxFilesPerTrigger / maxBytesPerTrigger bound each micro-batch, never stall") {
+    val t = freshTable()
+    (1L to 4L).foreach(i => TxLog.append(rows((i, i * 10L)), t))
+    def batches(options: Map[String, String]): (Long, Long) = {
+      val n = new java.util.concurrent.atomic.AtomicLong
+      val rowsN = new java.util.concurrent.atomic.AtomicLong
+      val reader = spark.readStream.format("txlog-stream")
+      options.foreach { case (k, v) => reader.option(k, v) }
+      val q = reader.load(t).writeStream
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          val c = df.count()
+          if (c > 0) n.incrementAndGet()
+          rowsN.addAndGet(c); ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally q.stop()
+      (n.get(), rowsN.get())
+    }
+    // 4 one-file commits, cap 1 file → exactly 4 micro-batches
+    assert(batches(Map("maxFilesPerTrigger" -> "1")) === ((4L, 4L)))
+    // a byte cap SMALLER than any commit still admits one commit per
+    // trigger (at-least-one progress — the stream must never stall)
+    assert(batches(Map("maxBytesPerTrigger" -> "1")) === ((4L, 4L)))
+    // a huge cap drains in one batch
+    assert(batches(Map("maxBytesPerTrigger" -> (64L * 1024 * 1024).toString)) === ((1L, 4L)))
+    // file cap of 2 → two 2-commit batches
+    assert(batches(Map("maxFilesPerTrigger" -> "2")) === ((2L, 4L)))
+  }
 }
