@@ -1616,7 +1616,9 @@ object TxLog {
     val w = fillGoverned(df, table)
     validateWrite(w, table)
     val p = stage(w, table)
-    commit(table, "append", Seq(p), Seq.empty, rv)
+    val v = commit(table, "append", Seq(p), Seq.empty, rv)
+    maybeAutoCompact(df.sparkSession, table)
+    v
   }
 
   /** Full-table overwrite (the copy-on-write MERGE/compaction shape):
@@ -1663,8 +1665,10 @@ object TxLog {
     val w = fillGoverned(df, table)
     validateWrite(w, table)
     val p = stage(w, table)
-    commit(table, "append", Seq(p), Seq.empty, rv,
+    val v = commit(table, "append", Seq(p), Seq.empty, rv,
       stagedSegStats(df.sparkSession, p, statsCols))
+    maybeAutoCompact(df.sparkSession, table)
+    v
   }
 
   /** Full-table overwrite recording skipping stats on the replacement
@@ -2276,8 +2280,10 @@ object TxLog {
     val rv = currentVersion(table) // before validation — see append
     val w = fillGoverned(df, table, partCols)
     validateWrite(w, table)
-    commit(table, "append", stagePartitionedMulti(w, table, partCols)._2,
+    val v = commit(table, "append", stagePartitionedMulti(w, table, partCols)._2,
       Seq.empty, rv)
+    maybeAutoCompact(df.sparkSession, table)
+    v
   }
 
   /** Partitioned append WITH per-leaf column stats — `partitionBy(a, b)`
@@ -2304,7 +2310,9 @@ object TxLog {
     val (base, leaves) = stagePartitionedMulti(w, table, partCols)
     val stats = leafSegStats(w.sparkSession, base, leaves, w.schema,
       partCols, statsCols)
-    commit(table, "append", leaves, Seq.empty, rv, stats)
+    val v = commit(table, "append", leaves, Seq.empty, rv, stats)
+    maybeAutoCompact(w.sparkSession, table)
+    v
   }
 
   /** Stage a frame as `partCol=value` segment dirs (Hive layout) under
@@ -3050,6 +3058,212 @@ object TxLog {
       dv = dvRemaining)
   }
 
+  /** LAYOUT-PRESERVING whole-table compaction (what Delta's bare
+    * `OPTIMIZE` does on a partitioned table — bin-pack WITHIN each
+    * partition, never across): group live segments by their full
+    * partition chain, rewrite each multi-segment chain into ONE segment
+    * re-staged under the same `c1=v1/.../cN=vN` path (DV marks on the
+    * rewritten segments materialize; marks on untouched chains survive
+    * as the replacement chain), and publish everything as ONE commit —
+    * readers see the old layout or the new, never a mix. Chains already
+    * holding a single mark-free segment are referenced untouched, so
+    * cost ∝ fragmented partitions, not the table. The library-level
+    * [[compact]] keeps its documented plain-rewrite semantics; the SQL
+    * `OPTIMIZE` statement routes HERE for partitioned tables.
+    */
+  def compactPartitioned(spark: SparkSession, table: String): Long = {
+    import org.apache.spark.sql.functions.{col => fcol}
+    val layout = partitionLayout(table)
+    require(layout.nonEmpty,
+      s"compactPartitioned on unpartitioned $table — use compact")
+    val rv = currentVersion(table)
+    val st = tableStateViaCheckpoint(table, Some(rv))
+    def chain(p: String): String = {
+      val parts = Paths.get(p)
+      (parts.getNameCount - layout.size until parts.getNameCount)
+        .map(parts.getName(_).toString).mkString("/")
+    }
+    val dvFiles: Set[String] =
+      if (st.dv.isEmpty) Set.empty
+      else dvMarks(spark, st.dv).select("file_path").distinct()
+        .collect().map(_.getString(0)).toSet
+    // coordinates record the scan's URI form (file:/…) — containment
+    // with a '/' boundary, exactly like compactPartition's chain match
+    def marked(seg: String): Boolean = dvFiles.exists(_.contains(seg + "/"))
+    val byChain = st.segments.map(_._1).groupBy(chain)
+    // a chain rewrites when fragmented OR when any of its segments
+    // carries deletes (the rewrite is the moment they materialize)
+    val doomed = byChain.filter { case (_, segs) =>
+      segs.size >= 2 || segs.exists(marked)
+    }
+    if (doomed.isEmpty) return rv
+    val base = s"$table/data/${java.util.UUID.randomUUID}"
+    val adds = doomed.toSeq.sortBy(_._1).map { case (c, segs) =>
+      val (withMeta, fp, ri) = readSegmentsWithCoords(
+        spark, segs, recordedSchema(table, Some(rv)), st.renames)
+      val visible =
+        if (st.dv.isEmpty) withMeta
+        else {
+          val taken = withMeta.columns.toSet
+          val dfp = freshName(taken, "__dv_fp")
+          val dri = freshName(taken + dfp, "__dv_ri")
+          val marks = dvMarks(spark, st.dv)
+            .select(fcol("file_path").as(dfp), fcol("row_index").as(dri))
+          withMeta.join(marks, fcol(fp) === fcol(dfp) &&
+            fcol(ri) === fcol(dri), "left_anti")
+        }
+      val p = s"$base/$c"
+      visible.drop(fp, ri).write.mode(SaveMode.ErrorIfExists).parquet(p)
+      p
+    }
+    // a fully-deleted chain rewrites to zero rows — it disappears
+    // without an empty add (purge's rule). The stats pass already
+    // counts each rewrite's rows, so the decision costs nothing extra.
+    val statsAll = adds.map(p => p -> rewriteStats(spark, p, st, "optimize")(p))
+    val goodAdds = statsAll.collect {
+      case (p, ss) if ss.rows.exists(_ > 0) => p
+    }
+    val removes = doomed.values.flatten.toSeq
+    val dvRemaining =
+      if (st.dv.isEmpty) Seq.empty[String]
+      else {
+        val onDoomed = removes.map(t =>
+          fcol("file_path").contains(t + "/")).reduce(_ || _)
+        val rest = dvMarks(spark, st.dv).filter(!onDoomed)
+        if (rest.isEmpty) Seq.empty[String] else Seq(stage(rest, table))
+      }
+    commit(table, "optimize", goodAdds, removes, rv,
+      statsAll.filter { case (p, _) => goodAdds.contains(p) }.toMap,
+      () => false, None, dv = dvRemaining)
+  }
+
+  /** On-disk bytes of one segment dir, memoized process-wide — segment
+    * dirs are immutable once committed (vacuum deletes whole dead dirs),
+    * so one walk per segment bounds the cost of every size-aware
+    * decision (auto-compact thresholds, stream byte admission).
+    */
+  private val segBytesMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]
+  def segmentBytes(p: String): Long =
+    segBytesMemo.computeIfAbsent(p, { path =>
+      val root = Paths.get(path)
+      if (!Files.exists(root)) 0L
+      else {
+        val st = Files.walk(root)
+        try st.filter(Files.isRegularFile(_))
+          .mapToLong(Files.size(_)).sum
+        finally st.close()
+      }
+    }: java.util.function.Function[String, java.lang.Long])
+
+  /** `128`, `128kb`, `128mb`, `2gb` → bytes (Delta's size spelling). */
+  def parseBytes(s: String): Long = {
+    val t = s.trim.toLowerCase
+    if (t.matches("\\d+")) t.toLong
+    else if (t.matches("\\d+kb")) t.dropRight(2).toLong * 1024L
+    else if (t.matches("\\d+mb")) t.dropRight(2).toLong * 1024L * 1024L
+    else if (t.matches("\\d+gb")) t.dropRight(2).toLong * 1024L * 1024L * 1024L
+    else throw new IllegalArgumentException(
+      s"cannot parse size '$s' — want digits optionally suffixed kb|mb|gb")
+  }
+
+  /** Compact only the live segments whose on-disk bytes are UNDER
+    * `maxBytes` into one replacement segment, leaving every large
+    * segment untouched — the small-file compaction behind
+    * [[maybeAutoCompact]], and the operation that matters on a 100-TB
+    * streaming-ingest table: cost ∝ the small tail, never the table.
+    * DV marks on the compacted segments materialize in the rewrite;
+    * marks on untouched segments survive as the replacement chain
+    * ([[compactPartition]]'s pattern — the removes-carrying commit
+    * replaces the chain). Plain layouts only: partitioned tables
+    * auto-compact per LEAF through [[compactPartition]], which is what
+    * keeps the Hive layout intact. No-op (returns the head) under
+    * `minNumFiles`.
+    */
+  def compactSmall(spark: SparkSession, table: String, maxBytes: Long,
+                   minNumFiles: Long = 10L): Long = {
+    import org.apache.spark.sql.functions.{col => fcol}
+    require(partitionLayout(table).isEmpty,
+      s"compactSmall on partitioned $table — compact per leaf via compactPartition")
+    val rv = currentVersion(table)
+    val st = tableStateViaCheckpoint(table, Some(rv))
+    val small = st.segments.map(_._1).filter(p => segmentBytes(p) <= maxBytes)
+    if (small.size < minNumFiles) return rv
+    val (withMeta, fp, ri) = readSegmentsWithCoords(
+      spark, small, recordedSchema(table, Some(rv)), st.renames)
+    val visible =
+      if (st.dv.isEmpty) withMeta
+      else {
+        val taken = withMeta.columns.toSet
+        val dfp = freshName(taken, "__dv_fp")
+        val dri = freshName(taken + dfp, "__dv_ri")
+        val marks = dvMarks(spark, st.dv)
+          .select(fcol("file_path").as(dfp), fcol("row_index").as(dri))
+        withMeta.join(marks, fcol(fp) === fcol(dfp) &&
+          fcol(ri) === fcol(dri), "left_anti")
+      }
+    val p = stage(visible.drop(fp, ri), table)
+    // marks on UNTOUCHED segments survive as the replacement chain;
+    // '/' boundary — see compactPartition
+    val dvRemaining =
+      if (st.dv.isEmpty) Seq.empty[String]
+      else {
+        val onSmall = small.map(t =>
+          fcol("file_path").contains(t + "/")).reduce(_ || _)
+        val rest = dvMarks(spark, st.dv).filter(!onSmall)
+        if (rest.isEmpty) Seq.empty[String] else Seq(stage(rest, table))
+      }
+    commit(table, "optimize", Seq(p), small, rv,
+      rewriteStats(spark, p, st, "optimize"), () => false, None,
+      dv = dvRemaining)
+  }
+
+  /** AUTO-COMPACT (Delta's `delta.autoOptimize.autoCompact`): when the
+    * table declares `graft.autoCompact.enabled=true`, insert-shaped
+    * writers run a small-file compaction AFTER their commit publishes —
+    * best-effort and never on the write's correctness path (a CAS loss
+    * to a concurrent writer simply skips this round). Thresholds:
+    * `graft.autoCompact.maxFileSize` (what counts as small, default
+    * 128mb — Delta's) and `graft.autoCompact.minNumFiles` (how many
+    * smalls before a rewrite pays for itself, default 10). Plain
+    * layouts compact the small tail in one segment; partitioned
+    * layouts compact each LEAF whose small-segment count crosses the
+    * threshold, preserving the Hive layout. This is the engine-wired
+    * answer to the streaming small-file problem: the log stays
+    * metadata-priced (auto-checkpoints), the data stays scan-priced
+    * (auto-compact), no scheduled OPTIMIZE job required.
+    */
+  private def maybeAutoCompact(spark: SparkSession, table: String): Unit =
+    try {
+      val props = tableProperties(table)
+      if (props.get("graft.autoCompact.enabled").exists(_.equalsIgnoreCase("true"))) {
+        val maxB = props.get("graft.autoCompact.maxFileSize")
+          .map(parseBytes).getOrElse(128L * 1024 * 1024)
+        val minN = props.get("graft.autoCompact.minNumFiles")
+          .flatMap(_.toLongOption).getOrElse(10L)
+        val layout = partitionLayout(table)
+        if (layout.isEmpty) compactSmall(spark, table, maxB, minN)
+        else if (layout.size == 1) {
+          // per-leaf: compact every leaf whose SMALL segment count
+          // crosses the threshold. Single-level layouts only —
+          // compactPartition matches the leaf dir NAME, which can
+          // collide across parents in a nested layout (country=US/
+          // visa=A vs country=FR/visa=A); nested tables compact via
+          // the explicit OPTIMIZE statement (compactPartitioned)
+          val leafCol = layout.last
+          tableStateViaCheckpoint(table).segments.map(_._1)
+            .filter(p => segmentBytes(p) <= maxB)
+            .groupBy(p => Paths.get(p).getFileName.toString)
+            .collect { case (leaf, segs)
+                if segs.size >= minN && leaf.startsWith(leafCol + "=") =>
+              segPartValues(segs.head, Seq(leafCol)).head
+            }
+            .filter(_ != null) // the Hive default (NULL) leaf never auto-compacts
+            .foreach(v => compactPartition(spark, table, leafCol, v))
+        }
+      }
+    } catch { case _: Exception => () } // best-effort, off the write path
+
   /** `REORG TABLE … APPLY (PURGE)` (Delta's DV materialization): rewrite
     * ONLY the live segments that standing deletion-vector marks actually
     * reference, so soft deletes become physical without touching the rest
@@ -3260,9 +3474,11 @@ object TxLog {
       val adds =
         if (partCols.isEmpty) Seq(stage(w, table))
         else stagePartitionedMulti(w, table, partCols)._2
-      commit(table, s"stream_append_b$batchId", adds, Seq.empty,
+      val v = commit(table, s"stream_append_b$batchId", adds, Seq.empty,
         rv, Map.empty,
         skipIf = () => maxCommittedBatch(table) >= batchId, schemaJson = None)
+      if (v > 0) maybeAutoCompact(df.sparkSession, table)
+      v
     }
   }
 
@@ -3304,10 +3520,12 @@ object TxLog {
       val w = fillGoverned(df, table)
       validateWrite(w, table)
       val p = stage(w, table)
-      commit(table, s"txn:$appId:v$txnVersion", Seq(p), Seq.empty,
+      val v = commit(table, s"txn:$appId:v$txnVersion", Seq(p), Seq.empty,
         rv, Map.empty,
         skipIf = () => lastTxnVersion(table, appId) >= txnVersion,
         schemaJson = None)
+      if (v > 0) maybeAutoCompact(df.sparkSession, table)
+      v
     }
   }
 

@@ -354,7 +354,12 @@ final case class TxLogMaintenanceCommand(name: String, isPath: Boolean,
   override def run(spark: SparkSession): Seq[Row] = {
     val table = if (isPath) name else GraftSqlSurface.tableLocation(spark, name)
     val v = op match {
-      case "optimize" => TxLog.compact(spark, table)
+      case "optimize" =>
+        // Delta's bare OPTIMIZE bin-packs WITHIN partitions — a
+        // partitioned table must keep its layout (and its path pruning)
+        if (TxLog.partitionLayout(table).nonEmpty)
+          TxLog.compactPartitioned(spark, table)
+        else TxLog.compact(spark, table)
       // `OPTIMIZE t WHERE part = 'v'`: one partition's segments rewritten
       case "optimize_where" =>
         TxLog.compactPartition(spark, table, cols.head, cols(1))

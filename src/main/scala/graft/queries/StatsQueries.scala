@@ -468,6 +468,48 @@ object StatsQueries extends QueryPack {
       t
     })
 
+  /** AUTO-COMPACT TxLog table: the table declares
+    * `graft.autoCompact.enabled=true, minNumFiles=3`, then four
+    * quarter-splits append. The THIRD append crosses the small-file
+    * threshold, so its post-commit hook rewrites the three smalls into
+    * one segment (`optimize`); the fourth leaves two live segments
+    * (merged + new < threshold). Fully deterministic history.
+    */
+  private def txAutoCompactTable(s: SparkSession, d: String): String =
+    txTables.computeIfAbsent((s, "autocompact:" + d), _ => {
+      val t = s"${graft.ops.Scratch.base}/txauto_${(d.hashCode & 0xffffff).toHexString}"
+      val base = Tables.orders(s, d).select(col("o_orderkey"),
+        Cleaning.cents(col("o_totalprice")).as("cents"))
+      graft.ops.TxLog.setProperties(t, Map(
+        "graft.autoCompact.enabled" -> "true",
+        "graft.autoCompact.minNumFiles" -> "3"))
+      (1L to 3L).foreach(k =>
+        graft.ops.TxLog.append(base.filter(col("o_orderkey") % 4 === (k % 4)), t))
+      graft.ops.TxLog.append(base.filter(col("o_orderkey") % 4 === 0L), t)
+      t
+    })
+
+  /** Partitioned-OPTIMIZE TxLog table: a NESTED `r3=?/r2=?` layout (6
+    * chains), fragmented by two half-splits (okey mod 4), with a DV
+    * delete standing — the statement-level `OPTIMIZE` must bin-pack
+    * WITHIN each chain, never across.
+    */
+  private def txOptPartTable(s: SparkSession, d: String): String =
+    txTables.computeIfAbsent((s, "optpart:" + d), _ => {
+      val t = s"${graft.ops.Scratch.base}/txoptp_${(d.hashCode & 0xffffff).toHexString}"
+      val base = Tables.orders(s, d).select(col("o_orderkey"),
+        Cleaning.cents(col("o_totalprice")).as("cents"),
+        expr("CAST(o_orderkey % 3 AS STRING)").as("r3"),
+        expr("CAST(o_orderkey % 2 AS STRING)").as("r2"))
+      graft.ops.TxLog.appendPartitioned(
+        base.filter(col("o_orderkey") % 4 <= 1), t, Seq("r3", "r2"))
+      graft.ops.TxLog.appendPartitioned(
+        base.filter(col("o_orderkey") % 4 >= 2), t, Seq("r3", "r2"))
+      graft.ops.TxLog.deleteWhere(s, t, col("o_orderkey") % 5 === 0)
+      s.sql(s"OPTIMIZE '$t'").collect()
+      t
+    })
+
   /** RESTORE TxLog table: odds (v1), evens (v2), a DV delete of keys %5
     * (v3), then RESTORE to v2 (v4) — the delete-only history where
     * clearing the vector requires installing an empty one (no removes to
@@ -2523,6 +2565,42 @@ object StatsQueries extends QueryPack {
         .orderBy("src")
     }),
 
+    // AUTO-COMPACT (Delta's autoOptimize.autoCompact as engine-wired
+    // properties): the third small append's post-commit hook folds the
+    // small tail into one segment — no scheduled OPTIMIZE job — and the
+    // fourth append stays under the threshold. History and final
+    // segment count pinned in-band beside the full-table aggregate
+    // (auto-compact must never change visible rows).
+    "lake_txlog_autocompact" -> ((s, d) => {
+      val t = txAutoCompactTable(s, d)
+      val ops = (1L to graft.ops.TxLog.currentVersion(t)).map(v =>
+        graft.ops.TxLog.readManifest(t, v).op).mkString(",")
+      val nSegs = graft.ops.TxLog.liveFiles(t).size.toLong
+      s.read.format("txlog").load(t)
+        .agg(count(lit(1)).as("n_rows"), sum("cents").as("sum_cents"))
+        .select(lit(ops).as("history_ops"), lit(nSegs).as("n_segs"),
+          col("n_rows"), col("sum_cents"))
+    }),
+
+    // Bare OPTIMIZE on a PARTITIONED table (Delta semantics): bin-pack
+    // WITHIN each of the 6 nested chains — 12 fragments become 6
+    // segments under the SAME r3=?/r2=? paths, the standing delete
+    // materializes, and path pruning still answers afterwards (an
+    // r3 filter scans 2 of 6). Geometry pinned in-band.
+    "lake_txlog_optimize_partitioned" -> ((s, d) => {
+      val t = txOptPartTable(s, d)
+      val ops = (1L to graft.ops.TxLog.currentVersion(t)).map(v =>
+        graft.ops.TxLog.readManifest(t, v).op).mkString(",")
+      val nSegs = graft.ops.TxLog.liveFiles(t).size.toLong
+      val r = s.read.format("txlog").load(t).filter(col("r3") === "1")
+        .agg(count(lit(1)).as("n_rows"), sum("cents").as("sum_cents")).head()
+      val (scanned, total) =
+        graft.sources.TxLogBatchSource.lastPrune.getOrElse((-1, -1))
+      import s.implicits._
+      Seq((ops, nSegs, scanned.toLong, total.toLong, r.getLong(0), r.getLong(1)))
+        .toDF("history_ops", "n_segs", "scanned", "total", "n_rows", "sum_cents")
+    }),
+
     // SQL time travel in SELECT (VERDICT r15 item 3): Delta's VERSION AS
     // OF spelling resolved by the hint-batch analyzer rule to the same
     // relation the reader option builds — v1 (pre-merge) and the head
@@ -3386,6 +3464,21 @@ object StatsQueries extends QueryPack {
         |FROM orders
         |WHERE o_orderkey % 8 < 2 AND (o_orderkey // 8) % 8 < 2
         |  AND (o_orderkey // 64) % 8 < 2""".stripMargin,
+    "lake_txlog_autocompact" ->
+      """SELECT 'setprops,append,append,append,optimize,append'
+        |    AS history_ops,
+        |  CAST(2 AS BIGINT) AS n_segs, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents
+        |FROM orders""".stripMargin,
+    "lake_txlog_optimize_partitioned" ->
+      """SELECT 'append,append,delete,optimize' AS history_ops,
+        |  CAST(6 AS BIGINT) AS n_segs, CAST(2 AS BIGINT) AS scanned,
+        |  CAST(6 AS BIGINT) AS total, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents
+        |FROM orders
+        |WHERE o_orderkey % 3 = 1 AND o_orderkey % 5 <> 0""".stripMargin,
     "lake_txlog_generated" ->
       """SELECT CAST(2 AS BIGINT) AS scanned, CAST(8 AS BIGINT) AS total,
         |  COUNT(*) AS n_rows,

@@ -838,6 +838,74 @@ class ExtensionsSpec extends SparkSpec {
     assert(graft.ops.TxLog.snapshot(spark, t, Some(10L)).count() === 7L)
   }
 
+  test("SQL OPTIMIZE preserves a partitioned layout; fully-deleted chains disappear") {
+    import spark.implicits._
+    val t = java.nio.file.Files.createTempDirectory("txoptp-").resolve("t").toString
+    graft.ops.TxLog.appendPartitioned(
+      Seq((1L, "a", "x"), (3L, "a", "y")).toDF("k", "p", "q"), t, Seq("p", "q"))
+    graft.ops.TxLog.appendPartitioned(
+      Seq((2L, "a", "x"), (4L, "b", "x")).toDF("k", "p", "q"), t, Seq("p", "q"))
+    graft.ops.TxLog.deleteWhere(spark, t, col("k") === 3L) // dooms a/y entirely
+    val untouched = graft.ops.TxLog.liveFiles(t).filter(_.contains("p=b"))
+    spark.sql(s"OPTIMIZE '$t'").collect()
+    // layout survives; a/x bin-packed to 1, b/x referenced byte-identically,
+    // the fully-deleted a/y chain disappears without an empty add
+    assert(graft.ops.TxLog.partitionLayout(t) === Seq("p", "q"))
+    val segs = graft.ops.TxLog.liveFiles(t)
+    assert(segs.count(s => s.contains("p=a") && s.contains("q=x")) === 1)
+    assert(segs.count(_.contains("q=y")) === 0, segs.mkString("\n"))
+    assert(segs.filter(_.contains("p=b")) === untouched)
+    val snap = spark.read.format("txlog").load(t)
+    assert(snap.select("k").as[Long].collect().sorted.toSeq === Seq(1L, 2L, 4L))
+    // the delete materialized: the chain is clear
+    assert(graft.ops.TxLog.tableStateViaCheckpoint(t).dv.isEmpty)
+    // path pruning still answers on the preserved layout (sum keeps the
+    // scan real — a bare count would answer from the manifest)
+    assert(snap.filter(col("p") === "a").agg(sum("k")).head().getLong(0) === 3L)
+    assert(graft.sources.TxLogBatchSource.lastPrune === Some((1, 2)))
+  }
+
+  test("auto-compact folds the small tail post-commit; thresholds and layout hold") {
+    import spark.implicits._
+    val t = java.nio.file.Files.createTempDirectory("txauto-").resolve("t").toString
+    spark.sql(s"ALTER TABLE '$t' SET TBLPROPERTIES " +
+      "('graft.autoCompact.enabled' = 'true', " +
+      "'graft.autoCompact.minNumFiles' = '2')")
+    graft.ops.TxLog.append(Seq((1L, 10L)).toDF("k", "v"), t)
+    assert(graft.ops.TxLog.liveFiles(t).size === 1)
+    // second small append crosses minNumFiles=2 → its hook compacts
+    graft.ops.TxLog.append(Seq((2L, 20L)).toDF("k", "v"), t)
+    assert(graft.ops.TxLog.liveFiles(t).size === 1)
+    assert(graft.ops.TxLog.readManifest(t,
+      graft.ops.TxLog.currentVersion(t)).op === "optimize")
+    // a standing DV mark on a compacted small MATERIALIZES in the fold
+    graft.ops.TxLog.deleteWhere(spark, t, col("k") === 1L)
+    graft.ops.TxLog.append(Seq((3L, 30L)).toDF("k", "v"), t)
+    val snap = spark.read.format("txlog").load(t)
+    assert(snap.count() === 2L && snap.filter(col("k") === 1L).isEmpty)
+    assert(graft.ops.TxLog.liveFiles(t).size === 1)
+    // nothing qualifies as small under a 1-byte ceiling → no compaction
+    spark.sql(s"ALTER TABLE '$t' SET TBLPROPERTIES " +
+      "('graft.autoCompact.maxFileSize' = '1')")
+    graft.ops.TxLog.append(Seq((4L, 40L)).toDF("k", "v"), t)
+    assert(graft.ops.TxLog.liveFiles(t).size === 2)
+    // partitioned layout: only the leaf crossing the threshold compacts,
+    // and the Hive layout survives the rewrite
+    val t2 = java.nio.file.Files.createTempDirectory("txauto2-").resolve("t").toString
+    spark.sql(s"ALTER TABLE '$t2' SET TBLPROPERTIES " +
+      "('graft.autoCompact.enabled' = 'true', " +
+      "'graft.autoCompact.minNumFiles' = '2')")
+    graft.ops.TxLog.appendPartitioned(
+      Seq((1L, "a"), (2L, "b")).toDF("k", "p"), t2, Seq("p"))
+    graft.ops.TxLog.appendPartitioned(
+      Seq((3L, "a")).toDF("k", "p"), t2, Seq("p"))
+    val segs = graft.ops.TxLog.liveFiles(t2)
+    assert(segs.count(_.contains("p=a")) === 1, segs.mkString("\n")) // compacted
+    assert(segs.count(_.contains("p=b")) === 1)
+    assert(spark.read.format("txlog").load(t2).count() === 3L)
+    assert(graft.ops.TxLog.partitionLayout(t2) === Seq("p"))
+  }
+
   test("column DEFAULT and NOT NULL govern the write path through SQL") {
     import spark.implicits._
     val t = java.nio.file.Files.createTempDirectory("txdef-").resolve("t").toString
