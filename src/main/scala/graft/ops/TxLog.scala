@@ -1348,6 +1348,22 @@ object TxLog {
       .map { case (p, _) => segPartValues(p, Seq(col)).head }.distinct
   }
 
+  /** Columns the table DECLARES for automatic write-time skipping stats
+    * (`graft.statsColumns = "c1,c2"` — the engine-wired spelling of
+    * Delta's indexed-columns idea, explicit columns instead of a
+    * positional count): every insert-shaped writer records the one-pass
+    * min/max/rows/NDV record for these columns on the segments it
+    * stages, so data skipping is DECLARED ONCE per table instead of
+    * remembered at every call site — which is the only way stats stay
+    * complete when writes arrive through the format seam, SQL INSERT,
+    * COPY INTO, and streaming sinks. Filtered to columns the frame
+    * actually carries (a pre-evolve writer simply records fewer).
+    */
+  private def declaredStatsCols(table: String, df: DataFrame): Seq[String] =
+    tableProperties(table).get("graft.statsColumns").toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+      .filter(df.columns.contains)
+
   /** Fill write-omitted GOVERNED columns (defaults first, then generated
     * expressions — a generated expression may reference a defaulted
     * column), cast to the recorded type. Zero plan change when the table
@@ -1616,7 +1632,8 @@ object TxLog {
     val w = fillGoverned(df, table)
     validateWrite(w, table)
     val p = stage(w, table)
-    val v = commit(table, "append", Seq(p), Seq.empty, rv)
+    val v = commit(table, "append", Seq(p), Seq.empty, rv,
+      autoStats(w.sparkSession, table, w, p))
     maybeAutoCompact(df.sparkSession, table)
     v
   }
@@ -1633,7 +1650,8 @@ object TxLog {
     validateWrite(w, table)
     val live = liveFiles(table, Some(rv))
     val p = stage(w, table)
-    commit(table, "overwrite", Seq(p), live, rv)
+    commit(table, "overwrite", Seq(p), live, rv,
+      autoStats(w.sparkSession, table, w, p))
   }
 
   /** Append with manifest-level min/max stats on `statsCol` — the
@@ -1997,13 +2015,25 @@ object TxLog {
     * bounded result into the manifest.
     */
   def appendWithBloom(df: DataFrame, table: String, keyCol: String): Long = {
-    import org.apache.spark.sql.functions.{col => fcol, explode, expr, max => fmax, min => fmin}
-    import org.apache.spark.sql.types.StringType
     val rv = currentVersion(table) // before validation — see append
     val w = fillGoverned(df, table)
     validateWrite(w, table)
     val p = stage(w, table)
-    val sdf = df.sparkSession.read.parquet(p)
+    val stats = bloomStat(df.sparkSession, p, keyCol)
+      .fold(Map.empty[String, SegStats])(b => Map(p -> b))
+    commit(table, "append", Seq(p), Seq.empty, rv, stats)
+  }
+
+  /** The bloom + min/max record for one staged segment's `keyCol` —
+    * [[appendWithBloom]]'s pass, shared with the declared
+    * `graft.bloomColumn` auto-index. None when the column is all-null.
+    */
+  private def bloomStat(spark: SparkSession, p: String,
+                        keyCol: String): Option[SegStats] = {
+    import org.apache.spark.sql.functions.{col => fcol, explode, expr, max => fmax, min => fmin}
+    import org.apache.spark.sql.types.StringType
+    val sdf = spark.read.parquet(p)
+    if (!sdf.columns.contains(keyCol)) return None
     val isStr = sdf.schema.fields.find(_.name == keyCol)
       .exists(_.dataType == StringType)
     // STRING keys hash the raw column (the reader's StringType literal
@@ -2020,19 +2050,49 @@ object TxLog {
     val arr = new Array[Long](BloomWords)
     words.foreach(r => arr(r.getInt(0)) = r.getLong(1))
     val hex = arr.map(l => f"$l%016x").mkString
-    val stats =
-      if (isStr) {
-        val mm = sdf.agg(fmin(fcol(keyCol)), fmax(fcol(keyCol))).head()
-        if (mm.isNullAt(0)) Map.empty[String, SegStats]
-        else Map(p -> SegStats(keyCol, 0L, 0L, Some(hex),
-          strMin = Some(mm.getString(0)), strMax = Some(mm.getString(1))))
-      } else {
-        val mm = sdf.agg(fmin(fcol(keyCol).cast("long")),
-          fmax(fcol(keyCol).cast("long"))).head()
-        if (mm.isNullAt(0)) Map.empty[String, SegStats]
-        else Map(p -> SegStats(keyCol, mm.getLong(0), mm.getLong(1), Some(hex)))
-      }
-    commit(table, "append", Seq(p), Seq.empty, rv, stats)
+    if (isStr) {
+      val mm = sdf.agg(fmin(fcol(keyCol)), fmax(fcol(keyCol))).head()
+      if (mm.isNullAt(0)) None
+      else Some(SegStats(keyCol, 0L, 0L, Some(hex),
+        strMin = Some(mm.getString(0)), strMax = Some(mm.getString(1))))
+    } else {
+      val mm = sdf.agg(fmin(fcol(keyCol).cast("long")),
+        fmax(fcol(keyCol).cast("long"))).head()
+      if (mm.isNullAt(0)) None
+      else Some(SegStats(keyCol, mm.getLong(0), mm.getLong(1), Some(hex)))
+    }
+  }
+
+  /** DECLARED write-time indexing for one plain-staged segment:
+    * [[declaredStatsCols]]' one-pass stats record, plus the
+    * `graft.bloomColumn` bloom (Delta's bloom filter index as a table
+    * declaration). The bloom-carrying record must be PRIMARY — extras
+    * never carry blooms ([[SegStats]]) — so when both declare, the
+    * bloom column's record is enriched/promoted and every other column
+    * rides as an extra.
+    */
+  private def autoStats(spark: SparkSession, table: String, w: DataFrame,
+                        p: String): Map[String, SegStats] = {
+    val cols = declaredStatsCols(table, w)
+    val bloomCol = tableProperties(table).get("graft.bloomColumn")
+      .map(_.trim).filter(w.columns.contains)
+    val base =
+      if (cols.isEmpty) Map.empty[String, SegStats]
+      else stagedSegStats(spark, p, cols)
+    bloomCol.flatMap(k => bloomStat(spark, p, k)) match {
+      case None => base
+      case Some(b) =>
+        base.get(p) match {
+          case None => Map(p -> b)
+          case Some(h) =>
+            val flat = h.copy(extra = Seq.empty) +: h.extra
+            val (kRec, others) = flat.partition(_.col == b.col)
+            val primary = kRec.headOption
+              .map(_.copy(bloomHex = b.bloomHex))
+              .getOrElse(b.copy(rows = flat.headOption.flatMap(_.rows)))
+            Map(p -> primary.copy(extra = others))
+        }
+    }
   }
 
   private def bloomMightContain(hex: String, positions: Seq[Long]): Boolean =
@@ -2280,8 +2340,13 @@ object TxLog {
     val rv = currentVersion(table) // before validation — see append
     val w = fillGoverned(df, table, partCols)
     validateWrite(w, table)
-    val v = commit(table, "append", stagePartitionedMulti(w, table, partCols)._2,
-      Seq.empty, rv)
+    val (base, leaves) = stagePartitionedMulti(w, table, partCols)
+    val declared = declaredStatsCols(table, w).filterNot(partCols.contains)
+    val stats =
+      if (declared.isEmpty) Map.empty[String, SegStats]
+      else leafSegStats(w.sparkSession, base, leaves, w.schema,
+        partCols, declared)
+    val v = commit(table, "append", leaves, Seq.empty, rv, stats)
     maybeAutoCompact(df.sparkSession, table)
     v
   }
@@ -3471,11 +3536,17 @@ object TxLog {
       val rv = currentVersion(table) // before validation — see append
       val w = fillGoverned(df, table, partCols)
       validateWrite(w, table)
-      val adds =
-        if (partCols.isEmpty) Seq(stage(w, table))
-        else stagePartitionedMulti(w, table, partCols)._2
+      val declared = declaredStatsCols(table, w).filterNot(partCols.contains)
+      val (base, adds) =
+        if (partCols.isEmpty) ("", Seq(stage(w, table)))
+        else stagePartitionedMulti(w, table, partCols)
+      val stats =
+        if (partCols.isEmpty) autoStats(w.sparkSession, table, w, adds.head)
+        else if (declared.isEmpty) Map.empty[String, SegStats]
+        else leafSegStats(w.sparkSession, base, adds, w.schema,
+          partCols, declared)
       val v = commit(table, s"stream_append_b$batchId", adds, Seq.empty,
-        rv, Map.empty,
+        rv, stats,
         skipIf = () => maxCommittedBatch(table) >= batchId, schemaJson = None)
       if (v > 0) maybeAutoCompact(df.sparkSession, table)
       v
@@ -3521,7 +3592,7 @@ object TxLog {
       validateWrite(w, table)
       val p = stage(w, table)
       val v = commit(table, s"txn:$appId:v$txnVersion", Seq(p), Seq.empty,
-        rv, Map.empty,
+        rv, autoStats(w.sparkSession, table, w, p),
         skipIf = () => lastTxnVersion(table, appId) >= txnVersion,
         schemaJson = None)
       if (v > 0) maybeAutoCompact(df.sparkSession, table)
@@ -4055,8 +4126,10 @@ object TxLog {
       val rv = currentVersion(table)
       validateWrite(df, table)
       val p = stage(df, table)
+      val auto = autoStats(spark, table, df, p)
       val v = commit(table, "copyinto", Seq(p), Seq.empty, rv,
-        Map(p -> rowsOnlyStats(spark.read.parquet(p).count())),
+        if (auto.isEmpty) Map(p -> rowsOnlyStats(spark.read.parquet(p).count()))
+        else auto,
         // another ingest landed any of our files → abort this attempt,
         // re-derive todo from the new ledger (the staged bytes become a
         // vacuum-collectable orphan, never visible)

@@ -272,9 +272,14 @@ object TxLogBatchSource {
 
   /** Last (scanned, total) segment counts of a pruned buildScan — spec
     * observability for skipping that is otherwise invisible through the
-    * RDD seam. Test-only; racy under concurrent scans by design.
+    * RDD seam. THREAD-LOCAL: buildScan runs on the thread driving the
+    * action, so each caller observes only its own scans — a global slot
+    * made parallel test suites (and any concurrent reader) race on it.
     */
-  @volatile var lastPrune: Option[(Int, Int)] = None
+  private val lastPruneTl =
+    ThreadLocal.withInitial[Option[(Int, Int)]](() => None)
+  def lastPrune: Option[(Int, Int)] = lastPruneTl.get()
+  def lastPrune_=(v: Option[(Int, Int)]): Unit = lastPruneTl.set(v)
 
   /** The one replaceWhere shape the writer accepts: `col = 'value'`
     * (single partition equality). Anything else refuses loudly.

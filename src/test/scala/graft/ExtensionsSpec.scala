@@ -838,6 +838,46 @@ class ExtensionsSpec extends SparkSpec {
     assert(graft.ops.TxLog.snapshot(spark, t, Some(10L)).count() === 7L)
   }
 
+  test("graft.statsColumns records skipping stats on every writer path") {
+    import spark.implicits._
+    val t = java.nio.file.Files.createTempDirectory("txsdecl-").resolve("t").toString
+    spark.sql(s"ALTER TABLE '$t' SET TBLPROPERTIES ('graft.statsColumns' = 'v')")
+    def statsCols(): Seq[Seq[String]] =
+      graft.ops.TxLog.liveFilesWithStats(t).map(_._2.toSeq.flatMap(_.trackedCols))
+    // library append, format seam, idempotent txn — all record v's stats
+    graft.ops.TxLog.append(Seq((1L, 10L)).toDF("k", "v"), t)
+    Seq((2L, 20L)).toDF("k", "v").write.format("txlog").mode("append").save(t)
+    graft.ops.TxLog.idempotentAppend(Seq((3L, 30L)).toDF("k", "v"), t, "app", 1L)
+    assert(statsCols() === Seq(Seq("v"), Seq("v"), Seq("v")))
+    // streaming sink micro-batches record them too
+    val src = java.nio.file.Files.createTempDirectory("txsdecl-src-").toString
+    Seq((4L, 40L)).toDF("k", "v").write.mode("overwrite").parquet(src)
+    val q = spark.readStream.schema("k LONG, v LONG").parquet(src)
+      .writeStream.format("txlog").option("path", t)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("txsdecl-ck-").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    try q.awaitTermination() finally q.stop()
+    assert(statsCols().size === 4 && statsCols().forall(_ === Seq("v")))
+    // declared stats PRUNE: a v range opens only the matching segment
+    assert(spark.read.format("txlog").load(t)
+      .filter(col("v") === 20L).agg(sum("k")).head().getLong(0) === 2L)
+    assert(graft.sources.TxLogBatchSource.lastPrune === Some((1, 4)))
+    // UNSET stops recording (new segments plain, old stats intact)
+    spark.sql(s"ALTER TABLE '$t' UNSET TBLPROPERTIES ('graft.statsColumns')")
+    graft.ops.TxLog.append(Seq((5L, 50L)).toDF("k", "v"), t)
+    assert(statsCols().count(_.isEmpty) === 1)
+    // declared BLOOM index: with both declared, the bloom column's
+    // record is primary (extras never carry blooms) and v's stats ride
+    // as an extra on the same segment
+    spark.sql(s"ALTER TABLE '$t' SET TBLPROPERTIES " +
+      "('graft.statsColumns' = 'v', 'graft.bloomColumn' = 'k')")
+    graft.ops.TxLog.append(Seq((6L, 60L)).toDF("k", "v"), t)
+    val last = graft.ops.TxLog.liveFilesWithStats(t).last._2.get
+    assert(last.col === "k" && last.bloomHex.nonEmpty)
+    assert(last.statsFor("v").nonEmpty && last.rows === Some(1L))
+  }
+
   test("SQL OPTIMIZE preserves a partitioned layout; fully-deleted chains disappear") {
     import spark.implicits._
     val t = java.nio.file.Files.createTempDirectory("txoptp-").resolve("t").toString
