@@ -15,7 +15,16 @@ object Explain {
       .config("spark.sql.shuffle.partitions", 8)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // the engine's injected rules shape the plans being read — without
+      // this the printed plan is NOT the plan Bench/Verify execute (r16:
+      // plan evidence for the optimizer-rule rewrites depends on it).
+      // SPARK_GRAFT_EXPLAIN_EXCLUDE (comma-separated rule names) feeds
+      // spark.sql.optimizer.excludedRules for before/after captures.
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .getOrCreate()
+    sys.env.get("SPARK_GRAFT_EXPLAIN_EXCLUDE").foreach { ex =>
+      spark.conf.set("spark.sql.optimizer.excludedRules", ex)
+    }
     spark.sparkContext.setLogLevel("ERROR")
     val names = if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq.sorted
     names.foreach { name =>

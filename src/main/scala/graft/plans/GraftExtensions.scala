@@ -222,6 +222,7 @@ object GraftTableFunctions {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => LevenshteinThresholdRewrite)
+    e.injectOptimizerRule(_ => TryExprRewrite)
     e.injectOptimizerRule(_ => ManifestCountRule)
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)
     // lake SQL dialect: DESCRIBE HISTORY / OPTIMIZE / VACUUM / RESTORE

@@ -123,12 +123,16 @@ object ScalarQueries extends QueryPack {
     // try_divide (zero divisor → null, never Inf/error), try_cast over a
     // deliberately sometimes-numeric slice of the JSON payload (parse
     // failure → null), and try_element_at past the end of a split array
-    // (out-of-bounds → null). Cost note: Spark 4 evaluates the try_*
-    // wrappers as CodegenFallback, so this projection runs interpreted —
-    // the price of the row-local error shield. On a hot path, guard
-    // explicitly instead (RLIKE/CASE stays inside codegen) — the measured
-    // cost of the difference is pinned by the `clean_guarded_fast` twin
-    // below (~2.7× at sf0.1); this query exists to pin try_* semantics.
+    // (out-of-bounds → null). Cost note (r16): Spark's TRY eval mode
+    // codegens the ANSI kernel inside try/catch, so every FAILING row
+    // paid a thrown exception with query-context capture (~10 µs/row —
+    // 3.14 s vs the guarded twin's 0.44 s at sf0.1 when the miss rate is
+    // ~100%). graft.plans.TryExprRewrite now rewrites the provably-
+    // equivalent TRY forms to Spark's non-throwing LEGACY kernels at
+    // optimization time (fuzz-pinned in TryRewriteSpec), so this query
+    // runs exception-free at any failure rate; the twin pair pins the
+    // residual difference (~1.1× — the rewrite beats even the RLIKE
+    // guard, whose regex costs more than contains + legacy parse).
     "clean_try_ops" -> ((s, d) =>
       Tables.events(s, d)
         .select(col("event_id"),
@@ -141,16 +145,15 @@ object ScalarQueries extends QueryPack {
           expr("try_element_at(split(event_type, 'i'), 3)").as("third_piece"))
         .orderBy("event_id")),
 
-    // The codegen fast-path twin of clean_try_ops: identical output, but
+    // The hand-guarded twin of clean_try_ops: identical output, but
     // every try_* wrapper replaced by an explicit guard (CASE on the
-    // divisor, RLIKE before the cast, size() before the subscript) — all
-    // of which stay inside whole-stage codegen where the try_* family
-    // falls back to interpreted eval. Pinning both forms turns the
-    // documented try_* tax into a measured per-round ratio in
-    // bench_queries.json (r7 local[32] sf0.1: try_ops 2.82 s vs guarded
-    // 1.03 s → the shield costs ~2.7×; use guards on hot paths, try_* at
-    // ingest edges where the failure set is unknown). Outputs verified
-    // identical row-for-row on this data.
+    // divisor, RLIKE before the cast, size() before the subscript).
+    // Historically this pinned the try_* exception tax (r7: 2.82 s vs
+    // 1.03 s); since r16's TryExprRewrite the try_* forms execute as
+    // non-throwing LEGACY kernels and the pair instead pins that the
+    // rewrite stays at parity or better (the RLIKE guard now costs MORE
+    // than the rewritten cast). Outputs verified identical row-for-row
+    // on this data.
     "clean_guarded_fast" -> ((s, d) =>
       Tables.events(s, d)
         .select(col("event_id"),
