@@ -77,27 +77,58 @@ object StatsOps {
     */
   val MaxScanGroups: Int = 10000
 
+  /** Stable copy of a group-key value read from a reused InternalRow
+    * buffer — UnsafeRow-backed UTF8Strings point into the row's bytes and
+    * MUST be copied before they outlive the current row.
+    */
+  private def stableKey(v: Any): Any = v match {
+    case s: org.apache.spark.unsafe.types.UTF8String => s.copy()
+    case x => x
+  }
+
+  /** Accumulate `w` under (possibly buffer-backed) key `g`, copying the
+    * key only when it is first inserted (updates reuse the stored key).
+    */
+  private def bump(m: scala.collection.mutable.Map[Any, Long], g: Any, w: Long): Unit =
+    m.get(g) match {
+      case Some(prev) => m(g) = prev + w
+      case None => m(stableKey(g)) = w
+    }
+
   private def groupedScan(df: DataFrame, group: String, order: Seq[String],
                           weightCol: Option[String], out: String,
                           numPartitions: Int): DataFrame = {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, JoinedRow, UnsafeProjection}
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
     val keys = (group +: order).map(col)
     val sorted = df.repartitionByRange(numPartitions, keys: _*)
       .sortWithinPartitions(keys: _*)
     val gi = sorted.schema.fieldIndex(group)
+    val gType = sorted.schema(group).dataType
+    val gAcc = InternalRow.getAccessor(gType, sorted.schema(group).nullable)
     val wi = weightCol.map(sorted.schema.fieldIndex)
-    def weightOf(r: org.apache.spark.sql.Row): Long =
+    def weightOf(r: InternalRow): Long =
       wi.map(r.getLong).getOrElse(1L)
+    // Both passes run over the INTERNAL row RDD: `sorted.rdd` would
+    // deserialize every row to an external Row (and the output would be
+    // converted back) — a per-row tax on a path whose entire point is a
+    // cheap linear scan (guide §1.2: per-task work). `toRdd` is a lazy
+    // val on the QueryExecution, so the two passes share one RDD lineage
+    // and the range shuffle's map output is written once and reused
+    // (Spark skips the finished stage); only the in-partition sort and
+    // this scan run per pass.
+    val internal = sorted.queryExecution.toRdd
     // pass 1: per-(partition, group) totals — tiny by construction; the
     // cardinality guard fires executor-side, BEFORE a giant map ships to
     // the driver (a range partition sees a superset of the global group
     // count only when groups interleave, so the per-partition bound is
     // conservative but the failure is loud and early)
-    val counts: Array[(Int, Map[Any, Long])] = sorted.rdd
+    val counts: Array[(Int, Map[Any, Long])] = internal
       .mapPartitionsWithIndex { (p, it) =>
         val m = scala.collection.mutable.Map.empty[Any, Long]
         it.foreach { r =>
-          m(r.get(gi)) = m.getOrElse(r.get(gi), 0L) + weightOf(r)
+          bump(m, gAcc(r, gi), weightOf(r))
           require(m.size <= MaxScanGroups,
             s"groupedScan on '$group': partition $p holds > $MaxScanGroups distinct " +
               "groups — this engine is for constant-cardinality group keys (the " +
@@ -125,18 +156,26 @@ object StatsOps {
     val schema = StructType(
       sorted.schema.fields :+ StructField(out, LongType, nullable = false))
     val bc = sorted.sparkSession.sparkContext.broadcast(offsets)
-    val rows = sorted.rdd.mapPartitionsWithIndex { (p, it) =>
+    // pass 2: append rank = cross-partition offset + in-partition prefix.
+    // The appended column rides a JoinedRow through one codegen'd
+    // UnsafeProjection — no external-Row construction; the result
+    // re-enters SQL through the internal-row seam with zero conversion.
+    val rows = internal.mapPartitionsWithIndex { (p, it) =>
       val local = scala.collection.mutable.Map.empty[Any, Long]
       val base = bc.value(p)
+      val proj = UnsafeProjection.create(schema)
+      val joined = new JoinedRow
+      val rank = new GenericInternalRow(1)
       it.map { r =>
-        val g = r.get(gi)
+        val g = gAcc(r, gi)
         val pos = local.getOrElse(g, 0L) + weightOf(r)
-        local(g) = pos
-        org.apache.spark.sql.Row.fromSeq(
-          r.toSeq :+ (base.getOrElse(g, 0L) + pos))
+        bump(local, g, weightOf(r)) // stores a stable key copy on first insert
+        rank.setLong(0, base.getOrElse(g, 0L) + pos)
+        proj(joined(r, rank)): InternalRow
       }
     }
-    sorted.sparkSession.createDataFrame(rows, schema)
+    org.apache.spark.sql.GraftSqlBridge.internalDf(
+      sorted.sparkSession, rows, schema)
   }
 
   /** EXACT interpolated percentiles per group in bounded memory — the
@@ -196,13 +235,19 @@ object StatsOps {
     val keys = Seq(col(group), col("__pct_v"))
     val sorted = nn.repartitionByRange(numPartitions, keys: _*)
       .sortWithinPartitions(keys: _*)
+    val gType = sorted.schema(group).dataType
+    val gAcc = org.apache.spark.sql.catalyst.InternalRow
+      .getAccessor(gType, sorted.schema(group).nullable)
+    // Internal-row passes sharing one lineage — same rationale and
+    // shuffle-reuse contract as groupedScan above.
+    val internal = sorted.queryExecution.toRdd
     // pass 1: per-(partition, group) counts — the groupedScan shape,
     // with the same executor-side cardinality guard
-    val counts: Array[(Int, Map[Any, Long])] = sorted.rdd
+    val counts: Array[(Int, Map[Any, Long])] = internal
       .mapPartitionsWithIndex { (p, it) =>
         val m = scala.collection.mutable.Map.empty[Any, Long]
         it.foreach { r =>
-          m(r.get(0)) = m.getOrElse(r.get(0), 0L) + 1L
+          bump(m, gAcc(r, 0), 1L)
           require(m.size <= MaxScanGroups,
             s"groupedExactPercentiles on '$group': partition $p holds > " +
               s"$MaxScanGroups distinct groups — constant-cardinality keys only")
@@ -239,17 +284,17 @@ object StatsOps {
     val bcNeed = spark.sparkContext.broadcast(needed)
     // pass 2: emit ONLY the boundary rows (≤ |groups|·|ps|·2 of them);
     // the range shuffle's map output is reused from pass 1
-    val sel: Array[(Any, Long, Double)] = sorted.rdd
+    val sel: Array[(Any, Long, Double)] = internal
       .mapPartitionsWithIndex { (p, it) =>
         val local = scala.collection.mutable.Map.empty[Any, Long]
         val base = bcOff.value(p)
         it.flatMap { r =>
-          val g = r.get(0)
+          val g = gAcc(r, 0)
           val pos = local.getOrElse(g, 0L) + 1L
-          local(g) = pos
+          bump(local, g, 1L)
           val rank = base.getOrElse(g, 0L) + pos
           if (bcNeed.value.getOrElse(g, Set.empty[Long]).contains(rank))
-            Iterator.single((g, rank, r.getDouble(1)))
+            Iterator.single((stableKey(g), rank, r.getDouble(1)))
           else Iterator.empty
         }
       }.collect()
@@ -261,11 +306,15 @@ object StatsOps {
     // (the built-in percentile aggregates a null group fine — ADVICE
     // r11), so the deterministic output ordering sorts them first rather
     // than NPE-ing on toString.
+    val toScala = org.apache.spark.sql.catalyst.CatalystTypeConverters
+      .createToScalaConverter(gType)
     val out = nByGroup.toSeq
       .sortBy(kv => Option(kv._1).map(_.toString).getOrElse(""))
       .map { case (g, n) =>
         val vals = valsByGroup(g)
-        org.apache.spark.sql.Row.fromSeq(g +: ps.map { case (_, p) =>
+        // group keys were read as Catalyst values (UTF8String etc.);
+        // convert once per group for the external-Row output seam
+        org.apache.spark.sql.Row.fromSeq(toScala(g) +: ps.map { case (_, p) =>
           val pos = p * (n - 1).toDouble
           val lo = pos.floor.toLong
           val hi = pos.ceil.toLong

@@ -13,6 +13,19 @@ object GraftSqlBridge {
 
   def toColumn(e: Expression): Column = classic.ExpressionUtils.column(e)
 
+  /** DataFrame over an RDD of InternalRows — the `private[sql]`
+    * `internalCreateDataFrame` seam. RDD-level engines (StatsOps'
+    * two-pass rank scan) produce UnsafeRow-backed rows directly; routing
+    * them through the public `createDataFrame(Row, schema)` would pay a
+    * per-row external-Row conversion in BOTH directions (r16: ~2× on the
+    * rank-engine queries). Rows follow the standard InternalRow iterator
+    * contract (consumers copy when they buffer).
+    */
+  def internalDf(spark: SparkSession,
+                 rdd: org.apache.spark.rdd.RDD[catalyst.InternalRow],
+                 schema: types.StructType): DataFrame =
+    spark.asInstanceOf[classic.SparkSession].internalCreateDataFrame(rdd, schema)
+
   def toExpression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
   /** DataFrame from a (custom) logical plan — the bridge a library-level
