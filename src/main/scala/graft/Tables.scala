@@ -11,8 +11,24 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * same either way.
   */
 object Tables {
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Inferred parquet schema per table path — the catalog-metadata
+    * stand-in (r16, guide §1.2/§5: driver work). Without it every
+    * `spark.read.parquet` call re-reads parquet footers to infer the
+    * schema, ~40-50 ms of driver time per table reference; a 7-table
+    * join paid ~0.5 s of pure schema re-inference per run (PlanProbe:
+    * tpch_q8 construct 0.50 s vs scan_parquet 0.06 s). A catalog table
+    * carries its schema as metadata — this map is exactly that, keyed
+    * on the immutable testdata path. Schemas only, never data or
+    * results; first touch still infers from the files.
+    */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    val schema = schemaCache.computeIfAbsent(path, p => spark.read.parquet(p).schema)
+    spark.read.schema(schema).parquet(path)
+  }
 
   def lineitem(s: SparkSession, d: String): DataFrame = apply(s, d, "lineitem")
   def orders(s: SparkSession, d: String): DataFrame = apply(s, d, "orders")
