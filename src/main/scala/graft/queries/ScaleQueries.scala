@@ -353,18 +353,40 @@ object ScaleQueries extends QueryPack {
       val l = Tables.lineitem(s, d)
       val o = Tables.orders(s, d).filter(col("o_orderstatus") === "F")
       val sup = Tables.supplier(s, d)
-      val base = l.join(o, l("l_orderkey") === o("o_orderkey"))
+      // r16 (guide §2.4/§3): the EXISTS/NOT-EXISTS pair used to run as a
+      // left-semi plus a left-anti join, re-scanning and re-shuffling the
+      // fact twice on top of the base pass (3 lineitem scans, 2 extra
+      // exchanges). Both quantifiers collapse into ONE per-order
+      // aggregate because the base row's own supplier is always a member
+      // of the sets being tested:
+      //   - EXISTS (other supplier in the order): base's supplier is in
+      //     the order's supplier set, so "another exists" ⇔
+      //     countDistinct(supplier) ≥ 2;
+      //   - NOT EXISTS (other LATE supplier): the base filter makes the
+      //     base row itself late, so its supplier is in the late set, and
+      //     "no other late" ⇔ countDistinct(late supplier) = 1.
+      // Exact same rows out (oracle keeps the EXISTS spelling; verified
+      // value-identical at sf0.001/sf0.01). One fact aggregation replaces
+      // the two join passes; the join back to base reuses the aggregate's
+      // orderkey partitioning, so the plan drops from 3 fact scans to 2
+      // and from 4 exchanges to 3 (plan diff in plans/r16/tpch_q21_*).
+      val lo = l.join(o, l("l_orderkey") === o("o_orderkey"))
+      // distinct (order, supplier) pairs first — a plain hash aggregate
+      // with map-side partials (no Expand: two countDistincts with
+      // different filters would plan a 2-way Expand over the fact) —
+      // then per-order counts over the tiny pair table.
+      val perOrder = lo
+        .groupBy(l("l_orderkey").as("p_ok"), l("l_suppkey").as("p_sk"))
+        .agg(max(when(l("l_shipdate") > o("o_orderdate") + expr("INTERVAL 60 DAYS"), 1L)
+          .otherwise(0L)).as("is_late"))
+        .groupBy(col("p_ok"))
+        .agg(count(lit(1)).as("nsupp"), sum("is_late").as("nlate"))
+      val base = lo
         .filter(l("l_shipdate") > o("o_orderdate") + expr("INTERVAL 60 DAYS"))
         .join(sup, l("l_suppkey") === sup("s_suppkey"))
-        .select(col("l_orderkey").as("b_ok"), col("l_suppkey").as("b_sk"),
-          col("o_orderdate").as("b_od"), col("s_name"))
-      val l2 = l.select(col("l_orderkey").as("x_ok"), col("l_suppkey").as("x_sk"))
-      val l3 = l.select(col("l_orderkey").as("y_ok"), col("l_suppkey").as("y_sk"),
-        col("l_shipdate").as("y_sd"))
-      base
-        .join(l2, col("b_ok") === col("x_ok") && col("b_sk") =!= col("x_sk"), "left_semi")
-        .join(l3, col("b_ok") === col("y_ok") && col("b_sk") =!= col("y_sk") &&
-          col("y_sd") > col("b_od") + expr("INTERVAL 60 DAYS"), "left_anti")
+        .select(col("l_orderkey").as("b_ok"), col("s_name"))
+      base.join(perOrder, col("b_ok") === col("p_ok"))
+        .filter(col("nsupp") >= 2 && col("nlate") === 1)
         .groupBy(col("s_name"))
         .agg(count(lit(1)).as("numwait"))
         .orderBy(col("numwait").desc, col("s_name"))
