@@ -45,12 +45,17 @@ object MultimodalQueries extends QueryPack {
     // deterministic stand-in for a media resize (a real scaler slots into
     // the decodeStub seam like the codec). Pure HOF map work: the
     // "resized" payload keeps every 4th byte; metadata records the scale.
+    // r16 (guide §1.2): the transform(sequence(1, n, 4)) → substring
+    // spelling materialized a position array and paid an O(i) UTF-8
+    // seek per kept character (O(n²/4) character scans per document,
+    // 1.36 s at sf0.1). One DOTALL regex pass takes the first character
+    // of each ≤4-char block — identical output (every 4th character,
+    // including the first of a ragged tail), measured ~3× faster, and
+    // a single linear scan per row at any document length.
     "mm_resize_stride" -> ((s, d) =>
       Tables.documents(s, d)
         .select(col("doc_id").as("media_id"),
-          expr("""array_join(transform(sequence(1, length(text), 4),
-                 |  i -> substring(text, i, 1)), '')""".stripMargin.replaceAll("\n", " "))
-            .as("resized"))
+          regexp_replace(col("text"), "(?s)(.).{0,3}", "$1").as("resized"))
         .select(col("media_id"),
           expr("CAST(length(resized) AS BIGINT)").as("n_bytes_resized"),
           lit(4L).as("stride"),
@@ -106,20 +111,31 @@ object MultimodalQueries extends QueryPack {
     // the byte grid for decoded luma tiles via the decodeStub seam —
     // the signature/banding mechanics are identical.
     "mm_perceptual_hash" -> ((s, d) => {
-      val tiles = Tables.documents(s, d)
+      // r16 (guide §1.2/§2.4): the explode(0..255) → ascii(substring)
+      // → per-(media, tile) hash-agg → per-media window shape paid a
+      // 256× row fan-out, an O(pos) UTF-8 seek per position, one
+      // aggregation exchange and one window exchange BEFORE the
+      // signature even existed. The per-tile sums now come from one
+      // native traversal per row (CodePointGroupSums — same move as
+      // MinHashSignature replacing the shingle explode), and the
+      // signature folds map-side; the first exchange left in the plan
+      // is the dup-count window over the finished 16-bit hash. Same
+      // values (oracle unchanged; explode-form equivalence pinned in
+      // MultimodalSpec).
+      val hashed = Tables.documents(s, d)
         .filter(col("n_chars") >= 256)
-        .select(col("doc_id").as("media_id"), col("text"),
-          explode(expr("sequence(0, 255)")).as("pos"))
-        .select(col("media_id"), expr("pos div 16").as("tile"),
-          expr("CAST(ascii(substring(text, pos + 1, 1)) AS BIGINT)").as("b"))
-        .groupBy("media_id", "tile").agg(sum("b").as("tsum"))
-      val hashed = tiles
-        .withColumn("total", sum("tsum").over(Window.partitionBy("media_id")))
-        .withColumn("bit",
-          when(col("tsum") * 16 > col("total"),
-            expr("shiftleft(CAST(1 AS BIGINT), CAST(tile AS INT))"))
-            .otherwise(lit(0L)))
-        .groupBy("media_id").agg(sum("bit").as("ahash16"))
+        .select(col("doc_id").as("media_id"),
+          org.apache.spark.sql.GraftSqlBridge.toColumn(
+            graft.functions.CodePointGroupSums(
+              org.apache.spark.sql.GraftSqlBridge.toExpression(col("text")),
+              groupLen = 16, nChars = 256, squared = false)).as("sums"))
+        .withColumn("total", expr("aggregate(sums, 0L, (a, x) -> a + x)"))
+        .withColumn("ahash16", expr(
+          """aggregate(sequence(0, 15), 0L, (a, t) ->
+            |  a + IF(element_at(sums, t + 1) * 16 > total,
+            |        shiftleft(CAST(1 AS BIGINT), t), 0L))"""
+            .stripMargin.replaceAll("\n", " ")))
+        .select("media_id", "ahash16")
       hashed
         .withColumn("n_same_hash",
           count(lit(1)).over(Window.partitionBy("ahash16")))
@@ -219,13 +235,20 @@ object MultimodalQueries extends QueryPack {
     // video's worth. A real decoder slots into the same seam as
     // mm_perceptual_hash; the diff/segment mechanics are identical.
     "mm_shot_boundary" -> ((s, d) => {
+      // r16: per-frame energies from one native pass per row
+      // (CodePointGroupSums) instead of explode(0..255) + per-position
+      // substring + a per-(media, frame) aggregation exchange — the
+      // fan-out and the agg shuffle are gone; the lag/segment windows
+      // below are the first (and only) exchange. Same values.
       val frames = Tables.documents(s, d)
         .filter(col("n_chars") >= 256)
-        .select(col("doc_id").as("media_id"), col("text"),
-          explode(expr("sequence(0, 255)")).as("pos"))
-        .select(col("media_id"), expr("pos div 16").as("frame"),
-          expr("CAST(ascii(substring(text, pos + 1, 1)) AS BIGINT)").as("b"))
-        .groupBy("media_id", "frame").agg(sum("b").as("energy"))
+        .select(col("doc_id").as("media_id"),
+          posexplode(org.apache.spark.sql.GraftSqlBridge.toColumn(
+            graft.functions.CodePointGroupSums(
+              org.apache.spark.sql.GraftSqlBridge.toExpression(col("text")),
+              groupLen = 16, nChars = 256, squared = false))))
+        .select(col("media_id"), col("pos").cast("long").as("frame"),
+          col("col").as("energy"))
       val w = Window.partitionBy("media_id").orderBy("frame")
       frames
         .withColumn("diff", abs(col("energy") - lag("energy", 1).over(w)))
@@ -247,13 +270,19 @@ object MultimodalQueries extends QueryPack {
     // A real PCM decoder slots into the same seam as the frame ops; the
     // energy-gate/segment-merge mechanics are identical.
     "mm_audio_vad" -> ((s, d) => {
+      // r16: per-window squared-sample energies from one native pass per
+      // row (CodePointGroupSums squared=true) — explode fan-out,
+      // per-position substring and the per-(media, win) aggregation
+      // exchange all removed; same values.
       val wins = Tables.documents(s, d)
         .filter(col("n_chars") >= 256)
-        .select(col("doc_id").as("media_id"), col("text"),
-          explode(expr("sequence(0, 255)")).as("pos"))
-        .select(col("media_id"), expr("pos div 32").as("win"),
-          expr("CAST(ascii(substring(text, pos + 1, 1)) AS BIGINT)").as("b"))
-        .groupBy("media_id", "win").agg(sum(expr("b * b")).as("ssq"))
+        .select(col("doc_id").as("media_id"),
+          posexplode(org.apache.spark.sql.GraftSqlBridge.toColumn(
+            graft.functions.CodePointGroupSums(
+              org.apache.spark.sql.GraftSqlBridge.toExpression(col("text")),
+              groupLen = 32, nChars = 256, squared = true))))
+        .select(col("media_id"), col("pos").cast("long").as("win"),
+          col("col").as("ssq"))
       val w = Window.partitionBy("media_id").orderBy("win")
       wins.filter(col("ssq") > 315000)
         .withColumn("brk",

@@ -82,4 +82,36 @@ class MultimodalSpec extends SparkSpec {
       .toMap.view.mapValues(t => t.getBytes("UTF-8").map(_ & 0xff).map(_.toLong).sum % 997)
     assert(out.forall { case (id, f, _) => f == expected(id) })
   }
+
+  // r16: CodePointGroupSums replaced the explode(sequence) →
+  // ascii(substring) → hash-agg shape in mm_perceptual_hash /
+  // mm_shot_boundary / mm_audio_vad. Pin bit-equality against that
+  // retired spelling on ASCII, non-ASCII (multi-byte UTF-8 — exercises
+  // the slow path), and strings shorter than nChars (positions past the
+  // end must contribute 0, as ascii('') did).
+  test("CodePointGroupSums matches the explode+ascii(substring) aggregate form") {
+    import org.apache.spark.sql.GraftSqlBridge.{toColumn, toExpression}
+    val texts = Seq(
+      (1L, scala.util.Random.javaRandomToRandom(new java.util.Random(7))
+        .alphanumeric.take(300).mkString),
+      (2L, ("héllo wörld ✓ " * 30).take(280)),
+      (3L, "short"),
+      (4L, "x" * 256))
+      .toDF("doc_id", "text")
+    for ((groupLen, squared) <- Seq((16, false), (32, true))) {
+      val native = texts.select(col("doc_id"),
+          posexplode(toColumn(graft.functions.CodePointGroupSums(
+            toExpression(col("text")), groupLen, 256, squared))))
+        .select(col("doc_id"), col("pos").cast("long").as("g"), col("col").as("v"))
+        .as[(Long, Long, Long)].collect().toSet
+      val b = if (squared) "b * b" else "b"
+      val spec = texts
+        .select(col("doc_id"), col("text"), explode(expr("sequence(0, 255)")).as("pos"))
+        .select(col("doc_id"), expr(s"pos div $groupLen").as("g"),
+          expr("CAST(ascii(substring(text, pos + 1, 1)) AS BIGINT)").as("b"))
+        .groupBy("doc_id", "g").agg(sum(expr(b)).as("v"))
+        .as[(Long, Long, Long)].collect().toSet
+      assert(native == spec, s"groupLen=$groupLen squared=$squared")
+    }
+  }
 }
