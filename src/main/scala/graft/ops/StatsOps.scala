@@ -362,11 +362,18 @@ object StatsOps {
     require(ps.nonEmpty && ps.forall { case (_, p) => p >= 0 && p <= 1 })
     val nn = df.filter(col(value).isNotNull)
       .select(col(group), col(value).cast("double").as("__pct_v"))
-    val cnt = nn.groupBy(group).agg(count(lit(1)).as("__pct_n"))
+    // r16 (guide §2.4): the group size used to come from a separate
+    // hash aggregate joined back onto the window output — one extra
+    // exchange for the aggregate plus sort-merge machinery for the
+    // join. A whole-partition count window shares the row_number's
+    // partitioning (and its already-sorted input), so both numbers come
+    // out of the single window exchange: plan drops from 3 exchanges +
+    // join to 2 exchanges, no join (agg_percentile_highcard sf0.1
+    // 1.39 → 0.94 s).
+    val w = Window.partitionBy(group)
     val ranked = nn
-      .withColumn("__pct_r",
-        row_number().over(Window.partitionBy(group).orderBy("__pct_v")))
-      .join(cnt, Seq(group))
+      .withColumn("__pct_r", row_number().over(w.orderBy("__pct_v")))
+      .withColumn("__pct_n", count(lit(1)).over(w))
     def pos(p: Double) = lit(p) * (col("__pct_n") - 1).cast("double")
     val isBoundary = ps.map { case (_, p) =>
       col("__pct_r") === floor(pos(p)) + 1 || col("__pct_r") === ceil(pos(p)) + 1
