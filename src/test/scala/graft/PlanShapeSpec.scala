@@ -234,12 +234,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan("text_tfidf_top").contains("WindowGroupLimit"))
   }
 
-  test("q21's EXISTS/NOT-EXISTS pair stays on hash joins keyed by l_orderkey") {
+  test("q21's quantifier pair folds to one per-order aggregate, no fact re-joins") {
+    // r16: the EXISTS/NOT-EXISTS pair no longer runs as semi+anti joins
+    // re-shuffling lineitem twice — both quantifiers fold into one
+    // per-(order, supplier) hash aggregate (distinct pairs, map-side
+    // combinable) whose per-order counts join back once on the orderkey.
+    // Pin: no semi/anti fact passes, no Expand (the rejected filtered-
+    // countDistinct form), and everything stays on equi paths.
     val p = plan("tpch_q21")
-    assert(p.contains("LeftSemi") && p.contains("LeftAnti"),
-      s"correlation pair must decorrelate to semi + anti joins:\n${p.take(800)}")
-    // the supplier inequality and lateness ride as residuals on an equi
-    // key — a nested loop here is quadratic in order size at 100 TB
+    assert(!p.contains("LeftSemi") && !p.contains("LeftAnti"),
+      s"quantifiers regressed to semi/anti fact re-joins:\n${p.take(800)}")
+    assert(!p.contains("Expand"),
+      s"pair aggregate regressed to a multi-countDistinct Expand:\n${p.take(800)}")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"correlated join fell off the equi path:\n${p.take(800)}")
   }
@@ -640,13 +646,21 @@ class PlanShapeSpec extends SparkSpec {
       p.contains("BroadcastHashJoin"), "cell join must be an equi-join")
   }
 
-  test("column profiler reads the table once: multi-distinct plans as Expand") {
+  test("column profiler: per-column distinct-value HASH aggs, no Expand, no wide sort") {
+    // r16: the one-agg spelling (3x countDistinct + min/max over strings)
+    // planned a 4-way Expand into a SortAggregate — string agg buffers
+    // disqualify hash agg, so 4x|orders| expanded rows went through a
+    // full sort. Each column now profiles via its own distinct-value
+    // hash aggregate (one column-pruned scan each; the distinct table is
+    // tiny, so the per-column scans are cheaper than the expanded sort).
+    // Pin: no Expand, the first aggregate of every branch is hash-based,
+    // and no Sort below the final ORDER BY.
     val p = plan("profile_columns")
-    // three distinct-count columns must share ONE scan through an Expand,
-    // not re-scan the table per column
-    assert(p.contains("Expand"), s"multi-distinct lost its Expand plan:\n${p.take(600)}")
-    assert("Scan parquet".r.findAllIn(p).length == 1,
-      s"profiler must scan the table exactly once:\n${p.take(800)}")
+    assert(!p.contains("Expand"),
+      s"profiler regressed to the multi-distinct Expand plan:\n${p.take(600)}")
+    val sorts = "Sort ".r.findAllIn(p).length
+    assert(sorts <= 1, // the final ORDER BY col_name only
+      s"profiler grew a pre-aggregate sort:\n${p.take(800)}")
   }
 
   test("unpivot sorts BELOW the Expand and nothing reshuffles above it") {
