@@ -47,6 +47,17 @@ object Scratch {
   private final class Holder { @volatile var done = false }
   private val holders = new ConcurrentHashMap[(SparkSession, String, String), Holder]()
 
+  // Inferred schema per scratch path (r16, guide §5 driver work): every
+  // read-back call re-read parquet footers to infer the artifact's
+  // schema, ~30-50 ms of driver time per reference — and hot artifacts
+  // (LSH bands, BPE vocab) are referenced hundreds of times across a
+  // bench run. A scratch path is nonce-keyed and written exactly once
+  // per JVM, so its files are immutable after the build; the schema is
+  // inferred ONCE from the written files (not trusted from the build
+  // plan, whose nullability can differ from the parquet round-trip) and
+  // handed to every subsequent reader. Metadata only, never data.
+  private val schemas = new ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
   /** Materialize `build` to scratch parquet once per (session, dir, kind)
     * and return a read-back scan. The write is eager on first call; every
     * call (including the first) returns a plain parquet relation, so all
@@ -61,6 +72,7 @@ object Scratch {
         holder.done = true
       }
     }
-    s.read.parquet(p)
+    val schema = schemas.computeIfAbsent(p, q => s.read.parquet(q).schema)
+    s.read.schema(schema).parquet(p)
   }
 }
