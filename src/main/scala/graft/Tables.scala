@@ -24,11 +24,21 @@ object Tables {
   private val schemaCache =
     new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]
 
+  /** CONTRACT (ADVICE r16): paths handed to this loader must be IMMUTABLE
+    * for the life of the JVM — the cache has no invalidation, so parquet
+    * regenerated in-process at a cached path would be read under the stale
+    * schema (a user-supplied schema null-fills silently rather than
+    * erroring). True for the driver's testdata dirs. An in-process
+    * regeneration scenario must call [[clearSchemaCache]] after rewriting.
+    */
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     val path = s"$dir/$name.parquet"
     val schema = schemaCache.computeIfAbsent(path, p => spark.read.parquet(p).schema)
     spark.read.schema(schema).parquet(path)
   }
+
+  /** Escape hatch for the immutability contract above. */
+  def clearSchemaCache(): Unit = schemaCache.clear()
 
   def lineitem(s: SparkSession, d: String): DataFrame = apply(s, d, "lineitem")
   def orders(s: SparkSession, d: String): DataFrame = apply(s, d, "orders")

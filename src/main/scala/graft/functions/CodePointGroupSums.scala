@@ -1,9 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native one-pass grouped code-point sums over a string's first
@@ -30,6 +31,13 @@ case class CodePointGroupSums(child: Expression, groupLen: Int, nChars: Int,
                               squared: Boolean) extends UnaryExpression {
   require(groupLen > 0 && nChars > 0 && nChars % groupLen == 0,
     s"nChars ($nChars) must be a positive multiple of groupLen ($groupLen)")
+
+  // fail at ANALYSIS on a non-string child, not with a runtime
+  // ClassCastException inside eval/codegen (ADVICE r16)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"CodePointGroupSums requires a STRING child, got ${child.dataType.sql}")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 

@@ -56,7 +56,13 @@ object Scratch {
   // inferred ONCE from the written files (not trusted from the build
   // plan, whose nullability can differ from the parquet round-trip) and
   // handed to every subsequent reader. Metadata only, never data.
-  private val schemas = new ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+  // Keyed by (session, path), matching the holder lifecycle (ADVICE r16):
+  // builds are exactly-once per (session, dir, kind), so a SECOND session
+  // in the same JVM rebuilds the artifact at the same path — a path-only
+  // key would keep handing out the schema inferred from the first
+  // session's files.
+  private val schemas = new ConcurrentHashMap[
+    (SparkSession, String), org.apache.spark.sql.types.StructType]()
 
   /** Materialize `build` to scratch parquet once per (session, dir, kind)
     * and return a read-back scan. The write is eager on first call; every
@@ -72,7 +78,7 @@ object Scratch {
         holder.done = true
       }
     }
-    val schema = schemas.computeIfAbsent(p, q => s.read.parquet(q).schema)
+    val schema = schemas.computeIfAbsent((s, p), { case (ss, q) => ss.read.parquet(q).schema })
     s.read.schema(schema).parquet(p)
   }
 }

@@ -293,8 +293,26 @@ object TxLog {
     * full Jackson parse (authoritative, just slower); no ts anywhere
     * falls back to the file's mtime, exactly as the full parse did.
     */
+  /** Memo for [[commitTimeMillis]] — same immutable-manifest argument and
+    * size guard as `manifestCache` (timestampAsOf resolution scans commit
+    * times per call; the bench's lake family pays it per rep).
+    */
+  private val commitTimeCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long), (Long, Long)]()
+
   private def commitTimeMillis(table: String, v: Long): Long = {
     val p = logDir(table).resolve(fmt(v))
+    val size = Files.size(p)
+    Option(commitTimeCache.get((table, v))) match {
+      case Some((sz, t)) if sz == size => t
+      case _ =>
+        val t = commitTimeMillisUncached(table, v, p)
+        commitTimeCache.put((table, v), (size, t))
+        t
+    }
+  }
+
+  private def commitTimeMillisUncached(table: String, v: Long, p: Path): Long = {
     val s = Files.readString(p)
     val i = s.lastIndexOf("\"ts\":")
     val parsed =
@@ -399,9 +417,44 @@ object TxLog {
       s"""$props$unset$dropChecks$ts}"""
   }
 
+  /** Shared Jackson mapper: thread-safe for reads, and constructing one
+    * per parse was measurable driver work on the manifest-replay path
+    * (r17, guide §5 driver work).
+    */
+  private val jsonMapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  /** In-process memo of DECODED manifests keyed by (table, version) —
+    * r17, the VERDICT r16 "manifest cache" item (guide §5/§6 metadata
+    * caching, the same argument as `headMetaCache`): a published manifest
+    * is immutable (atomic no-overwrite link), so a decoded (table,
+    * version) pair stays true for the life of the JVM. Every snapshot /
+    * liveFiles / history / CDF call re-read and re-parsed the whole log
+    * tail per call — ~0.1 s of replay per lake query per rep at sf0.1,
+    * 50 queries in the family. The entry carries the manifest FILE SIZE
+    * at parse time and every hit re-stats the file (~1 µs vs a full
+    * read+parse): a table directory deleted and rebuilt at the same path
+    * in one JVM (the one way a version file can change) is detected
+    * unless the byte length collides exactly. Metadata only — segment
+    * data, file listings and query results are untouched, and a cold JVM
+    * always re-reads from disk.
+    */
+  private val manifestCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long), (Long, Manifest)]()
+
   def readManifest(table: String, v: Long): Manifest = {
-    val node = new com.fasterxml.jackson.databind.ObjectMapper()
-      .readTree(Files.readString(logDir(table).resolve(fmt(v))))
+    val p = logDir(table).resolve(fmt(v))
+    val size = Files.size(p) // throws like the uncached read if deleted
+    Option(manifestCache.get((table, v))) match {
+      case Some((sz, m)) if sz == size => m
+      case _ =>
+        val m = parseManifestNode(jsonMapper.readTree(Files.readString(p)))
+        manifestCache.put((table, v), (size, m))
+        m
+    }
+  }
+
+  private def parseManifestNode(
+      node: com.fasterxml.jackson.databind.JsonNode): Manifest = {
     def arr(field: String): Seq[String] =
       node.get(field).elements().asScala.map(_.asText()).toSeq
     val stats = statsField(node) // pre-stats manifests stay readable
@@ -3947,9 +4000,26 @@ object TxLog {
       .sorted
   }
 
+  /** Same memo as `manifestCache` for checkpoint files (immutable once
+    * published: two racers write identical bytes), same size guard.
+    */
+  private val checkpointCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long), (Long, Manifest)]()
+
   private def readCheckpoint(table: String, v: Long): Manifest = {
-    val node = new com.fasterxml.jackson.databind.ObjectMapper()
-      .readTree(Files.readString(logDir(table).resolve(f"$v%020d.checkpoint.json")))
+    val p = logDir(table).resolve(f"$v%020d.checkpoint.json")
+    val size = Files.size(p)
+    Option(checkpointCache.get((table, v))) match {
+      case Some((sz, m)) if sz == size => m
+      case _ =>
+        val m = parseCheckpointNode(jsonMapper.readTree(Files.readString(p)))
+        checkpointCache.put((table, v), (size, m))
+        m
+    }
+  }
+
+  private def parseCheckpointNode(
+      node: com.fasterxml.jackson.databind.JsonNode): Manifest = {
     def arr(field: String): Seq[String] =
       node.get(field).elements().asScala.map(_.asText()).toSeq
     Manifest(node.get("version").asLong(), node.get("op").asText(),

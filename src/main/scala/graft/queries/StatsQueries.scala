@@ -1093,7 +1093,9 @@ object StatsQueries extends QueryPack {
         val dist = Tables.orders(s, d)
           .groupBy(col(c).as("v")).agg(count(lit(1)).as("cnt"))
         dist.agg(
-            sum("cnt").as("n_rows"),
+            // coalesce: the retired count(lit(1)) spelling answered 0 on
+            // an EMPTY input where bare sum(cnt) answers NULL (ADVICE r16)
+            coalesce(sum("cnt"), lit(0L)).as("n_rows"),
             coalesce(sum(when(col("v").isNull, col("cnt"))), lit(0L)).as("n_null"),
             count(col("v")).as("n_distinct"),
             min("v").cast("string").as("min_val"),
@@ -1253,17 +1255,16 @@ object StatsQueries extends QueryPack {
           Cleaning.cents(col("l_extendedprice")).as("c"))
       val rq = graft.ops.StatsOps.groupedRowNumber(base, "l_returnflag",
         Seq("q", "l_orderkey", "l_linenumber", "c"), "rq")
-      val rc = graft.ops.StatsOps.groupedRowNumber(rq, "l_returnflag",
-        Seq("c", "l_orderkey", "l_linenumber", "q"), "rc")
-      rc.groupBy("l_returnflag")
-        .agg(count(lit(1)).as("n"),
-          sum(expr("CAST(rq - rc AS DECIMAL(38,0)) * CAST(rq - rc AS DECIMAL(38,0))"))
-            .as("sd2d"))
-        .select(col("l_returnflag"), col("n"),
-          col("sd2d").cast("long").as("sd2"),
-          expr("""1.0 - 6.0 * CAST(sd2d AS DOUBLE)
-                 | / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - 1.0))"""
-            .stripMargin.replaceAll("\n", " ")).as("spearman_rho"))
+      // r17 (guide §2.4, VERDICT r16 item 4): the second rank used to be
+      // a full groupedRowNumber engine plus a row-level aggregate —
+      // 2 more in-partition sorts, a rank projection over every row, and
+      // a final hash-agg exchange. spearmanAgg telescopes sd2 through the
+      // engine's own offset algebra, so the c-order pass is ONE sorted
+      // scan collecting 3 numbers per (partition, group); value-identical
+      // output (StatsQueries' SpearmanSpec pins it, oracle unchanged).
+      graft.ops.StatsOps.spearmanAgg(rq, "l_returnflag",
+          Seq("c", "l_orderkey", "l_linenumber", "q"), "rq",
+          ("n", "sd2", "spearman_rho"))
         .orderBy("l_returnflag")
     }),
 
@@ -3058,18 +3059,31 @@ object StatsQueries extends QueryPack {
     // 3-sigma test's heavy-tail-proof sibling. Exact integer medians via
     // the pre-aggregated weighted-median operator (weight 1), reused for
     // BOTH the center and the deviation median; flag rows where
-    // |v - med| > 3 * MAD in pure integer arithmetic. Two grouped
-    // aggregates + one broadcast join back to the fact.
+    // |v - med| > 3 * MAD in pure integer arithmetic.
+    //
+    // r17 (guide §6 read amplification, VERDICT r16 item 3): the
+    // sequential med → dev → mad → filter chain re-executed the `dev`
+    // subtree (events ⋈ median, itself embedding the median's whole
+    // aggregate) for every consumer — the physical plan held EIGHT events
+    // scans (plans/r17/stats_mad_outliers_before.txt). `dev` is exactly
+    // the shape the scratch ledger exists for (the production move:
+    // materialize the deviation table once, read it back for the MAD
+    // aggregate and the outlier pass): the per-query plan now scans the
+    // artifact twice and events never (the artifact build scans events
+    // twice — once for the median, once for the join), and the MAD's
+    // weighted-median window runs once instead of twice.
     "stats_mad_outliers" -> ((s, d) => {
-      val ev = Tables.events(s, d)
-        .select(col("event_type"), col("event_id"),
-          Cleaning.cents(col("value")).as("v"))
-      val med = graft.ops.StatsOps.weightedMedian(
-          ev.groupBy("event_type", "v").agg(count(lit(1)).as("w")),
-          "event_type", "v", "w")
-        .select(col("event_type"), col("wmedian").as("med"))
-      val dev = ev.join(broadcast(med), "event_type")
-        .withColumn("ad", abs(col("v") - col("med")))
+      val dev = graft.ops.Scratch.materialize("mad_dev", s, d) {
+        val ev = Tables.events(s, d)
+          .select(col("event_type"), col("event_id"),
+            Cleaning.cents(col("value")).as("v"))
+        val med = graft.ops.StatsOps.weightedMedian(
+            ev.groupBy("event_type", "v").agg(count(lit(1)).as("w")),
+            "event_type", "v", "w")
+          .select(col("event_type"), col("wmedian").as("med"))
+        ev.join(broadcast(med), "event_type")
+          .withColumn("ad", abs(col("v") - col("med")))
+      }
       val mad = graft.ops.StatsOps.weightedMedian(
           dev.groupBy("event_type", "ad").agg(count(lit(1)).as("w")),
           "event_type", "ad", "w")

@@ -248,6 +248,13 @@ class PlanShapeSpec extends SparkSpec {
       s"pair aggregate regressed to a multi-countDistinct Expand:\n${p.take(800)}")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"correlated join fell off the equi path:\n${p.take(800)}")
+    // the SCALE property this rebuild bought (one fewer fact pass): at
+    // most 2 lineitem scans — the sf0.1 exchange count is an accident of
+    // broadcast thresholds, the scan count is structural (VERDICT r16 #1)
+    val lineitemScans = p.linesIterator.count(ln =>
+      ln.contains("FileScan parquet") && ln.contains("lineitem"))
+    assert(lineitemScans <= 2,
+      s"q21 regressed to $lineitemScans lineitem scans (max 2):\n${p.take(800)}")
   }
 
   test("q19's OR-of-ANDs predicate keeps the partkey equi-join") {
