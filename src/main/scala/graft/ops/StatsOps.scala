@@ -50,6 +50,20 @@ object StatsOps {
                        out: String, numPartitions: Int = 32): DataFrame =
     groupedScan(df, group, order, None, out, numPartitions)
 
+  /** [[groupedRowNumber]] that ALSO appends each row's group total
+    * (`count(*) over (partition by group)`) — r17, guide §2.4/§6: the
+    * ntile/decile/pct-rank consumers all joined a separately scanned
+    * per-group count aggregate back onto the ranked rows, one extra
+    * input scan + exchange + broadcast join for numbers the engine's
+    * pass 1 ALREADY collects (the offset table's column sums). The
+    * totals ride the same broadcast as the offsets and the same codegen
+    * projection as the rank — zero extra passes.
+    */
+  def groupedRowNumberWithCount(df: DataFrame, group: String, order: Seq[String],
+                                outRn: String, outN: String,
+                                numPartitions: Int = 32): DataFrame =
+    groupedScan(df, group, order, None, outRn, numPartitions, Some(outN))
+
   /** Per-group running SUM (inclusive of the current row) along `order` —
     * the scalable form of `sum(value).over(Window.partitionBy(group)
     * .orderBy(order...).rowsBetween(unboundedPreceding, currentRow))` for
@@ -97,7 +111,8 @@ object StatsOps {
 
   private def groupedScan(df: DataFrame, group: String, order: Seq[String],
                           weightCol: Option[String], out: String,
-                          numPartitions: Int): DataFrame = {
+                          numPartitions: Int,
+                          totalOut: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.catalyst.InternalRow
     import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, JoinedRow, UnsafeProjection}
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
@@ -153,24 +168,36 @@ object StatsOps {
         snap
       }.toArray
     }
-    val schema = StructType(
-      sorted.schema.fields :+ StructField(out, LongType, nullable = false))
+    val schema = StructType(sorted.schema.fields ++
+      (StructField(out, LongType, nullable = false) +:
+        totalOut.map(StructField(_, LongType, nullable = false)).toSeq))
     val bc = sorted.sparkSession.sparkContext.broadcast(offsets)
-    // pass 2: append rank = cross-partition offset + in-partition prefix.
-    // The appended column rides a JoinedRow through one codegen'd
+    // per-group totals (= the offset table's column sums) for the
+    // WithCount variant — already driver-resident from pass 1
+    val bcTotals = totalOut.map { _ =>
+      val t = counts.iterator.flatMap(_._2).toSeq.groupBy(_._1)
+        .map { case (g, xs) => g -> xs.map(_._2).sum }
+      sorted.sparkSession.sparkContext.broadcast(t)
+    }
+    // pass 2: append rank = cross-partition offset + in-partition prefix
+    // (and, for WithCount, the group total from the same pass-1 data).
+    // The appended columns ride a JoinedRow through one codegen'd
     // UnsafeProjection — no external-Row construction; the result
     // re-enters SQL through the internal-row seam with zero conversion.
+    val nAppended = 1 + totalOut.size
     val rows = internal.mapPartitionsWithIndex { (p, it) =>
       val local = scala.collection.mutable.Map.empty[Any, Long]
       val base = bc.value(p)
+      val totals = bcTotals.map(_.value)
       val proj = UnsafeProjection.create(schema)
       val joined = new JoinedRow
-      val rank = new GenericInternalRow(1)
+      val rank = new GenericInternalRow(nAppended)
       it.map { r =>
         val g = gAcc(r, gi)
         val pos = local.getOrElse(g, 0L) + weightOf(r)
         bump(local, g, weightOf(r)) // stores a stable key copy on first insert
         rank.setLong(0, base.getOrElse(g, 0L) + pos)
+        totals.foreach(t => rank.setLong(1, t.getOrElse(g, 0L)))
         proj(joined(r, rank)): InternalRow
       }
     }

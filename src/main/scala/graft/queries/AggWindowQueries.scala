@@ -339,10 +339,12 @@ object AggWindowQueries extends QueryPack {
         .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
           graft.ops.Cleaning.cents(col("l_extendedprice")).as("price_cents"))
         .withColumn("neg_price", -col("price_cents"))
-      val rn = graft.ops.StatsOps.groupedRowNumber(base, "l_returnflag",
-        Seq("neg_price", "l_orderkey", "l_linenumber"), "rn")
-      val n = base.groupBy("l_returnflag").agg(count(lit(1)).as("n"))
-      rn.join(broadcast(n), "l_returnflag")
+      // r17 (guide §2.4/§6): the per-group size used to come from a
+      // SECOND lineitem scan + aggregate broadcast-joined back; the
+      // engine's pass 1 already collects it, so the WithCount variant
+      // appends n in the same projection as rn — one scan, no join.
+      graft.ops.StatsOps.groupedRowNumberWithCount(base, "l_returnflag",
+          Seq("neg_price", "l_orderkey", "l_linenumber"), "rn", "n")
         .withColumn("quartile", expr(
           """CASE WHEN rn <= (n % 4) * (n div 4 + 1)
             |  THEN (rn - 1) div (n div 4 + 1) + 1

@@ -595,10 +595,11 @@ object CorpusQueries extends QueryPack {
     "histogram_equi_depth" -> ((s, d) => {
       val base = Tables.documents(s, d)
         .select(col("lang"), col("n_chars"), col("doc_id"))
-      val rn = graft.ops.StatsOps.groupedRowNumber(base, "lang",
-        Seq("n_chars", "doc_id"), "rn")
-      val n = base.groupBy("lang").agg(count(lit(1)).as("n"))
-      rn.join(broadcast(n), "lang")
+      // r17 (guide §2.4/§6): group size from the engine's own pass-1
+      // counts (WithCount) instead of a second scan + broadcast join —
+      // same move as win_ntile_dist.
+      graft.ops.StatsOps.groupedRowNumberWithCount(base, "lang",
+          Seq("n_chars", "doc_id"), "rn", "n")
         .withColumn("decile", expr(
           """CASE WHEN rn <= (n % 10) * (n div 10 + 1)
             |  THEN (rn - 1) div (n div 10 + 1) + 1

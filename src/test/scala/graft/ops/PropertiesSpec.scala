@@ -184,6 +184,22 @@ class PropertiesSpec extends SparkSpec {
     assert(nulled === Map(Some("a") -> 1.0, None -> 3.0))
   }
 
+  test("groupedRowNumberWithCount appends exactly count(*) over (partition by g)") {
+    // r17: the WithCount variant feeds ntile/decile arithmetic — its n
+    // column must equal the window count for every row, and rn must be
+    // identical to the plain engine's
+    val df = spark.range(500)
+      .selectExpr("CAST(id % 5 AS STRING) AS g", "(id * 53) % 101 AS v", "id")
+    val got = StatsOps.groupedRowNumberWithCount(df, "g", Seq("v", "id"), "rn", "n")
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("g")
+    val want = df
+      .withColumn("rn", row_number().over(w.orderBy("v", "id")).cast("long"))
+      .withColumn("n", count(lit(1)).over(w))
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(got === want, "WithCount must match the window spelling row-for-row")
+  }
+
   test("groupedScan rejects high-cardinality group keys loudly") {
     // the engine's driver offset table is partitions × |groups|; a key
     // with > MaxScanGroups distinct values must fail with the contract
